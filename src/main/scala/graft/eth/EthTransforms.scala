@@ -1,0 +1,125 @@
+package graft.eth
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnFns._
+
+/** The transform core: per-stream `DataFrame => DataFrame` formatters, one
+  * per raw record stream, mirroring the reference's `ingest_*` functions
+  * (ref: scripts/eth_cassandra_streaming.py:323-467, binary dialect) and
+  * `format_*` functions (ref: scripts/eth_csv_export.py:263-349, CSV
+  * dialect). Encoding is a parameter of the transform, not two code paths
+  * (SURVEY §7.4): both dialects share rename/derive logic and differ only in
+  * value encoding.
+  */
+object EthTransforms {
+
+  /** Output encoding dialect. */
+  sealed trait Dialect {
+    /** Separator for the flattened `trace_address` array. */
+    def traceAddressSep: String
+    /** Default for `topic0` when `topics` is empty/null. */
+    def topic0Default: Option[String]
+    /** Whether 0x-hex columns are decoded to BinaryType. */
+    def binaryBlobs: Boolean
+  }
+
+  /** Cassandra-keyspace flavor: binary blobs, `topic0` defaults to "0x"
+    * (null is illegal for a clustering key — ref:
+    * scripts/eth_cassandra_streaming.py:352-354), `,`-joined trace_address. */
+  case object BinaryDialect extends Dialect {
+    val traceAddressSep = ","
+    val topic0Default: Option[String] = Some("0x")
+    val binaryBlobs = true
+  }
+
+  /** CSV-export flavor: hex strings kept as-is, `topic0` stays null
+    * (ref: scripts/eth_csv_export.py:339-340), `|`-joined trace_address
+    * (ref: scripts/eth_csv_export.py:311-315). */
+  case object CsvDialect extends Dialect {
+    val traceAddressSep = "|"
+    val topic0Default: Option[String] = None
+    val binaryBlobs = false
+  }
+
+  private def encodeBlobs(df: DataFrame, cols: Seq[String], d: Dialect): DataFrame =
+    if (!d.binaryBlobs) df
+    else cols.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, hexToBinary(col(c)))
+    }
+
+  /** Blocks: drop type tag, `number`->`block_id`, `hash`->`block_hash`,
+    * derive bucket, encode blobs
+    * (ref: scripts/eth_cassandra_streaming.py:323-402 `ingest_blocks`;
+    * scripts/eth_csv_export.py:263-276 `format_blocks`). */
+  def formatBlocks(raw: DataFrame, dialect: Dialect = CsvDialect,
+                   bucketSize: Long = BlockBucketSize): DataFrame = {
+    val renamed = raw
+      .drop("type")
+      .withColumnRenamed("number", "block_id")
+      .withColumnRenamed("hash", "block_hash")
+      .withColumn("block_id_group", blockIdGroup(col("block_id"), bucketSize))
+    encodeBlobs(renamed, EthSchemas.blockBlobColumns, dialect)
+  }
+
+  /** Transactions: `hash`->`tx_hash`, `block_number`->`block_id`, derive
+    * `tx_hash_prefix` from the hex hash *before* any binary encoding
+    * (ref: scripts/eth_cassandra_streaming.py:404-435 `ingest_transactions`;
+    * scripts/eth_csv_export.py:278-296 `format_transactions`). */
+  def formatTransactions(raw: DataFrame, dialect: Dialect = CsvDialect,
+                         prefixLen: Int = TxHashPrefixLen): DataFrame = {
+    val renamed = raw
+      .drop("type")
+      .withColumnRenamed("hash", "tx_hash")
+      .withColumnRenamed("block_number", "block_id")
+      .withColumn("tx_hash_prefix", txHashPrefix(col("tx_hash"), prefixLen))
+    encodeBlobs(renamed, EthSchemas.transactionBlobColumns, dialect)
+  }
+
+  /** Traces: renames, bucket, flatten `trace_address` with the dialect
+    * separator (null passthrough — ref:
+    * scripts/eth_cassandra_streaming.py:438-467 `ingest_traces`;
+    * scripts/eth_csv_export.py:298-318 `format_traces`). */
+  def formatTraces(raw: DataFrame, dialect: Dialect = CsvDialect,
+                   bucketSize: Long = BlockBucketSize): DataFrame = {
+    val renamed = raw
+      .drop("type")
+      .withColumnRenamed("transaction_hash", "tx_hash")
+      .withColumnRenamed("block_number", "block_id")
+      .withColumn("block_id_group", blockIdGroup(col("block_id"), bucketSize))
+      .withColumn("trace_address",
+        when(col("trace_address").isNotNull,
+          array_join(col("trace_address").cast("array<string>"),
+            dialect.traceAddressSep)))
+    encodeBlobs(renamed, EthSchemas.traceBlobColumns, dialect)
+  }
+
+  /** Logs: renames, bucket, `topic0 = topics[0]` with dialect default,
+    * elementwise topic encoding
+    * (ref: scripts/eth_cassandra_streaming.py:323-366 `ingest_logs`;
+    * scripts/eth_csv_export.py:320-349 `format_logs`). */
+  def formatLogs(raw: DataFrame, dialect: Dialect = CsvDialect,
+                 bucketSize: Long = BlockBucketSize): DataFrame = {
+    val head = try_element_at(col("topics"), lit(1))
+    val topic0 = dialect.topic0Default match {
+      case Some(d) => coalesce(head, lit(d))
+      case None    => head
+    }
+    val renamed = raw
+      .drop("type")
+      .withColumnRenamed("transaction_hash", "tx_hash")
+      .withColumnRenamed("block_number", "block_id")
+      .withColumn("block_id_group", blockIdGroup(col("block_id"), bucketSize))
+      .withColumn("topic0", topic0)
+    val encoded = encodeBlobs(renamed, EthSchemas.logBlobColumns, dialect)
+    if (dialect.binaryBlobs)
+      encoded
+        .withColumn("topic0", hexToBinary(col("topic0")))
+        .withColumn("topics", transform(col("topics"), t => hexToBinary(t)))
+    else
+      // CSV flavor renders topics as a JSON-ish string
+      // (ref: scripts/eth_csv_export.py:342-344).
+      encoded.withColumn("topics", to_json(col("topics")))
+  }
+}

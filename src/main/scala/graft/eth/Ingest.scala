@@ -1,0 +1,101 @@
+package graft.eth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-ingest semantics (SURVEY §2.6): range planning, resume
+  * ("the data is the checkpoint"), and the previous-day completeness
+  * watermark. All driver-side logic here is bounded metadata (a handful of
+  * longs) — every per-row computation stays in DataFrames.
+  */
+object Ingest {
+
+  /** T1: split `[startBlock, endBlock]` (inclusive) into `batchSize` slices —
+    * the micro-batch loop of the reference
+    * (ref: scripts/eth_cassandra_streaming.py:619-636). */
+  def planRanges(startBlock: Long, endBlock: Long, batchSize: Long): Seq[(Long, Long)] = {
+    require(batchSize > 0, "batchSize must be positive")
+    if (endBlock < startBlock) Seq.empty
+    else (startBlock to endBlock by batchSize)
+      .map(lo => (lo, math.min(lo + batchSize - 1, endBlock)))
+  }
+
+  /** Round a range outward/inward to whole buckets, mirroring the CSV
+    * export's rounding (ref: scripts/eth_csv_export.py:501-511): start is
+    * rounded *down* to a bucket boundary, end is rounded so the range covers
+    * whole buckets ending at `bucketSize*k - 1`. Returns None if no whole
+    * bucket fits. */
+  def roundToBuckets(startBlock: Long, endBlock: Long, bucketSize: Long): Option[(Long, Long)] = {
+    val lo = (startBlock / bucketSize) * bucketSize
+    val hi = ((endBlock + 1) / bucketSize) * bucketSize - 1
+    if (hi < lo) None else Some((lo, hi))
+  }
+
+  /** A1/T2: resume position from the sink itself — `max(block_id)` over the
+    * already-written data (ref: scripts/eth_cassandra_streaming.py:225-245,
+    * used for resume at :588-593). Catalyst runs this as partial max per
+    * partition + final merge, the distributed form of the reference's
+    * hand-rolled two-phase max. Returns None on an empty sink. */
+  def maxIngestedBlock(sink: DataFrame, blockIdCol: String = "block_id"): Option[Long] =
+    sink.agg(max(col(blockIdCol)).cast("long")).collect()(0) match {
+      case row if row.isNullAt(0) => None
+      case row => Some(row.getLong(0))
+    }
+
+  /** A1, partition-pruned variant: read only the max bucket's partition, then
+    * max within it — the literal shape of the reference's two-phase max
+    * (PER PARTITION LIMIT 1 + MAX within max group,
+    * ref: scripts/eth_cassandra_streaming.py:228-241). On a
+    * `partitionBy(bucketCol)` parquet sink the first agg prunes to partition
+    * values and the second scans one partition. */
+  def maxIngestedBlockPruned(sink: DataFrame,
+                             blockIdCol: String = "block_id",
+                             bucketCol: String = "block_id_group"): Option[Long] = {
+    val maxGroup = sink.agg(max(col(bucketCol))).collect()(0)
+    if (maxGroup.isNullAt(0)) None
+    else maxIngestedBlock(
+      sink.filter(col(bucketCol) === maxGroup.get(0)), blockIdCol)
+  }
+
+  /** S7: resume position recovered from sink *file names* — the CSV path's
+    * `rglob("block*")` + `.*-(\d+)` regex + max
+    * (ref: scripts/eth_csv_export.py:474-479). */
+  def resumeFromFileNames(spark: SparkSession, fileNames: Seq[String]): Option[Long] = {
+    import spark.implicits._
+    if (fileNames.isEmpty) None
+    else fileNames.toDF("fname")
+      .select(regexp_extract(col("fname"), ".*-(\\d+)", 1).as("blk"))
+      .filter(col("blk") =!= "")
+      .agg(max(col("blk").cast("long")))
+      .collect()(0) match {
+        case row if row.isNullAt(0) => None
+        case row => Some(row.getLong(0))
+      }
+  }
+
+  /** S5/T3: completeness watermark — the last block strictly before `cutoff`
+    * (unix seconds), the engine form of `--previous_day`
+    * (ref: scripts/eth_cassandra_streaming.py:199-216: "exchange rates might
+    * not be available for the current day"). */
+  def lastBlockBefore(blocks: DataFrame, cutoffUnixSeconds: Long,
+                      blockIdCol: String = "block_id",
+                      tsCol: String = "timestamp"): Option[Long] =
+    maxIngestedBlock(blocks.filter(col(tsCol) < cutoffUnixSeconds), blockIdCol)
+
+  /** K3: the one-row `configuration` metadata frame persisted next to the
+    * sink (ref: scripts/eth_cassandra_streaming.py:306-320). */
+  def configuration(spark: SparkSession, id: String = "graft",
+                    blockBucketSize: Int = 1000,
+                    txPrefixLength: Int = 5): DataFrame = {
+    import spark.implicits._
+    Seq((id, blockBucketSize, txPrefixLength))
+      .toDF("id", "block_bucket_size", "tx_prefix_length")
+  }
+
+  /** T4: idempotent re-ingest — collapse replayed rows to one per primary
+    * key. Rows replayed by at-least-once delivery are byte-identical, so any
+    * survivor is correct (the Cassandra-upsert equivalence,
+    * ref: scripts/eth_cassandra_streaming.py:263-303). */
+  def dedupeByPk(df: DataFrame, pkCols: Seq[String]): DataFrame =
+    df.dropDuplicates(pkCols)
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Core column-level primitives of the engine.
+  *
+  * Each mirrors a per-record derivation of the reference pipeline
+  * (graphsense-ethereum-etl) as a codegen-friendly Catalyst expression —
+  * no UDFs anywhere, so every function stays inside whole-stage codegen
+  * and is usable at 100 TB scale.
+  */
+object ColumnFns {
+
+  /** Bucket size used by the reference for block partitioning
+    * (ref: scripts/eth_cassandra_streaming.py:34 `BLOCK_BUCKET_SIZE = 1_000`). */
+  val BlockBucketSize = 1000L
+
+  /** Hash-prefix length for transaction partitioning
+    * (ref: scripts/eth_cassandra_streaming.py:35 `TX_HASH_PREFIX_LEN = 5`). */
+  val TxHashPrefixLen = 5
+
+  /** `0x`-prefixed hex string -> binary, null-preserving.
+    * (ref: scripts/eth_cassandra_streaming.py:183-186 `hex_to_bytearray`.)
+    * `unhex` is a codegen'd built-in returning BinaryType; null in -> null out.
+    */
+  def hexToBinary(c: Column): Column = unhex(substring(c, 3, Int.MaxValue))
+
+  /** Binary -> `0x`-prefixed lowercase hex string (inverse of [[hexToBinary]]). */
+  def binaryToHex(c: Column): Column =
+    when(c.isNotNull, concat(lit("0x"), lower(hex(c))))
+
+  /** Block bucket: `block_id // bucketSize`
+    * (ref: scripts/eth_cassandra_streaming.py:344,395,455). This is both a
+    * derived column and the physical `partitionBy` key of the sink, which is
+    * what makes block-range queries partition-pruned instead of full scans.
+    * Exact for ids < 2^52 (doubles in `floor` are exact there; Ethereum block
+    * ids are < 2^31).
+    */
+  def blockIdGroup(blockId: Column, bucketSize: Long = BlockBucketSize): Column =
+    floor(blockId / bucketSize).cast("int")
+
+  /** Tx-hash prefix: `tx_hash[2 : 2+len]`, skipping the leading `0x`
+    * (ref: scripts/eth_cassandra_streaming.py:428-429). Spreads rows
+    * uniformly over 16^len partitions and enables point lookup by hash.
+    */
+  def txHashPrefix(hash: Column, len: Int = TxHashPrefixLen): Column =
+    substring(hash, 3, len)
+
+  /** Deterministic 60-bit positive hash of a string column, derived from the
+    * first 15 hex chars of its md5. Chosen over `xxhash64`/`hash` because it
+    * is reproducible in any SQL engine (`CAST('0x'||substr(md5(x),1,15) AS
+    * BIGINT)` in DuckDB), which keeps MinHash/SimHash/fingerprint operators
+    * oracle-verifiable. Always in [0, 2^60).
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant of [[md5Long]]: an independent hash family member per
+    * seed, used for MinHash permutations and LSH hyperplanes. */
+  def md5LongSeeded(seed: Int, c: Column): Column =
+    md5Long(concat(lit(seed.toString), lit("|"), c))
+
+  /** Whitespace tokenization (single-space delimiter, matching the synthetic
+    * corpus; swap the pattern for real data). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles of a token array. Documents shorter than k tokens
+    * collapse to a single whole-document shingle so every doc gets >= 1
+    * shingle (MinHash requires a non-empty set).
+    */
+  def shingles(toks: Column, k: Int): Column = {
+    val slid = transform(
+      sequence(lit(0), size(toks) - k),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    when(size(toks) >= k, slid)
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Order-sensitive rolling fingerprint of a token array:
+    * `acc = (acc * 31 + md5Long(token)) mod 1e9+7`, seeded with 0.
+    * All intermediates stay < 2^61, so no overflow on LongType.
+    */
+  def rollingFingerprint(toks: Column, mod: Long = 1000000007L): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * 31 + md5Long(t)) % mod)
+
+  /** Dot product of two equal-length numeric arrays, accumulated left-to-right
+    * in double precision (deterministic: same adds in the same order on every
+    * engine/run). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, plus the decode/feature-extract plumbing.
+  *
+  * The Spark-side design is real — schema, partition-preserving
+  * `mapPartitions`, batch-shaped processing — while the codec itself is a
+  * STUB: this container has no image/audio libraries, so `decodeStub`
+  * produces a deterministic fake feature vector. Swapping in a real decoder
+  * changes only the function body, not the plan shape.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String)
+
+  /** Extracted features for one media record. */
+  case class MediaFeatures(media_id: Long, byte_len: Int, width: Int,
+                           height: Int, channels: Int,
+                           features: Array[Float])
+
+  /** Wrap a text table as a media table: payload = UTF-8 bytes (stands in for
+    * image/audio bytes; the engine never looks inside the payload except in
+    * the decode stage). */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(textCol).cast("binary").as("payload"),
+      lit("application/octet-stream").as("mime"))
+
+  /** STUB decode: deterministic fake "image decode + feature extraction".
+    * Real deployments replace the body with an actual codec (e.g. JNI
+    * libjpeg / ffmpeg); signature and batch shape stay identical. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val len = payload.length
+    val width = len % 64 + 16
+    val height = len % 48 + 16
+    // 8 fake features: windowed byte averages — deterministic, cheap.
+    val feats = Array.tabulate(8) { i =>
+      val lo = i * len / 8
+      val hi = math.max(lo + 1, (i + 1) * len / 8)
+      var s = 0.0f
+      var j = lo
+      while (j < hi) { s += (payload(j) & 0xff); j += 1 }
+      s / (hi - lo)
+    }
+    (width, height, 3, feats)
+  }
+
+  /** Per-partition decode: imperative inner loop over a partition's records —
+    * the one legitimate `mapPartitions` use (per-record codec calls), keeping
+    * partitioning intact and driver out of the data path. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, ch, feats) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.payload.length, w, h, ch, feats)
+      }
+    }
+  }
+
+  /** Column-only metadata extraction (no decode): payload length and a hex
+    * fingerprint prefix — pure codegen'd expressions, used when the payload
+    * itself is not needed. */
+  def payloadMetadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      length(col("payload")).as("byte_len"),
+      substring(lower(hex(col("payload"))), 1, 32).as("payload_hex_prefix"),
+      (length(col("payload")) % 64 + 16).as("fake_width"),
+      (length(col("payload")) % 48 + 16).as("fake_height"),
+      lit(3).as("channels"))
+
+  /** Typed dataset from a text-backed media frame. */
+  def toMediaDataset(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.as[MediaRecord]
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnFns._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]]: exact scan — each candidate scored against a
+  *     *small broadcast query set*. Linear in candidates, embarrassingly
+  *     parallel; the correctness baseline.
+  *   - [[lshBuckets]] + [[lshTopK]]: random-hyperplane LSH (Charikar 2002) —
+  *     candidates are bucketed by sign-bit keys and only same-bucket pairs
+  *     are scored. The 100 TB path: a `groupBy`/equi-join on the bucket key
+  *     instead of an all-pairs comparison.
+  *
+  * All arithmetic is sequential double accumulation over array indices, so
+  * scores are bit-deterministic and oracle-reproducible.
+  */
+object Similarity {
+
+  /** Exact top-k: score every candidate against every query (queries side
+    * must be small — it is broadcast), rank per query.
+    * Plan shape: BroadcastNestedLoopJoin(candidates, broadcast(queries)) →
+    * project(dot) → window top-k. One scan of the candidate side. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score", round(dotProduct(col("__q"), col("__c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+  }
+
+  /** Sign-bit LSH bucket key: `numPlanes` pseudo-random hyperplanes with
+    * +-1 components derived from a seeded hash (reproducible in SQL);
+    * bucket = sum of (dot(v, plane_p) > 0) << p. Vectors in the same bucket
+    * are likely neighbors (cosine-LSH collision probability 1 - theta/pi per
+    * bit). */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int = 8): Column =
+    aggregate(
+      sequence(lit(0), lit(numPlanes - 1)),
+      lit(0L),
+      (acc, p) => {
+        // proj = sum_i v[i] * w(p, i), w = +-1 from hash parity
+        val proj = aggregate(
+          sequence(lit(1), lit(dim)),
+          lit(0.0),
+          (a, i) => a + element_at(vecCol, i.cast("int")).cast("double") *
+            when(md5Long(concat(p.cast("string"), lit("_"), i.cast("string"))) % 2 === 1,
+              lit(1.0)).otherwise(lit(-1.0)))
+        acc + when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
+      })
+
+  /** Assign every vector its LSH bucket. */
+  def lshBuckets(df: DataFrame, dim: Int, numPlanes: Int = 8,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+
+  /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
+    * an equi-join on `bucket`, then exact scoring within buckets. Recall is
+    * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher
+    * recall, more work). */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              numPlanes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val qb = lshBuckets(queries, dim, numPlanes)
+      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("__q"))
+    val cb = lshBuckets(candidates, dim, numPlanes)
+      .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .withColumn("score", round(dotProduct(col("__q"), col("__c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("score"))
+  }
+}

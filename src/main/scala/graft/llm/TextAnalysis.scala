@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnFns._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-ratio heuristic), quality scoring, token counting, and document
+  * fingerprinting. Pure column expressions — codegen'd, linear scans, no
+  * shuffle except final aggregations.
+  */
+object TextAnalysis {
+
+  /** English function words used by the stopword-ratio heuristic. */
+  val EnglishStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Count of tokens that are in `stopwords`. */
+  def stopwordHits(toks: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val isStop = (t: Column) =>
+      stopwords.map(s => t === s).reduce(_ || _)
+    size(filter(toks, isStop))
+  }
+
+  /** Language-ID heuristic: ratio of English function words among tokens;
+    * >= `threshold` classifies as "en". (A real model would use character
+    * n-gram profiles; the *shape* — per-doc bounded compute, one scan — is
+    * identical.) */
+  def languageId(toks: Column, threshold: Double = 0.05): Column = {
+    val ratio = stopwordHits(toks).cast("double") / size(toks).cast("double")
+    when(ratio >= threshold, lit("en")).otherwise(lit("other"))
+  }
+
+  /** Quality metrics per document: lengths, token stats, punctuation and
+    * stopword ratios. All single-pass; ratios are one double division each
+    * (deterministic). */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nChars = length(col(textCol))
+    val nTokens = size(toks)
+    val nPunct = length(regexp_replace(col(textCol), "[a-z0-9 ]", ""))
+    df.select(
+      col(idCol),
+      nChars.as("n_chars_c"),
+      nTokens.as("n_tokens"),
+      nPunct.as("n_punct"),
+      round(nChars.cast("double") / nTokens.cast("double"), 6).as("chars_per_token"),
+      round(stopwordHits(toks).cast("double") / nTokens.cast("double"), 6).as("stopword_ratio"))
+  }
+
+  /** Token count, whitespace and BPE-ish: words, digit runs, and single
+    * non-alphanumeric symbols — the pre-tokenization regex family used by
+    * BPE tokenizers. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .as("bpe_tokens"))
+
+  /** Document fingerprint: order-sensitive rolling hash over tokens
+    * ([[graft.functions.ColumnFns.rollingFingerprint]]) — equal texts get equal
+    * fingerprints, any reordering/edit changes it. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      rollingFingerprint(tokens(col(textCol))).as("fingerprint"))
+}

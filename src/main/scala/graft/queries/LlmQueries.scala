@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnFns._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.StreamingOps
+
+/** LLM training-data pipeline operators: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard), similarity search (brute-force + LSH-bucketed
+  * ANN), text analysis, multimodal metadata, and streaming shapes — each
+  * oracle-checked against DuckDB implementing the identical algorithm in SQL.
+  */
+object LlmQueries {
+
+  /** Shared DuckDB CTEs: word 3-shingles and the 8-hash MinHash signature
+    * (4 bands x 2 rows), mirroring [[graft.llm.Dedup.minhashSignature]] exactly
+    * (seeded md5-derived 60-bit hashes). */
+  private val minhashSigCte =
+    """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
+      |              ELSE [array_to_string(t, ' ')] END AS s
+      |       FROM toks),
+      |sig AS (SELECT doc_id,
+      |          list_transform(range(0, 8), h ->
+      |            list_min(list_transform(s, x ->
+      |              CAST('0x' || substring(md5(CAST(h AS VARCHAR) || '|' || x), 1, 15) AS BIGINT)))) AS g
+      |        FROM sh),
+      |bands AS (SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+      |            CAST(g[b.band*2+1] AS VARCHAR) || ',' || CAST(g[b.band*2+2] AS VARCHAR) AS band_key
+      |          FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+
+  /** DuckDB expression for the sign-bit LSH bucket of column `e` —
+    * mirrors [[graft.llm.Similarity.lshBucket]] (8 planes, dim 64). */
+  private def lshBucketSql(e: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), p ->
+       |  CASE WHEN list_sum(list_transform(range(1, 65), i ->
+       |         CAST($e[i] AS DOUBLE) *
+       |         (CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1
+       |               THEN 1.0 ELSE -1.0 END))) > 0
+       |       THEN CAST(2**p AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: one survivor (min id) per distinct content hash.
+    Q("dedup_exact", "LLM",
+      (s, d) => Dedup.exact(Tables(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS dup_count
+             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin)),
+
+    // MinHash-LSH band assignment (shingle -> minhash -> band key).
+    Q("dedup_minhash_bands", "LLM",
+      (s, d) => Dedup.minhashBands(Tables(s, d, "documents"), "doc_id", "text",
+        shingleLen = 3, bands = 4, rowsPerBand = 2).orderBy("doc_id", "band"),
+      Some(s"""$minhashSigCte
+              |SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band""".stripMargin)),
+
+    // MinHash-LSH candidate pairs: bucket-join on (band, band_key) — never
+    // an all-pairs cross join.
+    Q("dedup_minhash_pairs", "LLM",
+      (s, d) => Dedup.minhashCandidatePairs(
+        Dedup.minhashBands(Tables(s, d, "documents"), "doc_id", "text", 3, 4, 2), "doc_id")
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$minhashSigCte
+              |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+              |FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |WHERE a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // SimHash 16-bit signature.
+    Q("dedup_simhash", "LLM",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(tokens(col("text")), 16).as("simhash16"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 16), j ->
+             |    CASE WHEN list_sum(list_transform(str_split(text, ' '), tok ->
+             |           CASE WHEN CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 15) AS BIGINT) % 2 = 1
+             |                THEN 1 ELSE -1 END)) > 0
+             |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // N-gram Jaccard similarity of within-bucket candidate pairs.
+    Q("dedup_ngram_jaccard", "LLM",
+      (s, d) => Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
+        "doc_id", "text", "source", shingleLen = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
+             |d AS (SELECT doc_id, source,
+             |        list_distinct(CASE WHEN len(t) >= 3
+             |          THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
+             |          ELSE [array_to_string(t, ' ')] END) AS sh
+             |      FROM tk)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_intersect,
+             |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union,
+             |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+             |FROM d a JOIN d b ON a.source = b.source
+             |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
+
+    // Brute-force cosine/dot top-k: exact baseline, broadcast query set.
+    Q("ann_bruteforce", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.bruteForceTopK(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5), 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+              |sc AS (SELECT query_id, neighbor_id, round($dotSql, 6) AS score FROM q, c),
+              |r AS (SELECT query_id, neighbor_id, score,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // LSH-bucketed ANN: the scale path — score only same-bucket pairs.
+    Q("ann_lsh", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.lshTopK(e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+          dim = 64, k = 5, numPlanes = 8)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT bucket, vec_id AS query_id, embedding AS qe FROM b WHERE vec_id < 5),
+              |c AS (SELECT bucket, vec_id AS neighbor_id, embedding AS ce FROM b WHERE vec_id >= 5),
+              |sc AS (SELECT q.query_id, c.neighbor_id, q.bucket, round($dotSql, 6) AS score
+              |       FROM q JOIN c ON q.bucket = c.bucket),
+              |r AS (SELECT query_id, neighbor_id, bucket, score,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Language ID via stopword-ratio heuristic.
+    Q("text_langid", "LLM",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.languageId(tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN CAST(len(list_filter(str_split(text, ' '),
+             |         t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |       / CAST(len(str_split(text, ' ')) AS DOUBLE) >= 0.05
+             |       THEN 'en' ELSE 'other' END AS lang_pred
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Quality metrics (lengths, punctuation, stopword ratio).
+    Q("text_quality", "LLM",
+      (s, d) => TextAnalysis.qualityMetrics(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS INTEGER) AS n_chars_c,
+             |  CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
+             |  round(CAST(length(text) AS DOUBLE) / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS chars_per_token,
+             |  round(CAST(len(list_filter(str_split(text, ' '),
+             |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |        / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace + BPE-ish pre-tokenizer regex.
+    Q("text_token_counts", "LLM",
+      (s, d) => TextAnalysis.tokenCounts(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(str_split(text, ' ')) AS INTEGER) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Rolling-hash document fingerprint.
+    Q("text_fingerprint", "LLM",
+      (s, d) => TextAnalysis.fingerprints(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(str_split(text, ' '), t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT))),
+             |       (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal: opaque binary payload + typed metadata (column-only path).
+    Q("multimodal_payloads", "LLM",
+      (s, d) => Multimodal.payloadMetadata(
+        Multimodal.asMediaTable(Tables(s, d, "documents"), "doc_id", "text"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             |  substring(lower(hex(encode(text))), 1, 32) AS payload_hex_prefix,
+             |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS fake_width,
+             |  CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS fake_height,
+             |  3 AS channels
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Multimodal: per-partition decode + feature extraction (stubbed codec;
+    // Spark plumbing is real). Rows-only check: the fake decode is engine
+    // code, not SQL.
+    Q("multimodal_features", "LLM",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.toMediaDataset(s,
+          Multimodal.asMediaTable(Tables(s, d, "documents"), "doc_id", "text")))
+        .toDF().orderBy("media_id"),
+      None),
+
+    // Streaming shape 1: tumbling-window aggregation (same function works on
+    // readStream inputs with withLateDataWatermark).
+    Q("stream_window_agg", "STREAM",
+      (s, d) => StreamingOps.windowedEventStats(Tables(s, d, "events"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type, count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming shape 2: sessionization (gaps-and-islands; streaming-native
+    // variant uses flatMapGroupsWithState, tested in specs).
+    Q("stream_sessionize", "STREAM",
+      (s, d) => StreamingOps.sessionizeBatch(Tables(s, d, "events"), gapMinutes = 10)
+        .orderBy("user_id", "session_seq"),
+      Some("""WITH dd AS (SELECT user_id, event_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE
+             |              THEN 1 ELSE 0 END AS brk
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |ss AS (SELECT user_id, ts,
+             |         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+             |       FROM dd)
+             |SELECT user_id, session_seq, CAST(min(ts) AS TIMESTAMP) AS session_start,
+             |       CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
+             |FROM ss GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+}

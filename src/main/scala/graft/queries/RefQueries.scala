@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.eth.{Enrich, EthTransforms, Ingest, Sinks}
+import graft.functions.ColumnFns._
+
+/** Reference-parity queries: one named, oracle-checked query per operator of
+  * SURVEY.md §2 (S* sources, P* projections, J* joins, A* aggregations,
+  * O* sorts/limits, Q* query shapes, T-/K- ingest+sink semantics), expressed
+  * over the driver's TPC-H-ish testdata.
+  */
+object RefQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // S1/S2: export fan-out — one parent record explodes into N child rows
+    // (block -> txs, receipt -> logs).
+    Q("s1_explode_fanout", "S1",
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+        .orderBy("p_partkey", "word"),
+      Some("""SELECT * FROM (SELECT p_partkey, unnest(str_split(p_name, ' ')) AS word FROM part) t
+             |ORDER BY p_partkey, word""".stripMargin)),
+
+    // S4: chain-tip scan — max id over the source.
+    Q("s4_chain_tip", "S4",
+      (s, d) => Tables(s, d, "lineitem").agg(max(col("l_orderkey")).as("tip")),
+      Some("SELECT max(l_orderkey) AS tip FROM lineitem")),
+
+    // S5/T3: timestamp -> id as-of lookup (previous-day watermark shape).
+    Q("s5_asof_watermark", "S5",
+      (s, d) => Tables(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .agg(max(col("o_orderkey")).as("last_key")),
+      Some("SELECT max(o_orderkey) AS last_key FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'")),
+
+    // S7: resume position from sink file names (regex + max).
+    Q("s7_resume_filenames", "S7",
+      (s, d) => Tables(s, d, "orders")
+        .select(concat(lit("block-"), lpad(col("o_orderkey").cast("string"), 8, "0")).as("fname"))
+        .select(regexp_extract(col("fname"), ".*-(\\d+)", 1).cast("bigint").as("blk"))
+        .agg(max(col("blk")).as("resume_from")),
+      Some("""SELECT max(CAST(regexp_extract('block-' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0'), '.*-(\d+)', 1) AS BIGINT)) AS resume_from FROM orders""")),
+
+    // S8: tagged-union demultiplexer — route records by type tag.
+    Q("s8_demux_by_type", "S8",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // P3: bucket derivation — the load-bearing partition key.
+    Q("p3_bucket_counts", "P3",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(blockIdGroup(col("l_orderkey")).as("block_id_group"))
+        .groupBy("block_id_group").agg(count(lit(1)).as("n"))
+        .orderBy("block_id_group"),
+      Some("""SELECT CAST(l_orderkey // 1000 AS INTEGER) AS block_id_group, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P4: hash-prefix derivation for point-lookup partitioning.
+    Q("p4_hash_prefix", "P4",
+      (s, d) => Tables(s, d, "customer")
+        .select(concat(lit("0x"), md5(col("c_name"))).as("tx_hash"))
+        .select(col("tx_hash"), txHashPrefix(col("tx_hash")).as("tx_hash_prefix"))
+        .orderBy("tx_hash"),
+      Some("""SELECT '0x' || md5(c_name) AS tx_hash, substring('0x' || md5(c_name), 3, 5) AS tx_hash_prefix
+             |FROM customer ORDER BY tx_hash""".stripMargin)),
+
+    // P5: hex <-> binary roundtrip (null-preserving blob codec).
+    Q("p5_hex_binary_roundtrip", "P5",
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"),
+          binaryToHex(hexToBinary(concat(lit("0x"), lower(hex(col("p_name")))))).as("hex_rt"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, '0x' || lower(hex(unhex(lower(hex(p_name))))) AS hex_rt
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // P6: array -> delimited string (trace_address flattening).
+    Q("p6_array_join", "P6",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_join(
+          transform(array_sort(collect_list(col("l_linenumber"))), _.cast("string")),
+          ",").as("trace_address"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS trace_address
+             |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // P7: head-of-array with default (topic0 = topics[0] else "0x").
+    Q("p7_head_default", "P7",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          coalesce(try_element_at(filter(split(col("text"), " "), t => length(t) > 8), lit(1)),
+            lit("0x")).as("topic0"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, coalesce(list_filter(str_split(text, ' '), t -> length(t) > 8)[1], '0x') AS topic0
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // P8: elementwise array map.
+    Q("p8_transform_upper", "P8",
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"), transform(split(col("p_name"), " "), x => upper(x)).as("words"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, list_transform(str_split(p_name, ' '), x -> upper(x)) AS words
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // P9: array -> JSON string (CSV log topics rendering).
+    Q("p9_topics_json", "P9",
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"), to_json(split(col("p_name"), " ")).as("topics_json"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, CAST(to_json(str_split(p_name, ' ')) AS VARCHAR) AS topics_json
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // P1-P5 composed: the block formatter (CSV dialect) over synthetic raw blocks.
+    Q("eth_format_blocks", "P1-P5",
+      (s, d) => {
+        val raw = Tables(s, d, "orders").select(
+          lit("block").as("type"),
+          col("o_orderkey").cast("int").as("number"),
+          concat(lit("0x"), md5(col("o_orderkey").cast("string"))).as("hash"),
+          round(col("o_totalprice")).cast("int").as("gas_used"))
+        EthTransforms.formatBlocks(raw, EthTransforms.CsvDialect)
+          .select(col("block_id_group"), col("block_id"), col("block_hash"), col("gas_used"))
+          .orderBy("block_id")
+      },
+      Some("""SELECT CAST(o_orderkey // 1000 AS INTEGER) AS block_id_group, CAST(o_orderkey AS INTEGER) AS block_id,
+             |       '0x' || md5(CAST(o_orderkey AS VARCHAR)) AS block_hash, CAST(round(o_totalprice) AS INTEGER) AS gas_used
+             |FROM orders ORDER BY block_id""".stripMargin)),
+
+    // P2/P4/P5 composed: the transaction formatter (binary dialect) — blob
+    // decode with null passthrough + prefix derivation.
+    Q("eth_format_txs_binary", "P2",
+      (s, d) => {
+        val raw = Tables(s, d, "customer").select(
+          lit("transaction").as("type"),
+          concat(lit("0x"), md5(col("c_name"))).as("hash"),
+          col("c_custkey").as("block_number"),
+          when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("0x"), md5(concat(col("c_name"), lit("@"))))).as("to_address"))
+        EthTransforms.formatTransactions(raw, EthTransforms.BinaryDialect)
+          .select(col("tx_hash_prefix"), col("tx_hash"), col("block_id"), col("to_address"))
+          .orderBy("block_id")
+      },
+      Some("""SELECT substring('0x' || md5(c_name), 3, 5) AS tx_hash_prefix, unhex(md5(c_name)) AS tx_hash,
+             |       c_custkey AS block_id,
+             |       CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE unhex(md5(c_name || '@')) END AS to_address
+             |FROM customer ORDER BY block_id""".stripMargin)),
+
+    // P6 composed: the trace formatter (CSV dialect, '|'-joined trace_address,
+    // null passthrough).
+    Q("eth_format_traces", "P6",
+      (s, d) => {
+        val raw = Tables(s, d, "lineitem").select(
+          lit("trace").as("type"),
+          col("l_orderkey").cast("int").as("block_number"),
+          col("l_linenumber").as("trace_index"),
+          when(col("l_linenumber") === 1, lit(null).cast("array<int>"))
+            .otherwise(array(col("l_linenumber"), (col("l_partkey") % 10).cast("int")))
+            .as("trace_address"))
+        EthTransforms.formatTraces(raw, EthTransforms.CsvDialect)
+          .select(col("block_id_group"), col("block_id"), col("trace_index"), col("trace_address"))
+          .orderBy("block_id", "trace_index", "trace_address")
+      },
+      Some("""SELECT CAST(l_orderkey // 1000 AS INTEGER) AS block_id_group, CAST(l_orderkey AS INTEGER) AS block_id,
+             |       l_linenumber AS trace_index,
+             |       CASE WHEN l_linenumber = 1 THEN NULL
+             |            ELSE CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey % 10 AS VARCHAR) END AS trace_address
+             |FROM lineitem ORDER BY block_id, trace_index, trace_address""".stripMargin)),
+
+    // P7/P9 composed: the log formatter (CSV dialect: topic0 has NO default,
+    // topics rendered as JSON).
+    Q("eth_format_logs", "P7",
+      (s, d) => {
+        val raw = Tables(s, d, "part").select(
+          lit("log").as("type"),
+          col("p_partkey").cast("int").as("block_number"),
+          lit(0).as("log_index"),
+          when(col("p_size") % 5 === 0, array().cast("array<string>"))
+            .otherwise(array(concat(lit("0x"), md5(col("p_name"))),
+              concat(lit("0x"), md5(col("p_brand"))))).as("topics"))
+        EthTransforms.formatLogs(raw, EthTransforms.CsvDialect)
+          .select(col("block_id_group"), col("block_id"), col("topic0"), col("topics"))
+          .orderBy("block_id")
+      },
+      Some("""SELECT CAST(p_partkey // 1000 AS INTEGER) AS block_id_group, CAST(p_partkey AS INTEGER) AS block_id,
+             |       CASE WHEN p_size % 5 = 0 THEN NULL ELSE '0x' || md5(p_name) END AS topic0,
+             |       CAST(to_json(CASE WHEN p_size % 5 = 0 THEN CAST([] AS VARCHAR[])
+             |                         ELSE ['0x' || md5(p_name), '0x' || md5(p_brand)] END) AS VARCHAR) AS topics
+             |FROM part ORDER BY block_id""".stripMargin)),
+
+    // J1: the enrichment join — broadcast hash join + cardinality contract.
+    Q("j1_enrich_receipts", "J1",
+      (s, d) => {
+        val receipts = Tables(s, d, "orders").select(
+          col("o_orderkey").as("transaction_hash"),
+          col("o_orderstatus").as("receipt_status"),
+          col("o_totalprice").as("receipt_total"))
+        Enrich.enrichTransactions(Tables(s, d, "lineitem"), receipts,
+            txHashCol = "l_orderkey", requireReceipt = true)
+          .select(col("l_orderkey"), col("l_linenumber"), col("receipt_status"), col("receipt_total"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_orderstatus AS receipt_status, o_totalprice AS receipt_total
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // J2: block-timestamp denormalization join (broadcast dim).
+    Q("j2_block_timestamp", "J2",
+      (s, d) => {
+        val blocks = Tables(s, d, "orders").select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderdate").as("timestamp"))
+        Enrich.withBlockTimestamp(Tables(s, d, "lineitem"), blocks, blockIdCol = "l_orderkey")
+          .select(col("l_orderkey"), col("l_linenumber"), col("block_timestamp"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, o_orderdate AS block_timestamp
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A1: two-phase max — partition-pruned max over the bucket layout.
+    Q("a1_two_phase_max", "A1",
+      (s, d) => {
+        import s.implicits._
+        val sink = Tables(s, d, "lineitem")
+          .withColumn("block_id_group", blockIdGroup(col("l_orderkey")))
+        val m = Ingest.maxIngestedBlockPruned(sink, "l_orderkey").getOrElse(-1L)
+        Seq(m).toDF("max_block")
+      },
+      Some("""SELECT max(l_orderkey) AS max_block FROM lineitem
+             |WHERE l_orderkey // 1000 = (SELECT max(l_orderkey // 1000) FROM lineitem)""".stripMargin)),
+
+    // A3: per-block transaction count.
+    Q("a3_tx_count_per_block", "A3",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("block_id"))
+        .agg(count(lit(1)).as("transaction_count"))
+        .orderBy("block_id"),
+      Some("""SELECT l_orderkey AS block_id, count(*) AS transaction_count
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // O1/O2: clustered storage order — repartition by bucket + in-partition sort.
+    Q("o1_clustered_layout", "O1",
+      (s, d) => Tables(s, d, "lineitem")
+        .withColumn("block_id_group", blockIdGroup(col("l_orderkey")))
+        .repartition(col("block_id_group"))
+        .sortWithinPartitions("block_id_group", "l_orderkey", "l_linenumber")
+        .select(col("block_id_group"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("block_id_group", "l_orderkey", "l_linenumber"),
+      Some("""SELECT CAST(l_orderkey // 1000 AS INTEGER) AS block_id_group, l_orderkey, l_linenumber
+             |FROM lineitem ORDER BY 1, 2, 3""".stripMargin)),
+
+    // O3: per-group top-1 via ranking window (PER PARTITION LIMIT 1).
+    Q("o3_per_group_top1", "O3",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+        Tables(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey FROM (
+             |  SELECT l_orderkey, l_linenumber, l_partkey,
+             |         row_number() OVER (PARTITION BY l_orderkey
+             |                            ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+             |  FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // O4: global top-k (order by + limit).
+    Q("o4_topk", "O4",
+      (s, d) => Tables(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5")),
+
+    // O5/T1: micro-batch range loop — union of per-range slices covers the
+    // whole table exactly once (batch-size invariance).
+    Q("o5_union_batches", "O5",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val hi = Ingest.maxIngestedBlock(li, "l_orderkey").getOrElse(0L)
+        val slices = Ingest.planRanges(0L, hi, 4096L).map { case (lo, hi2) =>
+          li.filter(col("l_orderkey").between(lo, hi2))
+        }
+        slices.reduce(_ union _)
+          .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      },
+      Some("SELECT count(*) AS n, min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem")),
+
+    // Q1: point lookup by hash prefix + full hash.
+    Q("q1_point_lookup", "Q1",
+      (s, d) => {
+        val hashed = Tables(s, d, "customer")
+          .select(concat(lit("0x"), md5(col("c_name"))).as("tx_hash"), col("c_custkey"))
+          .withColumn("tx_hash_prefix", txHashPrefix(col("tx_hash")))
+        // bounded-metadata lookup of the probe key (1 row)
+        val target = hashed.filter(col("c_custkey") === 42)
+          .select(col("tx_hash")).collect()(0).getString(0)
+        hashed.filter(col("tx_hash_prefix") === target.substring(2, 7)
+            && col("tx_hash") === target)
+          .select(col("tx_hash_prefix"), col("tx_hash"))
+      },
+      Some("""WITH h AS (SELECT substring('0x' || md5(c_name), 3, 5) AS tx_hash_prefix, '0x' || md5(c_name) AS tx_hash
+             |           FROM customer)
+             |SELECT tx_hash_prefix, tx_hash FROM h
+             |WHERE tx_hash = (SELECT '0x' || md5(c_name) FROM customer WHERE c_custkey = 42)""".stripMargin)),
+
+    // Q2: partition-pruned block-range scan.
+    Q("q2_block_range_scan", "Q2",
+      (s, d) => Tables(s, d, "lineitem")
+        .withColumn("block_id_group", blockIdGroup(col("l_orderkey")))
+        .filter(col("block_id_group").between(5, 7) && col("l_orderkey").between(5000, 7999))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey // 1000 BETWEEN 5 AND 7 AND l_orderkey BETWEEN 5000 AND 7999
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    // Q3: topic filter within a block range (log clustering order exploit).
+    Q("q3_topic_filter_range", "Q3",
+      (s, d) => Tables(s, d, "lineitem")
+        .withColumn("block_id_group", blockIdGroup(col("l_orderkey")))
+        .filter(col("block_id_group").between(5, 7)
+          && col("l_orderkey").between(5000, 7999)
+          && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+             |WHERE l_orderkey // 1000 BETWEEN 5 AND 7 AND l_orderkey BETWEEN 5000 AND 7999
+             |  AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Q5: day -> fiat-rate lookup + value*rate aggregation (integer-cent
+    // arithmetic keeps it bit-deterministic).
+    Q("q5_value_rate", "Q5",
+      (s, d) => Tables(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")
+          * (lit(100) + dayofmonth(col("o_orderdate"))).cast("long")).as("usd_micros"))
+        .orderBy("d"),
+      Some("""SELECT CAST(o_orderdate AS DATE) AS d,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * (100 + EXTRACT(day FROM o_orderdate))) AS BIGINT) AS usd_micros
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q6/K3: configuration metadata lookup.
+    Q("q6_config_lookup", "Q6",
+      (s, d) => Ingest.configuration(s).filter(col("id") === "graft"),
+      Some("SELECT 'graft' AS id, 1000 AS block_bucket_size, 5 AS tx_prefix_length")),
+
+    // T2: resume position = last ingested + 1 ("the data is the checkpoint").
+    Q("t2_resume_position", "T2",
+      (s, d) => Tables(s, d, "lineitem")
+        .agg((max(col("l_orderkey")) + 1).as("resume_from")),
+      Some("SELECT max(l_orderkey) + 1 AS resume_from FROM lineitem")),
+
+    // T4: idempotent replay — re-ingesting a batch leaves the PK row set
+    // unchanged (upsert equivalence).
+    Q("t4_idempotent_replay", "T4",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        Ingest.dedupeByPk(li.union(li.limit(1000)), Seq("l_orderkey", "l_linenumber"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("SELECT count(*) AS n FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) t")),
+
+    // T5/K1: bucket-partitioned parquet sink + partition-pruned read-back.
+    Q("t5_partitioned_sink", "T5",
+      (s, d) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/li"
+        val src = Tables(s, d, "lineitem")
+          .withColumn("block_id_group", blockIdGroup(col("l_orderkey")))
+          .filter(col("block_id_group") <= 9)
+          .select(col("block_id_group"), col("l_orderkey"), col("l_linenumber"))
+        Sinks.writeBucketedParquet(src, path, "block_id_group", Seq("l_orderkey", "l_linenumber"))
+        Sinks.readBlockRange(s, path, 2000, 3999, blockIdCol = "l_orderkey")
+          .select(col("block_id_group").cast("int").as("block_id_group"),
+            col("l_orderkey"), col("l_linenumber"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT CAST(l_orderkey // 1000 AS INTEGER) AS block_id_group, l_orderkey, l_linenumber
+             |FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 3999
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // K2/K4: gzipped-CSV dialect round trip (log table: '|' delimiter because
+    // topics contain commas).
+    Q("k2_csv_roundtrip", "K2",
+      (s, d) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/log"
+        val df = Tables(s, d, "nation").select(
+          col("n_nationkey"), col("n_name"),
+          concat(lit("[\""), col("n_name"), lit("\",\""), col("n_name"), lit("\"]")).as("topics"))
+        Sinks.writeCsv(df, path, "log")
+        Sinks.readCsv(s, path, "log", df.schema).orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, '["' || n_name || '","' || n_name || '"]' AS topics
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // S6/K5: schema-registry introspection (rows-only check: the table
+    // catalog is engine metadata, not oracle-expressible SQL over testdata).
+    Q("s6_schema_registry", "S6",
+      (s, d) => {
+        import s.implicits._
+        graft.eth.EthSchemas.tables.toSeq
+          .flatMap { case (t, st) => st.fields.map(f => (t, f.name, f.dataType.simpleString)) }
+          .toDF("table_name", "column_name", "data_type")
+          .orderBy("table_name", "column_name")
+      },
+      None))
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational surface beyond the reference (SURVEY §2.9 "absent in the
+  * reference — engine supplies via Spark built-ins"): window functions,
+  * grouping sets, distinct aggregation, semi/anti/range joins, set ops,
+  * subqueries, pivot, JSON extraction. All monetary math is integer cents
+  * (`round(x*100)::long`) so results are bit-deterministic across engines.
+  */
+object RelationalQueries {
+
+  private val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+
+  val all: Seq[Q] = Seq(
+
+    // Running total per customer (analytic window, unbounded preceding).
+    Q("w1_running_total", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // lag/lead navigation.
+    Q("w2_lag_lead", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event"),
+            lead(col("event_id"), 1).over(w).as("next_event"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, lag(event_id) OVER w AS prev_event, lead(event_id) OVER w AS next_event
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // rank / dense_rank.
+    Q("w3_rank_dense", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc)
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"))
+          .orderBy("o_orderpriority", "rnk", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+             |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+             |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin)),
+
+    // ntile + moving (frame-bounded) window sum.
+    Q("w4_ntile_moving", "W",
+      (s, d) => {
+        val wp = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wm = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(wp).cast("long").as("quartile"),
+            sum(cents(col("o_totalprice"))).over(wm).as("moving_cents"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |       ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents
+             |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // ROLLUP grouping sets.
+    Q("gs_rollup", "GS",
+      (s, d) => Tables(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // CUBE grouping sets.
+    Q("gs_cube", "GS",
+      (s, d) => Tables(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // Exact distinct aggregation.
+    Q("agg_distinct_count", "A",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("distinct_parts"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // HLL-sketch distinct (approx_count_distinct): algorithm-specific
+    // estimates differ per engine -> rows-only check, no SQL oracle.
+    Q("agg_approx_distinct", "A",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // Left-semi join (EXISTS).
+    Q("j_semi", "J",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS).
+    Q("j_anti", "J",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin)),
+
+    // Band (range/theta) join: small side broadcast -> nested-loop with a
+    // range predicate. At 100 TB this becomes a bucketed interval join; the
+    // operator surface is the same.
+    Q("j_range_band", "J",
+      (s, d) => Tables(s, d, "supplier")
+        .join(Tables(s, d, "customer"),
+          col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, count(*) AS n_near
+             |FROM supplier JOIN customer ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // INTERSECT set op.
+    Q("set_intersect", "SET",
+      (s, d) => Tables(s, d, "orders").select(col("o_custkey").cast("bigint").as("k"))
+        .intersect(Tables(s, d, "customer").select(col("c_custkey").cast("bigint").as("k")))
+        .orderBy("k"),
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+             |INTERSECT SELECT CAST(c_custkey AS BIGINT) AS k FROM customer ORDER BY k""".stripMargin)),
+
+    // EXCEPT set op.
+    Q("set_except", "SET",
+      (s, d) => Tables(s, d, "customer").select(col("c_custkey").cast("bigint").as("k"))
+        .except(Tables(s, d, "orders").select(col("o_custkey").cast("bigint").as("k")))
+        .orderBy("k"),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+             |EXCEPT SELECT CAST(o_custkey AS BIGINT) AS k FROM orders ORDER BY k""".stripMargin)),
+
+    // Scalar subquery through the SQL front end (same text runs on both
+    // engines — parser/analyzer parity check).
+    Q("subq_scalar", "SUBQ",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Pivot (conditional aggregation).
+    Q("pivot_status", "PIVOT",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("O", "o_cnt")
+        .withColumnRenamed("F", "f_cnt")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+             |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // JSON scalar extraction from the events props column.
+    Q("json_extract_props", "JSON",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)))
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming / incremental operators (SURVEY §2.6) in Structured-Streaming
+  * form. Each transform is written against a plain DataFrame so the *same
+  * function* runs in batch (oracle-checkable) and on `readStream` inputs —
+  * the Spark-idiomatic unification of the reference's micro-batch loop.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per key. In streaming mode add
+    * [[withLateDataWatermark]] first; in batch mode it is the oracle-checkable
+    * `date_trunc`-style aggregation. */
+  def windowedEventStats(events: DataFrame, windowLength: String = "1 hour",
+                         tsCol: String = "ts",
+                         keyCol: String = "event_type"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowLength).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col(keyCol), col("n"), col("value_cents"))
+
+  /** T3's event-time watermark analogue for live streams: tolerate
+    * `delay` of out-of-order data, drop later. */
+  def withLateDataWatermark(events: DataFrame, tsCol: String = "ts",
+                            delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+
+  /** Batch sessionization (gaps-and-islands): a session breaks after
+    * `gapMinutes` of inactivity. Window functions only — runs identically in
+    * DuckDB for the oracle. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 10,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prevTs = lag(col(tsCol), 1).over(byUser)
+    // native timestamp + interval comparison (no epoch truncation)
+    val isBreak = when(
+      prevTs.isNull || col(tsCol) > prevTs + expr(s"INTERVAL $gapMinutes MINUTES"),
+      1L).otherwise(0L)
+    events
+      .withColumn("__brk", isBreak)
+      .withColumn("session_seq", sum(col("__brk")).over(byUser))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp, n_events: Long)
+
+  /** Streaming sessionization with custom state (T1/T4's stateful analogue):
+    * `flatMapGroupsWithState` emits a session when the inactivity gap
+    * expires. The streaming-native form of [[sessionizeBatch]]. */
+  def sessionizeStreaming(events: Dataset[Event],
+                          gapSeconds: Long = 600L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var sessions = List.empty[Session]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000L
+            st match {
+              case null => st = SessionState(t, t, 1)
+              case s if t - s.last > gapSeconds =>
+                sessions ::= Session(userId, new Timestamp(s.start * 1000L), s.n)
+                st = SessionState(t, t, 1)
+              case s => st = SessionState(s.start, t, s.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          sessions.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle and diff (rows / schema-ish / values).
+
+Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
+"""
+import duckdb, json, sys, math, glob
+
+out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
+sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
+
+con = duckdb.connect()
+for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+          'lineitem', 'events', 'documents', 'embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return 'NaN'
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+def rows_of(df_cols, rows):
+    # sort columns by name (driver behavior), canonicalize values, sort rows
+    order = sorted(range(len(df_cols)), key=lambda i: df_cols[i])
+    out_rows = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(out_rows, key=repr), [df_cols[i] for i in order]
+
+n_pass = n_fail = 0
+fails = []
+for name in sorted(oracle):
+    sql = oracle[name]
+    pq_dir = f'{out}/{name}'
+    if not glob.glob(f'{pq_dir}/*.parquet'):
+        print(f'FAIL {name}: no parquet output')
+        n_fail += 1; fails.append(name)
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM '{pq_dir}/*.parquet'")
+        got_rows, got_cols = rows_of([d[0] for d in got.description], got.fetchall())
+        want = con.execute(sql)
+        want_rows, want_cols = rows_of([d[0] for d in want.description], want.fetchall())
+    except Exception as e:
+        print(f'FAIL {name}: oracle error: {str(e).splitlines()[0][:160]}')
+        n_fail += 1; fails.append(name)
+        continue
+    if got_cols != want_cols:
+        print(f'FAIL {name}: columns {got_cols} != {want_cols}')
+        n_fail += 1; fails.append(name)
+    elif len(got_rows) != len(want_rows):
+        print(f'FAIL {name}: rows {len(got_rows)} != {len(want_rows)}')
+        n_fail += 1; fails.append(name)
+    elif got_rows != want_rows:
+        diffs = [(g, w) for g, w in zip(got_rows, want_rows) if g != w]
+        print(f'FAIL {name}: {len(diffs)} differing rows; first: got={diffs[0][0]} want={diffs[0][1]}')
+        n_fail += 1; fails.append(name)
+    else:
+        print(f'PASS {name} ({len(got_rows)} rows)')
+        n_pass += 1
+
+print(f'\n{n_pass} pass / {n_fail} fail')
+if fails:
+    print('failed:', ' '.join(fails))
+    sys.exit(1)
