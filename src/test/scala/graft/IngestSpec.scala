@@ -1,0 +1,78 @@
+package graft
+
+import graft.eth.Ingest
+
+/** Range-planner / resume / watermark properties (SURVEY §5.3): coverage,
+  * disjointness, batch-size invariance, resume(write(range)) == range end.
+  * Property checks use a seeded Random (scalatestplus bridge is not in the
+  * offline cache; plain ScalaCheck properties live in PropertySpecs). */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planRanges covers [start, end] exactly once, in order (100 random cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val start = rnd.nextLong(5000L)
+      val end = start + rnd.nextLong(3000L)
+      val batch = 1L + rnd.nextLong(997L)
+      val ranges = Ingest.planRanges(start, end, batch)
+      assert(ranges.head._1 == start && ranges.last._2 == end)
+      // contiguous, disjoint
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(lo2 == hi + 1)
+        case _ =>
+      }
+      // every slice within batch size
+      assert(ranges.forall { case (lo, hi) => hi - lo + 1 <= batch })
+      // batch-size invariance: total covered blocks constant
+      assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum == end - start + 1)
+    }
+  }
+
+  test("planRanges of an empty range is empty") {
+    assert(Ingest.planRanges(10, 9, 5).isEmpty)
+  }
+
+  test("roundToBuckets mirrors the CSV export rounding") {
+    assert(Ingest.roundToBuckets(1500, 4999, 1000).contains((1000L, 4999L)))
+    assert(Ingest.roundToBuckets(0, 999, 1000).contains((0L, 999L)))
+    assert(Ingest.roundToBuckets(1200, 1400, 1000).isEmpty) // no whole bucket
+  }
+
+  test("resume: maxIngestedBlock over written data == range end; empty sink -> None") {
+    val sink = (100L to 250L).toDF("block_id")
+    assert(Ingest.maxIngestedBlock(sink).contains(250L))
+    assert(Ingest.maxIngestedBlock(sink.filter($"block_id" < 0)).isEmpty)
+  }
+
+  test("pruned two-phase max equals plain max") {
+    val df = (0L to 3210L).toDF("block_id")
+      .withColumn("block_id_group", graft.functions.ColumnFns.blockIdGroup(
+        org.apache.spark.sql.functions.col("block_id")))
+    assert(Ingest.maxIngestedBlockPruned(df) == Ingest.maxIngestedBlock(df))
+  }
+
+  test("resumeFromFileNames extracts the max block from export file names") {
+    val names = Seq("block-00001000.csv.gz", "block-00002999.csv.gz", "junk.txt")
+    assert(Ingest.resumeFromFileNames(spark, names).contains(2999L))
+    assert(Ingest.resumeFromFileNames(spark, Seq("no-digits")).isEmpty)
+    assert(Ingest.resumeFromFileNames(spark, Seq.empty).isEmpty)
+  }
+
+  test("lastBlockBefore: previous-day completeness watermark") {
+    val blocks = Seq((1, 100), (2, 200), (3, 300)).toDF("block_id", "timestamp")
+    assert(Ingest.lastBlockBefore(blocks, 250).contains(2L))
+    assert(Ingest.lastBlockBefore(blocks, 100).isEmpty) // strictly before
+  }
+
+  test("dedupeByPk collapses replayed rows") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("pk", "v")
+    assert(Ingest.dedupeByPk(df, Seq("pk")).count() == 2)
+  }
+
+  test("configuration frame carries the partitioning contract") {
+    val row = Ingest.configuration(spark).collect()(0)
+    assert(row.getString(0) == "graft")
+    assert(row.getInt(1) == 1000 && row.getInt(2) == 5)
+  }
+}

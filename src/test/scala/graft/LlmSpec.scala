@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnFns._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "b0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "b0"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "b0"), // near dup of 0
+    (3L, "completely different words appear in this one here", "b0"),
+    (4L, "unrelated content in another bucket entirely now ok", "b1"))
+    .toDF("doc_id", "text", "bucket")
+
+  test("exact dedup: one survivor per distinct content, dup_count correct") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("doc_id") == 0L && out(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhash bands: identical docs share every band; near-dups share at least one") {
+    val bands = Dedup.minhashBands(docs, "doc_id", "text")
+    val byDoc = bands.collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Int]("band"), r.getAs[String]("band_key"))).toSet).toMap
+    assert(byDoc(0L) == byDoc(1L)) // identical text -> identical signature
+    assert(byDoc(0L).intersect(byDoc(2L)).nonEmpty) // near dup -> >=1 shared band
+    assert(byDoc(0L).intersect(byDoc(3L)).isEmpty) // unrelated -> no shared band
+  }
+
+  test("minhash candidate pairs: bucket join yields the dup/near-dup pairs, ordered, distinct") {
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashBands(docs, "doc_id", "text"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= b }) // no self/reversed pairs
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).contains(0L) })
+  }
+
+  test("simhash: equal docs equal signatures; near-dups within small hamming distance") {
+    val sh = docs.select($"doc_id", Dedup.simhash(tokens($"text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) <= 6) // 1-word edit: most bits agree
+    assert(sh.values.forall(s => s >= 0 && s < (1L << 16)))
+  }
+
+  test("ngram jaccard pairs: identity = 1.0, within-bucket only") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "bucket")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
+    assert(!out.keySet.exists { case (a, b) => b == 4L || a == 4L }) // other bucket never pairs
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (10L, Array(1.0f, 0.0f, 0.0f)), // identical to query 0
+    (11L, Array(0.9f, 0.1f, 0.0f)),
+    (12L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks the identical vector first") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" >= 10), vecs.filter($"vec_id" === 0), k = 2)
+      .orderBy("rnk").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 10L && out(0).getAs[Int]("rnk") == 1)
+    assert(out(1).getAs[Long]("neighbor_id") == 11L)
+  }
+
+  test("LSH: identical vectors land in the same bucket; topK finds the twin") {
+    val b = Similarity.lshBuckets(vecs, dim = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) == b(10L))
+    val out = Similarity.lshTopK(vecs.filter($"vec_id" >= 10),
+      vecs.filter($"vec_id" === 0), dim = 3, k = 1)
+    val top = out.collect()
+    assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
+  }
+
+  test("text analysis: token counts, language heuristic, quality metrics") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(tc(0).getAs[Int]("ws_tokens") == 6)
+    val lid = df.select($"doc_id", TextAnalysis.languageId(tokens($"text")).as("l"))
+      .orderBy("doc_id").collect()
+    assert(lid(0).getString(1) == "en" && lid(1).getString(1) == "other")
+    val q = TextAnalysis.qualityMetrics(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(q(0).getAs[Int]("n_tokens") == 6)
+    assert(math.abs(q(0).getAs[Double]("stopword_ratio") - 0.333333) < 1e-6)
+  }
+
+  test("multimodal: payload metadata and stubbed per-partition decode are deterministic") {
+    val media = Multimodal.asMediaTable(docs.select($"doc_id", $"text"), "doc_id", "text")
+    val meta = Multimodal.payloadMetadata(media).orderBy("media_id").collect()
+    assert(meta(0).getAs[Int]("byte_len") == 43)
+    val feats = Multimodal.extractFeatures(Multimodal.toMediaDataset(spark, media))
+    val f = feats.orderBy("media_id").collect()
+    assert(f.length == 5)
+    assert(f(0).features.length == 8)
+    // identical payloads -> identical features
+    assert(f(0).features.toSeq == f(1).features.toSeq)
+    assert(f(0).byte_len == 43 && f(0).channels == 3)
+  }
+}

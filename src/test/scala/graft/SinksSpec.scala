@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.eth.Sinks
+import graft.functions.ColumnFns._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed parquet sink: range read-back is correct AND partition-pruned") {
+    val path = Files.createTempDirectory("sinks_spec").toString + "/t"
+    val df = (0L until 5000L).toDF("block_id")
+      .withColumn("block_id_group", blockIdGroup($"block_id"))
+    Sinks.writeBucketedParquet(df, path)
+
+    val back = Sinks.readBlockRange(spark, path, 1500, 2499)
+    assert(back.count() == 1000)
+    assert(back.agg(min($"block_id"), max($"block_id")).collect()(0).toSeq == Seq(1500L, 2499L))
+
+    // the bucket filter must prune partitions (directories), not rows
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("block_id_group"),
+      s"expected partition pruning in plan:\n$plan")
+    // and only 2 of 5 partition dirs contribute
+    val scanned = back.select(col("block_id_group")).distinct().count()
+    assert(scanned == 2)
+  }
+
+  test("one output file per bucket (small-files control)") {
+    val path = Files.createTempDirectory("sinks_spec2").toString + "/t"
+    val df = (0L until 3000L).toDF("block_id")
+      .withColumn("block_id_group", blockIdGroup($"block_id"))
+    Sinks.writeBucketedParquet(df, path)
+    val files = new java.io.File(path).listFiles().filter(_.getName.startsWith("block_id_group="))
+    assert(files.length == 3)
+    files.foreach { dir =>
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"expected exactly one parquet file in ${dir.getName}")
+    }
+  }
+
+  test("CSV dialect roundtrip: log table uses '|', preserves commas in topics, empty-string nulls") {
+    val path = Files.createTempDirectory("sinks_csv").toString + "/log"
+    val schema = StructType(Seq(
+      StructField("block_id", IntegerType),
+      StructField("topics", StringType),
+      StructField("error", StringType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1, """["0xaa","0xbb"]""", null),
+        org.apache.spark.sql.Row(2, "[]", "out of gas")),
+      schema)
+    Sinks.writeCsv(df, path, "log")
+    // raw file uses the | delimiter
+    val gz = new java.io.File(path).listFiles().filter(_.getName.endsWith(".csv.gz"))
+    assert(gz.nonEmpty, "expected gzip csv output")
+    val back = Sinks.readCsv(spark, path, "log", schema).orderBy("block_id").collect()
+    assert(back(0).getString(1) == """["0xaa","0xbb"]""")
+    assert(back(0).isNullAt(2))
+    assert(back(1).getString(2) == "out of gas")
+  }
+
+  test("csvDelimiter matches the reference per-table dialect") {
+    assert(Sinks.csvDelimiter("log") == "|")
+    assert(Sinks.csvDelimiter("transaction") == ",")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private val events = Seq(
+    Event(1L, ts(0), 1L, "click", 1.0),
+    Event(2L, ts(5), 1L, "click", 2.0),
+    Event(3L, ts(30), 1L, "view", 3.0), // 25-min gap -> new session
+    Event(4L, ts(2), 2L, "click", 4.0))
+
+  test("batch sessionization: gap splits sessions per user") {
+    val out = StreamingOps.sessionizeBatch(events.toDF(), gapMinutes = 10)
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2) // user 1 session 1: events 1,2
+    assert(out(1).getAs[Long]("n_events") == 1) // user 1 session 2: event 3
+    assert(out(2).getAs[Long]("n_events") == 1) // user 2
+    assert(out(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(out(1).getAs[Timestamp]("session_start") == ts(30))
+  }
+
+  test("windowed event stats equal the date_trunc aggregation") {
+    val out = StreamingOps.windowedEventStats(events.toDF(), "1 hour")
+      .orderBy("ws", "event_type").collect()
+    assert(out.length == 2) // (10:00, click), (10:00, view)
+    assert(out(0).getAs[Long]("n") == 3)
+    assert(out(0).getAs[Long]("value_cents") == 700L)
+  }
+
+  test("streaming sessionization via flatMapGroupsWithState emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StreamingOps.sessionizeStreaming(input.toDS(), gapSeconds = 600)
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_out").outputMode("append").start()
+    try {
+      // batch 1: two events 5 min apart (one open session), then a 25-min gap
+      // event -> the first session closes
+      input.addData(events.filter(_.user_id == 1L): _*)
+      query.processAllAvailable()
+      val closed = spark.table("sessions_out").as[StreamingOps.Session].collect()
+      assert(closed.length == 1)
+      assert(closed(0).user_id == 1L && closed(0).n_events == 2)
+      assert(closed(0).session_start == ts(0))
+      // batch 2: an event far after event 3 closes the second session
+      input.addData(Event(9L, ts(59), 1L, "click", 0.0))
+      query.processAllAvailable()
+      val closed2 = spark.table("sessions_out").as[StreamingOps.Session].collect()
+      assert(closed2.length == 2)
+      assert(closed2.map(_.n_events).toSet == Set(2L, 1L))
+    } finally query.stop()
+  }
+
+  test("watermark wiring: streaming plan accepts withLateDataWatermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = StreamingOps.windowedEventStats(
+      StreamingOps.withLateDataWatermark(input.toDF(), "ts", "10 minutes"))
+    val query = agg.writeStream
+      .format("memory").queryName("win_out").outputMode("update").start()
+    try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      assert(spark.table("win_out").count() > 0)
+    } finally query.stop()
+  }
+}
