@@ -24,6 +24,12 @@ object Bench {
       case c => c.toString
     }
 
+    // untimed warm-up: JVM/codegen/parquet-reader startup must not be
+    // attributed to whichever query happens to run first
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().count()
+    catch { case _: Throwable => }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>

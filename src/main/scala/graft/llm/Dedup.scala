@@ -44,31 +44,49 @@ object Dedup {
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, bands: Int = 4,
                    rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(shingles(tokens(col(textCol)), shingleLen),
-      bands * rowsPerBand)
+    // Materialize shingles behind their own projection so the signature's
+    // `bands*rowsPerBand` hash passes reference one computed attribute
+    // instead of re-deriving the shingle array per hash function.
+    val withShingles = df.select(col(idCol),
+      shingles(tokens(col(textCol)), shingleLen).as("__sh"))
     val bandStructs = array((0 until bands).map { b =>
       val key = concat_ws(",",
         (0 until rowsPerBand).map(r =>
           element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string")): _*)
       struct(lit(b).cast("int").as("band"), key.as("band_key"))
     }: _*)
-    df.select(col(idCol), sig.as("__sig"))
+    withShingles
+      .select(col(idCol), minhashSignature(col("__sh"), bands * rowsPerBand).as("__sig"))
       .select(col(idCol), explode(bandStructs).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_key").as("band_key"))
   }
 
+  /** Within-bucket ordered pairs of `idCol` values: groupBy the bucket keys,
+    * collect the (sorted) ids, expand pairs with array combinatorics. ONE
+    * scan of the input and one shuffle — strictly better than a self-join,
+    * which would recompute the upstream lineage on both sides and shuffle
+    * twice. Bucket sizes are bounded (band collision rate / LSH bucket
+    * geometry), so the per-bucket expansion is small; a skewed bucket is
+    * split by AQE at scale. */
+  private[graft] def withinBucketPairs(df: DataFrame, bucketCols: Seq[String],
+                                       idCol: String): DataFrame = {
+    val ids = col("__ids")
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)), y =>
+        struct(x.as("a"), y.as("b")))))
+    df.groupBy(bucketCols.map(col).toIndexedSeq: _*)
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .filter(size(ids) > 1)
+      .select(bucketCols.map(col) :+ explode(pairs).as("__p"): _*)
+      .select(bucketCols.map(col) :+ col("__p.a").as("id_a") :+ col("__p.b").as("id_b"): _*)
+  }
+
   /** Candidate near-dup pairs: docs sharing a (band, band_key) bucket.
-    * Equi-join on the bucket key — never an all-pairs comparison; bucket
-    * sizes are bounded by the band collision rate, and a skewed bucket is
-    * handled by AQE skew-join splitting at scale. */
-  def minhashCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("band_key"), col(idCol).as("id_a"))
-    val b = bandsDf.select(col("band"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
+    * Bucketed by construction — never an all-pairs comparison. */
+  def minhashCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    withinBucketPairs(bandsDf, Seq("band", "band_key"), idCol)
       .select(col("id_a"), col("id_b"))
       .distinct()
-  }
 
   /** SimHash signature (Charikar 2002), `bits`-bit variant: bit j is the sign
     * of the sum over tokens of +-1 votes from an independent seeded hash.
@@ -85,21 +103,28 @@ object Dedup {
       })
 
   /** N-gram Jaccard similarity of candidate pairs *within buckets* (never
-    * all-pairs): pairs are generated by an equi-join on `bucketCol`, then
+    * all-pairs): docs are grouped by the bucket key(s), pairs expanded
+    * per-bucket (one scan, one shuffle — shingles computed once), then
     * scored with distinct-shingle set intersection/union. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        bucketCol: String, shingleLen: Int = 3,
+                        bucketCols: Seq[String], shingleLen: Int = 3,
                         minJaccard: Double = 0.0): DataFrame = {
-    val withShingles = df.select(
-      col(idCol), col(bucketCol),
-      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("__sh"))
-    val a = withShingles.select(col(bucketCol), col(idCol).as("id_a"), col("__sh").as("sh_a"))
-    val b = withShingles.select(col(bucketCol), col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-    a.join(b, Seq(bucketCol))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val rec = struct(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
+    val recs = col("__recs")
+    // ordered pairs of records from the sorted per-bucket list (id is the
+    // struct's first field, so struct order == id order)
+    val pairs = flatten(transform(recs, (x, i) =>
+      transform(slice(recs, i + 2, size(recs)), y =>
+        struct(x.as("a"), y.as("b")))))
+    val inter = size(array_intersect(col("__p.a.sh"), col("__p.b.sh")))
+    val uni = size(col("__p.a.sh")) + size(col("__p.b.sh")) - inter
+    df.select(bucketCols.map(col) :+ rec.as("__rec"): _*)
+      .groupBy(bucketCols.map(col).toIndexedSeq: _*)
+      .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
+      .filter(size(recs) > 1)
+      .select(explode(pairs).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         inter.as("n_intersect"), uni.as("n_union"),
         round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

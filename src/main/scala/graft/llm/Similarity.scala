@@ -41,25 +41,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
   }
 
+  /** JVM twin of [[graft.functions.ColumnFns.md5Long]]: first 15 hex chars of
+    * md5 as a long — used to precompute LSH plane weights at plan-build time
+    * (they are constants; deriving them per row would burn a md5 per
+    * (row, plane, dim) for values that never change). */
+  private[llm] def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+  }
+
+  /** +-1 hyperplane components, `w(p)(i-1)` for 1-based dim index i —
+    * exactly `md5Long(s"${p}_$i") % 2 == 1 ? 1 : -1`, the formula the SQL
+    * oracle reproduces. */
+  private[llm] def planeWeights(dim: Int, numPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, i) =>
+      if (md5LongJvm(s"${p}_${i + 1}") % 2 == 1) 1.0 else -1.0)
+
   /** Sign-bit LSH bucket key: `numPlanes` pseudo-random hyperplanes with
     * +-1 components derived from a seeded hash (reproducible in SQL);
     * bucket = sum of (dot(v, plane_p) > 0) << p. Vectors in the same bucket
     * are likely neighbors (cosine-LSH collision probability 1 - theta/pi per
-    * bit). */
-  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int = 8): Column =
-    aggregate(
-      sequence(lit(0), lit(numPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        // proj = sum_i v[i] * w(p, i), w = +-1 from hash parity
-        val proj = aggregate(
-          sequence(lit(1), lit(dim)),
-          lit(0.0),
-          (a, i) => a + element_at(vecCol, i.cast("int")).cast("double") *
-            when(md5Long(concat(p.cast("string"), lit("_"), i.cast("string"))) % 2 === 1,
-              lit(1.0)).otherwise(lit(-1.0)))
-        acc + when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
-      })
+    * bit). Plane weights are plan-time literals; per row this is just
+    * numPlanes dot products, all inside codegen. */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int = 8): Column = {
+    val w = planeWeights(dim, numPlanes)
+    (0 until numPlanes).map { p =>
+      val plane = array(w(p).map(lit).toIndexedSeq: _*)
+      when(dotProduct(vecCol, plane) > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+  }
 
   /** Assign every vector its LSH bucket. */
   def lshBuckets(df: DataFrame, dim: Int, numPlanes: Int = 8,

@@ -85,13 +85,14 @@ object LlmQueries {
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // N-gram Jaccard similarity of within-bucket candidate pairs.
+    // N-gram Jaccard similarity of within-bucket candidate pairs
+    // (composite (source, lang) bucket keeps per-bucket pair counts small).
     Q("dedup_ngram_jaccard", "LLM",
       (s, d) => Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
-        "doc_id", "text", "source", shingleLen = 3)
+        "doc_id", "text", Seq("source", "lang"), shingleLen = 3)
         .orderBy("id_a", "id_b"),
-      Some("""WITH tk AS (SELECT doc_id, source, str_split(text, ' ') AS t FROM documents),
-             |d AS (SELECT doc_id, source,
+      Some("""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents),
+             |d AS (SELECT doc_id, source, lang,
              |        list_distinct(CASE WHEN len(t) >= 3
              |          THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
              |          ELSE [array_to_string(t, ' ')] END) AS sh
@@ -101,7 +102,7 @@ object LlmQueries {
              |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union,
              |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
-             |FROM d a JOIN d b ON a.source = b.source
+             |FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
 
     // Brute-force cosine/dot top-k: exact baseline, broadcast query set.

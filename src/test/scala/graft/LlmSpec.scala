@@ -51,7 +51,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("ngram jaccard pairs: identity = 1.0, within-bucket only") {
-    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "bucket")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
     assert(out((0L, 1L)) == 1.0)
     assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
