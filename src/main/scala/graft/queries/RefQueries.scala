@@ -347,6 +347,27 @@ object RefQueries {
              |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * (100 + EXTRACT(day FROM o_orderdate))) AS BIGINT) AS usd_micros
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q5b: MapType fiat_values column (exchange_rates shape: map<text,float>,
+    // ref: scripts/schema.cql:79-82) — build per-day rate map, look up a
+    // currency, convert values. Exercises MapType end-to-end.
+    Q("q5_fiat_map", "Q5",
+      (s, d) => {
+        val rateUsd = (lit(100) + dayofmonth(col("o_orderdate"))).cast("double") / 100
+        Tables(s, d, "orders")
+          .select(to_date(col("o_orderdate")).as("d"), col("o_totalprice"),
+            map(lit("usd"), rateUsd, lit("eur"), lit(1.0)).as("fiat_values"))
+          .select(col("d"),
+            round(element_at(col("fiat_values"), "usd") * col("o_totalprice") * 100)
+              .cast("long").as("usd_cents"))
+          .groupBy("d").agg(sum(col("usd_cents")).as("usd_cents"))
+          .orderBy("d")
+      },
+      Some("""SELECT CAST(o_orderdate AS DATE) AS d,
+             |       CAST(sum(CAST(round((map_extract(map_from_entries(
+             |              [('usd', CAST(100 + EXTRACT(day FROM o_orderdate) AS DOUBLE) / 100),
+             |               ('eur', 1.0)]), 'usd'))[1] * o_totalprice * 100) AS BIGINT)) AS BIGINT) AS usd_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Q6/K3: configuration metadata lookup.
     Q("q6_config_lookup", "Q6",
       (s, d) => Ingest.configuration(s).filter(col("id") === "graft"),
