@@ -28,6 +28,11 @@ object Sinks {
       .sortWithinPartitions((bucketCol +: sortCols).map(col).toIndexedSeq: _*)
       .write
       .mode("overwrite")
+      // dynamic: replace only the buckets present in this write — the
+      // partition-level upsert that makes incremental re-ingest idempotent
+      // (T4) without wiping previously ingested ranges (static overwrite
+      // would truncate the whole table)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(bucketCol)
       .parquet(path)
 

@@ -421,6 +421,54 @@ object RefQueries {
       Some("""SELECT n_nationkey, n_name, '["' || n_name || '","' || n_name || '"]' AS topics
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // S1-S3 as a real custom source: the DataSourceV2 synthetic chain is
+    // deterministic md5 arithmetic, so DuckDB can reconstruct the stream
+    // exactly — a full oracle check of the connector's planning + reading.
+    Q("eth_source_blocks", "S1",
+      (s, d) => s.read.format("graft-chain")
+        .option("stream", "block").option("start", 0).option("end", 1999)
+        .option("batchSize", 50).load()
+        .select(col("number"), col("hash"), col("gas_used"), col("timestamp"),
+          col("transaction_count"))
+        .orderBy("number"),
+      Some("""SELECT CAST(b AS INTEGER) AS number,
+             |       '0x' || md5('blk-' || CAST(b AS VARCHAR) || '-0')
+             |            || md5('blk-' || CAST(b AS VARCHAR) || '-0-b') AS hash,
+             |       CAST(b % 30000000 AS INTEGER) AS gas_used,
+             |       CAST(1438269988 + b * 13 AS INTEGER) AS "timestamp",
+             |       CAST(b % 3 + 1 AS SMALLINT) AS transaction_count
+             |FROM (SELECT unnest(range(0, 2000)) AS b) ORDER BY number""".stripMargin)),
+
+    // The full pipeline, end to end: source -> J1 enrich -> J2 denorm ->
+    // format -> bucketed sink -> read back; DuckDB reconstructs the enriched
+    // transaction table from the same deterministic formulas.
+    Q("eth_pipeline_enriched", "T1",
+      (s, d) => {
+        val sink = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+        graft.eth.EthPipeline.ingestRange(s, sink, 0, 499)
+        s.read.parquet(s"$sink/transaction")
+          .select(col("block_id_group").cast("int").as("block_id_group"),
+            col("block_id"), col("transaction_index"), col("tx_hash_prefix"),
+            col("tx_hash"), col("to_address"), col("receipt_gas_used"),
+            col("receipt_status"), col("block_timestamp"))
+          .orderBy("block_id", "transaction_index")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 500)) AS b)),
+             |tx AS (SELECT b, i,
+             |         '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+             |              || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '-b') AS h
+             |       FROM bt)
+             |SELECT CAST(b // 1000 AS INTEGER) AS block_id_group, CAST(b AS INTEGER) AS block_id,
+             |       CAST(i AS SMALLINT) AS transaction_index,
+             |       substring(h, 3, 5) AS tx_hash_prefix, h AS tx_hash,
+             |       CASE WHEN (b + i) % 7 = 0 THEN NULL
+             |            ELSE '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) END AS to_address,
+             |       CAST(21000 + i AS BIGINT) AS receipt_gas_used,
+             |       CASE WHEN (b + i) % 11 = 0 THEN NULL ELSE CAST((b + i) % 2 AS BIGINT) END AS receipt_status,
+             |       CAST(1438269988 + b * 13 AS INTEGER) AS block_timestamp
+             |FROM tx ORDER BY block_id, transaction_index""".stripMargin)),
+
     // S6/K5: schema-registry introspection (rows-only check: the table
     // catalog is engine metadata, not oracle-expressible SQL over testdata).
     Q("s6_schema_registry", "S6",

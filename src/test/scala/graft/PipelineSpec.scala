@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.eth.{EthPipeline, Ingest, Sinks}
+import graft.sources.SyntheticChain
+
+/** End-to-end ingest: synthetic chain source -> enrich -> format -> bucketed
+  * sink -> resume. The engine form of the reference's full `main()` run. */
+class PipelineSpec extends SparkSpec {
+
+  private def expectedTxs(lo: Long, hi: Long): Long =
+    (lo to hi).map(SyntheticChain.txCount(_).toLong).sum
+
+  test("DSv2 source plans one partition per RPC-batch slice, deterministic re-read") {
+    val df = spark.read.format("graft-chain")
+      .option("stream", "block").option("start", 0).option("end", 999)
+      .option("batchSize", 50).load()
+    assert(df.rdd.getNumPartitions == 20) // 1000 blocks / 50
+    assert(df.count() == 1000)
+    val a = df.agg(sum(col("gas_used"))).collect()(0).getLong(0)
+    val b = df.agg(sum(col("gas_used"))).collect()(0).getLong(0)
+    assert(a == b) // pure function of block id
+  }
+
+  test("source streams carry the FIXTURES.md edge cases") {
+    val txs = spark.read.format("graft-chain")
+      .option("stream", "transaction").option("start", 0).option("end", 99).load()
+    assert(txs.filter(col("to_address").isNull).count() > 0) // contract creation
+    assert(txs.filter(col("max_fee_per_gas").isNull).count() > 0) // legacy tx
+    val logs = spark.read.format("graft-chain")
+      .option("stream", "log").option("start", 0).option("end", 99).load()
+    assert(logs.filter(size(col("topics")) === 0).count() > 0) // empty topics
+    assert(logs.filter(size(col("topics")) === 4).count() > 0) // max topics
+    val traces = spark.read.format("graft-chain")
+      .option("stream", "trace").option("start", 0).option("end", 99).load()
+    assert(traces.filter(col("transaction_hash").isNull).count() > 0) // reward
+    assert(traces.filter(col("error").isNotNull).count() > 0) // failed trace
+  }
+
+  test("full ingest: counts, enrichment, bucket layout, config row") {
+    val sink = Files.createTempDirectory("pipeline").toString
+    val report = EthPipeline.ingestRange(spark, sink, 0, 2999)
+    assert(report.rowCounts("block") == 3000)
+    assert(report.rowCounts("transaction") == expectedTxs(0, 2999))
+    assert(report.rowCounts("log") == 2 * expectedTxs(0, 2999))
+
+    // every transaction got its receipt columns (J1) and timestamp (J2)
+    val tx = spark.read.parquet(s"$sink/transaction")
+    assert(tx.filter(col("receipt_gas_used").isNull).count() == 0)
+    assert(tx.filter(col("block_timestamp").isNull).count() == 0)
+    // bucket layout: 3 partition dirs (0..2)
+    assert(tx.select("block_id_group").distinct().count() == 3)
+
+    // pruned range read touches one bucket
+    val slice = Sinks.readBlockRange(spark, s"$sink/transaction", 1000, 1999)
+    assert(slice.count() == expectedTxs(1000, 1999))
+
+    // configuration row persisted (K3)
+    val conf = spark.read.parquet(s"$sink/configuration").collect()(0)
+    assert(conf.getAs[Int]("block_bucket_size") == 1000)
+  }
+
+  test("resume continues from the sink's max block; idempotent re-run") {
+    val sink = Files.createTempDirectory("pipeline_resume").toString
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 999).isDefined)
+    val r2 = EthPipeline.resumeAndIngest(spark, sink, chainTip = 1999)
+    assert(r2.exists(r => r.startBlock == 1000 && r.endBlock == 1999))
+    // fully caught up -> nothing to do
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 1999).isEmpty)
+    // watermark caps the end block (T3)
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 5000,
+      watermark = Some(2499L)).exists(_.endBlock == 2499))
+    // total rows = one copy of every block 0..2499
+    assert(spark.read.parquet(s"$sink/block").count() == 2500)
+    assert(Ingest.maxIngestedBlock(
+      spark.read.parquet(s"$sink/block")).contains(2499L))
+  }
+}
