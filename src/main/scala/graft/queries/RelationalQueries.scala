@@ -197,6 +197,36 @@ object RelationalQueries {
              |       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Custom TypedImperativeAggregate: exact uint256 sum (wei values exceed
+    // no built-in type; BigInteger accumulator, map-side partials). The
+    // oracle composes the same 96-bit values from two <=60-bit hex parts.
+    Q("agg_uint256_sum", "A",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, d, "customer")
+          .select(col("c_nationkey"),
+            unhex(substring(md5(col("c_name")), 1, 24)).as("wei"))
+          .groupBy("c_nationkey")
+          .agg(expr("graft_uint256_sum(wei)").as("total_wei"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey,
+             |       CAST(sum(CAST(CAST('0x' || substring(md5(c_name), 1, 9) AS BIGINT) AS HUGEINT)
+             |                * 1152921504606846976
+             |                + CAST('0x' || substring(md5(c_name), 10, 15) AS BIGINT)) AS VARCHAR) AS total_wei
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Salted two-phase aggregation (skew mitigation): result identical to a
+    // plain groupBy sum — the oracle is the plain form.
+    Q("agg_salted_sum", "A",
+      (s, d) => graft.functions.Skew.saltedSum(
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), round(col("l_quantity") * 100).cast("long").as("cents")),
+        Seq("l_returnflag"), "cents", salts = 16)
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // JSON scalar extraction from the events props column.
     Q("json_extract_props", "JSON",
       (s, d) => Tables(s, d, "events")
