@@ -97,6 +97,32 @@ object EthPipeline {
     IngestReport(startBlock, endBlock, counts)
   }
 
+  /** Streaming ingest of the block stream (the reference's primary mode):
+    * `readStream` on the chain source, per-micro-batch format + bucketed
+    * sink via foreachBatch, offsets checkpointed. With
+    * `Trigger.AvailableNow` this drains the backlog and stops — restart
+    * with the same checkpoint resumes exactly where it left off (the
+    * streaming-native T2, complementing the data-derived resume below). */
+  def streamBlocks(spark: SparkSession, sinkDir: String, checkpoint: String,
+                   chainTip: Long, source: SourceConf = SourceConf(),
+                   dialect: Dialect = CsvDialect):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format(source.format)
+      .option("stream", "block")
+      .option("start", 0).option("end", chainTip)
+      .option("batchSize", source.batchSize)
+      .load()
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Sinks.writeBucketedParquet(
+            EthTransforms.formatBlocks(batch, dialect), s"$sinkDir/block")
+      }
+      .start()
+  }
+
   /** Incremental run: resume from the sink's own max block (T2 — "the data
     * is the checkpoint"), cap at `chainTip` or the completeness watermark.
     * Returns None if there is nothing to do. */

@@ -110,7 +110,7 @@ private class SyntheticChainTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-chain/$stream"
   override def schema(): StructType = SyntheticChain.schemaFor(stream)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     () => new SyntheticChainScan(stream,
       options.getLong("start", 0L),
@@ -128,6 +128,43 @@ private class SyntheticChainScan(stream: String, start: Long, end: Long,
   override def planInputPartitions(): Array[InputPartition] =
     graft.eth.Ingest.planRanges(start, end, batchSize)
       .map { case (lo, hi) => BlockSlice(lo, hi): InputPartition }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChainReaderFactory(stream)
+
+  /** Streaming form (the reference's primary mode — continuous ingest with
+    * resume, ref: scripts/eth_cassandra_streaming.py T1/T2): offsets are
+    * block numbers; `end` plays the chain tip. Checkpointed offsets give
+    * exactly-once progress tracking on top of the source's determinism. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ChainMicroBatchStream(stream, start, end, batchSize)
+}
+
+/** Offset = next block to read, serialized as its decimal string. */
+private case class BlockOffset(next: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = next.toString
+}
+
+private class ChainMicroBatchStream(stream: String, start: Long, tip: Long,
+                                    batchSize: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = BlockOffset(start)
+  override def latestOffset(): Offset = BlockOffset(tip + 1)
+  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
+    val lo = startOff.asInstanceOf[BlockOffset].next
+    val hi = endOff.asInstanceOf[BlockOffset].next - 1
+    if (hi < lo) Array.empty
+    else graft.eth.Ingest.planRanges(lo, hi, batchSize)
+      .map { case (a, b) => BlockSlice(a, b): InputPartition }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ChainReaderFactory(stream)

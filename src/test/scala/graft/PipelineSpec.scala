@@ -63,6 +63,23 @@ class PipelineSpec extends SparkSpec {
     assert(conf.getAs[Int]("block_bucket_size") == 1000)
   }
 
+  test("streaming ingest drains the backlog; checkpoint restart resumes, no dupes") {
+    val base = Files.createTempDirectory("pipeline_stream").toString
+    val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    // run 1: tip at 999
+    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 999)
+      .awaitTermination(120000)
+    val afterFirst = spark.read.parquet(s"$sink/block")
+    assert(afterFirst.count() == 1000)
+    // run 2: chain advanced to 2499 — same checkpoint resumes at 1000
+    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 2499)
+      .awaitTermination(120000)
+    val afterSecond = spark.read.parquet(s"$sink/block")
+    assert(afterSecond.count() == 2500)
+    assert(afterSecond.select("block_id").distinct().count() == 2500) // no dupes
+    assert(Ingest.maxIngestedBlock(afterSecond).contains(2499L))
+  }
+
   test("resume continues from the sink's max block; idempotent re-run") {
     val sink = Files.createTempDirectory("pipeline_resume").toString
     assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 999).isDefined)
