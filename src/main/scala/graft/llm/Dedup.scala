@@ -102,6 +102,29 @@ object Dedup {
         acc + when(vote > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
       })
 
+  /** Embedding-cosine near-duplicate pairs: vectors are LSH-bucketed
+    * ([[Similarity.lshBucket]]), per-bucket pairs expanded (one scan, one
+    * shuffle — same shape as [[withinBucketPairs]]), and only same-bucket
+    * pairs pay the cosine. Returns pairs with cosine >= `threshold`. */
+  def embeddingNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
+                            numPlanes: Int = 8, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val rec = struct(col(idCol).as("id"), col(vecCol).as("v"))
+    val recs = col("__recs")
+    val pairs = flatten(transform(recs, (x, i) =>
+      transform(slice(recs, i + 2, size(recs)), y =>
+        struct(x.as("a"), y.as("b")))))
+    val cos = Similarity.cosine(col("__p.a.v"), col("__p.b.v"))
+    df.select(Similarity.lshBucket(col(vecCol), dim, numPlanes).as("bucket"), rec.as("__rec"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
+      .filter(size(recs) > 1)
+      .select(col("bucket"), explode(pairs).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        round(cos, 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** N-gram Jaccard similarity of candidate pairs *within buckets* (never
     * all-pairs): docs are grouped by the bucket key(s), pairs expanded
     * per-bucket (one scan, one shuffle — shingles computed once), then

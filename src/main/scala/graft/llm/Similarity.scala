@@ -79,6 +79,48 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
 
+  /** Cosine similarity of two vectors (dot over the product of norms; all
+    * three sums sequential-double, so bit-deterministic). */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+
+  /** IVF assignment: each vector joins its nearest of `k` centroids (by
+    * dot product, centroid id as tie-break). Centroids here are the first
+    * `k` vectors — a deterministic stand-in for k-means training; the plan
+    * shape (broadcast centroids -> one scan -> argmax) is exactly real IVF.
+    * Returns (idCol, centroid_id). */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
+    val scored = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .withColumn("__score", dotProduct(col(vecCol), col("__cv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("centroid_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF top-k (nprobe=1): queries and candidates are both assigned to
+    * centroid cells; search touches only the query's cell — an equi-join on
+    * `centroid_id` instead of a full scan. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val qa = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("__q"))
+    val ca = ivfAssign(candidates, centroids, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+    val scored = ca.join(broadcast(qa), Seq("centroid_id"))
+      .withColumn("score", round(dotProduct(col("__q"), col("__c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"), col("rnk"), col("score"))
+  }
+
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is
     * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher

@@ -58,6 +58,22 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
         .as("bpe_tokens"))
 
+  /** Corpus n-gram statistics: top-`k` word n-grams per group (e.g. per
+    * language) — explode + two-level aggregation + ranking window, the
+    * standard corpus-profiling shape. */
+  def topNgrams(df: DataFrame, groupCol: String, textCol: String,
+                n: Int = 3, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol), explode(shingles(tokens(col(textCol)), n)).as("ngram"))
+      .groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("ngram"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col("ngram"), col("n"))
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over tokens
     * ([[graft.functions.ColumnFns.rollingFingerprint]]) — equal texts get equal
     * fingerprints, any reordering/edit changes it. */

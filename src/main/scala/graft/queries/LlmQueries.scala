@@ -138,6 +138,76 @@ object LlmQueries {
               |      FROM sc)
               |SELECT query_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Embedding-cosine near-dup pairs: LSH buckets -> within-bucket pairs ->
+    // cosine threshold. The dedup flavor of ANN.
+    Q("dedup_embedding_cosine", "LLM",
+      (s, d) => Dedup.embeddingNearDupPairs(Tables(s, d, "embeddings"),
+        dim = 64, threshold = 0.1).orderBy("id_a", "id_b"),
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
+           |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           |       round(${dot("a.embedding", "b2.embedding")}
+           |             / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})), 6) AS cosine
+           |FROM b a JOIN b b2 ON a.bucket = b2.bucket
+           |WHERE a.vec_id < b2.vec_id
+           |  AND round(${dot("a.embedding", "b2.embedding")}
+           |            / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})), 6) >= 0.1
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // IVF ANN (nprobe=1): centroid assignment by broadcast argmax, search
+    // within the query's cell only.
+    Q("ann_ivf", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") >= 21),
+          e.filter(col("vec_id").between(16, 20)),
+          e.filter(col("vec_id") < 16), k = 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |qa AS (SELECT vec_id, embedding, cid FROM (
+           |         SELECT v.vec_id, v.embedding, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id BETWEEN 16 AND 20) WHERE rn = 1),
+           |ca AS (SELECT vec_id, embedding, cid FROM (
+           |         SELECT v.vec_id, v.embedding, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id >= 21) WHERE rn = 1),
+           |sc AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, qa.cid AS centroid_id,
+           |              round(${dot("qa.embedding", "ca.embedding")}, 6) AS score
+           |       FROM qa JOIN ca ON qa.cid = ca.cid),
+           |r AS (SELECT query_id, neighbor_id, centroid_id, score,
+           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // Corpus n-gram statistics: top word-trigrams per language.
+    Q("text_ngram_freq", "LLM",
+      (s, d) => TextAnalysis.topNgrams(Tables(s, d, "documents"), "lang", "text",
+        n = 3, k = 5).orderBy("lang", "rnk"),
+      Some("""WITH t AS (SELECT lang,
+             |         unnest(CASE WHEN len(str_split(text, ' ')) >= 3
+             |           THEN list_transform(range(0, len(str_split(text, ' ')) - 2),
+             |                i -> array_to_string((str_split(text, ' '))[(i+1):(i+3)], ' '))
+             |           ELSE [array_to_string(str_split(text, ' '), ' ')] END) AS ngram
+             |       FROM documents),
+             |c AS (SELECT lang, ngram, count(*) AS n FROM t GROUP BY 1, 2)
+             |SELECT lang, CAST(rn AS INTEGER) AS rnk, ngram, n FROM (
+             |  SELECT lang, ngram, n,
+             |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
+             |  FROM c) WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin)),
+
     // Language ID via stopword-ratio heuristic.
     Q("text_langid", "LLM",
       (s, d) => Tables(s, d, "documents")

@@ -83,6 +83,35 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("IVF: identical vector assigned to its own centroid cell; topK finds the twin") {
+    // centroids = vecs 0..1; candidate 10 identical to centroid/query 0
+    val centroids = vecs.filter($"vec_id" === 0)
+      .union(Seq((1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val assign = Similarity.ivfAssign(vecs, centroids).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    assert(assign(10L) == 0L && assign(12L) == 1L) // -x vector is closer to y-axis plane
+    val out = Similarity.ivfTopK(vecs.filter($"vec_id" >= 10),
+      vecs.filter($"vec_id" === 0), centroids, k = 2).orderBy("rnk").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 10L)
+  }
+
+  test("embedding-cosine near-dup: identical vectors pair at cosine 1.0, bucketed") {
+    val out = Dedup.embeddingNearDupPairs(vecs, dim = 3, threshold = 0.9,
+      numPlanes = 4).collect()
+    val pairs = out.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cosine"))).toMap
+    assert(pairs.contains((0L, 10L)) && pairs((0L, 10L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 12L }) // opposite vector: other bucket or below threshold
+  }
+
+  test("top ngrams per group are ranked deterministically") {
+    val df = Seq((1L, "a b c a b c a b c", "g1"), (2L, "x y z", "g1"))
+      .toDF("doc_id", "text", "grp")
+    val out = TextAnalysis.topNgrams(df, "grp", "text", n = 3, k = 2)
+      .orderBy("rnk").collect()
+    assert(out(0).getAs[String]("ngram") == "a b c" && out(0).getAs[Long]("n") == 3L)
+    assert(out(0).getAs[Int]("rnk") == 1)
+  }
+
   test("text analysis: token counts, language heuristic, quality metrics") {
     val df = Seq((1L, "the cat sat on the mat"), (2L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
     val tc = TextAnalysis.tokenCounts(df, "doc_id", "text").orderBy("doc_id").collect()
