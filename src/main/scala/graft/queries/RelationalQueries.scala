@@ -13,7 +13,87 @@ object RelationalQueries {
 
   private val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
 
+  /** Exact "discounted revenue" in cent-percent units:
+    * `round(ep*100) * (100 - round(disc*100))` — all-integer, so sums are
+    * bit-identical across engines (see PERF.md determinism rules). */
+  private val revenueCp =
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+
+  private val revenueCpSql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+
   val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: pricing summary — wide aggregation over the fact
+    // table with a shipdate predicate (pushed to the scan).
+    Q("tpch_q1_pricing", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(revenueCp).as("sum_disc_cp"),
+          sum(revenueCp * (lit(100L) + cents(col("l_tax")))).as("sum_charge_cpp"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+              |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+              |       CAST(sum($revenueCpSql) AS BIGINT) AS sum_disc_cp,
+              |       CAST(sum($revenueCpSql * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_cpp,
+              |       count(*) AS count_order
+              |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // TPC-H Q3 shape: shipping priority — 3-way join (broadcast dim),
+    // filtered fact, grouped revenue, top-k.
+    Q("tpch_q3_shipping", "TPCH",
+      (s, d) => {
+        val cust = Tables(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = Tables(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(revenueCp).as("revenue_cp"))
+          .orderBy(col("revenue_cp").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+              |       CAST(sum($revenueCpSql) AS BIGINT) AS revenue_cp
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1998-03-15'
+              |  AND l_shipdate > TIMESTAMP '1998-03-15'
+              |GROUP BY 1, 2, 3 ORDER BY revenue_cp DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: local-customer volume — 5-way join through the
+    // dimension chain customer -> nation -> region, dims broadcast.
+    Q("tpch_q5_volume", "TPCH",
+      (s, d) => {
+        val dims = broadcast(Tables(s, d, "customer")
+          .join(Tables(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(Tables(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("c_custkey"), col("n_name")))
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(dims, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(revenueCp).as("revenue_cp"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_cp").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name, CAST(sum($revenueCpSql) AS BIGINT) AS revenue_cp, count(*) AS n_items
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation ON c_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY 1 ORDER BY revenue_cp DESC, n_name""".stripMargin)),
 
     // Running total per customer (analytic window, unbounded preceding).
     Q("w1_running_total", "W",
@@ -168,6 +248,58 @@ object RelationalQueries {
         .orderBy("k"),
       Some("""SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
              |EXCEPT SELECT CAST(o_custkey AS BIGINT) AS k FROM orders ORDER BY k""".stripMargin)),
+
+    // UNION (distinct) set op.
+    Q("set_union", "SET",
+      (s, d) => Tables(s, d, "orders").select(col("o_custkey").cast("bigint").as("k"))
+        .union(Tables(s, d, "customer").select(col("c_custkey").cast("bigint").as("k")))
+        .distinct()
+        .orderBy("k"),
+      Some("""SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+             |UNION SELECT CAST(c_custkey AS BIGINT) AS k FROM customer ORDER BY k""".stripMargin)),
+
+    // first_value / last_value over a full frame.
+    Q("w5_first_last", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       first_value(o_orderkey) OVER w AS first_order,
+             |       last_value(o_orderkey) OVER w AS last_order
+             |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Exact median (interpolated percentile) per group on integer cents.
+    Q("agg_median", "A",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Correlated scalar subquery through the SQL front end.
+    Q("subq_correlated", "SUBQ",
+      (s, d) => {
+        Tables(s, d, "customer").createOrReplaceTempView("customer")
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey,
+                |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+                |FROM customer ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
 
     // Scalar subquery through the SQL front end (same text runs on both
     // engines — parser/analyzer parity check).
