@@ -1,6 +1,6 @@
 package graft.eth
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Enrichment joins (SURVEY §2.3).
@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * scripts/eth_cassandra_streaming.py:628 and scripts/eth_csv_export.py:544).
   * The reference implements it as an in-memory hash join that *raises* when a
   * transaction lacks a receipt; we reproduce that contract with a broadcast
-  * left join plus a single null-count aggregate (one pass, no second join).
+  * left join plus validation.
   */
 object Enrich {
 
@@ -19,22 +19,41 @@ object Enrich {
     extends RuntimeException(
       s"$missing transaction(s) have no matching receipt (J1 contract: every tx must have exactly one receipt)")
 
+  /** Raised when the receipts side itself contains duplicate hashes —
+    * a left join would silently fan transactions out. */
+  final class DuplicateReceiptException(val dupes: Long)
+    extends RuntimeException(
+      s"$dupes duplicate receipt hash(es) in the receipts batch (J1 contract: exactly one receipt per tx)")
+
   /** J1: merge each transaction with its receipt on tx hash.
     *
     * The receipts side is one micro-batch (bounded, small) — broadcast hash
     * join, never a shuffle of the tx side. `receiptCols` are landed under
     * their `receipt_*` names (ref: scripts/schema.cql:46-51).
     *
-    * @param requireReceipt when true (reference behavior), throw
-    *                       [[MissingReceiptException]] if any tx is missing a
-    *                       receipt; when false, keep nulls (left join).
+    * Contract enforcement ("exactly one receipt per tx"):
+    *   - duplicates on the *small* receipts side are always checked (cheap:
+    *     one aggregate over the micro-batch);
+    *   - `requireReceipt=true` eagerly verifies no tx lacks a receipt. This
+    *     costs a second evaluation of the join (count + downstream use), so
+    *     large pipelines should instead pass an [[Observation]] via
+    *     `missingObs` and check [[missingReceipts]] after their terminal
+    *     action — single pass, validation piggybacks on the real job.
     */
   def enrichTransactions(
       txs: DataFrame,
       receipts: DataFrame,
       txHashCol: String = "tx_hash",
       receiptTxHashCol: String = "transaction_hash",
-      requireReceipt: Boolean = true): DataFrame = {
+      requireReceipt: Boolean = true,
+      missingObs: Option[Observation] = None): DataFrame = {
+
+    // receipts is bounded (one micro-batch): the duplicate check is one
+    // small aggregate, not a data-path cost
+    val Array(total, distinct) = receipts
+      .agg(count(lit(1)), countDistinct(col(receiptTxHashCol)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    if (total != distinct) throw new DuplicateReceiptException(total - distinct)
 
     val receiptSide = receipts.withColumnRenamed(receiptTxHashCol, "__receipt_tx_hash")
     val joined = txs.join(
@@ -42,12 +61,30 @@ object Enrich {
       txs(txHashCol) === receiptSide("__receipt_tx_hash"),
       "left")
 
+    val observed = missingObs match {
+      case Some(obs) => joined.observe(obs,
+        sum(when(col("__receipt_tx_hash").isNull, 1L).otherwise(0L)).as("missing_receipts"))
+      case None => joined
+    }
+
     if (requireReceipt) {
-      // Single bounded-metadata aggregate, not a per-row driver loop.
+      // eager validation: bounded-metadata aggregate (costs one extra
+      // evaluation of the join — see scaladoc for the single-pass variant)
       val missing = joined.filter(col("__receipt_tx_hash").isNull).count()
       if (missing > 0) throw new MissingReceiptException(missing)
     }
-    joined.drop("__receipt_tx_hash")
+    observed.drop("__receipt_tx_hash")
+  }
+
+  /** Read the missing-receipt count recorded by an [[Observation]] passed to
+    * [[enrichTransactions]], after a terminal action has run. Throws the
+    * reference's contract violation if any transaction lacked a receipt. */
+  def assertNoMissingReceipts(obs: Observation): Unit = {
+    val missing = obs.get.getOrElse("missing_receipts", 0L) match {
+      case null => 0L // sum over an empty frame
+      case v: Number => v.longValue()
+    }
+    if (missing > 0) throw new MissingReceiptException(missing)
   }
 
   /** J2: denormalize `block.timestamp` onto each transaction as

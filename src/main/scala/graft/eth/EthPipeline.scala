@@ -62,12 +62,17 @@ object EthPipeline {
     val logs = readStream(spark, source, "log", startBlock, endBlock)
     val traces = readStream(spark, source, "trace", startBlock, endBlock)
 
-    // J1 (cardinality contract) + J2 (block_timestamp denorm), then format.
-    val enriched = Enrich.withBlockTimestamp(
-      Enrich.enrichTransactions(
-        EthTransforms.formatTransactions(txs, dialect),
-        receiptSide(receipts.drop("type"))),
-      blocks.select(col("number").as("block_id"), col("timestamp")))
+    // J1 on the RAW hex hashes (both sides string — encoding to binary
+    // happens in the formatter afterwards, so the join key never mixes
+    // representations), single-pass contract validation via Observation.
+    // J2 denorm, then format (rename/derive/encode) the enriched frame.
+    val j1Obs = new org.apache.spark.sql.Observation()
+    val enrichedRaw = Enrich.withBlockTimestamp(
+      Enrich.enrichTransactions(txs, receiptSide(receipts.drop("type")),
+        txHashCol = "hash", requireReceipt = false, missingObs = Some(j1Obs)),
+      blocks.select(col("number").as("block_number"), col("timestamp")),
+      blockIdCol = "block_number")
+    val enriched = EthTransforms.formatTransactions(enrichedRaw, dialect)
 
     val formatted = Map(
       "block" -> EthTransforms.formatBlocks(blocks, dialect),
@@ -84,11 +89,15 @@ object EthPipeline {
       "trace" -> Seq("block_id", "trace_index"))
 
     val counts = formatted.map { case (table, df) =>
-      Sinks.writeBucketedParquet(df, s"$sinkDir/$table",
-        sortCols = sortKeys(table))
+      // upsert: a range that starts/ends mid-bucket must merge with rows
+      // already in that bucket (dynamic overwrite replaces whole bucket dirs)
+      Sinks.upsertBucketedParquet(df, s"$sinkDir/$table",
+        pkCols = sortKeys(table), sortCols = sortKeys(table))
       table -> spark.read.parquet(s"$sinkDir/$table")
         .filter(col("block_id").between(startBlock, endBlock)).count()
     }
+    // J1 contract, validated from the observation the write already paid for
+    Enrich.assertNoMissingReceipts(j1Obs)
 
     // K3: persist the partitioning contract next to the data.
     Ingest.configuration(spark).write.mode("overwrite")
@@ -117,8 +126,10 @@ object EthPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          Sinks.writeBucketedParquet(
-            EthTransforms.formatBlocks(batch, dialect), s"$sinkDir/block")
+          // upsert, not overwrite: a micro-batch boundary can fall mid-bucket
+          Sinks.upsertBucketedParquet(
+            EthTransforms.formatBlocks(batch, dialect), s"$sinkDir/block",
+            pkCols = Seq("block_id"))
       }
       .start()
   }

@@ -36,6 +36,37 @@ object Sinks {
       .partitionBy(bucketCol)
       .parquet(path)
 
+  /** Bucket-level upsert: merge the incoming rows with whatever already
+    * lives in the affected buckets, dedupe by primary key, and rewrite only
+    * those buckets (dynamic partition overwrite). This is what makes
+    * *mid-bucket* incremental ranges safe: plain overwrite replaces whole
+    * bucket directories, so a range starting at block 1500 would silently
+    * drop blocks 1000-1499. The merge read is partition-pruned to the
+    * touched buckets (bounded: buckets-per-batch), and the PK dedupe is the
+    * Cassandra-upsert equivalence (replayed rows are byte-identical, T4).
+    */
+  def upsertBucketedParquet(df: DataFrame, path: String, pkCols: Seq[String],
+                            bucketCol: String = "block_id_group",
+                            sortCols: Seq[String] = Seq("block_id")): Unit = {
+    val spark = df.sparkSession
+    val existing =
+      try {
+        val old = spark.read.parquet(path)
+        // bounded metadata: the distinct buckets of this batch
+        val buckets = df.select(col(bucketCol)).distinct().collect().map(_.get(0))
+        Some(old.filter(col(bucketCol).isin(buckets.toIndexedSeq: _*)))
+      } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val merged = existing match {
+      case Some(old) =>
+        df.unionByName(old.select(df.columns.map(col).toIndexedSeq: _*))
+          .dropDuplicates(pkCols)
+          // break lineage from the files we are about to overwrite
+          .localCheckpoint(true)
+      case None => df
+    }
+    writeBucketedParquet(merged, path, bucketCol, sortCols)
+  }
+
   /** Read back a bucket range with partition pruning: the bucket filter
     * prunes directories (visible as PartitionFilters in explain), the id
     * filter prunes row groups via parquet min/max stats. */

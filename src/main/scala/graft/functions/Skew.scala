@@ -15,13 +15,15 @@ object Skew {
 
   /** Two-phase salted sum: exactly `df.groupBy(keys).sum(valueCol)` but with
     * each key's rows spread over `salts` partial aggregates first. The salt
-    * derives from a hash of the value column (deterministic, no rand()), so
-    * re-runs produce identical intermediate layouts.
+    * derives from the row *position* (`monotonically_increasing_id`), not
+    * row content — a hot key whose rows all carry the same value (the
+    * classic flood: millions of identical transfers) still spreads evenly.
+    * Salt choice affects only intermediate layout, never the result.
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int): DataFrame = {
     require(salts > 0)
-    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(salts)))
+    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
       .groupBy((keyCols :+ "__salt").map(col).toIndexedSeq: _*)
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(keyCols.map(col).toIndexedSeq: _*)

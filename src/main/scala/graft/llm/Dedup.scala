@@ -61,6 +61,14 @@ object Dedup {
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_key").as("band_key"))
   }
 
+  /** Ordered-pair expansion of a (sorted) collected array: every (x, y) with
+    * x before y — the shared combinatorics of all within-bucket pair
+    * generators. */
+  private def orderedPairs(recs: Column): Column =
+    flatten(transform(recs, (x, i) =>
+      transform(slice(recs, i + 2, size(recs)), y =>
+        struct(x.as("a"), y.as("b")))))
+
   /** Within-bucket ordered pairs of `idCol` values: groupBy the bucket keys,
     * collect the (sorted) ids, expand pairs with array combinatorics. ONE
     * scan of the input and one shuffle — strictly better than a self-join,
@@ -71,13 +79,10 @@ object Dedup {
   private[graft] def withinBucketPairs(df: DataFrame, bucketCols: Seq[String],
                                        idCol: String): DataFrame = {
     val ids = col("__ids")
-    val pairs = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(x.as("a"), y.as("b")))))
     df.groupBy(bucketCols.map(col).toIndexedSeq: _*)
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       .filter(size(ids) > 1)
-      .select(bucketCols.map(col) :+ explode(pairs).as("__p"): _*)
+      .select(bucketCols.map(col) :+ explode(orderedPairs(ids)).as("__p"): _*)
       .select(bucketCols.map(col) :+ col("__p.a").as("id_a") :+ col("__p.b").as("id_b"): _*)
   }
 
@@ -111,15 +116,12 @@ object Dedup {
                             vecCol: String = "embedding"): DataFrame = {
     val rec = struct(col(idCol).as("id"), col(vecCol).as("v"))
     val recs = col("__recs")
-    val pairs = flatten(transform(recs, (x, i) =>
-      transform(slice(recs, i + 2, size(recs)), y =>
-        struct(x.as("a"), y.as("b")))))
     val cos = Similarity.cosine(col("__p.a.v"), col("__p.b.v"))
     df.select(Similarity.lshBucket(col(vecCol), dim, numPlanes).as("bucket"), rec.as("__rec"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
       .filter(size(recs) > 1)
-      .select(col("bucket"), explode(pairs).as("__p"))
+      .select(col("bucket"), explode(orderedPairs(recs)).as("__p"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         round(cos, 6).as("cosine"))
       .filter(col("cosine") >= threshold)
@@ -134,19 +136,16 @@ object Dedup {
                         minJaccard: Double = 0.0): DataFrame = {
     val rec = struct(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
-    val recs = col("__recs")
     // ordered pairs of records from the sorted per-bucket list (id is the
     // struct's first field, so struct order == id order)
-    val pairs = flatten(transform(recs, (x, i) =>
-      transform(slice(recs, i + 2, size(recs)), y =>
-        struct(x.as("a"), y.as("b")))))
+    val recs = col("__recs")
     val inter = size(array_intersect(col("__p.a.sh"), col("__p.b.sh")))
     val uni = size(col("__p.a.sh")) + size(col("__p.b.sh")) - inter
     df.select(bucketCols.map(col) :+ rec.as("__rec"): _*)
       .groupBy(bucketCols.map(col).toIndexedSeq: _*)
       .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
       .filter(size(recs) > 1)
-      .select(explode(pairs).as("__p"))
+      .select(explode(orderedPairs(recs)).as("__p"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         inter.as("n_intersect"), uni.as("n_union"),
         round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))

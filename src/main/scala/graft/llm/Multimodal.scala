@@ -39,14 +39,17 @@ object Multimodal {
     val width = len % 64 + 16
     val height = len % 48 + 16
     // 8 fake features: windowed byte averages — deterministic, cheap.
-    val feats = Array.tabulate(8) { i =>
-      val lo = i * len / 8
-      val hi = math.max(lo + 1, (i + 1) * len / 8)
-      var s = 0.0f
-      var j = lo
-      while (j < hi) { s += (payload(j) & 0xff); j += 1 }
-      s / (hi - lo)
-    }
+    // Empty payloads (zero-byte media) decode to all-zero features.
+    val feats =
+      if (len == 0) Array.fill(8)(0.0f)
+      else Array.tabulate(8) { i =>
+        val lo = i * len / 8
+        val hi = math.max(lo + 1, (i + 1) * len / 8)
+        var s = 0.0f
+        var j = lo
+        while (j < hi && j < len) { s += (payload(j) & 0xff); j += 1 }
+        s / (hi - lo)
+      }
     (width, height, 3, feats)
   }
 

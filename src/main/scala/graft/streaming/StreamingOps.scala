@@ -58,31 +58,45 @@ object StreamingOps {
   case class Session(user_id: Long, session_start: Timestamp, n_events: Long)
 
   /** Streaming sessionization with custom state (T1/T4's stateful analogue):
-    * `flatMapGroupsWithState` emits a session when the inactivity gap
-    * expires. The streaming-native form of [[sessionizeBatch]]. */
+    * `flatMapGroupsWithState` emits a session when a later event arrives
+    * past the inactivity gap, OR when the processing-time timeout fires for
+    * an idle user — the timeout path both flushes the user's final session
+    * and removes the state entry, so state-store size tracks *active* users,
+    * not all users ever seen. The streaming-native form of
+    * [[sessionizeBatch]]. */
   def sessionizeStreaming(events: Dataset[Event],
                           gapSeconds: Long = 600L): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var sessions = List.empty[Session]
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000L
-            st match {
-              case null => st = SessionState(t, t, 1)
-              case s if t - s.last > gapSeconds =>
-                sessions ::= Session(userId, new Timestamp(s.start * 1000L), s.n)
-                st = SessionState(t, t, 1)
-              case s => st = SessionState(s.start, t, s.n + 1)
+          if (state.hasTimedOut) {
+            // idle past the gap: close and evict the final session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start * 1000L), s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var sessions = List.empty[Session]
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000L
+              st match {
+                case null => st = SessionState(t, t, 1)
+                case s if t - s.last > gapSeconds =>
+                  sessions ::= Session(userId, new Timestamp(s.start * 1000L), s.n)
+                  st = SessionState(t, t, 1)
+                case s => st = SessionState(s.start, t, s.n + 1)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutDuration(gapSeconds * 1000L)
+            }
+            sessions.reverseIterator
           }
-          if (st != null) state.update(st)
-          sessions.reverseIterator
       }
   }
 }

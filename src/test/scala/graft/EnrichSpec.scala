@@ -30,6 +30,31 @@ class EnrichSpec extends SparkSpec {
     assert(Enrich.enrichTransactions(txs, full).count() == 3)
   }
 
+  test("duplicate receipts are rejected (fan-out guard)") {
+    val dup = receipts.union(Seq(("0xaa", 1L)).toDF("transaction_hash", "receipt_gas_used"))
+    val e = intercept[Enrich.DuplicateReceiptException] {
+      Enrich.enrichTransactions(txs, dup, requireReceipt = false)
+    }
+    assert(e.dupes == 1)
+  }
+
+  test("observation-based J1 validation is single-pass and still throws") {
+    val obs = new org.apache.spark.sql.Observation()
+    val out = Enrich.enrichTransactions(txs, receipts,
+      requireReceipt = false, missingObs = Some(obs))
+    out.count() // the terminal action the metric piggybacks on
+    val e = intercept[Enrich.MissingReceiptException] {
+      Enrich.assertNoMissingReceipts(obs)
+    }
+    assert(e.missing == 1)
+    // clean case: no exception
+    val obs2 = new org.apache.spark.sql.Observation()
+    val full = receipts.union(Seq(("0xcc", 1L)).toDF("transaction_hash", "receipt_gas_used"))
+    Enrich.enrichTransactions(txs, full, requireReceipt = false,
+      missingObs = Some(obs2)).count()
+    Enrich.assertNoMissingReceipts(obs2)
+  }
+
   test("J2 lands block_timestamp on each tx") {
     val blocks = Seq((1, 1000), (2, 2000), (3, 3000)).toDF("block_id", "timestamp")
     val out = Enrich.withBlockTimestamp(txs, blocks).orderBy("block_id").collect()

@@ -124,6 +124,15 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(q(0).getAs[Double]("stopword_ratio") - 0.333333) < 1e-6)
   }
 
+  test("multimodal: empty payloads decode to zero features, not a crash") {
+    val (w, h, c, f) = Multimodal.decodeStub(Array.empty[Byte])
+    assert(f.toSeq == Seq.fill(8)(0.0f) && c == 3 && w == 16 && h == 16)
+    val media = Multimodal.asMediaTable(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    val out = Multimodal.extractFeatures(Multimodal.toMediaDataset(spark, media)).collect()
+    assert(out.length == 1 && out(0).byte_len == 0)
+  }
+
   test("multimodal: payload metadata and stubbed per-partition decode are deterministic") {
     val media = Multimodal.asMediaTable(docs.select($"doc_id", $"text"), "doc_id", "text")
     val meta = Multimodal.payloadMetadata(media).orderBy("media_id").collect()

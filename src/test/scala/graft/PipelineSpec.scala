@@ -42,10 +42,10 @@ class PipelineSpec extends SparkSpec {
 
   test("full ingest: counts, enrichment, bucket layout, config row") {
     val sink = Files.createTempDirectory("pipeline").toString
-    val report = EthPipeline.ingestRange(spark, sink, 0, 2999)
-    assert(report.rowCounts("block") == 3000)
-    assert(report.rowCounts("transaction") == expectedTxs(0, 2999))
-    assert(report.rowCounts("log") == 2 * expectedTxs(0, 2999))
+    val report = EthPipeline.ingestRange(spark, sink, 0, 2049)
+    assert(report.rowCounts("block") == 2050)
+    assert(report.rowCounts("transaction") == expectedTxs(0, 2049))
+    assert(report.rowCounts("log") == 2 * expectedTxs(0, 2049))
 
     // every transaction got its receipt columns (J1) and timestamp (J2)
     val tx = spark.read.parquet(s"$sink/transaction")
@@ -67,32 +67,66 @@ class PipelineSpec extends SparkSpec {
     val base = Files.createTempDirectory("pipeline_stream").toString
     val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
     // run 1: tip at 999
-    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 999)
+    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 399)
       .awaitTermination(120000)
     val afterFirst = spark.read.parquet(s"$sink/block")
-    assert(afterFirst.count() == 1000)
-    // run 2: chain advanced to 2499 — same checkpoint resumes at 1000
-    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 2499)
+    assert(afterFirst.count() == 400)
+    // run 2: chain advanced to 899 — same checkpoint resumes at 400
+    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 899)
       .awaitTermination(120000)
     val afterSecond = spark.read.parquet(s"$sink/block")
-    assert(afterSecond.count() == 2500)
-    assert(afterSecond.select("block_id").distinct().count() == 2500) // no dupes
-    assert(Ingest.maxIngestedBlock(afterSecond).contains(2499L))
+    assert(afterSecond.count() == 900)
+    assert(afterSecond.select("block_id").distinct().count() == 900) // no dupes
+    assert(Ingest.maxIngestedBlock(afterSecond).contains(899L))
+  }
+
+  test("mid-bucket incremental ranges lose nothing (bucket-level upsert)") {
+    val sink = Files.createTempDirectory("pipeline_midbucket").toString
+    // tip 1499 ends mid-bucket-1; the next run starts mid-bucket-1
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 499).isDefined)
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 1250)
+      .exists(r => r.startBlock == 500 && r.endBlock == 1250))
+    val blocks = spark.read.parquet(s"$sink/block")
+    assert(blocks.count() == 1251)
+    assert(blocks.select("block_id").distinct().count() == 1251)
+  }
+
+  test("streaming restart at a mid-bucket offset loses nothing") {
+    val base = Files.createTempDirectory("pipeline_stream_mid").toString
+    val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 499)
+      .awaitTermination(120000)
+    EthPipeline.streamBlocks(spark, sink, ckpt, chainTip = 1250)
+      .awaitTermination(120000)
+    val blocks = spark.read.parquet(s"$sink/block")
+    assert(blocks.count() == 1251)
+    assert(blocks.select("block_id").distinct().count() == 1251)
+  }
+
+  test("binary dialect ingest: J1 joins on raw hex before blob encoding") {
+    val sink = Files.createTempDirectory("pipeline_bin").toString
+    val report = EthPipeline.ingestRange(spark, sink, 0, 199,
+      dialect = graft.eth.EthTransforms.BinaryDialect)
+    assert(report.rowCounts("transaction") == expectedTxs(0, 199))
+    val tx = spark.read.parquet(s"$sink/transaction")
+    assert(tx.schema("tx_hash").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(tx.filter(col("receipt_gas_used").isNull).count() == 0)
   }
 
   test("resume continues from the sink's max block; idempotent re-run") {
     val sink = Files.createTempDirectory("pipeline_resume").toString
-    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 999).isDefined)
-    val r2 = EthPipeline.resumeAndIngest(spark, sink, chainTip = 1999)
-    assert(r2.exists(r => r.startBlock == 1000 && r.endBlock == 1999))
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 299).isDefined)
+    val r2 = EthPipeline.resumeAndIngest(spark, sink, chainTip = 599)
+    assert(r2.exists(r => r.startBlock == 300 && r.endBlock == 599))
     // fully caught up -> nothing to do
-    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 1999).isEmpty)
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 599).isEmpty)
     // watermark caps the end block (T3)
-    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 5000,
-      watermark = Some(2499L)).exists(_.endBlock == 2499))
-    // total rows = one copy of every block 0..2499
-    assert(spark.read.parquet(s"$sink/block").count() == 2500)
+    assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 2000,
+      watermark = Some(750L)).exists(_.endBlock == 750))
+    // total rows = one copy of every block 0..750
+    assert(spark.read.parquet(s"$sink/block").count() == 751)
     assert(Ingest.maxIngestedBlock(
-      spark.read.parquet(s"$sink/block")).contains(2499L))
+      spark.read.parquet(s"$sink/block")).contains(750L))
   }
 }

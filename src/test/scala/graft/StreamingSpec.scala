@@ -45,20 +45,27 @@ class StreamingSpec extends SparkSpec {
     val sessions = StreamingOps.sessionizeStreaming(input.toDS(), gapSeconds = 600)
     val query = sessions.writeStream
       .format("memory").queryName("sessions_out").outputMode("append").start()
+    // processAllAvailable never quiesces once processing-time timers force
+    // continuous no-data batches — poll the sink instead
+    def waitForRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sessions_out").count() < n
+        && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(spark.table("sessions_out").count() >= n,
+        s"timed out waiting for $n emitted session(s)")
+    }
     try {
       // batch 1: two events 5 min apart (one open session), then a 25-min gap
       // event -> the first session closes
       input.addData(events.filter(_.user_id == 1L): _*)
-      query.processAllAvailable()
+      waitForRows(1)
       val closed = spark.table("sessions_out").as[StreamingOps.Session].collect()
-      assert(closed.length == 1)
       assert(closed(0).user_id == 1L && closed(0).n_events == 2)
       assert(closed(0).session_start == ts(0))
       // batch 2: an event far after event 3 closes the second session
       input.addData(Event(9L, ts(59), 1L, "click", 0.0))
-      query.processAllAvailable()
+      waitForRows(2)
       val closed2 = spark.table("sessions_out").as[StreamingOps.Session].collect()
-      assert(closed2.length == 2)
       assert(closed2.map(_.n_events).toSet == Set(2L, 1L))
     } finally query.stop()
   }
