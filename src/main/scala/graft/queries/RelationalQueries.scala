@@ -233,6 +233,32 @@ object RelationalQueries {
              |FROM supplier JOIN customer ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Big-big join strategies: when neither side fits a broadcast (full
+    // historical backfills), the same equi-join runs as sort-merge or
+    // shuffled-hash — forced here via hints so both plans are exercised and
+    // oracle-checked. Both sides shuffle on the join key; with bucketed
+    // storage on that key the exchange is avoided entirely (PERF.md).
+    Q("j_sortmerge", "J",
+      (s, d) => Tables(s, d, "lineitem").hint("merge")
+        .join(Tables(s, d, "orders").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("j_shuffle_hash", "J",
+      (s, d) => Tables(s, d, "lineitem").hint("shuffle_hash")
+        .join(Tables(s, d, "orders").hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // INTERSECT set op.
     Q("set_intersect", "SET",
       (s, d) => Tables(s, d, "orders").select(col("o_custkey").cast("bigint").as("k"))

@@ -45,6 +45,11 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("join hints select the intended big-big strategies") {
+    assert(plan("j_sortmerge").contains("SortMergeJoin"))
+    assert(plan("j_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
   test("point lookup prunes columns down to the probe keys") {
     val p = plan("q1_point_lookup")
     assert(p.contains("ReadSchema") && p.contains("c_name"))
