@@ -32,13 +32,18 @@ object Enrich {
     * their `receipt_*` names (ref: scripts/schema.cql:46-51).
     *
     * Contract enforcement ("exactly one receipt per tx"):
-    *   - duplicates on the *small* receipts side are always checked (cheap:
-    *     one aggregate over the micro-batch);
+    *   - `checkDuplicates=true` (default) verifies the *small* receipts side
+    *     has one row per non-null hash (one eager aggregate over the
+    *     micro-batch; null hashes are NOT counted as duplicates — they
+    *     simply never match and surface as missing receipts). Pipelines that
+    *     instead dedupe receipts by PK upfront (replayed rows are
+    *     byte-identical, T4) pass `false` and skip the extra scan;
     *   - `requireReceipt=true` eagerly verifies no tx lacks a receipt. This
     *     costs a second evaluation of the join (count + downstream use), so
     *     large pipelines should instead pass an [[Observation]] via
-    *     `missingObs` and check [[missingReceipts]] after their terminal
-    *     action — single pass, validation piggybacks on the real job.
+    *     `missingObs` and check [[assertNoMissingReceipts]] after their
+    *     terminal action — single pass, validation piggybacks on the real
+    *     job.
     */
   def enrichTransactions(
       txs: DataFrame,
@@ -46,14 +51,17 @@ object Enrich {
       txHashCol: String = "tx_hash",
       receiptTxHashCol: String = "transaction_hash",
       requireReceipt: Boolean = true,
-      missingObs: Option[Observation] = None): DataFrame = {
+      missingObs: Option[Observation] = None,
+      checkDuplicates: Boolean = true): DataFrame = {
 
-    // receipts is bounded (one micro-batch): the duplicate check is one
-    // small aggregate, not a data-path cost
-    val Array(total, distinct) = receipts
-      .agg(count(lit(1)), countDistinct(col(receiptTxHashCol)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    if (total != distinct) throw new DuplicateReceiptException(total - distinct)
+    if (checkDuplicates) {
+      // non-null count vs distinct count: a null hash is a missing-receipt
+      // problem, not a duplicate
+      val Array(nonNull, distinct) = receipts
+        .agg(count(col(receiptTxHashCol)), countDistinct(col(receiptTxHashCol)))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      if (nonNull != distinct) throw new DuplicateReceiptException(nonNull - distinct)
+    }
 
     val receiptSide = receipts.withColumnRenamed(receiptTxHashCol, "__receipt_tx_hash")
     val joined = txs.join(

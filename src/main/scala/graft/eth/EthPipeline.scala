@@ -67,9 +67,13 @@ object EthPipeline {
     // representations), single-pass contract validation via Observation.
     // J2 denorm, then format (rename/derive/encode) the enriched frame.
     val j1Obs = new org.apache.spark.sql.Observation()
+    // receipts are deduped by PK upfront (replay-safe, T4) instead of the
+    // eager duplicate scan inside enrichTransactions
     val enrichedRaw = Enrich.withBlockTimestamp(
-      Enrich.enrichTransactions(txs, receiptSide(receipts.drop("type")),
-        txHashCol = "hash", requireReceipt = false, missingObs = Some(j1Obs)),
+      Enrich.enrichTransactions(txs,
+        receiptSide(receipts.drop("type")).dropDuplicates("transaction_hash"),
+        txHashCol = "hash", requireReceipt = false, missingObs = Some(j1Obs),
+        checkDuplicates = false),
       blocks.select(col("number").as("block_number"), col("timestamp")),
       blockIdCol = "block_number")
     val enriched = EthTransforms.formatTransactions(enrichedRaw, dialect)
@@ -88,16 +92,28 @@ object EthPipeline {
       "log" -> Seq("block_id", "topic0", "log_index"), // ref: schema.cql:101-102
       "trace" -> Seq("block_id", "trace_index"))
 
-    val counts = formatted.map { case (table, df) =>
+    // touched buckets are pure range arithmetic — no plan evaluation needed
+    val buckets = Some((startBlock / 1000L) to (endBlock / 1000L))
+      .map(_.toIndexedSeq)
+
+    // Write order matters for resume correctness: `transaction` first, then
+    // validate J1 from the observation that write already paid for. On a
+    // contract violation nothing else (in particular `block`, the table
+    // resume reads its max from) has been written, so the next
+    // resumeAndIngest re-processes this range instead of skipping past the
+    // bad rows.
+    val writeOrder = Seq("transaction", "block", "log", "trace")
+    val counts = writeOrder.map { table =>
+      val df = formatted(table)
       // upsert: a range that starts/ends mid-bucket must merge with rows
       // already in that bucket (dynamic overwrite replaces whole bucket dirs)
       Sinks.upsertBucketedParquet(df, s"$sinkDir/$table",
-        pkCols = sortKeys(table), sortCols = sortKeys(table))
+        pkCols = sortKeys(table), sortCols = sortKeys(table),
+        newBuckets = buckets)
+      if (table == "transaction") Enrich.assertNoMissingReceipts(j1Obs)
       table -> spark.read.parquet(s"$sinkDir/$table")
         .filter(col("block_id").between(startBlock, endBlock)).count()
-    }
-    // J1 contract, validated from the observation the write already paid for
-    Enrich.assertNoMissingReceipts(j1Obs)
+    }.toMap
 
     // K3: persist the partitioning contract next to the data.
     Ingest.configuration(spark).write.mode("overwrite")

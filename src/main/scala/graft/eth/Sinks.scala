@@ -36,35 +36,71 @@ object Sinks {
       .partitionBy(bucketCol)
       .parquet(path)
 
+  /** Partition (bucket) values already present in a bucketed-parquet sink —
+    * read from the directory listing, not the data (bounded metadata). */
+  private def existingBuckets(spark: SparkSession, path: String,
+                              bucketCol: String): Set[Long] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) Set.empty
+    else fs.listStatus(hPath).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"$bucketCol=") =>
+        n.stripPrefix(s"$bucketCol=").toLong }
+      .toSet
+  }
+
   /** Bucket-level upsert: merge the incoming rows with whatever already
-    * lives in the affected buckets, dedupe by primary key, and rewrite only
-    * those buckets (dynamic partition overwrite). This is what makes
-    * *mid-bucket* incremental ranges safe: plain overwrite replaces whole
-    * bucket directories, so a range starting at block 1500 would silently
-    * drop blocks 1000-1499. The merge read is partition-pruned to the
-    * touched buckets (bounded: buckets-per-batch), and the PK dedupe is the
-    * Cassandra-upsert equivalence (replayed rows are byte-identical, T4).
+    * lives in the *overlapping* buckets, giving incoming rows precedence per
+    * primary key (last-write-wins — the actual Cassandra-upsert semantics,
+    * correct under replay AND under re-ingest of changed content, e.g. a
+    * chain reorg), then rewrite only the touched buckets (dynamic partition
+    * overwrite). This is what makes *mid-bucket* incremental ranges safe:
+    * plain overwrite replaces whole bucket directories, so a range starting
+    * at block 1500 would silently drop blocks 1000-1499.
+    *
+    * Cost model: `newBuckets` is pure arithmetic on the caller's range
+    * (pass it to avoid an extra evaluation of `df`'s plan); the overlap with
+    * existing buckets comes from the sink's directory listing; only the
+    * overlap partitions (steady state: one boundary bucket) are read back,
+    * merged, and pinned with `localCheckpoint` to break lineage from the
+    * files being overwritten — the non-overlapping bulk of the batch streams
+    * straight through.
     */
   def upsertBucketedParquet(df: DataFrame, path: String, pkCols: Seq[String],
                             bucketCol: String = "block_id_group",
-                            sortCols: Seq[String] = Seq("block_id")): Unit = {
+                            sortCols: Seq[String] = Seq("block_id"),
+                            newBuckets: Option[Seq[Long]] = None): Unit = {
     val spark = df.sparkSession
-    val existing =
-      try {
-        val old = spark.read.parquet(path)
-        // bounded metadata: the distinct buckets of this batch
-        val buckets = df.select(col(bucketCol)).distinct().collect().map(_.get(0))
-        Some(old.filter(col(bucketCol).isin(buckets.toIndexedSeq: _*)))
-      } catch { case _: org.apache.spark.sql.AnalysisException => None }
-    val merged = existing match {
-      case Some(old) =>
-        df.unionByName(old.select(df.columns.map(col).toIndexedSeq: _*))
-          .dropDuplicates(pkCols)
-          // break lineage from the files we are about to overwrite
-          .localCheckpoint(true)
-      case None => df
+    val incoming = newBuckets.getOrElse {
+      // fallback: derive from the batch (one extra evaluation of df's plan)
+      df.select(col(bucketCol).cast("long")).distinct().collect()
+        .map(_.getLong(0)).toIndexedSeq
     }
-    writeBucketedParquet(merged, path, bucketCol, sortCols)
+    val overlap = existingBuckets(spark, path, bucketCol)
+      .intersect(incoming.toSet).toIndexedSeq
+    if (overlap.isEmpty) {
+      writeBucketedParquet(df, path, bucketCol, sortCols)
+    } else {
+      val inOverlap = col(bucketCol).cast("long").isin(overlap: _*)
+      val old = spark.read.parquet(path)
+        .filter(inOverlap) // partition-pruned to the boundary bucket(s)
+        .select(df.columns.map(col).toIndexedSeq: _*)
+      // precedence: incoming rows win over stored rows on PK collision
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pkCols.map(col).toIndexedSeq: _*)
+        .orderBy(col("__pri").desc)
+      val mergedOverlap = df.filter(inOverlap).withColumn("__pri", lit(1))
+        .unionByName(old.withColumn("__pri", lit(0)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__pri", "__rn")
+        // break lineage from the files we are about to overwrite; bounded:
+        // overlap buckets only
+        .localCheckpoint(true)
+      writeBucketedParquet(df.filter(!inOverlap).unionByName(mergedOverlap),
+        path, bucketCol, sortCols)
+    }
   }
 
   /** Read back a bucket range with partition pruning: the bucket filter

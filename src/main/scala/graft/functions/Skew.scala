@@ -15,15 +15,17 @@ object Skew {
 
   /** Two-phase salted sum: exactly `df.groupBy(keys).sum(valueCol)` but with
     * each key's rows spread over `salts` partial aggregates first. The salt
-    * derives from the row *position* (`monotonically_increasing_id`), not
-    * row content — a hot key whose rows all carry the same value (the
-    * classic flood: millions of identical transfers) still spreads evenly.
-    * Salt choice affects only intermediate layout, never the result.
+    * is the *input partition id* — deterministic under task retry (a
+    * recomputed partition gets the same id, unlike `rand()` or
+    * `monotonically_increasing_id`, which would re-salt recomputed rows and
+    * double-count across a shuffle retry), and independent of row content,
+    * so a hot key flooding identical values still spreads across as many
+    * salts as input partitions hold it.
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: String,
                 salts: Int): DataFrame = {
     require(salts > 0)
-    df.withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy((keyCols :+ "__salt").map(col).toIndexedSeq: _*)
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(keyCols.map(col).toIndexedSeq: _*)

@@ -59,18 +59,27 @@ object StreamingOps {
 
   /** Streaming sessionization with custom state (T1/T4's stateful analogue):
     * `flatMapGroupsWithState` emits a session when a later event arrives
-    * past the inactivity gap, OR when the processing-time timeout fires for
-    * an idle user — the timeout path both flushes the user's final session
-    * and removes the state entry, so state-store size tracks *active* users,
-    * not all users ever seen. The streaming-native form of
-    * [[sessionizeBatch]]. */
+    * past the inactivity gap, OR when the *event-time* timeout fires for an
+    * idle user — the timeout is keyed to the watermark, so slow/lagging
+    * sources never split a session that event time says is contiguous (a
+    * processing-time timer would). The timeout path both flushes the user's
+    * final session and removes the state entry, so state-store size tracks
+    * *active* users, not all users ever seen. The streaming-native form of
+    * [[sessionizeBatch]].
+    *
+    * @param watermarkDelay how much event-time disorder to tolerate before
+    *                       the watermark (and therefore session finalization)
+    *                       advances. */
   def sessionizeStreaming(events: Dataset[Event],
-                          gapSeconds: Long = 600L): Dataset[Session] = {
+                          gapSeconds: Long = 600L,
+                          watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle past the gap: close and evict the final session
@@ -93,7 +102,8 @@ object StreamingOps {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutDuration(gapSeconds * 1000L)
+              // fires when the watermark passes last-event-time + gap
+              state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L)
             }
             sessions.reverseIterator
           }

@@ -38,6 +38,15 @@ class EnrichSpec extends SparkSpec {
     assert(e.dupes == 1)
   }
 
+  test("null receipt hashes are not misreported as duplicates") {
+    val withNull = receipts.union(
+      Seq((null.asInstanceOf[String], 0L)).toDF("transaction_hash", "receipt_gas_used"))
+    // no DuplicateReceiptException — the null key surfaces as a missing
+    // receipt on the join side instead
+    val out = Enrich.enrichTransactions(txs, withNull, requireReceipt = false)
+    assert(out.count() == 3)
+  }
+
   test("observation-based J1 validation is single-pass and still throws") {
     val obs = new org.apache.spark.sql.Observation()
     val out = Enrich.enrichTransactions(txs, receipts,

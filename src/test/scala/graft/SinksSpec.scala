@@ -43,6 +43,26 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("upsert: incoming rows win over stored rows on PK collision (last-write-wins)") {
+    val path = Files.createTempDirectory("sinks_upsert").toString + "/t"
+    val v1 = Seq((100L, 0, "old"), (101L, 0, "keep")).toDF("block_id", "block_id_group", "v")
+    Sinks.writeBucketedParquet(v1, path)
+    // re-ingest block 100 with changed content (reorg scenario), same bucket
+    val v2 = Seq((100L, 0, "new"), (102L, 0, "added")).toDF("block_id", "block_id_group", "v")
+    Sinks.upsertBucketedParquet(v2, path, pkCols = Seq("block_id"),
+      newBuckets = Some(Seq(0L)))
+    val back = spark.read.parquet(path).orderBy("block_id").collect()
+      .map(r => r.getAs[Long]("block_id") -> r.getAs[String]("v"))
+    assert(back.toSeq == Seq(100L -> "new", 101L -> "keep", 102L -> "added"))
+  }
+
+  test("upsert into an empty sink is a plain bucketed write") {
+    val path = Files.createTempDirectory("sinks_upsert2").toString + "/t"
+    val df = Seq((1L, 0)).toDF("block_id", "block_id_group")
+    Sinks.upsertBucketedParquet(df, path, pkCols = Seq("block_id"))
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("CSV dialect roundtrip: log table uses '|', preserves commas in topics, empty-string nulls") {
     val path = Files.createTempDirectory("sinks_csv").toString + "/log"
     val schema = StructType(Seq(
