@@ -385,6 +385,59 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_cents
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Scalar-function families (§2.9 "math functions beyond floor-div"):
+    // math, string, and date functions, each checked value-for-value.
+    Q("fn_math", "FN",
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"),
+          abs(col("p_size") - 25).as("abs_d"),
+          pmod(col("p_partkey"), lit(7)).as("mod7"),
+          floor(sqrt(col("p_partkey").cast("double"))).cast("bigint").as("isqrt"),
+          pow(lit(2.0), col("p_size") % 10).cast("long").as("pow2"),
+          greatest(col("p_size"), lit(10)).as("gmax"),
+          least(col("p_size"), lit(40)).as("lmin"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, abs(p_size - 25) AS abs_d,
+             |       CAST(p_partkey % 7 AS INTEGER) AS mod7,
+             |       CAST(floor(sqrt(CAST(p_partkey AS DOUBLE))) AS BIGINT) AS isqrt,
+             |       CAST(2 ** (p_size % 10) AS BIGINT) AS pow2,
+             |       greatest(p_size, 10) AS gmax, least(p_size, 40) AS lmin
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    Q("fn_string", "FN",
+      (s, d) => Tables(s, d, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          length(col("c_name")).as("len"),
+          regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("tag"),
+          trim(lpad(col("c_custkey").cast("string"), 6, "0")).as("padded"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, upper(c_name) AS up, CAST(length(c_name) AS INTEGER) AS len,
+             |       regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+             |       c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tag,
+             |       trim(lpad(CAST(c_custkey AS VARCHAR), 6, '0')) AS padded
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Q("fn_date", "FN",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_add(to_date(col("o_orderdate")), 90).as("due"),
+          last_day(col("o_orderdate")).as("eom"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+             |       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+             |       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
+             |       CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+             |       CAST(o_orderdate AS DATE) + 90 AS due,
+             |       last_day(CAST(o_orderdate AS DATE)) AS eom
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // JSON scalar extraction from the events props column.
     Q("json_extract_props", "JSON",
       (s, d) => Tables(s, d, "events")
