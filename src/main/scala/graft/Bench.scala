@@ -47,7 +47,16 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"}""")
+    // numeric sf parsed from the dir name (…/sf0.1 -> 0.1), per the driver
+    // contract {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":N}
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_failed":${errors.size},"sf":$sfNum,"sf_dir":"${esc(sfDir)}"}"""
     spark.stop()
+    // printed AFTER spark.stop() so the JSON is the LAST stdout line of the
+    // run (build.sbt suppresses sbt's trailing "[success]" line) — robust
+    // whether the driver parses the last line or greps for {"metric".
+    println(line)
+    System.out.flush()
   }
 }

@@ -102,6 +102,15 @@ object EthPipeline {
     // resume reads its max from) has been written, so the next
     // resumeAndIngest re-processes this range instead of skipping past the
     // bad rows.
+    //
+    // INVARIANT (J1 observation completeness): the Observation node sits
+    // below any filtering the sink applies, and CollectMetrics is a
+    // pushdown barrier — Catalyst does not push predicates through it — so
+    // even when upsertBucketedParquet's first action evaluates only the
+    // *overlap* slice, the metrics cover EVERY joined row. Locked by
+    // PipelineSpec "J1 observation covers non-overlap rows in a mid-bucket
+    // upsert re-ingest": a missing receipt planted in a non-overlap bucket
+    // must still raise.
     val writeOrder = Seq("transaction", "block", "log", "trace")
     val counts = writeOrder.map { table =>
       val df = formatted(table)
@@ -157,9 +166,15 @@ object EthPipeline {
                       source: SourceConf = SourceConf(),
                       dialect: Dialect = CsvDialect,
                       watermark: Option[Long] = None): Option[IngestReport] = {
+    // "sink absent" is decided by an explicit existence probe, NOT by
+    // swallowing read errors: a transient/permission/corrupt-footer failure
+    // must propagate — treating it as "empty sink" would silently restart
+    // ingest from block 0 (a full re-ingest at 100 TB scale).
+    val blockPath = new org.apache.hadoop.fs.Path(s"$sinkDir/block")
+    val fs = blockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(s"$sinkDir/block"))
-      catch { case _: Exception => None }
+      if (fs.exists(blockPath)) Some(spark.read.parquet(s"$sinkDir/block"))
+      else None
     val start = existing.flatMap(Ingest.maxIngestedBlock(_)).map(_ + 1).getOrElse(0L)
     val end = watermark.fold(chainTip)(math.min(chainTip, _))
     if (end < start) None

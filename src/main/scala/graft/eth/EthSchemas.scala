@@ -67,7 +67,9 @@ object EthSchemas {
     StructField("receipt_contract_address", BinaryType),
     StructField("receipt_root", BinaryType),
     StructField("receipt_status", LongType),
-    StructField("receipt_effective_gas_price", Varint)))
+    // bigint per the contract (ref: scripts/schema.cql:51) — NOT varint like
+    // gas_price/receipt_cumulative_gas_used/receipt_gas_used (:39,:47,:48)
+    StructField("receipt_effective_gas_price", LongType)))
 
   /** `trace` table (ref: scripts/schema.cql:55-77). */
   val trace: StructType = StructType(Seq(

@@ -45,8 +45,10 @@ object Sinks {
     if (!fs.exists(hPath)) Set.empty
     else fs.listStatus(hPath).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith(s"$bucketCol=") =>
-        n.stripPrefix(s"$bucketCol=").toLong }
+      .collect { case n if n.startsWith(s"$bucketCol=") => n.stripPrefix(s"$bucketCol=") }
+      // non-numeric partition dirs (e.g. __HIVE_DEFAULT_PARTITION__ from a
+      // null bucket) are not upsert-addressable — skip, don't throw
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
       .toSet
   }
 
@@ -82,7 +84,10 @@ object Sinks {
     if (overlap.isEmpty) {
       writeBucketedParquet(df, path, bucketCol, sortCols)
     } else {
-      val inOverlap = col(bucketCol).cast("long").isin(overlap: _*)
+      // null-safe: isin(...) is NULL for a null bucket, which would drop the
+      // row from BOTH branches — coalesce routes null-bucket rows through the
+      // non-overlap branch (same place the no-overlap path puts them)
+      val inOverlap = coalesce(col(bucketCol).cast("long").isin(overlap: _*), lit(false))
       val old = spark.read.parquet(path)
         .filter(inOverlap) // partition-pruned to the boundary bucket(s)
         .select(df.columns.map(col).toIndexedSeq: _*)

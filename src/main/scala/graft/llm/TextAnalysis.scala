@@ -64,8 +64,12 @@ object TextAnalysis {
   def topNgrams(df: DataFrame, groupCol: String, textCol: String,
                 n: Int = 3, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // tokenize behind a projection boundary: inside the shingle HOF the
+    // lambda then slices an array *attribute*. Inlining `split` instead
+    // re-runs the regex once per shingle element (quadratic per doc).
     val counts = df
-      .select(col(groupCol), explode(shingles(tokens(col(textCol)), n)).as("ngram"))
+      .select(col(groupCol), tokens(col(textCol)).as("__toks"))
+      .select(col(groupCol), explode(shingles(col("__toks"), n)).as("ngram"))
       .groupBy(col(groupCol), col("ngram"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("ngram"))

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the latest right row whose
+  * timestamp is <= the left row's timestamp, per key — the generalized form
+  * of the reference's timestamp->block watermark lookup
+  * (ref: scripts/eth_cassandra_streaming.py:199-216, which is the k=1 scalar
+  * case over the block table).
+  *
+  * Spark has no ASOF JOIN operator; the composition below expresses it with
+  * built-ins in ONE shuffle:
+  *
+  *   tag left(1)/right(0) -> unionByName -> window over (key) ordered by
+  *   (ts, side) -> last non-null right value at-or-before each row -> keep
+  *   left rows.
+  *
+  * Why not a range join (`l.ts >= r.ts` + per-left top-1)? That is O(|L|·|R|)
+  * per key before the window prunes it. The union+window form is
+  * O((|L|+|R|) log) — a single hash shuffle on the key plus an in-partition
+  * sort, the same cost as a sort-merge join, and AQE-splittable on skewed
+  * keys. At 100 TB the right side (block headers) is far smaller than the
+  * left (events), and both stream through without materializing pairs.
+  *
+  * Right-side ties on (key, ts) are resolved before the union (latest by
+  * `tieBreak` wins) so the operator is deterministic.
+  */
+object AsofJoin {
+
+  /** @param left       probe side; keeps all its columns
+    * @param right      reference side; `valueCols` are landed on each left row
+    * @param keyCols    equi-join key
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param valueCols  right columns to land (as `asof_<name>`)
+    * @param tieBreak   deterministic tie-break among right rows sharing
+    *                   (key, ts): highest value of this column wins
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTs: String, rightTs: String, valueCols: Seq[String],
+               tieBreak: String): DataFrame = {
+    val key = keyCols.map(col)
+
+    // dedupe right to one row per (key, ts): latest tieBreak wins
+    val rightRanked = right.withColumn("__rdup",
+        row_number().over(Window.partitionBy((keyCols :+ rightTs).map(col): _*)
+          .orderBy(col(tieBreak).desc)))
+      .filter(col("__rdup") === 1).drop("__rdup")
+
+    val leftCols = left.columns
+    // side 0 sorts before side 1 at equal ts => "at-or-before" (<=) semantics.
+    // Right values travel as ONE struct so a null inside a value column can't
+    // make `last(ignoreNulls)` skip past the true latest right row.
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val taggedRight = rightRanked
+      .select((key :+ col(rightTs).as("__ts") :+ lit(0).as("__side")
+        :+ struct(valueCols.map(col): _*).as("__asof")).toIndexedSeq: _*)
+
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(key: _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c"))).toIndexedSeq: _*)
+  }
+}

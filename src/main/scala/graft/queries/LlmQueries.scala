@@ -268,14 +268,25 @@ object LlmQueries {
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Multimodal: per-partition decode + feature extraction (stubbed codec;
-    // Spark plumbing is real). Rows-only check: the fake decode is engine
-    // code, not SQL.
+    // Spark plumbing is real). The oracle checks everything SQL can express
+    // (byte lengths, fake dims, feature-vector arity); the float feature
+    // values themselves are covered by LlmSpec. The raw array<float> column
+    // is dropped in the final projection: top-level arrays are not sortable
+    // by the gate's comparator.
     Q("multimodal_features", "LLM",
       (s, d) => Multimodal.extractFeatures(
         Multimodal.toMediaDataset(s,
           Multimodal.asMediaTable(Tables(s, d, "documents"), "doc_id", "text")))
-        .toDF().orderBy("media_id"),
-      None),
+        .toDF()
+        .select(col("media_id"), col("byte_len"), col("width"), col("height"),
+          col("channels"), size(col("features")).as("n_features"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+             |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+             |  CAST(octet_length(encode(text)) % 48 + 16 AS INTEGER) AS height,
+             |  3 AS channels, 8 AS n_features
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Streaming shape 1: tumbling-window aggregation (same function works on
     // readStream inputs with withLateDataWatermark).

@@ -98,12 +98,15 @@ object RefQueries {
       Some("""SELECT doc_id, coalesce(list_filter(str_split(text, ' '), t -> length(t) > 8)[1], '0x') AS topic0
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // P8: elementwise array map.
+    // P8: elementwise array map. The transformed array is re-joined to one
+    // string in the final projection: top-level array columns are not
+    // sortable by the gate's comparator.
     Q("p8_transform_upper", "P8",
       (s, d) => Tables(s, d, "part")
-        .select(col("p_partkey"), transform(split(col("p_name"), " "), x => upper(x)).as("words"))
+        .select(col("p_partkey"),
+          array_join(transform(split(col("p_name"), " "), x => upper(x)), " ").as("words"))
         .orderBy("p_partkey"),
-      Some("""SELECT p_partkey, list_transform(str_split(p_name, ' '), x -> upper(x)) AS words
+      Some("""SELECT p_partkey, array_to_string(list_transform(str_split(p_name, ' '), x -> upper(x)), ' ') AS words
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
     // P9: array -> JSON string (CSV log topics rendering).
@@ -140,13 +143,17 @@ object RefQueries {
           col("c_custkey").as("block_number"),
           when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
             .otherwise(concat(lit("0x"), md5(concat(col("c_name"), lit("@"))))).as("to_address"))
+        // final projection re-encodes the BinaryType blobs as 0x-hex strings:
+        // the binary dialect itself is still exercised (hexToBinary ran), but
+        // the comparator-facing columns are sortable scalars
         EthTransforms.formatTransactions(raw, EthTransforms.BinaryDialect)
-          .select(col("tx_hash_prefix"), col("tx_hash"), col("block_id"), col("to_address"))
+          .select(col("tx_hash_prefix"), binaryToHex(col("tx_hash")).as("tx_hash"),
+            col("block_id"), binaryToHex(col("to_address")).as("to_address"))
           .orderBy("block_id")
       },
-      Some("""SELECT substring('0x' || md5(c_name), 3, 5) AS tx_hash_prefix, unhex(md5(c_name)) AS tx_hash,
+      Some("""SELECT substring('0x' || md5(c_name), 3, 5) AS tx_hash_prefix, '0x' || md5(c_name) AS tx_hash,
              |       c_custkey AS block_id,
-             |       CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE unhex(md5(c_name || '@')) END AS to_address
+             |       CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE '0x' || md5(c_name || '@') END AS to_address
              |FROM customer ORDER BY block_id""".stripMargin)),
 
     // P6 composed: the trace formatter (CSV dialect, '|'-joined trace_address,
@@ -469,8 +476,11 @@ object RefQueries {
              |       CAST(1438269988 + b * 13 AS INTEGER) AS block_timestamp
              |FROM tx ORDER BY block_id, transaction_index""".stripMargin)),
 
-    // S6/K5: schema-registry introspection (rows-only check: the table
-    // catalog is engine metadata, not oracle-expressible SQL over testdata).
+    // S6/K5: schema-registry introspection. The oracle is a hand-written
+    // VALUES literal transcribed from the reference contract
+    // (ref: scripts/schema.cql:1-102) — NOT generated from the registry — so
+    // the gate catches any drift between EthSchemas and the contract (e.g. a
+    // column typed varint where schema.cql says bigint).
     Q("s6_schema_registry", "S6",
       (s, d) => {
         import s.implicits._
@@ -479,5 +489,38 @@ object RefQueries {
           .toDF("table_name", "column_name", "data_type")
           .orderBy("table_name", "column_name")
       },
-      None))
+      Some("""SELECT * FROM (VALUES
+             | ('block','block_id_group','int'),('block','block_id','int'),('block','block_hash','binary'),
+             | ('block','parent_hash','binary'),('block','nonce','binary'),('block','sha3_uncles','binary'),
+             | ('block','logs_bloom','binary'),('block','transactions_root','binary'),('block','state_root','binary'),
+             | ('block','receipts_root','binary'),('block','miner','binary'),('block','difficulty','decimal(38,0)'),
+             | ('block','total_difficulty','decimal(38,0)'),('block','size','int'),('block','extra_data','binary'),
+             | ('block','gas_limit','int'),('block','gas_used','int'),('block','base_fee_per_gas','bigint'),
+             | ('block','timestamp','int'),('block','transaction_count','smallint'),
+             | ('transaction','tx_hash_prefix','string'),('transaction','tx_hash','binary'),
+             | ('transaction','nonce','int'),('transaction','block_hash','binary'),('transaction','block_id','int'),
+             | ('transaction','transaction_index','smallint'),('transaction','from_address','binary'),
+             | ('transaction','to_address','binary'),('transaction','value','decimal(38,0)'),('transaction','gas','int'),
+             | ('transaction','gas_price','decimal(38,0)'),('transaction','input','binary'),
+             | ('transaction','block_timestamp','int'),('transaction','max_fee_per_gas','bigint'),
+             | ('transaction','max_priority_fee_per_gas','bigint'),('transaction','transaction_type','bigint'),
+             | ('transaction','receipt_cumulative_gas_used','decimal(38,0)'),
+             | ('transaction','receipt_gas_used','decimal(38,0)'),('transaction','receipt_contract_address','binary'),
+             | ('transaction','receipt_root','binary'),('transaction','receipt_status','bigint'),
+             | ('transaction','receipt_effective_gas_price','bigint'),
+             | ('trace','block_id_group','int'),('trace','block_id','int'),('trace','trace_index','int'),
+             | ('trace','tx_hash','binary'),('trace','transaction_index','smallint'),('trace','from_address','binary'),
+             | ('trace','to_address','binary'),('trace','value','decimal(38,0)'),('trace','input','binary'),
+             | ('trace','output','binary'),('trace','trace_type','string'),('trace','call_type','string'),
+             | ('trace','reward_type','string'),('trace','gas','int'),('trace','gas_used','int'),
+             | ('trace','subtraces','int'),('trace','trace_address','string'),('trace','error','string'),
+             | ('trace','status','smallint'),('trace','trace_id','string'),
+             | ('log','block_id_group','int'),('log','block_id','int'),('log','log_index','int'),
+             | ('log','tx_hash','binary'),('log','address','binary'),('log','data','binary'),
+             | ('log','topics','array<binary>'),('log','topic0','binary'),
+             | ('exchange_rates','date','string'),('exchange_rates','fiat_values','map<string,float>'),
+             | ('configuration','id','string'),('configuration','block_bucket_size','int'),
+             | ('configuration','tx_prefix_length','int')
+             |) t(table_name, column_name, data_type)
+             |ORDER BY table_name, column_name""".stripMargin)))
 }

@@ -194,12 +194,23 @@ object RelationalQueries {
 
     // HLL-sketch distinct (approx_count_distinct): algorithm-specific
     // estimates differ per engine -> rows-only check, no SQL oracle.
+    // HLL sketch: the estimator is engine-specific, so the oracle can't match
+    // the estimate itself — instead the query emits the exact count plus a
+    // "within HLL tolerance" flag (rsd=0.05 → 3 sigma = 15%), and the oracle
+    // asserts the exact counts and that the flag is TRUE. Estimator quality
+    // is thereby gate-checked, not just row-counted.
     Q("agg_approx_distinct", "A",
       (s, d) => Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast("double")
+            / col("exact_parts").cast("double") <= 0.15).as("approx_within_tol"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |       TRUE AS approx_within_tol
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Left-semi join (EXISTS).
     Q("j_semi", "J",

@@ -114,6 +114,41 @@ class PipelineSpec extends SparkSpec {
     assert(tx.filter(col("receipt_gas_used").isNull).count() == 0)
   }
 
+  test("J1 observation covers non-overlap rows in a mid-bucket upsert re-ingest") {
+    // Locks the invariant EthPipeline.ingestRange relies on: the Observation
+    // attached by enrichTransactions must see EVERY joined row even when the
+    // first action inside upsertBucketedParquet is the localCheckpoint of the
+    // *filtered* overlap slice. If Catalyst ever started pushing the overlap
+    // filter below CollectMetrics, the missing receipt planted in the
+    // NON-overlap bucket would go unobserved and this test would fail.
+    import spark.implicits._
+    import graft.functions.ColumnFns
+    val sink = Files.createTempDirectory("pipeline_j1obs").toString + "/tx"
+    // pre-existing sink: bucket 1 partially filled (blocks 1000..1499)
+    val pre = (1000L to 1499L).toDF("block_id")
+      .withColumn("gas_used", lit(0L))
+      .withColumn("block_id_group", ColumnFns.blockIdGroup(col("block_id")))
+    Sinks.writeBucketedParquet(pre, sink, "block_id_group", Seq("block_id"))
+
+    // re-ingest 1200..2500: bucket 1 overlaps the sink, bucket 2 is new.
+    // The ONLY missing receipt is block 2400 — squarely in non-overlap.
+    val txs = (1200L to 2500L).toDF("block_id")
+      .withColumn("hash", concat(lit("0x"), md5(col("block_id").cast("string"))))
+    val receipts = txs.filter(col("block_id") =!= 2400L)
+      .select(col("hash").as("transaction_hash"), lit(21000L).as("gas_used"))
+    val obs = new org.apache.spark.sql.Observation()
+    val enriched = graft.eth.Enrich.enrichTransactions(txs, receipts,
+        txHashCol = "hash", requireReceipt = false, missingObs = Some(obs),
+        checkDuplicates = false)
+      .withColumn("block_id_group", ColumnFns.blockIdGroup(col("block_id")))
+      .select("block_id", "gas_used", "block_id_group")
+    Sinks.upsertBucketedParquet(enriched, sink, pkCols = Seq("block_id"))
+    val ex = intercept[graft.eth.Enrich.MissingReceiptException] {
+      graft.eth.Enrich.assertNoMissingReceipts(obs)
+    }
+    assert(ex.missing == 1)
+  }
+
   test("resume continues from the sink's max block; idempotent re-run") {
     val sink = Files.createTempDirectory("pipeline_resume").toString
     assert(EthPipeline.resumeAndIngest(spark, sink, chainTip = 299).isDefined)
