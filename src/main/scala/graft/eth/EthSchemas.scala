@@ -171,6 +171,14 @@ object EthSchemas {
     "exchange_rates" -> exchangeRates,
     "configuration" -> configuration)
 
+  /** K5, DDL form: render a table's registry entry as a `CREATE TABLE`
+    * statement (the engine-side equivalent of the reference executing
+    * scripts/schema.cql statement-by-statement via
+    * scripts/eth_cassandra_streaming.py:306-320's DDL executor). */
+  def toDdl(name: String, st: StructType): String =
+    st.fields.map(f => s"${f.name} ${f.dataType.sql}")
+      .mkString(s"CREATE TABLE $name (", ", ", ")")
+
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions.col
 

@@ -31,4 +31,30 @@ object Skew {
       .groupBy(keyCols.map(col).toIndexedSeq: _*)
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a deterministic
+    * salt (input partition id — retry-stable, content-independent), the
+    * right side is replicated once per salt value, and the join key becomes
+    * (key, salt) — a hot key's rows spread over `salts` reducers instead of
+    * pinning one. Result set is identical to `left.join(right, keyCols,
+    * joinType)`. Cost: |right| × salts extra rows through the shuffle, so use
+    * for big-skewed ⋈ small-to-medium where broadcast doesn't fit but one
+    * reducer per hot key is the bottleneck. (AQE skew-join splitting covers
+    * the same ground reactively; this is the explicit form for when the skew
+    * is known ahead of time.)
+    *
+    * Supported joinTypes: "inner", "left" — per-left-row multiplicities are
+    * preserved because every left row carries exactly one salt and every
+    * right row appears exactly once per salt value.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    require(joinType == "inner" || joinType == "left",
+      s"saltedEquiJoin supports inner/left, got $joinType")
+    val l = left.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, (keyCols :+ "__salt").toIndexedSeq, joinType).drop("__salt")
+  }
 }

@@ -78,6 +78,28 @@ object TextAnalysis {
       .select(col(groupCol), col("rnk"), col("ngram"), col("n"))
   }
 
+  /** TF-IDF over a document corpus: term frequency per (doc, term), document
+    * frequency per term, idf = ln(nDocs / df). Shapes for scale:
+    * explode -> two hash aggregations (map-side partial combine on both),
+    * a shuffle join on `term` (bounded by vocabulary size, not corpus size),
+    * and the corpus size lands via a broadcast of a 1-row frame — no
+    * driver-side `count()` in the operator.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val termRows = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    val tf = termRows.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf has one row per (doc, term) already => count(*) is the doc frequency
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_count"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__n_docs"))
+    tf.join(dfreq, "term")
+      .join(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"), col("df_count"),
+        round(col("tf") * log(col("__n_docs").cast("double") / col("df_count").cast("double")), 6)
+          .as("tfidf"))
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over tokens
     * ([[graft.functions.ColumnFns.rollingFingerprint]]) — equal texts get equal
     * fingerprints, any reordering/edit changes it. */

@@ -244,6 +244,20 @@ object LlmQueries {
              |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF: term/document frequencies + idf weighting — the corpus-scoring
+    // primitive behind quality filters and dedup-candidate ranking.
+    Q("text_tfidf", "LLM",
+      (s, d) => TextAnalysis.tfIdf(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "term"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df_count AS BIGINT) AS df_count,
+             |       round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df_count AS DOUBLE)), 6) AS tfidf
+             |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+             |ORDER BY doc_id, term""".stripMargin)),
+
     // Rolling-hash document fingerprint.
     Q("text_fingerprint", "LLM",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d, "documents"), "doc_id", "text")

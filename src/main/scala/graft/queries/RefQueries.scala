@@ -476,6 +476,58 @@ object RefQueries {
              |       CAST(1438269988 + b * 13 AS INTEGER) AS block_timestamp
              |FROM tx ORDER BY block_id, transaction_index""".stripMargin)),
 
+    // S5 generalized to a full operator: backward AS-OF JOIN — for every
+    // "purchase" event, the latest "click" at-or-before it per user
+    // (the reference's timestamp->block watermark lookup is the k=1 scalar
+    // case). Spark has no ASOF JOIN; graft.operators.AsofJoin composes it
+    // from union + window in ONE key shuffle. DuckDB verifies with its
+    // native ASOF LEFT JOIN.
+    Q("j_asof_backward", "S5",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val left = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("rts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.operators.AsofJoin.backward(left, right, Seq("user_id"),
+            leftTs = "ts", rightTs = "rts",
+            valueCols = Seq("click_id", "click_value"), tieBreak = "click_id")
+          .select(col("event_id"), col("user_id"), col("asof_click_id"),
+            round(col("asof_click_value") * 100).cast("long").as("asof_click_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, ts, event_id AS click_id, value FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, click_id, value FROM (
+             |        SELECT r0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) AS rn
+             |        FROM r0) WHERE rn = 1)
+             |SELECT l.event_id, l.user_id, r.click_id AS asof_click_id,
+             |       CAST(round(r.value * 100) AS BIGINT) AS asof_click_cents
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // K5, DDL-executor form: render each registry entry as CREATE TABLE DDL
+    // (the engine-side analogue of the reference feeding schema.cql to its
+    // DDL executor). Oracle transcribed by hand from the contract.
+    Q("k5_ddl_generate", "K5",
+      (s, d) => {
+        import s.implicits._
+        graft.eth.EthSchemas.tables.toSeq
+          .map { case (t, st) => (t, graft.eth.EthSchemas.toDdl(t, st)) }
+          .toDF("table_name", "ddl")
+          .orderBy("table_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             | ('block','CREATE TABLE block (block_id_group INT, block_id INT, block_hash BINARY, parent_hash BINARY, nonce BINARY, sha3_uncles BINARY, logs_bloom BINARY, transactions_root BINARY, state_root BINARY, receipts_root BINARY, miner BINARY, difficulty DECIMAL(38,0), total_difficulty DECIMAL(38,0), size INT, extra_data BINARY, gas_limit INT, gas_used INT, base_fee_per_gas BIGINT, timestamp INT, transaction_count SMALLINT)'),
+             | ('configuration','CREATE TABLE configuration (id STRING, block_bucket_size INT, tx_prefix_length INT)'),
+             | ('exchange_rates','CREATE TABLE exchange_rates (date STRING, fiat_values MAP<STRING, FLOAT>)'),
+             | ('log','CREATE TABLE log (block_id_group INT, block_id INT, log_index INT, tx_hash BINARY, address BINARY, data BINARY, topics ARRAY<BINARY>, topic0 BINARY)'),
+             | ('trace','CREATE TABLE trace (block_id_group INT, block_id INT, trace_index INT, tx_hash BINARY, transaction_index SMALLINT, from_address BINARY, to_address BINARY, value DECIMAL(38,0), input BINARY, output BINARY, trace_type STRING, call_type STRING, reward_type STRING, gas INT, gas_used INT, subtraces INT, trace_address STRING, error STRING, status SMALLINT, trace_id STRING)'),
+             | ('transaction','CREATE TABLE transaction (tx_hash_prefix STRING, tx_hash BINARY, nonce INT, block_hash BINARY, block_id INT, transaction_index SMALLINT, from_address BINARY, to_address BINARY, value DECIMAL(38,0), gas INT, gas_price DECIMAL(38,0), input BINARY, block_timestamp INT, max_fee_per_gas BIGINT, max_priority_fee_per_gas BIGINT, transaction_type BIGINT, receipt_cumulative_gas_used DECIMAL(38,0), receipt_gas_used DECIMAL(38,0), receipt_contract_address BINARY, receipt_root BINARY, receipt_status BIGINT, receipt_effective_gas_price BIGINT)')
+             |) t(table_name, ddl)
+             |ORDER BY table_name""".stripMargin)),
+
     // S6/K5: schema-registry introspection. The oracle is a hand-written
     // VALUES literal transcribed from the reference contract
     // (ref: scripts/schema.cql:1-102) — NOT generated from the registry — so

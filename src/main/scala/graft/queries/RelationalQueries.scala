@@ -24,6 +24,87 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Skew-salted equi-join: result-identical to the plain join, but the
+    // (potentially hot) left key is spread over 8 reducers via a
+    // deterministic salt, with the right side replicated per salt.
+    Q("j_salted_skew", "J",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        graft.functions.Skew.saltedEquiJoin(
+            Tables(s, d, "lineitem"), ord, Seq("l_orderkey"), salts = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("price_c"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Approximate percentile (KLL/GK-style sketch): estimator is
+    // engine-specific, so — like agg_approx_distinct — the query emits the
+    // exact interpolated p90 plus a "sketch within 2% of exact" flag, and
+    // the oracle asserts both.
+    Q("agg_approx_percentile", "A",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx"))
+        .select(col("l_returnflag"), round(col("exact_p90"), 4).as("exact_p90"),
+          (abs(col("approx") - col("exact_p90")) / col("exact_p90") <= 0.02)
+            .as("approx_within_tol"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+             |       TRUE AS approx_within_tol
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Analytic windows over ratios: percent_rank + cume_dist.
+    Q("w6_percent_rank", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       round(percent_rank() OVER w, 6) AS pr,
+             |       round(cume_dist() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item reporting — 4-way join (two broadcast
+    // dims), grouped revenue, top-k customers.
+    Q("tpch_q10_returns", "TPCH",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = Tables(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum(revenueCp).as("revenue_cp"))
+          .orderBy(col("revenue_cp").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name,
+              |       CAST(sum($revenueCpSql) AS BIGINT) AS revenue_cp
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |  AND o_orderdate >= TIMESTAMP '1997-10-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+              |GROUP BY 1, 2, 3 ORDER BY revenue_cp DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // TPC-H Q1 shape: pricing summary — wide aggregation over the fact
     // table with a shipdate predicate (pushed to the scan).
     Q("tpch_q1_pricing", "TPCH",

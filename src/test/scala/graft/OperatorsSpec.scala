@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Skew
+import graft.llm.TextAnalysis
+import graft.operators.AsofJoin
+
+/** Round-3 operators: backward as-of join, salted equi-join, TF-IDF,
+  * DDL generation. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("as-of backward: latest right at-or-before, per key; null when none") {
+    val left = Seq(
+      (1L, 10L, ts(100)), (2L, 10L, ts(250)), (3L, 10L, ts(300)),
+      (4L, 20L, ts(50)), // user 20 has no click at all
+      (5L, 30L, ts(100))) // user 30's only click is AFTER -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(100), 101L, 1.0), // exactly at left #1's ts -> matches (<=)
+      (10L, ts(200), 102L, 2.0),
+      (10L, ts(300), 103L, 3.0),
+      (30L, ts(999), 301L, 9.0))
+      .toDF("user_id", "rts", "click_id", "click_value")
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "ts", "rts",
+        Seq("click_id", "click_value"), tieBreak = "click_id")
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("asof_click_id"))).toSeq ==
+      Seq(Some(101L), Some(102L), Some(103L), None, None))
+  }
+
+  test("as-of backward: right-side ties on (key, ts) resolve to highest tieBreak") {
+    val left = Seq((1L, 10L, ts(500))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(400), 7L, 1.0), (10L, ts(400), 9L, 2.0), (10L, ts(400), 8L, 3.0))
+      .toDF("user_id", "rts", "click_id", "click_value")
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "ts", "rts",
+      Seq("click_id", "click_value"), tieBreak = "click_id").collect()
+    assert(out(0).getAs[Long]("asof_click_id") == 9L)
+    assert(out(0).getAs[Double]("asof_click_value") == 2.0)
+  }
+
+  test("as-of backward: a null inside a landed value column does not skip rows") {
+    val left = Seq((1L, 10L, ts(500))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(300), Some(77L), Some(1.0)),
+      (10L, ts(400), None: Option[Long], None: Option[Double])) // latest row, null values
+      .toDF("user_id", "rts", "click_id", "click_value")
+    val out = AsofJoin.backward(left, right, Seq("user_id"), "ts", "rts",
+      Seq("click_id", "click_value"), tieBreak = "click_id").collect()
+    // the latest right row wins even though its values are null — we must
+    // NOT fall back to the older row 77
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_click_id")))
+  }
+
+  test("salted equi-join matches the plain join, inner and left") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (4, "f"))
+      .toDF("k", "lv")
+    val right = Seq((1, 10), (1, 11), (3, 30)).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .select("k", "lv", "rv").collect().map(_.toSeq).sortBy(_.toString)
+      val salted = Skew.saltedEquiJoin(left, right, Seq("k"), salts = 3, joinType = jt)
+        .select("k", "lv", "rv").collect().map(_.toSeq).sortBy(_.toString)
+      assert(salted.toSeq == plain.toSeq, s"joinType=$jt")
+    }
+  }
+
+  test("tf-idf: corpus-wide terms get idf 0; rarer terms weigh more") {
+    val docs = Seq(
+      (0L, "common alpha"), (1L, "common beta"), (2L, "common beta gamma"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r).toMap
+    // "common" appears in all 3 docs -> idf = ln(3/3) = 0
+    assert(out((0L, "common")).getAs[Double]("tfidf") == 0.0)
+    // "alpha" (df=1) outweighs "beta" (df=2)
+    assert(out((0L, "alpha")).getAs[Double]("tfidf") >
+      out((1L, "beta")).getAs[Double]("tfidf"))
+    assert(out((2L, "gamma")).getAs[Long]("df_count") == 1L)
+  }
+
+  test("DDL generation round-trips through Spark SQL's parser") {
+    import org.apache.spark.sql.types.StructType
+    graft.eth.EthSchemas.tables.foreach { case (name, st) =>
+      val ddl = graft.eth.EthSchemas.toDdl(name, st)
+      val colList = ddl.stripPrefix(s"CREATE TABLE $name (").stripSuffix(")")
+      // the rendered column list must parse back to the same types
+      val parsed = StructType.fromDDL(colList)
+      assert(parsed.fields.map(f => (f.name, f.dataType)).toSeq ==
+        st.fields.map(f => (f.name, f.dataType)).toSeq, name)
+    }
+  }
+}
