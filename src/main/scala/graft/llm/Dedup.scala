@@ -23,14 +23,47 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: `numHashes` independent permutations approximated by
-    * seeded hash functions; signature element h = min over shingles of
-    * hash_h(shingle). Standard MinHash (Broder 1997) — all array ops, fully
-    * codegen'd, no UDF. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** Mersenne prime 2^31-1: modulus of the affine MinHash permutations. */
+  val MinhashP = 2147483647L
+
+  /** 30-bit base hash of one shingle — the ONE md5 each shingle pays;
+    * all `numHashes` permutations derive from it affinely. */
+  def minhashBase(s: Column): Column = md5Long(s) % 1073741824L
+
+  /** Plan-time 60-bit constant derived like [[graft.functions.ColumnFns.md5Long]]
+    * but evaluated on the driver: first 15 hex chars of md5(tag). */
+  private def planConst(tag: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  /** Affine-permutation coefficients for hash `h` — md5-derived so the
+    * permutations are pairwise UNRELATED. (A linear schedule like
+    * a_h = (h+1)*K correlates the orderings of permutations h and 2h+1,
+    * which measurably inflates false band collisions.) Fixed plan-time
+    * Longs: the oracle SQL inlines the identical literals. */
+  def minhashA(h: Int): Long = planConst(s"mh-a-$h") % (MinhashP - 1) + 1
+  def minhashB(h: Int): Long = planConst(s"mh-b-$h") % MinhashP
+
+  /** MinHash signature from the per-shingle 30-bit base hashes: signature
+    * element h = min over shingles of (a_h * base + b_h) mod p — the
+    * classic "one hash + k affine permutations" family (Broder 1997), which
+    * costs ONE md5 per shingle instead of `numHashes`. All products stay
+    * below 2^61 (a_h < 2^31, base < 2^30), so the arithmetic is exact on
+    * LongType and bit-reproducible in DuckDB. Callers should materialize
+    * the base array behind a projection so it is computed once, not once
+    * per hash function. */
+  def minhashSignatureFromBases(basesCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { h =>
-      array_min(transform(shingleCol, s => md5LongSeeded(h, s)))
+      array_min(transform(basesCol,
+        b => (lit(minhashA(h)) * b + lit(minhashB(h))) % MinhashP))
     }: _*)
+
+  /** MinHash signature straight from shingles (convenience; prefer
+    * [[minhashSignatureFromBases]] behind a projection in pipelines). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    minhashSignatureFromBases(transform(shingleCol, minhashBase(_)), numHashes)
 
   /** MinHash-LSH band assignment: split the signature into `bands` bands of
     * `rowsPerBand` rows; a band key is the concatenated minhash values.
@@ -44,11 +77,12 @@ object Dedup {
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, bands: Int = 4,
                    rowsPerBand: Int = 2): DataFrame = {
-    // Materialize shingles behind their own projection so the signature's
-    // `bands*rowsPerBand` hash passes reference one computed attribute
-    // instead of re-deriving the shingle array per hash function.
-    val withShingles = df.select(col(idCol),
-      shingles(tokens(col(textCol)), shingleLen).as("__sh"))
+    // Materialize the per-shingle BASE hashes behind their own projection:
+    // the `bands*rowsPerBand` permutations then scan a computed attribute,
+    // so each shingle pays exactly one md5 regardless of signature width.
+    val withShingles = df
+      .select(col(idCol), shingles(tokens(col(textCol)), shingleLen).as("__shj"))
+      .select(col(idCol), transform(col("__shj"), minhashBase(_)).as("__sh"))
     val bandStructs = array((0 until bands).map { b =>
       val key = concat_ws(",",
         (0 until rowsPerBand).map(r =>
@@ -56,7 +90,8 @@ object Dedup {
       struct(lit(b).cast("int").as("band"), key.as("band_key"))
     }: _*)
     withShingles
-      .select(col(idCol), minhashSignature(col("__sh"), bands * rowsPerBand).as("__sig"))
+      .select(col(idCol),
+        minhashSignatureFromBases(col("__sh"), bands * rowsPerBand).as("__sig"))
       .select(col(idCol), explode(bandStructs).as("__b"))
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_key").as("band_key"))
   }
@@ -93,19 +128,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-  /** SimHash signature (Charikar 2002), `bits`-bit variant: bit j is the sign
-    * of the sum over tokens of +-1 votes from an independent seeded hash.
-    * Near-dups differ in few bits; bucketing by signature (or signature
-    * chunks) finds them without pairwise scans. */
+  /** SimHash signature (Charikar 2002) from per-token 60-bit base hashes:
+    * bit j of the signature is the sign of the sum over tokens of the +-1
+    * vote carried by BIT j of each token's base hash — one md5 per token
+    * total, instead of one per (bit, token). Near-dups differ in few bits;
+    * bucketing by signature (or signature chunks) finds them without
+    * pairwise scans. Callers should materialize the base array behind a
+    * projection (the `bits` bit-scans then reuse one computed attribute). */
+  def simhashFromBases(basesCol: Column, bits: Int = 16): Column =
+    (0 until bits).map { j =>
+      val vote = aggregate(basesCol, lit(0L),
+        (a, b) => a + when(shiftrightunsigned(b, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** SimHash straight from tokens (convenience; prefer
+    * [[simhashFromBases]] behind a projection in pipelines). */
   def simhash(toks: Column, bits: Int = 16): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => {
-        val vote = aggregate(toks, lit(0L),
-          (a, t) => a + when(md5Long(concat(j.cast("string"), lit("|"), t)) % 2 === 1, 1L).otherwise(-1L))
-        acc + when(vote > 0, pow(lit(2.0), j).cast("long")).otherwise(0L)
-      })
+    simhashFromBases(transform(toks, md5Long(_)), bits)
 
   /** Embedding-cosine near-duplicate pairs: vectors are LSH-bucketed
     * ([[Similarity.lshBucket]]), per-bucket pairs expanded (one scan, one

@@ -14,8 +14,10 @@ import graft.streaming.StreamingOps
 object LlmQueries {
 
   /** Shared DuckDB CTEs: word 3-shingles and the 8-hash MinHash signature
-    * (4 bands x 2 rows), mirroring [[graft.llm.Dedup.minhashSignature]] exactly
-    * (seeded md5-derived 60-bit hashes). */
+    * (4 bands x 2 rows), mirroring [[graft.llm.Dedup.minhashSignatureFromBases]]
+    * exactly: ONE 30-bit md5-derived base per shingle, then affine
+    * permutations (a_h*base + b_h) mod 2^31-1 with Knuth-constant
+    * coefficients — all int64-exact in both engines. */
   private val minhashSigCte =
     """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
@@ -23,14 +25,20 @@ object LlmQueries {
       |              THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
       |              ELSE [array_to_string(t, ' ')] END AS s
       |       FROM toks),
+      |bs AS (SELECT doc_id,
+      |         list_transform(s, x ->
+      |           CAST('0x' || substring(md5(x), 1, 15) AS BIGINT) % 1073741824) AS bl
+      |       FROM sh),
       |sig AS (SELECT doc_id,
-      |          list_transform(range(0, 8), h ->
-      |            list_min(list_transform(s, x ->
-      |              CAST('0x' || substring(md5(CAST(h AS VARCHAR) || '|' || x), 1, 15) AS BIGINT)))) AS g
-      |        FROM sh),
+      |          list_transform(PERMS, ab ->
+      |            list_min(list_transform(bl, b -> (ab[1] * b + ab[2]) % 2147483647))) AS g
+      |        FROM bs),
       |bands AS (SELECT doc_id, CAST(b.band AS INTEGER) AS band,
       |            CAST(g[b.band*2+1] AS VARCHAR) || ',' || CAST(g[b.band*2+2] AS VARCHAR) AS band_key
       |          FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+      .replace("PERMS",
+        (0 until 8).map(h => s"[${Dedup.minhashA(h)}, ${Dedup.minhashB(h)}]")
+          .mkString("[", ", ", "]"))
 
   /** DuckDB expression for the sign-bit LSH bucket of column `e` —
     * mirrors [[graft.llm.Similarity.lshBucket]] (8 planes, dim 64). */
@@ -72,15 +80,18 @@ object LlmQueries {
               |FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
               |WHERE a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // SimHash 16-bit signature.
+    // SimHash 16-bit signature (one md5 per token; bit j of the base hash
+    // is the vote for signature bit j).
     Q("dedup_simhash", "LLM",
       (s, d) => Tables(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(tokens(col("text")), 16).as("simhash16"))
+        .select(col("doc_id"),
+          transform(tokens(col("text")), t => md5Long(t)).as("__tb"))
+        .select(col("doc_id"), Dedup.simhashFromBases(col("__tb"), 16).as("simhash16"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CAST(list_sum(list_transform(range(0, 16), j ->
              |    CASE WHEN list_sum(list_transform(str_split(text, ' '), tok ->
-             |           CASE WHEN CAST('0x' || substring(md5(CAST(j AS VARCHAR) || '|' || tok), 1, 15) AS BIGINT) % 2 = 1
+             |           CASE WHEN (CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> j) & 1 = 1
              |                THEN 1 ELSE -1 END)) > 0
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
              |FROM documents ORDER BY doc_id""".stripMargin)),
