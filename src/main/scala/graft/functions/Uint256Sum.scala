@@ -90,11 +90,15 @@ object GraftFunctions {
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
-  * cluster-wide injection point for the engine's SQL surface. */
+  * cluster-wide injection point for the engine's SQL surface: the uint256
+  * aggregate plus the bucket-predicate inference optimizer rule
+  * ([[graft.plans.BucketPredicateInference]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_uint256_sum"),
       GraftFunctions.uint256SumInfo,
       (children: Seq[Expression]) => Uint256Sum(children.head).toAggregateExpression()))
+    ext.injectOptimizerRule(_ => graft.plans.BucketPredicateInference())
+  }
 }

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Catalyst optimizer rule: infer the bucket (partition-directory) predicate
+  * from a block-id range predicate.
+  *
+  * The engine's sink contract pins `block_id_group = floor(block_id /
+  * bucketSize)` ([[graft.functions.ColumnFns.blockIdGroup]], mirroring the
+  * reference's `BLOCK_BUCKET_SIZE` partitioning —
+  * ref: scripts/eth_cassandra_streaming.py:34,344). Users naturally filter on
+  * `block_id` alone; without the derived `block_id_group` predicate such a
+  * query scans EVERY partition directory (the id filter only prunes row
+  * groups). The reference forces callers to address partitions explicitly
+  * (`block_id_group = ? AND block_id = ?` in its CQL); this rule lets the
+  * engine accept the natural predicate and still prune directories:
+  *
+  *   Filter(block_id >= lo AND block_id <= hi, scan)
+  *     ==>  Filter(... AND block_id_group >= lo/size AND
+  *                         block_id_group <= hi/size, scan)
+  *
+  * Fires only when BOTH columns are present in the child's output and the
+  * condition does not already constrain the bucket column (idempotent under
+  * the optimizer's fixed-point batches). Bounds are derived conservatively
+  * (`>` treated as `>=`, `<` as `<=`) — the added conjunct may be loose by
+  * one bucket but never wrong. The correctness contract is the engine's
+  * invariant above; the rule is therefore opt-in via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  * `spark.experimental.extraOptimizations`), not a default rewrite.
+  */
+case class BucketPredicateInference(
+    idCol: String = "block_id",
+    bucketCol: String = "block_id_group",
+    bucketSize: Long = 1000L) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child)
+        if child.output.exists(_.name == bucketCol)
+          && child.output.exists(_.name == idCol)
+          && !cond.references.exists(_.name == bucketCol) =>
+      val bucketAttr = child.output.find(_.name == bucketCol).get
+      val bounds = conjuncts(cond).flatMap(boundOf)
+      val lo = bounds.collect { case (Some(v), _) => v } match {
+        case Nil => None; case vs => Some(vs.max)
+      }
+      val hi = bounds.collect { case (_, Some(v)) => v } match {
+        case Nil => None; case vs => Some(vs.min)
+      }
+      val derived =
+        lo.map(v => GreaterThanOrEqual(bucketAttr, bucketLit(bucketAttr, v))).toSeq ++
+        hi.map(v => LessThanOrEqual(bucketAttr, bucketLit(bucketAttr, v)))
+      if (derived.isEmpty) f
+      else Filter(derived.foldLeft(cond)(And(_, _)), child)
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def isId(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.name == idCol
+    case _ => false
+  }
+
+  private def longOf(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** (lower, upper) bound on the id column carried by one conjunct. */
+  private def boundOf(e: Expression): Option[(Option[Long], Option[Long])] = e match {
+    case GreaterThanOrEqual(a, Literal(v, _)) if isId(a) => longOf(v).map(x => (Some(x), None))
+    case GreaterThan(a, Literal(v, _)) if isId(a) => longOf(v).map(x => (Some(x), None))
+    case LessThanOrEqual(a, Literal(v, _)) if isId(a) => longOf(v).map(x => (None, Some(x)))
+    case LessThan(a, Literal(v, _)) if isId(a) => longOf(v).map(x => (None, Some(x)))
+    case EqualTo(a, Literal(v, _)) if isId(a) => longOf(v).map(x => (Some(x), Some(x)))
+    // mirrored literal-first forms
+    case GreaterThanOrEqual(Literal(v, _), a) if isId(a) => longOf(v).map(x => (None, Some(x)))
+    case GreaterThan(Literal(v, _), a) if isId(a) => longOf(v).map(x => (None, Some(x)))
+    case LessThanOrEqual(Literal(v, _), a) if isId(a) => longOf(v).map(x => (Some(x), None))
+    case LessThan(Literal(v, _), a) if isId(a) => longOf(v).map(x => (Some(x), None))
+    case EqualTo(Literal(v, _), a) if isId(a) => longOf(v).map(x => (Some(x), Some(x)))
+    case _ => None
+  }
+
+  /** Bucket literal in the bucket column's own type (partition columns read
+    * back as int; long sinks keep long). Ids are non-negative in this domain,
+    * but use floorDiv anyway so a negative id can't round the wrong way. */
+  private def bucketLit(bucketAttr: Attribute, idValue: Long): Literal = {
+    val b = Math.floorDiv(idValue, bucketSize)
+    bucketAttr.dataType match {
+      case IntegerType => Literal(b.toInt)
+      case LongType => Literal(b)
+      case other => Literal.create(b, other)
+    }
+  }
+}

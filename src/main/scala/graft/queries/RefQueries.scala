@@ -328,6 +328,33 @@ object RefQueries {
              |WHERE l_orderkey // 1000 BETWEEN 5 AND 7 AND l_orderkey BETWEEN 5000 AND 7999
              |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
 
+    // Q2 via the custom Catalyst rule: the user filters ONLY on block_id;
+    // BucketPredicateInference derives the block_id_group partition
+    // predicate, so directory pruning happens without the caller knowing the
+    // bucket layout (the reference forces explicit partition addressing in
+    // CQL; the engine accepts the natural predicate). BucketInferenceSpec
+    // asserts the PartitionFilters actually appear.
+    Q("q2_bucket_inference", "Q2",
+      (s, d) => {
+        if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.BucketPredicateInference]))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.BucketPredicateInference()
+        val path = java.nio.file.Files.createTempDirectory("graft_binf").toString + "/li"
+        val src = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("block_id"), col("l_linenumber"), col("l_quantity"))
+          .withColumn("block_id_group", blockIdGroup(col("block_id")))
+          .filter(col("block_id_group") <= 9)
+        Sinks.writeBucketedParquet(src, path, "block_id_group", Seq("block_id"))
+        s.read.parquet(path)
+          .filter(col("block_id").between(3000, 4999)) // no bucket predicate!
+          .select(col("block_id"), col("l_linenumber"), col("l_quantity"))
+          .orderBy("block_id", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey AS block_id, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_orderkey BETWEEN 3000 AND 4999
+             |ORDER BY block_id, l_linenumber, l_quantity""".stripMargin)),
+
     // Q3: topic filter within a block range (log clustering order exploit).
     Q("q3_topic_filter_range", "Q3",
       (s, d) => Tables(s, d, "lineitem")

@@ -68,4 +68,38 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_lsh")
     assert(!p.contains("md5"), s"plane weights must be plan-time literals:\n$p")
   }
+
+  test("as-of join is one key shuffle + window, not a range join") {
+    val p = plan("j_asof_backward")
+    // the operator itself must not plan a join (union + window instead);
+    // BroadcastNestedLoopJoin here would mean a pair-exploding range join
+    assert(!p.contains("NestedLoop"), s"as-of must not nested-loop:\n$p")
+    assert(p.contains("Window"), s"expected window-based as-of:\n$p")
+    assert(p.contains("Union"), s"expected union of tagged sides:\n$p")
+  }
+
+  test("salted join spreads the key: join is on (key, salt)") {
+    val p = plan("j_salted_skew")
+    assert(p.contains("__salt"), s"expected salt in the join key:\n$p")
+    // right side replicated via explode(sequence), not a cross join
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("tf-idf lands the corpus size by broadcast, not a shuffle join") {
+    val p = plan("text_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast of the 1-row corpus count:\n$p")
+  }
+
+  test("minhash bands plan pays exactly one md5 pass (base hashes)") {
+    // the signature's 8 permutations must reference the materialized base
+    // array, not re-derive md5 per hash function: the plan string contains
+    // the md5 call chain once per shingle pipeline, not 8 times
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("dedup_minhash_bands")
+      val md5Count = p.sliding(3).count(_ == "md5")
+      assert(md5Count <= 2, s"expected <=2 md5 occurrences, got $md5Count:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
