@@ -78,6 +78,13 @@ object TextAnalysis {
       .select(col(groupCol), col("rnk"), col("ngram"), col("n"))
   }
 
+  /** Text normalization for training-data cleaning: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs of whitespace, trim. Pure
+    * codegen'd regexes — one linear scan per document. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** TF-IDF over a document corpus: term frequency per (doc, term), document
     * frequency per term, idf = ln(nDocs / df). Shapes for scale:
     * explode -> two hash aggregations (map-side partial combine on both),

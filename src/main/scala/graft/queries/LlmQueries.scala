@@ -322,6 +322,44 @@ object LlmQueries {
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Text normalization (cleaning): lowercase / strip punctuation /
+    // collapse whitespace — applied over a deliberately dirtied corpus so
+    // the regexes do real work.
+    Q("text_normalize", "LLM",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(
+            concat(lit("  <P> "), upper(col("text")), lit("!! \t"))).as("clean"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(
+             |    lower('  <P> ' || upper(text) || '!! ' || chr(9)),
+             |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Stream-stream interval join (batch-checkable form): clicks within the
+    // 30 minutes before each purchase, per user. The same function runs as
+    // a watermarked stream-stream join (StreamingSpec).
+    Q("stream_interval_join", "STREAM",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("__r_user_id"), col("ts").as("rts"),
+            col("event_id").as("click_id"))
+        StreamingOps.intervalJoin(purchases, clicks)
+          .groupBy(col("event_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_clicks_30m"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, count(*) AS n_clicks_30m
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id
+             | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
     // Streaming shape 2: sessionization (gaps-and-islands; streaming-native
     // variant uses flatMapGroupsWithState, tested in specs).
     Q("stream_sessionize", "STREAM",

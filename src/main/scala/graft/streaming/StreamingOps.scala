@@ -52,6 +52,37 @@ object StreamingOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Interval (stream-stream) join: each left event matched to right events
+    * of the same key whose timestamp falls in `[left.ts - lookback,
+    * left.ts]`. The SAME function serves both modes: in batch it is an
+    * oracle-checkable band join; with two `readStream` inputs (both sides
+    * watermarked via [[withLateDataWatermark]]) Spark executes it as a
+    * stream-stream join whose state is bounded by the watermark + interval
+    * (state eviction is exactly why the time bound must be part of the join
+    * condition). The equi-key keeps the physical plan a hash/sort-merge
+    * join on `keyCol` — the band is a post-filter, never a cross join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String = "user_id", leftTs: String = "ts",
+                   rightTs: String = "rts",
+                   lookback: String = "30 minutes"): DataFrame =
+    left.join(right,
+      left(keyCol) === right(s"__r_$keyCol")
+        && right(rightTs) >= left(leftTs) - expr(s"INTERVAL $lookback")
+        && right(rightTs) <= left(leftTs))
+      .drop(s"__r_$keyCol")
+
+  /** Streaming idempotent replay (T4's streaming-native form): drop rows
+    * whose PK was already seen, with state bounded by the event-time
+    * watermark — `dropDuplicatesWithinWatermark`, so a replayed micro-batch
+    * (at-least-once source) cannot double-insert, and state does not grow
+    * with the full history. */
+  def dedupeStreamByPk(events: DataFrame, pkCols: Seq[String],
+                       tsCol: String = "ts",
+                       delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(pkCols)
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

@@ -70,6 +70,47 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: clicks land on purchases within lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamingOps.intervalJoin(
+      StreamingOps.withLateDataWatermark(
+        purchases.toDF().select(col("event_id"), col("user_id"), col("ts"))),
+      StreamingOps.withLateDataWatermark(
+        clicks.toDF().select(col("user_id").as("__r_user_id"),
+          col("ts").as("rts"), col("event_id").as("click_id")), "rts"),
+      lookback = "30 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      clicks.addData(Event(101L, ts(0), 1L, "click", 1.0),   // within 30m
+        Event(102L, ts(40), 1L, "click", 1.0),               // after purchase
+        Event(103L, ts(1), 2L, "click", 1.0))                // other user
+      purchases.addData(Event(1L, ts(20), 1L, "purchase", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+      assert(rows.map(_.getAs[Long]("click_id")).toSet == Set(101L))
+    } finally query.stop()
+  }
+
+  test("streaming dedupe by PK drops replayed rows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = StreamingOps.dedupeStreamByPk(
+      input.toDF(), Seq("event_id"), "ts", "10 minutes")
+    val query = deduped.writeStream
+      .format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      input.addData(events(0), events(1))
+      query.processAllAvailable()
+      input.addData(events(1), events(3)) // events(1) replayed in a later batch
+      query.processAllAvailable()
+      val ids = spark.table("dd_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L))
+    } finally query.stop()
+  }
+
   test("watermark wiring: streaming plan accepts withLateDataWatermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
