@@ -121,6 +121,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("centroid_id"), col("rnk"), col("score"))
   }
 
+  /** One spherical k-means update step: assign each vector to its nearest
+    * centroid ([[ivfAssign]]'s broadcast-argmax), then recompute each
+    * centroid's per-dimension mean. The recompute uses the
+    * transpose-aggregate shape — `posexplode(vector)` -> partial sums on
+    * (centroid, dim) — so shuffle cardinality is k×dim (bounded), never
+    * |vectors|, and map-side combine does the heavy lifting. Sums are exact
+    * integer milli-units (embeddings are float32: 1e-3 resolution loses
+    * nothing) so the step is bit-deterministic across engines and retries —
+    * a float sum would depend on reduction order. Returns one row per
+    * (centroid_id, pos): the new centroid coordinates plus member count. */
+  def kmeansStep(vectors: DataFrame, centroids: DataFrame,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    ivfAssign(vectors, centroids, idCol, vecCol)
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__p0", "__v")))
+      .select(col("centroid_id"), (col("__p0") + 1).as("pos"),
+        round(col("__v").cast("double") * 1000).cast("long").as("__mv"))
+      .groupBy(col("centroid_id"), col("pos"))
+      .agg(sum(col("__mv")).as("__s"), count(lit(1)).as("n_members"))
+      .select(col("centroid_id"), col("pos"),
+        round(col("__s").cast("double") / (col("n_members") * 1000), 6).as("mean"),
+        col("n_members"))
+
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is
     * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher

@@ -203,6 +203,35 @@ object LlmQueries {
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // One k-means update step (spherical): broadcast-argmax assignment +
+    // transpose-aggregate centroid recompute — the iterative-ML primitive
+    // behind IVF index training, in its bounded-shuffle distributed form.
+    Q("ann_kmeans_step", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.kmeansStep(e.filter(col("vec_id") >= 16),
+            e.filter(col("vec_id") < 16))
+          .orderBy("centroid_id", "pos")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |a AS (SELECT vec_id, embedding, cid FROM (
+           |        SELECT v.vec_id, v.embedding, c.cid,
+           |               row_number() OVER (PARTITION BY v.vec_id
+           |                                  ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |        FROM embeddings v, cent c WHERE v.vec_id >= 16) WHERE rn = 1),
+           |e AS (SELECT cid, i AS pos,
+           |             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS mv
+           |      FROM a, (SELECT unnest(range(1, 65)) AS i)),
+           |g AS (SELECT cid AS centroid_id, pos, CAST(sum(mv) AS BIGINT) AS s, count(*) AS n_members
+           |      FROM e GROUP BY 1, 2)
+           |SELECT centroid_id, CAST(pos AS INTEGER) AS pos,
+           |       round(CAST(s AS DOUBLE) / (n_members * 1000), 6) AS mean, n_members
+           |FROM g ORDER BY centroid_id, pos""".stripMargin
+      }),
+
     // Corpus n-gram statistics: top word-trigrams per language.
     Q("text_ngram_freq", "LLM",
       (s, d) => TextAnalysis.topNgrams(Tables(s, d, "documents"), "lang", "text",

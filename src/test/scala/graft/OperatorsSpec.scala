@@ -85,6 +85,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out((2L, "gamma")).getAs[Long]("df_count") == 1L)
   }
 
+  test("k-means step: means are exact per-dimension averages of the assigned cell") {
+    // 2-dim vectors, 2 obvious clusters around (1,0) and (0,1)
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(1.1f, -0.1f)),
+      (12L, Array(0.1f, 0.9f)), (13L, Array(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.kmeansStep(vecs, cents)
+      .orderBy("centroid_id", "pos").collect()
+    // centroid 0 <- {10, 11}: mean (1.0, 0.0); centroid 1 <- {12, 13}: (0.0, 1.0)
+    assert(out.map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("pos"),
+      r.getAs[Double]("mean"), r.getAs[Long]("n_members"))).toSeq ==
+      Seq((0L, 1, 1.0, 2L), (0L, 2, 0.0, 2L), (1L, 1, 0.0, 2L), (1L, 2, 1.0, 2L)))
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
