@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.eth.Ingest
+import graft.functions.ColumnFns
+
+/** ScalaCheck properties (SURVEY §5.3): range-planner tiling, bucket
+  * arithmetic, hex round-trips, shingle counting. Driver-side laws run
+  * hundreds of samples; column-level laws batch all samples into ONE Spark
+  * job and assert over the whole frame (per-sample jobs would be quadratic
+  * overhead for zero extra coverage). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(label: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  test("planRanges tiles [start, end] exactly once, in order, within batchSize") {
+    check("planRanges", Prop.forAll(
+      Gen.chooseNum(0L, 10000L), Gen.chooseNum(0L, 5000L), Gen.chooseNum(1L, 999L)) {
+      (start, len, batch) =>
+        val end = start + len
+        val rs = Ingest.planRanges(start, end, batch)
+        val tiles = rs.headOption.contains((start, math.min(start + batch - 1, end))) &&
+          rs.lastOption.exists(_._2 == end) &&
+          rs.sliding(2).forall { case Seq((_, h1), (l2, _)) => l2 == h1 + 1; case _ => true } &&
+          rs.forall { case (l, h) => h >= l && h - l < batch }
+        val total = rs.map { case (l, h) => h - l + 1 }.sum
+        tiles && total == len + 1
+    })
+  }
+
+  test("roundToBuckets returns whole buckets covering the range's full buckets") {
+    check("roundToBuckets", Prop.forAll(
+      Gen.chooseNum(0L, 100000L), Gen.chooseNum(0L, 50000L), Gen.chooseNum(1L, 5000L)) {
+      (start, len, size) =>
+        Ingest.roundToBuckets(start, start + len, size) match {
+          case Some((lo, hi)) =>
+            lo % size == 0 && (hi + 1) % size == 0 && lo <= start &&
+              hi <= start + len && hi >= lo
+          case None => // no whole bucket fits inside the range
+            (start + len + 1) / size * size - 1 < (start / size) * size
+        }
+    })
+  }
+
+  test("bucket derivation equals floorDiv and is monotone (one Spark job)") {
+    val ids = Gen.listOfN(500, Gen.chooseNum(0L, 1L << 40)).sample.get
+    val out = ids.toDF("id")
+      .select(col("id"), ColumnFns.blockIdGroup(col("id")).as("g"))
+      .collect()
+    out.foreach(r => assert(r.getAs[Int]("g") == Math.floorDiv(r.getAs[Long]("id"), 1000L)))
+    val sorted = out.sortBy(_.getAs[Long]("id"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Int]("g") <= b.getAs[Int]("g"))
+      case _ =>
+    }
+  }
+
+  test("hex->binary->hex round-trips for arbitrary even-length blobs (one Spark job)") {
+    val hexChars = "0123456789abcdef"
+    val gen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n * 2, Gen.oneOf(hexChars.toSeq)).map("0x" + _.mkString))
+    val samples = Gen.listOfN(300, gen).sample.get
+    val out = samples.toDF("h")
+      .select(col("h"),
+        ColumnFns.binaryToHex(ColumnFns.hexToBinary(col("h"))).as("rt"))
+      .collect()
+    out.foreach { r =>
+      val in = r.getAs[String]("h")
+      // empty blob: "0x" decodes to a zero-length binary and re-encodes to "0x"
+      assert(r.getAs[String]("rt") == in, s"roundtrip broke for $in")
+    }
+  }
+
+  test("shingle count law: max(1, n - k + 1) for every token list (one Spark job)") {
+    val gen = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(5))))
+    val samples = Gen.listOfN(200, gen).sample.get
+    val out = samples.map(_.mkString(" ")).toDF("text")
+      .select(size(split(col("text"), " ")).as("n"),
+        size(ColumnFns.shingles(ColumnFns.tokens(col("text")), 3)).as("s"))
+      .collect()
+    out.foreach(r =>
+      assert(r.getAs[Int]("s") == math.max(1, r.getAs[Int]("n") - 2)))
+  }
+
+  test("md5Long stays in [0, 2^60) and is injective on distinct inputs here") {
+    val samples = (0 until 1000).map(i => s"probe-$i")
+    val out = samples.toDF("s")
+      .select(ColumnFns.md5Long(col("s")).as("h")).collect().map(_.getAs[Long]("h"))
+    assert(out.forall(h => h >= 0 && h < (1L << 60)))
+    assert(out.distinct.length == out.length)
+  }
+
+  test("batch-size invariance: any batching unions to the same row set") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val hi = Ingest.maxIngestedBlock(li, "l_orderkey").get
+    val expected = li.count()
+    for (batch <- Seq(7L, 1000L, 100000L)) {
+      val total = Ingest.planRanges(0L, hi, batch).map { case (lo, h) =>
+        li.filter(col("l_orderkey").between(lo, h)).count()
+      }.sum
+      assert(total == expected, s"batch=$batch")
+    }
+  }
+}
