@@ -82,11 +82,16 @@ object GraftFunctions {
   val uint256SumInfo = new ExpressionInfo(
     classOf[Uint256Sum].getName, "graft_uint256_sum")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_uint256_sum",
       (children: Seq[Expression]) => Uint256Sum(children.head).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1)),
+      "built-in")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` — the
@@ -99,6 +104,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_uint256_sum"),
       GraftFunctions.uint256SumInfo,
       (children: Seq[Expression]) => Uint256Sum(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      DotProductExpr.info,
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.BucketPredicateInference())
   }
 }

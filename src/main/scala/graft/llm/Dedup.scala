@@ -154,6 +154,7 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
                             numPlanes: Int = 8, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val rec = struct(col(idCol).as("id"), col(vecCol).as("v"))
     val recs = col("__recs")
     val cos = Similarity.cosine(col("__p.a.v"), col("__p.b.v"))

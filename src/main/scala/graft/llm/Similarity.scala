@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnFns._
+import graft.functions.GraftFunctions
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -18,9 +19,17 @@ import graft.functions.ColumnFns._
   *     instead of an all-pairs comparison.
   *
   * All arithmetic is sequential double accumulation over array indices, so
-  * scores are bit-deterministic and oracle-reproducible.
+  * scores are bit-deterministic and oracle-reproducible. Scoring runs on
+  * the native codegen'd [[graft.functions.DotProductExpr]] (`graft_dot`) —
+  * semantically identical to the HOF [[graft.functions.ColumnFns.dotProduct]]
+  * but a primitive loop inside whole-stage codegen instead of interpreted
+  * per-element closures; every DataFrame entry point registers it
+  * (idempotent) before building its plan.
   */
 object Similarity {
+
+  /** Native dot product (see [[graft.functions.DotProductExpr]]). */
+  private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Exact top-k: score every candidate against every query (queries side
     * must be small — it is broadcast), rank per query.
@@ -29,10 +38,11 @@ object Similarity {
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("score", round(dotProduct(col("__q"), col("__c")), 6))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
@@ -68,21 +78,23 @@ object Similarity {
     val w = planeWeights(dim, numPlanes)
     (0 until numPlanes).map { p =>
       val plane = array(w(p).map(lit).toIndexedSeq: _*)
-      when(dotProduct(vecCol, plane) > 0, lit(1L << p)).otherwise(0L)
+      when(dot(vecCol, plane) > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
   }
 
   /** Assign every vector its LSH bucket. */
   def lshBuckets(df: DataFrame, dim: Int, numPlanes: Int = 8,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame =
+                 vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), col(vecCol),
       lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+  }
 
   /** Cosine similarity of two vectors (dot over the product of norms; all
     * three sums sequential-double, so bit-deterministic). */
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** IVF assignment: each vector joins its nearest of `k` centroids (by
     * dot product, centroid id as tie-break). Centroids here are the first
@@ -91,10 +103,11 @@ object Similarity {
     * Returns (idCol, centroid_id). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
     val scored = df.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(c))
-      .withColumn("__score", dotProduct(col(vecCol), col("__cv")))
+      .withColumn("__score", dot(col(vecCol), col("__cv")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w))
@@ -113,7 +126,7 @@ object Similarity {
     val ca = ivfAssign(candidates, centroids, idCol, vecCol)
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = ca.join(broadcast(qa), Seq("centroid_id"))
-      .withColumn("score", round(dotProduct(col("__q"), col("__c")), 6))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -156,7 +169,7 @@ object Similarity {
     val cb = lshBuckets(candidates, dim, numPlanes)
       .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
-      .withColumn("score", round(dotProduct(col("__q"), col("__c")), 6))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
