@@ -131,6 +131,62 @@ object EthPipeline {
     IngestReport(startBlock, endBlock, counts)
   }
 
+  /** The reference's SECOND main program: ranged gzip-CSV export
+    * (ref: scripts/eth_csv_export.py:400-598) — export the five streams,
+    * enrich transactions (J1 + J2), format in the CSV dialect, project each
+    * table to the canonical CSV column order
+    * (ref: scripts/eth_csv_export.py:33-115; [[EthSchemas.csvBlockColumns]]
+    * et al., intersected with the columns the source supplies), and write
+    * one gzip CSV directory per table named `<table>-%08d-%08d`
+    * (ref: scripts/eth_csv_export.py:563-571's ranged file names).
+    * Returns per-table exported row counts (read back from the files, so a
+    * short write can't go unnoticed). */
+  def exportCsvRange(spark: SparkSession, outDir: String,
+                     startBlock: Long, endBlock: Long,
+                     source: SourceConf = SourceConf()): Map[String, Long] = {
+    require(endBlock >= startBlock, s"empty range [$startBlock, $endBlock]")
+    val blocks = readStream(spark, source, "block", startBlock, endBlock)
+    val txs = readStream(spark, source, "transaction", startBlock, endBlock)
+    val receipts = readStream(spark, source, "receipt", startBlock, endBlock)
+    val logs = readStream(spark, source, "log", startBlock, endBlock)
+    val traces = readStream(spark, source, "trace", startBlock, endBlock)
+
+    val j1Obs = new org.apache.spark.sql.Observation()
+    val enriched = EthTransforms.formatTransactions(
+      Enrich.withBlockTimestamp(
+        Enrich.enrichTransactions(txs,
+          receiptSide(receipts.drop("type")).dropDuplicates("transaction_hash"),
+          txHashCol = "hash", requireReceipt = false, missingObs = Some(j1Obs),
+          checkDuplicates = false),
+        blocks.select(col("number").as("block_number"), col("timestamp")),
+        blockIdCol = "block_number"),
+      EthTransforms.CsvDialect)
+
+    val formatted = Map(
+      "block" -> EthTransforms.formatBlocks(blocks, EthTransforms.CsvDialect),
+      "transaction" -> enriched,
+      "log" -> EthTransforms.formatLogs(logs, EthTransforms.CsvDialect),
+      "trace" -> EthTransforms.formatTraces(traces, EthTransforms.CsvDialect))
+    val columnOrders = Map(
+      "block" -> EthSchemas.csvBlockColumns,
+      "transaction" -> EthSchemas.csvTransactionColumns,
+      "log" -> EthSchemas.csvLogColumns,
+      "trace" -> EthSchemas.csvTraceColumns)
+
+    val counts = Seq("transaction", "block", "log", "trace").map { table =>
+      val df = formatted(table)
+      // canonical order, restricted to what this source supplies (a real
+      // JSON-RPC adapter fills the full list)
+      val cols = columnOrders(table).filter(df.columns.contains)
+      val path = f"$outDir/$table-$startBlock%08d-$endBlock%08d"
+      Sinks.writeCsv(df.select(cols.map(col).toIndexedSeq: _*), path, table)
+      if (table == "transaction") Enrich.assertNoMissingReceipts(j1Obs)
+      table -> spark.read.option("header", "true")
+        .option("delimiter", Sinks.csvDelimiter(table)).csv(path).count()
+    }.toMap
+    counts
+  }
+
   /** Streaming ingest of the block stream (the reference's primary mode):
     * `readStream` on the chain source, per-micro-batch format + bucketed
     * sink via foreachBatch, offsets checkpointed. With

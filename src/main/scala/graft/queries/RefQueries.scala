@@ -455,6 +455,35 @@ object RefQueries {
       Some("""SELECT n_nationkey, n_name, '["' || n_name || '","' || n_name || '"]' AS topics
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // K2 at program level: the reference's second main (ranged gzip-CSV
+    // export) — export a range, read the block table back through the CSV
+    // contract, verify against DuckDB's reconstruction of the stream.
+    Q("k2_csv_export_pipeline", "K2",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val out = java.nio.file.Files.createTempDirectory("graft_csvexp").toString
+        graft.eth.EthPipeline.exportCsvRange(s, out, 0, 299)
+        val sch = StructType(Seq(
+          StructField("block_id_group", IntegerType), StructField("block_id", IntegerType),
+          StructField("block_hash", StringType), StructField("parent_hash", StringType),
+          StructField("miner", StringType), StructField("difficulty", DecimalType(38, 0)),
+          StructField("gas_used", IntegerType), StructField("timestamp", IntegerType),
+          StructField("transaction_count", ShortType)))
+        Sinks.readCsv(s, s"$out/block-00000000-00000299", "block", sch)
+          .select(col("block_id_group"), col("block_id"), col("block_hash"),
+            col("difficulty").cast("long").as("difficulty_l"), col("gas_used"),
+            col("timestamp"), col("transaction_count"))
+          .orderBy("block_id")
+      },
+      Some("""SELECT CAST(b // 1000 AS INTEGER) AS block_id_group, CAST(b AS INTEGER) AS block_id,
+             |       '0x' || md5('blk-' || CAST(b AS VARCHAR) || '-0')
+             |            || md5('blk-' || CAST(b AS VARCHAR) || '-0-b') AS block_hash,
+             |       CAST(262144 + b AS BIGINT) AS difficulty_l,
+             |       CAST(b % 30000000 AS INTEGER) AS gas_used,
+             |       CAST(1438269988 + b * 13 AS INTEGER) AS "timestamp",
+             |       CAST(b % 3 + 1 AS SMALLINT) AS transaction_count
+             |FROM (SELECT unnest(range(0, 300)) AS b) ORDER BY block_id""".stripMargin)),
+
     // S1-S3 as a real custom source: the DataSourceV2 synthetic chain is
     // deterministic md5 arithmetic, so DuckDB can reconstruct the stream
     // exactly — a full oracle check of the connector's planning + reading.

@@ -114,6 +114,33 @@ class PipelineSpec extends SparkSpec {
     assert(tx.filter(col("receipt_gas_used").isNull).count() == 0)
   }
 
+  test("CSV export: ranged gzip files, canonical column order, full counts") {
+    val out = Files.createTempDirectory("pipeline_csv").toString
+    val counts = EthPipeline.exportCsvRange(spark, out, 0, 199)
+    assert(counts("block") == 200)
+    assert(counts("transaction") == expectedTxs(0, 199))
+    assert(counts("log") == 2 * expectedTxs(0, 199))
+    assert(counts("trace") == expectedTxs(0, 199) + 200) // +1 reward/block
+
+    // ranged directory names (%08d-%08d) and gzip part files
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs == Set("block-00000000-00000199", "transaction-00000000-00000199",
+      "log-00000000-00000199", "trace-00000000-00000199"))
+    val blockParts = new java.io.File(s"$out/block-00000000-00000199")
+      .listFiles().map(_.getName).filter(_.startsWith("part-"))
+    assert(blockParts.nonEmpty && blockParts.forall(_.endsWith(".csv.gz")))
+
+    // header order == canonical CSV order restricted to supplied columns
+    val header = spark.read.option("header", "true")
+      .csv(s"$out/block-00000000-00000199").columns.toSeq
+    val canonical = graft.eth.EthSchemas.csvBlockColumns.filter(header.contains)
+    assert(header == canonical)
+    // the log table uses the '|' dialect: raw lines contain the delimiter
+    val logHeader = spark.read.option("header", "true").option("delimiter", "|")
+      .csv(s"$out/log-00000000-00000199").columns.toSeq
+    assert(logHeader == graft.eth.EthSchemas.csvLogColumns.filter(logHeader.contains))
+  }
+
   test("J1 observation covers non-overlap rows in a mid-bucket upsert re-ingest") {
     // Locks the invariant EthPipeline.ingestRange relies on: the Observation
     // attached by enrichTransactions must see EVERY joined row even when the
