@@ -107,6 +107,32 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Unigram log-probability scoring — the classic "perplexity proxy"
+    * quality filter: build corpus unigram stats, score each document by its
+    * mean token log-probability. Two aggregations plus one join on `term`
+    * (vocabulary-sized, not corpus-sized); the corpus total lands via a
+    * 1-row broadcast. Determinism: ln(p) is quantized ONCE PER TERM to
+    * integer micro-nats in the vocabulary table, and per-document
+    * aggregation is integer addition — a double `avg` would depend on
+    * partition reduction order. */
+  def unigramLogProbScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(col("__toks")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = counts.agg(sum(col("tf")).as("__total"))
+    val vocab = counts.join(broadcast(total))
+      .select(col("term"),
+        round(log(col("tf").cast("double") / col("__total").cast("double")) * 1000000)
+          .cast("long").as("__lp"))
+    toks.join(vocab, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("logprob_u"))
+      .select(col(idCol), col("n_tokens"), col("logprob_u"),
+        round(col("logprob_u").cast("double") / (col("n_tokens") * 1000000), 6)
+          .as("avg_logprob"))
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over tokens
     * ([[graft.functions.ColumnFns.rollingFingerprint]]) — equal texts get equal
     * fingerprints, any reordering/edit changes it. */

@@ -298,6 +298,19 @@ object LlmQueries {
              |FROM tf JOIN dfreq USING (term) CROSS JOIN n
              |ORDER BY doc_id, term""".stripMargin)),
 
+    // Unigram log-probability ("perplexity proxy") quality scoring.
+    Q("text_unigram_logprob", "LLM",
+      (s, d) => TextAnalysis.unigramLogProbScores(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+             |t AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM c),
+             |p AS (SELECT term, CAST(round(ln(CAST(tf AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
+             |      FROM c CROSS JOIN t)
+             |SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS logprob_u,
+             |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob
+             |FROM toks JOIN p USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Rolling-hash document fingerprint.
     Q("text_fingerprint", "LLM",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d, "documents"), "doc_id", "text")

@@ -24,6 +24,36 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // UNPIVOT (wide -> long melt): the inverse of pivot, over integer-cent
+    // metrics.
+    Q("unpivot_metrics", "P",
+      (s, d) => Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty_c"), col("price_c")), "metric", "v")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, v FROM (
+             |  UNPIVOT (SELECT l_orderkey, l_linenumber,
+             |             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             |             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+             |           FROM lineitem)
+             |  ON qty_c, price_c INTO NAME metric VALUE v)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // grouping_id over a rollup: distinguishes subtotal levels (the bitmask
+    // every BI layer relies on).
+    Q("gs_grouping_id", "GS",
+      (s, d) => Tables(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy("gid", "o_orderstatus", "o_orderpriority"),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)),
+
     // Skew-salted equi-join: result-identical to the plain join, but the
     // (potentially hot) left key is spread over 8 reducers via a
     // deterministic salt, with the right side replicated per salt.
