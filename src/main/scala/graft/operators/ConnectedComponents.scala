@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list — the clustering step that turns
+  * verified near-duplicate PAIRS into duplicate GROUPS (pick one survivor
+  * per component). Spark has no built-in; this is iterative min-label
+  * propagation:
+  *
+  *   label(v) := min(label(v), min over neighbors u of label(u))
+  *
+  * repeated until a fixpoint. Each iteration is one shuffle join (labels ⋈
+  * edges) plus one aggregation; the driver loop carries only ONE long per
+  * iteration (the label-sum convergence check — labels only ever decrease,
+  * so an unchanged sum IS the fixpoint, no row-wise diff join needed).
+  * `localCheckpoint` truncates the growing lineage each round.
+  *
+  * Converges in O(diameter) iterations. Near-dup components are tiny
+  * (pairs/triples), so 2-3 rounds in practice; for adversarial
+  * long-diameter graphs at 100 TB the production upgrade is the
+  * large-star/small-star algorithm (Kiveris et al.), which is the same
+  * join-aggregate shape with a different update rule — the plan properties
+  * (shuffle on node id, map-side combine, bounded driver state) carry over.
+  */
+object ConnectedComponents {
+
+  /** @return one row per node: (node, component) where component is the
+    *         smallest node id reachable from it. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+          maxIter: Int = 15): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .localCheckpoint(true) // reused every iteration: pin it once
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("component"))).collect()(0).getLong(0)
+
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // labels flowing across edges: b's label arrives at a
+      val incoming = sym.join(labels, sym("b") === labels("node"))
+        .select(sym("a").as("node"), col("component"))
+      val updated = labels.select(col("node"), col("component"))
+        .union(incoming)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      val newSum = updated.agg(sum(col("component"))).collect()(0).getLong(0)
+      labels = updated
+      converged = newSum == prevSum // labels are monotone non-increasing
+      prevSum = newSum
+      i += 1
+    }
+    labels
+  }
+}

@@ -80,6 +80,44 @@ object LlmQueries {
               |FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
               |WHERE a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Full dedup clustering: MinHash candidates -> exact-Jaccard verify ->
+    // connected components (duplicate GROUPS, not just pairs). The oracle
+    // replays label propagation as a recursive transitive-closure CTE.
+    Q("dedup_components", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        val cand = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        val edges = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .withColumn("jac", inter.cast("double")
+            / (size(col("sha")) + size(col("shb")) - inter).cast("double"))
+          .filter(col("jac") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
+          .orderBy("node")
+      },
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |edges AS (SELECT id_a, id_b FROM cand
+              |          JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |          WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |                / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+              |SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
+              |GROUP BY n ORDER BY node""".stripMargin)),
+
     // SimHash 16-bit signature (one md5 per token; bit j of the base hash
     // is the vote for signature bit j).
     Q("dedup_simhash", "LLM",
@@ -363,6 +401,26 @@ object LlmQueries {
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type, count(*) AS n,
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Deterministic hash split: reproducible train/val/test partitioning by
+    // id hash — content- and partitioning-independent, so the same doc
+    // lands in the same split on every run/cluster (rand()-based sampling
+    // cannot promise that; this is the pattern training pipelines need).
+    Q("sample_hash_split", "LLM",
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("bucket", md5Long(col("doc_id").cast("string")) % 100)
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split"),
+      Some("""WITH b AS (SELECT doc_id,
+             |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+             |       FROM documents)
+             |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |       count(*) AS n, min(doc_id) AS min_id, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Text normalization (cleaning): lowercase / strip punctuation /
     // collapse whitespace — applied over a deliberately dirtied corpus so

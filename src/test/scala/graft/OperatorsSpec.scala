@@ -101,6 +101,20 @@ class OperatorsSpec extends SparkSpec {
       Seq((0L, 1, 1.0, 2L), (0L, 2, 0.0, 2L), (1L, 1, 0.0, 2L), (1L, 2, 1.0, 2L)))
   }
 
+  test("connected components: chain, triangle, isolated pair; converges") {
+    // chain 1-2-3-4 (diameter 3 — needs >1 iteration), triangle 10-11-12,
+    // isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val out = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L))
+    assert(Seq(20L, 21L).forall(out(_) == 20L))
+    assert(out.size == 9)
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
