@@ -393,6 +393,33 @@ object LlmQueries {
              |  3 AS channels, 8 AS n_features
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Time-series gap fill ("date scaffold"): per-user hourly spine via
+    // sequence + explode, left join the real counts, zero-fill the gaps —
+    // the resample primitive behind rate/SLA reporting. Spine cardinality
+    // is users × hours (bounded by the span), generated distributed, never
+    // on the driver.
+    Q("stream_gap_fill", "STREAM",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        val agg = ev.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n"))
+        val span = agg.groupBy(col("user_id"))
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        val spine = span.select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+        spine.join(agg, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events WHERE user_id < 30),
+             |a AS (SELECT user_id, h, count(*) AS n FROM e GROUP BY 1, 2),
+             |sp AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM a GROUP BY 1),
+             |spine AS (SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h FROM sp)
+             |SELECT spine.user_id, spine.h, coalesce(a.n, 0) AS n
+             |FROM spine LEFT JOIN a ON spine.user_id = a.user_id AND spine.h = a.h
+             |ORDER BY spine.user_id, spine.h""".stripMargin)),
+
     // Streaming shape 1: tumbling-window aggregation (same function works on
     // readStream inputs with withLateDataWatermark).
     Q("stream_window_agg", "STREAM",

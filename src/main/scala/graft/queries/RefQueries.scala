@@ -239,6 +239,33 @@ object RefQueries {
       Some("""SELECT max(l_orderkey) AS max_block FROM lineitem
              |WHERE l_orderkey // 1000 = (SELECT max(l_orderkey // 1000) FROM lineitem)""".stripMargin)),
 
+    // Data-quality audit: per-column null counts over an ingested stream —
+    // the standard post-load ETL check (one aggregate row, melted long).
+    // Oracle recomputes the counts from the source's null-injection
+    // formulas (contract creation -> null to_address, legacy tx -> null
+    // max_fee_per_gas).
+    Q("audit_null_counts", "A",
+      (s, d) => s.read.format("graft-chain")
+        .option("stream", "transaction").option("start", 0).option("end", 499)
+        .option("batchSize", 50).load()
+        .agg(
+          sum(when(col("to_address").isNull, 1L).otherwise(0L)).as("to_address"),
+          sum(when(col("max_fee_per_gas").isNull, 1L).otherwise(0L)).as("max_fee_per_gas"),
+          count(lit(1)).as("__total"))
+        .unpivot(Array(col("__total")),
+          Array(col("to_address"), col("max_fee_per_gas")), "column_name", "n_null")
+        .select(col("column_name"), col("n_null"), col("__total").as("n_total"))
+        .orderBy("column_name"),
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 500)) AS b))
+             |SELECT 'max_fee_per_gas' AS column_name,
+             |       CAST(count(*) FILTER ((b + i) % 5 = 0) AS BIGINT) AS n_null,
+             |       count(*) AS n_total FROM bt
+             |UNION ALL
+             |SELECT 'to_address',
+             |       CAST(count(*) FILTER ((b + i) % 7 = 0) AS BIGINT), count(*) FROM bt
+             |ORDER BY column_name""".stripMargin)),
+
     // A3: per-block transaction count.
     Q("a3_tx_count_per_block", "A3",
       (s, d) => Tables(s, d, "lineitem")
