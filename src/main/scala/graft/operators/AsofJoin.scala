@@ -41,6 +41,10 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
                tieBreak: String): DataFrame = {
+    val reserved = Seq("__ts", "__side", "__asof") ++ valueCols.map(c => s"asof_$c")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"left columns collide with as-of internals/outputs: ${clash.mkString(", ")}")
     val key = keyCols.map(col)
 
     // dedupe right to one row per (key, ts): latest tieBreak wins

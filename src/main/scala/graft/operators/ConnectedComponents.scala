@@ -37,7 +37,11 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("component"))).collect()(0).getLong(0)
+    // sum over an EMPTY edge list is null — return the empty labeling
+    // instead of dereferencing it
+    val first = labels.agg(sum(col("component"))).collect()(0)
+    if (first.isNullAt(0)) return labels
+    var prevSum = first.getLong(0)
 
     var i = 0
     var converged = false

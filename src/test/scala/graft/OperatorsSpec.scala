@@ -58,6 +58,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("asof_click_id")))
   }
 
+  test("connected components: empty edge list yields empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.ConnectedComponents.run(empty, "id_a", "id_b").count() == 0)
+  }
+
+  test("as-of rejects left columns that collide with its internals") {
+    val l = Seq((1L, 10L, ts(1), "x")).toDF("event_id", "user_id", "ts", "__side")
+    val r = Seq((10L, ts(1), 1L)).toDF("user_id", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(l, r, Seq("user_id"), "ts", "rts", Seq("v"), "v")
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("salted equi-join matches the plain join, inner and left") {
     val left = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (4, "f"))
       .toDF("k", "lv")

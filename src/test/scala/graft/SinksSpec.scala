@@ -9,6 +9,26 @@ import graft.eth.Sinks
 import graft.functions.ColumnFns._
 
 class SinksSpec extends SparkSpec {
+
+  test("schema evolution: later buckets may add columns; mergeSchema reads both") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("sink_evo").toString + "/t"
+    // epoch 1: no base_fee (pre-London blocks); epoch 2 adds the column
+    val v1 = (0L until 1000L).toDF("block_id")
+      .withColumn("block_id_group", graft.functions.ColumnFns.blockIdGroup(org.apache.spark.sql.functions.col("block_id")))
+    Sinks.writeBucketedParquet(v1, path, "block_id_group", Seq("block_id"))
+    val v2 = (1000L until 2000L).toDF("block_id")
+      .withColumn("base_fee", org.apache.spark.sql.functions.col("block_id") * 7)
+      .withColumn("block_id_group", graft.functions.ColumnFns.blockIdGroup(org.apache.spark.sql.functions.col("block_id")))
+    Sinks.upsertBucketedParquet(v2, path, pkCols = Seq("block_id"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.contains("base_fee"))
+    assert(merged.count() == 2000)
+    // old buckets read the new column as null; new buckets carry values
+    assert(merged.filter(org.apache.spark.sql.functions.col("block_id") < 1000
+      && org.apache.spark.sql.functions.col("base_fee").isNotNull).count() == 0)
+    assert(merged.filter(org.apache.spark.sql.functions.col("base_fee").isNotNull).count() == 1000)
+  }
   import spark.implicits._
 
   test("bucketed parquet sink: range read-back is correct AND partition-pruned") {
