@@ -48,9 +48,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // numeric sf parsed from the dir name (…/sf0.1 -> 0.1), per the driver
-    // contract {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":N}
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("0")
+    // contract {"metric":…,"value":N,"unit":"sec","queries":{…},"sf":N}.
+    // Strict number shape (no trailing dots — would corrupt the JSON line),
+    // last match wins so an sfN earlier in the path can't shadow the leaf.
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir)
+      .map(_.group(1)).toSeq.lastOption.getOrElse("0")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_failed":${errors.size},"sf":$sfNum,"sf_dir":"${esc(sfDir)}"}"""
     spark.stop()
     // printed AFTER spark.stop() so the JSON is the LAST stdout line of the

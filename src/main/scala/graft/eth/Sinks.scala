@@ -75,9 +75,17 @@ object Sinks {
                             newBuckets: Option[Seq[Long]] = None): Unit = {
     val spark = df.sparkSession
     val incoming = newBuckets.getOrElse {
-      // fallback: derive from the batch (one extra evaluation of df's plan)
-      df.select(col(bucketCol).cast("long")).distinct().collect()
-        .map(_.getLong(0)).toIndexedSeq
+      // fallback: derive from the batch (one extra evaluation of df's plan).
+      // A null bucket is NOT upsert-addressable (dynamic overwrite would
+      // replace the whole __HIVE_DEFAULT_PARTITION__ dir, silently dropping
+      // previously stored null-bucket rows) — fail loudly instead. The
+      // engine contract derives the bucket from a non-null block_id, so a
+      // null here is a caller bug, not data.
+      val vals = df.select(col(bucketCol).cast("long")).distinct().collect()
+      require(!vals.exists(_.isNullAt(0)),
+        s"upsertBucketedParquet: null $bucketCol in batch — null buckets are" +
+          " not upsert-addressable (see scaladoc)")
+      vals.map(_.getLong(0)).toIndexedSeq
     }
     val overlap = existingBuckets(spark, path, bucketCol)
       .intersect(incoming.toSet).toIndexedSeq
@@ -86,11 +94,19 @@ object Sinks {
     } else {
       // null-safe: isin(...) is NULL for a null bucket, which would drop the
       // row from BOTH branches — coalesce routes null-bucket rows through the
-      // non-overlap branch (same place the no-overlap path puts them)
+      // non-overlap branch (and the fallback path above rejects them before
+      // they can clobber a stored null partition)
       val inOverlap = coalesce(col(bucketCol).cast("long").isin(overlap: _*), lit(false))
-      val old = spark.read.parquet(path)
+      // mergeSchema: an overlap bucket written before a schema evolution may
+      // lack columns the batch now carries — read the union schema and
+      // null-fill what no file has, so mid-bucket re-ingest survives the
+      // evolution instead of failing to resolve the new column
+      val oldRaw = spark.read.option("mergeSchema", "true").parquet(path)
         .filter(inOverlap) // partition-pruned to the boundary bucket(s)
-        .select(df.columns.map(col).toIndexedSeq: _*)
+      val old = oldRaw.select(df.columns.map { c =>
+        if (oldRaw.columns.contains(c)) col(c)
+        else lit(null).cast(df.schema(c).dataType).as(c)
+      }.toIndexedSeq: _*)
       // precedence: incoming rows win over stored rows on PK collision
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pkCols.map(col).toIndexedSeq: _*)

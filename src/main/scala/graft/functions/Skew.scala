@@ -52,6 +52,9 @@ object Skew {
     require(salts > 0)
     require(joinType == "inner" || joinType == "left",
       s"saltedEquiJoin supports inner/left, got $joinType")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedEquiJoin: inputs already carry a __salt column (it would be" +
+        " silently overwritten and dropped)")
     val l = left.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

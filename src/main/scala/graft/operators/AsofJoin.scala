@@ -47,10 +47,13 @@ object AsofJoin {
       s"left columns collide with as-of internals/outputs: ${clash.mkString(", ")}")
     val key = keyCols.map(col)
 
-    // dedupe right to one row per (key, ts): latest tieBreak wins
+    // dedupe right to one row per (key, ts): highest tieBreak wins; the
+    // value columns complete the ordering so rows that even tie on
+    // tieBreak resolve deterministically (fully identical rows are then
+    // interchangeable — same landed struct either way)
     val rightRanked = right.withColumn("__rdup",
         row_number().over(Window.partitionBy((keyCols :+ rightTs).map(col): _*)
-          .orderBy(col(tieBreak).desc)))
+          .orderBy((col(tieBreak).desc +: valueCols.map(col(_).desc)).toIndexedSeq: _*)))
       .filter(col("__rdup") === 1).drop("__rdup")
 
     val leftCols = left.columns

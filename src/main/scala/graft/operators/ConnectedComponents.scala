@@ -59,6 +59,12 @@ object ConnectedComponents {
       prevSum = newSum
       i += 1
     }
+    // a silent partial labeling would split components (and, downstream,
+    // keep redundant near-duplicates) — refuse to return one
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter iterations — " +
+        "graph diameter exceeds maxIter; raise it or switch to a " +
+        "star-contraction variant for long-chain graphs")
     labels
   }
 }

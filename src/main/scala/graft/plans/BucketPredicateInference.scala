@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
@@ -36,9 +36,25 @@ case class BucketPredicateInference(
     bucketCol: String = "block_id_group",
     bucketSize: Long = 1000L) extends Rule[LogicalPlan] {
 
+  /** The invariant only holds for the PHYSICAL columns of a sink scan —
+    * a name-equal alias (e.g. `sum(block_id) AS block_id` above an
+    * Aggregate) must never trigger the rewrite. Accept only children that
+    * are a leaf relation, or pass-through nodes (Filter / alias-free
+    * Project / SubqueryAlias) above one, so both attributes are guaranteed
+    * to be the scan's own columns. */
+  private def scanAdjacent(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case f: Filter => scanAdjacent(f.child)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      scanAdjacent(pr.child)
+    case s: SubqueryAlias => scanAdjacent(s.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child)
-        if child.output.exists(_.name == bucketCol)
+        if scanAdjacent(child)
+          && child.output.exists(_.name == bucketCol)
           && child.output.exists(_.name == idCol)
           && !cond.references.exists(_.name == bucketCol) =>
       val bucketAttr = child.output.find(_.name == bucketCol).get

@@ -363,20 +363,26 @@ object RefQueries {
     // asserts the PartitionFilters actually appear.
     Q("q2_bucket_inference", "Q2",
       (s, d) => {
-        if (!s.experimental.extraOptimizations
-            .exists(_.isInstanceOf[graft.plans.BucketPredicateInference]))
-          s.experimental.extraOptimizations =
-            s.experimental.extraOptimizations :+ graft.plans.BucketPredicateInference()
         val path = java.nio.file.Files.createTempDirectory("graft_binf").toString + "/li"
         val src = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("block_id"), col("l_linenumber"), col("l_quantity"))
           .withColumn("block_id_group", blockIdGroup(col("block_id")))
           .filter(col("block_id_group") <= 9)
         Sinks.writeBucketedParquet(src, path, "block_id_group", Seq("block_id"))
-        s.read.parquet(path)
-          .filter(col("block_id").between(3000, 4999)) // no bucket predicate!
-          .select(col("block_id"), col("l_linenumber"), col("l_quantity"))
-          .orderBy("block_id", "l_linenumber", "l_quantity")
+        // scope the rule to THIS query: activate, execute eagerly
+        // (localCheckpoint materializes under the rule), then restore —
+        // leaking session-wide extraOptimizations would make every later
+        // query's plan depend on execution order
+        val prev = s.experimental.extraOptimizations
+        s.experimental.extraOptimizations =
+          prev :+ graft.plans.BucketPredicateInference()
+        try
+          s.read.parquet(path)
+            .filter(col("block_id").between(3000, 4999)) // no bucket predicate!
+            .select(col("block_id"), col("l_linenumber"), col("l_quantity"))
+            .orderBy("block_id", "l_linenumber", "l_quantity")
+            .localCheckpoint(true)
+        finally s.experimental.extraOptimizations = prev
       },
       Some("""SELECT l_orderkey AS block_id, l_linenumber, l_quantity FROM lineitem
              |WHERE l_orderkey BETWEEN 3000 AND 4999

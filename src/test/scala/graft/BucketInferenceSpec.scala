@@ -70,6 +70,21 @@ class BucketInferenceSpec extends SparkSpec {
     }
   }
 
+  test("does not fire above an aggregate whose alias shadows block_id") {
+    withRule {
+      // sum(block_id) aliased to block_id: the invariant does NOT hold for
+      // this column — a derived bucket predicate would filter every group
+      // out (bucket sums are in the millions)
+      val q = spark.read.parquet(sink)
+        .groupBy(col("block_id_group"))
+        .agg(sum(col("block_id")).as("block_id"))
+        .filter(col("block_id") >= 3000000)
+      assert(q.count() == 7) // buckets 3..9: sum of 1000 ids ≈ (b+0.5)M
+      val p = q.queryExecution.optimizedPlan.toString
+      assert("block_id_group#\\d+ [<>]=".r.findAllIn(p).isEmpty, p)
+    }
+  }
+
   test("conservative bounds: strict comparisons keep every matching row") {
     withRule {
       val q = spark.read.parquet(sink)

@@ -10,6 +10,40 @@ import graft.functions.ColumnFns._
 
 class SinksSpec extends SparkSpec {
 
+  test("upsert OVERLAP path survives schema evolution in the batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("sink_evo_ov").toString + "/t"
+    // sink: blocks 0..1499 (bucket 1 partial), pre-evolution schema
+    val v1 = (0L until 1500L).toDF("block_id")
+      .withColumn("block_id_group", graft.functions.ColumnFns.blockIdGroup(col("block_id")))
+    Sinks.writeBucketedParquet(v1, path, "block_id_group", Seq("block_id"))
+    // re-ingest 1200..2500 WITH a new column — bucket 1 overlaps, so the
+    // merge path must read the old bucket and null-fill the new column
+    val v2 = (1200L until 2501L).toDF("block_id")
+      .withColumn("base_fee", col("block_id") * 7)
+      .withColumn("block_id_group", graft.functions.ColumnFns.blockIdGroup(col("block_id")))
+    Sinks.upsertBucketedParquet(v2, path, pkCols = Seq("block_id"))
+    val out = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(out.count() == 2501)
+    assert(out.select("block_id").distinct().count() == 2501)
+    assert(out.filter(col("block_id") >= 1200 && col("base_fee").isNull).count() == 0)
+    assert(out.filter(col("block_id") < 1200 && col("base_fee").isNotNull).count() == 0)
+  }
+
+  test("upsert rejects a batch carrying null buckets (fallback bucket discovery)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val path = java.nio.file.Files.createTempDirectory("sink_nullb").toString + "/t"
+    val df = (0L until 10L).toDF("block_id")
+      .withColumn("block_id_group",
+        when(col("block_id") < 5, graft.functions.ColumnFns.blockIdGroup(col("block_id"))))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertBucketedParquet(df, path, pkCols = Seq("block_id"))
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("schema evolution: later buckets may add columns; mergeSchema reads both") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("sink_evo").toString + "/t"
