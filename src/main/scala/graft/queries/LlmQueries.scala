@@ -429,6 +429,56 @@ object LlmQueries {
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Repetition detection (Gopher-style quality rule): share of repeated
+    // word trigrams per document — boilerplate and degenerate text score
+    // high. One scan, per-row array ops.
+    Q("text_repetition", "LLM",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          size(array_distinct(col("sh"))).as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"), 6))
+        .orderBy("doc_id"),
+      Some("""WITH sh AS (SELECT doc_id,
+             |         CASE WHEN len(str_split(text, ' ')) >= 3
+             |              THEN list_transform(range(0, len(str_split(text, ' ')) - 2),
+             |                     i -> array_to_string((str_split(text, ' '))[(i+1):(i+3)], ' '))
+             |              ELSE [array_to_string(str_split(text, ' '), ' ')] END AS s
+             |       FROM documents)
+             |SELECT doc_id, CAST(len(s) AS INTEGER) AS n_shingles,
+             |       CAST(len(list_distinct(s)) AS INTEGER) AS n_distinct,
+             |       round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6) AS rep_ratio
+             |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination (Dolma/C4-style): flag training documents
+    // sharing word trigrams with a benchmark set. The benchmark side is
+    // small by construction -> broadcast; the training side streams through
+    // one explode + join, never a cross product.
+    Q("text_decontaminate", "LLM",
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        val bench = sh.filter(col("doc_id") < 10)
+          .select(explode(col("sh")).as("g")).distinct()
+        val train = sh.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        train.join(broadcast(bench), "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (SELECT doc_id, list_distinct(
+             |         CASE WHEN len(str_split(text, ' ')) >= 3
+             |              THEN list_transform(range(0, len(str_split(text, ' ')) - 2),
+             |                     i -> array_to_string((str_split(text, ' '))[(i+1):(i+3)], ' '))
+             |              ELSE [array_to_string(str_split(text, ' '), ' ')] END) AS s
+             |       FROM documents),
+             |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+             |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10)
+             |SELECT doc_id, count(*) AS n_contaminated
+             |FROM tr JOIN bench USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic hash split: reproducible train/val/test partitioning by
     // id hash — content- and partitioning-independent, so the same doc
     // lands in the same split on every run/cluster (rand()-based sampling
