@@ -29,9 +29,14 @@ object ConnectedComponents {
     *         smallest node id reachable from it. */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
           maxIter: Int = 15): DataFrame = {
+    // both directions from ONE evaluation of the (possibly expensive) edge
+    // plan: a union of two selects would run it twice before the checkpoint
     val sym = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
+        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
+        .as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"))
       .localCheckpoint(true) // reused every iteration: pin it once
 
     var labels = sym.select(col("a").as("node")).distinct()

@@ -457,13 +457,14 @@ object LlmQueries {
     // one explode + join, never a cross product.
     Q("text_decontaminate", "LLM",
       (s, d) => {
+        // shingle the corpus ONCE and pin it — the bench and train branches
+        // would otherwise each re-run tokenize+shingle over all documents
         val sh = Tables(s, d, "documents")
           .select(col("doc_id"),
-            array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        val bench = sh.filter(col("doc_id") < 10)
-          .select(explode(col("sh")).as("g")).distinct()
+            explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+          .localCheckpoint(true)
+        val bench = sh.filter(col("doc_id") < 10).select(col("g")).distinct()
         val train = sh.filter(col("doc_id") >= 10)
-          .select(col("doc_id"), explode(col("sh")).as("g"))
         train.join(broadcast(bench), "g")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
           .orderBy("doc_id")
