@@ -24,6 +24,39 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Explicit NULLS FIRST/LAST: engines disagree on the default (Spark
+    // sorts nulls first ascending, DuckDB last) — the operator surface must
+    // pin it explicitly on both sides.
+    Q("o6_nulls_ordering", "O",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")).as("v"))
+        .orderBy(col("v").desc_nulls_last, col("event_id"))
+        .limit(100),
+      Some("""SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+             |FROM events ORDER BY v DESC NULLS LAST, event_id LIMIT 100""".stripMargin)),
+
+    // Value-based RANGE window frame (not ROWS): peers within 5 price units
+    // — the frame kind rows-frames cannot express.
+    Q("w7_range_frame", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(cents(col("o_totalprice")))
+          .rangeBetween(-500L, 0L)
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            cents(col("o_totalprice")).as("price_c"),
+            count(lit(1)).over(w).as("peers_within_5"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             |       count(*) OVER (PARTITION BY o_orderpriority
+             |                      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+             |                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS peers_within_5
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // UNPIVOT (wide -> long melt): the inverse of pivot, over integer-cent
     // metrics.
     Q("unpivot_metrics", "P",
