@@ -24,6 +24,37 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Bucketed-table co-located join: both sides written with bucketBy on
+    // the join key -> the sort-merge join needs NO Exchange on either side
+    // (BucketedJoinSpec asserts the plan). THE big-big join strategy at
+    // 100 TB: shuffle paid once at write time, amortized over every later
+    // join. Oracle: result equality with the plain join.
+    Q("j_bucketed_colocated", "J",
+      (s, d) => {
+        val t1 = s"li_b_${math.abs(d.hashCode)}"
+        val t2 = s"ord_b_${math.abs(d.hashCode)}"
+        if (!s.catalog.tableExists(t1)) {
+          val base = java.nio.file.Files.createTempDirectory("graft_buck").toString
+          Tables(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"))
+            .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/li").saveAsTable(t1)
+          Tables(s, d, "orders")
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+            .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/ord").saveAsTable(t2)
+        }
+        s.table(t1).join(s.table(t2), "l_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("price_c"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Explicit NULLS FIRST/LAST: engines disagree on the default (Spark
     // sorts nulls first ascending, DuckDB last) — the operator surface must
     // pin it explicitly on both sides.
