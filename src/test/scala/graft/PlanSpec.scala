@@ -91,6 +91,47 @@ class PlanSpec extends SparkSpec {
       s"expected broadcast of the 1-row corpus count:\n$p")
   }
 
+  test("k-means step does map-side partial aggregation on (centroid, dim)") {
+    val p = plan("ann_kmeans_step")
+    assert(p.contains("partial_sum") || p.split("HashAggregate").length > 2,
+      s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark shingle set") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // one hot key (90% of the left side) + thresholds tuned down so the
+    // local-scale skew is visible to AQE; the final plan marks the join
+    // with the skew flag
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 < 9, 7L).otherwise(col("id")).as("k"),
+          concat(lit("padpadpadpadpadpadpadpad-"), col("id")).as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), col("id").as("w"))
+      val j = left.join(right, "k")
+      // materialize THIS dataset's own queryExecution (count() would build
+      // a separate plan and leave this one isFinalPlan=false)
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"expected AQE skew-split join:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash bands plan pays exactly one md5 pass (base hashes)") {
     // the signature's 8 permutations must reference the materialized base
     // array, not re-derive md5 per hash function: the plan string contains
