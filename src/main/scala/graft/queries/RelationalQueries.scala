@@ -624,6 +624,56 @@ object RelationalQueries {
              |       last_day(CAST(o_orderdate AS DATE)) AS eom
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Array-function battery: sort/distinct/contains/position/slice/set ops
+    // over arrays — all scalar (per-row), encoded to comparator-safe
+    // strings in the final projection.
+    Q("fn_array", "FN",
+      (s, d) => {
+        val words = split(col("p_name"), " ")
+        Tables(s, d, "part")
+          .select(col("p_partkey"),
+            array_join(array_sort(words), ",").as("sorted"),
+            size(array_distinct(words)).as("n_distinct"),
+            array_contains(words, "green").as("has_green"),
+            array_position(words, element_at(words, 1)).cast("int").as("first_pos"),
+            array_join(slice(words, 2, 2), ",").as("mid2"),
+            // sorted: array_intersect dedups in first-occurrence order while
+            // DuckDB's list_distinct reorders — sorting pins both
+            array_join(array_sort(
+              array_intersect(words, array(lit("green"), lit("red"), lit("blue")))), ",")
+              .as("primary_colors"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey,
+             |       array_to_string(list_sort(str_split(p_name, ' ')), ',') AS sorted,
+             |       CAST(len(list_distinct(str_split(p_name, ' '))) AS INTEGER) AS n_distinct,
+             |       list_contains(str_split(p_name, ' '), 'green') AS has_green,
+             |       CAST(list_position(str_split(p_name, ' '), (str_split(p_name, ' '))[1]) AS INTEGER) AS first_pos,
+             |       array_to_string((str_split(p_name, ' '))[2:3], ',') AS mid2,
+             |       coalesce(array_to_string(list_sort(list_distinct(list_filter(str_split(p_name, ' '),
+             |         x -> x IN ('green', 'red', 'blue')))), ','), '') AS primary_colors
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Map-function battery: construction, key/value extraction, merge,
+    // lookup — exchange_rates-shaped MapType end-to-end.
+    Q("fn_map", "FN",
+      (s, d) => {
+        val m = map(lit("usd"), col("o_totalprice"), lit("eur"), col("o_totalprice") * 0.9)
+        val m2 = map_concat(m, map(lit("gbp"), col("o_totalprice") * 0.8))
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"),
+            array_join(map_keys(m2), ",").as("ccys"),
+            size(m2).as("n_ccys"),
+            round(element_at(m2, "gbp") * 100).cast("long").as("gbp_cents"),
+            round(aggregate(map_values(m2), lit(0.0), _ + _) * 100).cast("long").as("total_cents"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |       'usd,eur,gbp' AS ccys, 3 AS n_ccys,
+             |       CAST(round(o_totalprice * 0.8 * 100) AS BIGINT) AS gbp_cents,
+             |       CAST(round((o_totalprice + (o_totalprice * 0.9) + (o_totalprice * 0.8)) * 100) AS BIGINT) AS total_cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // JSON scalar extraction from the events props column.
     Q("json_extract_props", "JSON",
       (s, d) => Tables(s, d, "events")
