@@ -78,6 +78,36 @@ object Multimodal {
       (length(col("payload")) % 48 + 16).as("fake_height"),
       lit(3).as("channels"))
 
+  /** Frame sampling plumbing: treat the payload as a fake "video" of
+    * `frameSize`-byte frames and emit every `stride`-th frame with its
+    * byte slice metadata and fingerprint — one media row fans out to
+    * bounded frame rows, entirely in column expressions (explode over a
+    * computed index sequence + binary substring), so the shape survives
+    * 100 TB: no collect, no per-row driver work, frames stream through the
+    * same task as their parent row. A real video decoder replaces the
+    * byte-slice "frame" with actual frame extraction; the fan-out,
+    * schema, and per-frame metadata stay identical. Also carries the
+    * resize plan (target width, proportional height) as metadata — the
+    * stub form of a resize stage. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 256, stride: Int = 2,
+                   resizeTargetW: Int = 64): DataFrame = {
+    val frame = expr(s"substring(payload, frame_idx * $frameSize + 1, $frameSize)")
+    media
+      .select(col("media_id"), col("payload"),
+        greatest(ceil(length(col("payload")).cast("double") / frameSize).cast("int"),
+          lit(1)).as("n_frames"),
+        (length(col("payload")) % 64 + 16).as("w"),
+        (length(col("payload")) % 48 + 16).as("h"))
+      .select(col("media_id"), col("n_frames"), col("w"), col("h"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"),
+        col("payload"))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        length(frame).as("frame_len"),
+        substring(lower(hex(frame)), 1, 16).as("frame_fp"),
+        lit(resizeTargetW).as("resize_w"),
+        round(col("h").cast("double") * resizeTargetW / col("w")).cast("int").as("resize_h"))
+  }
+
   /** Typed dataset from a text-backed media frame. */
   def toMediaDataset(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._

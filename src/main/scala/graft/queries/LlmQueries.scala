@@ -420,6 +420,26 @@ object LlmQueries {
              |FROM spine LEFT JOIN a ON spine.user_id = a.user_id AND spine.h = a.h
              |ORDER BY spine.user_id, spine.h""".stripMargin)),
 
+    // Multimodal frame sampling + resize plan: every-2nd 256-byte "frame"
+    // of each payload with per-frame fingerprints and the proportional
+    // resize metadata — the video-pipeline fan-out shape with a stub codec.
+    Q("multimodal_frames", "LLM",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.asMediaTable(Tables(s, d, "documents"), "doc_id", "text"))
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+             |         greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER), 1) AS n_frames,
+             |         octet_length(encode(text)) % 64 + 16 AS w,
+             |         octet_length(encode(text)) % 48 + 16 AS h
+             |       FROM documents),
+             |f AS (SELECT media_id, n_frames, w, h, unnest(range(0, n_frames, 2)) AS frame_idx, text FROM m)
+             |SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+             |       CAST(octet_length(encode(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))) AS INTEGER) AS frame_len,
+             |       substring(lower(hex(encode(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)))), 1, 16) AS frame_fp,
+             |       64 AS resize_w,
+             |       CAST(round(CAST(h AS DOUBLE) * 64 / w) AS INTEGER) AS resize_h
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+
     // Streaming shape 1: tumbling-window aggregation (same function works on
     // readStream inputs with withLateDataWatermark).
     Q("stream_window_agg", "STREAM",
