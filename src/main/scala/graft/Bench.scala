@@ -35,7 +35,14 @@ object Bench {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // Time the FULL physical plan of the query as written. A plain
+      // df.count() wraps the plan in a count aggregate, letting Catalyst
+      // prune every projected column and eliminate the deterministic
+      // global sort — projection-heavy queries would be timing a bare
+      // scan. queryExecution.toRdd executes the original optimized plan
+      // (projections, sorts and all); counting the resulting rows only
+      // adds a per-row iterator step.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         false

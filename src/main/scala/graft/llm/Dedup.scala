@@ -171,10 +171,23 @@ object Dedup {
   /** N-gram Jaccard similarity of candidate pairs *within buckets* (never
     * all-pairs): docs are grouped by the bucket key(s), pairs expanded
     * per-bucket (one scan, one shuffle — shingles computed once), then
-    * scored with distinct-shingle set intersection/union. */
+    * scored with distinct-shingle set intersection/union.
+    *
+    * Per-bucket expansion is BOUNDED: each bucket keeps at most
+    * `maxBucketSize` records (the lowest ids — deterministic), so the pair
+    * blow-up is ≤ maxBucketSize·(maxBucketSize−1)/2 per bucket no matter how
+    * skewed the bucket key is. On a real corpus a coarse key like
+    * `(source, lang)` has corpus-sized buckets — without the cap one
+    * `collect_list` would OOM an executor. The truncation is SURFACED, not
+    * silent: every emitted pair carries `n_bucket_dropped`, the number of
+    * records its bucket discarded. For exhaustive pairing feed this operator
+    * fine-grained buckets (MinHash LSH band keys — see
+    * [[minhashCandidatePairs]]) instead of raising the cap. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         bucketCols: Seq[String], shingleLen: Int = 3,
-                        minJaccard: Double = 0.0): DataFrame = {
+                        minJaccard: Double = 0.0,
+                        maxBucketSize: Int = 256): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
     val rec = struct(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
     // ordered pairs of records from the sorted per-bucket list (id is the
@@ -184,12 +197,17 @@ object Dedup {
     val uni = size(col("__p.a.sh")) + size(col("__p.b.sh")) - inter
     df.select(bucketCols.map(col) :+ rec.as("__rec"): _*)
       .groupBy(bucketCols.map(col).toIndexedSeq: _*)
-      .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
+      .agg(sort_array(collect_list(col("__rec"))).as("__all"))
+      .select(
+        slice(col("__all"), 1, maxBucketSize).as("__recs"),
+        greatest(size(col("__all")) - lit(maxBucketSize), lit(0))
+          .as("n_bucket_dropped"))
       .filter(size(recs) > 1)
-      .select(explode(orderedPairs(recs)).as("__p"))
+      .select(explode(orderedPairs(recs)).as("__p"), col("n_bucket_dropped"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         inter.as("n_intersect"), uni.as("n_union"),
-        round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))
+        round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"),
+        col("n_bucket_dropped"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

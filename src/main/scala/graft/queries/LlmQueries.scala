@@ -134,25 +134,62 @@ object LlmQueries {
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // N-gram Jaccard similarity of within-bucket candidate pairs
-    // (composite (source, lang) bucket keeps per-bucket pair counts small).
+    // N-gram Jaccard over a coarse (source, lang) bucket — scale-safe via
+    // the per-bucket cap: only the 8 lowest doc_ids per bucket are paired
+    // and every pair carries the bucket's drop count. (At sf0.01 several
+    // buckets exceed 8 docs, so the truncation path IS oracle-exercised.)
     Q("dedup_ngram_jaccard", "LLM",
       (s, d) => Dedup.ngramJaccardPairs(Tables(s, d, "documents"),
-        "doc_id", "text", Seq("source", "lang"), shingleLen = 3)
+        "doc_id", "text", Seq("source", "lang"), shingleLen = 3,
+        maxBucketSize = 8)
         .orderBy("id_a", "id_b"),
       Some("""WITH tk AS (SELECT doc_id, source, lang, str_split(text, ' ') AS t FROM documents),
              |d AS (SELECT doc_id, source, lang,
              |        list_distinct(CASE WHEN len(t) >= 3
              |          THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
              |          ELSE [array_to_string(t, ' ')] END) AS sh
-             |      FROM tk)
+             |      FROM tk),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY source, lang) AS cnt FROM d),
+             |k AS (SELECT doc_id, source, lang, sh,
+             |        CAST(greatest(cnt - 8, 0) AS INTEGER) AS n_bucket_dropped
+             |      FROM r WHERE rn <= 8)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_intersect,
              |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union,
              |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
-             |FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+             |             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard,
+             |       a.n_bucket_dropped
+             |FROM k a JOIN k b ON a.source = b.source AND a.lang = b.lang
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
+
+    // N-gram Jaccard over MinHash-LSH band buckets — the exhaustive scale
+    // path: fine-grained (band, band_key) buckets stay small by LSH
+    // geometry, so no cap is needed and no candidate is dropped. Pairs
+    // sharing several bands score identically in each; distinct collapses
+    // them.
+    Q("dedup_ngram_jaccard_lsh", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bands = Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2)
+        Dedup.ngramJaccardPairs(bands.join(docs.select("doc_id", "text"), "doc_id"),
+          "doc_id", "text", Seq("band", "band_key"), shingleLen = 3)
+          .select("id_a", "id_b", "n_intersect", "n_union", "jaccard")
+          .distinct()
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$minhashSigCte,
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh)
+              |SELECT id_a, id_b,
+              |       CAST(len(list_intersect(x.dsh, y.dsh)) AS INTEGER) AS n_intersect,
+              |       CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS INTEGER) AS n_union,
+              |       round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |             / CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS DOUBLE), 6) AS jaccard
+              |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Brute-force cosine/dot top-k: exact baseline, broadcast query set.
     Q("ann_bruteforce", "LLM",

@@ -58,6 +58,24 @@ class LlmSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => b == 4L || a == 4L }) // other bucket never pairs
   }
 
+  test("ngram jaccard cap: per-bucket expansion bounded, drops surfaced, never silent") {
+    // b0 holds 4 docs; cap at 2 -> only the 2 lowest ids pair, 2 dropped.
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket"),
+      maxBucketSize = 2).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+    assert(capped.forall(_.getAs[Int]("n_bucket_dropped") == 2))
+    // uncapped default: full pairing, zero drops reported
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket")).collect()
+    assert(full.count(r => r.getLong(0) != 4L && r.getLong(1) != 4L) == 6) // C(4,2)
+    assert(full.forall(_.getAs[Int]("n_bucket_dropped") == 0))
+    // cap k bounds emitted pairs per bucket by k(k-1)/2 regardless of bucket size
+    val k = 3
+    val c3 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket"),
+      maxBucketSize = k, minJaccard = -1.0).collect()
+      .groupBy(_.getAs[Int]("n_bucket_dropped"))
+    assert(c3.values.forall(_.length <= k * (k - 1) / 2))
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (10L, Array(1.0f, 0.0f, 0.0f)), // identical to query 0
