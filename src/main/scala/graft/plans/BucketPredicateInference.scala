@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Catalyst optimizer rule: infer the bucket (partition-directory) predicate
   * from a block-id range predicate.
@@ -66,8 +66,8 @@ case class BucketPredicateInference(
         case Nil => None; case vs => Some(vs.min)
       }
       val derived =
-        lo.map(v => GreaterThanOrEqual(bucketAttr, bucketLit(bucketAttr, v))).toSeq ++
-        hi.map(v => LessThanOrEqual(bucketAttr, bucketLit(bucketAttr, v)))
+        lo.flatMap(v => bucketLit(bucketAttr, v).map(GreaterThanOrEqual(bucketAttr, _))).toSeq ++
+        hi.flatMap(v => bucketLit(bucketAttr, v).map(LessThanOrEqual(bucketAttr, _)))
       if (derived.isEmpty) f
       else Filter(derived.foldLeft(cond)(And(_, _)), child)
   }
@@ -108,13 +108,25 @@ case class BucketPredicateInference(
 
   /** Bucket literal in the bucket column's own type (partition columns read
     * back as int; long sinks keep long). Ids are non-negative in this domain,
-    * but use floorDiv anyway so a negative id can't round the wrong way. */
-  private def bucketLit(bucketAttr: Attribute, idValue: Long): Literal = {
+    * but use floorDiv anyway so a negative id can't round the wrong way.
+    *
+    * The bucket value is SATURATED to the column type's range, never wrapped:
+    * an id literal ≥ `bucketSize · 2³¹` over an Int bucket column would
+    * otherwise produce a wrapped (negative/small) literal whose injected
+    * conjunct silently prunes partitions that hold matching rows. A
+    * saturated bound is merely loose (`bucket >= Int.MaxValue` admits the
+    * last representable bucket and nothing the original predicate excludes),
+    * preserving the "loose but never wrong" contract. Bucket columns of any
+    * non-integral type are left alone entirely. */
+  private def bucketLit(bucketAttr: Attribute, idValue: Long): Option[Literal] = {
     val b = Math.floorDiv(idValue, bucketSize)
+    def sat(min: Long, max: Long): Long = Math.max(min, Math.min(max, b))
     bucketAttr.dataType match {
-      case IntegerType => Literal(b.toInt)
-      case LongType => Literal(b)
-      case other => Literal.create(b, other)
+      case IntegerType => Some(Literal(sat(Int.MinValue, Int.MaxValue).toInt))
+      case LongType => Some(Literal(b))
+      case ShortType => Some(Literal(sat(Short.MinValue, Short.MaxValue).toShort))
+      case ByteType => Some(Literal(sat(Byte.MinValue, Byte.MaxValue).toByte))
+      case _ => None
     }
   }
 }

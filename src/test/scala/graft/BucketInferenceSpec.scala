@@ -85,6 +85,23 @@ class BucketInferenceSpec extends SparkSpec {
     }
   }
 
+  test("huge id literal over an Int bucket column saturates, never wraps") {
+    withRule {
+      // floorDiv(3e12, 1000) = 3e9 exceeds Int.MaxValue. The partition
+      // column reads back as Int, so a wrapped literal (-1294967296) used
+      // as an upper bound would prune EVERY partition and silently return
+      // zero rows; saturation keeps the bound loose instead. Counts must
+      // match the rule-off answer exactly.
+      val hi = spark.read.parquet(sink).filter(col("block_id") <= 3000000000000L)
+      assert(hi.count() == 10000, "wrapped upper bound pruned matching rows")
+      val lo = spark.read.parquet(sink).filter(col("block_id") >= 3000000000000L)
+      assert(lo.count() == 0)
+      // negative-huge literal saturates at Int.MinValue (loose, not wrong)
+      val neg = spark.read.parquet(sink).filter(col("block_id") >= -3000000000000L)
+      assert(neg.count() == 10000)
+    }
+  }
+
   test("conservative bounds: strict comparisons keep every matching row") {
     withRule {
       val q = spark.read.parquet(sink)
