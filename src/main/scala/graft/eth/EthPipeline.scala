@@ -134,17 +134,28 @@ object EthPipeline {
   /** The reference's SECOND main program: ranged gzip-CSV export
     * (ref: scripts/eth_csv_export.py:400-598) — export the five streams,
     * enrich transactions (J1 + J2), format in the CSV dialect, project each
-    * table to the canonical CSV column order
-    * (ref: scripts/eth_csv_export.py:33-115; [[EthSchemas.csvBlockColumns]]
-    * et al., intersected with the columns the source supplies), and write
-    * one gzip CSV directory per table named `<table>-%08d-%08d`
-    * (ref: scripts/eth_csv_export.py:563-571's ranged file names).
+    * table to the reference's exact header order
+    * (ref: scripts/eth_csv_export.py:33-114; [[EthSchemas.csvBlockColumns]]
+    * et al., null-filling columns this source does not supply, because the
+    * reference's DictWriter writes every header field), and write the
+    * reference's exact file tree: `<prefix>_%08d-%08d.csv.gz` files per
+    * `fileBatchSize` blocks inside `%08d-%08d` dirs per `partitionBatchSize`
+    * blocks (ref: scripts/eth_csv_export.py:563-598), with the reference's
+    * range rounding to full file windows (:501-511).
     * Returns per-table exported row counts (read back from the files, so a
     * short write can't go unnoticed). */
   def exportCsvRange(spark: SparkSession, outDir: String,
                      startBlock: Long, endBlock: Long,
-                     source: SourceConf = SourceConf()): Map[String, Long] = {
+                     source: SourceConf = SourceConf(),
+                     fileBatchSize: Long = 1000L,
+                     partitionBatchSize: Long = 1000000L): Map[String, Long] = {
     require(endBlock >= startBlock, s"empty range [$startBlock, $endBlock]")
+    // the reference rounds to FULL file windows and exits when none fit
+    // ("No blocks to export", ref: eth_csv_export.py:506-511) — mirror that
+    // here, also avoiding a J1 observation that no action would ever evaluate
+    if (startBlock / fileBatchSize * fileBatchSize >
+        (endBlock + 1) / fileBatchSize * fileBatchSize - 1)
+      return Map("transaction" -> 0L, "block" -> 0L, "log" -> 0L, "trace" -> 0L)
     val blocks = readStream(spark, source, "block", startBlock, endBlock)
     val txs = readStream(spark, source, "transaction", startBlock, endBlock)
     val receipts = readStream(spark, source, "receipt", startBlock, endBlock)
@@ -173,16 +184,25 @@ object EthPipeline {
       "log" -> EthSchemas.csvLogColumns,
       "trace" -> EthSchemas.csvTraceColumns)
 
+    val sortKeys = Map(
+      "block" -> Seq("block_id"),
+      "transaction" -> Seq("block_id", "transaction_index"),
+      "log" -> Seq("block_id", "log_index"),
+      "trace" -> Seq("block_id", "trace_index"))
+
     val counts = Seq("transaction", "block", "log", "trace").map { table =>
       val df = formatted(table)
-      // canonical order, restricted to what this source supplies (a real
-      // JSON-RPC adapter fills the full list)
-      val cols = columnOrders(table).filter(df.columns.contains)
-      val path = f"$outDir/$table-$startBlock%08d-$endBlock%08d"
-      Sinks.writeCsv(df.select(cols.map(col).toIndexedSeq: _*), path, table)
+      // the FULL reference header, null-filling what this source doesn't
+      // supply (a real JSON-RPC adapter fills every column)
+      val full = columnOrders(table).map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).cast("string").as(c))
+      Sinks.writeReferenceCsvLayout(df.select(full.toIndexedSeq: _*), outDir,
+        table, startBlock, endBlock, fileBatchSize, partitionBatchSize,
+        sortCols = sortKeys(table))
       if (table == "transaction") Enrich.assertNoMissingReceipts(j1Obs)
+      val glob = s"$outDir/*/${Sinks.csvFilePrefix(table)}_*.csv.gz"
       table -> spark.read.option("header", "true")
-        .option("delimiter", Sinks.csvDelimiter(table)).csv(path).count()
+        .option("delimiter", Sinks.csvDelimiter(table)).csv(glob).count()
     }.toMap
     counts
   }

@@ -116,34 +116,38 @@ object EthSchemas {
     StructField("block_bucket_size", IntegerType),
     StructField("tx_prefix_length", IntegerType)))
 
-  /** CSV-dialect column orders (ref: scripts/eth_csv_export.py:33-115).
-    * The CSV path keeps hex strings instead of binary and has no
-    * `block_id_group` on transactions. */
+  /** CSV-dialect column orders — byte-for-byte the reference's per-table
+    * header lists, in the reference's pinned order (BLOCK_HEADER
+    * ref: scripts/eth_csv_export.py:33-54, TX_HEADER :56-78, TRACE_HEADER
+    * :80-101, LOGS_HEADER :103-114). The CSV path keeps hex strings instead
+    * of binary; transactions carry no `block_id_group` (only blocks, traces
+    * and logs do, matching the reference headers exactly). Columns the
+    * engine's source does not supply are still written (empty), because the
+    * reference's DictWriter emits every header field. */
   val csvBlockColumns: Seq[String] = Seq(
-    "block_id_group", "block_id", "block_hash", "parent_hash", "nonce",
-    "sha3_uncles", "logs_bloom", "transactions_root", "state_root",
-    "receipts_root", "miner", "difficulty", "total_difficulty", "size",
-    "extra_data", "gas_limit", "gas_used", "base_fee_per_gas", "timestamp",
-    "transaction_count")
+    "parent_hash", "nonce", "sha3_uncles", "logs_bloom", "transactions_root",
+    "state_root", "receipts_root", "miner", "difficulty", "total_difficulty",
+    "size", "extra_data", "gas_limit", "gas_used", "timestamp",
+    "transaction_count", "base_fee_per_gas", "block_id", "block_id_group",
+    "block_hash")
 
   val csvTransactionColumns: Seq[String] = Seq(
-    "tx_hash_prefix", "tx_hash", "nonce", "block_hash", "block_id",
-    "transaction_index", "from_address", "to_address", "value", "gas",
-    "gas_price", "input", "block_timestamp", "max_fee_per_gas",
-    "max_priority_fee_per_gas", "transaction_type",
+    "nonce", "transaction_index", "from_address", "to_address", "value",
+    "gas", "gas_price", "input", "block_timestamp", "block_hash",
+    "max_fee_per_gas", "max_priority_fee_per_gas", "transaction_type",
     "receipt_cumulative_gas_used", "receipt_gas_used",
     "receipt_contract_address", "receipt_root", "receipt_status",
-    "receipt_effective_gas_price")
+    "receipt_effective_gas_price", "tx_hash", "tx_hash_prefix", "block_id")
 
   val csvTraceColumns: Seq[String] = Seq(
-    "block_id_group", "block_id", "tx_hash", "transaction_index",
-    "from_address", "to_address", "value", "input", "output", "trace_type",
-    "call_type", "reward_type", "gas", "gas_used", "subtraces",
-    "trace_address", "error", "status", "trace_id")
+    "transaction_index", "from_address", "to_address", "value", "input",
+    "output", "trace_type", "call_type", "reward_type", "gas", "gas_used",
+    "subtraces", "trace_address", "error", "status", "trace_id",
+    "trace_index", "tx_hash", "block_id", "block_id_group")
 
   val csvLogColumns: Seq[String] = Seq(
-    "block_id_group", "block_id", "log_index", "tx_hash", "address", "data",
-    "topics", "topic0")
+    "block_id_group", "block_id", "block_hash", "address", "data", "topics",
+    "topic0", "tx_hash", "log_index", "transaction_index")
 
   /** Blob (0x-hex encoded) columns per raw stream — the per-table lists the
     * binary dialect converts (ref: block scripts/eth_cassandra_streaming.py:378-389,

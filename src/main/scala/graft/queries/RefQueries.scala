@@ -489,20 +489,31 @@ object RefQueries {
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // K2 at program level: the reference's second main (ranged gzip-CSV
-    // export) — export a range, read the block table back through the CSV
-    // contract, verify against DuckDB's reconstruction of the stream.
+    // export) — export a range into the reference's exact file tree
+    // (per-100-block `block_%08d-%08d.csv.gz` files inside the 1M-block
+    // `00000000-00999999` dir: the read path below IS the layout assertion),
+    // read the block table back through the CSV contract, verify against
+    // DuckDB's reconstruction of the stream.
     Q("k2_csv_export_pipeline", "K2",
       (s, d) => {
         import org.apache.spark.sql.types._
         val out = java.nio.file.Files.createTempDirectory("graft_csvexp").toString
-        graft.eth.EthPipeline.exportCsvRange(s, out, 0, 299)
+        graft.eth.EthPipeline.exportCsvRange(s, out, 0, 299, fileBatchSize = 100)
+        // full reference BLOCK_HEADER (ref: eth_csv_export.py:33-54): typed
+        // where the synthetic source supplies values, string (all-null)
+        // where only a live node would
         val sch = StructType(Seq(
-          StructField("block_id_group", IntegerType), StructField("block_id", IntegerType),
-          StructField("block_hash", StringType), StructField("parent_hash", StringType),
-          StructField("miner", StringType), StructField("difficulty", DecimalType(38, 0)),
-          StructField("gas_used", IntegerType), StructField("timestamp", IntegerType),
-          StructField("transaction_count", ShortType)))
-        Sinks.readCsv(s, s"$out/block-00000000-00000299", "block", sch)
+          StructField("parent_hash", StringType), StructField("nonce", StringType),
+          StructField("sha3_uncles", StringType), StructField("logs_bloom", StringType),
+          StructField("transactions_root", StringType), StructField("state_root", StringType),
+          StructField("receipts_root", StringType), StructField("miner", StringType),
+          StructField("difficulty", DecimalType(38, 0)), StructField("total_difficulty", StringType),
+          StructField("size", StringType), StructField("extra_data", StringType),
+          StructField("gas_limit", StringType), StructField("gas_used", IntegerType),
+          StructField("timestamp", IntegerType), StructField("transaction_count", ShortType),
+          StructField("base_fee_per_gas", StringType), StructField("block_id", IntegerType),
+          StructField("block_id_group", IntegerType), StructField("block_hash", StringType)))
+        Sinks.readCsv(s, s"$out/00000000-00999999/block_*.csv.gz", "block", sch)
           .select(col("block_id_group"), col("block_id"), col("block_hash"),
             col("difficulty").cast("long").as("difficulty_l"), col("gas_used"),
             col("timestamp"), col("transaction_count"))
@@ -516,6 +527,32 @@ object RefQueries {
              |       CAST(1438269988 + b * 13 AS INTEGER) AS "timestamp",
              |       CAST(b % 3 + 1 AS SMALLINT) AS transaction_count
              |FROM (SELECT unnest(range(0, 300)) AS b) ORDER BY block_id""".stripMargin)),
+
+    // K2 byte-compatibility: the oracle literals below ARE the reference's
+    // pinned per-table CSV headers (BLOCK_HEADER eth_csv_export.py:33-54,
+    // TX_HEADER :56-78, TRACE_HEADER :80-101, LOGS_HEADER :103-114, logs
+    // '|'-delimited per :574-580) and the reference's default file naming
+    // (<prefix>_%08d-%08d.csv.gz under the 1M-block dir, :563-598). Any
+    // drift in column order, file prefix, or directory layout fails here.
+    Q("k2_csv_reference_headers", "K2",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_csvhdr").toString
+        graft.eth.EthPipeline.exportCsvRange(s, out, 0, 999)
+        import s.implicits._
+        Seq("block", "transaction", "log", "trace").map { t =>
+          val p = Sinks.csvFilePrefix(t)
+          // single-gzip file = one partition: first line is the header
+          val line = s.read.textFile(
+            s"$out/00000000-00999999/${p}_00000000-00000999.csv.gz").first()
+          (t, line)
+        }.toDF("table_name", "header").orderBy("table_name")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('block', 'parent_hash,nonce,sha3_uncles,logs_bloom,transactions_root,state_root,receipts_root,miner,difficulty,total_difficulty,size,extra_data,gas_limit,gas_used,timestamp,transaction_count,base_fee_per_gas,block_id,block_id_group,block_hash'),
+             |  ('transaction', 'nonce,transaction_index,from_address,to_address,value,gas,gas_price,input,block_timestamp,block_hash,max_fee_per_gas,max_priority_fee_per_gas,transaction_type,receipt_cumulative_gas_used,receipt_gas_used,receipt_contract_address,receipt_root,receipt_status,receipt_effective_gas_price,tx_hash,tx_hash_prefix,block_id'),
+             |  ('trace', 'transaction_index,from_address,to_address,value,input,output,trace_type,call_type,reward_type,gas,gas_used,subtraces,trace_address,error,status,trace_id,trace_index,tx_hash,block_id,block_id_group'),
+             |  ('log', 'block_id_group|block_id|block_hash|address|data|topics|topic0|tx_hash|log_index|transaction_index')
+             |) AS t(table_name, header) ORDER BY table_name""".stripMargin)),
 
     // S1-S3 as a real custom source: the DataSourceV2 synthetic chain is
     // deterministic md5 arithmetic, so DuckDB can reconstruct the stream

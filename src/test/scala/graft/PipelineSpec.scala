@@ -114,31 +114,43 @@ class PipelineSpec extends SparkSpec {
     assert(tx.filter(col("receipt_gas_used").isNull).count() == 0)
   }
 
-  test("CSV export: ranged gzip files, canonical column order, full counts") {
+  test("CSV export: reference file tree, exact header order, full counts") {
     val out = Files.createTempDirectory("pipeline_csv").toString
-    val counts = EthPipeline.exportCsvRange(spark, out, 0, 199)
+    val counts = EthPipeline.exportCsvRange(spark, out, 0, 199, fileBatchSize = 100)
     assert(counts("block") == 200)
     assert(counts("transaction") == expectedTxs(0, 199))
     assert(counts("log") == 2 * expectedTxs(0, 199))
     assert(counts("trace") == expectedTxs(0, 199) + 200) // +1 reward/block
 
-    // ranged directory names (%08d-%08d) and gzip part files
+    // the reference's tree: one %08d-%08d dir per 1M-block partition window,
+    // per-100-block <prefix>_%08d-%08d.csv.gz files inside it
+    // (ref: eth_csv_export.py:563-598; tx_/logs_ prefixes :520-523)
     val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
-    assert(dirs == Set("block-00000000-00000199", "transaction-00000000-00000199",
-      "log-00000000-00000199", "trace-00000000-00000199"))
-    val blockParts = new java.io.File(s"$out/block-00000000-00000199")
-      .listFiles().map(_.getName).filter(_.startsWith("part-"))
-    assert(blockParts.nonEmpty && blockParts.forall(_.endsWith(".csv.gz")))
+    assert(dirs == Set("00000000-00999999"), dirs)
+    val files = new java.io.File(s"$out/00000000-00999999")
+      .listFiles().map(_.getName).toSet
+    val expected = for {
+      p <- Set("block", "tx", "trace", "logs")
+      w <- Set("00000000-00000099", "00000100-00000199")
+    } yield s"${p}_$w.csv.gz"
+    assert(files == expected, files)
 
-    // header order == canonical CSV order restricted to supplied columns
+    // header order == the FULL reference header, exactly (missing source
+    // columns are written empty, like the reference's DictWriter)
     val header = spark.read.option("header", "true")
-      .csv(s"$out/block-00000000-00000199").columns.toSeq
-    val canonical = graft.eth.EthSchemas.csvBlockColumns.filter(header.contains)
-    assert(header == canonical)
+      .csv(s"$out/00000000-00999999/block_*.csv.gz").columns.toSeq
+    assert(header == graft.eth.EthSchemas.csvBlockColumns)
     // the log table uses the '|' dialect: raw lines contain the delimiter
     val logHeader = spark.read.option("header", "true").option("delimiter", "|")
-      .csv(s"$out/log-00000000-00000199").columns.toSeq
-    assert(logHeader == graft.eth.EthSchemas.csvLogColumns.filter(logHeader.contains))
+      .csv(s"$out/00000000-00999999/logs_*.csv.gz").columns.toSeq
+    assert(logHeader == graft.eth.EthSchemas.csvLogColumns)
+
+    // the reference rounds to full file windows — a range smaller than one
+    // window exports nothing ("No blocks to export", eth_csv_export.py:506-511)
+    val out2 = Files.createTempDirectory("pipeline_csv2").toString
+    val none = EthPipeline.exportCsvRange(spark, out2, 0, 199)
+    assert(none.values.forall(_ == 0L))
+    assert(new java.io.File(out2).listFiles().isEmpty)
   }
 
   test("J1 observation covers non-overlap rows in a mid-bucket upsert re-ingest") {

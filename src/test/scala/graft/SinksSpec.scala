@@ -142,4 +142,41 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.csvDelimiter("log") == "|")
     assert(Sinks.csvDelimiter("transaction") == ",")
   }
+
+  test("reference CSV layout: partition dirs, file windows, header-only gaps") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("sinks_ref").toString
+    // rows in windows 0-999 and 2000-2999; window 1000-1999 is EMPTY —
+    // the reference still writes a (header-only) file for it
+    val df = ((0L until 1000L) ++ (2000L until 3000L))
+      .toDF("block_id").withColumn("v", col("block_id") * 2)
+    Sinks.writeReferenceCsvLayout(df, out, "transaction", 0, 2999,
+      fileBatchSize = 1000, partitionBatchSize = 2000)
+
+    // two partition windows of 2000 blocks -> two %08d-%08d dirs
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs == Set("00000000-00001999", "00002000-00003999"), dirs)
+    // transaction files use the reference's tx_ prefix
+    assert(new java.io.File(s"$out/00000000-00001999").listFiles()
+      .map(_.getName).toSet ==
+      Set("tx_00000000-00000999.csv.gz", "tx_00001000-00001999.csv.gz"))
+    assert(new java.io.File(s"$out/00002000-00003999").listFiles()
+      .map(_.getName).toSet == Set("tx_00002000-00002999.csv.gz"))
+
+    // the empty window's file carries the header and zero rows
+    val empty = spark.read.option("header", "true")
+      .csv(s"$out/00000000-00001999/tx_00001000-00001999.csv.gz")
+    assert(empty.columns.toSeq == Seq("block_id", "v") && empty.count() == 0)
+
+    // rows land in their window, sorted by block_id within the file
+    val w0 = spark.read.option("header", "true")
+      .csv(s"$out/00000000-00001999/tx_00000000-00000999.csv.gz")
+      .select(col("block_id").cast("long")).as[Long].collect()
+    assert(w0.toSeq == (0L until 1000L))
+
+    // re-export is idempotent: same tree, no duplicate files
+    Sinks.writeReferenceCsvLayout(df, out, "transaction", 0, 2999,
+      fileBatchSize = 1000, partitionBatchSize = 2000)
+    assert(new java.io.File(s"$out/00000000-00001999").listFiles().length == 2)
+  }
 }
