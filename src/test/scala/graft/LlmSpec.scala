@@ -68,12 +68,18 @@ class LlmSpec extends SparkSpec {
     val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket")).collect()
     assert(full.count(r => r.getLong(0) != 4L && r.getLong(1) != 4L) == 6) // C(4,2)
     assert(full.forall(_.getAs[Int]("n_bucket_dropped") == 0))
-    // cap k bounds emitted pairs per bucket by k(k-1)/2 regardless of bucket size
+    // cap k bounds emitted pairs per bucket by k(k-1)/2 regardless of bucket
+    // size. The output drops the bucket columns, but pairing is within-bucket
+    // only, so each pair's bucket is derivable from either endpoint's id
+    // (fixture: doc 4 is b1, all others b0) — bound PER BUCKET, not per
+    // drop-count group (two buckets with equal drop counts would pool).
     val k = 3
+    val bucketOf = (id: Long) => if (id == 4L) "b1" else "b0"
     val c3 = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket"),
       maxBucketSize = k, minJaccard = -1.0).collect()
-      .groupBy(_.getAs[Int]("n_bucket_dropped"))
+      .groupBy(r => bucketOf(r.getLong(0)))
     assert(c3.values.forall(_.length <= k * (k - 1) / 2))
+    assert(c3.keys.forall(_ == "b0")) // b1 has one doc: no pairs
   }
 
   private val vecs = Seq(
@@ -162,5 +168,26 @@ class LlmSpec extends SparkSpec {
     // identical payloads -> identical features
     assert(f(0).features.toSeq == f(1).features.toSeq)
     assert(f(0).byte_len == 43 && f(0).channels == 3)
+  }
+
+  test("multimodal frame sampling slices BYTES: multi-byte UTF-8 agrees with a byte oracle") {
+    // 🎉 is 4 UTF-8 bytes: 300 chars of 'a' + emoji = 304 bytes -> 2 frames
+    // (a character-based slicer would see 301 "positions" and put the frame-0
+    // boundary mid-payload differently once bytes-per-char > 1)
+    val text = "a" * 300 + "🎉"
+    val bytes = text.getBytes("UTF-8")
+    assert(bytes.length == 304)
+    val media = Multimodal.asMediaTable(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = Multimodal.sampleFrames(media).orderBy("frame_idx").collect()
+    // stride 2 over n_frames=2 -> frame 0 only
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Int]("n_frames") == 2)
+    assert(r.getAs[Int]("frame_len") == 256) // first 256 BYTES, not chars
+    val expectedFp = bytes.take(8).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("frame_fp") == expectedFp)
+    // byte-derived resize metadata: 304 % 64 + 16 = 64 wide, 304 % 48 + 16 = 32 high
+    assert(r.getAs[Int]("resize_w") == 64 && r.getAs[Int]("resize_h") == 32)
   }
 }

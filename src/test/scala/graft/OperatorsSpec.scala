@@ -85,6 +85,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("salt spreads a hot key even when the input is clustered by the key") {
+    // the layout where a partition-id salt silently does nothing: every row
+    // of the hot key in ONE partition (bucketed sink read-back, or any
+    // repartition-by-key upstream). The content-derived salt must still
+    // spread the hot key over >1 salt value / shuffle partition.
+    val hot = (0 until 1000).map(i => (42, s"payload-$i"))
+    val clustered = (hot ++ Seq((1, "x"), (2, "y"))).toDF("k", "lv")
+      .repartition(col("k"))
+    val spread = clustered
+      .withColumn("__salt", Skew.rowSalt(clustered, 8))
+      .filter(col("k") === 42)
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot key stayed on $spread salt(s)")
+
+    // and the join result is still exactly the plain join
+    val right = Seq((42, 1), (1, 2)).toDF("k", "rv")
+    val plain = clustered.join(right, Seq("k"), "inner")
+      .select("k", "lv", "rv").collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Skew.saltedEquiJoin(clustered, right, Seq("k"), salts = 8)
+      .select("k", "lv", "rv").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+
+    // determinism: the salt is a pure function of (partition, content) —
+    // two evaluations agree row-for-row
+    val s1 = clustered.withColumn("__salt", Skew.rowSalt(clustered, 8))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getInt(2)).toMap
+    val s2 = clustered.withColumn("__salt", Skew.rowSalt(clustered, 8))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(s1 == s2)
+  }
+
   test("tf-idf: corpus-wide terms get idf 0; rarer terms weigh more") {
     val docs = Seq(
       (0L, "common alpha"), (1L, "common beta"), (2L, "common beta gamma"))
