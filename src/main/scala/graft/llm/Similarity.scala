@@ -96,13 +96,15 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** IVF assignment: each vector joins its nearest of `k` centroids (by
-    * dot product, centroid id as tie-break). Centroids here are the first
-    * `k` vectors — a deterministic stand-in for k-means training; the plan
-    * shape (broadcast centroids -> one scan -> argmax) is exactly real IVF.
-    * Returns (idCol, centroid_id). */
+  /** IVF assignment: each vector joins its nearest `nprobe` of the
+    * centroids (by dot product, centroid id as tie-break). Centroids here
+    * are the first `k` vectors — a deterministic stand-in for k-means
+    * training; the plan shape (broadcast centroids -> one scan -> top-n)
+    * is exactly real IVF. Returns (idCol, vecCol, centroid_id) — one row
+    * per probed cell (`nprobe=1`, the default, is the classic argmax). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     GraftFunctions.register(df.sparkSession)
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
     val scored = df.select(col(idCol), col(vecCol))
@@ -111,17 +113,20 @@ object Similarity {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__score").desc, col("centroid_id"))
     scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= nprobe)
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
-  /** IVF top-k (nprobe=1): queries and candidates are both assigned to
-    * centroid cells; search touches only the query's cell — an equi-join on
-    * `centroid_id` instead of a full scan. */
+  /** IVF top-k: queries probe their `nprobe` nearest centroid cells;
+    * candidates live in exactly ONE cell each, so probed cells are
+    * disjoint — no pair is scored twice and search cost scales linearly in
+    * nprobe (the standard recall/cost knob: nprobe = number of centroids
+    * degenerates to the exact brute-force scan). The search itself is an
+    * equi-join on `centroid_id`, never a full scan. */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val qa = ivfAssign(queries, centroids, idCol, vecCol)
+              vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
+    val qa = ivfAssign(queries, centroids, idCol, vecCol, nprobe)
       .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("__q"))
     val ca = ivfAssign(candidates, centroids, idCol, vecCol)
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))

@@ -291,6 +291,42 @@ object LlmQueries {
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // IVF with multi-cell probing (nprobe=2): the recall/cost knob — each
+    // query searches its 2 nearest cells; candidates live in exactly one
+    // cell, so probed cells are disjoint and cost is linear in nprobe.
+    Q("ann_ivf_nprobe", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.ivfTopK(
+          e.filter(col("vec_id") >= 21),
+          e.filter(col("vec_id").between(16, 20)),
+          e.filter(col("vec_id") < 16), k = 5, nprobe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |qa AS (SELECT vec_id, embedding, cid FROM (
+           |         SELECT v.vec_id, v.embedding, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id BETWEEN 16 AND 20) WHERE rn <= 2),
+           |ca AS (SELECT vec_id, embedding, cid FROM (
+           |         SELECT v.vec_id, v.embedding, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id >= 21) WHERE rn = 1),
+           |sc AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, ca.cid AS centroid_id,
+           |              round(${dot("qa.embedding", "ca.embedding")}, 6) AS score
+           |       FROM qa JOIN ca ON qa.cid = ca.cid),
+           |r AS (SELECT query_id, neighbor_id, centroid_id, score,
+           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // One k-means update step (spherical): broadcast-argmax assignment +
     // transpose-aggregate centroid recompute — the iterative-ML primitive
     // behind IVF index training, in its bounded-shuffle distributed form.

@@ -89,6 +89,23 @@ class LlmSpec extends SparkSpec {
     (12L, Array(-1.0f, 0.0f, 0.0f)))
     .toDF("vec_id", "embedding")
 
+  test("IVF: full probe (nprobe = all cells) degenerates to exact brute force") {
+    val cents = vecs.filter($"vec_id" < 11) // 2 centroid cells
+    val cands = vecs.filter($"vec_id" >= 11)
+    val queries = vecs.filter($"vec_id" === 0)
+    val full = Similarity.ivfTopK(cands, queries, cents, k = 2, nprobe = 2)
+      .select("query_id", "neighbor_id", "rnk", "score")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(cands, queries, k = 2)
+      .select("query_id", "neighbor_id", "rnk", "score")
+      .orderBy("query_id", "rnk").collect().map(_.toSeq)
+    assert(full.toSeq == brute.toSeq)
+    // nprobe=1 searches a subset of cells: results are a subset of full-probe
+    val one = Similarity.ivfTopK(cands, queries, cents, k = 2, nprobe = 1)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(full.map(_(1).asInstanceOf[Long]).toSet))
+  }
+
   test("brute-force top-k ranks the identical vector first") {
     val out = Similarity.bruteForceTopK(
       vecs.filter($"vec_id" >= 10), vecs.filter($"vec_id" === 0), k = 2)
