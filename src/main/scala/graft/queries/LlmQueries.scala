@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnFns._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.streaming.StreamingOps
 
 /** LLM training-data pipeline operators: dedup (exact / MinHash-LSH /
@@ -599,6 +599,29 @@ object LlmQueries {
              |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10)
              |SELECT doc_id, count(*) AS n_contaminated
              |FROM tr JOIN bench USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Stratified deterministic sampling: the data-mixing knob — keep 50% of
+    // src0, 25% of src1, 10% of everything else, decided by id hash alone
+    // (content- and partitioning-independent, replay-stable). Broadcast
+    // rate lookup + one filtered scan, no shuffle of the corpus.
+    Q("sample_stratified", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val rates = Seq(("src0", 0.5), ("src1", 0.25)).toDF("stratum", "rate")
+        Sampling.stratified(Tables(s, d, "documents"), "doc_id", "source",
+            rates, defaultRate = 0.1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT doc_id, source,
+             |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS hv
+             |       FROM documents),
+             |k AS (SELECT * FROM h WHERE hv < CASE source WHEN 'src0' THEN 500000
+             |                                            WHEN 'src1' THEN 250000
+             |                                            ELSE 100000 END)
+             |SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Deterministic hash split: reproducible train/val/test partitioning by
     // id hash — content- and partitioning-independent, so the same doc

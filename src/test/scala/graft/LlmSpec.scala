@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnFns._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class LlmSpec extends SparkSpec {
   import spark.implicits._
@@ -163,6 +163,30 @@ class LlmSpec extends SparkSpec {
     val q = TextAnalysis.qualityMetrics(df, "doc_id", "text").orderBy("doc_id").collect()
     assert(q(0).getAs[Int]("n_tokens") == 6)
     assert(math.abs(q(0).getAs[Double]("stopword_ratio") - 0.333333) < 1e-6)
+  }
+
+  test("stratified sampling: per-stratum rates, deterministic, partition-independent") {
+    val corpus = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum_col")
+    val rates = Seq(("a", 1.0), ("b", 0.2)).toDF("stratum", "rate")
+    val kept = Sampling.stratified(corpus, "doc_id", "stratum_col", rates)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // rate 1.0 keeps EVERY row of its stratum
+    assert(kept.count(_._2 == "a") == 1000)
+    // rate 0.2 keeps roughly 20% (hash-uniform; wide tolerance)
+    val b = kept.count(_._2 == "b")
+    assert(b > 120 && b < 280, s"kept $b of 1000 at rate 0.2")
+    // deterministic and partitioning-independent: same kept set after a
+    // reshuffle of the input
+    val kept2 = Sampling.stratified(corpus.repartition(13), "doc_id",
+      "stratum_col", rates).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == kept2.toSet)
+    // a stratum absent from the rates table uses defaultRate (0.0 -> drop)
+    val withC = corpus.withColumn("stratum_col",
+      when(col("doc_id") < 10, "c").otherwise(col("stratum_col")))
+    val keptC = Sampling.stratified(withC, "doc_id", "stratum_col", rates)
+      .filter(col("stratum_col") === "c").count()
+    assert(keptC == 0)
   }
 
   test("multimodal: empty payloads decode to zero features, not a crash") {
