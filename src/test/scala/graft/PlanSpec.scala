@@ -97,6 +97,24 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate:\n$p")
   }
 
+  test("stratified sampling broadcasts the rates; corpus is never shuffled before the filter") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast rate lookup:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rate lookup must not shuffle the corpus:\n$p")
+  }
+
+  test("LSH Jaccard pipeline collects only IDS into band buckets, never shingle arrays") {
+    val p = plan("dedup_ngram_jaccard_lsh")
+    // candidate generation groups band buckets with collect_list(doc_id);
+    // the old shape collected (id, shingles) structs — corpus-sized arrays
+    // through a shuffle
+    assert(p.contains("collect_list(doc_id"),
+      s"expected id-only bucket collection:\n$p")
+    assert(!p.contains("collect_list(__rec"),
+      s"shingle structs must not pass through the bucket shuffle:\n$p")
+  }
+
   test("decontamination broadcasts the benchmark shingle set") {
     val p = plan("text_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
