@@ -52,9 +52,15 @@ object ColumnFns {
     * is reproducible in any SQL engine (`CAST('0x'||substr(md5(x),1,15) AS
     * BIGINT)` in DuckDB), which keeps MinHash/SimHash/fingerprint operators
     * oracle-verifiable. Always in [0, 2^60).
+    *
+    * Backed by the native [[Md5LongExpr]] (digest bytes -> long, no
+    * intermediate hex/decimal strings); bit-identical to the composable
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` chain it
+    * replaces (equivalence locked by ColumnFnsSpec).
     */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      Md5LongExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
   /** Seeded variant of [[md5Long]]: an independent hash family member per
     * seed, used for MinHash permutations and LSH hyperplanes. */

@@ -91,6 +91,10 @@ object GraftFunctions {
       "graft_dot",
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_long",
+      (children: Seq[Expression]) => Md5LongExpr(children.head),
+      "built-in")
   }
 }
 
@@ -108,6 +112,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       DotProductExpr.info,
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_long"),
+      Md5LongExpr.info,
+      (children: Seq[Expression]) => Md5LongExpr(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.BucketPredicateInference())
   }
 }

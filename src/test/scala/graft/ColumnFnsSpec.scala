@@ -54,6 +54,29 @@ class ColumnFnsSpec extends SparkSpec {
     assert(s0.toSeq != s1.toSeq)
   }
 
+  test("native md5Long expression is bit-identical to the hex-string formula") {
+    // the contract every DuckDB oracle relies on: md5Long(x) ==
+    // conv(substring(md5(x),1,15),16,10) — exercised over ASCII, unicode
+    // (multi-byte UTF-8), the empty string, and null
+    val words = Seq("alpha", "beta gamma", "", "héllo 🎉 wörld", "0x" + "ab" * 32)
+    val df = (words.map(Option(_)) :+ None).map(Tuple1(_)).toDF("w")
+    val out = df.select(
+      md5Long($"w").as("native"),
+      conv(substring(org.apache.spark.sql.functions.md5($"w"), 1, 15), 16, 10)
+        .cast("long").as("viaHex")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), r.toString)
+    }
+    // inside a higher-order lambda (the MinHash hot path) and via SQL name
+    graft.functions.GraftFunctions.register(spark)
+    val hof = Seq(Seq("a", "b", "c")).toDF("ts")
+      .select(transform($"ts", t => md5Long(t)).as("hs"),
+        expr("transform(ts, t -> graft_md5_long(t))").as("sqls"))
+      .collect()(0)
+    assert(hof.getSeq[Long](0) == hof.getSeq[Long](1))
+  }
+
   test("shingles: k-grams count and short-document fallback") {
     val df = Seq("a b c d e", "x y").map(Tuple1(_)).toDF("t")
     val out = df.select(shingles(tokens($"t"), 3).as("s")).collect()
