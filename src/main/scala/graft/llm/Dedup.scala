@@ -30,21 +30,14 @@ object Dedup {
     * all `numHashes` permutations derive from it affinely. */
   def minhashBase(s: Column): Column = md5Long(s) % 1073741824L
 
-  /** Plan-time 60-bit constant derived like [[graft.functions.ColumnFns.md5Long]]
-    * but evaluated on the driver: first 15 hex chars of md5(tag). */
-  private def planConst(tag: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(tag.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
-  }
-
   /** Affine-permutation coefficients for hash `h` — md5-derived so the
     * permutations are pairwise UNRELATED. (A linear schedule like
     * a_h = (h+1)*K correlates the orderings of permutations h and 2h+1,
     * which measurably inflates false band collisions.) Fixed plan-time
-    * Longs: the oracle SQL inlines the identical literals. */
-  def minhashA(h: Int): Long = planConst(s"mh-a-$h") % (MinhashP - 1) + 1
-  def minhashB(h: Int): Long = planConst(s"mh-b-$h") % MinhashP
+    * Longs: the oracle SQL inlines the identical literals. (Delegates to
+    * [[graft.functions.MinhashSigExpr]], the native signature kernel.) */
+  def minhashA(h: Int): Long = graft.functions.MinhashSigExpr.coeffA(h)
+  def minhashB(h: Int): Long = graft.functions.MinhashSigExpr.coeffB(h)
 
   /** MinHash signature from the per-shingle 30-bit base hashes: signature
     * element h = min over shingles of (a_h * base + b_h) mod p — the
@@ -53,12 +46,16 @@ object Dedup {
     * below 2^61 (a_h < 2^31, base < 2^30), so the arithmetic is exact on
     * LongType and bit-reproducible in DuckDB. Callers should materialize
     * the base array behind a projection so it is computed once, not once
-    * per hash function. */
+    * per hash function.
+    *
+    * Backed by the native one-pass [[graft.functions.MinhashSigExpr]];
+    * bit-identical to the composable
+    * `array(array_min(transform(bases, b -> (a_h*b + b_h) % p)), ...)`
+    * chain it replaces (equivalence locked by LlmSpec). */
   def minhashSignatureFromBases(basesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(basesCol,
-        b => (lit(minhashA(h)) * b + lit(minhashB(h))) % MinhashP))
-    }: _*)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MinhashSigExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(basesCol), numHashes))
 
   /** MinHash signature straight from shingles (convenience; prefer
     * [[minhashSignatureFromBases]] behind a projection in pipelines). */

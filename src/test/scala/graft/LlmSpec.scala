@@ -31,6 +31,27 @@ class LlmSpec extends SparkSpec {
     assert(byDoc(0L).intersect(byDoc(3L)).isEmpty) // unrelated -> no shared band
   }
 
+  test("native minhash signature is bit-identical to the composable HOF chain") {
+    import graft.llm.Dedup.{minhashA, minhashB, MinhashP}
+    val k = 8
+    val bases = docs.select($"doc_id",
+      transform(tokens($"text"), t => Dedup.minhashBase(t)).as("b"))
+    val composable = array((0 until k).map { h =>
+      array_min(transform(col("b"),
+        b => (lit(minhashA(h)) * b + lit(minhashB(h))) % MinhashP))
+    }: _*)
+    val out = bases.select($"doc_id",
+      Dedup.minhashSignatureFromBases(col("b"), k).as("native"),
+      composable.as("viaHof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+    // empty base array -> all-null signature, same as array_min of empty
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("b")
+      .select(Dedup.minhashSignatureFromBases(col("b"), 3).as("s")).collect()(0)
+    assert(empty.getSeq[Any](0) == Seq(null, null, null))
+  }
+
   test("minhash candidate pairs: bucket join yields the dup/near-dup pairs, ordered, distinct") {
     val pairs = Dedup.minhashCandidatePairs(
       Dedup.minhashBands(docs, "doc_id", "text"), "doc_id").collect()
