@@ -133,11 +133,12 @@ object Dedup {
     * pairwise scans. Callers should materialize the base array behind a
     * projection (the `bits` bit-scans then reuse one computed attribute). */
   def simhashFromBases(basesCol: Column, bits: Int = 16): Column =
-    (0 until bits).map { j =>
-      val vote = aggregate(basesCol, lit(0L),
-        (a, b) => a + when(shiftrightunsigned(b, j) % 2 === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
+    // native one-pass kernel; bit-identical to the composable
+    // `sum over j of when(aggregate-vote(j) > 0, 1 << j)` chain it
+    // replaces (equivalence locked by LlmSpec)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.SimhashExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(basesCol), bits))
 
   /** SimHash straight from tokens (convenience; prefer
     * [[simhashFromBases]] behind a projection in pipelines). */

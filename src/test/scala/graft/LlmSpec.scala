@@ -71,6 +71,25 @@ class LlmSpec extends SparkSpec {
     assert(sh.values.forall(s => s >= 0 && s < (1L << 16)))
   }
 
+  test("native simhash is bit-identical to the composable aggregate chain") {
+    val bits = 16
+    val bases = docs.select($"doc_id",
+      transform(tokens($"text"), t => md5Long(t)).as("b"))
+    val composable = (0 until bits).map { j =>
+      val vote = aggregate(col("b"), lit(0L),
+        (a, b) => a + when(shiftrightunsigned(b, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val out = bases.select($"doc_id",
+      Dedup.simhashFromBases(col("b"), bits).as("native"),
+      composable.as("viaAgg")).collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    // empty array -> all votes tie at 0 -> signature 0, both forms
+    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("b")
+      .select(Dedup.simhashFromBases(col("b"), bits)).collect()(0)
+    assert(empty.getLong(0) == 0L)
+  }
+
   test("ngram jaccard pairs: identity = 1.0, within-bucket only") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket"))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
