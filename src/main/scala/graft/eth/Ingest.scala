@@ -73,6 +73,25 @@ object Ingest {
       }
   }
 
+  /** S7 against a real export tree: recursively list `block*` files under
+    * `dir` — the reference's `pathlib.rglob("block*")` over its
+    * 1M-block-subdir layout (ref: scripts/eth_csv_export.py:474-479) — and
+    * return the NEXT block to export (last covered block + 1), or None for
+    * an absent/empty tree. Driver-side metadata listing only, the same
+    * O(files) walk the reference performs. */
+  def resumeCsvExport(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (name.startsWith("block")) names += name
+    }
+    resumeFromFileNames(spark, names.toSeq).map(_ + 1)
+  }
+
   /** S5/T3: completeness watermark — the last block strictly before `cutoff`
     * (unix seconds), the engine form of `--previous_day`
     * (ref: scripts/eth_cassandra_streaming.py:199-216: "exchange rates might

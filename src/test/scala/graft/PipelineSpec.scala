@@ -151,6 +151,15 @@ class PipelineSpec extends SparkSpec {
     val none = EthPipeline.exportCsvRange(spark, out2, 0, 199)
     assert(none.values.forall(_ == 0L))
     assert(new java.io.File(out2).listFiles().isEmpty)
+
+    // continue_export resume: the recursive block* walk over the subdir
+    // tree recovers "last exported block + 1" (eth_csv_export.py:474-479)
+    assert(graft.eth.Ingest.resumeCsvExport(spark, out) == Some(200L))
+    assert(graft.eth.Ingest.resumeCsvExport(spark, out2).isEmpty)
+    assert(graft.eth.Ingest.resumeCsvExport(spark, s"$out2/absent").isEmpty)
+    // and a follow-up export from the resume point extends the same tree
+    EthPipeline.exportCsvRange(spark, out, 200, 299, fileBatchSize = 100)
+    assert(graft.eth.Ingest.resumeCsvExport(spark, out) == Some(300L))
   }
 
   test("J1 observation covers non-overlap rows in a mid-bucket upsert re-ingest") {
