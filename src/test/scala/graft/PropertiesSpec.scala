@@ -97,6 +97,47 @@ class PropertiesSpec extends SparkSpec {
     assert(out.distinct.length == out.length)
   }
 
+  test("native hash kernels match their composable formulas on arbitrary strings (one Spark job)") {
+    // random unicode-ish strings, incl. empties and high codepoints —
+    // the Md5LongExpr / MinhashSigExpr / SimhashExpr equivalence must hold
+    // for ANY input, not just the fixture corpus
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ß", "中", "🎉", " ", "|")))
+      .map(_.mkString)
+    val samples = Gen.listOfN(400, gen).sample.get
+    val df = samples.map(Tuple1(_)).toDF("s").localCheckpoint(true)
+
+    val md5Rows = df.select(
+      ColumnFns.md5Long(col("s")).as("native"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("viaHex"))
+      .collect()
+    md5Rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+
+    import graft.llm.Dedup
+    val k = 6
+    val bases = df.select(transform(split(col("s"), " "),
+      t => Dedup.minhashBase(t)).as("b"))
+    val sigComposable = array((0 until k).map { h =>
+      array_min(transform(col("b"),
+        b => (lit(Dedup.minhashA(h)) * b + lit(Dedup.minhashB(h))) % Dedup.MinhashP))
+    }: _*)
+    val simComposable = (0 until 16).map { j =>
+      val vote = aggregate(col("b"), lit(0L),
+        (a, b) => a + when(shiftrightunsigned(b, j) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    val rows = bases.select(
+      Dedup.minhashSignatureFromBases(col("b"), k).as("sigN"),
+      sigComposable.as("sigC"),
+      Dedup.simhashFromBases(col("b"), 16).as("simN"),
+      simComposable.as("simC")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("batch-size invariance: any batching unions to the same row set") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val hi = Ingest.maxIngestedBlock(li, "l_orderkey").get
