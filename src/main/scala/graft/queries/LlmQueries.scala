@@ -118,6 +118,58 @@ object LlmQueries {
               |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
               |GROUP BY n ORDER BY node""".stripMargin)),
 
+    // The dedup END PRODUCT a pipeline user runs: clusters -> one survivor
+    // per duplicate group (the min-id representative; docs in no group keep
+    // themselves) -> per-source keep/drop accounting. Everything upstream
+    // (bands, candidates, Jaccard verify, components) is the operators
+    // above composed unchanged.
+    Q("dedup_corpus_survivors", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        val cand = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        val edges = cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+          .withColumn("jac", inter.cast("double")
+            / (size(col("sha")) + size(col("shb")) - inter).cast("double"))
+          .filter(col("jac") >= 0.8)
+          .select(col("id_a"), col("id_b"))
+        val comp = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
+        val keep = col("component").isNull || col("component") === col("doc_id")
+        docs.join(comp, docs("doc_id") === comp("node"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(keep, col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+          .orderBy("source")
+      },
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |edges AS (SELECT id_a, id_b FROM cand
+              |          JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |          WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |                / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |comp AS (SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach) GROUP BY n)
+              |SELECT d.source, count(*) AS n_docs,
+              |       CAST(sum(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+              |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |       CAST(sum(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+              |                     THEN d.doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+              |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // SimHash 16-bit signature (one md5 per token; bit j of the base hash
     // is the vote for signature bit j).
     Q("dedup_simhash", "LLM",
