@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnFns.md5Long
@@ -40,5 +41,31 @@ object Sampling {
     df.join(broadcast(r), df(strataCol) === col("__stratum"), "left")
       .filter(pmod(md5Long(col(idCol).cast("string")), lit(granularity)) < threshold)
       .drop("__stratum", "__rate")
+  }
+
+  /** Deterministic sequence packing: assign each document a (shard,
+    * pack_idx, pack_offset) placement in the concat-and-chunk layout
+    * pretraining uses — all documents of a shard concatenated in id order,
+    * the token stream cut every `seqLen` tokens; a document's pack is the
+    * chunk its first token lands in.
+    *
+    * Sharding is what makes this scale: a single global concatenation
+    * order would force the running token sum through ONE task, so the
+    * stream is first split into `shards` independent streams by id hash
+    * (content-independent, deterministic) and the cumulative sum is a
+    * window per shard — `shards` parallel running sums, each a bounded
+    * partition. Placements are reproducible across runs/clusters/engines:
+    * every ingredient is a pure function of (id, tokenCount).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+                    seqLen: Long, shards: Int = 64): DataFrame = {
+    require(seqLen > 0 && shards > 0,
+      s"seqLen and shards must be positive, got $seqLen / $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", pmod(md5Long(col(idCol).cast("string")), lit(shards)))
+      .withColumn("tokens_before", coalesce(sum(col(tokenCountCol)).over(w), lit(0L)))
+      .withColumn("pack_idx", expr(s"tokens_before div $seqLen"))
+      .withColumn("pack_offset", expr(s"tokens_before % $seqLen"))
   }
 }

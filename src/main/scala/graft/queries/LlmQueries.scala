@@ -675,6 +675,31 @@ object LlmQueries {
              |SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Sequence packing: concat-and-chunk placement (the pretraining data
+    // layout) — per-shard running token sums, 2048-token chunks. Sharded by
+    // id hash so the cumulative sum parallelizes; every placement is a pure
+    // function of (id, token count).
+    Q("pack_sequences", "LLM",
+      (s, d) => Sampling.packSequences(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", seqLen = 2048, shards = 8)
+        .select(col("doc_id"), col("shard"), col("tokens_before"),
+          col("pack_idx"), col("pack_offset"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+             |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard
+             |       FROM documents),
+             |c AS (SELECT doc_id, shard,
+             |        CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+             |      FROM t)
+             |SELECT doc_id, shard, tokens_before,
+             |       tokens_before // 2048 AS pack_idx,
+             |       tokens_before % 2048 AS pack_offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Deterministic hash split: reproducible train/val/test partitioning by
     // id hash — content- and partitioning-independent, so the same doc
     // lands in the same split on every run/cluster (rand()-based sampling

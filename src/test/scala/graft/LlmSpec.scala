@@ -229,6 +229,32 @@ class LlmSpec extends SparkSpec {
     assert(keptC == 0)
   }
 
+  test("sequence packing: per-shard running sums, chunk placement, reshuffle-stable") {
+    val corpus = (0L until 500L).map(i => (i, 100L + i % 7)).toDF("doc_id", "n_tok")
+    val packed = Sampling.packSequences(corpus, "doc_id", "n_tok",
+      seqLen = 512, shards = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("tokens_before"),
+          r.getAs[Long]("pack_idx"), r.getAs[Long]("pack_offset"))).toMap
+    // per shard: tokens_before is the prefix sum in id order, offsets consistent
+    packed.groupBy(_._2._1).foreach { case (_, docs) =>
+      val inOrder = docs.toSeq.sortBy(_._1)
+      var run = 0L
+      inOrder.foreach { case (id, (_, before, idx, off)) =>
+        assert(before == run, s"doc $id prefix sum")
+        assert(idx == before / 512 && off == before % 512)
+        run += 100L + id % 7
+      }
+    }
+    // partitioning-independence: identical placements after a reshuffle
+    val packed2 = Sampling.packSequences(corpus.repartition(11), "doc_id",
+      "n_tok", seqLen = 512, shards = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Long]("tokens_before"),
+          r.getAs[Long]("pack_idx"), r.getAs[Long]("pack_offset"))).toMap
+    assert(packed == packed2)
+  }
+
   test("multimodal: empty payloads decode to zero features, not a crash") {
     val (w, h, c, f) = Multimodal.decodeStub(Array.empty[Byte])
     assert(f.toSeq == Seq.fill(8)(0.0f) && c == 3 && w == 16 && h == 16)
