@@ -125,6 +125,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
+  /** Verified near-duplicate edges — the composed front half of the dedup
+    * clustering pipeline: MinHash-LSH band candidates (distinct pairs from
+    * id-only buckets), each scored ONCE by exact distinct-shingle Jaccard
+    * against per-doc shingles joined back by id, kept at
+    * `jaccard >= minJaccard`. Feeds [[graft.operators.ConnectedComponents]]
+    * for clustering and survivor selection. */
+  def nearDupEdges(docs: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("__sh"))
+    val cand = minhashCandidatePairs(
+      minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand), idCol)
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("__jac", inter.cast("double")
+        / (size(col("__sha")) + size(col("__shb")) - inter).cast("double"))
+      .filter(col("__jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** SimHash signature (Charikar 2002) from per-token 60-bit base hashes:
     * bit j of the signature is the sign of the sum over tokens of the +-1
     * vote carried by BIT j of each token's base hash — one md5 per token

@@ -84,23 +84,10 @@ object LlmQueries {
     // connected components (duplicate GROUPS, not just pairs). The oracle
     // replays label propagation as a recursive transitive-closure CTE.
     Q("dedup_components", "LLM",
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val sh = docs.select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        val cand = Dedup.minhashCandidatePairs(
-          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
-        val inter = size(array_intersect(col("sha"), col("shb")))
-        val edges = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-          .withColumn("jac", inter.cast("double")
-            / (size(col("sha")) + size(col("shb")) - inter).cast("double"))
-          .filter(col("jac") >= 0.8)
-          .select(col("id_a"), col("id_b"))
-        graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
-          .orderBy("node")
-      },
+      (s, d) => graft.operators.ConnectedComponents.run(
+          Dedup.nearDupEdges(Tables(s, d, "documents"), "doc_id", "text"),
+          "id_a", "id_b")
+        .orderBy("node"),
       Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
               |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
@@ -126,19 +113,8 @@ object LlmQueries {
     Q("dedup_corpus_survivors", "LLM",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val sh = docs.select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        val cand = Dedup.minhashCandidatePairs(
-          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
-        val inter = size(array_intersect(col("sha"), col("shb")))
-        val edges = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-          .withColumn("jac", inter.cast("double")
-            / (size(col("sha")) + size(col("shb")) - inter).cast("double"))
-          .filter(col("jac") >= 0.8)
-          .select(col("id_a"), col("id_b"))
-        val comp = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
+        val comp = graft.operators.ConnectedComponents.run(
+          Dedup.nearDupEdges(docs, "doc_id", "text"), "id_a", "id_b")
         val keep = col("component").isNull || col("component") === col("doc_id")
         docs.join(comp, docs("doc_id") === comp("node"), "left")
           .groupBy(col("source"))
