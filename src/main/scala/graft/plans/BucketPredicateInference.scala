@@ -103,6 +103,18 @@ case class BucketPredicateInference(
     case LessThanOrEqual(Literal(v, _), a) if isId(a) => longOf(v).map(x => (Some(x), None))
     case LessThan(Literal(v, _), a) if isId(a) => longOf(v).map(x => (Some(x), None))
     case EqualTo(Literal(v, _), a) if isId(a) => longOf(v).map(x => (Some(x), Some(x)))
+    // IN lists (and their optimized InSet form): bounded by the extreme
+    // members — conservative (buckets between min and max may not contain a
+    // member, but none outside can), which is all this rule ever promises
+    case In(a, values) if isId(a) && values.nonEmpty
+        && values.forall(_.isInstanceOf[Literal]) =>
+      val longs = values.map { case Literal(v, _) => longOf(v) }
+      if (longs.exists(_.isEmpty)) None
+      else Some((Some(longs.flatten.min), Some(longs.flatten.max)))
+    case InSet(a, hset) if isId(a) && hset.nonEmpty =>
+      val longs = hset.toSeq.map(longOf)
+      if (longs.exists(_.isEmpty)) None
+      else Some((Some(longs.flatten.min), Some(longs.flatten.max)))
     case _ => None
   }
 

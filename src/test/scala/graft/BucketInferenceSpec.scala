@@ -85,6 +85,25 @@ class BucketInferenceSpec extends SparkSpec {
     }
   }
 
+  test("IN-list predicates derive bucket bounds from the extreme members") {
+    withRule {
+      val q = spark.read.parquet(sink)
+        .filter(col("block_id").isin(4242, 4243, 5251))
+      val pf = q.queryExecution.executedPlan.toString
+        .replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      assert(pf.contains("block_id_group"), s"no derived bucket bounds:\n$pf")
+      assert(q.count() == 3)
+      // large IN lists optimize to InSet — bounds must still derive
+      val many = (4000 to 4300) :+ 6001
+      val q2 = spark.read.parquet(sink)
+        .filter(col("block_id").isin(many: _*))
+      val pf2 = q2.queryExecution.executedPlan.toString
+        .replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      assert(pf2.contains("block_id_group"), s"no derived InSet bounds:\n$pf2")
+      assert(q2.count() == many.length)
+    }
+  }
+
   test("huge id literal over an Int bucket column saturates, never wraps") {
     withRule {
       // floorDiv(3e12, 1000) = 3e9 exceeds Int.MaxValue. The partition
