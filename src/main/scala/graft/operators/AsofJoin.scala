@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, attach the latest right row whose
-  * timestamp is <= the left row's timestamp, per key — the generalized form
+/** As-of join, backward and forward: for each left row, attach the latest
+  * right row whose timestamp is <= the left row's (backward) or the earliest
+  * whose timestamp is >= it (forward), per key — the generalized form
   * of the reference's timestamp->block watermark lookup
   * (ref: scripts/eth_cassandra_streaming.py:199-216, which is the k=1 scalar
   * case over the block table).
@@ -40,7 +41,26 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String],
-               tieBreak: String): DataFrame = {
+               tieBreak: String): DataFrame =
+    asofImpl(left, right, keyCols, leftTs, rightTs, valueCols, tieBreak,
+      forward = false)
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * whose timestamp is >= the left row's timestamp, per key ("next event
+    * at-or-after" — e.g. next price tick, next block). Same single-shuffle
+    * union+window shape as [[backward]], with the window ordered by
+    * descending timestamp so "last value at-or-before" becomes "first value
+    * at-or-after". Tie-break among right rows sharing (key, ts) is the same
+    * highest-`tieBreak`-wins rule, applied before the union. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTs: String, rightTs: String, valueCols: Seq[String],
+              tieBreak: String): DataFrame =
+    asofImpl(left, right, keyCols, leftTs, rightTs, valueCols, tieBreak,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTs: String, rightTs: String, valueCols: Seq[String],
+                       tieBreak: String, forward: Boolean): DataFrame = {
     val reserved = Seq("__ts", "__side", "__asof") ++ valueCols.map(c => s"asof_$c")
     val clash = left.columns.intersect(reserved)
     require(clash.isEmpty,
@@ -67,8 +87,13 @@ object AsofJoin {
         :+ struct(valueCols.map(col): _*).as("__asof")).toIndexedSeq: _*)
 
     val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    // ascending ts: preceding rows are those at-or-before (backward);
+    // descending ts: preceding rows are those at-or-after (forward). In
+    // both, side 0 sorts before side 1 at equal ts, so an equal-ts right
+    // row qualifies (<= / >= semantics).
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(key: _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(tsOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))

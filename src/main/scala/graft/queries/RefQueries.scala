@@ -706,6 +706,35 @@ object RefQueries {
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // The forward direction: the EARLIEST click at-or-after each purchase
+    // per user ("next event" lookups). Same one-shuffle union+window shape,
+    // window ordered by descending timestamp. DuckDB verifies with its
+    // native forward ASOF (l.ts <= r.ts).
+    Q("j_asof_forward", "S5",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val left = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("rts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.operators.AsofJoin.forward(left, right, Seq("user_id"),
+            leftTs = "ts", rightTs = "rts",
+            valueCols = Seq("click_id", "click_value"), tieBreak = "click_id")
+          .select(col("event_id"), col("user_id"), col("asof_click_id"),
+            round(col("asof_click_value") * 100).cast("long").as("asof_click_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, ts, event_id AS click_id, value FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, click_id, value FROM (
+             |        SELECT r0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) AS rn
+             |        FROM r0) WHERE rn = 1)
+             |SELECT l.event_id, l.user_id, r.click_id AS asof_click_id,
+             |       CAST(round(r.value * 100) AS BIGINT) AS asof_click_cents
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // K5, DDL-executor form: render each registry entry as CREATE TABLE DDL
     // (the engine-side analogue of the reference feeding schema.cql to its
     // DDL executor). Oracle transcribed by hand from the contract.

@@ -58,6 +58,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("asof_click_id")))
   }
 
+  test("as-of forward: earliest right at-or-after; equal ts matches; none after -> null") {
+    val left = Seq(
+      (1L, 10L, ts(100)), // click exactly at 100 -> matches (>=)
+      (2L, 10L, ts(250)), // next click at 300
+      (3L, 10L, ts(301)), // nothing after -> null
+      (4L, 20L, ts(50)))  // user 20 has no click at all -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(100), 101L, 1.0),
+      (10L, ts(200), 102L, 2.0),
+      (10L, ts(300), 103L, 3.0))
+      .toDF("user_id", "rts", "click_id", "click_value")
+    val out = AsofJoin.forward(left, right, Seq("user_id"), "ts", "rts",
+        Seq("click_id", "click_value"), tieBreak = "click_id")
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("asof_click_id"))).toSeq ==
+      Seq(Some(101L), Some(103L), None, None))
+  }
+
   test("connected components: empty edge list yields empty labeling") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.ConnectedComponents.run(empty, "id_a", "id_b").count() == 0)
