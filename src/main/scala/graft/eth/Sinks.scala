@@ -247,6 +247,43 @@ object Sinks {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** K4 over the reference tree, partition-pruned: read only the file
+    * windows a block range can touch. The tree's layout is pure arithmetic
+    * (`%08d-%08d` dirs, `<prefix>_%08d-%08d.csv.gz` files), so the touched
+    * paths are COMPUTED, never discovered — a point read from a
+    * 100k-file tree lists nothing and opens one file, the CSV-tree analog
+    * of parquet partition pruning. Windows absent on disk (sparse exports)
+    * are skipped via one existence probe per candidate window — bounded by
+    * the range, not the tree. The row-level `between` filter then trims the
+    * window edges. */
+  def readReferenceCsvRange(spark: SparkSession, dir: String, table: String,
+                            lo: Long, hi: Long,
+                            schema: StructType,
+                            fileBatchSize: Long = 1000L,
+                            partitionBatchSize: Long = 1000000L,
+                            blockIdCol: String = "block_id"): DataFrame = {
+    require(hi >= lo, s"empty range [$lo, $hi]")
+    val prefix = csvFilePrefix(table)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = (lo / fileBatchSize * fileBatchSize to hi by fileBatchSize)
+      .map { flo =>
+        val pStart = flo / partitionBatchSize * partitionBatchSize
+        val pEnd = pStart + partitionBatchSize - 1
+        f"$dir/$pStart%08d-$pEnd%08d/${prefix}_$flo%08d-${flo + fileBatchSize - 1}%08d.csv.gz"
+      }
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("delimiter", csvDelimiter(table))
+      .option("nullValue", "")
+      .csv(paths: _*)
+      .filter(col(blockIdCol).between(lo, hi))
+  }
+
   /** K4: the CSV read-back contract — gzip, header, per-table delimiter,
     * empty-string nulls, explicit schema (CSV carries no types). */
   def readCsv(spark: SparkSession, path: String, table: String,

@@ -520,7 +520,11 @@ object RefQueries {
           StructField("timestamp", IntegerType), StructField("transaction_count", ShortType),
           StructField("base_fee_per_gas", StringType), StructField("block_id", IntegerType),
           StructField("block_id_group", IntegerType), StructField("block_hash", StringType)))
-        Sinks.readCsv(s, s"$out/00000000-00999999/block_*.csv.gz", "block", sch)
+        // pruned ranged read-back: file paths computed from the range, no
+        // tree listing (the dir name in each computed path IS the layout
+        // assertion)
+        Sinks.readReferenceCsvRange(s, out, "block", 0, 299, sch,
+            fileBatchSize = 100)
           .select(col("block_id_group"), col("block_id"), col("block_hash"),
             col("difficulty").cast("long").as("difficulty_l"), col("gas_used"),
             col("timestamp"), col("transaction_count"))

@@ -178,5 +178,20 @@ class SinksSpec extends SparkSpec {
     Sinks.writeReferenceCsvLayout(df, out, "transaction", 0, 2999,
       fileBatchSize = 1000, partitionBatchSize = 2000)
     assert(new java.io.File(s"$out/00000000-00001999").listFiles().length == 2)
+
+    // pruned ranged read-back: touched file paths are computed from the
+    // range (no tree listing); row filter trims the window edges
+    val sch = StructType(Seq(
+      StructField("block_id", LongType), StructField("v", LongType)))
+    val mid = Sinks.readReferenceCsvRange(spark, out, "transaction",
+      500, 2499, sch, fileBatchSize = 1000, partitionBatchSize = 2000)
+    // windows 0-999 (trimmed to 500+), 1000-1999 (header-only, 0 rows),
+    // 2000-2999 (trimmed to <=2499)
+    assert(mid.count() == 500 + 0 + 500)
+    assert(mid.agg(min(col("block_id")), max(col("block_id"))).collect()(0)
+      .toSeq == Seq(500L, 2499L))
+    // a range entirely outside the exported span reads as empty
+    assert(Sinks.readReferenceCsvRange(spark, out, "transaction",
+      9000, 9999, sch, 1000, 2000).count() == 0)
   }
 }
