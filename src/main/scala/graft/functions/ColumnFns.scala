@@ -74,14 +74,15 @@ object ColumnFns {
   /** Word k-shingles of a token array. Documents shorter than k tokens
     * collapse to a single whole-document shingle so every doc gets >= 1
     * shingle (MinHash requires a non-empty set).
+    *
+    * Backed by the native [[ShinglesExpr]] (one pass, one string per gram);
+    * bit-identical to the composable
+    * `transform(sequence(...), i -> concat_ws(" ", slice(toks, i+1, k)))`
+    * chain it replaces (equivalence locked by ColumnFnsSpec).
     */
-  def shingles(toks: Column, k: Int): Column = {
-    val slid = transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-    when(size(toks) >= k, slid)
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shingles(toks: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShinglesExpr(org.apache.spark.sql.GraftColumnBridge.expression(toks), k))
 
   /** Order-sensitive rolling fingerprint of a token array:
     * `acc = (acc * 31 + md5Long(token)) mod 1e9+7`, seeded with 0.

@@ -54,6 +54,27 @@ class ColumnFnsSpec extends SparkSpec {
     assert(s0.toSeq != s1.toSeq)
   }
 
+  test("native shingles expression is bit-identical to the HOF chain") {
+    val df = Seq(
+      Seq("a", "b", "c", "d"), Seq("x", "y"), Seq("solo"), Seq.empty[String],
+      Seq("héllo", "🎉", "wörld", "z"))
+      .map(Tuple1(_)).toDF("ts")
+    val viaHof = {
+      val t = col("ts")
+      val slid = transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", slice(t, i + 1, lit(3))))
+      when(size(t) >= 3, slid).otherwise(array(concat_ws(" ", t)))
+    }
+    val out = df.select(shingles(col("ts"), 3).as("native"), viaHof.as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    // null tokens inside a gram are skipped (concat_ws semantics)
+    val withNull = Seq(Tuple1(Seq(Some("a"), None, Some("b"), Some("c"))))
+      .toDF("ts")
+      .select(shingles(col("ts"), 3).as("s")).collect()(0).getSeq[String](0)
+    assert(withNull == Seq("a b", "b c")) // grams [a,null,b] and [null,b,c]
+  }
+
   test("native md5Long expression is bit-identical to the hex-string formula") {
     // the contract every DuckDB oracle relies on: md5Long(x) ==
     // conv(substring(md5(x),1,15),16,10) — exercised over ASCII, unicode
