@@ -54,11 +54,16 @@ object ConnectedComponents {
       // labels flowing across edges: b's label arrives at a
       val incoming = sym.join(labels, sym("b") === labels("node"))
         .select(sym("a").as("node"), col("component"))
+      // the convergence sum rides an Observation on the checkpoint's own
+      // evaluation — one job per iteration, not a checkpoint job plus a
+      // separate aggregate job over the checkpointed data
+      val obs = new org.apache.spark.sql.Observation()
       val updated = labels.select(col("node"), col("component"))
         .union(incoming)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .observe(obs, sum(col("component")).as("label_sum"))
         .localCheckpoint(true)
-      val newSum = updated.agg(sum(col("component"))).collect()(0).getLong(0)
+      val newSum = obs.get("label_sum").asInstanceOf[Number].longValue()
       labels = updated
       converged = newSum == prevSum // labels are monotone non-increasing
       prevSum = newSum
