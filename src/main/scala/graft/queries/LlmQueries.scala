@@ -570,6 +570,19 @@ object LlmQueries {
              |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Streaming shape 1b: SLIDING windows (overlapping — each event lands
+    // in len/slide windows). The oracle expands the window membership by
+    // epoch-grid arithmetic, exactly Spark's alignment.
+    Q("stream_sliding_window", "STREAM",
+      (s, d) => StreamingOps.slidingEventStats(Tables(s, d, "events"))
+        .orderBy("ws", "event_type"),
+      Some("""WITH w AS (SELECT event_type, value,
+             |         to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - k.k * 1800 AS BIGINT)) AS ws
+             |       FROM events, (SELECT unnest(range(0, 2)) AS k) k)
+             |SELECT CAST(ws AS TIMESTAMP) AS ws, event_type, count(*) AS n,
+             |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Repetition detection (Gopher-style quality rule): share of repeated
     // word trigrams per document — boilerplate and degenerate text score
     // high. One scan, per-row array ops.

@@ -25,6 +25,22 @@ object StreamingOps {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("w.start").as("ws"), col(keyCol), col("n"), col("value_cents"))
 
+  /** Sliding-window counts/sums per key: overlapping windows of
+    * `windowLength` every `slide` (each event lands in
+    * windowLength/slide windows — Spark's `window(ts, len, slide)` expands
+    * the membership set per row, grid-aligned to the epoch, which is what
+    * the SQL oracle reproduces arithmetically). Streaming-ready the same
+    * way as [[windowedEventStats]]. */
+  def slidingEventStats(events: DataFrame, windowLength: String = "1 hour",
+                        slide: String = "30 minutes",
+                        tsCol: String = "ts",
+                        keyCol: String = "event_type"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowLength, slide).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("ws"), col(keyCol), col("n"), col("value_cents"))
+
   /** T3's event-time watermark analogue for live streams: tolerate
     * `delay` of out-of-order data, drop later. */
   def withLateDataWatermark(events: DataFrame, tsCol: String = "ts",
