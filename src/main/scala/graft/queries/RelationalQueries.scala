@@ -510,6 +510,25 @@ object RelationalQueries {
              |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Statistical moments per group: sample stddev/variance and the
+    // bivariate corr/covar pair — identical sample definitions in both
+    // engines; round(6) absorbs merge-order double noise (values are O(1)
+    // to O(10^2), so 1e-6 is ~8 orders above the accumulation error).
+    Q("agg_stats_moments", "A",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+             |       round(var_samp(l_quantity), 6) AS var_qty,
+             |       round(corr(l_quantity, l_discount), 6) AS corr_qd,
+             |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Correlated scalar subquery through the SQL front end.
     Q("subq_correlated", "SUBQ",
       (s, d) => {
