@@ -16,6 +16,19 @@ class LlmSpec extends SparkSpec {
     (4L, "unrelated content in another bucket entirely now ok", "b1"))
     .toDF("doc_id", "text", "bucket")
 
+  test("llm operators tolerate an empty corpus (no crash, zero rows)") {
+    val empty = docs.filter($"doc_id" < 0)
+    assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashBands(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupEdges(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", Seq("bucket")).count() == 0)
+    val rates = Seq(("b0", 0.5)).toDF("stratum", "rate")
+    assert(Sampling.stratified(empty, "doc_id", "bucket", rates).count() == 0)
+    assert(Sampling.packSequences(
+      empty.select($"doc_id", lit(1L).as("n")), "doc_id", "n", 100).count() == 0)
+    assert(TextAnalysis.tfIdf(empty, "doc_id", "text").count() == 0)
+  }
+
   test("exact dedup: one survivor per distinct content, dup_count correct") {
     val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(out.length == 4)
