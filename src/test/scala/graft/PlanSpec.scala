@@ -121,6 +121,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("dynamic partition pruning fires on the bucketed sink") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fact partitioned by the engine's bucket layout, dim filterable on its
+    // own column: the join must prune fact PARTITIONS at runtime from the
+    // dim's surviving keys — at 100 TB this is the difference between
+    // scanning 2 directories and scanning 100k
+    val base = java.nio.file.Files.createTempDirectory("plan_dpp").toString
+    val fact = spark.range(0, 100000).toDF("block_id")
+      .withColumn("block_id_group",
+        graft.functions.ColumnFns.blockIdGroup(col("block_id")))
+    graft.eth.Sinks.writeBucketedParquet(fact, s"$base/fact",
+      "block_id_group", Seq("block_id"))
+    (0 until 100).map(g => (g, if (g == 3 || g == 7) "keep" else "drop"))
+      .toDF("g", "tag").write.parquet(s"$base/dim")
+    val q = spark.read.parquet(s"$base/fact")
+      .join(spark.read.parquet(s"$base/dim").filter(col("tag") === "keep"),
+        col("block_id_group") === col("g"))
+    assert(q.count() == 2000)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning:\n$p")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("plan_bloom").toString
+    import spark.implicits._
+    spark.range(0, 100000).toDF("block_id").write.parquet(s"$base/t")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.read.parquet(s"$base/t")
+      val sel = spark.read.parquet(s"$base/t")
+        .filter(col("block_id") % 97 === 0).select(col("block_id").as("bid"))
+      val q = big.join(sel, col("block_id") === col("bid"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     // one hot key (90% of the left side) + thresholds tuned down so the
     // local-scale skew is visible to AQE; the final plan marks the join
