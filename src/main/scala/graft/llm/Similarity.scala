@@ -163,6 +163,24 @@ object Similarity {
         round(col("__s").cast("double") / (col("n_members") * 1000), 6).as("mean"),
         col("n_members"))
 
+  /** Mean-pool vectors per group (chunk embeddings -> one document
+    * embedding, the standard pooling step of embedding pipelines): the
+    * same transpose-aggregate shape as [[kmeansStep]] — `posexplode` ->
+    * partial sums on (group, dim) — so shuffle cardinality is
+    * groups×dim and map-side combine carries the load; components are
+    * quantized to integer milli-units before summation for bit-determinism
+    * across engines and retries. Returns one row per (group, pos). */
+  def meanPool(df: DataFrame, groupCol: String,
+               vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__p0", "__v")))
+      .select(col(groupCol), (col("__p0") + 1).as("pos"),
+        round(col("__v").cast("double") * 1000).cast("long").as("__mv"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("__mv")).as("__s"), count(lit(1)).as("n_pooled"))
+      .select(col(groupCol), col("pos"),
+        round(col("__s").cast("double") / (col("n_pooled") * 1000), 6).as("mean"),
+        col("n_pooled"))
+
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is
     * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher

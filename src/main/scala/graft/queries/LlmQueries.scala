@@ -355,6 +355,22 @@ object LlmQueries {
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // Embedding mean-pooling (chunk embeddings -> document embedding): the
+    // transpose-aggregate shape — shuffle cardinality groups x dim, never
+    // |vectors|; milli-unit quantization keeps it bit-deterministic.
+    Q("emb_mean_pool", "LLM",
+      (s, d) => Similarity.meanPool(
+          Tables(s, d, "embeddings").withColumn("grp", col("vec_id") % 16), "grp")
+        .orderBy("grp", "pos"),
+      Some("""WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
+             |x AS (SELECT grp, p.pos AS pos,
+             |        CAST(round(CAST(embedding[p.pos] AS DOUBLE) * 1000) AS BIGINT) AS mv
+             |      FROM e, (SELECT unnest(range(1, 65)) AS pos) p)
+             |SELECT grp, CAST(pos AS INTEGER) AS pos,
+             |       round(CAST(sum(mv) AS DOUBLE) / (count(*) * 1000), 6) AS mean,
+             |       count(*) AS n_pooled
+             |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // One k-means update step (spherical): broadcast-argmax assignment +
     // transpose-aggregate centroid recompute — the iterative-ML primitive
     // behind IVF index training, in its bounded-shuffle distributed form.
