@@ -153,14 +153,20 @@ object EthPipeline {
     // the reference rounds to FULL file windows and exits when none fit
     // ("No blocks to export", ref: eth_csv_export.py:506-511) — mirror that
     // here, also avoiding a J1 observation that no action would ever evaluate
-    if (startBlock / fileBatchSize * fileBatchSize >
-        (endBlock + 1) / fileBatchSize * fileBatchSize - 1)
+    val roundedStart = startBlock / fileBatchSize * fileBatchSize
+    val roundedEnd = (endBlock + 1) / fileBatchSize * fileBatchSize - 1
+    if (roundedStart > roundedEnd)
       return Map("transaction" -> 0L, "block" -> 0L, "log" -> 0L, "trace" -> 0L)
-    val blocks = readStream(spark, source, "block", startBlock, endBlock)
-    val txs = readStream(spark, source, "transaction", startBlock, endBlock)
-    val receipts = readStream(spark, source, "receipt", startBlock, endBlock)
-    val logs = readStream(spark, source, "log", startBlock, endBlock)
-    val traces = readStream(spark, source, "trace", startBlock, endBlock)
+    // the reference exports from rounded_start_block (eth_csv_export.py:505,
+    // 538), so its first window file is always COMPLETE — read the streams
+    // over the rounded range, not the caller's possibly-unaligned start,
+    // or blocks [roundedStart, startBlock) would be missing from a window
+    // file that a later resume (last covered block + 1) never revisits.
+    val blocks = readStream(spark, source, "block", roundedStart, roundedEnd)
+    val txs = readStream(spark, source, "transaction", roundedStart, roundedEnd)
+    val receipts = readStream(spark, source, "receipt", roundedStart, roundedEnd)
+    val logs = readStream(spark, source, "log", roundedStart, roundedEnd)
+    val traces = readStream(spark, source, "trace", roundedStart, roundedEnd)
 
     val j1Obs = new org.apache.spark.sql.Observation()
     val enriched = EthTransforms.formatTransactions(
@@ -200,9 +206,14 @@ object EthPipeline {
         table, startBlock, endBlock, fileBatchSize, partitionBatchSize,
         sortCols = sortKeys(table))
       if (table == "transaction") Enrich.assertNoMissingReceipts(j1Obs)
-      val glob = s"$outDir/*/${Sinks.csvFilePrefix(table)}_*.csv.gz"
+      // count ONLY this export's window files (computed paths, no glob):
+      // a resumed/incremental export into the same outDir must not fold
+      // prior ranges into this range's short-write check
+      val windows = Sinks.csvWindowPaths(outDir, table,
+        roundedStart, roundedEnd, fileBatchSize, partitionBatchSize)
       table -> spark.read.option("header", "true")
-        .option("delimiter", Sinks.csvDelimiter(table)).csv(glob).count()
+        .option("delimiter", Sinks.csvDelimiter(table))
+        .csv(windows: _*).count()
     }.toMap
     counts
   }

@@ -256,6 +256,22 @@ object Sinks {
     * are skipped via one existence probe per candidate window — bounded by
     * the range, not the tree. The row-level `between` filter then trims the
     * window edges. */
+  /** The computed per-window file paths of a block range in the reference
+    * tree — pure arithmetic over the `%08d-%08d` naming, no listing. Shared
+    * by [[readReferenceCsvRange]] and the export read-back count (which must
+    * count exactly the windows of ONE export, not everything a resumed
+    * export accumulated in the same tree). */
+  def csvWindowPaths(dir: String, table: String, lo: Long, hi: Long,
+                     fileBatchSize: Long = 1000L,
+                     partitionBatchSize: Long = 1000000L): Seq[String] = {
+    val prefix = csvFilePrefix(table)
+    (lo / fileBatchSize * fileBatchSize to hi by fileBatchSize).map { flo =>
+      val pStart = flo / partitionBatchSize * partitionBatchSize
+      val pEnd = pStart + partitionBatchSize - 1
+      f"$dir/$pStart%08d-$pEnd%08d/${prefix}_$flo%08d-${flo + fileBatchSize - 1}%08d.csv.gz"
+    }
+  }
+
   def readReferenceCsvRange(spark: SparkSession, dir: String, table: String,
                             lo: Long, hi: Long,
                             schema: StructType,
@@ -263,15 +279,10 @@ object Sinks {
                             partitionBatchSize: Long = 1000000L,
                             blockIdCol: String = "block_id"): DataFrame = {
     require(hi >= lo, s"empty range [$lo, $hi]")
-    val prefix = csvFilePrefix(table)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = (lo / fileBatchSize * fileBatchSize to hi by fileBatchSize)
-      .map { flo =>
-        val pStart = flo / partitionBatchSize * partitionBatchSize
-        val pEnd = pStart + partitionBatchSize - 1
-        f"$dir/$pStart%08d-$pEnd%08d/${prefix}_$flo%08d-${flo + fileBatchSize - 1}%08d.csv.gz"
-      }
+    val paths = csvWindowPaths(dir, table, lo, hi,
+        fileBatchSize, partitionBatchSize)
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (paths.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

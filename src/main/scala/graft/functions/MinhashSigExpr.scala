@@ -28,8 +28,7 @@ import org.apache.spark.sql.types._
 case class MinhashSigExpr(child: Expression, numHashes: Int)
   extends UnaryExpression {
 
-  require(numHashes >= 1 && numHashes <= MinhashSigExpr.MaxHashes,
-    s"numHashes must be in [1, ${MinhashSigExpr.MaxHashes}], got $numHashes")
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
@@ -55,9 +54,6 @@ object MinhashSigExpr {
   /** Mersenne prime 2^31-1: modulus of the affine permutations. */
   val MinhashP = 2147483647L
 
-  /** Coefficient cache bound (already far beyond useful signature widths). */
-  val MaxHashes = 256
-
   /** Plan-time 60-bit constant, derived exactly like
     * [[ColumnFns.md5Long]] but evaluated on the driver. */
   private def planConst(tag: String): Long =
@@ -68,13 +64,22 @@ object MinhashSigExpr {
   def coeffA(h: Int): Long = planConst(s"mh-a-$h") % (MinhashP - 1) + 1
   def coeffB(h: Int): Long = planConst(s"mh-b-$h") % MinhashP
 
-  private lazy val A: Array[Long] = Array.tabulate(MaxHashes)(coeffA)
-  private lazy val B: Array[Long] = Array.tabulate(MaxHashes)(coeffB)
+  // Per-width coefficient cache, grown on demand: any signature width is
+  // supported (coeffA/coeffB are pure), the md5 derivation just runs once
+  // per width per JVM instead of once per row. TrieMap getOrElseUpdate may
+  // race to compute a width twice; the value is deterministic, so either
+  // winner is correct.
+  private val coeffCache =
+    scala.collection.concurrent.TrieMap.empty[Int, (Array[Long], Array[Long])]
+  private def coeffs(numHashes: Int): (Array[Long], Array[Long]) =
+    coeffCache.getOrElseUpdate(numHashes,
+      (Array.tabulate(numHashes)(coeffA), Array.tabulate(numHashes)(coeffB)))
 
   /** One pass over the base array, updating all `numHashes` minima per
     * element. Null elements are skipped (array_min semantics); if no
     * non-null element exists, every signature slot is null. */
   def compute(bases: ArrayData, numHashes: Int): ArrayData = {
+    val (ca, cb) = coeffs(numHashes)
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var found = false
@@ -86,7 +91,7 @@ object MinhashSigExpr {
         val b = bases.getLong(i)
         var h = 0
         while (h < numHashes) {
-          val v = (A(h) * b + B(h)) % MinhashP
+          val v = (ca(h) * b + cb(h)) % MinhashP
           if (v < mins(h)) mins(h) = v
           h += 1
         }

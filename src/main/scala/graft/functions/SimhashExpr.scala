@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -17,7 +19,10 @@ import org.apache.spark.sql.types._
   * a null bit-test (the engine's bases come from non-null tokens, so
   * this is a corner-case-parity detail, not a live path). Ties
   * (vote == 0, including the empty array) give bit 0, matching
-  * `when(vote > 0, ...)`.
+  * `when(vote > 0, ...)`. A NULL base array yields 0L, matching the
+  * aggregate form's zero accumulator over nothing — so null-text
+  * documents land in the all-zero-signature cluster with empty-text
+  * documents rather than dropping out of dedup.
   */
 case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
 
@@ -26,17 +31,31 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // NULL input maps to 0L, never to null (legacy-chain parity, see above)
+  override def nullable: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"simhash requires array<bigint> base hashes, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    SimhashExpr.compute(input.asInstanceOf[ArrayData], bits)
+  override def eval(input: InternalRow): Any = child.eval(input) match {
+    case null => 0L
+    case bases => SimhashExpr.compute(bases.asInstanceOf[ArrayData], bits)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashExpr.compute($c, $bits)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} =
+          ${childGen.isNull}
+            ? 0L
+            : graft.functions.SimhashExpr.compute(${childGen.value}, $bits);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.MapType
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Skew mitigation helpers.
   *
@@ -33,11 +33,20 @@ object Skew {
     * `rand()`/`monotonically_increasing_id`, which re-salt recomputed rows
     * and corrupt counts across a shuffle retry) — provided the input plan
     * is deterministic, the same precondition every Spark shuffle already
-    * relies on. Map-typed columns are excluded (Spark forbids hashing maps).
+    * relies on. Map-bearing columns are excluded (Spark forbids hashing
+    * maps at ANY nesting depth — array<map<...>> and struct fields
+    * included), so the check recurses.
     */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType => true
+    case ArrayType(et, _) => containsMap(et)
+    case StructType(fields) => fields.exists(f => containsMap(f.dataType))
+    case _ => false
+  }
+
   private[graft] def rowSalt(df: DataFrame, salts: Int): Column = {
     val hashable = df.schema.fields
-      .filterNot(_.dataType.isInstanceOf[MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name)).toIndexedSeq
     pmod(hash((spark_partition_id() +: hashable): _*), lit(salts))
   }

@@ -320,12 +320,20 @@ object RefQueries {
       Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5")),
 
     // O5/T1: micro-batch range loop — union of per-range slices covers the
-    // whole table exactly once (batch-size invariance).
+    // whole table exactly once (batch-size invariance). The batch size
+    // scales with the key range so the plan holds a BOUNDED number of
+    // slices (~16) at any sf: each slice is a separate scan subplan, and a
+    // slice count growing linearly with data size (4096-key batches were
+    // ~150 scans at sf0.1) is exactly the shape that would not survive
+    // 100×. The real T1 pipeline runs one job per batch; this query checks
+    // the range-plan invariance, which 16 boundaries exercise as well as
+    // 150 did.
     Q("o5_union_batches", "O5",
       (s, d) => {
         val li = Tables(s, d, "lineitem")
         val hi = Ingest.maxIngestedBlock(li, "l_orderkey").getOrElse(0L)
-        val slices = Ingest.planRanges(0L, hi, 4096L).map { case (lo, hi2) =>
+        val batch = math.max(4096L, hi / 16 + 1)
+        val slices = Ingest.planRanges(0L, hi, batch).map { case (lo, hi2) =>
           li.filter(col("l_orderkey").between(lo, hi2))
         }
         slices.reduce(_ union _)

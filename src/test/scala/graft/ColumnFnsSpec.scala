@@ -55,9 +55,14 @@ class ColumnFnsSpec extends SparkSpec {
   }
 
   test("native shingles expression is bit-identical to the HOF chain") {
-    val df = Seq(
+    // includes a NULL token array: the chain's when(null >= k) falls to
+    // otherwise and concat_ws skips the null array, giving [""] — the
+    // native kernel must match, so null-text docs cluster with empty-text
+    // docs in dedup banding instead of silently dropping out
+    val df = (Seq(
       Seq("a", "b", "c", "d"), Seq("x", "y"), Seq("solo"), Seq.empty[String],
       Seq("héllo", "🎉", "wörld", "z"))
+      .map(Option(_)) :+ None)
       .map(Tuple1(_)).toDF("ts")
     val viaHof = {
       val t = col("ts")

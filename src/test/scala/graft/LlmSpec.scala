@@ -97,10 +97,24 @@ class LlmSpec extends SparkSpec {
       Dedup.simhashFromBases(col("b"), bits).as("native"),
       composable.as("viaAgg")).collect()
     out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
-    // empty array -> all votes tie at 0 -> signature 0, both forms
-    val empty = Seq(Tuple1(Seq.empty[Long])).toDF("b")
-      .select(Dedup.simhashFromBases(col("b"), bits)).collect()(0)
-    assert(empty.getLong(0) == 0L)
+    // empty array -> all votes tie at 0 -> signature 0, both forms; a NULL
+    // base array also gives 0L (the aggregate chain's zero accumulator over
+    // nothing), so null-text docs land with empty-text docs, not dropped
+    val edge = (Seq(Some(Seq.empty[Long])) :+ None).map(Tuple1(_)).toDF("b")
+      .select(Dedup.simhashFromBases(col("b"), bits)).collect()
+    assert(edge.forall(r => !r.isNullAt(0) && r.getLong(0) == 0L))
+  }
+
+  test("minhash signature width beyond the coefficient cache (>256)") {
+    // coefficients are computed on demand for any width — a 300-hash
+    // signature must work and stay consistent with the per-h formula
+    import graft.llm.Dedup.{minhashA, minhashB, MinhashP}
+    val wide = Seq(Tuple1(Seq(7L, 99L, 12345L))).toDF("b")
+      .select(Dedup.minhashSignatureFromBases(col("b"), 300).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(wide.length == 300)
+    assert(wide(299) ==
+      Seq(7L, 99L, 12345L).map(b => (minhashA(299) * b + minhashB(299)) % MinhashP).min)
   }
 
   test("ngram jaccard pairs: identity = 1.0, within-bucket only") {

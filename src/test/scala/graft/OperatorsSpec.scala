@@ -135,6 +135,19 @@ class OperatorsSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("salt skips map-bearing columns at any nesting depth") {
+    // Spark's hash() rejects MapType recursively — array<map> and a map
+    // inside a struct must be excluded from the salt too, not just
+    // top-level maps, or saltedSum fails analysis on such frames
+    val df = Seq((1, 10L), (1, 32L), (2, 5L)).toDF("k", "v")
+      .withColumn("m", map(lit("a"), lit(1)))
+      .withColumn("am", array(map(lit("b"), lit(2))))
+      .withColumn("sm", struct(lit(1).as("x"), map(lit("c"), lit(3)).as("mm")))
+    val out = Skew.saltedSum(df, Seq("k"), "v", salts = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 42L, 2 -> 5L))
+  }
+
   test("tf-idf: corpus-wide terms get idf 0; rarer terms weigh more") {
     val docs = Seq(
       (0L, "common alpha"), (1L, "common beta"), (2L, "common beta gamma"))

@@ -157,9 +157,28 @@ class PipelineSpec extends SparkSpec {
     assert(graft.eth.Ingest.resumeCsvExport(spark, out) == Some(200L))
     assert(graft.eth.Ingest.resumeCsvExport(spark, out2).isEmpty)
     assert(graft.eth.Ingest.resumeCsvExport(spark, s"$out2/absent").isEmpty)
-    // and a follow-up export from the resume point extends the same tree
-    EthPipeline.exportCsvRange(spark, out, 200, 299, fileBatchSize = 100)
+    // and a follow-up export from the resume point extends the same tree —
+    // its read-back counts cover ONLY the new range's window files, not the
+    // cumulative tree (a whole-tree glob would report 300 here and mask a
+    // short write of the new range)
+    val more = EthPipeline.exportCsvRange(spark, out, 200, 299, fileBatchSize = 100)
+    assert(more("block") == 100, more)
+    assert(more("transaction") == expectedTxs(200, 299))
     assert(graft.eth.Ingest.resumeCsvExport(spark, out) == Some(300L))
+  }
+
+  test("CSV export from an unaligned start rounds DOWN and writes complete windows") {
+    // the reference re-exports from rounded_start_block (eth_csv_export.py:
+    // 505,538): asking for [250, 499] must produce a COMPLETE 200-299
+    // window file, not one missing blocks 200-249 — a later resume
+    // (last covered block + 1 = 500) would never revisit them
+    val out = Files.createTempDirectory("pipeline_csv_unaligned").toString
+    val counts = EthPipeline.exportCsvRange(spark, out, 250, 499, fileBatchSize = 100)
+    assert(counts("block") == 300, counts) // 200..499: rounded-down start
+    val firstWindow = spark.read.option("header", "true")
+      .csv(s"$out/00000000-00999999/block_00000200-00000299.csv.gz")
+    assert(firstWindow.count() == 100)
+    assert(graft.eth.Ingest.resumeCsvExport(spark, out) == Some(500L))
   }
 
   test("J1 observation covers non-overlap rows in a mid-bucket upsert re-ingest") {
