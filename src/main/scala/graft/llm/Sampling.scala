@@ -43,6 +43,27 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Per-row weighted deterministic sampling: keep a row iff
+    * `hash(id) mod granularity < round(weight * granularity)`, with the
+    * weight a per-row COLUMN in [0,1] (vs [[stratified]]'s per-stratum
+    * lookup) — the shape quality-weighted corpus sampling takes, where
+    * each document's keep probability comes from its own quality score.
+    *
+    * Scale shape: one scan, one codegen'd filter, no shuffle, no join —
+    * composes with any partitioning. Same cross-engine hash as the rest
+    * of the sampling family, so the kept set is replay- and
+    * oracle-stable. Weights outside [0,1] are clamped.
+    */
+  def weighted(df: DataFrame, idCol: String,
+               weight: org.apache.spark.sql.Column,
+               granularity: Long = 1000000L): DataFrame = {
+    require(granularity > 0, s"granularity must be positive, got $granularity")
+    val threshold = round(
+      greatest(least(weight, lit(1.0)), lit(0.0)) * granularity).cast("long")
+    df.filter(
+      pmod(md5Long(col(idCol).cast("string")), lit(granularity)) < threshold)
+  }
+
   /** Deterministic sequence packing: assign each document a (shard,
     * pack_idx, pack_offset) placement in the concat-and-chunk layout
     * pretraining uses — all documents of a shard concatenated in id order,

@@ -139,6 +139,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("centroid_id"), col("rnk"), col("score"))
   }
 
+  /** Exact mean of milli-unit sums in integer MICRO-units:
+    * `sign(s) * (|s| * 1000 div n)` — truncating division of non-negative
+    * operands, where Spark's `div` and DuckDB's `//` agree (they differ on
+    * negative operands: trunc vs floor — hence the explicit sign split).
+    * A `round(s / (n*1000), 6)` double here hits engine-dependent behavior
+    * whenever the quotient lands EXACTLY on a half-ulp of the 6th decimal
+    * (Spark rounds via BigDecimal HALF_UP on the decimal string, DuckDB
+    * via float multiply-and-rint) — a tie one cell of one sf actually
+    * produced. Integer division has no ties. */
+  private def meanMicro(s: String, n: String): Column =
+    expr(s"CASE WHEN $s < 0 THEN -((-$s * 1000) div $n)" +
+      s" ELSE ($s * 1000) div $n END")
+
   /** One spherical k-means update step: assign each vector to its nearest
     * centroid ([[ivfAssign]]'s broadcast-argmax), then recompute each
     * centroid's per-dimension mean. The recompute uses the
@@ -149,7 +162,8 @@ object Similarity {
     * (up to 5e-4 absolute error per component — acceptable for a centroid
     * update) so the step is bit-deterministic across engines and retries —
     * a float sum would depend on reduction order. Returns one row per
-    * (centroid_id, pos): the new centroid coordinates plus member count. */
+    * (centroid_id, pos): the new centroid coordinate as an integer
+    * micro-unit mean ([[meanMicro]]) plus member count. */
   def kmeansStep(vectors: DataFrame, centroids: DataFrame,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame =
@@ -160,7 +174,7 @@ object Similarity {
       .groupBy(col("centroid_id"), col("pos"))
       .agg(sum(col("__mv")).as("__s"), count(lit(1)).as("n_members"))
       .select(col("centroid_id"), col("pos"),
-        round(col("__s").cast("double") / (col("n_members") * 1000), 6).as("mean"),
+        meanMicro("__s", "n_members").as("mean_micro"),
         col("n_members"))
 
   /** Mean-pool vectors per group (chunk embeddings -> one document
@@ -178,8 +192,65 @@ object Similarity {
       .groupBy(col(groupCol), col("pos"))
       .agg(sum(col("__mv")).as("__s"), count(lit(1)).as("n_pooled"))
       .select(col(groupCol), col("pos"),
-        round(col("__s").cast("double") / (col("n_pooled") * 1000), 6).as("mean"),
+        meanMicro("__s", "n_pooled").as("mean_micro"),
         col("n_pooled"))
+
+  /** Signed random projection (Johnson–Lindenstrauss / Achlioptas ±1
+    * variant): project `dim`-dimensional embeddings onto `outDim`
+    * md5-derived ±1 hyperplanes — the dimensionality-reduction step ahead
+    * of clustering or coarse similarity, and exactly the pre-threshold
+    * values of [[lshBucket]] (same [[planeWeights]] derivation, so SQL
+    * oracles reproduce the planes).
+    *
+    * Scale shape: plane weights are plan-time literals, each component is
+    * one codegen'd sequential dot product — one scan, zero shuffles, no
+    * per-row hashing of constants. Components are quantized to integer
+    * micro-units (one rounding per output value) so results are
+    * bit-deterministic across engines. Returns one row per (id, p). */
+  def randomProjection(df: DataFrame, dim: Int, outDim: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val w = planeWeights(dim, outDim)
+    val comps = (0 until outDim).map { p =>
+      val plane = array(w(p).map(lit).toIndexedSeq: _*)
+      struct(lit(p.toLong).as("p"),
+        round(dot(col(vecCol), plane) * 1000000d).cast("long").as("comp_micro"))
+    }
+    df.select(col(idCol), explode(array(comps.toIndexedSeq: _*)).as("__c"))
+      .select(col(idCol), col("__c.p").as("p"), col("__c.comp_micro"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the storage/
+    * serving compression step (8× smaller vectors, dot products in integer
+    * SIMD downstream): per-vector `scale = max(|v_i|)/127`, `q_i =
+    * floor(v_i/scale + 0.5)` (half-away-from-zero for the positive
+    * magnitudes that dominate; identical arithmetic in SQL), zero vectors
+    * quantize to all-zero with scale 0.
+    *
+    * One scan, zero shuffles, all per-row array expressions. Emits the
+    * quantized codes (comma-joined — top-level arrays are not
+    * oracle-comparable), the scale, and the max absolute reconstruction
+    * error, both in integer nano-units — the error column is the built-in
+    * quality audit (err <= scale/2 by construction). */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) / 127d
+    val qs = when(col("__scale") === 0d,
+        transform(v, _ => lit(0L)))
+      .otherwise(transform(v,
+        x => floor(x.cast("double") / col("__scale") + 0.5d).cast("long")))
+    val err = when(col("__scale") === 0d, lit(0d))
+      .otherwise(array_max(zip_with(col("__q"), v,
+        (q, x) => abs(q.cast("double") * col("__scale") - x.cast("double")))))
+    df.select(col(idCol), v, scale.as("__scale"))
+      .withColumn("__q", qs)
+      .select(col(idCol),
+        array_join(transform(col("__q"), _.cast("string")), ",").as("q"),
+        round(col("__scale") * 1000000000d).cast("long").as("scale_nano"),
+        round(err * 1000000000d).cast("long").as("err_nano"))
+  }
 
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is

@@ -367,7 +367,8 @@ object LlmQueries {
              |        CAST(round(CAST(embedding[p.pos] AS DOUBLE) * 1000) AS BIGINT) AS mv
              |      FROM e, (SELECT unnest(range(1, 65)) AS pos) p)
              |SELECT grp, CAST(pos AS INTEGER) AS pos,
-             |       round(CAST(sum(mv) AS DOUBLE) / (count(*) * 1000), 6) AS mean,
+             |       CAST(CASE WHEN sum(mv) < 0 THEN -((-sum(mv) * 1000) // count(*))
+             |                 ELSE (sum(mv) * 1000) // count(*) END AS BIGINT) AS mean_micro,
              |       count(*) AS n_pooled
              |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -396,7 +397,9 @@ object LlmQueries {
            |g AS (SELECT cid AS centroid_id, pos, CAST(sum(mv) AS BIGINT) AS s, count(*) AS n_members
            |      FROM e GROUP BY 1, 2)
            |SELECT centroid_id, CAST(pos AS INTEGER) AS pos,
-           |       round(CAST(s AS DOUBLE) / (n_members * 1000), 6) AS mean, n_members
+           |       CAST(CASE WHEN s < 0 THEN -((-s * 1000) // n_members)
+           |                 ELSE (s * 1000) // n_members END AS BIGINT) AS mean_micro,
+           |       n_members
            |FROM g ORDER BY centroid_id, pos""".stripMargin
       }),
 
@@ -679,6 +682,73 @@ object LlmQueries {
              |                                            ELSE 100000 END)
              |SELECT source, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-row weighted deterministic sampling: keep probability from the
+    // document's own (quality-proxy) score — here length-derived, capped
+    // at 400 chars. One scan + filter, no shuffle.
+    Q("sample_weighted", "LLM",
+      (s, d) => Sampling.weighted(Tables(s, d, "documents"), "doc_id",
+          least(col("n_chars"), lit(400L)) / 400.0)
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+             |      < CAST(round(least(n_chars, 400) / 400.0 * 1000000) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Signed (±1) random projection, the JL dimensionality-reduction step:
+    // 64-dim embeddings onto 8 md5-derived hyperplanes — the same planes
+    // the LSH bucketer thresholds, exposed as micro-unit components.
+    Q("emb_random_projection", "LLM",
+      (s, d) => Similarity.randomProjection(Tables(s, d, "embeddings"), 64, 8)
+        .orderBy("vec_id", "p"),
+      Some("""SELECT vec_id, p, CAST(round(list_sum(list_transform(range(1, 65), i ->
+             |         CAST(embedding[i] AS DOUBLE) *
+             |         (CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1
+             |               THEN 1.0 ELSE -1.0 END))) * 1000000) AS BIGINT) AS comp_micro
+             |FROM embeddings, (SELECT unnest(range(0, 8)) AS p) ORDER BY vec_id, p""".stripMargin)),
+
+    // Symmetric int8 quantization of embeddings (8× compression for
+    // storage/serving) with the max reconstruction error as a built-in
+    // quality audit — all per-row array math, zero shuffles.
+    Q("emb_quantize_int8", "LLM",
+      (s, d) => Similarity.quantizeInt8(Tables(s, d, "embeddings"))
+        .orderBy("vec_id"),
+      Some("""WITH s AS (SELECT vec_id, embedding AS e,
+             |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+             |       FROM embeddings),
+             |q AS (SELECT vec_id, e, scale,
+             |        CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+             |             ELSE list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) END AS qs
+             |      FROM s)
+             |SELECT vec_id,
+             |       array_to_string(list_transform(qs, x -> CAST(x AS VARCHAR)), ',') AS q,
+             |       CAST(round(scale * 1000000000) AS BIGINT) AS scale_nano,
+             |       CAST(round((CASE WHEN scale = 0 THEN 0
+             |                        ELSE list_max(list_transform(range(1, 65), i ->
+             |                               abs(qs[i] * scale - CAST(e[i] AS DOUBLE)))) END) * 1000000000) AS BIGINT) AS err_nano
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Ordered-stage funnel over the event log: view → click → purchase
+    // with strictly sequential timestamps; the rollup counts users
+    // reaching each stage. All shuffles key on user_id (one exchange,
+    // reused across stages).
+    Q("event_funnel", "STREAM",
+      (s, d) => graft.operators.Funnel.stageCounts(Tables(s, d, "events"),
+        Seq("view", "click", "purchase")),
+      Some("""WITH s0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+             |            FROM events WHERE event_type = 'view' GROUP BY 1),
+             |s1 AS (SELECT s0.user_id, t0,
+             |         min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= t0 THEN CAST(e.ts AS TIMESTAMP) END) AS t1
+             |       FROM s0 LEFT JOIN events e
+             |         ON e.user_id = s0.user_id AND e.event_type = 'click'
+             |       GROUP BY 1, 2),
+             |s2 AS (SELECT s1.user_id, t0, t1,
+             |         min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= t1 THEN CAST(e.ts AS TIMESTAMP) END) AS t2
+             |       FROM s1 LEFT JOIN events e
+             |         ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+             |       GROUP BY 1, 2, 3)
+             |SELECT count(t0) AS n_view, count(t1) AS n_click, count(t2) AS n_purchase
+             |FROM s2""".stripMargin)),
 
     // Sequence packing: concat-and-chunk placement (the pretraining data
     // layout) — per-shard running token sums, 2048-token chunks. Sharded by

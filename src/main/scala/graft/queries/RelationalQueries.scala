@@ -280,6 +280,115 @@ object RelationalQueries {
               |WHERE r_name = 'ASIA'
               |GROUP BY 1 ORDER BY revenue_cp DESC, n_name""".stripMargin)),
 
+    // TPC-H Q4 shape: order-priority checking — EXISTS correlated
+    // subquery as a LEFT SEMI join with a cross-table inequality (this
+    // schema has no l_commitdate/l_receiptdate, so the late-lineitem
+    // predicate is l_shipdate > o_orderdate).
+    Q("tpch_q4_priority", "TPCH",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(li, col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q6 shape: forecasting revenue change — single-table scan with
+    // a tight multi-predicate filter (all pushed down) and one global sum
+    // in exact cent×cent units.
+    Q("tpch_q6_forecast", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && cents(col("l_discount")).between(5, 7)
+          && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .as("revenue_cc")),
+      Some("""SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cc
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q12 shape: shipping-priority split — fact⋈orders with
+    // conditional integer counts (this schema has no l_shipmode; the
+    // grouping dimension is l_linestatus).
+    Q("tpch_q12_modal", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q14 shape: promotion effect — fact⋈broadcast(part), two
+    // conditional integer sums, and ONE final double division (a single
+    // rounding, so the percentage is engine-stable).
+    Q("tpch_q14_promo", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(Tables(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("PROMO"), revenueCp)
+            .otherwise(0L)).as("promo_cp"),
+          sum(revenueCp).as("total_cp"))
+        .select(col("promo_cp"), col("total_cp"),
+          round(col("promo_cp") * 100.0 / col("total_cp"), 6).as("promo_pct")),
+      Some(s"""WITH a AS (SELECT
+              |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revenueCpSql ELSE 0 END) AS BIGINT) AS promo_cp,
+              |  CAST(sum($revenueCpSql) AS BIGINT) AS total_cp
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
+              |SELECT promo_cp, total_cp,
+              |       round(promo_cp * 100.0 / total_cp, 6) AS promo_pct FROM a""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume customers — HAVING over a fact
+    // aggregate (map-side partials carry the load), then joins up the
+    // key chain and a deterministic top-100.
+    Q("tpch_q18_large", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+        .filter(col("sum_qty_c") > 21200)
+        .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty_c"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""WITH big AS (SELECT l_orderkey,
+             |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+             |       FROM lineitem GROUP BY 1
+             |       HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 21200)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty_c
+             |FROM big JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
     // Running total per customer (analytic window, unbounded preceding).
     Q("w1_running_total", "W",
       (s, d) => {

@@ -172,10 +172,12 @@ class OperatorsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val out = graft.llm.Similarity.kmeansStep(vecs, cents)
       .orderBy("centroid_id", "pos").collect()
-    // centroid 0 <- {10, 11}: mean (1.0, 0.0); centroid 1 <- {12, 13}: (0.0, 1.0)
+    // centroid 0 <- {10, 11}: mean (1.0, 0.0); centroid 1 <- {12, 13}:
+    // (0.0, 1.0) — means in exact integer micro-units
     assert(out.map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("pos"),
-      r.getAs[Double]("mean"), r.getAs[Long]("n_members"))).toSeq ==
-      Seq((0L, 1, 1.0, 2L), (0L, 2, 0.0, 2L), (1L, 1, 0.0, 2L), (1L, 2, 1.0, 2L)))
+      r.getAs[Long]("mean_micro"), r.getAs[Long]("n_members"))).toSeq ==
+      Seq((0L, 1, 1000000L, 2L), (0L, 2, 0L, 2L),
+        (1L, 1, 0L, 2L), (1L, 2, 1000000L, 2L)))
   }
 
   test("connected components: chain, triangle, isolated pair; converges") {
