@@ -389,6 +389,228 @@ object RelationalQueries {
              |  JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
 
+    // TPC-H Q7 shape: volume shipping between two nations — the fact table
+    // joins up BOTH dimension chains (supplier-side and customer-side
+    // nation), with the nation filter pushed into each broadcast dim before
+    // the join so only matching customers/suppliers reach the fact shuffle.
+    Q("tpch_q7_volume", "TPCH",
+      (s, d) => {
+        val nations = Tables(s, d, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        val supp = Tables(s, d, "supplier")
+          .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val cust = Tables(s, d, "customer")
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(revenueCp).as("revenue_cp"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some(s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+              |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              |       CAST(sum($revenueCpSql) AS BIGINT) AS revenue_cp
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |WHERE sn.n_name IN ('NATION_1','NATION_2')
+              |  AND cn.n_name IN ('NATION_1','NATION_2')
+              |  AND sn.n_name <> cn.n_name
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    // with an extra join-side predicate (priority filter belongs in the ON
+    // clause, not WHERE, or childless customers vanish), then a second
+    // aggregation over the first's output.
+    Q("tpch_q13_custdist", "TPCH",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders"),
+          col("c_custkey") === col("o_custkey")
+            && col("o_orderpriority") =!= lit("1-URGENT"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY 1)
+             |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the scalar-max
+    // subquery becomes a 1-row broadcast joined back on equality, so the
+    // revenue aggregate is computed once and reused (no driver collect).
+    Q("tpch_q15_top_supplier", "TPCH",
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(revenueCp).as("total_cp"))
+        rev.join(broadcast(rev.agg(max(col("total_cp")).as("max_cp"))),
+            col("total_cp") === col("max_cp"))
+          .join(Tables(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cp"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey, CAST(sum($revenueCpSql) AS BIGINT) AS total_cp
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+              |  GROUP BY 1)
+              |SELECT s_suppkey, s_name, total_cp
+              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE total_cp = (SELECT max(total_cp) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part average becomes a per-part (count, sum) aggregate joined
+    // back, and the `qty < 0.2 * avg` test is the integer cross-product
+    // `5 * qty_c * cnt < sum_qty_c` (exact; no double rounding crosses
+    // engines). One final double division, rounded once.
+    Q("tpch_q17_small_qty", "TPCH",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg(count(lit(1)).as("qty_n"), sum(cents(col("l_quantity"))).as("qty_sum_c"))
+        li.join(broadcast(Tables(s, d, "part")
+              .filter(col("p_brand") === "Brand#3")),
+            col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("ap_partkey"))
+          .filter(cents(col("l_quantity")) * 5 * col("qty_n") < col("qty_sum_c"))
+          .agg(sum(cents(col("l_extendedprice"))).as("price_sum_c"))
+          .select(col("price_sum_c"),
+            round(col("price_sum_c") / 7.0, 6).as("avg_yearly_c"))
+      },
+      Some("""WITH ap AS (
+             |  SELECT l_partkey AS ap_partkey, count(*) AS qty_n,
+             |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_sum_c
+             |  FROM lineitem GROUP BY 1),
+             |hit AS (
+             |  SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_sum_c
+             |  FROM lineitem
+             |    JOIN part ON l_partkey = p_partkey
+             |    JOIN ap ON l_partkey = ap_partkey
+             |  WHERE p_brand = 'Brand#3'
+             |    AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * qty_n < qty_sum_c)
+             |SELECT price_sum_c, round(price_sum_c / 7.0, 6) AS avg_yearly_c FROM hit""".stripMargin)),
+
+    // TPC-H Q19 shape: discounted revenue over an OR-of-ANDs predicate —
+    // the disjunction mixes part attributes and lineitem attributes, so it
+    // can only be evaluated after the join; the shared p_partkey equi-key
+    // still broadcasts.
+    Q("tpch_q19_disjunct", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .join(broadcast(Tables(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(1, 25)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#11" && col("p_size").between(1, 35)
+            && col("l_quantity").between(20, 30)))
+        .agg(sum(revenueCp).as("revenue_cp"),
+          count(lit(1)).as("n_lines")),
+      Some(s"""SELECT CAST(sum($revenueCpSql) AS BIGINT) AS revenue_cp,
+              |       count(*) AS n_lines
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — one EXISTS
+    // (another supplier in the same order) and one NOT EXISTS (another
+    // supplier ALSO late) become a left-semi and a left-anti join against
+    // the same fact, both on the order key with a supplier inequality.
+    // This schema has no receipt/commit dates; "late" is
+    // l_shipdate > o_orderdate + 60 days.
+    Q("tpch_q21_waiting", "TPCH",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(Tables(s, d, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = li.select(col("l_orderkey").as("x_orderkey"),
+          col("l_suppkey").as("x_suppkey"))
+        val lateOthers = late.select(col("l_orderkey").as("y_orderkey"),
+          col("l_suppkey").as("y_suppkey"))
+        late
+          .join(others, col("l_orderkey") === col("x_orderkey")
+            && col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+          .join(lateOthers, col("l_orderkey") === col("y_orderkey")
+            && col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH late AS (
+             |  SELECT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |SELECT s_name, count(*) AS numwait
+             |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
+    // TPC-H Q22 shape: global sales opportunity — customers above the
+    // average positive balance (integer cross-product `bal_c * n > sum_c`,
+    // no double avg) with no pending orders (left-anti). The 1-row global aggregate
+    // rides a broadcast cross join, not a driver collect. Country code is
+    // c_nationkey (this schema has no phone column).
+    Q("tpch_q22_opportunity", "TPCH",
+      (s, d) => {
+        val cust = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            cents(col("c_acctbal")).as("bal_c"))
+        val posAvg = cust.filter(col("bal_c") > 0)
+          .agg(count(lit(1)).as("pos_n"), sum(col("bal_c")).as("pos_sum_c"))
+        cust.crossJoin(broadcast(posAvg))
+          .filter(col("bal_c") * col("pos_n") > col("pos_sum_c"))
+          .join(Tables(s, d, "orders")
+              .filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH bal AS (
+             |  SELECT c_custkey, c_nationkey,
+             |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+             |  FROM customer),
+             |pos AS (SELECT count(*) AS pos_n,
+             |               CAST(sum(bal_c) AS BIGINT) AS pos_sum_c
+             |        FROM bal WHERE bal_c > 0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+             |FROM bal, pos
+             |WHERE bal_c * pos_n > pos_sum_c
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Running total per customer (analytic window, unbounded preceding).
     Q("w1_running_total", "W",
       (s, d) => {
