@@ -687,6 +687,92 @@ object RefQueries {
              |       CAST(1438269988 + b * 13 AS INTEGER) AS block_timestamp
              |FROM tx ORDER BY block_id, transaction_index""".stripMargin)),
 
+    // Token-transfer decode (the ethereum-etl `extract_token_transfers`
+    // shape, ref scripts/eth_cassandra_streaming.py log handling): filter
+    // logs on topic0 == the transfer event signature and >= 3 topics, then
+    // hex-decode the indexed from/to addresses out of topics[1]/[2] and the
+    // amount out of the data word. All column-only (substring + conv in
+    // codegen); the signature filter pushes into the scan.
+    Q("eth_token_transfers", "S2",
+      (s, d) => {
+        // the synthetic chain's "Transfer" signature: topic slot 0, cycle 0
+        val sig = "0x" + java.security.MessageDigest.getInstance("MD5")
+          .digest("topic-0-0".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        s.read.format("graft-chain")
+          .option("stream", "log").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+          .filter(size(col("topics")) >= 3
+            && try_element_at(col("topics"), lit(1)) === lit(sig))
+          .select(col("block_number"), col("log_index"),
+            col("transaction_hash"), col("address").as("token_address"),
+            concat(lit("0x"), substring(try_element_at(col("topics"), lit(2)), 15, 20))
+              .as("from_address"),
+            concat(lit("0x"), substring(try_element_at(col("topics"), lit(3)), 15, 20))
+              .as("to_address"),
+            conv(substring(col("data"), 3, 15), 16, 10).cast("long").as("value_wei"))
+          .orderBy("block_number", "log_index")
+      },
+      Some("""WITH bl AS (SELECT unnest(range(0, 1000)) AS b),
+             |li AS (SELECT b, unnest(range((b % 3 + 1) * 2)) AS i FROM bl),
+             |tt AS (SELECT b, i FROM li WHERE (b + i) % 5 >= 3 AND (b + i) % 3 = 0)
+             |SELECT CAST(b AS INTEGER) AS block_number, CAST(i AS INTEGER) AS log_index,
+             |       '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i // 2 AS VARCHAR))
+             |            || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i // 2 AS VARCHAR) || '-b') AS transaction_hash,
+             |       '0x' || substring(md5('addr-' || CAST((b + i) % 11 AS VARCHAR)), 1, 40) AS token_address,
+             |       '0x' || substring(md5('topic-1-0'), 13, 20) AS from_address,
+             |       '0x' || substring(md5('topic-2-0'), 13, 20) AS to_address,
+             |       CAST(('0x' || substring(md5('data-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) AS value_wei
+             |FROM tt ORDER BY block_number, log_index""".stripMargin)),
+
+    // Address statistics (the graphsense downstream "address" table shape:
+    // per-address degree, flow, and activity span). One explode of each tx
+    // into its two (address, direction) edges, then a single hash
+    // aggregate — no self-join, no second scan; wei sums ride the exact
+    // decimal(38,0) path and compare as strings (HUGEINT on the DuckDB
+    // side).
+    Q("eth_address_stats", "A",
+      (s, d) => s.read.format("graft-chain")
+        .option("stream", "transaction").option("start", 0).option("end", 999)
+        .option("batchSize", 100).load()
+        .select(col("block_number"), col("value"), explode(array(
+          struct(col("from_address").as("address"), lit(1).as("is_out"),
+            col("to_address").as("peer")),
+          struct(col("to_address").as("address"), lit(0).as("is_out"),
+            col("from_address").as("peer")))).as("e"))
+        .select(col("block_number"), col("value"), col("e.*"))
+        .filter(col("address").isNotNull) // creations have no to-side edge
+        .groupBy(col("address"))
+        .agg(
+          sum(col("is_out").cast("long")).as("n_out"),
+          sum((lit(1) - col("is_out")).cast("long")).as("n_in"),
+          sum(when(col("is_out") === 1, col("value"))).cast("string").as("wei_sent"),
+          sum(when(col("is_out") === 0, col("value"))).cast("string").as("wei_received"),
+          countDistinct(col("peer")).as("n_peers"),
+          min(col("block_number")).as("first_block"),
+          max(col("block_number")).as("last_block"))
+        .orderBy("address"),
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 1000)) AS b)),
+             |tx AS (SELECT b, i,
+             |         '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS from_address,
+             |         CASE WHEN (b + i) % 7 = 0 THEN NULL
+             |              ELSE '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) END AS to_address,
+             |         CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i AS v
+             |       FROM bt),
+             |e AS (SELECT b, v, from_address AS address, 1 AS is_out, to_address AS peer FROM tx
+             |      UNION ALL
+             |      SELECT b, v, to_address, 0, from_address FROM tx WHERE to_address IS NOT NULL)
+             |SELECT address,
+             |       CAST(sum(is_out) AS BIGINT) AS n_out,
+             |       CAST(sum(1 - is_out) AS BIGINT) AS n_in,
+             |       CAST(sum(CASE WHEN is_out = 1 THEN v END) AS VARCHAR) AS wei_sent,
+             |       CAST(sum(CASE WHEN is_out = 0 THEN v END) AS VARCHAR) AS wei_received,
+             |       CAST(count(DISTINCT peer) AS BIGINT) AS n_peers,
+             |       CAST(min(b) AS INTEGER) AS first_block,
+             |       CAST(max(b) AS INTEGER) AS last_block
+             |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S5 generalized to a full operator: backward AS-OF JOIN — for every
     // "purchase" event, the latest "click" at-or-before it per user
     // (the reference's timestamp->block watermark lookup is the k=1 scalar
