@@ -168,6 +168,52 @@ object Dedup {
   def simhash(toks: Column, bits: Int = 16): Column =
     simhashFromBases(transform(toks, md5Long(_)), bits)
 
+  /** SimHash near-duplicate pairs by Hamming distance: each signature is
+    * split into `bands` contiguous chunks, docs sharing ANY chunk value
+    * become candidates (pigeonhole: a pair within Hamming distance
+    * `bands - 1` must agree on at least one chunk, so recall is exact for
+    * `maxHamming < bands`), and only candidates pay the
+    * `bit_count(sig ^ sig)` test. Same one-scan bucket shape as
+    * [[withinBucketPairs]] — the signature frame is never self-joined; the
+    * two id-keyed joins that fetch signatures back are on the (small)
+    * candidate set.
+    *
+    * Scale sizing: expected bucket population is n / 2^(bits/bands), so
+    * chunk width must grow with the corpus — 64-bit signatures with
+    * 16-bit chunks (4 bands) hold ~n/65536 docs per bucket at corpus
+    * scale. Narrow configs (e.g. 16/4 — 16 buckets per band, used by the
+    * oracle query for SQL tractability) are only for small n; for a
+    * corpus whose buckets might still blow up, pre-split with
+    * [[ngramJaccardPairs]]-style capping or widen `bits`. */
+  def simhashBandPairs(docs: DataFrame, idCol: String, textCol: String,
+                       bits: Int = 16, bands: Int = 4,
+                       maxHamming: Int = 3): DataFrame = {
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must divide evenly into bands ($bands)")
+    require(maxHamming < bands,
+      s"recall is only exact for maxHamming < bands ($maxHamming >= $bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val sigs = docs
+      .select(col(idCol), transform(tokens(col(textCol)), md5Long(_)).as("__tb"))
+      .select(col(idCol), simhashFromBases(col("__tb"), bits).as("__sig"))
+    val banded = sigs
+      .select(col(idCol), col("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        expr(s"shiftrightunsigned(__sig, band * $bandBits) & $mask"))
+    val cand = withinBucketPairs(
+      banded.select(col(idCol), col("band"), col("band_key")),
+      Seq("band", "band_key"), idCol)
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors are LSH-bucketed
     * ([[Similarity.lshBucket]]), per-bucket pairs expanded (one scan, one
     * shuffle — same shape as [[withinBucketPairs]]), and only same-bucket

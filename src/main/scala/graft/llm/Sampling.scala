@@ -64,6 +64,58 @@ object Sampling {
       pmod(md5Long(col(idCol).cast("string")), lit(granularity)) < threshold)
   }
 
+  /** Per-stratum cap ("domain quota"): keep at most `maxPerStratum` rows
+    * per stratum — the ones with the LOWEST `(hash(id), id)` — as a
+    * deterministic down-weighting of over-represented domains.
+    *
+    * Exact top-N per key WITHOUT a per-stratum window sort: phase 1 keeps
+    * each partition's local top-N per stratum (`sort_array ∘ collect_list`
+    * over one partition's slice of one stratum — bounded by the partition,
+    * not the stratum), phase 2 merges the ≤ N·partitions survivors per
+    * stratum and re-slices. The global top-N is always a subset of the
+    * union of local top-Ns, so the result is exact and independent of the
+    * physical partitioning — a corpus-dominating domain never funnels its
+    * full row set through one task the way `row_number() OVER (PARTITION
+    * BY stratum)` would. Returns (stratum, rank, id). */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                    maxPerStratum: Int): DataFrame = {
+    require(maxPerStratum > 0,
+      s"maxPerStratum must be positive, got $maxPerStratum")
+    val rec = struct(md5Long(col(idCol).cast("string")).as("h"),
+      col(idCol).as("id"))
+    df.select(col(strataCol), rec.as("__rec"),
+        spark_partition_id().as("__pid"))
+      .groupBy(col(strataCol), col("__pid"))
+      .agg(slice(sort_array(collect_list(col("__rec"))), 1, maxPerStratum)
+        .as("__local"))
+      .groupBy(col(strataCol))
+      .agg(slice(sort_array(flatten(collect_list(col("__local")))), 1,
+        maxPerStratum).as("__top"))
+      .select(col(strataCol), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col(strataCol), (col("__pos") + 1).as("rank"),
+        col("__r.id").as(idCol))
+  }
+
+  /** Temperature-scaled mixture weights per stratum: `p_s ∝ size_s^α`
+    * with α = 0.5 — the flattening exponent that is also IEEE-exact
+    * (`sqrt` is correctly rounded in every engine; `pow(x, α)` in general
+    * is not), so the weights are bit-identical across engines. Per-stratum
+    * float math happens ONCE per stratum row and is quantized to integer
+    * micro-units BEFORE the cross-row normalization; the normalizing sum
+    * and the final `div` are exact integer arithmetic riding a 1-row
+    * broadcast (no driver collect). */
+  def temperatureMixtureSqrt(df: DataFrame, strataCol: String,
+                             sizeCol: String): DataFrame = {
+    val w = df.groupBy(col(strataCol))
+      .agg(sum(col(sizeCol)).as("stratum_size"))
+      .withColumn("w_micro",
+        round(sqrt(col("stratum_size").cast("double")) * 1e6).cast("long"))
+    w.crossJoin(broadcast(w.agg(sum(col("w_micro")).as("__tot"))))
+      .withColumn("p_micro", expr("(w_micro * 1000000) div __tot"))
+      .select(col(strataCol), col("stratum_size"), col("w_micro"),
+        col("p_micro"))
+  }
+
   /** Deterministic sequence packing: assign each document a (shard,
     * pack_idx, pack_offset) placement in the concat-and-chunk layout
     * pretraining uses — all documents of a shard concatenated in id order,

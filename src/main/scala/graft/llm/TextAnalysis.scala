@@ -85,6 +85,51 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** Pattern scrub (the PII-redaction shape): for each (label, pattern,
+    * replacement) rule, count the matches and replace them, rules applied
+    * in order (later rules see earlier rules' replacements). Every rule is
+    * one codegen'd linear regex scan per document — no UDF, no shuffle —
+    * so the operator composes with any partitioning at corpus scale.
+    * Output: idCol, one `n_<label>` count per rule, and the fully
+    * redacted text. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "redact needs at least one rule")
+    rules.foldLeft(df.select(col(idCol), col(textCol).as("redacted"))) {
+      case (acc, (label, pattern, replacement)) =>
+        acc
+          .withColumn(s"n_$label",
+            size(regexp_extract_all(col("redacted"), lit(pattern), lit(0))))
+          .withColumn("redacted",
+            regexp_replace(col("redacted"), pattern, replacement))
+    }
+  }
+
+  /** Overlapping token-window chunking (the RAG / context-window chunker):
+    * windows of `chunkSize` tokens every `stride` tokens (stride < size =>
+    * overlap); the last window may be short; a document shorter than one
+    * window yields exactly one chunk. The chunk count is all-integer
+    * (`ceil` via `(n - size + stride - 1) div stride`), so placements are
+    * engine-exact. Column-only fan-out: tokens materialize once behind a
+    * projection, each chunk is a slice of that attribute — no join, no
+    * shuffle, output cardinality ~ n_tokens/stride per document. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val nChunks = when(col("__n") <= chunkSize, lit(1L))
+      .otherwise(expr(s"(__n - $chunkSize + $stride - 1) div $stride") + 1L)
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__ct"))
+      .select(col(idCol), col("chunk_id"), size(col("__ct")).as("n_tokens"),
+        array_join(col("__ct"), " ").as("chunk_text"))
+  }
+
   /** TF-IDF over a document corpus: term frequency per (doc, term), document
     * frequency per term, idf = ln(nDocs / df). Shapes for scale:
     * explode -> two hash aggregations (map-side partial combine on both),

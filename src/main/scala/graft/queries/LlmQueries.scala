@@ -162,6 +162,31 @@ object LlmQueries {
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // SimHash Hamming-distance dedup: 16-bit signatures split into 4
+    // 4-bit chunks; docs sharing any chunk are candidates (pigeonhole —
+    // exact recall for hamming <= 3), candidates pay one
+    // bit_count(xor) filter. Never an all-pairs scan.
+    Q("dedup_simhash_hamming", "LLM",
+      (s, d) => Dedup.simhashBandPairs(Tables(s, d, "documents"),
+          "doc_id", "text", bits = 16, bands = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sg AS (SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0, 16), j ->
+             |    CASE WHEN list_sum(list_transform(str_split(text, ' '), tok ->
+             |           CASE WHEN (CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> j) & 1 = 1
+             |                THEN 1 ELSE -1 END)) > 0
+             |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+             |FROM documents),
+             |bd AS (SELECT doc_id, sig, b.band, (sig >> (b.band * 4)) & 15 AS band_key
+             |       FROM sg, (SELECT unnest(range(0, 4)) AS band) b),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+             |         FROM bd a JOIN bd c
+             |           ON a.band = c.band AND a.band_key = c.band_key AND a.doc_id < c.doc_id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+             |FROM cand JOIN sg sa ON id_a = sa.doc_id JOIN sg sb ON id_b = sb.doc_id
+             |WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // N-gram Jaccard over a coarse (source, lang) bucket — scale-safe via
     // the per-bucket cap: only the 8 lowest doc_ids per bucket are paired
     // and every pair carries the bucket's drop count. (At sf0.01 several
@@ -264,6 +289,48 @@ object LlmQueries {
               |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM sc)
               |SELECT query_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // ANN quality audit: recall@10 of the LSH tier against the brute-force
+    // ground truth — the evaluation loop that tunes numPlanes/k before a
+    // corpus-scale run. Left join of the two top-k sets on
+    // (query, neighbor); one count per query; single final division.
+    Q("ann_recall_at_k", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val qs = e.filter(col("vec_id") < 5)
+        val cand = e.filter(col("vec_id") >= 5)
+        val bf = Similarity.bruteForceTopK(cand, qs, 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val lsh = Similarity.lshTopK(cand, qs, dim = 64, k = 10, numPlanes = 8)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(col("__hit")).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            round(col("n_hit") / 10.0, 6).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+              |sc AS (SELECT query_id, neighbor_id, round($dotSql, 6) AS score FROM q, c),
+              |bf AS (SELECT query_id, neighbor_id FROM (
+              |         SELECT query_id, neighbor_id,
+              |                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |         FROM sc) WHERE rnk <= 10),
+              |bk AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+              |lq AS (SELECT bucket, vec_id AS query_id, embedding AS qe FROM bk WHERE vec_id < 5),
+              |lc AS (SELECT bucket, vec_id AS neighbor_id, embedding AS ce FROM bk WHERE vec_id >= 5),
+              |lsc AS (SELECT lq.query_id, lc.neighbor_id, round($dotSql, 6) AS score
+              |        FROM lq JOIN lc ON lq.bucket = lc.bucket),
+              |lsh AS (SELECT query_id, neighbor_id FROM (
+              |          SELECT query_id, neighbor_id,
+              |                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |          FROM lsc) WHERE rnk <= 10)
+              |SELECT bf.query_id, count(lsh.neighbor_id) AS n_hit,
+              |       round(count(lsh.neighbor_id) / 10.0, 6) AS recall
+              |FROM bf LEFT JOIN lsh
+              |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Embedding-cosine near-dup pairs: LSH buckets -> within-bucket pairs ->
     // cosine threshold. The dedup flavor of ANN.
@@ -493,6 +560,46 @@ object LlmQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Multimodal: opaque binary payload + typed metadata (column-only path).
+    // Pattern scrub (PII-redaction plumbing): an email rule (exercises the
+    // zero-match path on this corpus) then a denylist-term rule, counts +
+    // fully redacted text. Two codegen'd regex scans per doc, no shuffle.
+    Q("text_redact", "LLM",
+      (s, d) => TextAnalysis.redact(Tables(s, d, "documents"),
+          "doc_id", "text", Seq(
+            ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+            ("term", "\\b(key|value|customer)\\b", "<TERM>")))
+        .select(col("doc_id"), col("n_email").cast("long").as("n_email"),
+          col("n_term").cast("long").as("n_term"), col("redacted"))
+        .orderBy("doc_id"),
+      Some("""WITH r1 AS (SELECT doc_id,
+             |         len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+             |         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS t1
+             |       FROM documents)
+             |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+             |       CAST(len(regexp_extract_all(t1, '\b(key|value|customer)\b')) AS BIGINT) AS n_term,
+             |       regexp_replace(t1, '\b(key|value|customer)\b', '<TERM>', 'g') AS redacted
+             |FROM r1 ORDER BY doc_id""".stripMargin)),
+
+    // Overlapping token-window chunking (RAG / context-window prep):
+    // 32-token windows every 24 tokens; integer-exact chunk counts; each
+    // chunk a slice of the once-materialized token array — explode only,
+    // no join, no shuffle.
+    Q("rag_chunks", "LLM",
+      (s, d) => TextAnalysis.chunkTokens(Tables(s, d, "documents"),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+             |c AS (SELECT doc_id, toks,
+             |        unnest(range(CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END)) AS chunk_id
+             |      FROM n)
+             |SELECT doc_id, chunk_id,
+             |       CAST(len(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)]) AS BIGINT) AS n_tokens,
+             |       array_to_string(toks[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ') AS chunk_text
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     Q("multimodal_payloads", "LLM",
       (s, d) => Multimodal.payloadMetadata(
         Multimodal.asMediaTable(Tables(s, d, "documents"), "doc_id", "text"))
@@ -694,6 +801,42 @@ object LlmQueries {
              |WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
              |      < CAST(round(least(n_chars, 400) / 400.0 * 1000000) AS BIGINT)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Per-stratum cap (domain quota): at most 5 docs per source, the ones
+    // with the lowest (hash, id) — exact top-N per key via two-phase
+    // partial/merge aggregation, no per-stratum window sort (a dominant
+    // domain never funnels through one task). Oracle is the semantically
+    // identical row_number form.
+    Q("sample_domain_cap", "LLM",
+      (s, d) => Sampling.capPerStratum(Tables(s, d, "documents"),
+          "doc_id", "source", 5)
+        .select(col("source"), col("rank").cast("long").as("cap_rank"),
+          col("doc_id"))
+        .orderBy("source", "cap_rank"),
+      Some("""WITH h AS (SELECT source, doc_id,
+             |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+             |       FROM documents),
+             |r AS (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+             |      FROM h)
+             |SELECT source, CAST(rn AS BIGINT) AS cap_rank, doc_id
+             |FROM r WHERE rn <= 5 ORDER BY source, cap_rank""".stripMargin)),
+
+    // Temperature-scaled mixture weights (p_s ∝ size_s^0.5): the
+    // data-mixing recipe that flattens source sizes. sqrt is the one
+    // flattening exponent that is IEEE-exact in every engine; per-stratum
+    // float math quantizes to micro-units BEFORE the integer normalizing
+    // sum, so weights are bit-identical.
+    Q("sample_temperature", "LLM",
+      (s, d) => Sampling.temperatureMixtureSqrt(Tables(s, d, "documents"),
+          "source", "n_chars")
+        .orderBy("source"),
+      Some("""WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS stratum_size,
+             |         CAST(round(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1e6) AS BIGINT) AS w_micro
+             |       FROM documents GROUP BY 1)
+             |SELECT source, stratum_size, w_micro,
+             |       CAST((w_micro * 1000000) // (SELECT sum(w_micro) FROM w) AS BIGINT) AS p_micro
+             |FROM w ORDER BY source""".stripMargin)),
 
     // Signed (±1) random projection, the JL dimensionality-reduction step:
     // 64-dim embeddings onto 8 md5-derived hyperplanes — the same planes

@@ -324,4 +324,88 @@ class LlmSpec extends SparkSpec {
     // byte-derived resize metadata: 304 % 64 + 16 = 64 wide, 304 % 48 + 16 = 32 high
     assert(r.getAs[Int]("resize_w") == 64 && r.getAs[Int]("resize_h") == 32)
   }
+
+  test("simhash band pairs: exact dups at hamming 0; recall exact below bands") {
+    val pairs = Dedup.simhashBandPairs(docs, "doc_id", "text",
+      bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // the exact dup pair is found at hamming 0
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
+    // pigeonhole guarantee: EVERY pair within maxHamming (< bands) appears —
+    // cross-check against the exhaustive all-pairs hamming computation
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(tokens(col("text")), 16).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(pairs.toSet == want.toSet)
+    // invalid configs refuse loudly
+    intercept[IllegalArgumentException](
+      Dedup.simhashBandPairs(docs, "doc_id", "text", bits = 16, bands = 3))
+    intercept[IllegalArgumentException](
+      Dedup.simhashBandPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+  }
+
+  test("redact: counts before replace, rules chain in order, no matches = intact") {
+    val df = Seq((1L, "mail me at bob@example.com or alice@test.org today"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redact(df, "doc_id", "text", Seq(
+      ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      ("today", "\\btoday\\b", "<DAY>"))).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_email") == 2)
+    assert(out(0).getAs[String]("redacted") ==
+      "mail me at <EMAIL> or <EMAIL> <DAY>")
+    assert(out(1).getAs[Int]("n_email") == 0)
+    assert(out(1).getAs[String]("redacted") == "no pii here at all")
+  }
+
+  test("chunkTokens: overlap arithmetic, short docs, exact coverage") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c")).toDF("doc_id", "text") // shorter than one window
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text",
+      chunkSize = 4, stride = 3).orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // ceil((10-4)/3)+1 = 3 chunks at offsets 0,3,6: [t1..t4],[t4..t7],[t7..t10]
+    assert(d1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    // last chunk of an aligned doc is full-size here; a short doc = 1 chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getAs[String]("chunk_text") == "a b c")
+    // every token of every doc is covered by at least one chunk
+    assert(d1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet ==
+      (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("capPerStratum: exact top-N by (hash,id), partitioning-independent") {
+    val corpus = (0L until 500L).map(i => (i, s"s${i % 3}"))
+      .toDF("doc_id", "src")
+    val got = Sampling.capPerStratum(corpus, "doc_id", "src", 7)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // oracle: plain per-stratum sort by (md5Long(id), id), take 7
+    val hashed = corpus.select(col("src"), col("doc_id"),
+      md5Long(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = hashed.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(7).zipWithIndex
+        .map { case (r, i) => (src, i + 1, r._2) }
+    }.toSet
+    assert(got == want && got.size == 21)
+    // exactness is partitioning-independent (local top-N is a superset)
+    val got2 = Sampling.capPerStratum(corpus.repartition(17), "doc_id",
+      "src", 7).collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got2 == want)
+  }
+
+  test("temperatureMixtureSqrt: probabilities flatten sizes, sum <= 1e6") {
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, if (i < 200) "big" else "small", 10L))
+      .toDF("doc_id", "src", "n_chars")
+    val p = Sampling.temperatureMixtureSqrt(df, "src", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // raw sizes are 2000 vs 1000 (2:1); sqrt-tempered ratio is sqrt(2):1
+    assert(math.abs(p("big").toDouble / p("small") - math.sqrt(2)) < 0.001)
+    assert(p.values.sum <= 1000000L)
+  }
 }
