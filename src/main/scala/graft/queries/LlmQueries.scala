@@ -162,22 +162,24 @@ object LlmQueries {
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // SimHash Hamming-distance dedup: 16-bit signatures split into 4
-    // 4-bit chunks; docs sharing any chunk are candidates (pigeonhole —
+    // SimHash Hamming-distance dedup: 32-bit signatures split into 4
+    // 8-bit chunks (256 buckets per band — the bucket population, n/256,
+    // is what keeps the pair expansion bounded; see simhashBandPairs'
+    // sizing note); docs sharing any chunk are candidates (pigeonhole —
     // exact recall for hamming <= 3), candidates pay one
     // bit_count(xor) filter. Never an all-pairs scan.
     Q("dedup_simhash_hamming", "LLM",
       (s, d) => Dedup.simhashBandPairs(Tables(s, d, "documents"),
-          "doc_id", "text", bits = 16, bands = 4, maxHamming = 3)
+          "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
         .orderBy("id_a", "id_b"),
       Some("""WITH sg AS (SELECT doc_id,
-             |  CAST(list_sum(list_transform(range(0, 16), j ->
+             |  CAST(list_sum(list_transform(range(0, 32), j ->
              |    CASE WHEN list_sum(list_transform(str_split(text, ' '), tok ->
              |           CASE WHEN (CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) >> j) & 1 = 1
              |                THEN 1 ELSE -1 END)) > 0
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
              |FROM documents),
-             |bd AS (SELECT doc_id, sig, b.band, (sig >> (b.band * 4)) & 15 AS band_key
+             |bd AS (SELECT doc_id, sig, b.band, (sig >> (b.band * 8)) & 255 AS band_key
              |       FROM sg, (SELECT unnest(range(0, 4)) AS band) b),
              |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
              |         FROM bd a JOIN bd c
