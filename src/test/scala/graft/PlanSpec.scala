@@ -208,4 +208,40 @@ class PlanSpec extends SparkSpec {
       assert(md5Count <= 2, s"expected <=2 md5 occurrences, got $md5Count:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("per-stratum cap is two hash aggregates, never a window sort") {
+    val p = plan("sample_domain_cap")
+    assert(!p.contains("Window"),
+      s"cap must not run a per-stratum window sort:\n$p")
+    assert(p.split("ObjectHashAggregate|HashAggregate").length > 2,
+      s"expected partial/merge aggregate phases:\n$p")
+  }
+
+  test("token-transfer decode stays column-only: no join, no aggregate") {
+    val p = plan("eth_token_transfers")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"decode must be scan->filter->project:\n$p")
+  }
+
+  test("address stats is one explode + one aggregation pass") {
+    val p = plan("eth_address_stats")
+    assert(!p.contains("Join"), s"no self-join allowed:\n$p")
+    // generate (explode) feeds a single partial+final aggregate chain
+    assert(p.contains("Generate"), s"expected explode:\n$p")
+  }
+
+  test("TPC-H Q7 broadcasts both pre-filtered dimension chains") {
+    val p = plan("tpch_q7_volume")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2,
+      s"expected customer+supplier chains broadcast:\n$p")
+  }
+
+  test("chunking fans out with explode only — no join, no shuffle") {
+    val p = plan("rag_chunks")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    val body = p.split("TakeOrderedAndProject|Sort \\[")(0)
+    assert(!body.contains("Exchange"),
+      s"no exchange before the final deterministic sort:\n$p")
+  }
 }
