@@ -5,6 +5,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.eth.Ingest
 import graft.functions.ColumnFns
+import graft.llm.Dedup
 
 /** ScalaCheck properties (SURVEY §5.3): range-planner tiling, bucket
   * arithmetic, hex round-trips, shingle counting. Driver-side laws run
@@ -136,6 +137,60 @@ class PropertiesSpec extends SparkSpec {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
       assert(r.getLong(2) == r.getLong(3))
     }
+  }
+
+  test("chunkTokens law: count formula, stride offsets, full coverage, overlap") {
+    // all random docs batched into ONE job per (chunkSize, stride) config
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 200L).map { i =>
+      val n = 1 + rnd.nextInt(100)
+      (i, (0 until n).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    for ((cs, st) <- Seq((32, 24), (16, 16), (8, 3), (1, 1))) {
+      val got = graft.llm.TextAnalysis.chunkTokens(docs, "doc_id", "text", cs, st)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+        .groupBy(_._1)
+      docs.collect().foreach { row =>
+        val (id, n) = (row.getLong(0), row.getString(1).split(" ").length)
+        val chunks = got(id).sortBy(_._2)
+        val expect = if (n <= cs) 1L else (n - cs + st - 1) / st + 1L
+        assert(chunks.length == expect, s"doc $id n=$n cs=$cs st=$st")
+        // chunk i holds exactly tokens [i*st, min(i*st+cs, n))
+        chunks.foreach { case (_, cid, nt, text) =>
+          val start = (cid * st).toInt
+          assert(nt == math.min(start + cs, n) - start)
+          assert(text == (start until math.min(start + cs, n))
+            .map(t => s"w$t").mkString(" "))
+        }
+        // coverage: every token appears in at least one chunk
+        val covered = chunks.flatMap { case (_, cid, nt, _) =>
+          (cid * st).toInt until ((cid * st).toInt + nt) }.toSet
+        assert(covered == (0 until n).toSet, s"doc $id gap: cs=$cs st=$st")
+      }
+    }
+  }
+
+  test("simhash band pairs = exhaustive hamming pairs on a random corpus") {
+    // pigeonhole recall law on 60 random docs over a tiny vocabulary
+    // (shared words => near-identical signatures => adversarial density)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0L until 60L).map { i =>
+      (i, (0 until 5 + rnd.nextInt(10))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashBandPairs(docs, "doc_id", "text",
+      bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(ColumnFns.tokens(col("text")), 16).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
   test("batch-size invariance: any batching unions to the same row set") {
