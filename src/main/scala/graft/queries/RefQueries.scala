@@ -773,6 +773,31 @@ object RefQueries {
              |       CAST(max(b) AS INTEGER) AS last_block
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Cross-stream referential-integrity audit (the post-load ETL check
+    // J1's cardinality contract formalizes): logs whose transaction_hash
+    // has no parent in the ingested transaction range, counted per block
+    // group. Left-anti join on the hash — the logs stream reads 100 blocks
+    // PAST the transaction range, so the orphan set is non-empty and the
+    // audit's failure path is what the oracle checks.
+    Q("eth_audit_referential", "A",
+      (s, d) => {
+        val txs = s.read.format("graft-chain")
+          .option("stream", "transaction").option("start", 0).option("end", 399)
+          .option("batchSize", 100).load()
+          .select(col("hash"))
+        s.read.format("graft-chain")
+          .option("stream", "log").option("start", 0).option("end", 499)
+          .option("batchSize", 100).load()
+          .join(txs, col("transaction_hash") === col("hash"), "left_anti")
+          .groupBy((col("block_number") / 100).cast("int").as("block_group"))
+          .agg(count(lit(1)).as("n_orphans"))
+          .orderBy("block_group")
+      },
+      Some("""WITH li AS (SELECT b, unnest(range((b % 3 + 1) * 2)) AS i
+             |            FROM (SELECT unnest(range(400, 500)) AS b))
+             |SELECT CAST(b // 100 AS INTEGER) AS block_group, count(*) AS n_orphans
+             |FROM li GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S5 generalized to a full operator: backward AS-OF JOIN — for every
     // "purchase" event, the latest "click" at-or-before it per user
     // (the reference's timestamp->block watermark lookup is the k=1 scalar
