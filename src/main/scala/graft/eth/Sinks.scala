@@ -124,6 +124,45 @@ object Sinks {
     }
   }
 
+  /** Small-files compaction for a bucketed sink — the table maintenance a
+    * 100 TB layout needs continuously: append/upsert cycles leave buckets
+    * holding one file per former write task, and thousands of tiny files
+    * per partition degrade every later scan (file-open and footer cost,
+    * undersized row groups). Rewrites ONLY the buckets whose file count
+    * exceeds `maxFilesPerBucket`, coalescing each to a single clustered
+    * file in the sink's sort order via the same dynamic-partition-
+    * overwrite discipline as the upsert path (untouched buckets keep
+    * their files byte-for-byte). Idempotent: a second run finds nothing
+    * oversized and rewrites nothing. The directory listing is bounded
+    * driver-side metadata (#buckets, not #rows); the rewrite itself is
+    * one pruned scan + one partitioned write. Returns the compacted
+    * bucket values. */
+  def compactBuckets(spark: SparkSession, path: String,
+                     bucketCol: String = "block_id_group",
+                     sortCols: Seq[String] = Seq("block_id"),
+                     maxFilesPerBucket: Int = 1): Seq[Long] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    val oversized = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$bucketCol="))
+      .flatMap { d =>
+        val nFiles = fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        val v = d.getPath.getName.stripPrefix(s"$bucketCol=")
+        if (nFiles > maxFilesPerBucket) scala.util.Try(v.toLong).toOption
+        else None
+      }
+    if (oversized.nonEmpty) {
+      // pin the rows before overwriting the files they come from
+      val rows = spark.read.parquet(path)
+        .filter(col(bucketCol).isin(oversized: _*)) // partition-pruned
+        .localCheckpoint(true)
+      writeBucketedParquet(rows, path, bucketCol, sortCols)
+    }
+    oversized
+  }
+
   /** Read back a bucket range with partition pruning: the bucket filter
     * prunes directories (visible as PartitionFilters in explain), the id
     * filter prunes row groups via parquet min/max stats. */

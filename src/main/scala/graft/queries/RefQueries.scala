@@ -773,6 +773,30 @@ object RefQueries {
              |       CAST(max(b) AS INTEGER) AS last_block
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K1 maintenance: small-files compaction roundtrip — fragment a
+    // bucketed sink (8 write tasks => 8 files per bucket), compact every
+    // oversized bucket to one clustered file, and prove the row set
+    // survived bit-for-bit (per-bucket counts + id sums vs the source
+    // table). SinksSpec asserts the file counts and idempotence; this
+    // oracle asserts zero loss/duplication.
+    Q("k1_compact_roundtrip", "K1",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val src = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            blockIdGroup(col("o_orderkey")).as("block_id_group"))
+        src.repartition(8).write.mode("overwrite")
+          .partitionBy("block_id_group").parquet(out)
+        Sinks.compactBuckets(s, out, sortCols = Seq("o_orderkey"))
+        s.read.parquet(out)
+          .groupBy(col("block_id_group").cast("int").as("block_id_group"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("id_sum"))
+          .orderBy("block_id_group")
+      },
+      Some("""SELECT CAST(o_orderkey // 1000 AS INTEGER) AS block_id_group,
+             |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Cross-stream referential-integrity audit (the post-load ETL check
     // J1's cardinality contract formalizes): logs whose transaction_hash
     // has no parent in the ingested transaction range, counted per block

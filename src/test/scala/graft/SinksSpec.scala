@@ -194,4 +194,33 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readReferenceCsvRange(spark, out, "transaction",
       9000, 9999, sch, 1000, 2000).count() == 0)
   }
+
+  test("compaction: only oversized buckets rewritten, one file after, idempotent") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val df = (0L until 4000L).map(i => (i, i % 7))
+      .toDF("block_id", "v")
+      .withColumn("block_id_group", expr("block_id div 1000"))
+    // fragmented write: 8 tasks x 4 buckets = 8 files per bucket
+    df.repartition(8).write.mode("overwrite")
+      .partitionBy("block_id_group").parquet(out)
+    def filesPerBucket: Map[String, Int] = {
+      val root = new java.io.File(out)
+      root.listFiles.filter(_.getName.startsWith("block_id_group="))
+        .map(d => d.getName ->
+          d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerBucket.values.forall(_ > 1))
+    val before = spark.read.parquet(out).collect().toSet
+    val compacted = Sinks.compactBuckets(spark, out)
+    assert(compacted.toSet == Set(0L, 1L, 2L, 3L))
+    assert(filesPerBucket.values.forall(_ == 1), s"$filesPerBucket")
+    // same rows, clustered order inside each file, and a re-run is a no-op
+    assert(spark.read.parquet(out).collect().toSet == before)
+    assert(Sinks.compactBuckets(spark, out).isEmpty)
+    // untouched-bucket guarantee: fragment ONE bucket again; only it rewrites
+    df.filter($"block_id_group" === 2).drop("block_id_group")
+      .repartition(4).write.mode("append").parquet(s"$out/block_id_group=2")
+    assert(Sinks.compactBuckets(spark, out) == Seq(2L))
+  }
 }
