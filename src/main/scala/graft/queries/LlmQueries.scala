@@ -515,6 +515,39 @@ object LlmQueries {
              |        / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Curriculum tiers: quality-quartile bucketing PER SOURCE (ntile
+    // windows partitioned by the domain, never one global ordering — the
+    // realistic per-domain curriculum AND the scale-safe shape: a global
+    // ntile funnels the corpus through one task). Rounded-once scores
+    // order identically in both engines; doc_id breaks ties.
+    Q("curriculum_tiers", "LLM",
+      (s, d) => {
+        val toks = graft.functions.ColumnFns.tokens(col("text"))
+        val score = round(TextAnalysis.stopwordHits(toks).cast("double")
+          / size(toks).cast("double"), 6)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), score.as("score"))
+          .withColumn("tier", ntile(4).over(w).cast("long"))
+          .groupBy(col("source"), col("tier"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+          .orderBy("source", "tier")
+      },
+      Some("""WITH sc AS (SELECT doc_id, source,
+             |         round(CAST(len(list_filter(str_split(text, ' '),
+             |                 t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+             |               / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS score
+             |       FROM documents),
+             |t AS (SELECT source, score,
+             |        CAST(ntile(4) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS tier
+             |      FROM sc)
+             |SELECT source, tier, count(*) AS n_docs,
+             |       min(score) AS min_score, max(score) AS max_score
+             |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Token counting: whitespace + BPE-ish pre-tokenizer regex.
     Q("text_token_counts", "LLM",
       (s, d) => TextAnalysis.tokenCounts(Tables(s, d, "documents"), "doc_id", "text")

@@ -920,6 +920,20 @@ object RelationalQueries {
              |                + CAST('0x' || substring(md5(c_name), 10, 15) AS BIGINT)) AS VARCHAR) AS total_wei
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // uint256 ordering without bigint arithmetic: fixed-length big-endian
+    // binary compares as unsigned lexicographic, which IS numeric order —
+    // so max(wei) needs no custom aggregate at all (the oracle's numeric
+    // max agrees with the hex-string max for fixed-width hex).
+    Q("agg_uint256_max", "A",
+      (s, d) => Tables(s, d, "customer")
+        .select(col("c_nationkey"),
+          unhex(substring(md5(col("c_name")), 1, 24)).as("wei"))
+        .groupBy("c_nationkey")
+        .agg(graft.functions.ColumnFns.binaryToHex(max(col("wei"))).as("max_wei_hex"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, '0x' || max(substring(md5(c_name), 1, 24)) AS max_wei_hex
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Salted two-phase aggregation (skew mitigation): result identical to a
     // plain groupBy sum — the oracle is the plain form.
     Q("agg_salted_sum", "A",
