@@ -515,6 +515,46 @@ object LlmQueries {
              |        / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The training-data pipeline composed end to end in ONE query plan:
+    // normalize -> token-count quality gate -> exact-dedup survivors ->
+    // deterministic 80/10/10 hash split -> per-(split, source) corpus
+    // accounting. Everything is the operators above, unchanged — the point
+    // is that the stages FUSE: one scan, a dedup aggregate, a semi-join of
+    // ids, one final aggregate; nothing materializes between stages.
+    Q("llm_corpus_pipeline", "LLM",
+      (s, d) => {
+        val norm = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.normalizeText(col("text")).as("t"))
+        val gated = norm.filter(size(tokens(col("t"))) >= 10)
+        val survivors = Dedup.exact(gated, "doc_id", "t").select(col("doc_id"))
+        val h = pmod(md5Long(col("doc_id").cast("string")), lit(100))
+        gated.join(survivors, "doc_id")
+          .select(col("source"),
+            when(h < 80, "train").when(h < 90, "val").otherwise("test")
+              .as("split_name"),
+            size(tokens(col("t"))).cast("long").as("n_tok"))
+          .groupBy(col("split_name"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+          .orderBy("split_name", "source")
+      },
+      Some("""WITH nm AS (SELECT doc_id, source,
+             |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+             |                             '\s+', ' ', 'g')) AS t
+             |       FROM documents),
+             |g AS (SELECT * FROM nm WHERE len(str_split(t, ' ')) >= 10),
+             |sv AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(t)),
+             |k AS (SELECT g.* FROM g JOIN sv USING (doc_id)),
+             |sp AS (SELECT source,
+             |         CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+             |              WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'val'
+             |              ELSE 'test' END AS split_name,
+             |         CAST(len(str_split(t, ' ')) AS BIGINT) AS n_tok
+             |       FROM k)
+             |SELECT split_name, source, count(*) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+             |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Curriculum tiers: quality-quartile bucketing PER SOURCE (ntile
     // windows partitioned by the domain, never one global ordering — the
     // realistic per-domain curriculum AND the scale-safe shape: a global

@@ -88,6 +88,18 @@ object StreamingOps {
         && right(rightTs) <= left(leftTs))
       .drop(s"__r_$keyCol")
 
+  /** Stream-static enrichment: a live stream joined to a slowly-changing
+    * dimension (the "events × lookup table" deployment shape). Structured
+    * Streaming re-evaluates the static side per micro-batch — dimension
+    * updates between batches are picked up without restarting the query —
+    * and the broadcast hint keeps the dimension off the shuffle path, so
+    * the stream side never exchanges. Left join: events with no dimension
+    * row pass through with nulls (an inner join would silently drop
+    * them). The same function is the batch enrichment operator. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Streaming idempotent replay (T4's streaming-native form): drop rows
     * whose PK was already seen, with state bounded by the event-time
     * watermark — `dropDuplicatesWithinWatermark`, so a replayed micro-batch

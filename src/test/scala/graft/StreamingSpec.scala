@@ -94,6 +94,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension; unmatched rows survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val dim = Seq(("click", 1L), ("view", 2L)).toDF("event_type", "weight")
+    val enriched = StreamingOps.enrichWithStatic(input.toDF(), dim, "event_type")
+    val query = enriched.writeStream
+      .format("memory").queryName("es_out").outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(0), 1L, "click", 1.0),
+        Event(2L, ts(1), 1L, "purchase", 2.0)) // no dim row
+      query.processAllAvailable()
+      val rows = spark.table("es_out").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          Option(r.getAs[java.lang.Long]("weight"))).toMap
+      assert(rows("click").contains(1L))
+      assert(rows("purchase").isEmpty) // left join: passed through with null
+    } finally query.stop()
+  }
+
   test("streaming dedupe by PK drops replayed rows across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
