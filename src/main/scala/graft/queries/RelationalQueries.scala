@@ -478,7 +478,9 @@ object RelationalQueries {
     // per-part average becomes a per-part (count, sum) aggregate joined
     // back, and the `qty < 0.2 * avg` test is the integer cross-product
     // `5 * qty_c * cnt < sum_qty_c` (exact; no double rounding crosses
-    // engines). One final double division, rounded once.
+    // engines). The yearly average is integer milli-cents (`div 7`), NOT a
+    // rounded double: at this sum's magnitude the 6th decimal sits below
+    // the double's ulp, where engines legitimately disagree.
     Q("tpch_q17_small_qty", "TPCH",
       (s, d) => {
         val li = Tables(s, d, "lineitem")
@@ -491,7 +493,7 @@ object RelationalQueries {
           .filter(cents(col("l_quantity")) * 5 * col("qty_n") < col("qty_sum_c"))
           .agg(sum(cents(col("l_extendedprice"))).as("price_sum_c"))
           .select(col("price_sum_c"),
-            round(col("price_sum_c") / 7.0, 6).as("avg_yearly_c"))
+            expr("price_sum_c * 1000 div 7").as("avg_yearly_mc"))
       },
       Some("""WITH ap AS (
              |  SELECT l_partkey AS ap_partkey, count(*) AS qty_n,
@@ -504,7 +506,7 @@ object RelationalQueries {
              |    JOIN ap ON l_partkey = ap_partkey
              |  WHERE p_brand = 'Brand#3'
              |    AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * qty_n < qty_sum_c)
-             |SELECT price_sum_c, round(price_sum_c / 7.0, 6) AS avg_yearly_c FROM hit""".stripMargin)),
+             |SELECT price_sum_c, (price_sum_c * 1000) // 7 AS avg_yearly_mc FROM hit""".stripMargin)),
 
     // TPC-H Q19 shape: discounted revenue over an OR-of-ANDs predicate —
     // the disjunction mixes part attributes and lineitem attributes, so it
