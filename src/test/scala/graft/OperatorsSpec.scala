@@ -194,6 +194,42 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 9)
   }
 
+  test("funnel: strictly sequential progression, abandoners carry nulls forward") {
+    import spark.implicits._
+    // u1 completes all 3 in order; u2 clicks BEFORE viewing (must not
+    // count); u3 views only
+    val ev = Seq(
+      (1L, 10, "view"), (1L, 20, "click"), (1L, 30, "purchase"),
+      (2L, 50, "click"), (2L, 60, "view"),
+      (3L, 70, "view"))
+      .map { case (u, t, k) => (u, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${t / 60}%02d:${t % 60}%02d"), k) }
+      .toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel
+      .stageTimes(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.length == 3)
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2) && !out(0).isNullAt(3))
+    // u2's click precedes its view -> stage 1 unreached (and stage 2 null)
+    assert(!out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3))
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3))
+  }
+
+  test("int8 quantization: zero vector -> zero scale path, error bounded by scale/2") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, -0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val rows = graft.llm.Similarity.quantizeInt8(vecs)
+      .orderBy("vec_id").collect()
+    assert(rows(0).getAs[String]("q") == "0,0,0")
+    assert(rows(0).getAs[Long]("scale_nano") == 0L)
+    assert(rows(0).getAs[Long]("err_nano") == 0L)
+    // max reconstruction error <= scale/2 (scale = 1/127)
+    val scaleNano = rows(1).getAs[Long]("scale_nano")
+    assert(rows(1).getAs[Long]("err_nano") <= scaleNano / 2 + 1)
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
