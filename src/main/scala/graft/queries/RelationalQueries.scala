@@ -409,7 +409,7 @@ object RelationalQueries {
           .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"),
-            year(col("l_shipdate")).as("l_year"))
+            year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(sum(revenueCp).as("revenue_cp"))
           .orderBy("supp_nation", "cust_nation", "l_year")
       },
@@ -426,6 +426,75 @@ object RelationalQueries {
               |  AND cn.n_name IN ('NATION_1','NATION_2')
               |  AND sn.n_name <> cn.n_name
               |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape: national market share — one nation's revenue share
+    // within a region per year. The share is a ratio of two big integer
+    // cent-sums; the single double division happens once per output row on
+    // exactly-representable longs, so round(.,6) is engine-stable (a ratio
+    // in [0,1] keeps the 6th decimal far above the ulp — contrast Q17).
+    Q("tpch_q8_market_share", "TPCH",
+      (s, d) => {
+        val custRegion = Tables(s, d, "customer")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region"))
+              .filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"))
+        val suppNation = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")
+              .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_5", revenueCp).otherwise(0L))
+              .as("nation_cp"),
+            sum(revenueCp).as("total_cp"))
+          .select(col("o_year"), col("nation_cp"), col("total_cp"),
+            round(col("nation_cp") / col("total_cp"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |       CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $revenueCpSql ELSE 0 END) AS BIGINT) AS nation_cp,
+              |       CAST(sum($revenueCpSql) AS BIGINT) AS total_cp,
+              |       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $revenueCpSql ELSE 0 END) AS BIGINT)
+              |             / CAST(sum($revenueCpSql) AS BIGINT), 6) AS mkt_share
+              |FROM lineitem
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+              |WHERE EXISTS (SELECT 1 FROM customer
+              |                JOIN nation cn ON c_nationkey = cn.n_nationkey
+              |                JOIN region ON cn.n_regionkey = r_regionkey
+              |              WHERE c_custkey = o_custkey AND r_name = 'ASIA')
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q16 shape: supplier-part relationship cardinality — this
+    // schema has no partsupp, so the observed (part, supplier) pairs in
+    // lineitem stand in; the aggregate is the same distinct-count over a
+    // filtered join, ordered by descending cardinality.
+    Q("tpch_q16_partsupp", "TPCH",
+      (s, d) => Tables(s, d, "lineitem")
+        .join(broadcast(Tables(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#5"
+              && col("p_size").isin(1, 9, 17, 25, 33, 41, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(100),
+      Some("""SELECT p_brand, p_type, p_size,
+             |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+             |GROUP BY 1, 2, 3
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin)),
 
     // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
     // with an extra join-side predicate (priority filter belongs in the ON
