@@ -84,6 +84,23 @@ object ColumnFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShinglesExpr(org.apache.spark.sql.GraftColumnBridge.expression(toks), k))
 
+  /** Morton (Z-order) interleave of two non-negative int columns' low
+    * `bits` bits: bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Sorting/clustering a sink by the Z-code gives multi-dimensional scan
+    * locality on ONE sort key — a range box over (x, y) touches
+    * O(perimeter) row groups instead of O(table) — which is how a
+    * bucketed layout serves two range dimensions (e.g. block_id ×
+    * address prefix) without a second copy of the data. Pure integer
+    * bit-arithmetic, fully codegen'd, and reproducible in any SQL engine
+    * (the oracle mirrors it with a bit-shift sum). */
+  def mortonInterleave(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).map { i =>
+      (shiftrightunsigned(x.cast("long"), i) % 2) * (1L << (2 * i)) +
+        (shiftrightunsigned(y.cast("long"), i) % 2) * (1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
   /** Order-sensitive rolling fingerprint of a token array:
     * `acc = (acc * 31 + md5Long(token)) mod 1e9+7`, seeded with 0.
     * All intermediates stay < 2^61, so no overflow on LongType.

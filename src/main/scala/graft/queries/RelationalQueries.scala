@@ -991,6 +991,24 @@ object RelationalQueries {
              |                + CAST('0x' || substring(md5(c_name), 10, 15) AS BIGINT)) AS VARCHAR) AS total_wei
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Z-order (Morton) clustering key: interleaving two range dimensions
+    // into one sort key gives a bucketed layout multi-dimensional scan
+    // locality without a second data copy — the (x, y) range box then
+    // touches O(perimeter) row groups. The code is pure codegen'd bit
+    // arithmetic, mirrored bit-for-bit by the oracle.
+    Q("zorder_code", "O",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_orderkey"),
+          graft.functions.ColumnFns.mortonInterleave(
+            col("o_custkey") % 1024, col("o_orderkey") % 1024, bits = 10)
+            .as("zcode"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |       CAST(list_sum(list_transform(range(0, 10), i ->
+             |          ((CAST(o_custkey % 1024 AS BIGINT) >> i) & 1) * 2**(2*i)
+             |        + ((CAST(o_orderkey % 1024 AS BIGINT) >> i) & 1) * 2**(2*i+1))) AS BIGINT) AS zcode
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // uint256 ordering without bigint arithmetic: fixed-length big-endian
     // binary compares as unsigned lexicographic, which IS numeric order —
     // so max(wei) needs no custom aggregate at all (the oracle's numeric

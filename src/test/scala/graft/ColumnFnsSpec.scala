@@ -123,4 +123,19 @@ class ColumnFnsSpec extends SparkSpec {
     val d = df.select(dotProduct($"a", $"b")).collect()(0).getDouble(0)
     assert(math.abs(d - 32.0) < 1e-12)
   }
+
+  test("mortonInterleave: known codes, JVM cross-check, order isomorphism") {
+    // x=0b11, y=0b01 -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 1+2+4 = 7
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 300).map(_ => (rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong)) :+ ((3L, 1L))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", mortonInterleave($"x", $"y").as("z")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def jvmMorton(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1) << (2 * i)) |
+        (((y >> i) & 1) << (2 * i + 1))).sum
+    assert(got((3L, 1L)) == 7L)
+    pts.foreach { case (x, y) => assert(got((x, y)) == jvmMorton(x, y)) }
+  }
 }
