@@ -80,6 +80,33 @@ object LlmQueries {
               |FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
               |WHERE a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Incremental dedup index: the band table is a bucketed SINK, not a
+    // per-run recomputation — build it for the first half of the corpus,
+    // UPSERT the second half's bands (only the touched band partitions
+    // rewrite), and read candidate pairs back from storage. The oracle is
+    // the full-corpus pair set: proof that index maintenance converges to
+    // the batch result, which is what makes corpus-scale dedup affordable
+    // per-snapshot (re-band the delta, not the corpus).
+    Q("dedup_incremental_bands", "LLM",
+      (s, d) => {
+        val sink = java.nio.file.Files.createTempDirectory("graft_bandix").toString
+        val docs = Tables(s, d, "documents")
+        def bandsOf(df: org.apache.spark.sql.DataFrame) =
+          Dedup.minhashBands(df, "doc_id", "text", 3, 4, 2)
+        graft.eth.Sinks.writeBucketedParquet(bandsOf(docs.filter(col("doc_id") < 250)),
+          sink, bucketCol = "band", sortCols = Seq("band_key", "doc_id"))
+        graft.eth.Sinks.upsertBucketedParquet(bandsOf(docs.filter(col("doc_id") >= 250)),
+          sink, pkCols = Seq("doc_id", "band"), bucketCol = "band",
+          sortCols = Seq("band_key", "doc_id"))
+        Dedup.minhashCandidatePairs(s.read.parquet(sink), "doc_id")
+          .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$minhashSigCte
+              |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+              |FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |WHERE a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Full dedup clustering: MinHash candidates -> exact-Jaccard verify ->
     // connected components (duplicate GROUPS, not just pairs). The oracle
     // replays label propagation as a recursive transitive-closure CTE.

@@ -496,6 +496,68 @@ object RelationalQueries {
              |GROUP BY 1, 2, 3
              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 100""".stripMargin)),
 
+    // TPC-H Q9 shape: product-type profit by nation and year — profit =
+    // revenue − cost, with the part's retail price standing in for the
+    // missing partsupp supplycost (same multi-join + signed aggregate
+    // shape). All integer cent/cent-percent math; cost scaled ×100 to
+    // revenue's cent-percent units so the subtraction stays exact.
+    Q("tpch_q9_profit", "TPCH",
+      (s, d) => {
+        val suppNation = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val costC = cents(col("p_retailprice")) * lit(100L)
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")
+              .filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(revenueCp - costC * col("l_quantity").cast("long"))
+            .as("profit_cp"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |       CAST(sum($revenueCpSql
+              |                - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+              |                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_cp
+              |FROM lineitem
+              |  JOIN part ON l_partkey = p_partkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |WHERE p_type = 'PROMO'
+              |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape: important stock identification — per-group value
+    // share above a global-threshold fraction. The scalar subquery
+    // (0.01% of total) is the 1-row broadcast again; the comparison is an
+    // integer cross-product (share_cp * 10000 > total_cp), no double
+    // threshold.
+    Q("tpch_q11_important", "TPCH",
+      (s, d) => {
+        val perSupp = Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+        perSupp
+          .crossJoin(broadcast(perSupp.agg(sum(col("value_c")).as("total_c"))))
+          .filter(col("value_c") * 10000L > col("total_c") * 200L)
+          .select(col("s_nationkey"), col("value_c"))
+          .orderBy(col("value_c").desc, col("s_nationkey"))
+      },
+      Some("""WITH v AS (SELECT s_nationkey,
+             |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_c
+             |       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |       GROUP BY 1)
+             |SELECT s_nationkey, value_c FROM v
+             |WHERE value_c * 10000 > (SELECT CAST(sum(value_c) AS BIGINT) FROM v) * 200
+             |ORDER BY value_c DESC, s_nationkey""".stripMargin)),
+
     // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
     // with an extra join-side predicate (priority filter belongs in the ON
     // clause, not WHERE, or childless customers vanish), then a second
