@@ -744,6 +744,104 @@ object RelationalQueries {
              |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // TPC-H Q2 shape: minimum-cost supplier per part. This schema has no
+    // partsupp, so the observed (part, supplier) pairs in lineitem stand in
+    // and s_acctbal (integer cents) stands in for ps_supplycost. The
+    // correlated `= (SELECT min(...))` subquery becomes a partition-local
+    // window min — one shuffle on l_partkey, no self-join — and the region
+    // dimension chain is a broadcast. Ties at the minimum all survive, as
+    // in the spec query.
+    Q("tpch_q2_min_cost", "TPCH",
+      (s, d) => {
+        val regionSupp = Tables(s, d, "supplier")
+          .join(broadcast(Tables(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")
+              .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            cents(col("s_acctbal")).as("acctbal_c"))
+        val pairs = Tables(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(Tables(s, d, "part")
+              .filter(col("p_size") <= 10 && col("p_type") === "PROMO")
+              .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"), "inner")
+        val w = Window.partitionBy(col("p_partkey"))
+        pairs
+          .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+          .withColumn("min_c", min(col("acctbal_c")).over(w))
+          .filter(col("acctbal_c") === col("min_c"))
+          .select(col("acctbal_c"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"))
+          .orderBy(col("acctbal_c").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+             |SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c,
+             |       s_name, n_name, p_partkey, p_brand
+             |FROM part, supplier, nation, region, ps
+             |WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'EUROPE' AND p_size <= 10 AND p_type = 'PROMO'
+             |  AND CAST(round(s_acctbal * 100) AS BIGINT) = (
+             |    SELECT min(CAST(round(s2.s_acctbal * 100) AS BIGINT))
+             |    FROM supplier s2
+             |      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+             |      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+             |      JOIN ps ps2 ON s2.s_suppkey = ps2.l_suppkey
+             |    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+             |ORDER BY acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q20 shape: suppliers shipping an outsized share of a part's
+    // volume. The spec's doubly-nested IN (parts by brand -> pairs above a
+    // correlated half-of-availqty threshold) becomes: brand filter as a
+    // broadcast semi-join, per-(part, supplier) year volume as one hash
+    // aggregate, and the correlated per-part total as a window sum over the
+    // SAME shuffle key (no second aggregate-join). A supplier qualifies
+    // when it shipped >20% of the part's annual volume; the final
+    // supplier⋈nation probe is a left-semi on the qualifying set.
+    Q("tpch_q20_excess", "TPCH",
+      (s, d) => {
+        val shipped = Tables(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(Tables(s, d, "part")
+              .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+        val w = Window.partitionBy(col("l_partkey"))
+        val excess = shipped
+          .withColumn("total_c", sum(col("qty_c")).over(w))
+          .filter(col("qty_c") * 5L > col("total_c"))
+          .select(col("l_suppkey")).distinct()
+        Tables(s, d, "supplier")
+          .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(Tables(s, d, "nation")
+              .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name"), cents(col("s_acctbal")).as("acctbal_c"))
+          .orderBy("s_name")
+      },
+      Some("""WITH shipped AS (
+             |  SELECT l_partkey, l_suppkey,
+             |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+             |  GROUP BY 1, 2),
+             |sh AS (SELECT l_suppkey, qty_c,
+             |              sum(qty_c) OVER (PARTITION BY l_partkey) AS total_c
+             |       FROM shipped)
+             |SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3'
+             |  AND s_suppkey IN (SELECT l_suppkey FROM sh WHERE qty_c * 5 > total_c)
+             |ORDER BY s_name""".stripMargin)),
+
     // Running total per customer (analytic window, unbounded preceding).
     Q("w1_running_total", "W",
       (s, d) => {
