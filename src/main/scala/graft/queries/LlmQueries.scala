@@ -1055,6 +1055,101 @@ object LlmQueries {
              |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Boilerplate chunk removal (CCNet-style line dedup adapted to this
+    // corpus: no newlines, so the unit is a fixed 8-word chunk). Any chunk
+    // string appearing in >=2 distinct documents is dropped everywhere and
+    // each document is reassembled from its surviving chunks in order.
+    // Scale shape: chunking is a pure column expression (no explode until
+    // the chunk rows are needed); the frequency aggregate and anti-join key
+    // on the 60-bit chunk hash (fixed-width shuffle rows, not 8-word
+    // strings); the only string-carrying shuffle is the final per-doc
+    // reassembly, which any survivor-producing dedup pays. Documents whose
+    // every chunk is boilerplate drop out entirely — same as the oracle.
+    Q("text_chunk_dedup", "LLM",
+      (s, d) => {
+        val k = 8
+        val words = split(col("text"), " ")
+        val nChunks = ceil(size(words).cast("double") / k).cast("int")
+        val chunksExpr = when(size(words) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(words, i * k + 1, lit(k)), " ")))
+        val chunked = Tables(s, d, "documents")
+          .select(col("doc_id"), posexplode(chunksExpr).as(Seq("cpos", "ctext")))
+          .withColumn("ch", md5Long(col("ctext")))
+        val boilerplate = chunked.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2).select(col("ch"))
+        chunked.join(boilerplate, Seq("ch"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("cpos"), col("ctext")))),
+              x => x.getField("ctext")), " ").as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+             |c0 AS (SELECT doc_id,
+             |         list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+             |           i -> array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS chunks
+             |       FROM t),
+             |c AS (SELECT doc_id, unnest(range(0, len(chunks))) AS cpos,
+             |             unnest(chunks) AS ctext FROM c0),
+             |h AS (SELECT doc_id, cpos, ctext,
+             |             CAST('0x' || substring(md5(ctext), 1, 15) AS BIGINT) AS ch FROM c),
+             |dup AS (SELECT ch FROM h GROUP BY ch HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT doc_id, count(*) AS n_kept,
+             |       string_agg(ctext, ' ' ORDER BY cpos) AS cleaned
+             |FROM h WHERE ch NOT IN (SELECT ch FROM dup)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Leakage-safe train/val/test split: the split is a hash of the
+    // near-duplicate COMPONENT (not the document), so a near-dup pair can
+    // never straddle train and test — the guarantee naive hash splits
+    // violate exactly where it matters most. Composes the engine's own
+    // banding -> Jaccard-verify -> connected-components chain; singleton
+    // docs fall back to their own id as the group.
+    Q("sample_group_split", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val comp = graft.operators.ConnectedComponents.run(
+          Dedup.nearDupEdges(docs, "doc_id", "text"), "id_a", "id_b")
+        docs.select(col("doc_id"))
+          .join(comp, col("doc_id") === col("node"), "left")
+          .withColumn("grp", coalesce(col("component"), col("doc_id")))
+          .withColumn("bucket", md5Long(col("grp").cast("string")) % 100)
+          .withColumn("split", when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("grp")).as("n_groups"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("split")
+      },
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |edges AS (SELECT id_a, id_b FROM cand
+              |          JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |          WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |                / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |comp AS (SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach) GROUP BY n),
+              |g AS (SELECT d2.doc_id, COALESCE(c2.component, d2.doc_id) AS grp
+              |      FROM documents d2 LEFT JOIN comp c2 ON d2.doc_id = c2.node),
+              |bk AS (SELECT doc_id, grp,
+              |         CAST('0x' || substring(md5(CAST(grp AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+              |       FROM g)
+              |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+              |       count(*) AS n, CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+              |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+              |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stream-stream interval join (batch-checkable form): clicks within the
     // 30 minutes before each purchase, per user. The same function runs as
     // a watermarked stream-stream join (StreamingSpec).
