@@ -277,4 +277,41 @@ object Dedup {
         col("n_bucket_dropped"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Boilerplate chunk removal — CCNet-style line dedup generalized to a
+    * fixed `chunkWords`-word chunk (the unit newline-free corpora need):
+    * any chunk string appearing in >= `minDf` distinct documents is dropped
+    * from EVERY document, and each document is reassembled from its
+    * surviving chunks in original order. Documents losing all chunks drop
+    * out of the result.
+    *
+    * Scale shape: chunking is a pure column expression (one `transform`
+    * over the word array — no explode until chunk rows are needed); the
+    * document-frequency aggregate and the anti-join key on the 60-bit chunk
+    * hash, so those shuffles carry fixed-width rows rather than chunk
+    * strings. The only string-carrying shuffle is the final per-document
+    * reassembly, which any survivor-producing dedup pays anyway.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 8, minDf: Int = 2): DataFrame = {
+    require(chunkWords > 0 && minDf > 1,
+      s"chunkWords must be positive and minDf > 1, got $chunkWords / $minDf")
+    val words = split(col(textCol), " ")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    val chunksExpr = when(size(words) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
+    val chunked = df
+      .select(col(idCol), posexplode(chunksExpr).as(Seq("cpos", "ctext")))
+      .withColumn("ch", md5Long(col("ctext")))
+    val boilerplate = chunked.groupBy(col("ch"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf).select(col("ch"))
+    chunked.join(boilerplate, Seq("ch"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("cpos"), col("ctext")))),
+          x => x.getField("ctext")), " ").as("cleaned"))
+  }
 }

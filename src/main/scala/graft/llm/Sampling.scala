@@ -141,4 +141,26 @@ object Sampling {
       .withColumn("pack_idx", expr(s"tokens_before div $seqLen"))
       .withColumn("pack_offset", expr(s"tokens_before % $seqLen"))
   }
+
+  /** Leakage-safe train/val/test assignment: the split is a hash of the
+    * near-duplicate COMPONENT (from `comp`, a (node, component) labeling —
+    * e.g. [[graft.operators.ConnectedComponents.run]] over
+    * [[Dedup.nearDupEdges]]), not of the document, so a near-dup pair can
+    * never straddle train and test — the guarantee a naive per-document
+    * hash split violates exactly where contamination matters most.
+    * Documents in no component fall back to their own id as the group.
+    * Returns one row per document: (idCol, grp, split).
+    */
+  def groupAwareSplit(df: DataFrame, idCol: String, comp: DataFrame,
+                      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split fractions: train $trainPct / val $valPct")
+    df.select(col(idCol))
+      .join(comp, col(idCol) === col("node"), "left")
+      .withColumn("grp", coalesce(col("component"), col(idCol)))
+      .withColumn("bucket", md5Long(col("grp").cast("string")) % 100)
+      .withColumn("split", when(col("bucket") < trainPct, "train")
+        .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
+      .select(col(idCol), col("grp"), col("split"))
+  }
 }

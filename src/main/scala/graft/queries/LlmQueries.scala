@@ -1066,27 +1066,8 @@ object LlmQueries {
     // reassembly, which any survivor-producing dedup pays. Documents whose
     // every chunk is boilerplate drop out entirely — same as the oracle.
     Q("text_chunk_dedup", "LLM",
-      (s, d) => {
-        val k = 8
-        val words = split(col("text"), " ")
-        val nChunks = ceil(size(words).cast("double") / k).cast("int")
-        val chunksExpr = when(size(words) === 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), nChunks - 1),
-            i => array_join(slice(words, i * k + 1, lit(k)), " ")))
-        val chunked = Tables(s, d, "documents")
-          .select(col("doc_id"), posexplode(chunksExpr).as(Seq("cpos", "ctext")))
-          .withColumn("ch", md5Long(col("ctext")))
-        val boilerplate = chunked.groupBy(col("ch"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .filter(col("df") >= 2).select(col("ch"))
-        chunked.join(boilerplate, Seq("ch"), "left_anti")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept"),
-            array_join(transform(
-              array_sort(collect_list(struct(col("cpos"), col("ctext")))),
-              x => x.getField("ctext")), " ").as("cleaned"))
-          .orderBy("doc_id")
-      },
+      (s, d) => Dedup.chunkDedup(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
              |c0 AS (SELECT doc_id,
              |         list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
@@ -1113,12 +1094,7 @@ object LlmQueries {
         val docs = Tables(s, d, "documents")
         val comp = graft.operators.ConnectedComponents.run(
           Dedup.nearDupEdges(docs, "doc_id", "text"), "id_a", "id_b")
-        docs.select(col("doc_id"))
-          .join(comp, col("doc_id") === col("node"), "left")
-          .withColumn("grp", coalesce(col("component"), col("doc_id")))
-          .withColumn("bucket", md5Long(col("grp").cast("string")) % 100)
-          .withColumn("split", when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val").otherwise("test"))
+        Sampling.groupAwareSplit(docs, "doc_id", comp)
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("grp")).as("n_groups"),

@@ -408,4 +408,34 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(p("big").toDouble / p("small") - math.sqrt(2)) < 0.001)
     assert(p.values.sum <= 1000000L)
   }
+
+  test("chunkDedup drops cross-document chunks, reassembles survivors in order") {
+    // docs 0/1 are identical (9 words -> chunks of 8 + 1): every chunk is
+    // shared, so both documents vanish. doc 2 shares its first 8-word chunk
+    // with 0/1 but its tail chunk "cat" is unique. docs 3/4 are untouched.
+    val out = Dedup.chunkDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("cleaned")))
+    assert(out.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(out(0) == ((2L, 1L, "cat")))
+    assert(out(1) == ((3L, 1L, "completely different words appear in this one here")))
+    assert(out(2) == ((4L, 1L, "unrelated content in another bucket entirely now ok")))
+  }
+
+  test("groupAwareSplit: near-dup pairs never straddle splits; every doc assigned once") {
+    val edges = Dedup.nearDupEdges(docs, "doc_id", "text")
+    val comp = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
+    val split = Sampling.groupAwareSplit(docs, "doc_id", comp)
+    assert(split.count() == docs.count())
+    val cross = edges
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), "id_a")
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb").count()
+    assert(cross == 0L)
+    // 0/1 are the verified near-dup pair (2 shares a band but fails the
+    // 0.8 Jaccard verify) -> same component -> same split by construction.
+    val by = split.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(by(0L) == by(1L))
+  }
 }
