@@ -761,12 +761,15 @@ object RelationalQueries {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("s_name"), col("n_name"),
             cents(col("s_acctbal")).as("acctbal_c"))
+        // Broadcast part filter BEFORE the distinct: the pair-dedup shuffle
+        // then carries only the filtered parts' lineitems, not the full fact.
         val pairs = Tables(s, d, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey")).distinct()
           .join(broadcast(Tables(s, d, "part")
               .filter(col("p_size") <= 10 && col("p_type") === "PROMO")
               .select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"), "inner")
+          .select(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+          .distinct()
         val w = Window.partitionBy(col("p_partkey"))
         pairs
           .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))

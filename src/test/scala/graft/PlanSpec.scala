@@ -244,4 +244,24 @@ class PlanSpec extends SparkSpec {
     assert(!body.contains("Exchange"),
       s"no exchange before the final deterministic sort:\n$p")
   }
+
+  test("chunk dedup anti-joins on the 60-bit hash, not the chunk string") {
+    val p = plan("text_chunk_dedup")
+    assert(p.contains("LeftAnti"), s"expected anti-join:\n$p")
+    // every join key list mentioning the keys must use ch (the hash);
+    // ctext may only flow through the reassembly aggregate
+    val joinLines = p.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(joinLines.forall(l => l.contains("ch#") && !l.contains("ctext#")),
+      s"anti-join must key on the hash:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("TPC-H Q2 keeps dimension chains broadcast; min-cost is a window, not a self-join") {
+    val p = plan("tpch_q2_min_cost")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2,
+      s"part and supplier chains must broadcast:\n$p")
+    assert(p.contains("Window"), s"per-part min must be a window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no big-big join expected:\n$p")
+  }
 }
