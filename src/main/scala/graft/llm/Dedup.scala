@@ -194,24 +194,31 @@ object Dedup {
       s"recall is only exact for maxHamming < bands ($maxHamming >= $bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val sigs = docs
+    // The signature is a single long, so it rides along in the band buckets
+    // as part of the collected record: the pair expansion emits both sigs
+    // directly and the Hamming filter runs BEFORE the pair-dedup shuffle.
+    // One scan, one shuffle for the buckets, one for the distinct — no
+    // join-back to a signature table (which would recompute the per-token
+    // md5 pass twice more and shuffle the pair set twice).
+    val banded = docs
       .select(col(idCol), transform(tokens(col(textCol)), md5Long(_)).as("__tb"))
       .select(col(idCol), simhashFromBases(col("__tb"), bits).as("__sig"))
-    val banded = sigs
       .select(col(idCol), col("__sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
         expr(s"shiftrightunsigned(__sig, band * $bandBits) & $mask"))
-    val cand = withinBucketPairs(
-      banded.select(col(idCol), col("band"), col("band_key")),
-      Seq("band", "band_key"), idCol)
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sa")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
-      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+    val recs = col("__recs")
+    banded
+      .select(col("band"), col("band_key"),
+        struct(col(idCol).as("id"), col("__sig").as("sig")).as("__rec"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
+      .filter(size(recs) > 1)
+      .select(explode(orderedPairs(recs)).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        bit_count(col("__p.a.sig").bitwiseXOR(col("__p.b.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors are LSH-bucketed
