@@ -952,6 +952,41 @@ object LlmQueries {
              |               THEN 1.0 ELSE -1.0 END))) * 1000000) AS BIGINT) AS comp_micro
              |FROM embeddings, (SELECT unnest(range(0, 8)) AS p) ORDER BY vec_id, p""".stripMargin)),
 
+    // Diversity sampling: spread a fixed-budget sample across embedding
+    // space by composing two existing operators unchanged — IVF cluster
+    // assignment (broadcast centroids -> argmax, no corpus shuffle) and
+    // the deterministic per-stratum cap (two hash aggregates, no giant
+    // window). The per-cluster quota is what keeps the sample diverse:
+    // a global top-N by hash would oversample dense regions.
+    Q("emb_diversity_sample", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val assigned = Similarity.ivfAssign(
+            e.filter(col("vec_id") >= 16), e.filter(col("vec_id") < 16))
+          .select(col("vec_id"), col("centroid_id"))
+        Sampling.capPerStratum(assigned, "vec_id", "centroid_id", 8)
+          .select(col("centroid_id"), col("rank").cast("long").as("cap_rank"),
+            col("vec_id"))
+          .orderBy("centroid_id", "cap_rank")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |ca AS (SELECT vec_id, cid FROM (
+           |         SELECT v.vec_id, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id >= 16) WHERE rn = 1),
+           |h AS (SELECT cid, vec_id,
+           |        CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+           |      FROM ca),
+           |r AS (SELECT cid, vec_id,
+           |        row_number() OVER (PARTITION BY cid ORDER BY hh, vec_id) AS rn FROM h)
+           |SELECT cid AS centroid_id, CAST(rn AS BIGINT) AS cap_rank, vec_id
+           |FROM r WHERE rn <= 8 ORDER BY centroid_id, cap_rank""".stripMargin
+      }),
+
     // Symmetric int8 quantization of embeddings (8× compression for
     // storage/serving) with the max reconstruction error as a built-in
     // quality audit — all per-row array math, zero shuffles.

@@ -422,6 +422,30 @@ class LlmSpec extends SparkSpec {
     assert(out(2) == ((4L, 1L, "unrelated content in another bucket entirely now ok")))
   }
 
+  test("chunkDedup is the identity (round-trip) when no chunk repeats") {
+    val uniq = (0 until 40).map { i =>
+      val n = 1 + (i % 23)
+      (i.toLong, (0 until n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val out = Dedup.chunkDedup(uniq.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 40)
+    out.zip(uniq).foreach { case (r, (_, text)) =>
+      assert(r.getAs[String]("cleaned") == text)
+      val n = text.split(" ").length
+      assert(r.getAs[Long]("n_kept") == (n + 7) / 8)
+    }
+  }
+
+  test("groupAwareSplit is partitioning-invariant") {
+    val comp = graft.operators.ConnectedComponents.run(
+      Dedup.nearDupEdges(docs, "doc_id", "text"), "id_a", "id_b")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.groupAwareSplit(df, "doc_id", comp).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(assign(docs) == assign(docs.repartition(7)))
+  }
+
   test("groupAwareSplit: near-dup pairs never straddle splits; every doc assigned once") {
     val edges = Dedup.nearDupEdges(docs, "doc_id", "text")
     val comp = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
