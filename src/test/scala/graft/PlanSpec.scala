@@ -264,4 +264,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"per-part min must be a window:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no big-big join expected:\n$p")
   }
+
+  test("TPC-H Q20: brand filter is a broadcast semi-join; share threshold is a same-key window") {
+    val p = plan("tpch_q20_excess")
+    assert(p.contains("LeftSemi"), s"expected semi-joins:\n$p")
+    assert(p.contains("Window"), s"per-part total must be a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no big-big or cross join expected:\n$p")
+  }
+
+  test("diversity sample: centroids ride a broadcast, never a cartesian shuffle") {
+    val p = plan("emb_diversity_sample")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid scoring must broadcast the centroid set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no shuffled product allowed:\n$p")
+  }
 }
