@@ -98,6 +98,32 @@ object RelationalQueries {
              |                      RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS peers_within_5
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Time-based RANGE frame: per-user rolling count/sum over the trailing
+    // hour of EVENT TIME (seconds since epoch as the frame axis) — the
+    // feature-engineering staple w7's value-range frame cannot express.
+    // Peers at the same second are frame-equal in both engines, so the
+    // result is deterministic regardless of tie order. Sums ride integer
+    // micro-units; the frame key is floor-seconds on both sides.
+    Q("w8_time_rolling", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3600L, 0L)
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(round(col("value") * 1000000).cast("long")).over(w)
+              .as("val_micro_1h"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, count(*) OVER w AS n_1h,
+             |       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS BIGINT) AS val_micro_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // UNPIVOT (wide -> long melt): the inverse of pivot, over integer-cent
     // metrics.
     Q("unpivot_metrics", "P",
