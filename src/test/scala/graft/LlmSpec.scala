@@ -27,6 +27,9 @@ class LlmSpec extends SparkSpec {
     assert(Sampling.packSequences(
       empty.select($"doc_id", lit(1L).as("n")), "doc_id", "n", 100).count() == 0)
     assert(TextAnalysis.tfIdf(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.chunkDedup(empty, "doc_id", "text").count() == 0)
+    val noComp = empty.select($"doc_id".as("node"), $"doc_id".as("component"))
+    assert(Sampling.groupAwareSplit(empty, "doc_id", noComp).count() == 0)
   }
 
   test("exact dedup: one survivor per distinct content, dup_count correct") {
