@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnFns._
@@ -320,5 +321,84 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(struct(col("cpos"), col("ctext")))),
           x => x.getField("ctext")), " ").as("cleaned"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering embeddings and pruning near-identical pairs WITHIN each
+    * cluster — cross-cluster pairs are never scored, which is what turns
+    * the quadratic all-pairs problem into bounded per-cluster work. A
+    * vector is dropped when a smaller-id vector in the same cluster has
+    * cosine similarity >= `threshold` (deterministic keep-lowest-id
+    * survivor rule). Returns one row per vector: (idCol, centroid_id,
+    * kept).
+    *
+    * Scale shape: assignment is [[Similarity.ivfAssign]]'s broadcast
+    * argmax (one scan, no shuffle); the within-cluster pair generation is
+    * an equi-join on `centroid_id`, never a cross join. Cluster population
+    * — and so per-cluster pair cost — is bounded by sizing the codebook
+    * with the corpus (SemDeDup trains k ∝ n clusters, keeping members/
+    * cluster roughly constant), the same knob as every bucketed dedup
+    * operator here. Cosines are rounded to 1e-6 before the threshold so
+    * the drop set is engine-independent.
+    */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = Similarity.ivfAssign(vectors, centroids, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__idb").as("__dropped")).distinct()
+    assigned.join(dropped, col(idCol) === col("__dropped"), "left")
+      .select(col(idCol), col("centroid_id"),
+        col("__dropped").isNull.as("kept"))
+  }
+
+  /** Cross-document duplicated-span detection — the exact-substring dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") re-expressed relationally: every `k`-token window
+    * whose hash occurs in >= 2 DISTINCT documents is a duplicated window,
+    * and per document, runs of consecutive duplicated window positions
+    * merge into maximal spans `[span_start, span_end]` (0-based inclusive
+    * token indices). The paper's suffix array becomes a hash aggregate +
+    * equi-join: identical detected spans at k-token granularity, with no
+    * global sort or suffix structure.
+    *
+    * Scale shape: windows are one `posexplode` per document (linear in
+    * tokens); the cross-doc test is a fixed-width groupBy on the 60-bit
+    * window hash deciding via `min(doc) != max(doc)` (no count-distinct
+    * state); the join back is an equi-join on that hash; the span merge is
+    * a per-document window over DUPLICATED positions only (a tiny fraction
+    * of the corpus). Documents shorter than `k` tokens have no k-window
+    * and drop out by construction.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    val wins = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col(idCol),
+        posexplode(shingles(col("__toks"), k)).as(Seq("pos", "__g")))
+      .select(col(idCol), col("pos"), md5Long(col("__g")).as("__h"))
+    val crossDoc = wins.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__h"))
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = wins.join(crossDoc, Seq("__h"))
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > 1, 1).otherwise(0))
+      .withColumn("__run", sum(col("__brk")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy(col(idCol), col("__run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,5 +162,55 @@ object Sampling {
       .withColumn("split", when(col("bucket") < trainPct, "train")
         .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
       .select(col(idCol), col("grp"), col("split"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): documents are scored by
+    * how much more likely their hashed-n-gram features are under the
+    * TARGET distribution (`isTarget` rows) than under the RAW distribution
+    * (the rest). Features are word unigrams hashed into `buckets` buckets;
+    * both distributions are Laplace-smoothed bucket frequencies; a
+    * document's weight is Σ_tokens (log p_target(bucket) − log
+    * p_raw(bucket)) — resample raw data proportionally to exp(weight) to
+    * shift it toward the target domain.
+    *
+    * Scale shape: the two distributions are ONE conditional aggregate of
+    * fixed cardinality `buckets` (map-side combine carries the load); the
+    * per-bucket log-ratio table rides a broadcast join onto the exploded
+    * token stream; the per-document sum is integer micro-nat arithmetic —
+    * each log quantized once per BUCKET (not per token), so scores are
+    * bit-deterministic across engines and retries, the same contract as
+    * [[TextAnalysis.unigramLogProbScores]]. No driver-side data path.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = df
+      .select(col(idCol), isTarget.as("__t"),
+        explode(graft.functions.ColumnFns.tokens(col(textCol))).as("__term"))
+      .select(col(idCol), col("__t"),
+        pmod(md5Long(col("__term")), lit(buckets.toLong)).as("bucket"))
+    val counts = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+    def logMicro(c: Column, n: Column): Column =
+      round(log((c + 1).cast("double") / (n + buckets).cast("double")) * 1e6)
+        .cast("long")
+    val ratio = counts
+      .crossJoin(broadcast(counts.agg(
+        sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))))
+      .select(col("bucket"),
+        (logMicro(col("__ct"), col("__nt")) -
+          logMicro(col("__cr"), col("__nr"))).as("__lr"))
+    toks.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("weight_micro"))
+      .select(col(idCol), col("n_tokens"), col("weight_micro"),
+        // integer micro-nat mean, truncating division with explicit sign
+        // split (trunc-vs-floor engine divergence on negatives; and a
+        // round(w/n, 6) double here landed EXACTLY on a half-ulp tie at
+        // sf0.1 — integer division has no ties)
+        expr("CASE WHEN weight_micro < 0 THEN -((-weight_micro) div n_tokens)" +
+          " ELSE weight_micro div n_tokens END").as("avg_weight_micro"))
   }
 }

@@ -252,6 +252,51 @@ object Similarity {
         round(err * 1000000000d).cast("long").as("err_nano"))
   }
 
+  /** Product-quantization code assignment (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split each vector into
+    * `m` contiguous subvectors of `dim/m` dims and assign each subvector
+    * the id of its nearest codebook entry (L2) in that subspace.
+    * Downstream ANN then scores candidates from `m` small integer codes
+    * instead of the full float vector — the compressed storage layout
+    * IVF-PQ serves at 100 TB scale (here 8 codes ≈ 8 bytes vs 256 bytes of
+    * float32). The codebook is the caller's stand-in for a trained one,
+    * as with [[ivfAssign]]'s centroids.
+    *
+    * Squared distances decompose as |x|² − 2·x·y + |y|², each dot a
+    * sequential-double codegen'd `graft_dot`, rounded to 1e-6 BEFORE the
+    * argmin so the winner is engine-independent; ties break on code id.
+    * Scale shape: the sliced codebook rides a broadcast join keyed on
+    * `subspace`; per row the work is m × |codebook| dot products over
+    * (dim/m)-element slices — one scan, no shuffle in the assignment
+    * itself. Returns one row per (id, subspace): the code and the squared
+    * distance in integer micro-units.
+    */
+  def pqCodes(df: DataFrame, codebook: DataFrame, dim: Int, m: Int = 8,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
+    val sub = dim / m
+    GraftFunctions.register(df.sparkSession)
+    def slices(v: Column, out: String) = explode(array(
+      (0 until m).map(s => struct(lit(s.toLong).as("subspace"),
+        slice(v, s * sub + 1, sub).as(out))).toIndexedSeq: _*))
+    val vecs = df.select(col(idCol), slices(col(vecCol), "sv").as("__x"))
+      .select(col(idCol), col("__x.subspace").as("subspace"), col("__x.sv").as("__sv"))
+    val cb = codebook.select(col(idCol).as("__code"), slices(col(vecCol), "cs").as("__y"))
+      .select(col("__code"), col("__y.subspace").as("subspace"), col("__y.cs").as("__cs"))
+    val d2 = round(dot(col("__sv"), col("__sv"))
+      - lit(2d) * dot(col("__sv"), col("__cs"))
+      + dot(col("__cs"), col("__cs")), 6)
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("__d2"), col("__code"))
+    vecs.join(broadcast(cb), Seq("subspace"))
+      .withColumn("__d2", d2)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("subspace"), col("__code").as("code"),
+        round(col("__d2") * 1e6).cast("long").as("dist_micro"))
+  }
+
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is
     * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher

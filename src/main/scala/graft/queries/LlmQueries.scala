@@ -1199,5 +1199,101 @@ object LlmQueries {
              |       FROM dd)
              |SELECT user_id, session_seq, CAST(min(ts) AS TIMESTAMP) AS session_start,
              |       CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
-             |FROM ss GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM ss GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SemDeDup: cluster embeddings by broadcast-argmax centroid assignment,
+    // then prune near-identical pairs WITHIN clusters only (keep-lowest-id).
+    Q("dedup_semantic", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Dedup.semanticDedup(e.filter(col("vec_id") >= 16),
+          e.filter(col("vec_id") < 16), threshold = 0.3).orderBy("vec_id")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |a AS (SELECT vec_id, embedding, cid FROM (
+           |        SELECT v.vec_id, v.embedding, c.cid,
+           |               row_number() OVER (PARTITION BY v.vec_id
+           |                                  ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |        FROM embeddings v, cent c WHERE v.vec_id >= 16) WHERE rn = 1),
+           |drp AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |        WHERE round(${dot("x.embedding", "y.embedding")} /
+           |                (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})), 6) >= 0.3)
+           |SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS kept
+           |FROM a LEFT JOIN drp d ON a.vec_id = d.vec_id ORDER BY a.vec_id""".stripMargin
+      }),
+
+    // Exact-substring span dedup (Lee et al. 2022 at k-token granularity):
+    // cross-doc duplicated 5-token windows merged into maximal spans.
+    Q("text_dup_spans", "LLM",
+      (s, d) => Dedup.duplicateSpans(Tables(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+             |big AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
+             |win AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             |          CAST('0x' || substring(md5(array_to_string(t[(i+1):(i+5)], ' ')), 1, 15) AS BIGINT) AS h
+             |        FROM big, UNNEST(range(0, len(t) - 4)) AS u(i)),
+             |dups AS (SELECT h FROM win GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+             |d AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dups)),
+             |lagged AS (SELECT doc_id, pos,
+             |             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+             |                  THEN 1 ELSE 0 END AS brk
+             |           FROM d),
+             |runs AS (SELECT doc_id, pos,
+             |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |         FROM lagged)
+             |SELECT doc_id, min(pos) AS span_start,
+             |       CAST(max(pos) + 4 AS INTEGER) AS span_end, count(*) AS n_windows
+             |FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, span_start""".stripMargin)),
+
+    // DSIR-style importance weights: hashed-unigram log-likelihood ratio of
+    // the English-target distribution vs the rest of the corpus.
+    Q("sample_importance", "LLM",
+      (s, d) => Sampling.importanceWeights(Tables(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en").orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, lang = 'en' AS t, unnest(str_split(text, ' ')) AS term
+             |              FROM documents),
+             |b AS (SELECT doc_id, t,
+             |        CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % 256 AS bucket FROM toks),
+             |counts AS (SELECT bucket, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+             |             sum(CASE WHEN t THEN 0 ELSE 1 END) AS cr
+             |           FROM b GROUP BY bucket),
+             |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+             |ratio AS (SELECT bucket,
+             |            CAST(round(ln((ct + 1.0) / (nt + 256.0)) * 1000000) AS BIGINT)
+             |            - CAST(round(ln((cr + 1.0) / (nr + 256.0)) * 1000000) AS BIGINT) AS lr
+             |          FROM counts, tot)
+             |SELECT doc_id, count(*) AS n_tokens, CAST(sum(lr) AS BIGINT) AS weight_micro,
+             |       CAST(CASE WHEN sum(lr) < 0 THEN -((-sum(lr)) // count(*))
+             |            ELSE sum(lr) // count(*) END AS BIGINT) AS avg_weight_micro
+             |FROM b JOIN ratio USING (bucket) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Product-quantization code assignment: 8 subspaces x 8 dims, nearest
+    // codebook entry per subspace by decomposed L2 over broadcast codebook.
+    Q("ann_pq_codes", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.pqCodes(e.filter(col("vec_id") >= 16),
+          e.filter(col("vec_id") < 16), dim = 64, m = 8)
+          .orderBy("vec_id", "subspace")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 9), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH sub AS (SELECT CAST(s AS BIGINT) AS s FROM (SELECT unnest(range(0, 8)) AS s)),
+           |v AS (SELECT vec_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS sv
+           |      FROM embeddings, sub s WHERE vec_id >= 16),
+           |c AS (SELECT vec_id AS code, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS cs
+           |      FROM embeddings, sub s WHERE vec_id < 16),
+           |sc AS (SELECT v.vec_id, v.subspace, c.code,
+           |         round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6) AS d2,
+           |         row_number() OVER (PARTITION BY v.vec_id, v.subspace
+           |                            ORDER BY round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6), c.code) AS rn
+           |       FROM v JOIN c ON v.subspace = c.subspace)
+           |SELECT vec_id, subspace, code, CAST(round(d2 * 1000000) AS BIGINT) AS dist_micro
+           |FROM sc WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+      }))
 }

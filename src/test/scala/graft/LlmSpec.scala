@@ -465,4 +465,95 @@ class LlmSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
     assert(by(0L) == by(1L))
   }
+
+  test("semanticDedup: drops within-cluster near-dups, keeps lowest id") {
+    val cents = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),    // cluster 100
+      (2L, Seq(1f, 0.12f, 0f, 0f)),   // cos(1,2) ~ 0.9998 -> dropped
+      (3L, Seq(0.9f, -0.1f, 0f, 0f)), // cos(1,3) ~ 0.978 < 0.99 -> kept
+      (4L, Seq(0f, 1f, 0.05f, 0f)),   // cluster 101
+      (5L, Seq(0.01f, 1f, 0.05f, 0f)) // cos(4,5) ~ 1.0 -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, cents, threshold = 0.99).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("centroid_id"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(1L) == (100L, true) && out(2L) == (100L, false))
+    assert(out(3L) == (100L, true))
+    assert(out(4L) == (101L, true) && out(5L) == (101L, false))
+  }
+
+  test("duplicateSpans: cross-doc runs merge; same-doc repeats and short docs excluded") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e f y y"),       // shares "a b c d e f" with doc 1
+      (3L, "p q r s t u v w"),           // unique -> no spans
+      (4L, "a b c"),                     // < k tokens -> excluded
+      (5L, "m n o p q m n o p q")        // repeat WITHIN one doc only -> no span
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Long]("n_windows")))
+    // doc 1: windows at pos 0,1 duplicated -> one span [0,5]; doc 2: pos 2,3 -> [2,7]
+    assert(out.toSeq == Seq((1L, 0, 5, 2L), (2L, 2, 7, 2L)))
+  }
+
+  test("duplicateSpans: disjoint duplicated regions stay separate spans") {
+    val corpus = Seq(
+      (1L, "a b c d e zz1 zz2 zz3 v w x y z"),
+      (2L, "a b c d e qq1 qq2 qq3 v w x y z")
+    ).toDF("doc_id", "text") // shared 5-gram at pos 0 and pos 8, gap between
+    val out = Dedup.duplicateSpans(corpus, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end")))
+    assert(out.toSeq == Seq((1L, 0, 4), (1L, 8, 12), (2L, 0, 4), (2L, 8, 12)))
+  }
+
+  test("importanceWeights: target-typical docs score positive, raw-typical negative") {
+    val corpus = Seq(
+      (1L, "tt tt tt", true), (2L, "tt tt tt", true),
+      (3L, "rr rr rr", false), (4L, "rr rr rr", false))
+      .toDF("doc_id", "text", "is_en")
+    val out = Sampling.importanceWeights(corpus, "doc_id", "text", $"is_en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_micro"),
+          r.getAs[Long]("avg_weight_micro"))).toMap
+    assert(out(1L)._1 == 3L && out(1L)._2 > 0L)
+    assert(out(3L)._2 < 0L)
+    // symmetric corpus -> antisymmetric weights; avg is the truncating div
+    assert(out(1L)._2 == -out(3L)._2)
+    assert(out(1L)._3 == out(1L)._2 / 3 && out(3L)._3 == -(out(1L)._2 / 3))
+  }
+
+  test("pqCodes: exact sub-match gets its code at distance 0; ties break to lowest code") {
+    val cb = Seq((100L, Seq(1f, 0f, 0f, 1f)), (101L, Seq(0f, 1f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 1f, 0f)),        // sub0 = code100 exactly, sub1 = code101 exactly
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)) // equidistant in both subspaces -> code 100
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(vecs, cb, dim = 4, m = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("subspace")) ->
+        (r.getAs[Long]("code"), r.getAs[Long]("dist_micro"))).toMap
+    assert(out((1L, 0L)) == (100L, 0L))
+    assert(out((1L, 1L)) == (101L, 0L))
+    assert(out((2L, 0L))._1 == 100L && out((2L, 1L))._1 == 100L)
+    assert(out((2L, 0L))._2 == 500000L) // |x-y|^2 = 0.25 + 0.25
+    intercept[IllegalArgumentException] {
+      Similarity.pqCodes(vecs, cb, dim = 4, m = 3)
+    }
+  }
+
+  test("semanticDedup / duplicateSpans / importanceWeights / pqCodes tolerate empty input") {
+    val emptyDocs = docs.filter($"doc_id" < 0)
+    val emptyVecs = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding").filter($"vec_id" < 0)
+    val cents = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(emptyVecs, cents, 0.9).count() == 0)
+    assert(Dedup.duplicateSpans(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Sampling.importanceWeights(emptyDocs, "doc_id", "text", lit(true)).count() == 0)
+    assert(Similarity.pqCodes(emptyVecs, cents, dim = 2, m = 1).count() == 0)
+  }
 }
