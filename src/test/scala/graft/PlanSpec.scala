@@ -280,4 +280,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"no shuffled product allowed:\n$p")
   }
+
+  test("SemDeDup pairs within clusters via equi-join, never a cartesian product") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairs must be an equi-join on centroid_id:\n$p")
+    // only the centroid-assignment broadcast may be nested-loop
+    assert(p.contains("BroadcastNestedLoopJoin"), s"argmax assignment broadcast:\n$p")
+  }
+
+  test("duplicate spans: cross-doc test is a fixed-width hash agg on the window hash") {
+    val p = plan("text_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("collect_list"),
+      s"no products or list collection in the span pipeline:\n$p")
+    // min/max doc aggregate (not count-distinct) decides cross-doc windows
+    assert(!p.contains("distinct"), s"no count-distinct state:\n$p")
+  }
+
+  test("importance weights: the log-ratio table rides broadcasts, corpus shuffles once") {
+    val p = plan("sample_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket ratio lookup must be a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must never shuffle against the 256-row ratio table:\n$p")
+  }
+
+  test("PQ codes: the sliced codebook is broadcast; assignment has no shuffle join") {
+    val p = plan("ann_pq_codes")
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook must broadcast on subspace:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled join in PQ assignment:\n$p")
+  }
 }
