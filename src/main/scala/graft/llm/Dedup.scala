@@ -401,4 +401,37 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
+
+  /** Remove the [[duplicateSpans]] regions from every document and
+    * reassemble the surviving tokens in order — the removal half of the
+    * exact-substring dedup pipeline. Policy: a cross-document duplicated
+    * span is boilerplate and is dropped from EVERY document (the
+    * [[chunkDedup]] contract at span granularity); a document whose text
+    * is entirely duplicated keeps an empty `cleaned` string rather than
+    * dropping out, so corpus accounting stays 1:1.
+    *
+    * Scale shape: on top of the span detection, the only additions are a
+    * per-document `collect_list` of span bounds (bounded by spans per
+    * document, never tokens) and one left broadcast-able join back to the
+    * corpus; the token filtering is a pure per-row array expression —
+    * no extra corpus-sized shuffle beyond [[duplicateSpans]] itself.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = tokens(col(textCol))
+    val indexed = zip_with(toks, sequence(lit(0), size(toks) - 1),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    val kept = filter(indexed, x => !exists(col("__spans"),
+      s => x.getField("i") >= s.getField("span_start") &&
+        x.getField("i") <= s.getField("span_end")))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(size(col("__spans")), lit(0)).as("n_spans"),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(transform(kept, _.getField("t")), " "))
+          .as("cleaned"))
+  }
 }

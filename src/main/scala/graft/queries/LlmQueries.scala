@@ -1249,6 +1249,41 @@ object LlmQueries {
              |       CAST(max(pos) + 4 AS INTEGER) AS span_end, count(*) AS n_windows
              |FROM runs GROUP BY doc_id, run_id ORDER BY doc_id, span_start""".stripMargin)),
 
+    // Removal half of exact-substring dedup: rebuild each document without
+    // its cross-doc duplicated spans (empty string if fully duplicated).
+    Q("text_dup_span_removal", "LLM",
+      (s, d) => Dedup.removeDuplicateSpans(Tables(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+             |big AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
+             |win AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             |          CAST('0x' || substring(md5(array_to_string(t[(i+1):(i+5)], ' ')), 1, 15) AS BIGINT) AS h
+             |        FROM big, UNNEST(range(0, len(t) - 4)) AS u(i)),
+             |dups AS (SELECT h FROM win GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+             |dd AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dups)),
+             |lagged AS (SELECT doc_id, pos,
+             |             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+             |                  THEN 1 ELSE 0 END AS brk
+             |           FROM dd),
+             |runs AS (SELECT doc_id, pos,
+             |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |         FROM lagged),
+             |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+             |          FROM runs GROUP BY doc_id, run_id),
+             |pos AS (SELECT doc_id, i AS pos, t[i+1] AS tok
+             |        FROM toks, UNNEST(range(0, len(t))) AS u(i)
+             |        WHERE doc_id IN (SELECT doc_id FROM spans)),
+             |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+             |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+             |                           WHERE s.doc_id = p.doc_id AND p.pos BETWEEN s.s AND s.e)),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id),
+             |ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(ns.n_spans, 0) AS INTEGER) AS n_spans,
+             |       coalesce(a.cleaned, CASE WHEN ns.n_spans IS NULL THEN d.text ELSE '' END) AS cleaned
+             |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN ns USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // DSIR-style importance weights: hashed-unigram log-likelihood ratio of
     // the English-target distribution vs the rest of the corpus.
     Q("sample_importance", "LLM",

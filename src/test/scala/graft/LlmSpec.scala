@@ -500,6 +500,24 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, 5, 2L), (2L, 2, 7, 2L)))
   }
 
+  test("removeDuplicateSpans: spans drop, unique docs untouched, full dups go empty") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x x a b c d e f y y"),
+      (3L, "p q r s t u v w"),
+      (4L, "a b c"),
+      (5L, "a b c d e f")            // fully inside the duplicated 6-gram
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(corpus, "doc_id", "text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_spans"), r.getAs[String]("cleaned"))).toMap
+    assert(out(1L) == (1, "g h"))        // span [0,5] removed
+    assert(out(2L) == (1, "x x y y"))    // span [2,7] removed
+    assert(out(3L) == (0, "p q r s t u v w"))
+    assert(out(4L) == (0, "a b c"))      // shorter than k -> untouched
+    assert(out(5L) == (1, ""))           // fully duplicated -> empty, still present
+  }
+
   test("duplicateSpans: disjoint duplicated regions stay separate spans") {
     val corpus = Seq(
       (1L, "a b c d e zz1 zz2 zz3 v w x y z"),
