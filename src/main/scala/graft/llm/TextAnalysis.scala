@@ -178,6 +178,32 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Global-percentile quality gate: keep documents whose integer quality
+    * score (stopword hits per 1000 tokens — the Gopher-style "natural
+    * language" signal) clears the EXACT corpus-wide `pct` percentile.
+    * The threshold a fixed cutoff can't give you: "keep the best half"
+    * regardless of corpus drift.
+    *
+    * Scale shape: scores are one scan of pure column expressions; the
+    * exact percentile is ONE distributed aggregate whose result rides a
+    * 1-row broadcast back onto the corpus (`crossJoin(broadcast(...))`) —
+    * no driver collect, no second scoring pass, no sort of the corpus.
+    * Scores are integer milli-units (non-negative truncating division =
+    * floor in every engine), so the gate is bit-deterministic.
+    */
+  def globalQualityGate(df: DataFrame, idCol: String, textCol: String,
+                        pct: Double = 0.5): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
+    val toks = tokens(col(textCol))
+    val m = df.select(col(idCol),
+        stopwordHits(toks).cast("long").as("__swh"), size(toks).as("n_tokens"))
+      .withColumn("swr_milli", expr("(__swh * 1000) div n_tokens"))
+    val thr = m.agg(expr(s"percentile(swr_milli, $pct)").as("__p"))
+    m.crossJoin(broadcast(thr))
+      .filter(col("swr_milli") >= col("__p"))
+      .select(col(idCol), col("n_tokens"), col("swr_milli"))
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over tokens
     * ([[graft.functions.ColumnFns.rollingFingerprint]]) — equal texts get equal
     * fingerprints, any reordering/edit changes it. */

@@ -1201,6 +1201,54 @@ object LlmQueries {
              |       CAST(max(ts) AS TIMESTAMP) AS session_end, count(*) AS n_events
              |FROM ss GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Global-percentile quality gate: keep docs at/above the corpus-wide
+    // exact median stopword density — one aggregate, 1-row broadcast back.
+    Q("text_quality_gate", "LLM",
+      (s, d) => TextAnalysis.globalQualityGate(Tables(s, d, "documents"),
+        "doc_id", "text", pct = 0.5).orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id,
+             |         CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |         (CAST(len(list_filter(str_split(text, ' '),
+             |             t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 1000)
+             |           // len(str_split(text, ' ')) AS swr_milli
+             |       FROM documents),
+             |thr AS (SELECT quantile_cont(swr_milli, 0.5) AS p FROM m)
+             |SELECT doc_id, n_tokens, CAST(swr_milli AS BIGINT) AS swr_milli
+             |FROM m, thr WHERE swr_milli >= p ORDER BY doc_id""".stripMargin)),
+
+    // IVF index balance audit: per-cell population, share, and balance
+    // factor (1000 = perfectly even) — the index-quality monitor that
+    // decides when to retrain centroids.
+    Q("ann_ivf_balance", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val cells = Similarity.ivfAssign(e.filter(col("vec_id") >= 16),
+            e.filter(col("vec_id") < 16))
+          .groupBy("centroid_id").agg(count(lit(1)).as("n_members"))
+        cells.crossJoin(broadcast(cells.agg(
+            sum(col("n_members")).as("__tot"), count(lit(1)).as("__nc"))))
+          .select(col("centroid_id"), col("n_members"),
+            expr("(n_members * 1000000) div __tot").as("share_micro"),
+            expr("(n_members * __nc * 1000) div __tot").as("balance_milli"))
+          .orderBy("centroid_id")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |a AS (SELECT vec_id, cid FROM (
+           |        SELECT v.vec_id, c.cid,
+           |               row_number() OVER (PARTITION BY v.vec_id
+           |                                  ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |        FROM embeddings v, cent c WHERE v.vec_id >= 16) WHERE rn = 1),
+           |cells AS (SELECT cid AS centroid_id, count(*) AS n_members FROM a GROUP BY cid),
+           |tot AS (SELECT sum(n_members) AS t, count(*) AS nc FROM cells)
+           |SELECT centroid_id, n_members,
+           |       CAST((n_members * 1000000) // t AS BIGINT) AS share_micro,
+           |       CAST((n_members * nc * 1000) // t AS BIGINT) AS balance_milli
+           |FROM cells, tot ORDER BY centroid_id""".stripMargin
+      }),
+
     // SemDeDup: cluster embeddings by broadcast-argmax centroid assignment,
     // then prune near-identical pairs WITHIN clusters only (keep-lowest-id).
     Q("dedup_semantic", "LLM",

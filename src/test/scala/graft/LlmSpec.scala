@@ -466,6 +466,22 @@ class LlmSpec extends SparkSpec {
     assert(by(0L) == by(1L))
   }
 
+  test("globalQualityGate keeps exactly the at-or-above-median half") {
+    val corpus = Seq(
+      (1L, "the of and to in"),     // all stopwords -> 1000 milli
+      (2L, "the quick brown fox"),  // 1/4 -> 250
+      (3L, "zz yy xx ww vv"),       // 0
+      (4L, "the a of zz")           // 3/4 -> 750
+    ).toDF("doc_id", "text")
+    // milli scores: 1000, 250, 0, 750 -> median (quantile_cont) = 500
+    val out = TextAnalysis.globalQualityGate(corpus, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(out.toSeq == Seq(1L, 4L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.globalQualityGate(corpus, "doc_id", "text", pct = 1.5)
+    }
+  }
+
   test("semanticDedup: drops within-cluster near-dups, keeps lowest id") {
     val cents = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
