@@ -107,6 +107,24 @@ object LlmQueries {
               |FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
               |WHERE a.doc_id < b2.doc_id ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Ingest-time near-dup flagging, batch-checked: the same
+    // StreamingOps.flagNearDupsAgainstIndex that runs on a readStream input
+    // (StreamingSpec), here with "new" docs (id >= 250) against the index
+    // of the first 250 — one match edge per shared band.
+    Q("dedup_flag_against_index", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val idx = Dedup.minhashBands(docs.filter(col("doc_id") < 250),
+          "doc_id", "text", 3, 4, 2)
+        StreamingOps.flagNearDupsAgainstIndex(docs.filter(col("doc_id") >= 250), idx)
+          .orderBy("doc_id", "band", "matched_id")
+      },
+      Some(s"""$minhashSigCte
+              |SELECT n.doc_id, n.band, o.doc_id AS matched_id
+              |FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+              |WHERE n.doc_id >= 250 AND o.doc_id < 250
+              |ORDER BY n.doc_id, n.band, matched_id""".stripMargin)),
+
     // Full dedup clustering: MinHash candidates -> exact-Jaccard verify ->
     // connected components (duplicate GROUPS, not just pairs). The oracle
     // replays label propagation as a recursive transitive-closure CTE.

@@ -111,6 +111,36 @@ object StreamingOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(pkCols)
 
+  /** Ingest-time near-duplicate flagging: band the INCOMING document
+    * stream with the same MinHash-LSH derivation as the batch dedup
+    * ([[graft.llm.Dedup.minhashBands]] — pure column expressions, so it
+    * runs unchanged on a streaming frame) and equi-join each micro-batch
+    * against the STATIC band index maintained by the incremental dedup
+    * sink (`dedup_incremental_bands`). Emits one match edge per
+    * (new doc, band, indexed doc) — stateless append mode, so state never
+    * grows with the stream; the sink dedups edges (a doc sharing several
+    * bands with the same match is still one near-dup pair).
+    *
+    * Scale shape: the stream side is per-row column work; the join is a
+    * stream-static equi-join on (band, band_key) — Catalyst broadcasts
+    * the index when it fits, and falls back to a per-batch shuffle join
+    * against the bucketed band sink when it doesn't. The reference's
+    * "check before insert" read-modify-write, in stream form.
+    */
+  def flagNearDupsAgainstIndex(docs: DataFrame, bandIndex: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               shingleLen: Int = 3, bands: Int = 4,
+                               rowsPerBand: Int = 2): DataFrame = {
+    val streamBands = graft.llm.Dedup.minhashBands(
+      docs, idCol, textCol, shingleLen, bands, rowsPerBand)
+    val idx = bandIndex.select(col("band"), col("band_key"),
+      col(idCol).as("matched_id"))
+    streamBands.join(idx, Seq("band", "band_key"))
+      .filter(col(idCol) =!= col("matched_id"))
+      .select(col(idCol), col("band"), col("matched_id"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

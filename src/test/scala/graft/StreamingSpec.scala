@@ -131,6 +131,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest-time near-dup flagging matches new docs against the static band index") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different words appear in this one here"))
+      .toDF("doc_id", "text")
+    val index = graft.llm.Dedup.minhashBands(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val flags = StreamingOps.flagNearDupsAgainstIndex(
+      input.toDF().toDF("doc_id", "text"), index)
+    val query = flags.writeStream
+      .format("memory").queryName("nd_out").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+        (11L, "nothing like anything indexed so far at all ok"))
+      query.processAllAvailable()
+      val matches = spark.table("nd_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("matched_id"))
+      assert(matches.nonEmpty && matches.forall(_ == (10L, 0L)))
+      // identical text -> identical signature -> all 4 bands match
+      assert(matches.length == 4)
+    } finally query.stop()
+  }
+
   test("watermark wiring: streaming plan accepts withLateDataWatermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
