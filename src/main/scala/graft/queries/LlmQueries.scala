@@ -150,6 +150,31 @@ object LlmQueries {
               |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
               |GROUP BY n ORDER BY node""".stripMargin)),
 
+    // Same clustering via alternating large-star/small-star contraction
+    // (O(log n) rounds — the long-diameter path) against the SAME
+    // transitive-closure oracle: two algorithms, one answer.
+    Q("dedup_components_star", "LLM",
+      (s, d) => graft.operators.ConnectedComponents.runStarContraction(
+          Dedup.nearDupEdges(Tables(s, d, "documents"), "doc_id", "text"),
+          "id_a", "id_b")
+        .orderBy("node"),
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |edges AS (SELECT id_a, id_b FROM cand
+              |          JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |          WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |                / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+              |SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
+              |GROUP BY n ORDER BY node""".stripMargin)),
+
     // The dedup END PRODUCT a pipeline user runs: clusters -> one survivor
     // per duplicate group (the min-id representative; docs in no group keep
     // themselves) -> per-source keep/drop accounting. Everything upstream

@@ -194,6 +194,55 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 9)
   }
 
+  test("star contraction matches label propagation on mixed graphs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L), (30L, 30L))
+      .toDF("id_a", "id_b") // incl. a self-loop, dropped up front
+    val lp = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    val sc = graft.operators.ConnectedComponents
+      .runStarContraction(edges, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    // label prop keeps the self-loop node (its own component); star
+    // contraction drops degenerate self-edges — compare on common nodes
+    assert(sc == lp.removed(30L))
+  }
+
+  test("star contraction labels a 120-node path within its round budget") {
+    // diameter 119: label propagation's default budget (15 rounds) cannot
+    // finish this; star contraction halves chains every round
+    val path = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.operators.ConnectedComponents
+      .runStarContraction(path, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component"))
+    assert(out.length == 120 && out.forall(_._2 == 0L))
+    intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents.run(path, "id_a", "id_b")
+    }
+  }
+
+  test("star contraction matches label propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val lp = graft.operators.ConnectedComponents.run(edges, "id_a", "id_b", maxIter = 40)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      val sc = graft.operators.ConnectedComponents
+        .runStarContraction(edges, "id_a", "id_b")
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+      assert(sc == lp, s"trial $trial")
+    }
+  }
+
+  test("star contraction: empty edge list yields empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.ConnectedComponents
+      .runStarContraction(empty, "id_a", "id_b").count() == 0)
+  }
+
   test("funnel: strictly sequential progression, abandoners carry nulls forward") {
     import spark.implicits._
     // u1 completes all 3 in order; u2 clicks BEFORE viewing (must not

@@ -204,4 +204,23 @@ class PropertiesSpec extends SparkSpec {
       assert(total == expected, s"batch=$batch")
     }
   }
+
+  test("partitioning invariance: new dedup/scoring ops give identical results under repartition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = embs.filter($"vec_id" < 8)
+    val members = embs.filter($"vec_id" >= 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.semanticDedup(members, cents, 0.3)) ==
+      rows(Dedup.semanticDedup(members.repartition(13), cents, 0.3)))
+    assert(rows(Dedup.duplicateSpans(docs, "doc_id", "text")) ==
+      rows(Dedup.duplicateSpans(docs.repartition(13), "doc_id", "text")))
+    assert(rows(graft.llm.Sampling.importanceWeights(docs, "doc_id", "text", $"lang" === "en")) ==
+      rows(graft.llm.Sampling.importanceWeights(docs.repartition(13), "doc_id", "text", $"lang" === "en")))
+    assert(rows(graft.llm.Similarity.pqCodes(members, cents, dim = 64, m = 8)) ==
+      rows(graft.llm.Similarity.pqCodes(members.repartition(13), cents, dim = 64, m = 8)))
+    assert(rows(graft.llm.TextAnalysis.globalQualityGate(docs, "doc_id", "text")) ==
+      rows(graft.llm.TextAnalysis.globalQualityGate(docs.repartition(13), "doc_id", "text")))
+  }
 }
