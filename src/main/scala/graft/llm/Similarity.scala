@@ -297,6 +297,50 @@ object Similarity {
         round(col("__d2") * 1e6).cast("long").as("dist_micro"))
   }
 
+  /** PQ asymmetric-distance search (the ADC of Jégou et al. 2011): score
+    * candidates from their [[pqCodes]] codes alone — the query
+    * precomputes one dot product per (subspace, codebook entry) into a
+    * lookup table, and a candidate's score is the SUM of m table lookups.
+    * The point at scale: the candidate side never rereads its float
+    * vectors (m small codes instead of `dim` floats — the 8-32× I/O
+    * compression that makes billion-vector search feasible); only the
+    * tiny LUT (queries × m × |codebook|) is exact-dot work.
+    *
+    * Plan shape: codes come from [[pqCodes]] (broadcast codebook, no
+    * shuffle); the LUT rides a broadcast join on (subspace, code); the
+    * per-(query, candidate) sum is one aggregate with map-side partials.
+    * LUT entries are integer micro-units, so scores are exact integer
+    * sums; ties break on neighbor id. Returns top-k rows per query:
+    * (query_id, neighbor_id, rnk, score_micro).
+    */
+  def pqSearch(candidates: DataFrame, queries: DataFrame, codebook: DataFrame,
+               dim: Int, k: Int, m: Int = 8, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
+    val sub = dim / m
+    GraftFunctions.register(candidates.sparkSession)
+    val codes = pqCodes(candidates, codebook, dim, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
+    def slices(v: Column, out: String) = explode(array(
+      (0 until m).map(s => struct(lit(s.toLong).as("subspace"),
+        slice(v, s * sub + 1, sub).as(out))).toIndexedSeq: _*))
+    val qSub = queries.select(col(idCol).as("query_id"), slices(col(vecCol), "qs").as("__x"))
+      .select(col("query_id"), col("__x.subspace").as("subspace"), col("__x.qs").as("__qs"))
+    val cbSub = codebook.select(col(idCol).as("code"), slices(col(vecCol), "cs").as("__y"))
+      .select(col("code"), col("__y.subspace").as("subspace"), col("__y.cs").as("__cs"))
+    val lut = qSub.join(cbSub, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        round(dot(col("__qs"), col("__cs")) * 1e6).cast("long").as("__lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__lut")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score_micro"))
+  }
+
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is
     * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher

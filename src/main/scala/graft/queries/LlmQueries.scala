@@ -1292,6 +1292,46 @@ object LlmQueries {
            |FROM cells, tot ORDER BY centroid_id""".stripMargin
       }),
 
+    // PQ asymmetric-distance search: candidates scored from codes + a
+    // broadcast lookup table — the compressed search path over ann_pq_codes.
+    Q("ann_pq_search", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.pqSearch(
+          e.filter(col("vec_id") >= 21),
+          e.filter(col("vec_id").between(16, 20)),
+          e.filter(col("vec_id") < 16), dim = 64, k = 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def dot8(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 9), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH sub AS (SELECT CAST(s AS BIGINT) AS s FROM (SELECT unnest(range(0, 8)) AS s)),
+           |v AS (SELECT vec_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS sv
+           |      FROM embeddings, sub s WHERE vec_id >= 21),
+           |c AS (SELECT vec_id AS code, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS cs
+           |      FROM embeddings, sub s WHERE vec_id < 16),
+           |codes AS (SELECT vec_id AS neighbor_id, subspace, code FROM (
+           |            SELECT v.vec_id, v.subspace, c.code,
+           |                   row_number() OVER (PARTITION BY v.vec_id, v.subspace
+           |                     ORDER BY round(${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}, 6), c.code) AS rn
+           |            FROM v JOIN c ON v.subspace = c.subspace) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS qs
+           |      FROM embeddings, sub s WHERE vec_id BETWEEN 16 AND 20),
+           |lut AS (SELECT q.query_id, q.subspace, c.code,
+           |          CAST(round(${dot8("q.qs", "c.cs")} * 1000000) AS BIGINT) AS l
+           |        FROM q JOIN c ON q.subspace = c.subspace),
+           |sc AS (SELECT lut.query_id, codes.neighbor_id, CAST(sum(lut.l) AS BIGINT) AS score_micro
+           |       FROM codes JOIN lut ON codes.subspace = lut.subspace AND codes.code = lut.code
+           |       GROUP BY 1, 2),
+           |rk AS (SELECT query_id, neighbor_id, score_micro,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
+           |       FROM sc)
+           |SELECT query_id, neighbor_id, rnk, score_micro FROM rk
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // SemDeDup: cluster embeddings by broadcast-argmax centroid assignment,
     // then prune near-identical pairs WITHIN clusters only (keep-lowest-id).
     Q("dedup_semantic", "LLM",

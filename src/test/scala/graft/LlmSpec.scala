@@ -581,6 +581,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pqSearch: scores are sums of LUT entries over assigned codes") {
+    val cb = Seq((100L, Seq(1f, 0f, 0f, 1f)), (101L, Seq(0f, 1f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, Seq(1f, 0f, 1f, 0f)),        // codes: sub0 -> 100, sub1 -> 101
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f)) // codes: 100, 100 (tie -> lowest)
+    ).toDF("vec_id", "embedding")
+    val q = Seq((50L, Seq(2f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    // LUT sub0: code100 = 2, code101 = 0; sub1: code100 = 0, code101 = 1
+    // cand1 = 2 + 1 = 3e6 micro; cand2 = 2 + 0 = 2e6 micro
+    val out = Similarity.pqSearch(cands, q, cb, dim = 4, k = 2, m = 2)
+      .collect().map(r => (r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("score_micro"))).sorted
+    assert(out.toSeq == Seq((1, 1L, 3000000L), (2, 2L, 2000000L)))
+  }
+
   test("semanticDedup / duplicateSpans / importanceWeights / pqCodes tolerate empty input") {
     val emptyDocs = docs.filter($"doc_id" < 0)
     val emptyVecs = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding").filter($"vec_id" < 0)
