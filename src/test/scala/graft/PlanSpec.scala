@@ -312,4 +312,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"no shuffled join in PQ assignment:\n$p")
   }
+
+  test("PQ search: codes meet the LUT by broadcast; candidate vectors joined nowhere else") {
+    val p = plan("ann_pq_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the LUT must ride a broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled join in the ADC path:\n$p")
+    // map-side partial aggregation feeds the per-(query, candidate) sum
+    assert(p.contains("partial_sum") || p.split("HashAggregate").length > 2,
+      s"expected partial+final aggregate for the LUT sum:\n$p")
+  }
 }
