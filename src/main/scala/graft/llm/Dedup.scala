@@ -344,6 +344,10 @@ object Dedup {
   def semanticDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    // an empty centroid set would assign nothing and silently DROP the
+    // whole corpus from the output — refuse instead (centroids are small
+    // by contract, so the eager check is one cheap job)
+    require(!centroids.isEmpty, "semanticDedup requires a non-empty centroid set")
     val assigned = Similarity.ivfAssign(vectors, centroids, idCol, vecCol)
     val a = assigned.select(col("centroid_id"), col(idCol).as("__ida"),
       col(vecCol).as("__va"))

@@ -602,6 +602,10 @@ class LlmSpec extends SparkSpec {
     val emptyVecs = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding").filter($"vec_id" < 0)
     val cents = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
     assert(Dedup.semanticDedup(emptyVecs, cents, 0.9).count() == 0)
+    // empty CENTROIDS would silently drop the corpus -> must refuse
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(cents, emptyVecs, 0.9)
+    }
     assert(Dedup.duplicateSpans(emptyDocs, "doc_id", "text").count() == 0)
     assert(Sampling.importanceWeights(emptyDocs, "doc_id", "text", lit(true)).count() == 0)
     assert(Similarity.pqCodes(emptyVecs, cents, dim = 2, m = 1).count() == 0)
