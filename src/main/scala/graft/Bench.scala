@@ -29,6 +29,21 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     catch { case _: Throwable => }
+    // touch every input table once (cold page-cache IO is a property of
+    // the box, not of whichever query reads the table first) and exercise
+    // the sort/exchange/window machinery so its JIT cost is not billed to
+    // the first window query in alphabetical order
+    try {
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").queryExecution.toRdd.count()
+      }
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .withColumn("rn", row_number().over(Window.orderBy("r_regionkey")))
+        .orderBy(col("rn").desc).queryExecution.toRdd.count()
+    } catch { case _: Throwable => }
     // pre-create the bucketed tables so j_bucketed_colocated times the
     // zero-shuffle join, not the one-time DDL+write that backs it
     try graft.queries.RelationalQueries.ensureBucketedTables(spark, sfDir)
