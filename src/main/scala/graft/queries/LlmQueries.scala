@@ -175,6 +175,51 @@ object LlmQueries {
               |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
               |GROUP BY n ORDER BY node""".stripMargin)),
 
+    // Quality-aware survivor selection: per near-dup component keep the
+    // HIGHEST-quality member (longest doc, id tie-break) — the SemDeDup
+    // paper's policy, vs the min-id rule of dedup_corpus_survivors. The
+    // per-component argmax is a window over components (bounded groups),
+    // never a corpus sort.
+    Q("dedup_best_survivors", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val comp = graft.operators.ConnectedComponents.run(
+          Dedup.nearDupEdges(docs, "doc_id", "text"), "id_a", "id_b")
+        val grouped = docs.join(comp, docs("doc_id") === comp("node"), "left")
+          .select(col("doc_id"), col("n_chars"),
+            coalesce(col("component"), col("doc_id")).as("component"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        grouped.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("component"), col("doc_id").as("survivor_id"), col("n_chars"))
+          .orderBy("component")
+      },
+      Some(s"""${minhashSigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |edges AS (SELECT id_a, id_b FROM cand
+              |          JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |          WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |                / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |comp AS (SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach) GROUP BY n),
+              |grp AS (SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS component
+              |        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+              |rk AS (SELECT component, doc_id, n_chars,
+              |         row_number() OVER (PARTITION BY component
+              |                            ORDER BY n_chars DESC, doc_id) AS rn
+              |       FROM grp)
+              |SELECT component, doc_id AS survivor_id, n_chars FROM rk
+              |WHERE rn = 1 ORDER BY component""".stripMargin)),
+
     // The dedup END PRODUCT a pipeline user runs: clusters -> one survivor
     // per duplicate group (the min-id representative; docs in no group keep
     // themselves) -> per-source keep/drop accounting. Everything upstream
