@@ -374,6 +374,47 @@ object LlmQueries {
               |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Asymmetric containment over the same LSH candidates: |A∩B|/|A| vs
+    // |A∩B|/|B| in integer milli-units — catches a document CONTAINED in a
+    // larger one (quotes, concatenations), which symmetric Jaccard dilutes
+    // below any workable threshold.
+    Q("dedup_containment", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cand = Dedup.minhashCandidatePairs(
+          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
+        val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
+            size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
+          .withColumn("cont_a_milli",
+            expr("CAST((n_intersect * 1000) div n_a AS BIGINT)"))
+          .withColumn("cont_b_milli",
+            expr("CAST((n_intersect * 1000) div n_b AS BIGINT)"))
+          .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= 800)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$minhashSigCte,
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |sc AS (SELECT id_a, id_b,
+              |         CAST(len(list_intersect(x.dsh, y.dsh)) AS INTEGER) AS n_intersect,
+              |         CAST(len(x.dsh) AS INTEGER) AS n_a,
+              |         CAST(len(y.dsh) AS INTEGER) AS n_b
+              |       FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b)
+              |SELECT id_a, id_b, n_intersect, n_a, n_b,
+              |       CAST((n_intersect * 1000) // n_a AS BIGINT) AS cont_a_milli,
+              |       CAST((n_intersect * 1000) // n_b AS BIGINT) AS cont_b_milli
+              |FROM sc
+              |WHERE greatest((n_intersect * 1000) // n_a, (n_intersect * 1000) // n_b) >= 800
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // Brute-force cosine/dot top-k: exact baseline, broadcast query set.
     Q("ann_bruteforce", "LLM",
       (s, d) => {
