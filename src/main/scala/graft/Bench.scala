@@ -66,7 +66,13 @@ object Bench {
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = (System.nanoTime() - t0) / 1e9
+      // untimed: release localCheckpoint blocks the iterative operators
+      // pinned (components, incremental dedup) — leaked storage from query
+      // i must not squeeze execution memory under queries i+1..n
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      catch { case _: Throwable => }
+      name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")
