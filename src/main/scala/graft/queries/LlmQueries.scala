@@ -711,6 +711,82 @@ object LlmQueries {
              |       CAST(sum(n_tok) AS BIGINT) AS tok_sum
              |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // The v2 fused pipeline over THIS session's operators: normalize ->
+    // global exact-percentile quality gate (1-row broadcast threshold) ->
+    // exact-dedup survivors -> duplicate-span removal -> per-source
+    // accounting (docs, spans removed, tokens in/out). Five stages, one
+    // plan: the percentile aggregate, the dedup aggregate, and the span
+    // machinery all fuse; nothing materializes between stages.
+    Q("llm_corpus_pipeline_v2", "LLM",
+      (s, d) => {
+        val norm = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.normalizeText(col("text")).as("t"))
+        val gated = norm.join(
+          TextAnalysis.globalQualityGate(norm, "doc_id", "t", pct = 0.5)
+            .select(col("doc_id")), "doc_id")
+        val survivors = gated.join(
+          Dedup.exact(gated, "doc_id", "t").select(col("doc_id")), "doc_id")
+        val cleaned = Dedup.removeDuplicateSpans(survivors, "doc_id", "t", k = 5)
+        survivors.join(cleaned, "doc_id")
+          .select(col("source"), col("n_spans").cast("long").as("n_spans"),
+            size(tokens(col("t"))).cast("long").as("tok_in"),
+            when(col("cleaned") === "", 0L)
+              .otherwise(size(tokens(col("cleaned"))).cast("long")).as("tok_out"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_spans")).as("n_spans"),
+            sum(col("tok_in")).as("tok_in"), sum(col("tok_out")).as("tok_out"))
+          .orderBy("source")
+      },
+      Some("""WITH nm AS (SELECT doc_id, source,
+             |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+             |                             '\s+', ' ', 'g')) AS t
+             |       FROM documents),
+             |m AS (SELECT doc_id,
+             |        (CAST(len(list_filter(str_split(t, ' '),
+             |            tok -> tok IN ('the','a','of','and','to','in','is'))) AS BIGINT) * 1000)
+             |          // len(str_split(t, ' ')) AS swr
+             |      FROM nm),
+             |thr AS (SELECT quantile_cont(swr, 0.5) AS p FROM m),
+             |g AS (SELECT nm.* FROM nm JOIN m USING (doc_id), thr WHERE m.swr >= thr.p),
+             |sv AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(t)),
+             |k AS (SELECT g.* FROM g JOIN sv USING (doc_id)),
+             |tk AS (SELECT doc_id, str_split(t, ' ') AS tw FROM k),
+             |big AS (SELECT doc_id, tw FROM tk WHERE len(tw) >= 5),
+             |win AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             |          CAST('0x' || substring(md5(array_to_string(tw[(i+1):(i+5)], ' ')), 1, 15) AS BIGINT) AS h
+             |        FROM big, UNNEST(range(0, len(tw) - 4)) AS u(i)),
+             |dups AS (SELECT h FROM win GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+             |dd AS (SELECT doc_id, pos FROM win WHERE h IN (SELECT h FROM dups)),
+             |lagged AS (SELECT doc_id, pos,
+             |             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+             |                  THEN 1 ELSE 0 END AS brk
+             |           FROM dd),
+             |runs AS (SELECT doc_id, pos,
+             |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+             |         FROM lagged),
+             |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+             |          FROM runs GROUP BY doc_id, run_id),
+             |pos AS (SELECT doc_id, i AS pos, tw[i+1] AS tok
+             |        FROM tk, UNNEST(range(0, len(tw))) AS u(i)
+             |        WHERE doc_id IN (SELECT doc_id FROM spans)),
+             |kept AS (SELECT p.doc_id, p.pos, p.tok FROM pos p
+             |         WHERE NOT EXISTS (SELECT 1 FROM spans sp
+             |                           WHERE sp.doc_id = p.doc_id AND p.pos BETWEEN sp.s AND sp.e)),
+             |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id),
+             |ns AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+             |fin AS (SELECT k.doc_id, k.source,
+             |          CAST(len(str_split(k.t, ' ')) AS BIGINT) AS tok_in,
+             |          coalesce(ns.n_spans, 0) AS n_spans,
+             |          coalesce(a.cleaned, CASE WHEN ns.n_spans IS NULL THEN k.t ELSE '' END) AS cleaned
+             |        FROM k LEFT JOIN agg a USING (doc_id) LEFT JOIN ns USING (doc_id))
+             |SELECT source, count(*) AS n_docs, CAST(sum(n_spans) AS BIGINT) AS n_spans,
+             |       CAST(sum(tok_in) AS BIGINT) AS tok_in,
+             |       CAST(sum(CASE WHEN cleaned = '' THEN 0
+             |                ELSE len(str_split(cleaned, ' ')) END) AS BIGINT) AS tok_out
+             |FROM fin GROUP BY source ORDER BY source""".stripMargin)),
+
     // Curriculum tiers: quality-quartile bucketing PER SOURCE (ntile
     // windows partitioned by the domain, never one global ordering — the
     // realistic per-domain curriculum AND the scale-safe shape: a global
