@@ -323,4 +323,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.split("HashAggregate").length > 2,
       s"expected partial+final aggregate for the LUT sum:\n$p")
   }
+
+  test("pipeline v2: the percentile threshold rides a broadcast; no cartesian shuffle") {
+    val p = plan("llm_corpus_pipeline_v2")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row threshold must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
 }
