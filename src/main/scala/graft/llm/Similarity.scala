@@ -271,15 +271,20 @@ object Similarity {
     * itself. Returns one row per (id, subspace): the code and the squared
     * distance in integer micro-units.
     */
+  /** Explode a vector column into `m` (subspace, dim/m-element slice)
+    * structs — the shared subvector layout of [[pqCodes]] and
+    * [[pqSearch]] (codes and LUT must slice identically). */
+  private def subspaceSlices(v: Column, out: String, m: Int, sub: Int): Column =
+    explode(array((0 until m).map(s => struct(lit(s.toLong).as("subspace"),
+      slice(v, s * sub + 1, sub).as(out))).toIndexedSeq: _*))
+
   def pqCodes(df: DataFrame, codebook: DataFrame, dim: Int, m: Int = 8,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
     val sub = dim / m
     GraftFunctions.register(df.sparkSession)
-    def slices(v: Column, out: String) = explode(array(
-      (0 until m).map(s => struct(lit(s.toLong).as("subspace"),
-        slice(v, s * sub + 1, sub).as(out))).toIndexedSeq: _*))
+    def slices(v: Column, out: String) = subspaceSlices(v, out, m, sub)
     val vecs = df.select(col(idCol), slices(col(vecCol), "sv").as("__x"))
       .select(col(idCol), col("__x.subspace").as("subspace"), col("__x.sv").as("__sv"))
     val cb = codebook.select(col(idCol).as("__code"), slices(col(vecCol), "cs").as("__y"))
@@ -321,9 +326,7 @@ object Similarity {
     GraftFunctions.register(candidates.sparkSession)
     val codes = pqCodes(candidates, codebook, dim, m, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("subspace"), col("code"))
-    def slices(v: Column, out: String) = explode(array(
-      (0 until m).map(s => struct(lit(s.toLong).as("subspace"),
-        slice(v, s * sub + 1, sub).as(out))).toIndexedSeq: _*))
+    def slices(v: Column, out: String) = subspaceSlices(v, out, m, sub)
     val qSub = queries.select(col(idCol).as("query_id"), slices(col(vecCol), "qs").as("__x"))
       .select(col("query_id"), col("__x.subspace").as("subspace"), col("__x.qs").as("__qs"))
     val cbSub = codebook.select(col(idCol).as("code"), slices(col(vecCol), "cs").as("__y"))

@@ -95,15 +95,17 @@ object ConnectedComponents {
     */
   def runStarContraction(edges: DataFrame, srcCol: String, dstCol: String,
                          maxIter: Int = 30): DataFrame = {
-    val sym0 = edges
+    val symAll = edges
       .select(explode(array(
         struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b")),
         struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"))))
         .as("__e"))
       .select(col("__e.a").as("a"), col("__e.b").as("b"))
-      .filter(col("a") =!= col("b"))
       .localCheckpoint(true)
-    val nodes = sym0.select(col("a").as("node")).distinct().localCheckpoint(true)
+    // the node set keeps self-loop-only nodes (they label themselves, as
+    // in [[run]]); only the EDGE set drops the degenerate self-edges
+    val nodes = symAll.select(col("a").as("node")).distinct().localCheckpoint(true)
+    val sym0 = symAll.filter(col("a") =!= col("b")).localCheckpoint(true)
     if (nodes.isEmpty) return nodes.withColumn("component", col("node"))
 
     // large-star: every neighbor u > v points to m(v) = min(Γ(v) ∪ {v})

@@ -203,9 +203,8 @@ class OperatorsSpec extends SparkSpec {
     val sc = graft.operators.ConnectedComponents
       .runStarContraction(edges, "id_a", "id_b")
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
-    // label prop keeps the self-loop node (its own component); star
-    // contraction drops degenerate self-edges — compare on common nodes
-    assert(sc == lp.removed(30L))
+    // both algorithms keep the self-loop-only node (labels itself)
+    assert(sc == lp)
   }
 
   test("star contraction labels a 120-node path within its round budget") {
