@@ -141,6 +141,37 @@ object StreamingOps {
       .select(col(idCol), col("band"), col("matched_id"))
   }
 
+  /** The full incremental-dedup ingest loop in streaming form: per
+    * micro-batch, (1) flag the batch against the CURRENT band index
+    * ([[flagNearDupsAgainstIndex]]), writing match edges to a per-batch
+    * output dir (overwrite, so an at-least-once replay of the batch is
+    * idempotent), then (2) fold the batch's bands into the index via the
+    * idempotent bucketed upsert (`pk = (id, band)` — a replay rewrites the
+    * same rows). The index grows with the corpus, the per-batch work only
+    * with the batch: this is the reference's resume/checkpoint-by-data
+    * contract (T2/T4) carried over to the dedup index.
+    */
+  def maintainBandIndexAndFlag(docs: DataFrame, indexDir: String,
+                               flagsDir: String, checkpointDir: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
+        val existing = scala.util.Try(spark.read.parquet(indexDir)).toOption
+        existing.foreach { idx =>
+          flagNearDupsAgainstIndex(batch.toDF(), idx, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+        }
+        graft.eth.Sinks.upsertBucketedParquet(bands, indexDir,
+          pkCols = Seq(idCol, "band"), bucketCol = "band",
+          sortCols = Seq("band_key", idCol))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

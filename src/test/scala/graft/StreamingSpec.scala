@@ -156,6 +156,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming band-index maintenance: batch 2 flags dups of batch 1, index accretes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndix").toString
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.maintainBandIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/flags", s"$dir/ckpt")
+    try {
+      input.addData(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "completely different words appear in this one here"))
+      query.processAllAvailable()
+      input.addData(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
+        (11L, "nothing like anything indexed so far at all ok"))
+      query.processAllAvailable()
+      val flags = spark.read.parquet(s"$dir/flags").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("matched_id")).distinct
+      assert(flags.toSeq == Seq(10L -> 0L)) // only the replayed dup flagged
+      // the index holds all four docs' bands (4 bands each)
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.count() == 16)
+      assert(idx.select("doc_id").distinct().count() == 4)
+    } finally query.stop()
+  }
+
   test("watermark wiring: streaming plan accepts withLateDataWatermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
