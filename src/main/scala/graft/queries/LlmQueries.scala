@@ -1494,6 +1494,66 @@ object LlmQueries {
            |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // PQ quality audit: recall@5 of the compressed ADC search against the
+    // exact brute-force ground truth — the evaluation that sizes m and the
+    // codebook before trusting codes at corpus scale.
+    Q("ann_pq_recall", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val cand = e.filter(col("vec_id") >= 21)
+        val qs = e.filter(col("vec_id").between(16, 20))
+        val bf = Similarity.bruteForceTopK(cand, qs, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val pq = Similarity.pqSearch(cand, qs, e.filter(col("vec_id") < 16),
+            dim = 64, k = 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        bf.join(pq, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id")).agg(count(col("__hit")).as("n_hit"))
+          .select(col("query_id"), col("n_hit"),
+            round(col("n_hit") / 5.0, 6).as("recall"))
+          .orderBy("query_id")
+      },
+      Some {
+        def dot8(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 9), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH q64 AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id BETWEEN 16 AND 20),
+           |c64 AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 21),
+           |bf AS (SELECT query_id, neighbor_id FROM (
+           |         SELECT query_id, neighbor_id,
+           |                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+           |         FROM (SELECT q64.query_id, c64.neighbor_id,
+           |                      round(list_sum(list_transform(range(1, 65), i -> CAST(q64.qe[i] AS DOUBLE) * CAST(c64.ce[i] AS DOUBLE))), 6) AS score
+           |               FROM q64, c64)) WHERE rnk <= 5),
+           |sub AS (SELECT CAST(s AS BIGINT) AS s FROM (SELECT unnest(range(0, 8)) AS s)),
+           |v AS (SELECT vec_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS sv
+           |      FROM embeddings, sub s WHERE vec_id >= 21),
+           |c AS (SELECT vec_id AS code, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS cs
+           |      FROM embeddings, sub s WHERE vec_id < 16),
+           |codes AS (SELECT vec_id AS neighbor_id, subspace, code FROM (
+           |            SELECT v.vec_id, v.subspace, c.code,
+           |                   row_number() OVER (PARTITION BY v.vec_id, v.subspace
+           |                     ORDER BY round(${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}, 6), c.code) AS rn
+           |            FROM v JOIN c ON v.subspace = c.subspace) WHERE rn = 1),
+           |qp AS (SELECT vec_id AS query_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS qs
+           |       FROM embeddings, sub s WHERE vec_id BETWEEN 16 AND 20),
+           |lut AS (SELECT qp.query_id, qp.subspace, c.code,
+           |          CAST(round(${dot8("qp.qs", "c.cs")} * 1000000) AS BIGINT) AS l
+           |        FROM qp JOIN c ON qp.subspace = c.subspace),
+           |psc AS (SELECT lut.query_id, codes.neighbor_id, CAST(sum(lut.l) AS BIGINT) AS score_micro
+           |        FROM codes JOIN lut ON codes.subspace = lut.subspace AND codes.code = lut.code
+           |        GROUP BY 1, 2),
+           |pq AS (SELECT query_id, neighbor_id FROM (
+           |         SELECT query_id, neighbor_id,
+           |                row_number() OVER (PARTITION BY query_id
+           |                  ORDER BY score_micro DESC, neighbor_id) AS rnk
+           |         FROM psc) WHERE rnk <= 5)
+           |SELECT bf.query_id, count(pq.neighbor_id) AS n_hit,
+           |       round(count(pq.neighbor_id) / 5.0, 6) AS recall
+           |FROM bf LEFT JOIN pq
+           |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // SemDeDup: cluster embeddings by broadcast-argmax centroid assignment,
     // then prune near-identical pairs WITHIN clusters only (keep-lowest-id).
     Q("dedup_semantic", "LLM",
