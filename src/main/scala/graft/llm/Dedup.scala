@@ -120,6 +120,11 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing a (band, band_key) bucket.
+    * PRECONDITION at corpus scale: run [[exact]] first — exact-duplicate
+    * floods give identical signatures, so all copies share every band
+    * bucket and ANY candidate generator expands them quadratically (the
+    * band buckets here carry only ids, so the shuffle survives, but the
+    * pair count is inherently n² in the flood size).
     * Bucketed by construction — never an all-pairs comparison. */
   def minhashCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
     withinBucketPairs(bandsDf, Seq("band", "band_key"), idCol)

@@ -31,13 +31,24 @@ object Multimodal {
       col(textCol).cast("binary").as("payload"),
       lit("application/octet-stream").as("mime"))
 
+  /** The stub "decoded" dimensions as a function of payload length — ONE
+    * definition in JVM and Column form, because three call sites
+    * (decodeStub, payloadMetadata, sampleFrames) must agree on it: the
+    * column-only paths are meaningful precisely because they match what
+    * the decode stage would report. Swapping in a real decoder replaces
+    * these two definitions together. */
+  private def stubWidth(len: Int): Int = len % 64 + 16
+  private def stubHeight(len: Int): Int = len % 48 + 16
+  private[llm] def stubWidthCol(len: org.apache.spark.sql.Column) = len % 64 + 16
+  private[llm] def stubHeightCol(len: org.apache.spark.sql.Column) = len % 48 + 16
+
   /** STUB decode: deterministic fake "image decode + feature extraction".
     * Real deployments replace the body with an actual codec (e.g. JNI
     * libjpeg / ffmpeg); signature and batch shape stay identical. */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val len = payload.length
-    val width = len % 64 + 16
-    val height = len % 48 + 16
+    val width = stubWidth(len)
+    val height = stubHeight(len)
     // 8 fake features: windowed byte averages — deterministic, cheap.
     // Empty payloads (zero-byte media) decode to all-zero features.
     val feats =
@@ -74,8 +85,8 @@ object Multimodal {
       col("media_id"),
       length(col("payload")).as("byte_len"),
       substring(lower(hex(col("payload"))), 1, 32).as("payload_hex_prefix"),
-      (length(col("payload")) % 64 + 16).as("fake_width"),
-      (length(col("payload")) % 48 + 16).as("fake_height"),
+      stubWidthCol(length(col("payload"))).as("fake_width"),
+      stubHeightCol(length(col("payload"))).as("fake_height"),
       lit(3).as("channels"))
 
   /** Frame sampling plumbing: treat the payload as a fake "video" of
@@ -96,8 +107,8 @@ object Multimodal {
       .select(col("media_id"), col("payload"),
         greatest(ceil(length(col("payload")).cast("double") / frameSize).cast("int"),
           lit(1)).as("n_frames"),
-        (length(col("payload")) % 64 + 16).as("w"),
-        (length(col("payload")) % 48 + 16).as("h"))
+        stubWidthCol(length(col("payload"))).as("w"),
+        stubHeightCol(length(col("payload"))).as("h"))
       .select(col("media_id"), col("n_frames"), col("w"), col("h"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"),
         col("payload"))

@@ -35,6 +35,17 @@ object Sampling {
     require(granularity > 0, s"granularity must be positive, got $granularity")
     require(defaultRate >= 0.0 && defaultRate <= 1.0,
       s"defaultRate must be in [0,1], got $defaultRate")
+    // a dirty rates table is the one input that can CORRUPT the corpus: a
+    // duplicated stratum row fans every matching document out through the
+    // join (duplicated training docs), and an out-of-range rate bypasses
+    // the [0,1] contract checked for defaultRate. rates is tiny by
+    // contract, so the eager validation is one cheap job.
+    val bad = rates.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("__n"), min(col("rate")).as("__lo"),
+        max(col("rate")).as("__hi"))
+      .filter(col("__n") > 1 || col("__lo") < 0.0 || col("__hi") > 1.0)
+    require(bad.isEmpty,
+      "stratified: rates table has a duplicated stratum or a rate outside [0,1]")
     val r = rates.select(col("stratum").as("__stratum"), col("rate").as("__rate"))
     val threshold = round(coalesce(col("__rate"), lit(defaultRate)) * granularity)
       .cast("long")

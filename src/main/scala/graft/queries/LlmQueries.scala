@@ -1375,7 +1375,7 @@ object LlmQueries {
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id").as("__r_user_id"), col("ts").as("rts"),
+          .select(col("user_id"), col("ts").as("rts"),
             col("event_id").as("click_id"))
         StreamingOps.intervalJoin(purchases, clicks)
           .groupBy(col("event_id"), col("user_id"))

@@ -81,12 +81,16 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame,
                    keyCol: String = "user_id", leftTs: String = "ts",
                    rightTs: String = "rts",
-                   lookback: String = "30 minutes"): DataFrame =
-    left.join(right,
-      left(keyCol) === right(s"__r_$keyCol")
-        && right(rightTs) >= left(leftTs) - expr(s"INTERVAL $lookback")
-        && right(rightTs) <= left(leftTs))
+                   lookback: String = "30 minutes"): DataFrame = {
+    // disambiguate the shared key internally — callers pass natural frames
+    // (a right side already carrying the prefixed name passes through)
+    val r = right.withColumnRenamed(keyCol, s"__r_$keyCol")
+    left.join(r,
+      left(keyCol) === r(s"__r_$keyCol")
+        && r(rightTs) >= left(leftTs) - expr(s"INTERVAL $lookback")
+        && r(rightTs) <= left(leftTs))
       .drop(s"__r_$keyCol")
+  }
 
   /** Stream-static enrichment: a live stream joined to a slowly-changing
     * dimension (the "events × lookup table" deployment shape). Structured
@@ -142,32 +146,44 @@ object StreamingOps {
   }
 
   /** The full incremental-dedup ingest loop in streaming form: per
-    * micro-batch, (1) flag the batch against the CURRENT band index
-    * ([[flagNearDupsAgainstIndex]]), writing match edges to a per-batch
-    * output dir (overwrite, so an at-least-once replay of the batch is
-    * idempotent), then (2) fold the batch's bands into the index via the
-    * idempotent bucketed upsert (`pk = (id, band)` — a replay rewrites the
-    * same rows). The index grows with the corpus, the per-batch work only
-    * with the batch: this is the reference's resume/checkpoint-by-data
-    * contract (T2/T4) carried over to the dedup index.
+    * micro-batch, (1) fold the batch's bands into the index via the
+    * idempotent bucketed upsert (`pk = (id, band)` — an at-least-once
+    * replay rewrites the same rows), then (2) flag the batch against the
+    * updated index, writing match edges to a per-batch overwrite dir
+    * (replay-idempotent). Upsert-BEFORE-flag means two near-duplicates
+    * arriving in the SAME micro-batch still flag each other (the
+    * self-match filter only drops `id == id`); flag-first would leave a
+    * permanent recall hole for same-batch pairs.
+    *
+    * The index is laid out in `keyBuckets` hash buckets of the band key
+    * (not the 4 raw band ids): a batch's upsert touches only the buckets
+    * its keys hash into, so per-batch index IO is proportional to the
+    * touched fraction, not the whole corpus, and write parallelism is not
+    * capped at the band count. Index read errors surface loudly — only
+    * the very first batch (no index yet) skips the pre-existence check,
+    * by writing before flagging.
     */
   def maintainBandIndexAndFlag(docs: DataFrame, indexDir: String,
                                flagsDir: String, checkpointDir: String,
                                idCol: String = "doc_id",
-                               textCol: String = "text")
+                               textCol: String = "text",
+                               keyBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
-        val existing = scala.util.Try(spark.read.parquet(indexDir)).toOption
-        existing.foreach { idx =>
-          flagNearDupsAgainstIndex(batch.toDF(), idx, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
-        }
+          .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
+            concat_ws("|", col("band"), col("band_key"))), lit(keyBuckets.toLong)))
         graft.eth.Sinks.upsertBucketedParquet(bands, indexDir,
-          pkCols = Seq(idCol, "band"), bucketCol = "band",
+          pkCols = Seq(idCol, "band"), bucketCol = "kb",
           sortCols = Seq("band_key", idCol))
+        val idx = spark.read.parquet(indexDir)
+          .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
+        bands.join(idx, Seq("band", "band_key"))
+          .filter(col(idCol) =!= col("matched_id"))
+          .select(col(idCol), col("band"), col("matched_id"))
+          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -205,25 +221,32 @@ object StreamingOps {
             // idle past the gap: close and evict the final session
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start * 1000L), s.n))
+            Iterator.single(Session(userId, new Timestamp(s.start), s.n))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var sessions = List.empty[Session]
             var st = state.getOption.orNull
             sorted.foreach { e =>
-              val t = e.ts.getTime / 1000L
+              // full millisecond precision: a truncated-seconds comparison
+              // diverges from sessionizeBatch's interval math at the gap
+              // boundary (600.9 s apart would wrongly stay one session)
+              val t = e.ts.getTime
               st match {
                 case null => st = SessionState(t, t, 1)
-                case s if t - s.last > gapSeconds =>
-                  sessions ::= Session(userId, new Timestamp(s.start * 1000L), s.n)
+                case s if t - s.last > gapSeconds * 1000L =>
+                  sessions ::= Session(userId, new Timestamp(s.start), s.n)
                   st = SessionState(t, t, 1)
-                case s => st = SessionState(s.start, t, s.n + 1)
+                case s =>
+                  // a late (pre-watermark-valid) event must never move the
+                  // session boundary BACKWARDS — that would split on the
+                  // next event and fire the idle timeout early
+                  st = SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1)
               }
             }
             if (st != null) {
               state.update(st)
               // fires when the watermark passes last-event-time + gap
-              state.setTimeoutTimestamp((st.last + gapSeconds) * 1000L)
+              state.setTimeoutTimestamp(st.last + gapSeconds * 1000L)
             }
             sessions.reverseIterator
           }

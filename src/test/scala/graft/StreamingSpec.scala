@@ -78,7 +78,7 @@ class StreamingSpec extends SparkSpec {
       StreamingOps.withLateDataWatermark(
         purchases.toDF().select(col("event_id"), col("user_id"), col("ts"))),
       StreamingOps.withLateDataWatermark(
-        clicks.toDF().select(col("user_id").as("__r_user_id"),
+        clicks.toDF().select(col("user_id"),
           col("ts").as("rts"), col("event_id").as("click_id")), "rts"),
       lookback = "30 minutes")
     val query = joined.writeStream
@@ -170,15 +170,20 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData(
         (10L, "the quick brown fox jumps over the lazy dog"), // dup of 0
-        (11L, "nothing like anything indexed so far at all ok"))
+        (11L, "nothing like anything indexed so far at all ok"),
+        (20L, "twin documents arriving together in one batch yes"),
+        (21L, "twin documents arriving together in one batch yes"))
       query.processAllAvailable()
       val flags = spark.read.parquet(s"$dir/flags").collect()
-        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("matched_id")).distinct
-      assert(flags.toSeq == Seq(10L -> 0L)) // only the replayed dup flagged
-      // the index holds all four docs' bands (4 bands each)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("matched_id"))
+        .distinct.sorted
+      // cross-batch dup AND the same-batch twin pair (both directions);
+      // upsert-before-flag is what makes the twins visible to each other
+      assert(flags.toSeq == Seq(10L -> 0L, 20L -> 21L, 21L -> 20L))
+      // the index holds all six docs' bands (4 bands each)
       val idx = spark.read.parquet(s"$dir/index")
-      assert(idx.count() == 16)
-      assert(idx.select("doc_id").distinct().count() == 4)
+      assert(idx.count() == 24)
+      assert(idx.select("doc_id").distinct().count() == 6)
     } finally query.stop()
   }
 
