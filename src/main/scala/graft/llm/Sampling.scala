@@ -127,6 +127,37 @@ object Sampling {
         col("p_micro"))
   }
 
+  /** Epoch-annealed mixture schedule: per-epoch sampling weights that
+    * interpolate linearly from the NATURAL source distribution (epoch 0)
+    * to the sqrt-TEMPERED one ([[temperatureMixtureSqrt]], final epoch) —
+    * the standard curriculum that starts faithful to the corpus and
+    * flattens toward rare sources as training progresses.
+    *
+    * Determinism: the only float op is the IEEE-exact `sqrt` (same
+    * argument in every engine); both endpoint distributions are quantized
+    * to integer micro-units FIRST and the per-epoch interpolation is pure
+    * integer arithmetic (`t` in micro-units, products ≤ 1e12 << 2^63), so
+    * the schedule is bit-identical across engines, runs, and retries.
+    * Scale shape: one bounded aggregate + a 1-row broadcast + a
+    * per-stratum explode of `epochs` rows — never a corpus-sized shuffle.
+    */
+  def annealedMixture(df: DataFrame, strataCol: String, sizeCol: String,
+                      epochs: Int): DataFrame = {
+    require(epochs >= 2, s"need at least 2 epochs to interpolate, got $epochs")
+    val w = df.groupBy(col(strataCol))
+      .agg(sum(col(sizeCol)).as("stratum_size"))
+      .withColumn("__wsq",
+        round(sqrt(col("stratum_size").cast("double")) * 1e6).cast("long"))
+    w.crossJoin(broadcast(w.agg(
+        sum(col("stratum_size")).as("__ts"), sum(col("__wsq")).as("__tw"))))
+      .withColumn("__pn", expr("(stratum_size * 1000000) div __ts"))
+      .withColumn("__ps", expr("(__wsq * 1000000) div __tw"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__t", expr(s"(epoch * 1000000) div ${epochs - 1}"))
+      .select(col("epoch"), col(strataCol), col("stratum_size"),
+        expr("(__pn * (1000000 - __t) + __ps * __t) div 1000000").as("p_micro"))
+  }
+
   /** Deterministic sequence packing: assign each document a (shard,
     * pack_idx, pack_offset) placement in the concat-and-chunk layout
     * pretraining uses — all documents of a shard concatenated in id order,

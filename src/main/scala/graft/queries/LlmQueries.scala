@@ -1145,6 +1145,26 @@ object LlmQueries {
              |       CAST((w_micro * 1000000) // (SELECT sum(w_micro) FROM w) AS BIGINT) AS p_micro
              |FROM w ORDER BY source""".stripMargin)),
 
+    // Epoch-annealed mixture schedule: natural -> sqrt-tempered source
+    // weights over 4 epochs, pure integer interpolation between the two
+    // micro-quantized endpoint distributions.
+    Q("sample_mixture_schedule", "LLM",
+      (s, d) => Sampling.annealedMixture(Tables(s, d, "documents"),
+        "source", "n_chars", epochs = 4).orderBy("epoch", "source"),
+      Some("""WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS stratum_size,
+             |         CAST(round(sqrt(CAST(sum(n_chars) AS DOUBLE)) * 1e6) AS BIGINT) AS wsq
+             |       FROM documents GROUP BY 1),
+             |tot AS (SELECT sum(stratum_size) AS ts, sum(wsq) AS tw FROM w),
+             |e AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS epoch),
+             |b AS (SELECT epoch, source, stratum_size,
+             |        (stratum_size * 1000000) // ts AS pn,
+             |        (wsq * 1000000) // tw AS ps,
+             |        (epoch * 1000000) // 3 AS t
+             |      FROM w, tot, e)
+             |SELECT epoch, source, stratum_size,
+             |       CAST((pn * (1000000 - t) + ps * t) // 1000000 AS BIGINT) AS p_micro
+             |FROM b ORDER BY epoch, source""".stripMargin)),
+
     // Signed (±1) random projection, the JL dimensionality-reduction step:
     // 64-dim embeddings onto 8 md5-derived hyperplanes — the same planes
     // the LSH bucketer thresholds, exposed as micro-unit components.

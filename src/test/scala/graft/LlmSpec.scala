@@ -466,6 +466,27 @@ class LlmSpec extends SparkSpec {
     assert(by(0L) == by(1L))
   }
 
+  test("annealedMixture: epoch 0 is the natural distribution, final epoch the sqrt-tempered one") {
+    val corpus = Seq(("a", 9000L), ("b", 1000L), ("a", 7000L))
+      .toDF("source", "n")
+    val sched = Sampling.annealedMixture(corpus, "source", "n", epochs = 4)
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[String]("source")) ->
+        r.getAs[Long]("p_micro")).toMap
+    // natural: a = 16000/17000, b = 1000/17000 (micro, truncating)
+    assert(sched((0, "a")) == 16000L * 1000000 / 17000)
+    assert(sched((0, "b")) == 1000L * 1000000 / 17000)
+    // final epoch equals temperatureMixtureSqrt's p_micro exactly
+    val sqrtW = Sampling.temperatureMixtureSqrt(corpus, "source", "n")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("p_micro")).toMap
+    assert(sched((3, "a")) == sqrtW("a") && sched((3, "b")) == sqrtW("b"))
+    // anneal moves mass monotonically from the big source to the small one
+    assert(sched((0, "a")) > sched((1, "a")) && sched((1, "a")) > sched((2, "a")))
+    assert(sched((0, "b")) < sched((1, "b")) && sched((1, "b")) < sched((2, "b")))
+    intercept[IllegalArgumentException] {
+      Sampling.annealedMixture(corpus, "source", "n", epochs = 1)
+    }
+  }
+
   test("globalQualityGate keeps exactly the at-or-above-median half") {
     val corpus = Seq(
       (1L, "the of and to in"),     // all stopwords -> 1000 milli
