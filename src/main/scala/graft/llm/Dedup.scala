@@ -337,23 +337,35 @@ object Dedup {
     * survivor rule). Returns one row per vector: (idCol, centroid_id,
     * kept).
     *
-    * Scale shape: assignment is [[Similarity.ivfAssign]]'s broadcast
-    * argmax (one scan, no shuffle); the within-cluster pair generation is
-    * an equi-join on `centroid_id`, never a cross join. Cluster population
-    * — and so per-cluster pair cost — is bounded by sizing the codebook
-    * with the corpus (SemDeDup trains k ∝ n clusters, keeping members/
-    * cluster roughly constant), the same knob as every bucketed dedup
-    * operator here. Cosines are rounded to 1e-6 before the threshold so
-    * the drop set is engine-independent.
+    * Scale shape: assignment is [[Similarity.ivfAssignHier]]'s two-level
+    * coarse-quantizer argmax — SemDeDup trains k ∝ n clusters (keeping
+    * members/cluster roughly constant), so a flat broadcast of all k
+    * centroids stops fitting at billion-document scale; the hierarchical
+    * path broadcasts √k coarse centroids and the cell-grouped fine table
+    * instead, and each vector pays O(√k + k/√k) dot products rather than
+    * O(k). The within-cluster pair generation is an equi-join on
+    * `centroid_id`, never a cross join; per-cluster pair cost stays
+    * bounded by the same k ∝ n sizing knob. Cosines are rounded to 1e-6
+    * before the threshold so the drop set is engine-independent. The
+    * assignment subtree is materialized ONCE (localCheckpoint, as
+    * [[graft.operators.ConnectedComponents]] does) — it feeds three
+    * consumers (both pair-join sides and the output join), which would
+    * otherwise each recompute it.
     */
   def semanticDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     // an empty centroid set would assign nothing and silently DROP the
     // whole corpus from the output — refuse instead (centroids are small
-    // by contract, so the eager check is one cheap job)
-    require(!centroids.isEmpty, "semanticDedup requires a non-empty centroid set")
-    val assigned = Similarity.ivfAssign(vectors, centroids, idCol, vecCol)
+    // by contract, so the eager count is one cheap job; it also sizes the
+    // coarse level at the classic √k)
+    val k = centroids.count()
+    require(k > 0, "semanticDedup requires a non-empty centroid set")
+    val numCoarse = math.ceil(math.sqrt(k.toDouble)).toInt
+    val assigned = Similarity
+      .ivfAssignHier(vectors, centroids, numCoarse, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .localCheckpoint()
     val a = assigned.select(col("centroid_id"), col(idCol).as("__ida"),
       col(vecCol).as("__va"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("__idb"),

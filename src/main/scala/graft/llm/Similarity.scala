@@ -117,6 +117,93 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Per-row argmax fold over an array of (i, v) structs: the element id
+    * with the maximal dot(vec, v), ties to the SMALLER id — exactly the
+    * `row_number() OVER (ORDER BY dot DESC, id)` = 1 winner, but computed
+    * as one `aggregate` HOF per row instead of a window, so the corpus is
+    * never shuffled for the argmax. Comparisons are on raw doubles; the
+    * dot is sequential-double, so the winner is engine-independent.
+    * Returns null on an empty array. */
+  private def argmaxFold(arr: Column, vec: Column,
+                         idType: org.apache.spark.sql.types.DataType): Column =
+    aggregate(arr,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(null).cast(idType).as("i")),
+      (acc, x) => {
+        val sc = dot(vec, x.getField("v"))
+        when(acc.getField("i").isNull
+            || sc > acc.getField("s")
+            || (sc === acc.getField("s") && x.getField("i") < acc.getField("i")),
+          struct(sc.as("s"), x.getField("i").as("i")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("i"))
+
+  /** Hierarchical (coarse-quantizer) IVF assignment — the k ∝ n scale path.
+    *
+    * [[ivfAssign]] broadcasts the full centroid set; SemDeDup-style regimes
+    * train k ∝ n clusters, so at billion-document scale that broadcast is
+    * millions of rows × dim and stops fitting. The classic fix (IVF's
+    * two-level coarse quantizer, Jégou et al. 2011 §V): assign through a
+    * small coarse level first —
+    *
+    *   1. coarse = the `numCoarse` smallest-id centroids (deterministic
+    *      stand-in for a trained √k coarse codebook);
+    *   2. each FINE centroid joins its nearest coarse cell (k rows of
+    *      bounded work — never corpus-sized);
+    *   3. each vector finds its nearest NON-EMPTY coarse cell via one
+    *      single-row broadcast of the √k coarse set + a per-row
+    *      [[argmaxFold]] (no window — the corpus is not shuffled);
+    *   4. the fine centroids, grouped per cell, ride a broadcast hash join
+    *      on `coarse_id`, and the winner within the cell is again a
+    *      per-row [[argmaxFold]].
+    *
+    * Exactly two broadcasts, both bounded: √k coarse rows and the
+    * cell-grouped fine table (k rows shipped once, but each vector now
+    * pays O(√k + k/√k) dot products instead of O(k) — the compute ceiling
+    * lift). When even the fine-side broadcast outgrows memory, the same
+    * plan degrades gracefully: replace `broadcast(cells)` with a
+    * shuffle-hash equi-join on `coarse_id` — ONE bounded corpus shuffle —
+    * without touching the argmax semantics. Restricting step 3 to
+    * non-empty cells guarantees every vector lands in a cell that has at
+    * least one fine centroid (a fine centroid need not win its own cell
+    * under dot-product similarity, so empty cells do occur).
+    *
+    * Returns (idCol, vecCol, coarse_id, centroid_id) — [[ivfAssign]]'s
+    * contract plus the coarse cell. Assignment is approximate in the IVF
+    * sense: the fine winner is the argmax WITHIN the vector's coarse cell,
+    * not the global argmax.
+    */
+  def ivfAssignHier(df: DataFrame, centroids: DataFrame, numCoarse: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(numCoarse >= 1, s"numCoarse must be >= 1, got $numCoarse")
+    GraftFunctions.register(df.sparkSession)
+    val idType = centroids.schema(idCol).dataType
+    val fine = centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val coarse = fine.orderBy(col("__cid")).limit(numCoarse)
+      .select(col("__cid").as("__gid"), col("__cv").as("__gv"))
+    // fine -> coarse: k rows against the 1-row packed coarse array
+    val packedCoarse = coarse
+      .agg(collect_list(struct(col("__gid").as("i"), col("__gv").as("v"))).as("__g"))
+    val fineCells = fine.crossJoin(broadcast(packedCoarse))
+      .withColumn("coarse_id", argmaxFold(col("__g"), col("__cv"), idType))
+      .select(col("coarse_id"), col("__cid"), col("__cv"))
+    // one row per NON-EMPTY cell: (coarse_id, members, coarse vector)
+    val cells = fineCells.groupBy(col("coarse_id"))
+      .agg(collect_list(struct(col("__cid").as("i"), col("__cv").as("v"))).as("__cell"))
+    val liveCoarse = cells.join(coarse, cells("coarse_id") === coarse("__gid"))
+      .agg(collect_list(struct(col("__gid").as("i"), col("__gv").as("v"))).as("__g"))
+    // vector -> coarse (broadcast 1: ≤ numCoarse structs in one row), then
+    // vector -> fine within its cell (broadcast 2: hash join on coarse_id)
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(liveCoarse))
+      .withColumn("coarse_id", argmaxFold(col("__g"), col(vecCol), idType))
+      .drop("__g")
+      .join(broadcast(cells), Seq("coarse_id"))
+      .withColumn("centroid_id", argmaxFold(col("__cell"), col(vecCol), idType))
+      .select(col(idCol), col(vecCol), col("coarse_id"), col("centroid_id"))
+  }
+
   /** IVF top-k: queries probe their `nprobe` nearest centroid cells;
     * candidates live in exactly ONE cell each, so probed cells are
     * disjoint — no pair is scored twice and search cost scales linearly in

@@ -580,6 +580,42 @@ object LlmQueries {
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // Hierarchical IVF assignment (coarse quantizer -> within-cell argmax):
+    // the k ∝ n scale path — √k coarse centroids broadcast, fine centroids
+    // equi-joined on the coarse cell, per-row argmax folds (no window, no
+    // corpus shuffle).
+    Q("ann_ivf_hier", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.ivfAssignHier(e.filter(col("vec_id") >= 16),
+            e.filter(col("vec_id") < 16), numCoarse = 4)
+          .select(col("vec_id"), col("coarse_id"), col("centroid_id"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |g AS (SELECT cid AS gid, cv AS gv FROM cent ORDER BY cid LIMIT 4),
+           |fc AS (SELECT cid, cv, gid FROM (
+           |         SELECT f.cid, f.cv, g.gid,
+           |                row_number() OVER (PARTITION BY f.cid
+           |                                   ORDER BY ${dot("f.cv", "g.gv")} DESC, g.gid) AS rn
+           |         FROM cent f, g) WHERE rn = 1),
+           |live AS (SELECT gid, gv FROM g WHERE gid IN (SELECT gid FROM fc)),
+           |va AS (SELECT vec_id, embedding, gid FROM (
+           |         SELECT v.vec_id, v.embedding, l.gid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "l.gv")} DESC, l.gid) AS rn
+           |         FROM embeddings v, live l WHERE v.vec_id >= 16) WHERE rn = 1)
+           |SELECT vec_id, gid AS coarse_id, cid AS centroid_id FROM (
+           |  SELECT va.vec_id, va.gid, fc.cid,
+           |         row_number() OVER (PARTITION BY va.vec_id
+           |                            ORDER BY ${dot("va.embedding", "fc.cv")} DESC, fc.cid) AS rn
+           |  FROM va JOIN fc ON va.gid = fc.gid) WHERE rn = 1
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // Embedding mean-pooling (chunk embeddings -> document embedding): the
     // transpose-aggregate shape — shuffle cardinality groups x dim, never
     // |vectors|; milli-unit quantization keeps it bit-deterministic.
@@ -1574,8 +1610,9 @@ object LlmQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
-    // SemDeDup: cluster embeddings by broadcast-argmax centroid assignment,
-    // then prune near-identical pairs WITHIN clusters only (keep-lowest-id).
+    // SemDeDup: cluster embeddings by hierarchical (coarse -> fine) centroid
+    // assignment, then prune near-identical pairs WITHIN clusters only
+    // (keep-lowest-id). k = 16 centroids -> √k = 4 coarse cells.
     Q("dedup_semantic", "LLM",
       (s, d) => {
         val e = Tables(s, d, "embeddings")
@@ -1586,11 +1623,23 @@ object LlmQueries {
         def dot(x: String, y: String) =
           s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
         s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |g AS (SELECT cid AS gid, cv AS gv FROM cent ORDER BY cid LIMIT 4),
+           |fc AS (SELECT cid, cv, gid FROM (
+           |         SELECT f.cid, f.cv, g.gid,
+           |                row_number() OVER (PARTITION BY f.cid
+           |                                   ORDER BY ${dot("f.cv", "g.gv")} DESC, g.gid) AS rn
+           |         FROM cent f, g) WHERE rn = 1),
+           |live AS (SELECT gid, gv FROM g WHERE gid IN (SELECT gid FROM fc)),
+           |va AS (SELECT vec_id, embedding, gid FROM (
+           |         SELECT v.vec_id, v.embedding, l.gid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "l.gv")} DESC, l.gid) AS rn
+           |         FROM embeddings v, live l WHERE v.vec_id >= 16) WHERE rn = 1),
            |a AS (SELECT vec_id, embedding, cid FROM (
-           |        SELECT v.vec_id, v.embedding, c.cid,
-           |               row_number() OVER (PARTITION BY v.vec_id
-           |                                  ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
-           |        FROM embeddings v, cent c WHERE v.vec_id >= 16) WHERE rn = 1),
+           |        SELECT va.vec_id, va.embedding, fc.cid,
+           |               row_number() OVER (PARTITION BY va.vec_id
+           |                                  ORDER BY ${dot("va.embedding", "fc.cv")} DESC, fc.cid) AS rn
+           |        FROM va JOIN fc ON va.gid = fc.gid) WHERE rn = 1),
            |drp AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
            |        WHERE round(${dot("x.embedding", "y.embedding")} /
            |                (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})), 6) >= 0.3)

@@ -206,6 +206,36 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("hierarchical IVF: within-cell argmax; vectors survive empty coarse cells") {
+    // fine c0/c1/c2; coarse = two smallest ids {c0, c1}. c2's best coarse is
+    // c1 (dot 0.9 vs 0), so cell c1 = {c1, c2}, cell c0 = {c0}.
+    val fine = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0.9f, 0.5f))).toDF("vec_id", "embedding")
+    val v = Seq(
+      (10L, Array(0f, 0.6f, 0.8f)),  // coarse c1; in-cell: c2 (0.94) beats c1 (0.6)
+      (11L, Array(1f, 0.05f, 0f))    // coarse c0; only member c0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssignHier(v, fine, numCoarse = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("coarse_id"), r.getAs[Long]("centroid_id"))).toMap
+    assert(out(10L) == (1L, 2L) && out(11L) == (0L, 0L))
+
+    // empty-cell case: BOTH fine centroids land in coarse cell c0 (c1's
+    // self-dot 0.82 < its dot with c0, 0.9), leaving cell c1 empty. A
+    // vector nearest the DEAD coarse c1 must still be assigned — to the
+    // best live cell — not silently dropped by the cell join.
+    val fine2 = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val w = Seq((20L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val out2 = Similarity.ivfAssignHier(w, fine2, numCoarse = 2).collect()
+    assert(out2.length == 1)
+    assert(out2(0).getAs[Long]("coarse_id") == 0L)
+    assert(out2(0).getAs[Long]("centroid_id") == 1L) // dot 0.1 beats 0.0
+  }
+
   test("embedding-cosine near-dup: identical vectors pair at cosine 1.0, bucketed") {
     val out = Dedup.embeddingNearDupPairs(vecs, dim = 3, threshold = 0.9,
       numPlanes = 4).collect()

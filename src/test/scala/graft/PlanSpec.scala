@@ -285,8 +285,27 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"),
       s"within-cluster pairs must be an equi-join on centroid_id:\n$p")
-    // only the centroid-assignment broadcast may be nested-loop
-    assert(p.contains("BroadcastNestedLoopJoin"), s"argmax assignment broadcast:\n$p")
+    // the (hierarchical) assignment subtree is materialized exactly once —
+    // three consumers read the checkpointed RDD instead of recomputing it
+    assert(p.contains("ExistingRDD"),
+      s"assignment must be materialized once (localCheckpoint):\n$p")
+  }
+
+  test("hierarchical IVF: two bounded broadcasts, corpus never shuffled for the argmax") {
+    val p = plan("ann_ivf_hier")
+    // broadcast 1: the single-row packed coarse set (nested-loop, 1 row);
+    // broadcast 2: the cell-grouped fine table (hash join on coarse_id)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"coarse set must ride a single-row broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-grouped fine centroids must ride a broadcast hash join:\n$p")
+    // the argmax is a per-row fold, not a window — so no corpus-side hash
+    // exchange on the vector id and no shuffled join anywhere
+    assert(!p.contains("Window"), s"argmax must not be a window:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus must not shuffle on vec_id:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join:\n$p")
   }
 
   test("duplicate spans: cross-doc test is a fixed-width hash agg on the window hash") {
