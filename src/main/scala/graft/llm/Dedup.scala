@@ -136,22 +136,47 @@ object Dedup {
     * id-only buckets), each scored ONCE by exact distinct-shingle Jaccard
     * against per-doc shingles joined back by id, kept at
     * `jaccard >= minJaccard`. Feeds [[graft.operators.ConnectedComponents]]
-    * for clustering and survivor selection. */
+    * for clustering and survivor selection.
+    *
+    * Exact-duplicate floods are collapsed BEFORE banding (the enforced
+    * form of [[minhashCandidatePairs]]'s precondition): m byte-identical
+    * copies share every band bucket, so feeding them to any candidate
+    * generator expands m·(m−1)/2 pairs per flood — an adversarial corpus
+    * (mirrors, boilerplate pages) blows up quadratically however well the
+    * buckets are spread. Instead, one content-hash window picks the min-id
+    * representative per distinct content; only representatives enter the
+    * band pipeline, and each non-representative contributes exactly ONE
+    * star edge (rep → member, Jaccard 1 by construction). The components
+    * downstream are IDENTICAL to the naive graph's: the naive edge set is
+    * precisely the clique-expansion of this star + representative graph
+    * (identical content ⇒ identical signature ⇒ identical bucket fate), so
+    * the flood's quadratic pair set never exists anywhere in the plan.
+    * Cost on a clean corpus: one extra content-hash shuffle; results there
+    * are unchanged (every doc is its own representative). */
   def nearDupEdges(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                    minJaccard: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol),
+    val byContent = Window.partitionBy(col("__ch"))
+    val withRep = docs
+      .select(col(idCol), col(textCol), md5(col(textCol)).as("__ch"))
+      .withColumn("__rep", min(col(idCol)).over(byContent))
+    val starEdges = withRep.filter(col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col(idCol).as("id_b"))
+    val reps = withRep.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val sh = reps.select(col(idCol),
       array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("__sh"))
     val cand = minhashCandidatePairs(
-      minhashBands(docs, idCol, textCol, shingleLen, bands, rowsPerBand), idCol)
+      minhashBands(reps, idCol, textCol, shingleLen, bands, rowsPerBand), idCol)
     val inter = size(array_intersect(col("__sha"), col("__shb")))
-    cand
+    val repEdges = cand
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("__jac", inter.cast("double")
         / (size(col("__sha")) + size(col("__shb")) - inter).cast("double"))
       .filter(col("__jac") >= minJaccard)
       .select(col("id_a"), col("id_b"))
+    repEdges.union(starEdges)
   }
 
   /** SimHash signature (Charikar 2002) from per-token 60-bit base hashes:

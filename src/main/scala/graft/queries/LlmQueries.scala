@@ -1083,14 +1083,20 @@ object LlmQueries {
         val docs = Tables(s, d, "documents")
         val grams = (t: org.apache.spark.sql.Column) =>
           explode(array_distinct(shingles(tokens(t), 3)))
-        // benchmark side: tiny by construction — filter FIRST, then shingle
-        // and pin. Checkpointing only this side costs KBs; checkpointing the
-        // exploded corpus (the obvious "share the shingle pass" shape) would
-        // materialize ~3x the input tokens to executor storage at 100 TB,
-        // just to save re-tokenizing a handful of benchmark docs.
-        val bench = docs.filter(col("doc_id") < 10)
-          .select(grams(col("text")).as("g")).distinct()
-          .localCheckpoint(true)
+        // benchmark side: tiny by construction (a fixed handful of docs at
+        // ANY scale factor) — filter FIRST, then shingle, then collect to a
+        // local relation. The benchmark set is exactly the bounded-metadata
+        // case where a driver collect is the right plan: one small job at
+        // plan build, then the broadcast ships straight from driver memory —
+        // where an eager localCheckpoint paid a materialization job PLUS a
+        // block-manager read under the broadcast build. The CORPUS is never
+        // collected or checkpointed — it streams through one shingle pass.
+        val bench = {
+          import s.implicits._
+          docs.filter(col("doc_id") < 10)
+            .select(grams(col("text")).as("g")).distinct()
+            .as[String].collect().toSeq.toDF("g")
+        }
         // train side streams through one shingle pass + broadcast join —
         // never materialized, no shuffle of the corpus
         docs.filter(col("doc_id") >= 10)

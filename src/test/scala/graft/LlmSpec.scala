@@ -470,6 +470,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("nearDupEdges: 1k-identical-doc flood collapses to a linear star, components intact") {
+    // the adversarial corpus for any band-bucket candidate generator: all
+    // copies share every band, so the naive pair set is 1000*999/2 =
+    // 499500. The enforced exact-collapse precondition must emit exactly
+    // the 999-edge star from the min-id representative instead — and the
+    // downstream component is the same single cluster either way.
+    val flood = (0 until 1000).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val edges = Dedup.nearDupEdges(flood, "doc_id", "text")
+    val e = edges.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(e.length == 999)
+    assert(e.forall { case (a, b) => a == 0L && b > 0L })
+    val comp = graft.operators.ConnectedComponents.run(
+      edges, "id_a", "id_b")
+    assert(comp.count() == 1000L)
+    assert(comp.select("component").distinct().count() == 1L)
+  }
+
   test("groupAwareSplit is partitioning-invariant") {
     val comp = graft.operators.ConnectedComponents.run(
       Dedup.nearDupEdges(docs, "doc_id", "text"), "id_a", "id_b")
