@@ -117,4 +117,93 @@ object Ingest {
     * ref: scripts/eth_cassandra_streaming.py:263-303). */
   def dedupeByPk(df: DataFrame, pkCols: Seq[String]): DataFrame =
     df.dropDuplicates(pkCols)
+
+  /** T6 (engine-beyond-reference; the reference resumes blindly from
+    * max(block_id) and would keep an orphaned tail forever —
+    * ref: scripts/eth_cassandra_streaming.py:588-593): reorg-tolerant
+    * resume.
+    *
+    * Compares the stored tail's block hashes against the authoritative
+    * `source` frame and, when they diverge, invalidates-and-rewrites the
+    * sink from the fork point:
+    *
+    *   1. tail check — the last `checkDepth` stored blocks (a
+    *      partition-pruned read of the tail bucket(s) only) are equi-joined
+    *      to the source on block id; the FORK POINT is the smallest checked
+    *      block whose hash differs (or that the source no longer has).
+    *      `checkDepth` must exceed the maximum credible reorg depth — the
+    *      same finality assumption every chain ingester makes.
+    *   2. rewrite — affected buckets (fork bucket and above) are rebuilt as
+    *      stored-rows-below-fork + source-rows-from-fork and flushed through
+    *      [[Sinks.writeBucketedParquet]]'s dynamic partition overwrite (the
+    *      T4/T5 upsert machinery), so untouched buckets are never rewritten
+    *      and the fork bucket keeps its pre-fork rows. Stored buckets
+    *      ABOVE the last replacement bucket (a reorg to a shorter chain)
+    *      are orphaned wholesale and deleted at the directory level.
+    *
+    * Everything driver-side is bounded metadata (tip, fork scalar, bucket
+    * lists); hash comparison and the rewrite are DataFrame plans. Returns
+    * `(resumeFrom, forkPoint)`: the next block to ingest and the fork
+    * block if a reorg was repaired (`None` on a clean tail; resume is then
+    * tip+1, the reference's behavior). An absent or empty sink resumes
+    * from 0 — genesis. */
+  def resumeWithReorgCheck(spark: SparkSession, path: String, source: DataFrame,
+                           blockIdCol: String = "block_id",
+                           hashCol: String = "block_hash",
+                           bucketCol: String = "block_id_group",
+                           sortCols: Seq[String] = Seq("block_id"),
+                           checkDepth: Long = 64,
+                           bucketSize: Long = 1000): (Long, Option[Long]) = {
+    require(checkDepth > 0, "checkDepth must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return (0L, None)
+    val stored = spark.read.parquet(path)
+    val tip = maxIngestedBlockPruned(stored, blockIdCol, bucketCol)
+      .getOrElse(return (0L, None))
+    val lo = math.max(0L, tip - checkDepth + 1)
+    // tail read prunes to the checked buckets via the partition column
+    val tail = stored
+      .filter(col(bucketCol) >= lo / bucketSize && col(blockIdCol) >= lo)
+      .select(col(blockIdCol), col(hashCol).as("__stored_hash"))
+    val srcTail = source.filter(col(blockIdCol).between(lo, tip))
+      .select(col(blockIdCol), col(hashCol).as("__src_hash"))
+    val forkRow = tail.join(srcTail, Seq(blockIdCol), "left")
+      .filter(col("__src_hash").isNull
+        || col("__src_hash") =!= col("__stored_hash"))
+      .agg(min(col(blockIdCol)).cast("long")).collect()(0)
+    if (forkRow.isNullAt(0)) return (tip + 1, None)
+    val fork = forkRow.getLong(0)
+    val forkBucket = fork / bucketSize
+    // replacement = authoritative rows from the fork point on (the caller
+    // bounds `source`; anything it carries beyond the old tip is ingested
+    // in the same pass), bucket derived if the source does not carry it
+    val srcCols = source.columns.toSet
+    val replacement0 = source.filter(col(blockIdCol) >= fork)
+    val replacement =
+      if (srcCols.contains(bucketCol)) replacement0
+      else replacement0.withColumn(bucketCol, floor(col(blockIdCol) / bucketSize))
+    val keepBelowFork = stored
+      .filter(col(bucketCol) === forkBucket && col(blockIdCol) < fork)
+      .select(replacement.columns.map(col).toIndexedSeq: _*)
+    val merged = keepBelowFork.unionByName(replacement)
+      // the plan reads the very partitions the write replaces — pin the
+      // bounded merged set (affected buckets only) before overwriting
+      .localCheckpoint(true)
+    val mergedBuckets = merged.select(col(bucketCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    Sinks.writeBucketedParquet(merged, path, bucketCol, sortCols)
+    // a reorg to a SHORTER chain leaves whole stored buckets above the
+    // last replacement bucket with no successor — dynamic overwrite never
+    // touches them, so they are deleted explicitly (directory-level,
+    // bounded by the reorg depth)
+    Sinks.existingBuckets(spark, path, bucketCol)
+      .filter(b => b >= forkBucket && !mergedBuckets.contains(b))
+      .foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"$bucketCol=$b"), true)
+      }
+    val newTip = maxIngestedBlockPruned(spark.read.parquet(path),
+      blockIdCol, bucketCol).getOrElse(-1L)
+    (newTip + 1, Some(fork))
+  }
 }

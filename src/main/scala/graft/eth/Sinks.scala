@@ -38,8 +38,8 @@ object Sinks {
 
   /** Partition (bucket) values already present in a bucketed-parquet sink —
     * read from the directory listing, not the data (bounded metadata). */
-  private def existingBuckets(spark: SparkSession, path: String,
-                              bucketCol: String): Set[Long] = {
+  private[eth] def existingBuckets(spark: SparkSession, path: String,
+                                   bucketCol: String): Set[Long] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) Set.empty

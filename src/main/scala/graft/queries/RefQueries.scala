@@ -471,6 +471,58 @@ object RefQueries {
       },
       Some("SELECT count(*) AS n FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) t")),
 
+    // T6 (engine-beyond-reference): reorg-tolerant resume. A 4,900-block
+    // sink whose last 200 blocks are an orphaned fork is checked against a
+    // 5,000-block canonical source: the tail-hash compare finds the fork at
+    // 4,700, affected buckets are rebuilt (pre-fork rows kept, orphans
+    // replaced, new canonical tail ingested), and resume moves to 5,000.
+    // The oracle REPLAYS the semantics (divergence-point detection +
+    // stored-below-fork ∪ source-from-fork) rather than pinning constants.
+    Q("t6_reorg_rewrite", "T6",
+      (s, d) => {
+        val path = java.nio.file.Files.createTempDirectory("graft_reorg").toString + "/blocks"
+        def canon(id: org.apache.spark.sql.Column) =
+          md5(concat(lit("canon_"), id.cast("string")))
+        val src = s.range(0, 5000).select(col("id").as("block_id"),
+          canon(col("id")).as("block_hash"))
+        val stored = s.range(0, 4900).select(col("id").as("block_id"),
+            when(col("id") < 4700, canon(col("id")))
+              .otherwise(md5(concat(lit("orphan_"), col("id").cast("string"))))
+              .as("block_hash"))
+          .withColumn("block_id_group", blockIdGroup(col("block_id")))
+        Sinks.writeBucketedParquet(stored, path)
+        val (resumeFrom, fork) =
+          Ingest.resumeWithReorgCheck(s, path, src, checkDepth = 400)
+        s.read.parquet(path)
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(col("block_id")).as("id_sum"),
+            sum(when(col("block_hash") === canon(col("block_id")), 0L)
+              .otherwise(1L)).as("n_orphans"))
+          .withColumn("fork_point", lit(fork.getOrElse(-1L)))
+          .withColumn("resume_from", lit(resumeFrom))
+      },
+      Some("""WITH src AS (SELECT r.range AS block_id,
+             |         md5('canon_' || CAST(r.range AS VARCHAR)) AS h FROM range(0, 5000) r),
+             |stored AS (SELECT r.range AS block_id,
+             |             CASE WHEN r.range < 4700 THEN md5('canon_' || CAST(r.range AS VARCHAR))
+             |                  ELSE md5('orphan_' || CAST(r.range AS VARCHAR)) END AS h
+             |           FROM range(0, 4900) r),
+             |tip AS (SELECT max(block_id) AS t FROM stored),
+             |fork AS (SELECT min(s.block_id) AS f
+             |         FROM stored s JOIN tip ON s.block_id >= tip.t - 399
+             |         LEFT JOIN src ON src.block_id = s.block_id
+             |         WHERE src.h IS NULL OR src.h <> s.h),
+             |final AS (SELECT block_id, h FROM stored WHERE block_id < (SELECT f FROM fork)
+             |          UNION ALL
+             |          SELECT block_id, h FROM src WHERE block_id >= (SELECT f FROM fork))
+             |SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             |       CAST(sum(block_id) AS BIGINT) AS id_sum,
+             |       CAST(sum(CASE WHEN h = md5('canon_' || CAST(block_id AS VARCHAR))
+             |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_orphans,
+             |       (SELECT CAST(f AS BIGINT) FROM fork) AS fork_point,
+             |       CAST(max(block_id) + 1 AS BIGINT) AS resume_from
+             |FROM final""".stripMargin)),
+
     // T5/K1: bucket-partitioned parquet sink + partition-pruned read-back.
     Q("t5_partitioned_sink", "T5",
       (s, d) => {

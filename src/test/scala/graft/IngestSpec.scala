@@ -75,4 +75,60 @@ class IngestSpec extends SparkSpec {
     assert(row.getString(0) == "graft")
     assert(row.getInt(1) == 1000 && row.getInt(2) == 5)
   }
+
+  private def chain(lo: Long, hi: Long, orphanFrom: Long = Long.MaxValue) = {
+    import org.apache.spark.sql.functions._
+    spark.range(lo, hi + 1).select(col("id").as("block_id"),
+        when(col("id") < orphanFrom, concat(lit("h"), col("id")))
+          .otherwise(concat(lit("orphan"), col("id"))).as("block_hash"))
+      .withColumn("block_id_group",
+        graft.functions.ColumnFns.blockIdGroup(col("block_id")))
+  }
+
+  test("reorg check: clean tail resumes at tip+1 and never rewrites") {
+    val path = java.nio.file.Files.createTempDirectory("reorg_clean").toString + "/b"
+    graft.eth.Sinks.writeBucketedParquet(chain(0, 2499), path)
+    val before = spark.read.parquet(path).inputFiles.toSet
+    val (resume, fork) = Ingest.resumeWithReorgCheck(spark, path, chain(0, 3000),
+      checkDepth = 500)
+    assert(resume == 2500L && fork.isEmpty)
+    assert(spark.read.parquet(path).inputFiles.toSet == before) // untouched
+  }
+
+  test("reorg check: mid-bucket fork keeps pre-fork rows, replaces orphans, ingests new tail") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("reorg_fork").toString + "/b"
+    // stored 0..2499 with 2300+ orphaned; canonical source extends to 2799
+    graft.eth.Sinks.writeBucketedParquet(chain(0, 2499, orphanFrom = 2300), path)
+    val (resume, fork) = Ingest.resumeWithReorgCheck(spark, path, chain(0, 2799),
+      checkDepth = 400)
+    assert(fork.contains(2300L) && resume == 2800L)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2800L)
+    assert(out.filter(col("block_hash").startsWith("orphan")).count() == 0L)
+    // bucket 2's pre-fork rows (2000..2299) survived the bucket rewrite
+    assert(out.filter(col("block_id").between(2000, 2299)).count() == 300L)
+    // untouched bucket 0 kept its original file
+    assert(out.filter(col("block_id") < 1000).count() == 1000L)
+  }
+
+  test("reorg check: shorter canonical chain deletes orphaned whole buckets") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("reorg_short").toString + "/b"
+    // stored through 3499 (buckets 0..3), all of 2600+ orphaned; the
+    // canonical chain ends at 2799 -> bucket 3 has no successor rows
+    graft.eth.Sinks.writeBucketedParquet(chain(0, 3499, orphanFrom = 2600), path)
+    val (resume, fork) = Ingest.resumeWithReorgCheck(spark, path, chain(0, 2799),
+      checkDepth = 1200)
+    assert(fork.contains(2600L) && resume == 2800L)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2800L)
+    assert(out.agg(max(col("block_id"))).collect()(0).getLong(0) == 2799L)
+    assert(out.filter(col("block_hash").startsWith("orphan")).count() == 0L)
+  }
+
+  test("reorg check: absent or empty sink resumes from genesis") {
+    val path = java.nio.file.Files.createTempDirectory("reorg_empty").toString + "/nope"
+    assert(Ingest.resumeWithReorgCheck(spark, path, chain(0, 10)) == (0L, None))
+  }
 }
