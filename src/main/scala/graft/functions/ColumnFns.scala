@@ -67,6 +67,21 @@ object ColumnFns {
   def md5LongSeeded(seed: Int, c: Column): Column =
     md5Long(concat(lit(seed.toString), lit("|"), c))
 
+  /** Fast-path 60-bit positive hash: `xxhash64 & (2^60 − 1)`. Same contract
+    * as [[md5Long]] (deterministic, always in [0, 2^60)) at ~3× the
+    * throughput — xxHash is a few multiplies per word where md5 runs a full
+    * cryptographic digest — but NOT reproducible in standard SQL engines,
+    * so operators expose it behind an explicit `fastHash` flag and keep
+    * md5 as the oracle-verifiable default. */
+  def fastLong60(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+
+  /** Fast-path 30-bit positive hash (`xxhash64 & (2^30 − 1)`): the
+    * [[graft.llm.Dedup.minhashBase]] width — keeps the affine MinHash
+    * permutation products below 2^61, exact on LongType. */
+  def fastLong30(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit(1073741823L))
+
   /** Whitespace tokenization (single-space delimiter, matching the synthetic
     * corpus; swap the pattern for real data). */
   def tokens(text: Column): Column = split(text, " ")

@@ -31,6 +31,16 @@ object Dedup {
     * all `numHashes` permutations derive from it affinely. */
   def minhashBase(s: Column): Column = md5Long(s) % 1073741824L
 
+  /** Base-hash selector for the MinHash/SimHash kernels: md5 (default —
+    * reproducible in any SQL engine, so every operator stays
+    * oracle-verifiable) or the xxhash64 fast path (~3× hash throughput;
+    * same width/positivity contract, not SQL-reproducible — for
+    * production corpora where the oracle is not in the loop). */
+  private def base30(s: Column, fastHash: Boolean): Column =
+    if (fastHash) fastLong30(s) else minhashBase(s)
+  private def base60(s: Column, fastHash: Boolean): Column =
+    if (fastHash) fastLong60(s) else md5Long(s)
+
   /** Affine-permutation coefficients for hash `h` — md5-derived so the
     * permutations are pairwise UNRELATED. (A linear schedule like
     * a_h = (h+1)*K correlates the orderings of permutations h and 2h+1,
@@ -74,13 +84,13 @@ object Dedup {
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, bands: Int = 4,
-                   rowsPerBand: Int = 2): DataFrame = {
+                   rowsPerBand: Int = 2, fastHash: Boolean = false): DataFrame = {
     // Materialize the per-shingle BASE hashes behind their own projection:
     // the `bands*rowsPerBand` permutations then scan a computed attribute,
-    // so each shingle pays exactly one md5 regardless of signature width.
+    // so each shingle pays exactly one hash regardless of signature width.
     val withShingles = df
       .select(col(idCol), shingles(tokens(col(textCol)), shingleLen).as("__shj"))
-      .select(col(idCol), transform(col("__shj"), minhashBase(_)).as("__sh"))
+      .select(col(idCol), transform(col("__shj"), base30(_, fastHash)).as("__sh"))
     val bandStructs = array((0 until bands).map { b =>
       val key = concat_ws(",",
         (0 until rowsPerBand).map(r =>
@@ -155,7 +165,7 @@ object Dedup {
     * are unchanged (every doc is its own representative). */
   def nearDupEdges(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                   minJaccard: Double = 0.8): DataFrame = {
+                   minJaccard: Double = 0.8, fastHash: Boolean = false): DataFrame = {
     val byContent = Window.partitionBy(col("__ch"))
     val withRep = docs
       .select(col(idCol), col(textCol), md5(col(textCol)).as("__ch"))
@@ -167,7 +177,8 @@ object Dedup {
     val sh = reps.select(col(idCol),
       array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("__sh"))
     val cand = minhashCandidatePairs(
-      minhashBands(reps, idCol, textCol, shingleLen, bands, rowsPerBand), idCol)
+      minhashBands(reps, idCol, textCol, shingleLen, bands, rowsPerBand,
+        fastHash), idCol)
     val inter = size(array_intersect(col("__sha"), col("__shb")))
     val repEdges = cand
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
@@ -196,8 +207,8 @@ object Dedup {
 
   /** SimHash straight from tokens (convenience; prefer
     * [[simhashFromBases]] behind a projection in pipelines). */
-  def simhash(toks: Column, bits: Int = 16): Column =
-    simhashFromBases(transform(toks, md5Long(_)), bits)
+  def simhash(toks: Column, bits: Int = 16, fastHash: Boolean = false): Column =
+    simhashFromBases(transform(toks, base60(_, fastHash)), bits)
 
   /** SimHash near-duplicate pairs by Hamming distance: each signature is
     * split into `bands` contiguous chunks, docs sharing ANY chunk value
@@ -218,7 +229,7 @@ object Dedup {
     * [[ngramJaccardPairs]]-style capping or widen `bits`. */
   def simhashBandPairs(docs: DataFrame, idCol: String, textCol: String,
                        bits: Int = 16, bands: Int = 4,
-                       maxHamming: Int = 3): DataFrame = {
+                       maxHamming: Int = 3, fastHash: Boolean = false): DataFrame = {
     require(bands > 0 && bits % bands == 0,
       s"bits ($bits) must divide evenly into bands ($bands)")
     require(maxHamming < bands,
@@ -232,7 +243,7 @@ object Dedup {
     // join-back to a signature table (which would recompute the per-token
     // md5 pass twice more and shuffle the pair set twice).
     val banded = docs
-      .select(col(idCol), transform(tokens(col(textCol)), md5Long(_)).as("__tb"))
+      .select(col(idCol), transform(tokens(col(textCol)), base60(_, fastHash)).as("__tb"))
       .select(col(idCol), simhashFromBases(col("__tb"), bits).as("__sig"))
       .select(col(idCol), col("__sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

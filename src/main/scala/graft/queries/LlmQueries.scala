@@ -68,6 +68,33 @@ object LlmQueries {
       Some(s"""$minhashSigCte
               |SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band""".stripMargin)),
 
+    // MinHash-LSH banding on the xxhash64 fast path: identical plan shape
+    // and signature algebra to dedup_minhash_bands, ~3× the hash
+    // throughput. xxhash64 values are not reproducible in standard SQL, so
+    // the oracle checks the HASH-AGNOSTIC invariants at value level
+    // instead: banding is deterministic per content (byte-identical docs
+    // produce byte-identical signatures, so each content group carries
+    // exactly `bands` distinct (band, band_key) pairs, never more). The
+    // full fast kernel still executes — the aggregate sits on top of it —
+    // so the bench times the real signature work. (The md5 twin carries
+    // the value-exact oracle; LlmSpec locks the two paths' structural
+    // equivalence.)
+    Q("dedup_minhash_bands_fast", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dedup.minhashBands(docs, "doc_id", "text",
+            shingleLen = 3, bands = 4, rowsPerBand = 2, fastHash = true)
+          .join(docs.select(col("doc_id"), md5(col("text")).as("content_hash")), "doc_id")
+          .groupBy(col("content_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("band"), col("band_key")).as("n_band_keys"))
+          .orderBy("content_hash")
+      },
+      Some("""SELECT md5(text) AS content_hash,
+             |       count(DISTINCT doc_id) AS n_docs,
+             |       CAST(4 AS BIGINT) AS n_band_keys
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // MinHash-LSH candidate pairs: bucket-join on (band, band_key) — never
     // an all-pairs cross join.
     Q("dedup_minhash_pairs", "LLM",
@@ -276,6 +303,29 @@ object LlmQueries {
              |                THEN 1 ELSE -1 END)) > 0
              |         THEN CAST(2**j AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash16
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // SimHash on the xxhash64 fast path: same flag discipline — the oracle
+    // pins the hash-agnostic invariants (one signature per distinct
+    // content, signatures in [0, 2^16)) while the full fast kernel runs
+    // under the aggregate; the md5 twin is value-exact.
+    Q("dedup_simhash_fast", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        docs.select(col("doc_id"), md5(col("text")).as("content_hash"),
+            transform(tokens(col("text")),
+              t => graft.functions.ColumnFns.fastLong60(t)).as("__tb"))
+          .select(col("doc_id"), col("content_hash"),
+            Dedup.simhashFromBases(col("__tb"), 16).as("__sig"))
+          .groupBy(col("content_hash"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("__sig")).as("n_sigs"),
+            (min(col("__sig")) >= 0 && max(col("__sig")) < 65536).as("in_range"))
+          .orderBy("content_hash")
+      },
+      Some("""SELECT md5(text) AS content_hash,
+             |       count(DISTINCT doc_id) AS n_docs,
+             |       CAST(1 AS BIGINT) AS n_sigs, TRUE AS in_range
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // SimHash Hamming-distance dedup: 32-bit signatures split into 4
     // 8-bit chunks (256 buckets per band — the bucket population, n/256,

@@ -470,6 +470,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("fastHash flag: off is bit-identical to the md5 default; on switches the kernel") {
+    def bandsOf(fast: Boolean) =
+      Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2, fastHash = fast)
+        .orderBy("doc_id", "band")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+          r.getAs[String]("band_key"))).toSeq
+    val default = Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2)
+      .orderBy("doc_id", "band")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[String]("band_key"))).toSeq
+    // flag off ≡ today: the default IS the md5 path
+    assert(bandsOf(fast = false) == default)
+    // the flag genuinely swaps the kernel (different hash family -> at
+    // least one band key must differ on real text)
+    val fastBands = bandsOf(fast = true)
+    assert(fastBands != default)
+    // same structural contract: one row per (doc, band), deterministic
+    // across evaluations, and identical docs collide in every band
+    assert(fastBands.map(t => (t._1, t._2)) == default.map(t => (t._1, t._2)))
+    assert(bandsOf(fast = true) == fastBands)
+    val twins = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val tb = Dedup.minhashBands(twins, "doc_id", "text", 3, 4, 2, fastHash = true)
+      .collect().groupBy(_.getAs[Int]("band"))
+      .map { case (_, rs) => rs.map(_.getAs[String]("band_key")).distinct.length }
+    assert(tb.forall(_ == 1))
+    // simhash: same flag discipline, signatures stay in [0, 2^16)
+    val sigs = docs.select(
+        Dedup.simhash(graft.functions.ColumnFns.tokens($"text"), 16,
+          fastHash = true).as("s"))
+      .collect().map(_.getAs[Long]("s"))
+    assert(sigs.forall(s => s >= 0 && s < 65536))
+  }
+
   test("nearDupEdges: 1k-identical-doc flood collapses to a linear star, components intact") {
     // the adversarial corpus for any band-bucket candidate generator: all
     // copies share every band, so the naive pair set is 1000*999/2 =
