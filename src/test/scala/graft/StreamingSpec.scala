@@ -187,6 +187,61 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("RocksDB state store: sessionization and dedupe hold ~100k keys") {
+    // The default HDFS-backed provider keeps every key's state on the JVM
+    // heap — the one piece of the streaming stack whose 100×-scale behavior
+    // differs by construction. RocksDB spills state off-heap/to disk, so
+    // the same ops must produce the same answers under it at a key count
+    // that is no longer toy-sized.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val nKeys = 100000
+      // one open session per user, then a far-future event per user closes it
+      val input = MemoryStream[Event]
+      val sessions = StreamingOps.sessionizeStreaming(input.toDS(), gapSeconds = 600)
+      val q = sessions.writeStream
+        .format("memory").queryName("rocks_sessions").outputMode("append").start()
+      try {
+        input.addData((0 until nKeys).map(u =>
+          Event(u.toLong, ts(0), u.toLong, "click", 1.0)))
+        input.addData((0 until nKeys).map(u =>
+          Event((nKeys + u).toLong, ts(59), u.toLong, "click", 1.0)))
+        q.processAllAvailable()
+        val out = spark.table("rocks_sessions")
+        assert(out.count() == nKeys.toLong) // every user's first session closed
+        assert(out.agg(sum(col("n_events"))).collect()(0).getLong(0) == nKeys.toLong)
+        // the state operator really ran on RocksDB, not the default provider
+        val metrics = q.lastProgress.stateOperators.apply(0).customMetrics
+        assert(metrics.keySet.toArray.exists(_.toString.startsWith("rocksdb")),
+          s"expected rocksdb state metrics, got: $metrics")
+      } finally q.stop()
+
+      // watermark-bounded streaming dedupe under RocksDB at the same scale:
+      // 100k keys + full replay + 100 fresh keys -> exactly 100 new rows
+      val input2 = MemoryStream[Event]
+      val dd = StreamingOps.dedupeStreamByPk(input2.toDF(), Seq("event_id"))
+      val q2 = dd.writeStream
+        .format("memory").queryName("rocks_dd").outputMode("append").start()
+      try {
+        val batch1 = (0 until nKeys).map(i =>
+          Event(i.toLong, ts(0), i.toLong, "click", 1.0))
+        input2.addData(batch1)
+        q2.processAllAvailable()
+        input2.addData(batch1 ++ (0 until 100).map(i =>
+          Event((nKeys + i).toLong, ts(1), i.toLong, "click", 1.0)))
+        q2.processAllAvailable()
+        assert(spark.table("rocks_dd").count() == (nKeys + 100).toLong)
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermark wiring: streaming plan accepts withLateDataWatermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
