@@ -140,7 +140,8 @@ object Sinks {
   def compactBuckets(spark: SparkSession, path: String,
                      bucketCol: String = "block_id_group",
                      sortCols: Seq[String] = Seq("block_id"),
-                     maxFilesPerBucket: Int = 1): Seq[Long] = {
+                     maxFilesPerBucket: Int = 1,
+                     zorderCols: Option[(String, String)] = None): Seq[Long] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) return Seq.empty
@@ -158,7 +159,31 @@ object Sinks {
       val rows = spark.read.parquet(path)
         .filter(col(bucketCol).isin(oversized: _*)) // partition-pruned
         .localCheckpoint(true)
-      writeBucketedParquet(rows, path, bucketCol, sortCols)
+      zorderCols match {
+        case None => writeBucketedParquet(rows, path, bucketCol, sortCols)
+        case Some((cx, cy)) =>
+          // Z-order-on-compact: cluster each bucket by the Morton
+          // interleave of the two probe dimensions instead of the linear
+          // sort order. Row groups then cover small (cx, cy) TILES, so a
+          // two-predicate probe skips every row group outside its tile
+          // rectangle via parquet min/max stats — a linear sort clusters
+          // only its leading column and leaves the second dimension spread
+          // across all row groups. Compaction is the natural place to pay
+          // the re-sort: the rows are being rewritten anyway. The Morton
+          // key is sort-only (projected away after the local sort, never
+          // written); the projection preserves intra-partition order.
+          rows
+            .withColumn("__z", graft.functions.ColumnFns.mortonInterleave(
+              col(cx), col(cy)))
+            .repartition(col(bucketCol))
+            .sortWithinPartitions(col(bucketCol), col("__z"))
+            .drop("__z")
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(bucketCol)
+            .parquet(path)
+      }
     }
     oversized
   }

@@ -852,6 +852,34 @@ object RefQueries {
              |       count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS id_sum
              |FROM orders WHERE o_orderkey < 5000 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K1 maintenance, Z-order flavor: compact-with-Morton-clustering on the
+    // two probe dimensions, then a 2-predicate rectangle probe of the
+    // compacted sink. The oracle asserts the probe's row set is exactly the
+    // declarative filter (layout must never change answers); SinksSpec
+    // asserts the physical payoff (row-group skipping beats the linear
+    // sort ≥2× on the same probe).
+    Q("k1_compact_zorder", "K1",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+        val src = Tables(s, d, "lineitem")
+          .filter(col("l_orderkey") < 5000)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            blockIdGroup(col("l_orderkey")).as("block_id_group"))
+        src.repartition(8).write.mode("overwrite")
+          .partitionBy("block_id_group").parquet(out)
+        Sinks.compactBuckets(s, out, sortCols = Seq("l_orderkey"),
+          zorderCols = Some(("l_partkey", "l_suppkey")))
+        s.read.parquet(out)
+          .filter(col("l_partkey").between(100, 900)
+            && col("l_suppkey").between(10, 60))
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .orderBy("l_orderkey", "l_partkey", "l_suppkey")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+             |WHERE l_orderkey < 5000 AND l_partkey BETWEEN 100 AND 900
+             |  AND l_suppkey BETWEEN 10 AND 60
+             |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin)),
+
     // Cross-stream referential-integrity audit (the post-load ETL check
     // J1's cardinality contract formalizes): logs whose transaction_hash
     // has no parent in the ingested transaction range, counted per block
