@@ -107,6 +107,23 @@ object Sampling {
         col("__r.id").as(idCol))
   }
 
+  /** Largest value whose ×1e6 micro-unit quantization fits a Long. Both
+    * mixture builders multiply a per-stratum quantity by 1e6 before the
+    * integer `div`; past this bound the product no longer fits 63 bits.
+    * At 100 TB per-stratum char counts CAN reach 1e14 — the guard makes
+    * the failure loud and actionable (pre-scale `sizeCol`, e.g. to MB)
+    * in every engine/ANSI mode instead of wrapping to garbage weights. */
+  private val MaxMicroSafe = Long.MaxValue / 1000000L
+
+  /** `($c * 1000000) div $tot`, overflow-guarded: raises a descriptive
+    * error when `$c` exceeds [[MaxMicroSafe]] rather than wrapping (or
+    * throwing ANSI's generic overflow) mid-job. */
+  private def microShare(c: String, tot: String, op: String): Column =
+    expr(s"""CASE WHEN $c > $MaxMicroSafe THEN
+            |  raise_error(concat('$op: ', '$c', ' = ', CAST($c AS STRING),
+            |    ' exceeds the 1e6-quantization bound $MaxMicroSafe — pre-scale the size column'))
+            |ELSE ($c * 1000000) div $tot END""".stripMargin)
+
   /** Temperature-scaled mixture weights per stratum: `p_s ∝ size_s^α`
     * with α = 0.5 — the flattening exponent that is also IEEE-exact
     * (`sqrt` is correctly rounded in every engine; `pow(x, α)` in general
@@ -114,7 +131,8 @@ object Sampling {
     * float math happens ONCE per stratum row and is quantized to integer
     * micro-units BEFORE the cross-row normalization; the normalizing sum
     * and the final `div` are exact integer arithmetic riding a 1-row
-    * broadcast (no driver collect). */
+    * broadcast (no driver collect). Strata larger than [[MaxMicroSafe]]
+    * raise a descriptive error ([[microShare]]) instead of overflowing. */
   def temperatureMixtureSqrt(df: DataFrame, strataCol: String,
                              sizeCol: String): DataFrame = {
     val w = df.groupBy(col(strataCol))
@@ -122,7 +140,8 @@ object Sampling {
       .withColumn("w_micro",
         round(sqrt(col("stratum_size").cast("double")) * 1e6).cast("long"))
     w.crossJoin(broadcast(w.agg(sum(col("w_micro")).as("__tot"))))
-      .withColumn("p_micro", expr("(w_micro * 1000000) div __tot"))
+      .withColumn("p_micro",
+        microShare("w_micro", "__tot", "temperatureMixtureSqrt"))
       .select(col(strataCol), col("stratum_size"), col("w_micro"),
         col("p_micro"))
   }
@@ -136,8 +155,11 @@ object Sampling {
     * Determinism: the only float op is the IEEE-exact `sqrt` (same
     * argument in every engine); both endpoint distributions are quantized
     * to integer micro-units FIRST and the per-epoch interpolation is pure
-    * integer arithmetic (`t` in micro-units, products ≤ 1e12 << 2^63), so
-    * the schedule is bit-identical across engines, runs, and retries.
+    * integer arithmetic (`t` in micro-units; interpolation products
+    * ≤ 1e12 << 2^63), so the schedule is bit-identical across engines,
+    * runs, and retries. The ENDPOINT quantization multiplies raw stratum
+    * sizes by 1e6, so strata beyond [[MaxMicroSafe]] raise a descriptive
+    * error ([[microShare]]) instead of overflowing.
     * Scale shape: one bounded aggregate + a 1-row broadcast + a
     * per-stratum explode of `epochs` rows — never a corpus-sized shuffle.
     */
@@ -150,8 +172,8 @@ object Sampling {
         round(sqrt(col("stratum_size").cast("double")) * 1e6).cast("long"))
     w.crossJoin(broadcast(w.agg(
         sum(col("stratum_size")).as("__ts"), sum(col("__wsq")).as("__tw"))))
-      .withColumn("__pn", expr("(stratum_size * 1000000) div __ts"))
-      .withColumn("__ps", expr("(__wsq * 1000000) div __tw"))
+      .withColumn("__pn", microShare("stratum_size", "__ts", "annealedMixture"))
+      .withColumn("__ps", microShare("__wsq", "__tw", "annealedMixture"))
       .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
       .withColumn("__t", expr(s"(epoch * 1000000) div ${epochs - 1}"))
       .select(col("epoch"), col(strataCol), col("stratum_size"),

@@ -352,10 +352,13 @@ object Similarity {
     * Squared distances decompose as |x|² − 2·x·y + |y|², each dot a
     * sequential-double codegen'd `graft_dot`, rounded to 1e-6 BEFORE the
     * argmin so the winner is engine-independent; ties break on code id.
-    * Scale shape: the sliced codebook rides a broadcast join keyed on
-    * `subspace`; per row the work is m × |codebook| dot products over
-    * (dim/m)-element slices — one scan, no shuffle in the assignment
-    * itself. Returns one row per (id, subspace): the code and the squared
+    * Scale shape: the codebook is grouped per subspace (m tiny rows, each
+    * carrying the candidate array with |y|² precomputed) and rides a
+    * broadcast hash join on `subspace`; the argmin is a per-row
+    * `aggregate` fold over that array — the corpus is exploded m-way but
+    * NEVER shuffled (no window, no exchange above the scan). Per row the
+    * work is m × |codebook| dot products over (dim/m)-element slices.
+    * Returns one row per (id, subspace): the code and the squared
     * distance in integer micro-units.
     */
   /** Explode a vector column into `m` (subspace, dim/m-element slice)
@@ -371,22 +374,40 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
     val sub = dim / m
     GraftFunctions.register(df.sparkSession)
+    val idType = codebook.schema(idCol).dataType
     def slices(v: Column, out: String) = subspaceSlices(v, out, m, sub)
     val vecs = df.select(col(idCol), slices(col(vecCol), "sv").as("__x"))
       .select(col(idCol), col("__x.subspace").as("subspace"), col("__x.sv").as("__sv"))
-    val cb = codebook.select(col(idCol).as("__code"), slices(col(vecCol), "cs").as("__y"))
-      .select(col("__code"), col("__y.subspace").as("subspace"), col("__y.cs").as("__cs"))
-    val d2 = round(dot(col("__sv"), col("__sv"))
-      - lit(2d) * dot(col("__sv"), col("__cs"))
-      + dot(col("__cs"), col("__cs")), 6)
-    val w = Window.partitionBy(col(idCol), col("subspace"))
-      .orderBy(col("__d2"), col("__code"))
-    vecs.join(broadcast(cb), Seq("subspace"))
-      .withColumn("__d2", d2)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("subspace"), col("__code").as("code"),
-        round(col("__d2") * 1e6).cast("long").as("dist_micro"))
+    // m rows, each the full candidate list of one subspace with |y|²
+    // precomputed on the (tiny) codebook side
+    val cbBySub = codebook
+      .select(col(idCol).as("__code"), slices(col(vecCol), "cs").as("__y"))
+      .select(col("__y.subspace").as("subspace"),
+        struct(col("__code").as("i"), col("__y.cs").as("v"),
+          dot(col("__y.cs"), col("__y.cs")).as("vv")).as("__cand"))
+      .groupBy(col("subspace"))
+      .agg(collect_list(col("__cand")).as("__cands"))
+    // per-row argmin fold: min rounded d², ties to the smaller code id —
+    // exactly the row_number(ORDER BY d2, code) = 1 winner without
+    // shuffling the exploded corpus through a window
+    val svv = dot(col("__sv"), col("__sv"))
+    val best = aggregate(col("__cands"),
+      struct(lit(null).cast(idType).as("i"), lit(Double.PositiveInfinity).as("d")),
+      (acc, x) => {
+        val d2 = round(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
+          + x.getField("vv"), 6)
+        when(acc.getField("i").isNull
+            || d2 < acc.getField("d")
+            || (d2 === acc.getField("d") && x.getField("i") < acc.getField("i")),
+          struct(x.getField("i").as("i"), d2.as("d")))
+          .otherwise(acc)
+      },
+      acc => acc)
+    vecs.join(broadcast(cbBySub), Seq("subspace"))
+      .withColumn("__svv", svv)
+      .withColumn("__best", best)
+      .select(col(idCol), col("subspace"), col("__best.i").as("code"),
+        round(col("__best.d") * 1e6).cast("long").as("dist_micro"))
   }
 
   /** PQ asymmetric-distance search (the ADC of Jégou et al. 2011): score

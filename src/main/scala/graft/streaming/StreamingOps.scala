@@ -156,12 +156,17 @@ object StreamingOps {
     * permanent recall hole for same-batch pairs.
     *
     * The index is laid out in `keyBuckets` hash buckets of the band key
-    * (not the 4 raw band ids): a batch's upsert touches only the buckets
-    * its keys hash into, so per-batch index IO is proportional to the
+    * (not the 4 raw band ids): per-batch index IO — the upsert's
+    * read-merge-write AND the flag join's read — is proportional to the
     * touched fraction, not the whole corpus, and write parallelism is not
-    * capped at the band count. Index read errors surface loudly — only
-    * the very first batch (no index yet) skips the pre-existence check,
-    * by writing before flagging.
+    * capped at the band count. The batch's touched-bucket list (bounded
+    * by `keyBuckets`) is computed once and drives both sides: it is
+    * passed to the upsert as `newBuckets` (skipping its fallback
+    * derivation) and filters the flag read down to the touched partitions
+    * — kb is a pure function of (band, band_key), so pruning the read to
+    * the batch's kb values loses no candidate match. Index read errors
+    * surface loudly — only the very first batch (no index yet) skips the
+    * pre-existence check, by writing before flagging.
     */
   def maintainBandIndexAndFlag(docs: DataFrame, indexDir: String,
                                flagsDir: String, checkpointDir: String,
@@ -175,10 +180,14 @@ object StreamingOps {
         val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))), lit(keyBuckets.toLong)))
+        // bounded metadata: ≤ keyBuckets longs, reused by upsert AND flag
+        val touched = bands.select(col("kb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
         graft.eth.Sinks.upsertBucketedParquet(bands, indexDir,
           pkCols = Seq(idCol, "band"), bucketCol = "kb",
-          sortCols = Seq("band_key", idCol))
+          sortCols = Seq("band_key", idCol), newBuckets = Some(touched))
         val idx = spark.read.parquet(indexDir)
+          .filter(col("kb").isin(touched: _*)) // partition-pruned flag read
           .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
         bands.join(idx, Seq("band", "band_key"))
           .filter(col(idCol) =!= col("matched_id"))

@@ -548,6 +548,24 @@ class LlmSpec extends SparkSpec {
     assert(by(0L) == by(1L))
   }
 
+  test("mixture builders fail loudly past the micro-unit quantization bound") {
+    // 9.3e15 chars in one stratum: x1e6 micro-quantization would overflow
+    // Long — the guard must raise a descriptive error, not wrap (or die
+    // with ANSI's generic overflow mid-job)
+    val big = Seq(("a", 9300000000000000L), ("b", 1000L)).toDF("source", "n")
+    val e = intercept[Exception] {
+      Sampling.annealedMixture(big, "source", "n", epochs = 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("quantization bound"),
+      s"expected the descriptive guard, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      Sampling.temperatureMixtureSqrt(
+        Seq(("a", 100000000000000L)).toDF("source", "n"), "source", "n").collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("quantization bound"),
+      s"expected the descriptive guard, got: ${e2.getMessage}")
+  }
+
   test("annealedMixture: epoch 0 is the natural distribution, final epoch the sqrt-tempered one") {
     val corpus = Seq(("a", 9000L), ("b", 1000L), ("a", 7000L))
       .toDF("source", "n")

@@ -330,6 +330,10 @@ class PlanSpec extends SparkSpec {
       s"codebook must broadcast on subspace:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"no shuffled join in PQ assignment:\n$p")
+    // the per-(id, subspace) argmin is a per-row fold over the broadcast
+    // candidate array — the exploded corpus must not shuffle into a window
+    assert(!p.contains("Window"),
+      s"PQ assignment must not window-shuffle the corpus:\n$p")
   }
 
   test("PQ search: codes meet the LUT by broadcast; candidate vectors joined nowhere else") {
