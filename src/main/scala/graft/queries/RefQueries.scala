@@ -643,6 +643,51 @@ object RefQueries {
              |       CAST(b % 3 + 1 AS SMALLINT) AS transaction_count
              |FROM (SELECT unnest(range(0, 2000)) AS b) ORDER BY number""".stripMargin)),
 
+    // S1 over the JSON-RPC connector: the same block stream read through
+    // the full wire path — batched eth_getBlockByNumber requests to the
+    // in-process synthetic node, responses decoded by RpcCodec — against
+    // the same DuckDB reconstruction that pins graft-chain. The oracle
+    // therefore checks the ENTIRE codec (hex quantities, field mapping,
+    // batch re-keying) at value level. RpcSourceSpec additionally asserts
+    // rpc ≡ chain for all five streams and drives the HTTP transport
+    // against a loopback server.
+    Q("eth_rpc_source_blocks", "S1",
+      (s, d) => s.read.format("graft-rpc")
+        .option("stream", "block").option("start", 0).option("end", 1999)
+        .option("batchSize", 50).option("transport", "synthetic").load()
+        .select(col("number"), col("hash"), col("gas_used"), col("timestamp"),
+          col("transaction_count"))
+        .orderBy("number"),
+      Some("""SELECT CAST(b AS INTEGER) AS number,
+             |       '0x' || md5('blk-' || CAST(b AS VARCHAR) || '-0')
+             |            || md5('blk-' || CAST(b AS VARCHAR) || '-0-b') AS hash,
+             |       CAST(b % 30000000 AS INTEGER) AS gas_used,
+             |       CAST(1438269988 + b * 13 AS INTEGER) AS "timestamp",
+             |       CAST(b % 3 + 1 AS SMALLINT) AS transaction_count
+             |FROM (SELECT unnest(range(0, 2000)) AS b) ORDER BY number""".stripMargin)),
+
+    // S2 over the JSON-RPC connector: receipts via batched
+    // eth_getBlockReceipts — exercises the nullable decode paths (absent
+    // status pre-Byzantium, null contractAddress) under the value oracle.
+    Q("eth_rpc_source_receipts", "S2",
+      (s, d) => s.read.format("graft-rpc")
+        .option("stream", "receipt").option("start", 0).option("end", 499)
+        .option("batchSize", 50).option("transport", "synthetic").load()
+        .select(col("transaction_hash"), col("cumulative_gas_used"),
+          col("gas_used"), col("contract_address"), col("status"))
+        .orderBy("transaction_hash"),
+      Some("""WITH bl AS (SELECT unnest(range(0, 500)) AS b),
+             |ti AS (SELECT b, unnest(range(b % 3 + 1)) AS i FROM bl)
+             |SELECT '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+             |            || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '-b') AS transaction_hash,
+             |       CAST(21000 * (i + 1) AS BIGINT) AS cumulative_gas_used,
+             |       CAST(21000 + i AS BIGINT) AS gas_used,
+             |       CASE WHEN (b + i) % 7 = 0
+             |            THEN '0x' || substring(md5('ca-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40)
+             |            ELSE NULL END AS contract_address,
+             |       CASE WHEN (b + i) % 11 = 0 THEN NULL ELSE CAST((b + i) % 2 AS BIGINT) END AS status
+             |FROM ti ORDER BY transaction_hash""".stripMargin)),
+
     // S2 as a direct oracle: the receipt+log export streams, reconstructed
     // record-for-record by DuckDB from the same deterministic formulas.
     Q("eth_source_logs", "S2",

@@ -1,0 +1,208 @@
+package graft.sources.rpc
+
+import java.util
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.SyntheticChain
+
+/** DataSourceV2 source `graft-rpc`: the live-node JSON-RPC connector —
+  * the reference's batched extraction jobs
+  * (ref: scripts/eth_cassandra_streaming.py:107-180, batched providers at
+  * :97-105) re-expressed as a Spark source. Emits the SAME raw stream
+  * schemas as `graft-chain` ([[SyntheticChain.schemaFor]]), so everything
+  * downstream (formats, enrichment, sinks, resume) is source-agnostic.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-rpc")
+  *     .option("stream", "transaction")    // block|transaction|receipt|log|trace
+  *     .option("start", 0).option("end", 999)
+  *     .option("batchSize", 50)            // blocks per JSON-RPC batch POST
+  *     .option("url", "http://node:8545")  // or transport=synthetic (tests)
+  *     .option("retries", 3)
+  *     .load()
+  * }}}
+  *
+  * Scale shape: one input partition per `batchSize` block slice — each
+  * partition posts ONE batched JSON-RPC request from its executor, so
+  * fetch parallelism is cluster-wide (the reference caps at
+  * `max_workers=5` driver threads). Retries ride
+  * [[RetryingTransport]] under Spark's own task retry. Per-stream RPC
+  * choice mirrors ethereum-etl: blocks/transactions from
+  * `eth_getBlockByNumber` (tx objects inline — no per-tx round trip),
+  * receipts AND logs from `eth_getBlockReceipts` (one call per block, not
+  * per tx), traces from `trace_block`.
+  *
+  * Zero-egress note: the HTTP path ([[HttpRpcTransport]]) is exercised in
+  * RpcSourceSpec against a loopback JDK HttpServer running
+  * [[SyntheticRpcServer]]; `transport=synthetic` serves the same node
+  * in-process. Equivalence with `graft-chain` is CI-asserted stream by
+  * stream, which puts the whole wire codec under the existing DuckDB
+  * stream oracles.
+  */
+class RpcChain extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rpc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticChain.schemaFor(options.getOrDefault("stream", "block"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new RpcChainTable(new CaseInsensitiveStringMap(properties))
+}
+
+private class RpcChainTable(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+  private val stream = options.getOrDefault("stream", "block")
+  override def name(): String = s"graft-rpc/$stream"
+  override def schema(): StructType = SyntheticChain.schemaFor(stream)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val transport: RpcTransport = options.getOrDefault("transport", "http") match {
+      case "synthetic" => SyntheticRpcTransport()
+      case "http" =>
+        val url = options.get("url")
+        require(url != null, "graft-rpc requires option url (or transport=synthetic)")
+        HttpRpcTransport(url)
+      case other => throw new IllegalArgumentException(
+        s"unknown transport '$other' (expected http or synthetic)")
+    }
+    val retries = options.getInt("retries", 3)
+    () => new RpcChainScan(stream,
+      options.getLong("start", 0L),
+      options.getLong("end", 999L),
+      options.getLong("batchSize", 50L),
+      RetryingTransport(transport, attempts = retries))
+  }
+}
+
+private class RpcChainScan(stream: String, start: Long, end: Long,
+                           batchSize: Long, transport: RpcTransport)
+  extends Scan with Batch {
+  override def readSchema(): StructType = SyntheticChain.schemaFor(stream)
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    graft.eth.Ingest.planRanges(start, end, batchSize)
+      .map { case (lo, hi) => RpcSlice(lo, hi): InputPartition }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RpcReaderFactory(stream, transport)
+}
+
+private case class RpcSlice(lo: Long, hi: Long) extends InputPartition
+
+private class RpcReaderFactory(stream: String, transport: RpcTransport)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[RpcSlice]
+    new RpcReader(stream, s.lo, s.hi, transport)
+  }
+}
+
+/** Executor-side reader: ONE batched POST for the slice, then decode the
+  * per-block results into rows. Row order within the slice is
+  * deterministic (ascending block, then intra-block record order)
+  * regardless of the order the node answered the batch in. */
+private class RpcReader(stream: String, lo: Long, hi: Long,
+                        transport: RpcTransport)
+  extends PartitionReader[InternalRow] {
+  import RpcCodec._
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  private def utf8Opt(o: Option[String]): Any = o.map(utf8).orNull
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val ids = 0 until (hi - lo + 1).toInt
+    def fetch(body: String): IndexedSeq[JsonNode] =
+      parseBatchResponse(transport.post(body), ids)
+    stream match {
+      case "block" =>
+        fetch(blocksRequest(lo, hi, fullTxs = false)).iterator.map { blk =>
+          InternalRow(utf8("block"),
+            qty(blk, "number").toInt,
+            utf8(text(blk, "hash")),
+            utf8(text(blk, "parentHash")),
+            utf8(text(blk, "miner")),
+            Decimal(BigDecimal(qty(blk, "difficulty")), 38, 0),
+            qty(blk, "gasUsed").toInt,
+            qty(blk, "timestamp").toInt,
+            arr(blk, "transactions").size.toShort)
+        }
+      case "transaction" =>
+        fetch(blocksRequest(lo, hi, fullTxs = true)).iterator.flatMap { blk =>
+          arr(blk, "transactions").map { tx =>
+            InternalRow(utf8("transaction"),
+              utf8(text(tx, "hash")),
+              qty(tx, "blockNumber").toInt,
+              qty(tx, "transactionIndex").toShort,
+              utf8(text(tx, "from")),
+              utf8Opt(optText(tx, "to")),
+              Decimal(BigDecimal(qty(tx, "value")), 38, 0),
+              qty(tx, "gas").toInt,
+              optQty(tx, "maxFeePerGas")
+                .map(v => java.lang.Long.valueOf(v.toLong)).orNull)
+          }
+        }
+      case "receipt" =>
+        fetch(receiptsRequest(lo, hi)).iterator.flatMap { blockReceipts =>
+          (0 until blockReceipts.size()).map(blockReceipts.get).map { r =>
+            InternalRow(utf8("receipt"),
+              utf8(text(r, "transactionHash")),
+              qty(r, "cumulativeGasUsed").toLong,
+              qty(r, "gasUsed").toLong,
+              utf8Opt(optText(r, "contractAddress")),
+              // pre-Byzantium receipts carry `root` instead of `status`
+              optQty(r, "status")
+                .map(v => java.lang.Long.valueOf(v.toLong)).orNull)
+          }
+        }
+      case "log" =>
+        fetch(receiptsRequest(lo, hi)).iterator.flatMap { blockReceipts =>
+          (0 until blockReceipts.size()).map(blockReceipts.get).flatMap { r =>
+            arr(r, "logs").map { lg =>
+              InternalRow(utf8("log"),
+                qty(lg, "blockNumber").toInt,
+                qty(lg, "logIndex").toInt,
+                utf8(text(lg, "transactionHash")),
+                utf8(text(lg, "address")),
+                new GenericArrayData(
+                  arr(lg, "topics").map(t => utf8(t.asText()): Any).toArray),
+                utf8(text(lg, "data")))
+            }
+          }
+        }
+      case "trace" =>
+        fetch(tracesRequest(lo, hi)).iterator.flatMap { blockTraces =>
+          (0 until blockTraces.size()).map(blockTraces.get).zipWithIndex.map {
+            case (t, i) =>
+              val addr = t.get("traceAddress")
+              InternalRow(utf8("trace"),
+                qty(t, "blockNumber").toInt,
+                i,
+                utf8Opt(optText(t, "transactionHash")),
+                utf8(text(t, "type")),
+                if (addr == null || addr.isNull) null
+                else new GenericArrayData(
+                  (0 until addr.size()).map(k => addr.get(k).asInt(): Any).toArray),
+                utf8Opt(optText(t, "error")))
+          }
+        }
+      case other => throw new IllegalArgumentException(s"unknown stream '$other'")
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
