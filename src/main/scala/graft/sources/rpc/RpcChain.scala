@@ -66,7 +66,7 @@ private class RpcChainTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-rpc/$stream"
   override def schema(): StructType = SyntheticChain.schemaFor(stream)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val transport: RpcTransport = options.getOrDefault("transport", "http") match {
       case "synthetic" => SyntheticRpcTransport()
@@ -94,6 +94,43 @@ private class RpcChainScan(stream: String, start: Long, end: Long,
   override def planInputPartitions(): Array[InputPartition] =
     graft.eth.Ingest.planRanges(start, end, batchSize)
       .map { case (lo, hi) => RpcSlice(lo, hi): InputPartition }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RpcReaderFactory(stream, transport)
+
+  /** Streaming form — the reference's PRIMARY mode (continuous ingest
+    * with checkpointed resume, ref: scripts/eth_cassandra_streaming.py
+    * main loop at :619-636). Offsets are block numbers; `end` plays the
+    * chain tip (a live deployment would poll `eth_blockNumber` here —
+    * same offset algebra). Each micro-batch plans the same batched-POST
+    * slices as the batch path, so the wire behavior is identical. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RpcMicroBatchStream(stream, start, end, batchSize, transport)
+}
+
+private class RpcMicroBatchStream(stream: String, start: Long, tip: Long,
+                                  batchSize: Long, transport: RpcTransport)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class BlockOffset(next: Long) extends Offset {
+    override def json(): String = next.toString
+  }
+
+  override def initialOffset(): Offset = BlockOffset(start)
+  override def latestOffset(): Offset = BlockOffset(tip + 1)
+  override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
+    val lo = startOff.asInstanceOf[BlockOffset].next
+    val hi = endOff.asInstanceOf[BlockOffset].next - 1
+    if (hi < lo) Array.empty
+    else graft.eth.Ingest.planRanges(lo, hi, batchSize)
+      .map { case (a, b) => RpcSlice(a, b): InputPartition }.toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new RpcReaderFactory(stream, transport)
 }

@@ -82,6 +82,23 @@ class RpcSourceSpec extends SparkSpec {
     }
   }
 
+  test("streaming read: micro-batches cover the range once, rows match the batch path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpc_stream").toString
+    val q = spark.readStream.format("graft-rpc")
+      .option("stream", "block").option("start", 0).option("end", 120)
+      .option("batchSize", 25).option("transport", "synthetic").load()
+      .writeStream.format("memory").queryName("rpc_stream_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rpc_stream_out")
+      assert(got.count() == 121L)
+      val direct = chainDf("graft-chain", "block")
+      assert(got.exceptAll(direct).count() == 0
+        && direct.exceptAll(got).count() == 0)
+    } finally q.stop()
+  }
+
   test("HTTP transport end-to-end against a loopback node") {
     val requests = new AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(
