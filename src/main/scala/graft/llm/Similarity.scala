@@ -101,7 +101,13 @@ object Similarity {
     * are the first `k` vectors — a deterministic stand-in for k-means
     * training; the plan shape (broadcast centroids -> one scan -> top-n)
     * is exactly real IVF. Returns (idCol, vecCol, centroid_id) — one row
-    * per probed cell (`nprobe=1`, the default, is the classic argmax). */
+    * per probed cell (`nprobe=1`, the default, is the classic argmax).
+    *
+    * Regime note: this FLAT assignment broadcasts the full centroid set —
+    * right for caller-bounded codebooks (IVF indexes with k in the
+    * thousands). For k ∝ n regimes (SemDeDup-style clustering at corpus
+    * scale) use [[ivfAssignHier]], which caps the broadcast at √k and the
+    * per-vector work at O(√k + k/√k). */
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String = "vec_id",
                 vecCol: String = "embedding", nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
