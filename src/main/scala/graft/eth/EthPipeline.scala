@@ -20,22 +20,29 @@ import graft.eth.EthTransforms.{BinaryDialect, CsvDialect, Dialect}
   */
 object EthPipeline {
 
-  /** Where a stream's rows come from: format name + options. Default is the
-    * synthetic chain source; a real JSON-RPC connector would slot in here
-    * with the same contract. */
+  /** Where a stream's rows come from: format name + options. Default is
+    * the synthetic chain source; the JSON-RPC connector slots in with the
+    * same contract — e.g.
+    * `SourceConf("graft-rpc", 50, Map("url" -> "http://node:8545"))`
+    * (or `transport -> synthetic` for the in-process node). Extra options
+    * are passed through verbatim so connector-specific knobs (transport,
+    * url, retries) need no pipeline changes. */
   final case class SourceConf(format: String = "graft-chain",
-                              batchSize: Long = 50L)
+                              batchSize: Long = 50L,
+                              options: Map[String, String] = Map.empty)
 
   final case class IngestReport(startBlock: Long, endBlock: Long,
                                 rowCounts: Map[String, Long])
 
   private def readStream(spark: SparkSession, conf: SourceConf,
                          stream: String, lo: Long, hi: Long): DataFrame =
-    spark.read.format(conf.format)
-      .option("stream", stream)
-      .option("start", lo).option("end", hi)
-      .option("batchSize", conf.batchSize)
-      .load()
+    conf.options.foldLeft(
+      spark.read.format(conf.format)
+        .option("stream", stream)
+        .option("start", lo).option("end", hi)
+        .option("batchSize", conf.batchSize)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
 
   /** Receipt columns landed on transactions under `receipt_*` names
     * (ref: scripts/schema.cql:46-51). */

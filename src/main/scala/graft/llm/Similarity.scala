@@ -210,6 +210,29 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("coarse_id"), col("centroid_id"))
   }
 
+  /** IVF top-k over the HIERARCHICAL assignment — [[ivfTopK]]'s search
+    * with both sides assigned through [[ivfAssignHier]], so the whole
+    * index path (assignment + search) stays inside the k ∝ n regime:
+    * no full-centroid broadcast anywhere, queries ride one broadcast
+    * into the candidates' cells. */
+  def ivfTopKHier(candidates: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, numCoarse: Int, k: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val qa = ivfAssignHier(queries, centroids, numCoarse, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("__q"))
+    val ca = ivfAssignHier(candidates, centroids, numCoarse, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+    val scored = ca.join(broadcast(qa), Seq("centroid_id"))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+        col("rnk"), col("score"))
+  }
+
   /** IVF top-k: queries probe their `nprobe` nearest centroid cells;
     * candidates live in exactly ONE cell each, so probed cells are
     * disjoint — no pair is scored twice and search cost scales linearly in

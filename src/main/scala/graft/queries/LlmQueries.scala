@@ -666,6 +666,51 @@ object LlmQueries {
            |ORDER BY vec_id""".stripMargin
       }),
 
+    // IVF top-k search over the hierarchical assignment: the full k ∝ n
+    // index path — both sides assigned coarse→fine, search an equi-join
+    // on the fine cell.
+    Q("ann_ivf_hier_topk", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.ivfTopKHier(
+          e.filter(col("vec_id") >= 21),
+          e.filter(col("vec_id").between(16, 20)),
+          e.filter(col("vec_id") < 16), numCoarse = 4, k = 5)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |g AS (SELECT cid AS gid, cv AS gv FROM cent ORDER BY cid LIMIT 4),
+           |fc AS (SELECT cid, cv, gid FROM (
+           |         SELECT f.cid, f.cv, g.gid,
+           |                row_number() OVER (PARTITION BY f.cid
+           |                                   ORDER BY ${dot("f.cv", "g.gv")} DESC, g.gid) AS rn
+           |         FROM cent f, g) WHERE rn = 1),
+           |live AS (SELECT gid, gv FROM g WHERE gid IN (SELECT gid FROM fc)),
+           |va AS (SELECT vec_id, embedding, gid FROM (
+           |         SELECT v.vec_id, v.embedding, l.gid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "l.gv")} DESC, l.gid) AS rn
+           |         FROM embeddings v, live l WHERE v.vec_id >= 16) WHERE rn = 1),
+           |fa AS (SELECT vec_id, embedding, cid FROM (
+           |        SELECT va.vec_id, va.embedding, fc.cid,
+           |               row_number() OVER (PARTITION BY va.vec_id
+           |                                  ORDER BY ${dot("va.embedding", "fc.cv")} DESC, fc.cid) AS rn
+           |        FROM va JOIN fc ON va.gid = fc.gid) WHERE rn = 1),
+           |qa AS (SELECT vec_id AS query_id, embedding AS qe, cid FROM fa WHERE vec_id BETWEEN 16 AND 20),
+           |ca AS (SELECT vec_id AS neighbor_id, embedding AS ce, cid FROM fa WHERE vec_id >= 21),
+           |sc AS (SELECT qa.query_id, ca.neighbor_id, qa.cid AS centroid_id,
+           |              round(${dot("qa.qe", "ca.ce")}, 6) AS score
+           |       FROM qa JOIN ca ON qa.cid = ca.cid),
+           |r AS (SELECT query_id, neighbor_id, centroid_id, score,
+           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+           |      FROM sc)
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score FROM r WHERE rnk <= 5
+           |ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // Embedding mean-pooling (chunk embeddings -> document embedding): the
     // transpose-aggregate shape — shuffle cardinality groups x dim, never
     // |vectors|; milli-unit quantization keeps it bit-deterministic.

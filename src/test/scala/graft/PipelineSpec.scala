@@ -63,6 +63,25 @@ class PipelineSpec extends SparkSpec {
     assert(conf.getAs[Int]("block_bucket_size") == 1000)
   }
 
+  test("full ingest program runs off the JSON-RPC connector, byte-equal to the chain source") {
+    // the "user could switch" assertion: the identical pipeline (enrich,
+    // format, bucketed sink) fed by graft-rpc (wire encode -> synthetic
+    // node -> wire decode) lands the same rows as the direct source
+    val viaRpc = Files.createTempDirectory("pipeline_rpc").toString
+    val viaChain = Files.createTempDirectory("pipeline_chain").toString
+    val report = EthPipeline.ingestRange(spark, viaRpc, 0, 299,
+      source = EthPipeline.SourceConf("graft-rpc", 50,
+        Map("transport" -> "synthetic")))
+    EthPipeline.ingestRange(spark, viaChain, 0, 299)
+    assert(report.rowCounts("transaction") == expectedTxs(0, 299))
+    Seq("block", "transaction", "log", "trace").foreach { t =>
+      val a = spark.read.parquet(s"$viaRpc/$t")
+      val b = spark.read.parquet(s"$viaChain/$t")
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"table $t diverges between rpc and chain ingest")
+    }
+  }
+
   test("streaming ingest drains the backlog; checkpoint restart resumes, no dupes") {
     val base = Files.createTempDirectory("pipeline_stream").toString
     val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
