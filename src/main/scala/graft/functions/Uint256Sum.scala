@@ -95,6 +95,10 @@ object GraftFunctions {
       "graft_md5_long",
       (children: Seq[Expression]) => Md5LongExpr(children.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine",
+      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1)),
+      "built-in")
   }
 }
 
@@ -116,6 +120,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_md5_long"),
       Md5LongExpr.info,
       (children: Seq[Expression]) => Md5LongExpr(children.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
+      CosineSimExpr.info,
+      (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.plans.BucketPredicateInference())
   }
 }

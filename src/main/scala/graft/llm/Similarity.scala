@@ -91,10 +91,12 @@ object Similarity {
       lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
   }
 
-  /** Cosine similarity of two vectors (dot over the product of norms; all
-    * three sums sequential-double, so bit-deterministic). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity of two vectors: the fused one-pass
+    * [[graft.functions.CosineSimExpr]] (`graft_cosine`) — bit-identical
+    * to `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` (same adds, same
+    * order; equivalence locked by DotProductSpec) at a third of the
+    * array traversals. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** IVF assignment: each vector joins its nearest `nprobe` of the
     * centroids (by dot product, centroid id as tie-break). Centroids here

@@ -48,6 +48,36 @@ class DotProductSpec extends SparkSpec {
     assert(out.getAs[Double]("il") == 210.0)
   }
 
+  test("fused graft_cosine is bit-identical to the composed dot/norm formula") {
+    GraftFunctions.register(spark)
+    def composed(a: String, b: String) =
+      native(a, b) / (sqrt(native(a, a)) * sqrt(native(b, b)))
+    val gen = Gen.listOfN(16, Gen.chooseNum(-100f, 100f))
+    val rows = (0 until 300).map(_ => (gen.sample.get.toArray, gen.sample.get.toArray))
+    val out = rows.toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b")).as("fused"),
+        composed("a", "b").as("comp"))
+      .collect()
+    out.foreach { r =>
+      // compare raw bits so NaN == NaN and -0.0 != 0.0 distinctions hold
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("fused")) ==
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("comp")))
+    }
+    // zero-norm vectors: the composed form DIES under ANSI (DIVIDE_BY_ZERO);
+    // the fused expression keeps IEEE semantics (0/0 -> NaN) — strictly
+    // more tolerant, and degenerate vectors never match a threshold filter
+    val z = Seq((Array.fill(16)(0f), gen.sample.get.toArray)).toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b")).as("c")).collect()
+    assert(z(0).getAs[Double]("c").isNaN)
+    // null semantics follow graft_dot: null element / length mismatch -> null
+    val edge = Seq(
+      (Array[java.lang.Float](1f, null), Array[java.lang.Float](3f, 4f)),
+      (Array[java.lang.Float](1f, 2f, 3f), Array[java.lang.Float](3f, 4f))
+    ).toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b")).as("c")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("graft_dot runs inside whole-stage codegen") {
     GraftFunctions.register(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
