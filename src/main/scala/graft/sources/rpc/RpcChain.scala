@@ -69,7 +69,7 @@ private class RpcChainTable(options: CaseInsensitiveStringMap)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val transport: RpcTransport = options.getOrDefault("transport", "http") match {
-      case "synthetic" => SyntheticRpcTransport()
+      case "synthetic" => SyntheticRpcTransport(options.getLong("tip", 999L))
       case "http" =>
         val url = options.get("url")
         require(url != null, "graft-rpc requires option url (or transport=synthetic)")
@@ -78,38 +78,49 @@ private class RpcChainTable(options: CaseInsensitiveStringMap)
         s"unknown transport '$other' (expected http or synthetic)")
     }
     val retries = options.getInt("retries", 3)
+    val endOpt = Option(options.get("end")).map(_.toLong)
     () => new RpcChainScan(stream,
       options.getLong("start", 0L),
-      options.getLong("end", 999L),
+      endOpt,
       options.getLong("batchSize", 50L),
       RetryingTransport(transport, attempts = retries))
   }
 }
 
-private class RpcChainScan(stream: String, start: Long, end: Long,
+private class RpcChainScan(stream: String, start: Long, endOpt: Option[Long],
                            batchSize: Long, transport: RpcTransport)
   extends Scan with Batch {
   override def readSchema(): StructType = SyntheticChain.schemaFor(stream)
   override def toBatch: Batch = this
+
+  /** Upper bound of the scan: the `end` option when given, else the live
+    * chain tip from ONE `eth_blockNumber` poll (driver-side, bounded
+    * metadata — exactly the reference's tip check before planning its
+    * range, ref: scripts/eth_cassandra_streaming.py:588-593). */
+  private def tip(): Long = endOpt.getOrElse(
+    RpcCodec.parseBlockNumber(transport.post(RpcCodec.blockNumberRequest())))
+
   override def planInputPartitions(): Array[InputPartition] =
-    graft.eth.Ingest.planRanges(start, end, batchSize)
+    graft.eth.Ingest.planRanges(start, tip(), batchSize)
       .map { case (lo, hi) => RpcSlice(lo, hi): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new RpcReaderFactory(stream, transport)
 
   /** Streaming form — the reference's PRIMARY mode (continuous ingest
     * with checkpointed resume, ref: scripts/eth_cassandra_streaming.py
-    * main loop at :619-636). Offsets are block numbers; `end` plays the
-    * chain tip (a live deployment would poll `eth_blockNumber` here —
-    * same offset algebra). Each micro-batch plans the same batched-POST
-    * slices as the batch path, so the wire behavior is identical. */
+    * main loop at :619-636). Offsets are block numbers; the tip is the
+    * `end` option when given (bounded replay) or a live
+    * `eth_blockNumber` poll per micro-batch (follow the chain). Each
+    * micro-batch plans the same batched-POST slices as the batch path,
+    * so the wire behavior is identical. */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RpcMicroBatchStream(stream, start, end, batchSize, transport)
+    new RpcMicroBatchStream(stream, start, endOpt, batchSize, transport)
 }
 
-private class RpcMicroBatchStream(stream: String, start: Long, tip: Long,
-                                  batchSize: Long, transport: RpcTransport)
+private class RpcMicroBatchStream(stream: String, start: Long,
+                                  endOpt: Option[Long], batchSize: Long,
+                                  transport: RpcTransport)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -118,7 +129,8 @@ private class RpcMicroBatchStream(stream: String, start: Long, tip: Long,
   }
 
   override def initialOffset(): Offset = BlockOffset(start)
-  override def latestOffset(): Offset = BlockOffset(tip + 1)
+  override def latestOffset(): Offset = BlockOffset(endOpt.getOrElse(
+    RpcCodec.parseBlockNumber(transport.post(RpcCodec.blockNumberRequest()))) + 1)
   override def deserializeOffset(json: String): Offset = BlockOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -80,6 +80,19 @@ object RpcCodec {
   def tracesRequest(lo: Long, hi: Long): String =
     batchRequest("trace_block", lo, hi)
 
+  /** Single-element `eth_blockNumber` batch — the chain-tip poll behind
+    * streaming's `latestOffset` (the reference polls the same method via
+    * web3 for its tip checks). */
+  def blockNumberRequest(): String = {
+    val arr = mapper.createArrayNode()
+    arr.add(request(0, "eth_blockNumber"))
+    mapper.writeValueAsString(arr)
+  }
+
+  /** Parse the [[blockNumberRequest]] response into the tip block number. */
+  def parseBlockNumber(body: String): Long =
+    parseQty(parseBatchResponse(body, 0 until 1).head).toLong
+
   /** Parse a batch response into results ordered by request id. Fails
     * loudly on transport-level garbage, on any per-element `error`
     * member, and on missing ids (a node quietly skipping one block of a

@@ -42,9 +42,10 @@ final case class HttpRpcTransport(url: String,
 }
 
 /** In-process transport serving the deterministic synthetic chain — the
-  * zero-egress stand-in for a node (see [[SyntheticRpcServer]]). */
-final case class SyntheticRpcTransport() extends RpcTransport {
-  override def post(body: String): String = SyntheticRpcServer.handle(body)
+  * zero-egress stand-in for a node (see [[SyntheticRpcServer]]). `tip` is
+  * the height its `eth_blockNumber` reports. */
+final case class SyntheticRpcTransport(tip: Long = 999L) extends RpcTransport {
+  override def post(body: String): String = SyntheticRpcServer.handle(body, tip)
 }
 
 /** Bounded-retry decorator with exponential backoff — the reference

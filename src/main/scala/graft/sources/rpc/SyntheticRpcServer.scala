@@ -118,8 +118,10 @@ object SyntheticRpcServer {
     arr
   }
 
-  /** Handle one batch request body, returning the batch response body. */
-  def handle(requestBody: String): String = {
+  /** Handle one batch request body, returning the batch response body.
+    * `tip` is the chain height `eth_blockNumber` reports — the streaming
+    * tests' stand-in for a growing chain. */
+  def handle(requestBody: String, tip: Long = 999L): String = {
     val req = RpcCodec.read(requestBody)
     require(req.isArray, "synthetic node only accepts batch requests")
     val out = RpcCodec.newArray()
@@ -129,15 +131,19 @@ object SyntheticRpcServer {
       val id = r.path("id").asLong
       val method = r.path("method").asText
       val params = r.get("params")
-      val blockNum = RpcCodec.parseQty(params.get(0)).toLong
       val el = RpcCodec.newObject()
       el.put("jsonrpc", "2.0")
       el.put("id", id)
       method match {
+        case "eth_blockNumber" =>
+          el.put("result", q(tip))
         case "eth_getBlockByNumber" =>
-          el.set("result", block(blockNum, params.get(1).asBoolean))
-        case "eth_getBlockReceipts" => el.set("result", receipts(blockNum))
-        case "trace_block" => el.set("result", traces(blockNum))
+          el.set("result",
+            block(RpcCodec.parseQty(params.get(0)).toLong, params.get(1).asBoolean))
+        case "eth_getBlockReceipts" =>
+          el.set("result", receipts(RpcCodec.parseQty(params.get(0)).toLong))
+        case "trace_block" =>
+          el.set("result", traces(RpcCodec.parseQty(params.get(0)).toLong))
         case other =>
           val err = el.putObject("error")
           err.put("code", -32601L)

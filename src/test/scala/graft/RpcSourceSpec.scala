@@ -99,6 +99,26 @@ class RpcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("omitted end: batch and streaming reads follow the polled eth_blockNumber tip") {
+    // no `end` option — the scan must size itself from the node's tip
+    val batch = spark.read.format("graft-rpc")
+      .option("stream", "block").option("start", 0)
+      .option("batchSize", 25).option("transport", "synthetic")
+      .option("tip", 60).load()
+    assert(batch.count() == 61L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpc_tip").toString
+    val q = spark.readStream.format("graft-rpc")
+      .option("stream", "block").option("start", 0)
+      .option("batchSize", 25).option("transport", "synthetic")
+      .option("tip", 60).load()
+      .writeStream.format("memory").queryName("rpc_tip_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rpc_tip_out").count() == 61L)
+    } finally q.stop()
+  }
+
   test("HTTP transport end-to-end against a loopback node") {
     val requests = new AtomicInteger(0)
     val server = com.sun.net.httpserver.HttpServer.create(
