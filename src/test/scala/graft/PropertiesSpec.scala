@@ -205,6 +205,49 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("JSON-RPC quantity codec round-trips arbitrary unsigned values") {
+    import graft.sources.rpc.RpcCodec
+    check("hexQty/parseQty", Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
+      val enc = RpcCodec.hexQty(BigInt(n))
+      // minimal hex: no leading zero digit (except "0x0" itself)
+      val minimal = enc == "0x0" || !enc.startsWith("0x0")
+      minimal && RpcCodec.parseQty(RpcCodec.read("\"" + enc + "\"")) == BigInt(n)
+    })
+    // uint256-scale values (beyond Long): the wei/difficulty regime
+    check("hexQty big", Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
+      val big = BigInt(n) * BigInt(n) + BigInt(n)
+      RpcCodec.parseQty(RpcCodec.read("\"" + RpcCodec.hexQty(big) + "\"")) == big
+    })
+  }
+
+  test("morton interleave: tile locality — equal high bits of x and y give equal z prefixes") {
+    // the property row-group skipping rests on: the Morton code of any
+    // (x, y) inside a 2^k-aligned tile shares its high bits with every
+    // other point of the tile, so a tile occupies ONE contiguous z range.
+    // All samples batched into one frame (per this spec's discipline).
+    val coord = Gen.chooseNum(0, 0xFFFF)
+    val samples = (0 until 500).map { _ =>
+      (coord.sample.get, coord.sample.get, coord.sample.get, coord.sample.get,
+        Gen.chooseNum(1, 12).sample.get)
+    }
+    val out = samples.toDF("x1", "y1", "x2", "y2", "k")
+      .select(col("x1"), col("y1"), col("x2"), col("y2"), col("k"),
+        ColumnFns.mortonInterleave(col("x1"), col("y1")).as("z1"),
+        ColumnFns.mortonInterleave(col("x2"), col("y2")).as("z2"))
+      .collect()
+    out.foreach { r =>
+      val (x1, y1, x2, y2, k) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      val (z1, z2) = (r.getLong(5), r.getLong(6))
+      val sameTile = (x1 >> k) == (x2 >> k) && (y1 >> k) == (y2 >> k)
+      // same 2^k tile -> z codes agree above bit 2k
+      assert(!sameTile || (z1 >> (2 * k)) == (z2 >> (2 * k)),
+        s"($x1,$y1) vs ($x2,$y2) k=$k: z=$z1/$z2")
+    }
+    // and z is injective on the sampled points: distinct (x, y) -> distinct z
+    val pts = out.map(r => ((r.getInt(0), r.getInt(1)), r.getLong(5))).distinct
+    assert(pts.map(_._1).distinct.length == pts.map(_._2).distinct.length)
+  }
+
   test("partitioning invariance: new dedup/scoring ops give identical results under repartition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
