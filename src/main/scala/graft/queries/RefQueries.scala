@@ -729,6 +729,52 @@ object RefQueries {
              |       CASE WHEN (b + i) % 11 = 0 THEN NULL ELSE CAST((b + i) % 2 AS BIGINT) END AS status
              |FROM ti ORDER BY transaction_hash""".stripMargin)),
 
+    // S2/S3 over the JSON-RPC connector: the remaining decode paths —
+    // log topics arrays (incl. empty) and trace nulls (reward tx hash,
+    // null-vs-array traceAddress, error member) — under the same value
+    // oracles as the direct source.
+    Q("eth_rpc_source_logs", "S2",
+      (s, d) => s.read.format("graft-rpc")
+        .option("stream", "log").option("start", 0).option("end", 499)
+        .option("batchSize", 50).option("transport", "synthetic").load()
+        .select(col("block_number"), col("log_index"), col("transaction_hash"),
+          col("address"), to_json(col("topics")).as("topics_json"), col("data"))
+        .orderBy("block_number", "log_index"),
+      Some("""WITH bl AS (SELECT unnest(range(0, 500)) AS b),
+             |li AS (SELECT b, unnest(range((b % 3 + 1) * 2)) AS i FROM bl)
+             |SELECT CAST(b AS INTEGER) AS block_number, CAST(i AS INTEGER) AS log_index,
+             |       '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i // 2 AS VARCHAR))
+             |            || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i // 2 AS VARCHAR) || '-b') AS transaction_hash,
+             |       '0x' || substring(md5('addr-' || CAST((b + i) % 11 AS VARCHAR)), 1, 40) AS address,
+             |       CAST(to_json(CASE WHEN (b + i) % 5 = 0 THEN CAST([] AS VARCHAR[])
+             |            ELSE list_transform(range(0, (b + i) % 5),
+             |                   t -> '0x' || md5('topic-' || CAST(t AS VARCHAR) || '-' || CAST((b + i) % 3 AS VARCHAR))) END)
+             |            AS VARCHAR) AS topics_json,
+             |       '0x' || md5('data-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)) AS data
+             |FROM li ORDER BY block_number, log_index""".stripMargin)),
+
+    Q("eth_rpc_source_traces", "S3",
+      (s, d) => s.read.format("graft-rpc")
+        .option("stream", "trace").option("start", 0).option("end", 499)
+        .option("batchSize", 50).option("transport", "synthetic").load()
+        .select(col("block_number"), col("trace_index"), col("transaction_hash"),
+          col("trace_type"),
+          array_join(transform(col("trace_address"), _.cast("string")), ",").as("trace_address"),
+          col("error"))
+        .orderBy("block_number", "trace_index"),
+      Some("""WITH bl AS (SELECT unnest(range(0, 500)) AS b),
+             |ti AS (SELECT b, unnest(range(b % 3 + 2)) AS i FROM bl)
+             |SELECT CAST(b AS INTEGER) AS block_number, CAST(i AS INTEGER) AS trace_index,
+             |       CASE WHEN i = b % 3 + 1 THEN NULL
+             |            ELSE '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+             |                      || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '-b') END AS transaction_hash,
+             |       CASE WHEN i = b % 3 + 1 THEN 'reward' ELSE 'call' END AS trace_type,
+             |       CASE WHEN i = b % 3 + 1 OR i = 0 THEN NULL
+             |            ELSE array_to_string(list_transform(range(0, i % 3 + 1),
+             |                   x -> CAST((x * 2) % 3 AS VARCHAR)), ',') END AS trace_address,
+             |       CASE WHEN i <> b % 3 + 1 AND (b + i) % 13 = 0 THEN 'out of gas' ELSE NULL END AS error
+             |FROM ti ORDER BY block_number, trace_index""".stripMargin)),
+
     // S3 as a direct oracle: the trace stream incl. the synthesized reward
     // trace per block (null tx hash), failed traces, and null-vs-array
     // trace_address.
