@@ -127,6 +127,34 @@ class IngestSpec extends SparkSpec {
     assert(out.filter(col("block_hash").startsWith("orphan")).count() == 0L)
   }
 
+  test("reorg check composes with the RPC source as the chain authority") {
+    import org.apache.spark.sql.functions._
+    // the production wiring: the authoritative frame IS the node
+    val src = spark.read.format("graft-rpc")
+      .option("stream", "block").option("transport", "synthetic")
+      .option("start", 0).option("end", 2499).option("batchSize", 100).load()
+      .select(col("number").cast("long").as("block_id"),
+        col("hash").as("block_hash"))
+    // stored sink: written from the same chain, but shorter and with the
+    // tail from 2300 orphaned (hashes perturbed)
+    val path = java.nio.file.Files.createTempDirectory("reorg_rpc").toString + "/b"
+    val stored = src.filter(col("block_id") < 2450)
+      .withColumn("block_hash",
+        when(col("block_id") >= 2300, concat(col("block_hash"), lit("x")))
+          .otherwise(col("block_hash")))
+      .withColumn("block_id_group",
+        graft.functions.ColumnFns.blockIdGroup(col("block_id")))
+    graft.eth.Sinks.writeBucketedParquet(stored, path)
+    val (resume, fork) = Ingest.resumeWithReorgCheck(spark, path, src,
+      checkDepth = 300)
+    assert(fork.contains(2300L) && resume == 2500L)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 2500L)
+    // every stored hash now matches the node's
+    assert(out.select(col("block_id"), col("block_hash"))
+      .exceptAll(src.select(col("block_id"), col("block_hash"))).count() == 0L)
+  }
+
   test("reorg check: absent or empty sink resumes from genesis") {
     val path = java.nio.file.Files.createTempDirectory("reorg_empty").toString + "/nope"
     assert(Ingest.resumeWithReorgCheck(spark, path, chain(0, 10)) == (0L, None))
