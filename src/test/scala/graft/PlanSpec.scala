@@ -324,6 +324,14 @@ class PlanSpec extends SparkSpec {
       s"the corpus must never shuffle against the 256-row ratio table:\n$p")
   }
 
+  test("hierarchical IVF top-k: search is an equi-join on the cell, no shuffled or cartesian join") {
+    val p = plan("ann_ivf_hier_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-grouped fine centroids and query assignments must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join in the hier search:\n$p")
+  }
+
   test("PQ codes: the sliced codebook is broadcast; assignment has no shuffle join") {
     val p = plan("ann_pq_codes")
     assert(p.contains("BroadcastHashJoin"),
