@@ -24,8 +24,19 @@ object Sinks {
   def writeBucketedParquet(df: DataFrame, path: String,
                            bucketCol: String = "block_id_group",
                            sortCols: Seq[String] = Seq("block_id")): Unit =
+    writeBucketedParquetSorted(df, path, bucketCol, sortCols.map(col))
+
+  /** [[writeBucketedParquet]] generalized to arbitrary sort EXPRESSIONS
+    * (the clustering key need not be a stored column — e.g. the Morton
+    * interleave of two probe dimensions in Z-order compaction; a sort-only
+    * expression is never written). This is the single write recipe every
+    * bucketed-sink path shares — mode/overwrite/partitioning changes land
+    * here once. */
+  def writeBucketedParquetSorted(df: DataFrame, path: String,
+                                 bucketCol: String,
+                                 sortExprs: Seq[org.apache.spark.sql.Column]): Unit =
     df.repartition(col(bucketCol))
-      .sortWithinPartitions((bucketCol +: sortCols).map(col).toIndexedSeq: _*)
+      .sortWithinPartitions((col(bucketCol) +: sortExprs).toIndexedSeq: _*)
       .write
       .mode("overwrite")
       // dynamic: replace only the buckets present in this write — the
@@ -170,19 +181,10 @@ object Sinks {
           // only its leading column and leaves the second dimension spread
           // across all row groups. Compaction is the natural place to pay
           // the re-sort: the rows are being rewritten anyway. The Morton
-          // key is sort-only (projected away after the local sort, never
-          // written); the projection preserves intra-partition order.
-          rows
-            .withColumn("__z", graft.functions.ColumnFns.mortonInterleave(
-              col(cx), col(cy)))
-            .repartition(col(bucketCol))
-            .sortWithinPartitions(col(bucketCol), col("__z"))
-            .drop("__z")
-            .write
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(bucketCol)
-            .parquet(path)
+          // key rides the shared write recipe as a sort-only EXPRESSION —
+          // never a written column.
+          writeBucketedParquetSorted(rows, path, bucketCol,
+            Seq(graft.functions.ColumnFns.mortonInterleave(col(cx), col(cy))))
       }
     }
     oversized

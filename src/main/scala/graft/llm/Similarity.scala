@@ -128,23 +128,28 @@ object Similarity {
   /** Per-row argmax fold over an array of (i, v) structs: the element id
     * with the maximal dot(vec, v), ties to the SMALLER id — exactly the
     * `row_number() OVER (ORDER BY dot DESC, id)` = 1 winner, but computed
-    * as one `aggregate` HOF per row instead of a window, so the corpus is
-    * never shuffled for the argmax. Comparisons are on raw doubles; the
-    * dot is sequential-double, so the winner is engine-independent.
-    * Returns null on an empty array. */
+    * as one HOF chain per row instead of a window, so the corpus is never
+    * shuffled for the argmax. Scores are materialized by a `transform`
+    * FIRST (one dot per element — higher-order functions are interpreted
+    * with no common-subexpression elimination, so referencing the score
+    * inside the fold's `when` tree would recompute the dot up to 3× per
+    * element), then the fold only compares. Comparisons are on raw
+    * doubles; the dot is sequential-double, so the winner is
+    * engine-independent. Returns null on an empty array. */
   private def argmaxFold(arr: Column, vec: Column,
-                         idType: org.apache.spark.sql.types.DataType): Column =
-    aggregate(arr,
+                         idType: org.apache.spark.sql.types.DataType): Column = {
+    val scored = transform(arr, x =>
+      struct(dot(vec, x.getField("v")).as("s"), x.getField("i").as("i")))
+    aggregate(scored,
       struct(lit(Double.NegativeInfinity).as("s"), lit(null).cast(idType).as("i")),
-      (acc, x) => {
-        val sc = dot(vec, x.getField("v"))
+      (acc, x) =>
         when(acc.getField("i").isNull
-            || sc > acc.getField("s")
-            || (sc === acc.getField("s") && x.getField("i") < acc.getField("i")),
-          struct(sc.as("s"), x.getField("i").as("i")))
-          .otherwise(acc)
-      },
+            || x.getField("s") > acc.getField("s")
+            || (x.getField("s") === acc.getField("s")
+                && x.getField("i") < acc.getField("i")),
+          x).otherwise(acc),
       acc => acc.getField("i"))
+  }
 
   /** Hierarchical (coarse-quantizer) IVF assignment — the k ∝ n scale path.
     *
@@ -420,19 +425,22 @@ object Similarity {
       .agg(collect_list(col("__cand")).as("__cands"))
     // per-row argmin fold: min rounded d², ties to the smaller code id —
     // exactly the row_number(ORDER BY d2, code) = 1 winner without
-    // shuffling the exploded corpus through a window
+    // shuffling the exploded corpus through a window. Distances are
+    // materialized by a transform first (one dot per candidate; HOFs are
+    // interpreted with no CSE — see argmaxFold), the fold only compares.
     val svv = dot(col("__sv"), col("__sv"))
-    val best = aggregate(col("__cands"),
+    val scored = transform(col("__cands"), x =>
+      struct(x.getField("i").as("i"),
+        round(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
+          + x.getField("vv"), 6).as("d")))
+    val best = aggregate(scored,
       struct(lit(null).cast(idType).as("i"), lit(Double.PositiveInfinity).as("d")),
-      (acc, x) => {
-        val d2 = round(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
-          + x.getField("vv"), 6)
+      (acc, x) =>
         when(acc.getField("i").isNull
-            || d2 < acc.getField("d")
-            || (d2 === acc.getField("d") && x.getField("i") < acc.getField("i")),
-          struct(x.getField("i").as("i"), d2.as("d")))
-          .otherwise(acc)
-      },
+            || x.getField("d") < acc.getField("d")
+            || (x.getField("d") === acc.getField("d")
+                && x.getField("i") < acc.getField("i")),
+          x).otherwise(acc),
       acc => acc)
     vecs.join(broadcast(cbBySub), Seq("subspace"))
       .withColumn("__svv", svv)

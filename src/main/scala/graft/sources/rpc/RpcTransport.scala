@@ -64,7 +64,16 @@ final case class RetryingTransport(inner: RpcTransport,
     while (k < attempts) {
       try return inner.post(body)
       catch {
-        case e: Throwable =>
+        // NonFatal only: a task-kill interrupt or a fatal JVM error must
+        // propagate immediately — retrying through them would keep a
+        // cancelled Spark task alive re-POSTing against the node
+        case e: InterruptedException => throw e
+        case scala.util.control.NonFatal(e) =>
+          // an interrupt surfacing as InterruptedIOException (or any IO
+          // error with the interrupt flag set) is a cancellation, not a
+          // transient node failure — honor it
+          if (Thread.currentThread().isInterrupted
+            || e.isInstanceOf[java.io.InterruptedIOException]) throw e
           last = e
           k += 1
           if (k < attempts) Thread.sleep(backoffMs << (k - 1))
