@@ -491,6 +491,116 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score_micro"))
   }
 
+  /** IVF-PQ index build (Jégou et al. 2011 §V — the layout serving
+    * billion-vector search): ONE scan of the corpus producing, per vector,
+    * its IVF cell and its `m` PQ codes — the row a compressed index stores
+    * (cell for routing, codes for scoring; the float vector is dropped).
+    *
+    * Scale shape: the cell assignment is a per-row [[argmaxFold]] against
+    * the packed-broadcast centroid set (no window — the corpus is never
+    * shuffled, unlike [[ivfAssign]]'s nprobe-general window form), and the
+    * code assignment is [[pqCodes]]'s per-row argmin fold against the
+    * broadcast per-subspace codebook. The corpus side therefore sees ZERO
+    * shuffle exchanges: scan → m-way explode → two broadcast joins → folds,
+    * all map-side. Only the (tiny) centroid/codebook sides aggregate.
+    * Returns one row per (id, subspace): (idCol, centroid_id, subspace,
+    * code). */
+  def ivfPqIndex(df: DataFrame, centroids: DataFrame, codebook: DataFrame,
+                 dim: Int, m: Int = 8, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
+    val sub = dim / m
+    GraftFunctions.register(df.sparkSession)
+    val centType = centroids.schema(idCol).dataType
+    val codeType = codebook.schema(idCol).dataType
+    val packedCent = centroids
+      .select(struct(col(idCol).as("i"), col(vecCol).as("v")).as("__c"))
+      .agg(collect_list(col("__c")).as("__cents"))
+    def slices(v: Column, out: String) = subspaceSlices(v, out, m, sub)
+    val cbBySub = codebook
+      .select(col(idCol).as("__code"), slices(col(vecCol), "cs").as("__y"))
+      .select(col("__y.subspace").as("subspace"),
+        struct(col("__code").as("i"), col("__y.cs").as("v"),
+          dot(col("__y.cs"), col("__y.cs")).as("vv")).as("__cand"))
+      .groupBy(col("subspace"))
+      .agg(collect_list(col("__cand")).as("__cands"))
+    val scored = transform(col("__cands"), x =>
+      struct(x.getField("i").as("i"),
+        round(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
+          + x.getField("vv"), 6).as("d")))
+    val best = aggregate(scored,
+      struct(lit(null).cast(codeType).as("i"), lit(Double.PositiveInfinity).as("d")),
+      (acc, x) =>
+        when(acc.getField("i").isNull
+            || x.getField("d") < acc.getField("d")
+            || (x.getField("d") === acc.getField("d")
+                && x.getField("i") < acc.getField("i")),
+          x).otherwise(acc),
+      acc => acc.getField("i"))
+    df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(packedCent))
+      .withColumn("centroid_id", argmaxFold(col("__cents"), col(vecCol), centType))
+      .select(col(idCol), col("centroid_id"), slices(col(vecCol), "sv").as("__x"))
+      .select(col(idCol), col("centroid_id"),
+        col("__x.subspace").as("subspace"), col("__x.sv").as("__sv"))
+      .join(broadcast(cbBySub), Seq("subspace"))
+      .withColumn("__svv", dot(col("__sv"), col("__sv")))
+      .withColumn("code", best)
+      .select(col(idCol), col("centroid_id"), col("subspace"), col("code"))
+  }
+
+  /** IVF-PQ search — the full compressed-index path at 100 TB scale:
+    * queries probe their `nprobe` nearest IVF cells and candidates in the
+    * probed cells are scored by PQ asymmetric distance (ADC) from their
+    * codes alone. IVF bounds WHICH candidates are touched (nprobe/k_cells
+    * of the corpus); PQ bounds WHAT is read per candidate (m small codes,
+    * not `dim` floats) — together the 10-100× I/O reduction that makes
+    * billion-vector search feasible ([[ivfTopK]] restricts, [[pqSearch]]
+    * compresses; this composes both).
+    *
+    * Plan shape: index rows from [[ivfPqIndex]] (zero corpus shuffles);
+    * the query set rides TWO bounded broadcasts — probed cells
+    * (query_id × nprobe rows) joined on `centroid_id`, then the ADC
+    * lookup table joined on (query_id, subspace, code) — and the
+    * per-(query, candidate) score is one integer sum with map-side
+    * partials. Ties break on neighbor id. Returns top-k rows per query:
+    * (query_id, neighbor_id, centroid_id, rnk, score_micro). */
+  def ivfPqSearch(candidates: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, codebook: DataFrame, dim: Int, k: Int,
+                  m: Int = 8, nprobe: Int = 1, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m must divide dim, got dim=$dim m=$m")
+    val sub = dim / m
+    GraftFunctions.register(candidates.sparkSession)
+    val index = ivfPqIndex(candidates, centroids, codebook, dim, m, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col("subspace"), col("code"))
+    val qa = ivfAssign(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("centroid_id"), col(idCol).as("query_id"))
+    def slices(v: Column, out: String) = subspaceSlices(v, out, m, sub)
+    val qSub = queries
+      .select(col(idCol).as("query_id"), slices(col(vecCol), "qs").as("__x"))
+      .select(col("query_id"), col("__x.subspace").as("subspace"),
+        col("__x.qs").as("__qs"))
+    val cbSub = codebook
+      .select(col(idCol).as("code"), slices(col(vecCol), "cs").as("__y"))
+      .select(col("code"), col("__y.subspace").as("subspace"),
+        col("__y.cs").as("__cs"))
+    val lut = qSub.join(cbSub, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        round(dot(col("__qs"), col("__cs")) * 1e6).cast("long").as("__lut"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
+    index.join(broadcast(qa), Seq("centroid_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("centroid_id"))
+      .agg(sum(col("__lut")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
+        col("rnk"), col("score_micro"))
+  }
+
   /** ANN top-k via LSH: score only same-bucket (query, candidate) pairs —
     * an equi-join on `bucket`, then exact scoring within buckets. Recall is
     * tunable via `numPlanes` (fewer planes -> bigger buckets -> higher

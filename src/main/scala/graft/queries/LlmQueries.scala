@@ -1711,6 +1711,69 @@ object LlmQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // IVF-PQ combined search: queries probe their nprobe=2 nearest IVF
+    // cells, candidates in probed cells are scored by ADC from their PQ
+    // codes alone — IVF bounds WHICH candidates are touched, PQ bounds
+    // WHAT is read per candidate (the FAISS-style 100 TB serving path).
+    // Index build is one corpus scan with zero shuffles (fold-based cell
+    // + code assignment against broadcast codebooks).
+    Q("ann_ivfpq_search", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.ivfPqSearch(
+          e.filter(col("vec_id") >= 21),
+          e.filter(col("vec_id").between(16, 20)),
+          e.filter(col("vec_id") < 8),
+          e.filter(col("vec_id") < 16), dim = 64, k = 5, nprobe = 2)
+          .orderBy("query_id", "rnk")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        def dot8(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 9), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+           |ca AS (SELECT vec_id, cid FROM (
+           |         SELECT v.vec_id, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id >= 21) WHERE rn = 1),
+           |qa AS (SELECT vec_id, cid FROM (
+           |         SELECT v.vec_id, c.cid,
+           |                row_number() OVER (PARTITION BY v.vec_id
+           |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           |         FROM embeddings v, cent c WHERE v.vec_id BETWEEN 16 AND 20) WHERE rn <= 2),
+           |sub AS (SELECT CAST(s AS BIGINT) AS s FROM (SELECT unnest(range(0, 8)) AS s)),
+           |v AS (SELECT vec_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS sv
+           |      FROM embeddings, sub s WHERE vec_id >= 21),
+           |c AS (SELECT vec_id AS code, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS cs
+           |      FROM embeddings, sub s WHERE vec_id < 16),
+           |codes AS (SELECT vec_id AS neighbor_id, subspace, code FROM (
+           |            SELECT v.vec_id, v.subspace, c.code,
+           |                   row_number() OVER (PARTITION BY v.vec_id, v.subspace
+           |                     ORDER BY round(${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}, 6), c.code) AS rn
+           |            FROM v JOIN c ON v.subspace = c.subspace) WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS qs
+           |      FROM embeddings, sub s WHERE vec_id BETWEEN 16 AND 20),
+           |lut AS (SELECT q.query_id, q.subspace, c.code,
+           |          CAST(round(${dot8("q.qs", "c.cs")} * 1000000) AS BIGINT) AS l
+           |        FROM q JOIN c ON q.subspace = c.subspace),
+           |sc AS (SELECT qa.vec_id AS query_id, codes.neighbor_id, ca.cid AS centroid_id,
+           |              CAST(sum(lut.l) AS BIGINT) AS score_micro
+           |       FROM codes
+           |       JOIN ca ON codes.neighbor_id = ca.vec_id
+           |       JOIN qa ON qa.cid = ca.cid
+           |       JOIN lut ON lut.query_id = qa.vec_id
+           |              AND lut.subspace = codes.subspace AND lut.code = codes.code
+           |       GROUP BY 1, 2, 3),
+           |rk AS (SELECT query_id, neighbor_id, centroid_id, score_micro,
+           |         CAST(row_number() OVER (PARTITION BY query_id
+           |                ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
+           |       FROM sc)
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score_micro FROM rk
+           |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+      }),
+
     // SemDeDup: cluster embeddings by hierarchical (coarse -> fine) centroid
     // assignment, then prune near-identical pairs WITHIN clusters only
     // (keep-lowest-id). k = 16 centroids -> √k = 4 coarse cells.

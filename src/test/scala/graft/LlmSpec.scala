@@ -236,6 +236,51 @@ class LlmSpec extends SparkSpec {
     assert(out2(0).getAs[Long]("centroid_id") == 1L) // dot 0.1 beats 0.0
   }
 
+  test("IVF-PQ: index agrees with ivfAssign + pqCodes; ADC is exact for in-codebook candidates") {
+    // dim=4, m=2 -> 2-element slices. Candidate 10's slices both appear in
+    // the codebook, so its PQ reconstruction is exact and the ADC score
+    // equals the true dot product.
+    val codebook = Seq(
+      (0L, Array(1f, 0f, 0f, 1f)),
+      (1L, Array(0f, 1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val cands = Seq((10L, Array(1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val qs = Seq((20L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+
+    val idx = Similarity.ivfPqIndex(cands, cents, codebook, dim = 4, m = 2)
+      .orderBy("subspace").collect()
+    // slice (1,0): code 0 (d²=0); slice (1,0) in subspace 1: code 1 (d²=0);
+    // cell: dot ties 1.0/1.0 -> smaller centroid id 0
+    assert(idx.map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code"))).toSeq
+      == Seq((0L, 0L), (1L, 1L)))
+    assert(idx.forall(_.getAs[Long]("centroid_id") == 0L))
+    // index ≡ ivfAssign ⋈ pqCodes (the composed two-pass form)
+    val assign = Similarity.ivfAssign(cands, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    val codes = Similarity.pqCodes(cands, codebook, dim = 4, m = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("subspace")) -> r.getAs[Long]("code")).toMap
+    assert(idx.forall(r => assign(r.getAs[Long]("vec_id")) == r.getAs[Long]("centroid_id")
+      && codes((r.getAs[Long]("vec_id"), r.getAs[Long]("subspace"))) == r.getAs[Long]("code")))
+
+    // search: query lands in cell 0 (dot 1 vs 0), candidate is there; ADC
+    // score = dot(q, reconstructed) = dot((1,0,0,0), (1,0,1,0)) = 1.0
+    val hits = Similarity.ivfPqSearch(cands, qs, cents, codebook, dim = 4,
+      k = 5, m = 2).collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[Long]("neighbor_id") == 10L
+      && hits(0).getAs[Long]("centroid_id") == 0L
+      && hits(0).getAs[Long]("score_micro") == 1000000L)
+
+    // nprobe=1 hits are a subset of full-probe hits (the recall knob)
+    val one = Similarity.ivfPqSearch(cands, qs, cents, codebook, dim = 4,
+      k = 5, m = 2, nprobe = 1).select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val all = Similarity.ivfPqSearch(cands, qs, cents, codebook, dim = 4,
+      k = 5, m = 2, nprobe = 2).select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(all))
+  }
+
   test("embedding-cosine near-dup: identical vectors pair at cosine 1.0, bucketed") {
     val out = Dedup.embeddingNearDupPairs(vecs, dim = 3, threshold = 0.9,
       numPlanes = 4).collect()

@@ -332,6 +332,37 @@ class PlanSpec extends SparkSpec {
       s"no shuffled or cartesian join in the hier search:\n$p")
   }
 
+  test("IVF-PQ index build: fold-based cell+code assignment, corpus never shuffled") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.llm.Similarity.ivfPqIndex(
+      e.filter(col("vec_id") >= 16), e.filter(col("vec_id") < 8),
+      e.filter(col("vec_id") < 16), dim = 64)
+      .queryExecution.executedPlan.toString
+    // packed centroids ride a single-row broadcast; the per-subspace
+    // codebook a broadcast hash join — the corpus side is scan -> explode
+    // -> folds with no window and no shuffle on its id
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"packed centroid set must ride a single-row broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-subspace codebook must ride a broadcast hash join:\n$p")
+    assert(!p.contains("Window"), s"cell/code argmax must be folds, not windows:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus must not shuffle on vec_id:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join in the index build:\n$p")
+  }
+
+  test("IVF-PQ search: probed cells and ADC LUT ride broadcasts; score sum has map-side partials") {
+    val p = plan("ann_ivfpq_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell and LUT joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the index side must never shuffle against the query-bounded sides:\n$p")
+    assert(p.contains("partial_sum") || p.split("HashAggregate").length > 2,
+      s"ADC sum must have map-side partial aggregation:\n$p")
+  }
+
   test("PQ codes: the sliced codebook is broadcast; assignment has no shuffle join") {
     val p = plan("ann_pq_codes")
     assert(p.contains("BroadcastHashJoin"),
