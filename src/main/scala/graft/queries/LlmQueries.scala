@@ -40,6 +40,32 @@ object LlmQueries {
         (0 until 8).map(h => s"[${Dedup.minhashA(h)}, ${Dedup.minhashB(h)}]")
           .mkString("[", ", ", "]"))
 
+  /** User-transition edge list for the graph operators: A → B when B's
+    * event directly follows A's within the same event-type stream
+    * (deterministic order: ts, event_id), self-loops dropped. The same
+    * "A sends to B" shape as a chain address graph — an address
+    * dictionary would plug in here at 100 TB. */
+  private def transitionEdges(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables(s, d, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      .withColumn("src", lag(col("user_id"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+      .select(col("src"), col("user_id").as("dst"))
+  }
+
+  /** DuckDB twin of [[transitionEdges]], collapsed to weighted edges
+    * (`ew(src, dst, w)`). */
+  private val transitionEdgesCte =
+    """WITH ev AS (SELECT event_type, user_id,
+      |         lag(user_id) OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+      |       FROM events),
+      |ew AS (SELECT src, user_id AS dst, count(*) AS w FROM ev
+      |       WHERE src IS NOT NULL AND src <> user_id GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB expression for the sign-bit LSH bucket of column `e` —
     * mirrors [[graft.llm.Similarity.lshBucket]] (8 planes, dim 64). */
   private def lshBucketSql(e: String): String =
@@ -1391,6 +1417,54 @@ object LlmQueries {
              |       GROUP BY 1, 2, 3)
              |SELECT count(t0) AS n_view, count(t1) AS n_click, count(t2) AS n_purchase
              |FROM s2""".stripMargin)),
+
+    // Address-graph importance (graphsense downstream): 3 iterations of
+    // weighted PageRank over the user-transition graph (A → B when B's
+    // event directly follows A's in the same event-type stream — the
+    // "A sends to B" edge shape of an address graph; the chain source's
+    // synthetic addresses are unique by construction, so events supplies
+    // the connected topology). Integer micro-unit ranks, fixed iteration
+    // count, one bounded shuffle per round.
+    Q("graph_pagerank", "GRAPH",
+      (s, d) => graft.operators.Graph.pagerank(transitionEdges(s, d), iters = 3)
+        .orderBy("node"),
+      Some {
+        s"""$transitionEdgesCte,
+           |outw AS (SELECT src, sum(w) AS ow FROM ew GROUP BY 1),
+           |e AS (SELECT ew.src, ew.dst, ew.w, outw.ow FROM ew JOIN outw USING (src)),
+           |nodes AS (SELECT DISTINCT src AS id FROM ew UNION SELECT DISTINCT dst FROM ew),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rm FROM nodes),
+           |s1 AS (SELECT e.dst, sum((r0.rm * e.w) // e.ow) AS m
+           |       FROM r0 JOIN e ON e.src = r0.id GROUP BY 1),
+           |r1 AS (SELECT n.id, CAST(150000 + (COALESCE(s1.m, 0) * 850) // 1000 AS BIGINT) AS rm
+           |       FROM nodes n LEFT JOIN s1 ON n.id = s1.dst),
+           |s2 AS (SELECT e.dst, sum((r1.rm * e.w) // e.ow) AS m
+           |       FROM r1 JOIN e ON e.src = r1.id GROUP BY 1),
+           |r2 AS (SELECT n.id, CAST(150000 + (COALESCE(s2.m, 0) * 850) // 1000 AS BIGINT) AS rm
+           |       FROM nodes n LEFT JOIN s2 ON n.id = s2.dst),
+           |s3 AS (SELECT e.dst, sum((r2.rm * e.w) // e.ow) AS m
+           |       FROM r2 JOIN e ON e.src = r2.id GROUP BY 1),
+           |r3 AS (SELECT n.id, CAST(150000 + (COALESCE(s3.m, 0) * 850) // 1000 AS BIGINT) AS rm
+           |       FROM nodes n LEFT JOIN s3 ON n.id = s3.dst)
+           |SELECT id AS node, rm AS rank_micro FROM r3 ORDER BY 1""".stripMargin
+      }),
+
+    // Two-hop in-neighborhood (multi-hop flow): per node, the weighted
+    // 2-path count, distinct 2-hop sources, and distinct intermediaries —
+    // one self-equi-join on the mid node (cost Σ deg_in·deg_out, never
+    // |V|²), then a single aggregate.
+    Q("graph_two_hop", "GRAPH",
+      (s, d) => graft.operators.Graph.twoHopPaths(transitionEdges(s, d))
+        .orderBy("node"),
+      Some {
+        s"""$transitionEdgesCte,
+           |p AS (SELECT a.src AS s0, a.dst AS mid, b.dst AS node, a.w AS w1, b.w AS w2
+           |      FROM ew a JOIN ew b ON a.dst = b.src)
+           |SELECT node, CAST(sum(w1 * w2) AS BIGINT) AS n_paths,
+           |       CAST(count(DISTINCT s0) AS BIGINT) AS n_sources,
+           |       CAST(count(DISTINCT mid) AS BIGINT) AS n_mids
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // Sequence packing: concat-and-chunk placement (the pretraining data
     // layout) — per-shard running token sums, 2048-token chunks. Sharded by

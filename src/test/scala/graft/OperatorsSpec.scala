@@ -278,6 +278,48 @@ class OperatorsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("err_nano") <= scaleNano / 2 + 1)
   }
 
+  test("pagerank: cycles conserve mass; stars concentrate it; weights split contributions") {
+    import graft.operators.Graph
+    // 3-cycle: every node passes its full rank on — ranks stay at 1.0
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graph.pagerank(cycle, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(rc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+
+    // star 1,2,3 -> 0: hub absorbs; leaf (dangling-source) ranks decay to
+    // the base and the hub stabilizes at 150000 + 850·(3·150000)/1000
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val rs = Graph.pagerank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(rs(0L) == 532500L && rs(1L) == 150000L && rs(3L) == 150000L)
+
+    // weighted: src 0 splits 3:1 between dst 1 and 2 on the first hop
+    val wed = Seq((0L, 1L, 3L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val rw = Graph.pagerank(wed, iters = 1, weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(rw(1L) == 150000L + 850L * 750000L / 1000L)
+    assert(rw(2L) == 150000L + 850L * 250000L / 1000L)
+
+    // multi-edges collapse to weights before the split (2 parallel edges
+    // 0->1 and 1 edge 0->2 behave as weights 2:1)
+    val multi = Seq((0L, 1L), (0L, 1L), (0L, 2L)).toDF("src", "dst")
+    val rm = Graph.pagerank(multi, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(rm(1L) == 150000L + 850L * 666666L / 1000L)
+  }
+
+  test("two-hop paths: multiplicities multiply along the path; only reachable nodes appear") {
+    import graft.operators.Graph
+    // 1 -> 2 (x2), 2 -> 3: two 2-paths land on 3; nothing lands on 1 or 2
+    val e = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Graph.twoHopPaths(e).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("node") == 3L
+      && out(0).getAs[Long]("n_paths") == 2L
+      && out(0).getAs[Long]("n_sources") == 1L
+      && out(0).getAs[Long]("n_mids") == 1L)
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>

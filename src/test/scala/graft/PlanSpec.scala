@@ -363,6 +363,14 @@ class PlanSpec extends SparkSpec {
       s"ADC sum must have map-side partial aggregation:\n$p")
   }
 
+  test("two-hop paths: one self-equi-join on the mid node, no cartesian, partial agg") {
+    val p = plan("graph_two_hop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"2-paths must come from an equi-join on the mid node:\n$p")
+    assert(p.contains("partial_sum") || p.split("HashAggregate").length > 2,
+      s"path aggregate must have map-side partials:\n$p")
+  }
+
   test("PQ codes: the sliced codebook is broadcast; assignment has no shuffle join") {
     val p = plan("ann_pq_codes")
     assert(p.contains("BroadcastHashJoin"),
