@@ -111,4 +111,166 @@ object Graph {
         countDistinct(col("s0")).as("n_sources"),
         countDistinct(col("mid")).as("n_mids"))
   }
+
+  /** The distinct undirected edge set (u < v, self-loops dropped) of a
+    * directed multigraph — the shared first step of the topology operators
+    * below. One projection + one `distinct` shuffle on the canonical pair. */
+  private def undirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+
+  /** Per-node undirected degree of [[undirected]]'s output — one explode
+    * into endpoint rows + one map-side-combined aggregate. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Exact triangle + wedge count via DEGREE-ORDERED edge orientation
+    * (the classic O(E^1.5) bound; Suri & Vassilvitskii 2011's MapReduce
+    * formulation) — cohesion analytics over an address graph
+    * (money-laundering rings are triangle-dense; broadcast trees are not).
+    *
+    * Each undirected edge is oriented from the endpoint that is LOWER in
+    * the total order (degree, id); the result is a DAG in which every
+    * node's out-degree is O(sqrt(E)), so generating 2-paths (wedges) by
+    * self-joining on the wedge apex costs sum over apexes of out-deg^2 =
+    * O(E^1.5) TOTAL regardless of hub sizes — the orientation is what
+    * makes a 10M-degree exchange address safe: a hub's edges all point AT
+    * it, so it is never a wedge apex. Every triangle has exactly one apex
+    * in the orientation (its order-minimal node), so an inner join of
+    * wedges against the closing edge counts each triangle exactly once.
+    *
+    * Returns one row: (n_wedges, n_triangles), where n_wedges is the TRUE
+    * wedge census sum over v of C(deg(v), 2) — so the global clustering
+    * coefficient is 3·triangles/wedges on the caller's side. The wedge
+    * census costs one fixed-width aggregate over the degree table (it is
+    * NOT materialized pairwise); only the triangle probe pays the
+    * oriented pair expansion. Plan: three equi-join shuffles (degree
+    * attach ×2, candidate close ×1) + two 1-row aggregates; the oriented
+    * edge list is pinned once and reused for both candidate sides and
+    * the closing probe. */
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = degrees(und).localCheckpoint(true) // reused: orient + census
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true) // reused: both candidate sides + closing probe
+    val candidates = oriented.select(col("s"), col("t").as("x"))
+      .join(oriented.select(col("s"), col("t").as("y")), "s")
+      .filter(col("x") < col("y")) // each unordered out-pair once
+    val closing = oriented
+      .select(least(col("s"), col("t")).as("x"),
+        greatest(col("s"), col("t")).as("y"))
+    val tri = candidates.join(closing, Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg
+      .agg(coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L))
+        .cast("long").as("n_wedges"))
+    wedges.crossJoin(tri) // two 1-row sides
+  }
+
+  /** Log2-bucketed degree distribution — the first question asked of any
+    * address graph (is it scale-free? where do the hubs start?). Degree is
+    * the DISTINCT-neighbor count (multi-edges collapse), bucketed by
+    * floor(log2): bucket_log2 via the binary-representation length (exact
+    * integer arithmetic — no floating log whose IEEE rounding could
+    * misplace exact powers of two). One distinct + one aggregate over |V|
+    * rows + one aggregate over ~60 buckets. */
+  def degreeHistogram(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame =
+    degrees(undirected(edges, srcCol, dstCol))
+      .select(col("deg"), (length(bin(col("deg"))) - 1).as("bucket_log2"))
+      .groupBy(col("bucket_log2"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+
+  /** Bounded k-hop reach from a seed set — the taint-tracing primitive
+    * ("which addresses received funds within N hops of these seeds").
+    * Directed frontier expansion with a min-hop label: hop 0 is the seed
+    * set; each round joins the PREVIOUS frontier (only — not the whole
+    * reached set) against the out-edge list and keeps newly reached
+    * nodes, so per-round cost is |frontier ⋈ edges|, and a node's hop
+    * label is final the round it first appears (BFS invariant). The hop
+    * count is a fixed budget, as in [[pagerank]]: N is the analyst's
+    * question ("3 hops out"), not a convergence knob.
+    *
+    * Returns (node, hops) for every node within `maxHops` of a seed,
+    * seeds included at hops 0. Scale shape: each round is one equi-join
+    * shuffle on the node id plus one anti-join against the reached set
+    * (both key on the id); frontier and reached sets are pinned per
+    * round; no driver state. Hub fan-out is bounded by the real
+    * out-degree — the analyst caps it upstream (cap/sample hub edges) if
+    * exchanges must not explode the frontier. */
+  def khopReach(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3,
+                srcCol: String = "src", dstCol: String = "dst",
+                seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    var reached = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = reached.select(col("node"))
+    var h = 1
+    while (h <= maxHops) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      reached = reached.union(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+      h += 1
+    }
+    reached
+  }
+
+  /** K-core membership via FIXED-ROUND peeling — the dense-subgraph
+    * filter (an address in the 4-core of a transfer graph sits in a
+    * tightly interconnected cluster; leaves and chains are shed). Each
+    * round drops every node of undirected degree < k and keeps only edges
+    * between survivors; like [[pagerank]], the iteration count is fixed
+    * rather than convergence-tested — k rounds is a budgetable contract
+    * (peeling converges in <= |V| rounds but in practice a handful; when a
+    * round removes nothing the remaining rounds are no-op re-aggregations
+    * of an already-stable edge set). Returns (node, deg) for nodes alive
+    * after the last round, deg measured within the surviving subgraph —
+    * equal to the exact k-core iff peeling converged within `rounds`.
+    *
+    * Scale shape: per round one aggregate over the live edge endpoints
+    * (map-side combined, output |V| rows) + two semi-join filters on the
+    * endpoint — all equi-shuffles on the node id; lineage truncated per
+    * round; no driver state. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int = 4,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val keep = degrees(live).filter(col("deg") >= k).select(col("node"))
+      live = live
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    degrees(live)
+  }
 }

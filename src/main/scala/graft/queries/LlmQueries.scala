@@ -66,6 +66,27 @@ object LlmQueries {
       |ew AS (SELECT src, user_id AS dst, count(*) AS w FROM ev
       |       WHERE src IS NOT NULL AND src <> user_id GROUP BY 1, 2)""".stripMargin
 
+  /** The REPEAT-transition backbone: [[transitionEdges]] collapsed to
+    * weights, keeping only edges observed at least twice. One-off
+    * co-occurrences are noise in a behavioral graph; the w >= 2 filter is
+    * the standard backbone extraction that leaves real topology (hubs,
+    * triangles, cores) instead of a near-clique. */
+  private def backboneEdges(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    transitionEdges(s, d)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+
+  /** DuckDB twin of [[backboneEdges]] (`ew(src, dst, w)`, w >= 2). */
+  private val backboneEdgesCte =
+    """WITH ev AS (SELECT event_type, user_id,
+      |         lag(user_id) OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+      |       FROM events),
+      |ew AS (SELECT src, user_id AS dst, count(*) AS w FROM ev
+      |       WHERE src IS NOT NULL AND src <> user_id GROUP BY 1, 2
+      |       HAVING count(*) >= 2)""".stripMargin
+
   /** DuckDB expression for the sign-bit LSH bucket of column `e` —
     * mirrors [[graft.llm.Similarity.lshBucket]] (8 planes, dim 64). */
   private def lshBucketSql(e: String): String =
@@ -1464,6 +1485,121 @@ object LlmQueries {
            |       CAST(count(DISTINCT s0) AS BIGINT) AS n_sources,
            |       CAST(count(DISTINCT mid) AS BIGINT) AS n_mids
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Triangle + wedge census (graph cohesion): degree-ordered edge
+    // orientation makes wedge generation O(E^1.5) total regardless of hub
+    // degree — the oracle replays the identical orientation so the two
+    // engines count the same wedge set, and each triangle is counted
+    // exactly once at its order-minimal apex.
+    Q("graph_triangles", "GRAPH",
+      (s, d) => graft.operators.Graph.triangleCount(backboneEdges(s, d)),
+      Some {
+        s"""$backboneEdgesCte,
+           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |        FROM ew WHERE src <> dst),
+           |dg AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+           |       GROUP BY 1),
+           |ori AS (SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
+           |                    THEN u ELSE v END AS s,
+           |               CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
+           |                    THEN v ELSE u END AS t
+           |        FROM und JOIN dg x ON x.node = und.u JOIN dg y ON y.node = und.v),
+           |wg AS (SELECT a.t AS x, b.t AS y FROM ori a JOIN ori b ON a.s = b.s
+           |       WHERE a.t < b.t),
+           |cl AS (SELECT least(s, t) AS x, greatest(s, t) AS y FROM ori),
+           |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+           |        FROM wg JOIN cl ON wg.x = cl.x AND wg.y = cl.y),
+           |wc AS (SELECT CAST(COALESCE(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) AS n_wedges
+           |       FROM dg)
+           |SELECT wc.n_wedges, tri.n_triangles FROM wc CROSS JOIN tri""".stripMargin
+      }),
+
+    // Degree distribution (the scale-free check): distinct-neighbor degree
+    // per node, log2-bucketed by binary-representation length — exact
+    // integer bucketing, immune to IEEE log rounding at powers of two.
+    Q("graph_degree_dist", "GRAPH",
+      (s, d) => graft.operators.Graph.degreeHistogram(backboneEdges(s, d))
+        .orderBy("bucket_log2"),
+      Some {
+        s"""$backboneEdgesCte,
+           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |        FROM ew WHERE src <> dst),
+           |dg AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+           |       GROUP BY 1)
+           |SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket_log2,
+           |       CAST(count(*) AS BIGINT) AS n_nodes,
+           |       CAST(min(deg) AS BIGINT) AS min_deg,
+           |       CAST(max(deg) AS BIGINT) AS max_deg
+           |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Bounded k-hop taint propagation (flow tracing): BFS with min-hop
+    // labels from a deterministic seed set (ids ≡ 0 mod 37), 3 hops out
+    // over the backbone digraph. The oracle unrolls the same 3 frontier
+    // expansions — per-round dedup + anti-join against the reached set in
+    // both engines, so hop labels match exactly.
+    Q("graph_khop_taint", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val nodes = ew.select(col("src").as("node"))
+          .union(ew.select(col("dst").as("node"))).distinct()
+        graft.operators.Graph.khopReach(ew,
+            nodes.filter(col("node") % 37 === 0), maxHops = 3)
+          .orderBy("node")
+      },
+      Some {
+        s"""$backboneEdgesCte,
+           |e AS (SELECT DISTINCT src, dst FROM ew),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(0 AS INTEGER) AS hops FROM n WHERE node % 37 = 0),
+           |f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN r0 ON e.src = r0.node
+           |       WHERE e.dst NOT IN (SELECT node FROM r0)),
+           |r1 AS (SELECT node, hops FROM r0
+           |       UNION ALL SELECT node, CAST(1 AS INTEGER) FROM f1),
+           |f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+           |       WHERE e.dst NOT IN (SELECT node FROM r1)),
+           |r2 AS (SELECT node, hops FROM r1
+           |       UNION ALL SELECT node, CAST(2 AS INTEGER) FROM f2),
+           |f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+           |       WHERE e.dst NOT IN (SELECT node FROM r2))
+           |SELECT * FROM (SELECT node, hops FROM r2
+           |               UNION ALL SELECT node, CAST(3 AS INTEGER) FROM f3)
+           |ORDER BY node""".stripMargin
+      }),
+
+    // K-core membership (dense-subgraph filter) by fixed-round peeling —
+    // the oracle unrolls the SAME 3 peel rounds, so the two engines agree
+    // even before convergence; at this corpus the peel stabilizes earlier,
+    // making the result the exact k-core.
+    Q("graph_kcore", "GRAPH",
+      (s, d) => graft.operators.Graph.kcore(backboneEdges(s, d),
+          k = 16, rounds = 3)
+        .orderBy("node"),
+      Some {
+        s"""$backboneEdgesCte,
+           |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |       FROM ew WHERE src <> dst),
+           |d0 AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+           |k0 AS (SELECT node FROM d0 WHERE deg >= 16),
+           |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k0)
+           |                              AND v IN (SELECT node FROM k0)),
+           |d1 AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+           |k1 AS (SELECT node FROM d1 WHERE deg >= 16),
+           |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM k1)
+           |                              AND v IN (SELECT node FROM k1)),
+           |d2 AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+           |k2 AS (SELECT node FROM d2 WHERE deg >= 16),
+           |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM k2)
+           |                              AND v IN (SELECT node FROM k2))
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+           |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // Sequence packing: concat-and-chunk placement (the pretraining data

@@ -916,6 +916,167 @@ object RefQueries {
              |       CAST(max(b) AS INTEGER) AS last_block
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Balance deltas (the graphsense downstream "balance" table, computed
+    // here from the tx+receipt streams): per address, wei received (value
+    // transfers land only when the receipt says the tx SUCCEEDED — status
+    // 1, or null pre-Byzantium), wei sent (same gate), and fees paid
+    // (gas_used × fee cap, paid by the sender REGARDLESS of status — a
+    // failed tx still burns its gas). One equi-join tx⋈receipt on the tx
+    // hash (both sides bucket-compatible on the hash prefix in the sink
+    // layout, so at 100 TB the join co-locates; AQE broadcasts at this
+    // size), one explode into (address, contribution) rows, one hash
+    // aggregate. Wei math rides decimal(38,0) end to end and compares as
+    // strings against DuckDB HUGEINT.
+    Q("eth_balance_deltas", "A",
+      (s, d) => {
+        val tx = s.read.format("graft-chain")
+          .option("stream", "transaction").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        val rc = s.read.format("graft-chain")
+          .option("stream", "receipt").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        val zero = lit(0).cast("decimal(38,0)")
+        tx.join(rc, tx("hash") === rc("transaction_hash"))
+          .select(col("from_address"), col("to_address"), col("value"),
+            (rc("gas_used") * coalesce(col("max_fee_per_gas"), lit(0L)))
+              .cast("decimal(38,0)").as("fee"),
+            coalesce(rc("status") =!= 0, lit(true)).as("ok"))
+          .select(explode(array(
+            struct(col("from_address").as("address"),
+              when(col("ok"), col("value")).otherwise(zero).as("wout"),
+              zero.as("win"), col("fee"),
+              lit(1L).as("n_out"), lit(0L).as("n_in")),
+            struct(col("to_address").as("address"), zero.as("wout"),
+              when(col("ok"), col("value")).otherwise(zero).as("win"),
+              zero.as("fee"),
+              lit(0L).as("n_out"), lit(1L).as("n_in")))).as("c"))
+          .select(col("c.*"))
+          .filter(col("address").isNotNull) // creations have no receive side
+          .groupBy(col("address"))
+          .agg(sum(col("win")).cast("string").as("wei_in"),
+            sum(col("wout")).cast("string").as("wei_out"),
+            sum(col("fee")).cast("string").as("fee_wei"),
+            (sum(col("win")) - sum(col("wout")) - sum(col("fee")))
+              .cast("string").as("balance_delta"),
+            sum(col("n_out")).as("n_tx_out"), sum(col("n_in")).as("n_tx_in"))
+          .orderBy("address")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 1000)) AS b)),
+             |tx AS (SELECT b, i,
+             |         '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS from_address,
+             |         CASE WHEN (b + i) % 7 = 0 THEN NULL
+             |              ELSE '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) END AS to_address,
+             |         CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i AS v,
+             |         CAST(21000 + i AS HUGEINT) * (CASE WHEN (b + i) % 5 = 0 THEN 0 ELSE 30000000000 + b END) AS fee,
+             |         ((b + i) % 11 = 0) OR ((b + i) % 2 = 1) AS ok
+             |       FROM bt),
+             |c AS (SELECT from_address AS address,
+             |             CASE WHEN ok THEN v ELSE 0 END AS wout,
+             |             CAST(0 AS HUGEINT) AS win, fee, 1 AS n_out, 0 AS n_in FROM tx
+             |      UNION ALL
+             |      SELECT to_address, CAST(0 AS HUGEINT),
+             |             CASE WHEN ok THEN v ELSE 0 END,
+             |             CAST(0 AS HUGEINT), 0, 1 FROM tx WHERE to_address IS NOT NULL)
+             |SELECT address,
+             |       CAST(sum(win) AS VARCHAR) AS wei_in,
+             |       CAST(sum(wout) AS VARCHAR) AS wei_out,
+             |       CAST(sum(fee) AS VARCHAR) AS fee_wei,
+             |       CAST(sum(win) - sum(wout) - sum(fee) AS VARCHAR) AS balance_delta,
+             |       CAST(sum(n_out) AS BIGINT) AS n_tx_out,
+             |       CAST(sum(n_in) AS BIGINT) AS n_tx_in
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Address relations (the graphsense address-graph EDGE table:
+    // address_outgoing_relations): per (from, to) pair, tx count, total
+    // successfully transferred wei, and the activity span. Same
+    // tx⋈receipt join as the balance table, then one aggregate on the
+    // pair key — at 100 TB this is THE table entity resolution and flow
+    // tracing read, and it shuffles once on the pair.
+    Q("eth_address_relations", "J1",
+      (s, d) => {
+        val tx = s.read.format("graft-chain")
+          .option("stream", "transaction").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        val rc = s.read.format("graft-chain")
+          .option("stream", "receipt").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        tx.join(rc, tx("hash") === rc("transaction_hash"))
+          .filter(col("to_address").isNotNull)
+          .select(col("from_address"), col("to_address"), col("block_number"),
+            when(coalesce(rc("status") =!= 0, lit(true)), col("value"))
+              .otherwise(lit(0).cast("decimal(38,0)")).as("ok_value"))
+          .groupBy(col("from_address"), col("to_address"))
+          .agg(count(lit(1)).as("n_txs"),
+            sum(col("ok_value")).cast("string").as("wei_total"),
+            min(col("block_number")).as("first_block"),
+            max(col("block_number")).as("last_block"))
+          .orderBy("from_address", "to_address")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 1000)) AS b)),
+             |tx AS (SELECT b, i,
+             |         '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS from_address,
+             |         '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS to_address,
+             |         CASE WHEN ((b + i) % 11 = 0) OR ((b + i) % 2 = 1)
+             |              THEN CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i
+             |              ELSE 0 END AS ok_value
+             |       FROM bt WHERE (b + i) % 7 <> 0)
+             |SELECT from_address, to_address,
+             |       CAST(count(*) AS BIGINT) AS n_txs,
+             |       CAST(sum(ok_value) AS VARCHAR) AS wei_total,
+             |       CAST(min(b) AS INTEGER) AS first_block,
+             |       CAST(max(b) AS INTEGER) AS last_block
+             |FROM tx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Dense address-ID assignment (the graphsense address dictionary:
+    // every address gets a compact BIGINT id in FIRST-APPEARANCE order —
+    // block, then tx index, then sender-before-receiver). Appearances
+    // collapse to one row per address via an argmin aggregate
+    // (min-of-struct — one map-side-combined shuffle on the address);
+    // the final dense numbering is a row_number over the |V|-row
+    // aggregate. That global sort serializes one |V| pass and is the
+    // documented cost of DENSE ids (the production-scale twin is
+    // sort + zipWithIndex over the same aggregate, two passes, no single
+    // point); at 100 TB |V| ≈ 10^9 rows of ~60 bytes — the aggregate,
+    // not the numbering, dominates.
+    Q("eth_address_ids", "P4",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tx = s.read.format("graft-chain")
+          .option("stream", "transaction").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        tx.select(col("block_number"), col("transaction_index"), explode(array(
+            struct(col("from_address").as("address"), lit(0).as("side")),
+            struct(col("to_address").as("address"), lit(1).as("side")))).as("e"))
+          .select(col("e.address").as("address"), col("block_number"),
+            col("transaction_index").cast("int").as("tx_index"), col("e.side").as("side"))
+          .filter(col("address").isNotNull)
+          .groupBy(col("address"))
+          .agg(min(struct(col("block_number"), col("tx_index"), col("side"))).as("f"))
+          .select(col("address"), col("f.block_number").as("first_block"),
+            col("f.tx_index").as("first_tx_index"), col("f.side").as("first_side"))
+          .withColumn("address_id", row_number().over(Window.orderBy(
+            col("first_block"), col("first_tx_index"), col("first_side"),
+            col("address"))).cast("long"))
+          .select(col("address_id"), col("address"), col("first_block"),
+            col("first_tx_index"))
+          .orderBy("address_id")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 1000)) AS b)),
+             |app AS (SELECT '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS address,
+             |               b, i, 0 AS side FROM bt
+             |        UNION ALL
+             |        SELECT '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40),
+             |               b, i, 1 FROM bt WHERE (b + i) % 7 <> 0),
+             |f AS (SELECT address, min(struct_pack(b := b, i := i, side := side)) AS fk
+             |      FROM app GROUP BY 1)
+             |SELECT CAST(row_number() OVER (ORDER BY fk.b, fk.i, fk.side, address) AS BIGINT) AS address_id,
+             |       address, CAST(fk.b AS INTEGER) AS first_block,
+             |       CAST(fk.i AS INTEGER) AS first_tx_index
+             |FROM f ORDER BY address_id""".stripMargin)),
+
     // K1 maintenance: small-files compaction roundtrip — fragment a
     // bucketed sink (8 write tasks => 8 files per bucket), compact every
     // oversized bucket to one clustered file, and prove the row set

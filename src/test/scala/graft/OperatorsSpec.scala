@@ -320,6 +320,82 @@ class OperatorsSpec extends SparkSpec {
       && out(0).getAs[Long]("n_mids") == 1L)
   }
 
+  test("triangle count: K4 = 4 triangles / 12 wedges; paths close nothing") {
+    import graft.operators.Graph
+    // K4 (as directed edges with duplicates + a self-loop to shed): every
+    // 3-subset is a triangle -> 4; wedges = 4 nodes x C(3,2) = 12; global
+    // clustering = 3*4/12 = 1, as it must be for a clique.
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a != b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+      .union(Seq((2L, 2L)).toDF("src", "dst")) // self-loop must be dropped
+    val r = Graph.triangleCount(k4).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+
+    // path 1-2-3-4: one wedge per interior node, no triangles
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val p = Graph.triangleCount(path).collect()(0)
+    assert(p.getAs[Long]("n_triangles") == 0L)
+    assert(p.getAs[Long]("n_wedges") == 2L)
+
+    // triangle + pendant: 1 triangle, wedges = C(3,2) + 1 + 1 = 5,
+    // direction-independent
+    val tri = Seq((1L, 2L), (3L, 2L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val t = Graph.triangleCount(tri).collect()(0)
+    assert(t.getAs[Long]("n_triangles") == 1L)
+    assert(t.getAs[Long]("n_wedges") == 5L)
+  }
+
+  test("degree histogram: multi-edges collapse; buckets are exact log2") {
+    import graft.operators.Graph
+    // star 0-{1..5} with doubled edges: hub deg 5 (bucket 2), leaves deg 1
+    // (bucket 0)
+    val star = (1 to 5).flatMap(i => Seq((0L, i.toLong), (i.toLong, 0L)))
+      .toDF("src", "dst")
+    val h = Graph.degreeHistogram(star).collect()
+      .map(r => r.getAs[Int]("bucket_log2") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("min_deg"), r.getAs[Long]("max_deg"))).toMap
+    assert(h(0) == ((5L, 1L, 1L)) && h(2) == ((1L, 5L, 5L)))
+    // deg 4 lands in bucket 2 (exact power of two: length(bin(4))-1 = 2)
+    val k5star = (1 to 4).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val h2 = Graph.degreeHistogram(k5star).collect()
+      .map(r => r.getAs[Int]("bucket_log2") -> r.getAs[Long]("max_deg")).toMap
+    assert(h2(2) == 4L)
+  }
+
+  test("kcore: pendant chain peels off; the core keeps exact within-core degrees") {
+    import graft.operators.Graph
+    // K4 core {0,1,2,3} + chain 3-10-11: k=3 peels the chain AND the
+    // chain's anchor keeps only its in-core degree
+    val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
+    val g = (k4 ++ Seq((3L, 10L), (10L, 11L))).toDF("src", "dst")
+    val core = Graph.kcore(g, k = 3, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L))
+    assert(core.values.toSet == Set(3L)) // node 3's pendant edge is gone
+    // k above the max degree empties the graph
+    assert(Graph.kcore(g, k = 10, rounds = 2).count() == 0L)
+    // k=1 keeps everything (no self-loops, so every node has deg >= 1)
+    assert(Graph.kcore(g, k = 1, rounds = 1).count() == 6L)
+  }
+
+  test("khop reach: BFS hop labels are minimal; direction respected; budget caps depth") {
+    import graft.operators.Graph
+    // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 (so 3 is hop 1, NOT hop 2),
+    // plus back-edge 4 -> 1 (cycle must not relabel), plus 9 unreachable
+    // via the direction (9 -> 1 only points INTO the seed)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L), (9L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.khopReach(e, seeds, maxHops = 3).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Int]("hops")).toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // budget of 1 stops at the first frontier
+    val r1 = Graph.khopReach(e, seeds, maxHops = 1).collect()
+      .map(x => x.getAs[Long]("node") -> x.getAs[Int]("hops")).toMap
+    assert(r1 == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
