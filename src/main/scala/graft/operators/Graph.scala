@@ -240,6 +240,56 @@ object Graph {
     reached
   }
 
+  /** Value-proportional ("haircut") taint propagation — the standard
+    * dilution model for tracing tainted funds: each round, every tainted
+    * node pushes its ENTIRE current taint along its out-edges pro-rata by
+    * edge weight (the haircut: a recipient of 10% of the outflow carries
+    * 10% of the taint), while nodes with no out-edges absorb what they
+    * hold. [[khopReach]] answers "could funds have arrived here";
+    * this answers "how MUCH of the seed value plausibly did".
+    *
+    * Taint is integer micro-units (seeds start at 1,000,000) with
+    * truncating division of non-negative operands — bit-deterministic
+    * across engines and retries, same discipline as [[pagerank]]; the
+    * iteration count is a fixed budget (k rounds = taint carried up to k
+    * hops; absorbed mass persists, in-flight mass keeps moving).
+    *
+    * Scale shape per round: one equi-join shuffle of the taint vector
+    * (|tainted| rows, not |V|) against the pinned edge+denominator table,
+    * one map-side-combined aggregate on dst, one anti-join for the
+    * absorbing sinks; lineage truncated per round. Returns (node,
+    * taint_micro) for nodes with taint_micro > 0 after `iters` rounds. */
+  def haircutTaint(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   weightCol: Option[String] = None,
+                   seedCol: String = "node"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val ew = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("__w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+    val outw = ew.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val e = ew.join(outw, "src").localCheckpoint(true)
+    val srcs = e.select(col("src")).distinct().localCheckpoint(true)
+
+    var taint = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("taint_micro", lit(1000000L)).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val pushed = taint.join(e, taint("node") === e("src"))
+        .select(col("dst"), expr("(taint_micro * w) div ow").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("taint_micro"))
+        .select(col("dst").as("node"), col("taint_micro"))
+      val absorbed = taint.join(srcs, taint("node") === srcs("src"), "left_anti")
+      taint = pushed.union(absorbed)
+        .groupBy(col("node")).agg(sum(col("taint_micro")).as("taint_micro"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    taint.filter(col("taint_micro") > 0)
+  }
+
   /** K-core membership via FIXED-ROUND peeling — the dense-subgraph
     * filter (an address in the 4-core of a transfer graph sits in a
     * tightly interconnected cluster; leaves and chains are shed). Each

@@ -1570,6 +1570,44 @@ object LlmQueries {
            |ORDER BY node""".stripMargin
       }),
 
+    // Haircut taint propagation (how MUCH seed value plausibly reached
+    // each node): 2 rounds of value-proportional push over the full
+    // weighted transition graph from the same mod-37 seed set; sinks
+    // absorb, integer micro-unit arithmetic, truncating division — the
+    // oracle unrolls the identical rounds.
+    Q("graph_taint_haircut", "GRAPH",
+      (s, d) => {
+        val ew = transitionEdges(s, d)
+        val nodes = ew.select(col("src").as("node"))
+          .union(ew.select(col("dst").as("node"))).distinct()
+        graft.operators.Graph.haircutTaint(ew,
+            nodes.filter(col("node") % 37 === 0), iters = 2)
+          .orderBy("node")
+      },
+      Some {
+        s"""$transitionEdgesCte,
+           |outw AS (SELECT src, sum(w) AS ow FROM ew GROUP BY 1),
+           |e AS (SELECT ew.src, ew.dst, ew.w, outw.ow FROM ew JOIN outw USING (src)),
+           |n AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+           |t0 AS (SELECT node, CAST(1000000 AS BIGINT) AS tm FROM n WHERE node % 37 = 0),
+           |p1 AS (SELECT e.dst AS node, sum((t.tm * e.w) // e.ow) AS tm
+           |       FROM t0 t JOIN e ON e.src = t.node GROUP BY 1),
+           |a1 AS (SELECT node, tm FROM t0
+           |       WHERE node NOT IN (SELECT src FROM ew)),
+           |t1 AS (SELECT node, CAST(sum(tm) AS BIGINT) AS tm FROM
+           |        (SELECT node, tm FROM p1 UNION ALL SELECT node, tm FROM a1)
+           |       GROUP BY 1),
+           |p2 AS (SELECT e.dst AS node, sum((t.tm * e.w) // e.ow) AS tm
+           |       FROM t1 t JOIN e ON e.src = t.node GROUP BY 1),
+           |a2 AS (SELECT node, tm FROM t1
+           |       WHERE node NOT IN (SELECT src FROM ew)),
+           |t2 AS (SELECT node, CAST(sum(tm) AS BIGINT) AS tm FROM
+           |        (SELECT node, tm FROM p2 UNION ALL SELECT node, tm FROM a2)
+           |       GROUP BY 1)
+           |SELECT node, tm AS taint_micro FROM t2 WHERE tm > 0
+           |ORDER BY node""".stripMargin
+      }),
+
     // K-core membership (dense-subgraph filter) by fixed-round peeling —
     // the oracle unrolls the SAME 3 peel rounds, so the two engines agree
     // even before convergence; at this corpus the peel stabilizes earlier,

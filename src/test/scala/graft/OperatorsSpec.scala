@@ -396,6 +396,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r1 == Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
 
+  test("haircut taint: pro-rata split, sink absorption, truncating division") {
+    import graft.operators.Graph
+    // 1 splits 3:1 to sinks 2 and 3; one round moves everything, the
+    // second round changes nothing (2 and 3 absorb)
+    val g = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val t = Graph.haircutTaint(g, seeds, iters = 2, weightCol = Some("w"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("taint_micro")).toMap
+    assert(t == Map(2L -> 750000L, 3L -> 250000L))
+
+    // truncation: 1M split 1:2 -> 333333 + 666666 (one micro evaporates)
+    val g2 = Seq((1L, 2L, 1L), (1L, 3L, 2L)).toDF("src", "dst", "w")
+    val t2 = Graph.haircutTaint(g2, seeds, iters = 1, weightCol = Some("w"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("taint_micro")).toMap
+    assert(t2 == Map(2L -> 333333L, 3L -> 666666L))
+
+    // a 2-cycle keeps mass in flight: after 2 rounds the taint is back home
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val t3 = Graph.haircutTaint(cyc, seeds, iters = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("taint_micro")).toMap
+    assert(t3 == Map(1L -> 1000000L))
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>

@@ -400,4 +400,30 @@ class PlanSpec extends SparkSpec {
       s"the 1-row threshold must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
+
+  test("triangle census: wedge close is an equi-join; only the 1-row combine nests") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    // the deliberate wedges×triangles combine (two 1-row sides) is the
+    // only permissible nested-loop join; the pair-closing probe must be
+    // an equi-join on (x, y)
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"pair closing must be an equi-join, not a nested loop:\n$p")
+  }
+
+  test("balance deltas: one explode feeds a map-side-combined decimal aggregate") {
+    val p = plan("eth_balance_deltas")
+    assert(p.split("Generate").length == 2, s"expected exactly one explode:\n$p")
+    assert(p.contains("partial_sum") || p.split("HashAggregate").length > 2,
+      s"expected partial+final aggregation on the address:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("address ids: first-appearance argmin is an aggregate; the only window is the dense numbering") {
+    val p = plan("eth_address_ids")
+    // one Window (the |V|-row global row_number), never a window over the
+    // raw appearance rows
+    assert(p.split("Window").length == 2, s"expected exactly one window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
 }
