@@ -210,4 +210,31 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       rollingFingerprint(tokens(col(textCol))).as("fingerprint"))
+
+  /** One BPE merge-selection step (Sennrich et al. 2016) as a relational
+    * program: the top-k adjacent character pairs by corpus frequency —
+    * the statistic the tokenizer-training inner loop maximizes. The
+    * standard scale trick makes it corpus-size-independent past the first
+    * aggregate: pair counting runs over the DISTINCT-word frequency table
+    * (|vocab| rows, not |corpus| tokens), with each word's pairs weighted
+    * by its corpus count. Plan: one explode + word-frequency aggregate
+    * (map-side combined, the only corpus-sized pass), one bounded
+    * per-word pair fan-out (word length - 1 pairs), one aggregate over
+    * the pair vocabulary, one top-k. Ties break on the pair string, so
+    * the selection is deterministic across engines. */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+                    topK: Int = 25): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    df.select(explode(tokens(col(textCol))).as("__w"))
+      // single-char words have no pairs; the filter also guards Spark's
+      // sequence(1, 0), which would DESCEND instead of being empty
+      .filter(length(col("__w")) >= 2)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .select(col("__n"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(topK)
+  }
 }

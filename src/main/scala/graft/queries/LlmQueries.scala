@@ -822,6 +822,23 @@ object LlmQueries {
              |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, ngram) AS rn
              |  FROM c) WHERE rn <= 5 ORDER BY lang, rnk""".stripMargin)),
 
+    // One BPE merge-selection step: top-25 adjacent character pairs by
+    // corpus frequency, counted over the DISTINCT-word frequency table
+    // (|vocab| rows after the first aggregate — the standard trick that
+    // makes tokenizer training corpus-size-independent past one pass).
+    Q("text_bpe_pairs", "LLM",
+      (s, d) => TextAnalysis.bpePairCounts(Tables(s, d, "documents"), "text",
+        topK = 25),
+      Some("""WITH w AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents),
+             |wf AS (SELECT w, count(*) AS n FROM w WHERE len(w) >= 2 GROUP BY 1),
+             |p AS (SELECT unnest(list_transform(range(1, len(w)),
+             |                i -> substring(w, i, 2))) AS pair, n
+             |      FROM wf),
+             |a AS (SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+             |      FROM p GROUP BY 1)
+             |SELECT pair, n_occurrences FROM a
+             |ORDER BY n_occurrences DESC, pair LIMIT 25""".stripMargin)),
+
     // Language ID via stopword-ratio heuristic.
     Q("text_langid", "LLM",
       (s, d) => Tables(s, d, "documents")

@@ -916,6 +916,93 @@ object RefQueries {
              |       CAST(max(b) AS INTEGER) AS last_block
              |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Per-block multi-stream rollup (the graphsense downstream "block"
+    // stats table): tx count + wei volume from the transaction stream,
+    // log and trace counts (incl. failures) from theirs, stitched onto
+    // the block header by LEFT joins (a real chain has empty blocks; the
+    // join key is the block id, so at 100 TB all four aggregates and the
+    // join co-partition on it). Each stream is aggregated BEFORE the
+    // join — the join inputs are |blocks| rows, never raw fan-out rows.
+    Q("eth_block_stats", "A",
+      (s, d) => {
+        def stream(name: String) = s.read.format("graft-chain")
+          .option("stream", name).option("start", 0).option("end", 499)
+          .option("batchSize", 100).load()
+        val blocks = stream("block")
+          .select(col("number"), col("gas_used"), col("timestamp"))
+        val txs = stream("transaction").groupBy(col("block_number"))
+          .agg(count(lit(1)).as("n_txs"), sum(col("value")).as("__wei"))
+        val logs = stream("log").groupBy(col("block_number"))
+          .agg(count(lit(1)).as("n_logs"))
+        val traces = stream("trace").groupBy(col("block_number"))
+          .agg(count(lit(1)).as("n_traces"),
+            sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_failed"))
+        blocks
+          .join(txs, blocks("number") === txs("block_number"), "left")
+          .join(logs, blocks("number") === logs("block_number"), "left")
+          .join(traces, blocks("number") === traces("block_number"), "left")
+          .select(col("number").as("block_number"), col("gas_used"),
+            coalesce(col("n_txs"), lit(0L)).as("n_txs"),
+            coalesce(col("__wei"), lit(0).cast("decimal(38,0)"))
+              .cast("string").as("wei_total"),
+            coalesce(col("n_logs"), lit(0L)).as("n_logs"),
+            coalesce(col("n_traces"), lit(0L)).as("n_traces"),
+            coalesce(col("n_failed"), lit(0L)).as("n_failed"))
+          .orderBy("block_number")
+      },
+      Some("""WITH bl AS (SELECT unnest(range(0, 500)) AS b),
+             |bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i FROM bl),
+             |txa AS (SELECT b, count(*) AS n_txs,
+             |          sum(CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i) AS wei
+             |        FROM bt GROUP BY 1),
+             |lg AS (SELECT b, unnest(range((b % 3 + 1) * 2)) AS i FROM bl),
+             |lga AS (SELECT b, count(*) AS n_logs FROM lg GROUP BY 1),
+             |tr AS (SELECT b, unnest(range(b % 3 + 2)) AS i FROM bl),
+             |tra AS (SELECT b, count(*) AS n_traces,
+             |          sum(CASE WHEN i <> b % 3 + 1 AND (b + i) % 13 = 0
+             |                   THEN 1 ELSE 0 END) AS n_failed
+             |        FROM tr GROUP BY 1)
+             |SELECT CAST(bl.b AS INTEGER) AS block_number,
+             |       CAST(bl.b % 30000000 AS INTEGER) AS gas_used,
+             |       CAST(coalesce(n_txs, 0) AS BIGINT) AS n_txs,
+             |       CAST(coalesce(wei, 0) AS VARCHAR) AS wei_total,
+             |       CAST(coalesce(n_logs, 0) AS BIGINT) AS n_logs,
+             |       CAST(coalesce(n_traces, 0) AS BIGINT) AS n_traces,
+             |       CAST(coalesce(n_failed, 0) AS BIGINT) AS n_failed
+             |FROM bl LEFT JOIN txa ON txa.b = bl.b
+             |        LEFT JOIN lga ON lga.b = bl.b
+             |        LEFT JOIN tra ON tra.b = bl.b
+             |ORDER BY block_number""".stripMargin)),
+
+    // Per-miner statistics (the proposer/validator leaderboard): blocks
+    // grouped by the miner address — a REAL low-cardinality grouping over
+    // the header stream (5 synthetic miners), with decimal difficulty
+    // sums riding the exact decimal(38,0) path.
+    Q("eth_miner_stats", "A",
+      (s, d) => s.read.format("graft-chain")
+        .option("stream", "block").option("start", 0).option("end", 1999)
+        .option("batchSize", 100).load()
+        .groupBy(col("miner"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("gas_used").cast("long")).as("gas_total"),
+          sum(col("difficulty")).cast("string").as("difficulty_total"),
+          sum(col("transaction_count").cast("long")).as("n_txs"),
+          min(col("number")).as("first_block"),
+          max(col("number")).as("last_block"))
+        .orderBy("miner"),
+      Some("""WITH bl AS (SELECT unnest(range(0, 2000)) AS b),
+             |h AS (SELECT b, '0x' || substring(md5('miner-' || CAST(b % 5 AS VARCHAR)), 1, 40) AS miner,
+             |        CAST(262144 AS HUGEINT) + b AS difficulty,
+             |        b % 30000000 AS gas_used, b % 3 + 1 AS tc
+             |      FROM bl)
+             |SELECT miner, CAST(count(*) AS BIGINT) AS n_blocks,
+             |       CAST(sum(gas_used) AS BIGINT) AS gas_total,
+             |       CAST(sum(difficulty) AS VARCHAR) AS difficulty_total,
+             |       CAST(sum(tc) AS BIGINT) AS n_txs,
+             |       CAST(min(b) AS INTEGER) AS first_block,
+             |       CAST(max(b) AS INTEGER) AS last_block
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Balance deltas (the graphsense downstream "balance" table, computed
     // here from the tx+receipt streams): per address, wei received (value
     // transfers land only when the receipt says the tx SUCCEEDED — status

@@ -763,6 +763,23 @@ class LlmSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 1L, 3000000L), (2, 2L, 2000000L)))
   }
 
+  test("bpePairCounts: frequency-weighted pair counts; single-char words skipped; ties on pair") {
+    // "ab ab abc x" -> words: ab(x2), abc(x1); pairs: ab = 2+1 = 3, bc = 1;
+    // "x" has no pairs
+    val df = Seq(Tuple1("ab ab abc x")).toDF("text")
+    val out = TextAnalysis.bpePairCounts(df, "text", topK = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n_occurrences"))
+    assert(out.toSeq == Seq("ab" -> 3L, "bc" -> 1L))
+    // deterministic tie-break: equal counts order by pair string
+    val tie = Seq(Tuple1("zz aa")).toDF("text")
+    val t = TextAnalysis.bpePairCounts(tie, "text", topK = 2).collect()
+      .map(_.getAs[String]("pair"))
+    assert(t.toSeq == Seq("aa", "zz"))
+    // topK truncates after the deterministic order
+    assert(TextAnalysis.bpePairCounts(df, "text", topK = 1).collect()
+      .map(_.getAs[String]("pair")).toSeq == Seq("ab"))
+  }
+
   test("semanticDedup / duplicateSpans / importanceWeights / pqCodes tolerate empty input") {
     val emptyDocs = docs.filter($"doc_id" < 0)
     val emptyVecs = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding").filter($"vec_id" < 0)
