@@ -1533,6 +1533,40 @@ object LlmQueries {
            |SELECT wc.n_wedges, tri.n_triangles FROM wc CROSS JOIN tri""".stripMargin
       }),
 
+    // Local clustering coefficient per node (ring membership score):
+    // per-corner triangle credits from the same degree-ordered
+    // enumeration as graph_triangles, divided by C(deg, 2) in integer
+    // milli-units — the oracle replays the identical orientation and
+    // corner explode.
+    Q("graph_clustering", "GRAPH",
+      (s, d) => graft.operators.Graph.localClustering(backboneEdges(s, d))
+        .orderBy("node"),
+      Some {
+        s"""$backboneEdgesCte,
+           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+           |        FROM ew WHERE src <> dst),
+           |dg AS (SELECT node, count(*) AS deg FROM
+           |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+           |       GROUP BY 1),
+           |ori AS (SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
+           |                    THEN u ELSE v END AS s,
+           |               CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
+           |                    THEN v ELSE u END AS t
+           |        FROM und JOIN dg x ON x.node = und.u JOIN dg y ON y.node = und.v),
+           |wg AS (SELECT a.s, a.t AS x, b.t AS y FROM ori a JOIN ori b ON a.s = b.s
+           |       WHERE a.t < b.t),
+           |cl AS (SELECT least(s, t) AS p, greatest(s, t) AS q FROM ori),
+           |tr AS (SELECT s, x, y FROM wg JOIN cl ON wg.x = cl.p AND wg.y = cl.q),
+           |corners AS (SELECT unnest([s, x, y]) AS node FROM tr),
+           |tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+           |SELECT dg.node, CAST(dg.deg AS BIGINT) AS deg,
+           |       CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+           |       CAST((1000 * coalesce(tc.n_tri, 0)) // ((dg.deg * (dg.deg - 1)) // 2) AS BIGINT)
+           |         AS clustering_milli
+           |FROM dg LEFT JOIN tc ON tc.node = dg.node
+           |WHERE dg.deg >= 2 ORDER BY dg.node""".stripMargin
+      }),
+
     // Degree distribution (the scale-free check): distinct-neighbor degree
     // per node, log2-bucketed by binary-representation length — exact
     // integer bucketing, immune to IEEE log rounding at powers of two.

@@ -396,6 +396,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r1 == Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
 
+  test("local clustering: clique corners score 1000; pendant-diluted corners score less") {
+    import graft.operators.Graph
+    // triangle {1,2,3} + pendant 4-1: nodes 2,3 have c = 1 (1000 milli);
+    // node 1 has deg 3, 1 triangle -> 1000/3 = 333; node 4 deg 1 excluded
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.localClustering(g).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_tri"), r.getAs[Long]("clustering_milli"))).toMap
+    assert(c == Map(1L -> ((1L, 333L)), 2L -> ((1L, 1000L)), 3L -> ((1L, 1000L))))
+  }
+
   test("haircut taint: pro-rata split, sink absorption, truncating division") {
     import graft.operators.Graph
     // 1 splits 3:1 to sinks 2 and 3; one round moves everything, the

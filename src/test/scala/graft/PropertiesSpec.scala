@@ -248,6 +248,95 @@ class PropertiesSpec extends SparkSpec {
     assert(pts.map(_._1).distinct.length == pts.map(_._2).distinct.length)
   }
 
+  test("graph operators match executable reference models on random digraphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong, 1L + rnd.nextInt(3))).toVector
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst", "w")
+
+        // --- reference structures
+        val und = edges.map { case (a, b, _) => (a min b, a max b) }.toSet
+        val nodes = und.toSeq.flatMap { case (u, v) => Seq(u, v) }.distinct.sorted
+        val deg = nodes.map(nd => nd ->
+          und.count { case (u, v) => u == nd || v == nd }.toLong).toMap
+
+        // triangles + wedges vs brute force over all triples
+        val triRef = nodes.combinations(3).count { case Seq(a, b, c) =>
+          und((a, b)) && und((a, c)) && und((b, c)) }
+        val wedgeRef = deg.values.map(dd => dd * (dd - 1) / 2).sum
+        val tRow = Graph.triangleCount(df).collect()(0)
+        assert(tRow.getAs[Long]("n_triangles") == triRef.toLong, s"trial $trial tri")
+        assert(tRow.getAs[Long]("n_wedges") == wedgeRef, s"trial $trial wedges")
+
+        // per-node clustering vs brute-force corner counts
+        val triAt = nodes.map(nd => nd -> nodes.combinations(3).count {
+          case Seq(a, b, c) => Seq(a, b, c).contains(nd) &&
+            und((a, b)) && und((a, c)) && und((b, c)) }.toLong).toMap
+        val ccRef = nodes.filter(deg(_) >= 2).map { nd =>
+          val dd = deg(nd)
+          nd -> ((triAt(nd), 1000L * triAt(nd) / (dd * (dd - 1) / 2)))
+        }.toMap
+        val cc = Graph.localClustering(df).collect()
+          .map(r => r.getAs[Long]("node") ->
+            ((r.getAs[Long]("n_tri"), r.getAs[Long]("clustering_milli")))).toMap
+        assert(cc == ccRef, s"trial $trial clustering")
+
+        // k-core vs a simulated fixed-round peel (same contract)
+        val k = 2 + rnd.nextInt(2)
+        var live = und
+        for (_ <- 1 to 3) {
+          val dg = live.toSeq.flatMap { case (u, v) => Seq(u, v) }
+            .groupBy(identity).map { case (kk, s) => kk -> s.size.toLong }
+          val keep = dg.filter(_._2 >= k).keySet
+          live = live.filter { case (u, v) => keep(u) && keep(v) }
+        }
+        val coreRef = live.toSeq.flatMap { case (u, v) => Seq(u, v) }
+          .groupBy(identity).map { case (kk, s) => kk -> s.size.toLong }
+        val core = Graph.kcore(df, k = k, rounds = 3).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg")).toMap
+        assert(core == coreRef, s"trial $trial kcore k=$k")
+
+        // k-hop reach vs a BFS over the distinct directed edges
+        val adj = edges.map { case (a, b, _) => (a, b) }.distinct
+          .groupBy(_._1).map { case (kk, s) => kk -> s.map(_._2) }
+        var hops = Map(0L -> 0)
+        var frontier = Set(0L)
+        for (h <- 1 to 3) {
+          val next = frontier.flatMap(adj.getOrElse(_, Nil)) -- hops.keySet
+          hops ++= next.map(_ -> h)
+          frontier = next
+        }
+        val reach = Graph.khopReach(df, Seq(Tuple1(0L)).toDF("node"), maxHops = 3)
+          .collect().map(r => r.getAs[Long]("node") -> r.getAs[Int]("hops")).toMap
+        assert(reach == hops, s"trial $trial khop")
+
+        // haircut taint vs a simulated push with identical Long arithmetic
+        val ew = edges.groupBy { case (a, b, _) => (a, b) }
+          .map { case (kk, s) => kk -> s.map(_._3).sum }
+        val ow = ew.groupBy(_._1._1).map { case (kk, s) => kk -> s.values.sum }
+        var taint = Map(0L -> 1000000L)
+        for (_ <- 1 to 2) {
+          val pushed = ew.toSeq.flatMap { case ((s, dd), ww) =>
+            taint.get(s).map(t => dd -> t * ww / ow(s)) }
+          val absorbed = taint.filter { case (nd, _) => !ow.contains(nd) }.toSeq
+          taint = (pushed ++ absorbed).groupBy(_._1)
+            .map { case (kk, s) => kk -> s.map(_._2).sum }
+        }
+        val taintRef = taint.filter(_._2 > 0)
+        val hc = Graph.haircutTaint(df, Seq(Tuple1(0L)).toDF("node"),
+            iters = 2, weightCol = Some("w")).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("taint_micro")).toMap
+        assert(hc == taintRef, s"trial $trial haircut")
+      }
+    }
+  }
+
   test("partitioning invariance: new dedup/scoring ops give identical results under repartition") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
