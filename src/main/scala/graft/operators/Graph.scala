@@ -51,10 +51,14 @@ object Graph {
     require(dampMilli >= 0 && dampMilli <= 1000,
       s"dampMilli must be in [0, 1000], got $dampMilli")
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    // zero/negative collapsed weights are dropped: they carry no flow, and
+    // keeping them would divide by a zero (or negative) out-weight sum —
+    // silently nulling contributions instead of failing loudly
     val ew = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), w.as("__w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
     val outw = ew.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     // reused every iteration: pin the joined edge+denominator table once
     val e = ew.join(outw, "src").localCheckpoint(true)
@@ -113,6 +117,7 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), w.as("__w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0) // non-positive collapsed weights carry no paths
       .localCheckpoint(true) // reused: inflow agg + both join sides
     val inflow = ew.groupBy(col("dst")).agg(sum(col("w")).as("iw"))
       .select(col("dst").as("mid"), col("iw"))
@@ -147,30 +152,6 @@ object Graph {
     und.select(col("u").as("node")).union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
-  /** Exact triangle + wedge count via DEGREE-ORDERED edge orientation
-    * (the classic O(E^1.5) bound; Suri & Vassilvitskii 2011's MapReduce
-    * formulation) — cohesion analytics over an address graph
-    * (money-laundering rings are triangle-dense; broadcast trees are not).
-    *
-    * Each undirected edge is oriented from the endpoint that is LOWER in
-    * the total order (degree, id); the result is a DAG in which every
-    * node's out-degree is O(sqrt(E)), so generating 2-paths (wedges) by
-    * self-joining on the wedge apex costs sum over apexes of out-deg^2 =
-    * O(E^1.5) TOTAL regardless of hub sizes — the orientation is what
-    * makes a 10M-degree exchange address safe: a hub's edges all point AT
-    * it, so it is never a wedge apex. Every triangle has exactly one apex
-    * in the orientation (its order-minimal node), so an inner join of
-    * wedges against the closing edge counts each triangle exactly once.
-    *
-    * Returns one row: (n_wedges, n_triangles), where n_wedges is the TRUE
-    * wedge census sum over v of C(deg(v), 2) — so the global clustering
-    * coefficient is 3·triangles/wedges on the caller's side. The wedge
-    * census costs one fixed-width aggregate over the degree table (it is
-    * NOT materialized pairwise); only the triangle probe pays the
-    * oriented pair expansion. Plan: three equi-join shuffles (degree
-    * attach ×2, candidate close ×1) + two 1-row aggregates; the oriented
-    * edge list is pinned once and reused for both candidate sides and
-    * the closing probe. */
   /** Degree-ordered orientation of `und` given its degree table: each
     * edge points from the endpoint LOWER in the (degree, id) total order.
     * Pinned (eager localCheckpoint) because every caller reuses it at
@@ -199,9 +180,34 @@ object Graph {
     candidates.join(closing, Seq("x", "y"))
   }
 
+  /** Exact triangle + wedge count via DEGREE-ORDERED edge orientation
+    * (the classic O(E^1.5) bound; Suri & Vassilvitskii 2011's MapReduce
+    * formulation) — cohesion analytics over an address graph
+    * (money-laundering rings are triangle-dense; broadcast trees are not).
+    *
+    * Each undirected edge is oriented from the endpoint that is LOWER in
+    * the total order (degree, id); the result is a DAG in which every
+    * node's out-degree is O(sqrt(E)), so generating 2-paths (wedges) by
+    * self-joining on the wedge apex costs sum over apexes of out-deg^2 =
+    * O(E^1.5) TOTAL regardless of hub sizes — the orientation is what
+    * makes a 10M-degree exchange address safe: a hub's edges all point AT
+    * it, so it is never a wedge apex. Every triangle has exactly one apex
+    * in the orientation (its order-minimal node), so an inner join of
+    * wedges against the closing edge counts each triangle exactly once.
+    *
+    * Returns one row: (n_wedges, n_triangles), where n_wedges is the TRUE
+    * wedge census sum over v of C(deg(v), 2) — so the global clustering
+    * coefficient is 3·triangles/wedges on the caller's side. The wedge
+    * census costs one fixed-width aggregate over the degree table (it is
+    * NOT materialized pairwise); only the triangle probe pays the
+    * oriented pair expansion. Plan: three equi-join shuffles (degree
+    * attach ×2, candidate close ×1) + two 1-row aggregates; the oriented
+    * edge list is pinned once and reused for both candidate sides and
+    * the closing probe. */
   def triangleCount(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
     val und = undirected(edges, srcCol, dstCol)
+      .localCheckpoint(true) // reused: degrees + orient
     val deg = degrees(und).localCheckpoint(true) // reused: orient + census
     val tri = closedTriangles(orient(und, deg))
       .agg(count(lit(1)).as("n_triangles"))
@@ -221,6 +227,7 @@ object Graph {
   def localClustering(edges: DataFrame, srcCol: String = "src",
                       dstCol: String = "dst"): DataFrame = {
     val und = undirected(edges, srcCol, dstCol)
+      .localCheckpoint(true) // reused: degrees + orient
     val deg = degrees(und).localCheckpoint(true) // reused: orient + output
     val perNode = closedTriangles(orient(und, deg))
       .select(explode(array(col("s"), col("x"), col("y"))).as("node"))
@@ -316,10 +323,15 @@ object Graph {
                    seedCol: String = "node"): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    // as in [[pagerank]]: collapsed weights <= 0 are dropped BEFORE the
+    // out-weight denominator forms — a node whose every out-edge is
+    // zero-weight becomes a sink and absorbs (no outflow, no silent
+    // NULL-division mass loss)
     val ew = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"), w.as("__w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
     val outw = ew.groupBy(col("src")).agg(sum(col("w")).as("ow"))
     val e = ew.join(outw, "src").localCheckpoint(true)
     val srcs = e.select(col("src")).distinct().localCheckpoint(true)

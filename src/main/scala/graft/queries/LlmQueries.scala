@@ -87,6 +87,28 @@ object LlmQueries {
       |       WHERE src IS NOT NULL AND src <> user_id GROUP BY 1, 2
       |       HAVING count(*) >= 2)""".stripMargin
 
+  /** Shared topology prologue over [[backboneEdges]] — the DuckDB twin of
+    * `Graph.undirected` + `Graph.degrees`: `und(u, v)` distinct canonical
+    * pairs, `dg(node, deg)`. Every graph-topology oracle builds on this
+    * ONE definition so the engines can never desynchronize per query. */
+  private val backboneUndirectedCte =
+    s"""$backboneEdgesCte,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM ew WHERE src <> dst),
+       |dg AS (SELECT node, count(*) AS deg FROM
+       |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |       GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of `Graph.orient` (degree-ordered orientation over
+    * und/dg): `ori(s, t)`, each edge pointing from the endpoint lower in
+    * the (degree, id) total order. */
+  private val orientedCte =
+    """ori AS (SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
+      |                    THEN u ELSE v END AS s,
+      |               CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
+      |                    THEN v ELSE u END AS t
+      |        FROM und JOIN dg x ON x.node = und.u JOIN dg y ON y.node = und.v)""".stripMargin
+
   /** DuckDB expression for the sign-bit LSH bucket of column `e` —
     * mirrors [[graft.llm.Similarity.lshBucket]] (8 planes, dim 64). */
   private def lshBucketSql(e: String): String =
@@ -1512,17 +1534,8 @@ object LlmQueries {
     Q("graph_triangles", "GRAPH",
       (s, d) => graft.operators.Graph.triangleCount(backboneEdges(s, d)),
       Some {
-        s"""$backboneEdgesCte,
-           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-           |        FROM ew WHERE src <> dst),
-           |dg AS (SELECT node, count(*) AS deg FROM
-           |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-           |       GROUP BY 1),
-           |ori AS (SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
-           |                    THEN u ELSE v END AS s,
-           |               CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
-           |                    THEN v ELSE u END AS t
-           |        FROM und JOIN dg x ON x.node = und.u JOIN dg y ON y.node = und.v),
+        s"""$backboneUndirectedCte,
+           |$orientedCte,
            |wg AS (SELECT a.t AS x, b.t AS y FROM ori a JOIN ori b ON a.s = b.s
            |       WHERE a.t < b.t),
            |cl AS (SELECT least(s, t) AS x, greatest(s, t) AS y FROM ori),
@@ -1542,17 +1555,8 @@ object LlmQueries {
       (s, d) => graft.operators.Graph.localClustering(backboneEdges(s, d))
         .orderBy("node"),
       Some {
-        s"""$backboneEdgesCte,
-           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-           |        FROM ew WHERE src <> dst),
-           |dg AS (SELECT node, count(*) AS deg FROM
-           |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-           |       GROUP BY 1),
-           |ori AS (SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
-           |                    THEN u ELSE v END AS s,
-           |               CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND u < v)
-           |                    THEN v ELSE u END AS t
-           |        FROM und JOIN dg x ON x.node = und.u JOIN dg y ON y.node = und.v),
+        s"""$backboneUndirectedCte,
+           |$orientedCte,
            |wg AS (SELECT a.s, a.t AS x, b.t AS y FROM ori a JOIN ori b ON a.s = b.s
            |       WHERE a.t < b.t),
            |cl AS (SELECT least(s, t) AS p, greatest(s, t) AS q FROM ori),
@@ -1574,12 +1578,7 @@ object LlmQueries {
       (s, d) => graft.operators.Graph.degreeHistogram(backboneEdges(s, d))
         .orderBy("bucket_log2"),
       Some {
-        s"""$backboneEdgesCte,
-           |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-           |        FROM ew WHERE src <> dst),
-           |dg AS (SELECT node, count(*) AS deg FROM
-           |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
-           |       GROUP BY 1)
+        s"""$backboneUndirectedCte
            |SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket_log2,
            |       CAST(count(*) AS BIGINT) AS n_nodes,
            |       CAST(min(deg) AS BIGINT) AS min_deg,
@@ -1668,14 +1667,10 @@ object LlmQueries {
           k = 16, rounds = 3)
         .orderBy("node"),
       Some {
-        s"""$backboneEdgesCte,
-           |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-           |       FROM ew WHERE src <> dst),
-           |d0 AS (SELECT node, count(*) AS deg FROM
-           |         (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-           |k0 AS (SELECT node FROM d0 WHERE deg >= 16),
-           |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM k0)
-           |                              AND v IN (SELECT node FROM k0)),
+        s"""$backboneUndirectedCte,
+           |k0 AS (SELECT node FROM dg WHERE deg >= 16),
+           |e1 AS (SELECT u, v FROM und WHERE u IN (SELECT node FROM k0)
+           |                               AND v IN (SELECT node FROM k0)),
            |d1 AS (SELECT node, count(*) AS deg FROM
            |         (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
            |k1 AS (SELECT node FROM d1 WHERE deg >= 16),

@@ -928,8 +928,7 @@ object RefQueries {
         def stream(name: String) = s.read.format("graft-chain")
           .option("stream", name).option("start", 0).option("end", 499)
           .option("batchSize", 100).load()
-        val blocks = stream("block")
-          .select(col("number"), col("gas_used"), col("timestamp"))
+        val blocks = stream("block").select(col("number"), col("gas_used"))
         val txs = stream("transaction").groupBy(col("block_number"))
           .agg(count(lit(1)).as("n_txs"), sum(col("value")).as("__wei"))
         val logs = stream("log").groupBy(col("block_number"))
@@ -1025,7 +1024,11 @@ object RefQueries {
         val zero = lit(0).cast("decimal(38,0)")
         tx.join(rc, tx("hash") === rc("transaction_hash"))
           .select(col("from_address"), col("to_address"), col("value"),
-            (rc("gas_used") * coalesce(col("max_fee_per_gas"), lit(0L)))
+            // multiply IN decimal: a Long×Long product wraps silently at
+            // ~9.2e18 wei (30M gas × 400 gwei exceeds it), the oracle's
+            // HUGEINT doesn't — the operands must widen first
+            (rc("gas_used").cast("decimal(38,0)")
+              * coalesce(col("max_fee_per_gas"), lit(0L)).cast("decimal(38,0)"))
               .cast("decimal(38,0)").as("fee"),
             coalesce(rc("status") =!= 0, lit(true)).as("ok"))
           .select(explode(array(
