@@ -1119,6 +1119,39 @@ object RefQueries {
              |       CAST(max(b) AS INTEGER) AS last_block
              |FROM tx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Incremental relations maintenance (T4-style "data is the
+    // checkpoint" for a DERIVED table): ingest the relations edge table
+    // in four micro-batches, then REPLAY one mid-range slice — the
+    // replay must overwrite its own per-batch partials, not double-count
+    // them, so idempotency is part of this oracle's contract. The final
+    // answer must equal the one-shot aggregate over the whole range.
+    Q("eth_relations_incremental", "T4",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_rel").toString
+        graft.eth.Relations.ingestRange(s, out, 0, 999, batchSize = 250)
+        graft.eth.Relations.ingestRange(s, out, 250, 499, batchSize = 250)
+        graft.eth.Relations.readRelations(s, out)
+          .select(col("from_address"), col("to_address"), col("n_txs"),
+            col("wei_total").cast("string").as("wei_total"),
+            col("first_block"), col("last_block"))
+          .orderBy("from_address", "to_address")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 1000)) AS b)),
+             |tx AS (SELECT b, i,
+             |         '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS from_address,
+             |         '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS to_address,
+             |         CASE WHEN ((b + i) % 11 = 0) OR ((b + i) % 2 = 1)
+             |              THEN CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i
+             |              ELSE 0 END AS ok_value
+             |       FROM bt WHERE (b + i) % 7 <> 0)
+             |SELECT from_address, to_address,
+             |       CAST(count(*) AS BIGINT) AS n_txs,
+             |       CAST(sum(ok_value) AS VARCHAR) AS wei_total,
+             |       CAST(min(b) AS INTEGER) AS first_block,
+             |       CAST(max(b) AS INTEGER) AS last_block
+             |FROM tx GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Dense address-ID assignment (the graphsense address dictionary:
     // every address gets a compact BIGINT id in FIRST-APPEARANCE order —
     // block, then tx index, then sender-before-receiver). Appearances

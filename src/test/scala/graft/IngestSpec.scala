@@ -159,4 +159,34 @@ class IngestSpec extends SparkSpec {
     val path = java.nio.file.Files.createTempDirectory("reorg_empty").toString + "/nope"
     assert(Ingest.resumeWithReorgCheck(spark, path, chain(0, 10)) == (0L, None))
   }
+
+  test("incremental relations: cross-batch merge-on-read; replay overwrites, never double-counts") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("rel_inc").toString
+    // two batches whose partials SHARE the pair (a, b) — the read-side
+    // merge must sum counts/wei and span the blocks
+    def partial(batchLo: Long, rows: Seq[(String, String, Long, String, Int, Int)]) =
+      rows.toDF("from_address", "to_address", "n_txs", "w", "first_block", "last_block")
+        .withColumn("wei_total", col("w").cast("decimal(38,0)")).drop("w")
+        .withColumn("batch_lo", lit(batchLo))
+        .withColumn("block_id_group", lit(batchLo / 1000L))
+    def upsert(df: org.apache.spark.sql.DataFrame): Unit =
+      graft.eth.Sinks.upsertBucketedParquet(df, path,
+        pkCols = Seq("from_address", "to_address", "batch_lo"),
+        bucketCol = "block_id_group",
+        sortCols = Seq("from_address", "to_address"))
+    val b0 = partial(0L, Seq(("a", "b", 2L, "100", 0, 400), ("a", "c", 1L, "7", 3, 3)))
+    val b1 = partial(500L, Seq(("a", "b", 3L, "50", 500, 900)))
+    upsert(b0); upsert(b1)
+    def read() = graft.eth.Relations.readRelations(spark, path)
+      .orderBy("from_address", "to_address").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_txs"),
+        r.getDecimal(3).toPlainString, r.getAs[Int]("first_block"),
+        r.getAs[Int]("last_block")))
+    val expected = Seq(("a", "b", 5L, "150", 0, 900), ("a", "c", 1L, "7", 3, 3))
+    assert(read().toSeq == expected)
+    // replay batch 0 (crash recovery): identical table, no double counting
+    upsert(b0)
+    assert(read().toSeq == expected)
+  }
 }
