@@ -197,6 +197,40 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming maintenance of the address-relations table
+    * ([[graft.eth.Relations]]'s contract driven by a stream): each
+    * micro-batch of transfer rows (from_address, to_address, value,
+    * block_number, ok) collapses to a per-batch partial aggregate keyed
+    * by the micro-batch id and lands through the idempotent PK upsert.
+    * `foreachBatch` batchIds are STABLE across retries (the documented
+    * Structured Streaming exactly-once recipe), so a replayed batch
+    * overwrites its own partials — no double counting, no external
+    * dedup state. Read the queryable table with
+    * [[graft.eth.Relations.readRelations]]. */
+  def maintainRelations(transfers: DataFrame, tableDir: String,
+                        checkpointDir: String, keyBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    transfers.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val delta = batch.toDF()
+          .filter(col("to_address").isNotNull)
+          .groupBy(col("from_address"), col("to_address"))
+          .agg(count(lit(1)).as("n_txs"),
+            sum(when(col("ok"), col("value").cast("decimal(38,0)"))
+              .otherwise(lit(0).cast("decimal(38,0)"))).as("wei_total"),
+            min(col("block_number")).as("first_block"),
+            max(col("block_number")).as("last_block"))
+          .withColumn("batch_lo", lit(batchId))
+          .withColumn("block_id_group", lit(batchId % keyBuckets.toLong))
+        graft.eth.Sinks.upsertBucketedParquet(delta, tableDir,
+          pkCols = Seq("from_address", "to_address", "batch_lo"),
+          bucketCol = "block_id_group",
+          sortCols = Seq("from_address", "to_address"),
+          newBuckets = Some(Seq(batchId % keyBuckets.toLong)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

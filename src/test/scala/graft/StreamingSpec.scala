@@ -187,6 +187,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming relations maintenance: partials accrete across batches, merge on read") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_srel").toString
+    val input = MemoryStream[(String, String, Long, Int, Boolean)]
+    val query = StreamingOps.maintainRelations(
+      input.toDF().toDF("from_address", "to_address", "value", "block_number", "ok"),
+      s"$dir/table", s"$dir/ckpt")
+    try {
+      input.addData(("a", "b", 100L, 5, true), ("a", "b", 30L, 7, false),
+        ("a", "c", 9L, 6, true))
+      query.processAllAvailable()
+      input.addData(("a", "b", 50L, 12, true)) // same pair, later batch
+      query.processAllAvailable()
+      val rows = graft.eth.Relations.readRelations(spark, s"$dir/table")
+        .orderBy("from_address", "to_address").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_txs"),
+          r.getDecimal(3).toPlainString, r.getAs[Int]("first_block"),
+          r.getAs[Int]("last_block")))
+      // failed tx counts toward n_txs/span but moves no wei (same gate as
+      // the batch oracle); the cross-batch pair merges on read
+      assert(rows.toSeq == Seq(("a", "b", 3L, "150", 5, 12), ("a", "c", 1L, "9", 6, 6)))
+    } finally query.stop()
+  }
+
   test("RocksDB state store: sessionization and dedupe hold ~100k keys") {
     // The default HDFS-backed provider keeps every key's state on the JVM
     // heap — the one piece of the streaming stack whose 100×-scale behavior
