@@ -320,6 +320,34 @@ class PropertiesSpec extends SparkSpec {
         val ew = edges.groupBy { case (a, b, _) => (a, b) }
           .map { case (kk, s) => kk -> s.map(_._3).sum }
         val ow = ew.groupBy(_._1._1).map { case (kk, s) => kk -> s.values.sum }
+
+        // weighted pagerank vs a simulated power iteration (same integer
+        // micro-unit arithmetic, same dangling-mass evaporation)
+        val allNodes = edges.flatMap { case (a, b, _) => Seq(a, b) }.distinct.sorted
+        var rank = allNodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val contrib = ew.toSeq.flatMap { case ((s, dd), ww) =>
+            rank.get(s).map(r => dd -> r * ww / ow(s)) }
+            .groupBy(_._1).map { case (kk, s) => kk -> s.map(_._2).sum }
+          rank = allNodes.map(nd =>
+            nd -> (150000L + contrib.getOrElse(nd, 0L) * 850L / 1000L)).toMap
+        }
+        val pr = Graph.pagerank(df, iters = 3, weightCol = Some("w")).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_micro")).toMap
+        assert(pr == rank, s"trial $trial pagerank")
+
+        // two-hop aggregates vs brute-force pair enumeration
+        val pairs = for {
+          ((s0, mid), w1) <- ew.toSeq
+          ((m2, dd), w2) <- ew.toSeq if m2 == mid
+        } yield (s0, mid, dd, w1 * w2)
+        val twoRef = pairs.groupBy(_._3).map { case (nd, ps) =>
+          nd -> ((ps.map(_._4).sum, ps.map(_._1).distinct.size.toLong,
+            ps.map(_._2).distinct.size.toLong)) }
+        val two = Graph.twoHopPaths(df, weightCol = Some("w")).collect()
+          .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("n_paths"),
+            r.getAs[Long]("n_sources"), r.getAs[Long]("n_mids")))).toMap
+        assert(two == twoRef, s"trial $trial twohop")
         var taint = Map(0L -> 1000000L)
         for (_ <- 1 to 2) {
           val pushed = ew.toSeq.flatMap { case ((s, dd), ww) =>
