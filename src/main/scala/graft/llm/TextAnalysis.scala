@@ -237,4 +237,65 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(topK)
   }
+
+  /** Per-item Bloom positions under Kirsch-Mitzenmacher double hashing
+    * (pos_j = (h1 + j·h2) mod bits): two md5 digests per item regardless
+    * of `numHashes`, both reduced mod `bits` BEFORE the affine combine so
+    * every intermediate stays far below 2^63. Shared by build and probe —
+    * the two sides MUST hash identically or membership is garbage. */
+  private def bloomPositions(item: Column, bits: Int, numHashes: Int): Seq[Column] = {
+    val h1 = pmod(md5Long(item), lit(bits.toLong))
+    val h2 = pmod(md5LongSeeded(1, item), lit(bits.toLong))
+    (0 until numHashes).map(j => pmod(h1 + lit(j.toLong) * h2, lit(bits.toLong)))
+  }
+
+  /** Build a Bloom filter over a DataFrame column, distributively: explode
+    * each item into its `numHashes` bit positions, group by 64-bit word
+    * index, OR the masks — a map-side-combined aggregate whose output is
+    * AT MOST `bits`/64 rows no matter how many items went in. Only that
+    * bounded word table is collected (the classic sketch contract: corpus
+    * in, fixed-size summary out), so at 100 TB the build is one linear
+    * scan + one tiny shuffle. Construction is bitwise-OR-commutative —
+    * the result is independent of row order and partitioning.
+    *
+    * The returned array (`bits`/64 longs, e.g. 8 KiB at 2^19 bits) ships
+    * to probes as a plan literal — the broadcast-a-summary pattern that
+    * replaces shipping the raw membership set when THAT no longer fits. */
+  def bloomBuild(items: DataFrame, itemCol: String, bits: Int = 1 << 19,
+                 numHashes: Int = 4): Array[Long] = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64, got $bits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val pos = explode(array(bloomPositions(col(itemCol), bits, numHashes): _*))
+    val words = items
+      .select(pos.as("__p")) // positions are non-negative: shift/mask are exact
+      .select(shiftright(col("__p"), 6).as("__w"),
+        call_function("shiftleft", lit(1L),
+          col("__p").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy(col("__w")).agg(bit_or(col("__m")).as("__bits"))
+      .collect() // bounded: <= bits/64 rows by construction
+    val filter = new Array[Long](bits / 64)
+    words.foreach(r => filter(r.getLong(0).toInt) = r.getLong(1))
+    filter
+  }
+
+  /** Membership probe against a [[bloomBuild]] filter: true if ALL
+    * `numHashes` bit positions are set (no false negatives; false
+    * positives at the classic (1−e^(−kn/m))^k rate). Pure column
+    * arithmetic — the filter rides the plan as an array literal, the
+    * probe is k shifts+ANDs per row inside codegen: no join, no shuffle,
+    * no per-row driver involvement. */
+  def bloomMightContain(filter: Array[Long], bits: Int, numHashes: Int,
+                        item: Column): Column = {
+    require(filter.length == bits / 64,
+      s"filter has ${filter.length} words, expected ${bits / 64}")
+    val words = typedLit(filter.toSeq)
+    bloomPositions(item, bits, numHashes)
+      .map { p =>
+        val word = element_at(words, shiftright(p, 6).cast("int") + 1)
+        call_function("shiftright", word, p.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }
+      .reduce(_ && _)
+  }
 }

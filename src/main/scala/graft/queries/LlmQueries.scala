@@ -1297,6 +1297,49 @@ object LlmQueries {
              |SELECT doc_id, count(*) AS n_contaminated
              |FROM tr JOIN bench USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bloom-prefiltered decontamination — the shape that survives when the
+    // BENCHMARK side outgrows a raw-gram broadcast (dozens of held-out sets
+    // × thousands of grams each): distill the benchmark grams into a
+    // fixed-size Bloom filter (bounded build: linear scan + <= bits/64-row
+    // aggregate), probe every corpus gram with k in-codegen bit tests (no
+    // join, no shuffle — the overwhelming majority of grams die here), and
+    // send only Bloom-positive survivors through the exact verify join.
+    // False positives cost verify work, never correctness; no false
+    // negatives means the output is IDENTICAL to the exact path — same
+    // oracle as text_decontaminate, which is the point: the filter changes
+    // the plan, not the answer.
+    Q("text_decontaminate_bloom", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val grams = (t: org.apache.spark.sql.Column) =>
+          explode(array_distinct(shingles(tokens(t), 3)))
+        val benchGrams = docs.filter(col("doc_id") < 10)
+          .select(grams(col("text")).as("g")).distinct()
+        // 2^16 bits / 4 hashes: ~1% fp at the synthetic bench size; the
+        // 1 KiB word array rides the plan as a literal
+        val bloom = TextAnalysis.bloomBuild(benchGrams, "g", bits = 1 << 16)
+        val bench = {
+          import s.implicits._
+          benchGrams.as[String].collect().toSeq.toDF("g")
+        }
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), grams(col("text")).as("g"))
+          .filter(TextAnalysis.bloomMightContain(bloom, 1 << 16, 4, col("g")))
+          .join(broadcast(bench), "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (SELECT doc_id, list_distinct(
+             |         CASE WHEN len(str_split(text, ' ')) >= 3
+             |              THEN list_transform(range(0, len(str_split(text, ' ')) - 2),
+             |                     i -> array_to_string((str_split(text, ' '))[(i+1):(i+3)], ' '))
+             |              ELSE [array_to_string(str_split(text, ' '), ' ')] END) AS s
+             |       FROM documents),
+             |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+             |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 10)
+             |SELECT doc_id, count(*) AS n_contaminated
+             |FROM tr JOIN bench USING (g) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Stratified deterministic sampling: the data-mixing knob — keep 50% of
     // src0, 25% of src1, 10% of everything else, decided by id hash alone
     // (content- and partitioning-independent, replay-stable). Broadcast

@@ -1200,6 +1200,164 @@ object RefQueries {
              |       CAST(fk.i AS INTEGER) AS first_tx_index
              |FROM f ORDER BY address_id""".stripMargin)),
 
+    // Contract-creation extraction (the ethereum-etl "contracts" shape:
+    // a creation is a tx with NO to_address whose receipt carries the
+    // deployed contract_address — ref scripts/schema.cql:29-53 tx/receipt
+    // fields). Failed creations (status 0) deploy nothing and are dropped;
+    // null status (pre-Byzantium) counts as success, the same gate
+    // eth_address_relations applies to value transfers. One equi-join on
+    // the tx hash with BOTH filters pushed below their exchanges (the
+    // null-to filter kills ~6/7 of the tx stream before it moves). At
+    // chain scale both sides are huge, so the honest plan is the shuffle
+    // join on the hash — the same key the sink buckets by, so on bucketed
+    // tables the exchanges vanish (j_bucketed_colocated's layout).
+    Q("eth_contract_creations", "J1",
+      (s, d) => {
+        val tx = s.read.format("graft-chain")
+          .option("stream", "transaction").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        val rc = s.read.format("graft-chain")
+          .option("stream", "receipt").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        tx.filter(col("to_address").isNull)
+          .join(rc, tx("hash") === rc("transaction_hash"))
+          .filter(coalesce(rc("status") =!= 0, lit(true)))
+          .select(col("block_number"),
+            col("transaction_index").cast("int").as("transaction_index"),
+            col("hash").as("transaction_hash"),
+            col("from_address").as("creator_address"),
+            col("contract_address"), col("gas_used"))
+          .orderBy("block_number", "transaction_index")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 1000)) AS b)),
+             |cr AS (SELECT b, i FROM bt
+             |       WHERE (b + i) % 7 = 0 AND ((b + i) % 11 = 0 OR (b + i) % 2 = 1))
+             |SELECT CAST(b AS INTEGER) AS block_number, CAST(i AS INTEGER) AS transaction_index,
+             |       '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+             |            || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '-b') AS transaction_hash,
+             |       '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS creator_address,
+             |       '0x' || substring(md5('ca-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS contract_address,
+             |       CAST(21000 + i AS BIGINT) AS gas_used
+             |FROM cr ORDER BY block_number, transaction_index""".stripMargin)),
+
+    // Address-transactions edge list (the graphsense "address_transactions"
+    // table: one row per (address, tx, direction), the index that answers
+    // "all activity of address X" without rescanning the tx table). One
+    // explode into at most 2 directed rows per tx — creations have no
+    // to-side — then a straight projection: no join, no aggregate; at
+    // 100 TB the sink is bucketed by address so the per-address read is
+    // partition-pruned.
+    Q("eth_address_txs", "A",
+      (s, d) => s.read.format("graft-chain")
+        .option("stream", "transaction").option("start", 0).option("end", 499)
+        .option("batchSize", 100).load()
+        .select(col("hash"), col("block_number"),
+          col("transaction_index").cast("int").as("tx_index"), col("value"),
+          explode(array(
+            struct(col("from_address").as("address"), lit(1).as("is_outgoing")),
+            struct(col("to_address").as("address"), lit(0).as("is_outgoing"))))
+            .as("e"))
+        .select(col("e.address").as("address"), col("block_number"),
+          col("tx_index"), col("e.is_outgoing").as("is_outgoing"),
+          col("hash").as("transaction_hash"),
+          col("value").cast("string").as("value_wei"))
+        .filter(col("address").isNotNull)
+        .orderBy("address", "block_number", "tx_index", "is_outgoing"),
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 500)) AS b)),
+             |tx AS (SELECT b, i,
+             |         '0x' || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR))
+             |              || md5('tx-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR) || '-b') AS h,
+             |         '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS from_address,
+             |         CASE WHEN (b + i) % 7 = 0 THEN NULL
+             |              ELSE '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) END AS to_address,
+             |         CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i AS v
+             |       FROM bt),
+             |e AS (SELECT from_address AS address, b, i, 1 AS is_outgoing, h, v FROM tx
+             |      UNION ALL
+             |      SELECT to_address, b, i, 0, h, v FROM tx WHERE to_address IS NOT NULL)
+             |SELECT address, CAST(b AS INTEGER) AS block_number, CAST(i AS INTEGER) AS tx_index,
+             |       is_outgoing, h AS transaction_hash, CAST(v AS VARCHAR) AS value_wei
+             |FROM e ORDER BY address, block_number, tx_index, is_outgoing""".stripMargin)),
+
+    // Keyspace summary statistics (the one-row ingest health card every
+    // GraphSense keyspace carries: stream cardinalities + chain tip).
+    // Each stream collapses to ONE row via its own map-side-combined
+    // aggregate before the 1-row×1-row cross joins stitch the card —
+    // never a row-level join between streams, so the plan is four
+    // independent linear scans at any scale.
+    Q("eth_summary_stats", "A",
+      (s, d) => {
+        def stream(name: String) = s.read.format("graft-chain")
+          .option("stream", name).option("start", 0).option("end", 499)
+          .option("batchSize", 100).load()
+        val blocks = stream("block")
+          .agg(count(lit(1)).as("no_blocks"), max(col("number")).as("tip_block"),
+            max(col("timestamp")).as("tip_timestamp"))
+        val txs = stream("transaction")
+          .agg(count(lit(1)).as("no_txs"),
+            sum(col("value")).cast("string").as("wei_total"))
+        val logs = stream("log").agg(count(lit(1)).as("no_logs"))
+        val traces = stream("trace").agg(count(lit(1)).as("no_traces"))
+        blocks.crossJoin(txs).crossJoin(logs).crossJoin(traces)
+          .withColumn("id", lit("eth"))
+          .select(col("id"), col("no_blocks"), col("no_txs"), col("no_logs"),
+            col("no_traces"), col("tip_block"), col("tip_timestamp"),
+            col("wei_total"))
+      },
+      Some("""WITH bl AS (SELECT unnest(range(0, 500)) AS b),
+             |bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i FROM bl),
+             |lg AS (SELECT b, unnest(range((b % 3 + 1) * 2)) AS i FROM bl),
+             |tr AS (SELECT b, unnest(range(b % 3 + 2)) AS i FROM bl)
+             |SELECT 'eth' AS id,
+             |       (SELECT count(*) FROM bl) AS no_blocks,
+             |       (SELECT count(*) FROM bt) AS no_txs,
+             |       (SELECT count(*) FROM lg) AS no_logs,
+             |       (SELECT count(*) FROM tr) AS no_traces,
+             |       CAST(499 AS INTEGER) AS tip_block,
+             |       CAST(1438269988 + 499 * 13 AS INTEGER) AS tip_timestamp,
+             |       (SELECT CAST(sum(CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i) AS VARCHAR) FROM bt) AS wei_total""".stripMargin)),
+
+    // Q5c: exchange-rate forward-fill — the reference ingests one rate row
+    // per day that HAS one (scripts/schema.cql:79-82) and downstream
+    // consumers need a rate for EVERY day, so gaps carry the last known
+    // rate forward. The spine is sequence(min_day, max_day) off a 1-row
+    // aggregate (never a driver loop); the fill is last(ignoreNulls) over
+    // an ordered running frame. The global window is safe BY CONSTRUCTION:
+    // it orders the day spine (a few thousand rows for a decade of chain),
+    // not the data — rates are the textbook tiny-dimension table. Days
+    // before the first known rate stay null (no rate ever existed), which
+    // downstream joins must see rather than a fabricated 0.
+    Q("q5_rate_ffill", "Q5",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables(s, d, "orders")
+          .agg(min(to_date(col("o_orderdate"))).as("lo"),
+            max(to_date(col("o_orderdate"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        val known = Tables(s, d, "orders")
+          .select(to_date(col("o_orderdate")).as("d")).distinct()
+          .filter(dayofmonth(col("d")) % 5 === 1)
+          .withColumn("rate_cents",
+            (lit(10000) + dayofmonth(col("d")) * 10).cast("long"))
+        days.join(known, Seq("d"), "left")
+          .withColumn("rate_ffill", last(col("rate_cents"), ignoreNulls = true)
+            .over(Window.orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("d")
+      },
+      Some("""WITH mm AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             |                   max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM mm),
+             |known AS (SELECT d, CAST(10000 + EXTRACT(day FROM d) * 10 AS BIGINT) AS rate_cents
+             |          FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+             |          WHERE EXTRACT(day FROM d) % 5 = 1)
+             |SELECT d, rate_cents,
+             |       last_value(rate_cents IGNORE NULLS) OVER
+             |         (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_ffill
+             |FROM days LEFT JOIN known USING (d) ORDER BY d""".stripMargin)),
+
     // K1 maintenance: small-files compaction roundtrip — fragment a
     // bucketed sink (8 write tasks => 8 files per bucket), compact every
     // oversized bucket to one clustered file, and prove the row set

@@ -793,4 +793,32 @@ class LlmSpec extends SparkSpec {
     assert(Sampling.importanceWeights(emptyDocs, "doc_id", "text", lit(true)).count() == 0)
     assert(Similarity.pqCodes(emptyVecs, cents, dim = 2, m = 1).count() == 0)
   }
+
+  test("bloom filter: no false negatives; fp rate sane; prefilter ≡ exact join") {
+    val items = spark.range(0, 500).select(concat(lit("item-"), $"id").as("g"))
+    val bits = 1 << 14
+    val bloom = TextAnalysis.bloomBuild(items, "g", bits = bits, numHashes = 4)
+    // every inserted item MUST probe true — the correctness half of the
+    // contract (a false negative would silently drop real matches)
+    val inserted = items
+      .filter(TextAnalysis.bloomMightContain(bloom, bits, 4, $"g"))
+    assert(inserted.count() == 500)
+    // non-members mostly probe false: at n=500, m=2^14, k=4 the classic
+    // rate is ~1e-4 — allow 1% before calling the hash family broken
+    val absent = spark.range(0, 10000)
+      .select(concat(lit("absent-"), $"id").as("g"))
+      .filter(TextAnalysis.bloomMightContain(bloom, bits, 4, $"g"))
+    assert(absent.count() <= 100)
+    // build is order/partitioning-independent (bit-OR commutes)
+    val shuffled = TextAnalysis.bloomBuild(
+      items.repartition(7).orderBy(rand(42)), "g", bits = bits, numHashes = 4)
+    assert(java.util.Arrays.equals(bloom, shuffled))
+    // degenerate params refuse loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bloomBuild(items, "g", bits = 100, numHashes = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bloomMightContain(bloom, bits * 2, 4, $"g")
+    }
+  }
 }

@@ -426,4 +426,36 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Window").length == 2, s"expected exactly one window:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
+
+  test("bloom decontamination: probe is a pre-join Filter (shift/AND), verify join broadcast") {
+    val p = plan("text_decontaminate_bloom")
+    // the bloom probe must be plain column arithmetic in a Filter — never
+    // a join against the filter words or an aggregate on the corpus side
+    assert(p.contains("shiftright"), s"expected bit-test probe in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast verify join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle into the verify join:\n$p")
+    // exactly one join total: the verify; the prefilter adds none
+    assert(p.split("Join").length == 2, s"expected exactly one join:\n$p")
+  }
+
+  test("contract creations: both filters push below the join's exchanges") {
+    val p = plan("eth_contract_creations")
+    // big-big equi-join on the tx hash: filters must run BEFORE the
+    // exchanges so only creations (and their receipt columns) shuffle
+    val beforeJoin = p.substring(p.indexOf("Join"))
+    assert(beforeJoin.contains("isnull(to_address"),
+      s"null-to filter must sit below the join:\n$p")
+    assert(beforeJoin.contains("coalesce(NOT (status"),
+      s"status gate must sit below the join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
+  test("summary stats: four 1-row aggregates meet by broadcast nested loop, streams never row-join") {
+    val p = plan("eth_summary_stats")
+    // every cross join input is a 1-row aggregate — BroadcastNestedLoop on
+    // 1-row sides is the cheapest possible stitch, CartesianProduct of raw
+    // streams would be the bug
+    assert(p.split("HashAggregate").length > 4, s"expected per-stream aggregates:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row joins must broadcast:\n$p")
+  }
 }
