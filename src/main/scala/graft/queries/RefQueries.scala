@@ -1358,6 +1358,81 @@ object RefQueries {
              |         (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_ffill
              |FROM days LEFT JOIN known USING (d) ORDER BY d""".stripMargin)),
 
+    // Fiat-valued address relations — the estimation the graphsense
+    // transformation actually serves (edge values in fiat, not wei):
+    // per-tx conversion at the rate of the tx's OWN time period, then the
+    // J1-style pair aggregate. Composes three ops end to end: J2 block-
+    // timestamp denorm, the forward-filled rate table (tiny — it rides a
+    // broadcast; txs in periods before the first known rate are dropped,
+    // never priced at a fabricated rate), and the status-gated relations
+    // rollup. Money math is integer end to end: value is truncated to
+    // 1e12-wei units (exact `div`), multiplied by integer cents — bit-
+    // identical in any engine, no float in sight. Periods are 600 s here
+    // so the synthetic 13 s-per-block chain spans ~23 of them; production
+    // uses the reference's daily buckets (scripts/schema.cql:79-82) —
+    // same plan, coarser key.
+    Q("eth_relations_usd", "Q5",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def stream(name: String) = s.read.format("graft-chain")
+          .option("stream", name).option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+        val blocks = stream("block")
+          .select(col("number").as("block_id"), col("timestamp"))
+        val periods = blocks.select(expr("timestamp div 600").as("p"))
+          .agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("p"))
+        val known = blocks.select(expr("timestamp div 600").as("p")).distinct()
+          .filter(pmod(col("p"), lit(3L)) === 0)
+          .withColumn("rate_cents", (lit(10000L) + pmod(col("p"), lit(100L))))
+        val rates = periods.join(known, Seq("p"), "left")
+          .withColumn("rate_cents", last(col("rate_cents"), ignoreNulls = true)
+            .over(Window.orderBy(col("p"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rate_cents").isNotNull)
+        val tx = stream("transaction").withColumnRenamed("block_number", "block_id")
+        val rc = stream("receipt")
+        Enrich.withBlockTimestamp(tx, blocks)
+          .join(rc, col("hash") === rc("transaction_hash"))
+          .filter(col("to_address").isNotNull)
+          .withColumn("p", expr("block_timestamp div 600"))
+          .join(broadcast(rates), Seq("p"))
+          .withColumn("ok_usd_micro",
+            when(coalesce(rc("status") =!= 0, lit(true)),
+              expr("(value div 1000000000000) * rate_cents")).otherwise(lit(0L)))
+          .groupBy(col("from_address"), col("to_address"))
+          .agg(count(lit(1)).as("n_txs"),
+            sum(col("ok_usd_micro")).as("usd_micro_cents"),
+            min(col("block_id")).as("first_block"),
+            max(col("block_id")).as("last_block"))
+          .orderBy("from_address", "to_address")
+      },
+      Some("""WITH bl AS (SELECT unnest(range(0, 1000)) AS b),
+             |hb AS (SELECT b, (1438269988 + b * 13) // 600 AS p FROM bl),
+             |spine AS (SELECT unnest(range((SELECT min(p) FROM hb),
+             |                              (SELECT max(p) FROM hb) + 1)) AS p),
+             |kr AS (SELECT p, CAST(10000 + p % 100 AS BIGINT) AS rate_cents
+             |       FROM (SELECT DISTINCT p FROM hb WHERE p % 3 = 0)),
+             |rf AS (SELECT spine.p, last_value(rate_cents IGNORE NULLS) OVER
+             |         (ORDER BY spine.p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_cents
+             |       FROM spine LEFT JOIN kr USING (p)),
+             |bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i FROM bl),
+             |tx AS (SELECT b, i,
+             |         '0x' || substring(md5('from-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS from_address,
+             |         '0x' || substring(md5('to-' || CAST(b AS VARCHAR) || '-' || CAST(i AS VARCHAR)), 1, 40) AS to_address,
+             |         CAST('100000000000000000000' AS HUGEINT) + b * 1000 + i AS v,
+             |         ((b + i) % 11 = 0) OR ((b + i) % 2 = 1) AS ok,
+             |         (1438269988 + b * 13) // 600 AS p
+             |       FROM bt WHERE (b + i) % 7 <> 0),
+             |j AS (SELECT tx.*, rf.rate_cents FROM tx
+             |      JOIN rf USING (p) WHERE rf.rate_cents IS NOT NULL)
+             |SELECT from_address, to_address, CAST(count(*) AS BIGINT) AS n_txs,
+             |       CAST(sum(CASE WHEN ok THEN CAST(v // 1000000000000 AS BIGINT) * rate_cents
+             |                     ELSE 0 END) AS BIGINT) AS usd_micro_cents,
+             |       CAST(min(b) AS INTEGER) AS first_block,
+             |       CAST(max(b) AS INTEGER) AS last_block
+             |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // K1 maintenance: small-files compaction roundtrip — fragment a
     // bucketed sink (8 write tasks => 8 files per bucket), compact every
     // oversized bucket to one clustered file, and prove the row set

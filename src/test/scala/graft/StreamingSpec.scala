@@ -279,4 +279,33 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("win_out").count() > 0)
     } finally query.stop()
   }
+
+  test("bloom probe runs as a stateless streaming filter (ingest-time decontamination)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the benchmark filter is built ONCE, batch-side, and rides every
+    // micro-batch as a plan literal — no state store, no stream-static
+    // join, so the stream stays append-mode stateless
+    val bench = Seq("held out benchmark prompt", "another eval item")
+      .toDF("g")
+    val bloom = graft.llm.TextAnalysis.bloomBuild(bench, "g", bits = 1 << 10)
+    val input = MemoryStream[(Long, String)]
+    val flagged = input.toDF().toDF("doc_id", "text")
+      .filter(graft.llm.TextAnalysis.bloomMightContain(
+        bloom, 1 << 10, 4, col("text")))
+    val query = flagged.writeStream
+      .format("memory").queryName("bloom_out").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "held out benchmark prompt"), // member: must flag
+        (2L, "clean training document"),
+        (3L, "another eval item")) // member: must flag
+      query.processAllAvailable()
+      val ids = spark.table("bloom_out").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.contains(1L) && ids.contains(3L), s"members must flag: ${ids.toSeq}")
+      // doc 2 may only appear as a (vanishingly unlikely) false positive;
+      // assert the filter is not pass-through
+      assert(ids.length <= 3 && ids.length >= 2)
+    } finally query.stop()
+  }
 }
