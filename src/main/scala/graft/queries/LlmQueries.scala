@@ -1729,6 +1729,27 @@ object LlmQueries {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // Weakly-connected components over the backbone graph — the
+    // graphsense-style "entity" view (everything transitively connected
+    // by repeated transfers is one cluster), computed by the SAME
+    // min-label ConnectedComponents operator the dedup family uses: one
+    // operator, two domains. Per round: one shuffle join + one aggregate;
+    // driver state is a single convergence scalar. The oracle is the
+    // transitive closure, so any propagation bug (not just a wrong
+    // fixpoint count) hash-mismatches.
+    Q("graph_components", "GRAPH",
+      (s, d) => graft.operators.ConnectedComponents.run(
+          backboneEdges(s, d), "src", "dst")
+        .orderBy("node"),
+      Some(s"""${backboneEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |e AS (SELECT src AS a, dst AS b FROM ew UNION SELECT dst, src FROM ew),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+              |SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
+              |GROUP BY n ORDER BY node""".stripMargin)),
+
     // Sequence packing: concat-and-chunk placement (the pretraining data
     // layout) — per-shard running token sums, 2048-token chunks. Sharded by
     // id hash so the cumulative sum parallelizes; every placement is a pure
