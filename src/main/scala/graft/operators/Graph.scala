@@ -386,4 +386,62 @@ object Graph {
     }
     degrees(live)
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) with a FIXED round count and a fully deterministic update: each
+    * round, every node adopts the label carrying the largest total
+    * incident edge weight among its neighbors, ties broken toward the
+    * SMALLEST label. Labels start as the node's own id; after k rounds
+    * nodes sharing a densely-connected region have converged onto the
+    * region's minimum seed — the community view that sits between
+    * [[ConnectedComponents]] (pure reachability, weight-blind) and
+    * modularity methods (global objective, not shuffle-friendly).
+    *
+    * Synchronous + fixed-round is what makes the output a pure function
+    * of the graph: the classic asynchronous LPA is order-dependent (and
+    * can oscillate), while k synchronous rounds are reproducible across
+    * engines, partitionings, and retries — the same contract as
+    * [[pagerank]]'s fixed power iterations.
+    *
+    * Scale shape: per round one equi-join (labels ⋈ edges on the node id)
+    * + one two-key aggregate (map-side combined, output ≤ |E| rows
+    * collapsing to |V|) + one argmax aggregate via min-of-struct (no
+    * window sort); lineage truncated per round; zero driver state. The
+    * weighted-majority argmax rides `max(struct(weight, -label))` so the
+    * tie-break needs no secondary pass. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 2,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    // symmetrize with summed weights: influence flows both ways; zero or
+    // negative collapsed weights carry no votes (same guard as pagerank)
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"), w.as("__w")),
+        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"), w.as("__w"))))
+        .as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__e.__w").as("__w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(true)
+    val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    var r = 0
+    while (r < rounds) {
+      val votes = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("__s"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("__s"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("a").as("node"), (-col("__m.__nl")).as("label"))
+      // every node in `nodes` has >= 1 neighbor by construction, but the
+      // left join + coalesce keeps the contract total if callers pass a
+      // pre-filtered label frame in a future variant
+      labels = nodes.join(votes, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
 }

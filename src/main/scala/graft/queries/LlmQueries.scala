@@ -1750,6 +1750,38 @@ object LlmQueries {
               |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
               |GROUP BY n ORDER BY node""".stripMargin)),
 
+    // Community detection by fixed-round synchronous label propagation
+    // (Raghavan et al. 2007): each round a node adopts the neighbor label
+    // with the largest incident edge weight (ties to the smallest label).
+    // Where components answer "connected at all?", LPA answers "densely
+    // connected to WHICH region?" — and the synchronous fixed-round form
+    // is a pure function of the graph, so the oracle replays both rounds
+    // exactly. Per round: one equi-join + two map-side-combined
+    // aggregates; the argmax is min-of-struct, never a window sort.
+    Q("graph_lpa_communities", "GRAPH",
+      (s, d) => graft.operators.Graph.labelPropagation(
+          backboneEdges(s, d), rounds = 2, weightCol = Some("w"))
+        .orderBy("node"),
+      Some(s"""$backboneEdgesCte,
+              |sym AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+              |          SELECT src AS a, dst AS b, w FROM ew
+              |          UNION ALL SELECT dst, src, w FROM ew) GROUP BY 1, 2),
+              |n AS (SELECT DISTINCT a AS node FROM sym),
+              |l0 AS (SELECT node, node AS label FROM n),
+              |v1 AS (SELECT s.a, l0.label, sum(s.w) AS sw FROM sym s
+              |       JOIN l0 ON s.b = l0.node GROUP BY 1, 2),
+              |w1 AS (SELECT a, label, row_number() OVER
+              |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v1),
+              |l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
+              |       FROM n LEFT JOIN w1 ON w1.a = n.node AND w1.rn = 1),
+              |v2 AS (SELECT s.a, l1.label, sum(s.w) AS sw FROM sym s
+              |       JOIN l1 ON s.b = l1.node GROUP BY 1, 2),
+              |w2 AS (SELECT a, label, row_number() OVER
+              |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v2),
+              |l2 AS (SELECT n.node, coalesce(w2.label, n.node) AS label
+              |       FROM n LEFT JOIN w2 ON w2.a = n.node AND w2.rn = 1)
+              |SELECT node, CAST(label AS BIGINT) AS label FROM l2 ORDER BY node""".stripMargin)),
+
     // Sequence packing: concat-and-chunk placement (the pretraining data
     // layout) — per-shard running token sums, 2048-token chunks. Sharded by
     // id hash so the cumulative sum parallelizes; every placement is a pure

@@ -430,6 +430,39 @@ class OperatorsSpec extends SparkSpec {
     assert(t3 == Map(1L -> 1000000L))
   }
 
+  test("label propagation: weighted majority wins, ties go low, bridge stays weak") {
+    import graft.operators.Graph
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10.
+    // Synchronous rounds are a pure function of the graph — the exact
+    // 2-round state is hand-traceable: r1 = {1→2, 2→1, 3→1, 10→3,
+    // 11→10, 12→10}; r2 applies the same tie-to-min rule to those labels,
+    // giving the left triangle its min seed while the bridge's r1 label
+    // (3) propagates into the right triangle's tie-breaks
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(tri, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L), s"2-round trace: $out")
+
+    // weights dominate cardinality: node 0 has two unit votes for label 1
+    // (via 1 and 2... both labeled 1 after round 1? use round 1 directly)
+    // — one heavy edge (w=5) to 9 beats two light edges to 1 and 2
+    val wed = Seq((0L, 1L, 1L), (0L, 2L, 1L), (0L, 9L, 5L)).toDF("src", "dst", "w")
+    val w1 = Graph.labelPropagation(wed, rounds = 1, weightCol = Some("w"))
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(w1(0L) == 9L, s"heavy edge must win: $w1")
+    // deterministic tie-break: equal weights -> smallest label
+    val tie = Seq((0L, 5L), (0L, 3L)).toDF("src", "dst")
+    val t1 = Graph.labelPropagation(tie, rounds = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(t1(0L) == 3L)
+    // fixed rounds are partitioning-independent
+    val rep = Graph.labelPropagation(tri.repartition(13), rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(rep == out)
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
