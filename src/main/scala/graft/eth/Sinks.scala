@@ -201,6 +201,66 @@ object Sinks {
       .filter(col(bucketCol).between(lo / bucketSize, hi / bucketSize)
         && col(blockIdCol).between(lo, hi))
 
+  /** Manifest sidecar location for [[writeManifest]] — OUTSIDE the data
+    * directory so `spark.read.parquet(dataDir)` never sees it. */
+  def manifestPath(path: String): String = path.stripSuffix("/") + "_manifest"
+
+  /** File-level data-skipping manifest — the min/max-per-file statistics
+    * table at the core of every lakehouse format (Delta/Iceberg data
+    * skipping), for plain parquet sinks: one row per data file with the
+    * min/max of each `statsCols` column and its row count. Partition
+    * pruning skips DIRECTORIES and parquet footers skip ROW GROUPS, but
+    * between them every file of a surviving partition is still OPENED
+    * (list + footer read per file) — at 100 TB with millions of files
+    * that open storm dominates selective scans, and a manifest turns it
+    * into one tiny pre-read. Build cost is a single column-pruned scan
+    * (only `statsCols` are read) with a map-side-combined per-file
+    * aggregate; the output is #files rows — metadata-sized by
+    * construction. Rebuild after compaction/upsert (the write paths
+    * already funnel through few entry points; a production deployment
+    * would hook them). */
+  def writeManifest(spark: SparkSession, path: String,
+                    statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // #files rows: metadata-sized
+      .write.mode("overwrite").parquet(manifestPath(path))
+  }
+
+  /** Data files whose `[min_c, max_c]` interval INTERSECTS `[lo, hi]`,
+    * per the manifest — plus the total file count. The kept list is
+    * bounded driver-side metadata (file paths, same class as the
+    * touched-bucket lists elsewhere in this file); files with a null min
+    * (all-null column) are conservatively kept. */
+  def manifestPrunedFiles(spark: SparkSession, path: String, statsCol: String,
+                          lo: Long, hi: Long): (Seq[String], Long) = {
+    val m = spark.read.parquet(manifestPath(path))
+    val total = m.count()
+    val keep = m.filter(col(s"min_$statsCol").isNull ||
+        !(col(s"max_$statsCol") < lo || col(s"min_$statsCol") > hi))
+      .select(col("file")).collect().map(_.getString(0)).toIndexedSeq
+    (keep, total)
+  }
+
+  /** Range read THROUGH the manifest: open only intersecting files, then
+    * apply the exact predicate (the manifest is a superset filter — the
+    * row-level filter still runs, so a stale-but-superset manifest can
+    * only cost extra IO, never wrong answers; a manifest missing new
+    * files WOULD drop rows, which is why writers must rebuild it — the
+    * same freshness contract every lakehouse manifest carries). */
+  def readRangeViaManifest(spark: SparkSession, path: String, statsCol: String,
+                           lo: Long, hi: Long): DataFrame = {
+    val (keep, _) = manifestPrunedFiles(spark, path, statsCol, lo, hi)
+    if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(keep: _*)
+      .filter(col(statsCol).between(lo, hi))
+  }
+
   /** Per-table CSV dialect (ref: scripts/csv_import.sh:12-39): logs use `|`
     * because `topics` is rendered as a JSON-ish string containing commas
     * (ref: scripts/eth_csv_export.py:574-580); all other tables use `,`. */

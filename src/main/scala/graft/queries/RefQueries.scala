@@ -1513,6 +1513,34 @@ object RefQueries {
              |SELECT CAST(b // 100 AS INTEGER) AS block_group, count(*) AS n_orphans
              |FROM li GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // K6 (engine-beyond-reference): file-level data-skipping manifest —
+    // the Delta/Iceberg min/max-per-file statistics table for plain
+    // parquet. Partition dirs and parquet footers already skip at their
+    // granularities, but a selective scan still OPENS every file of a
+    // surviving partition; the manifest pre-read (one metadata-sized
+    // table) keeps the file-open count proportional to the files that can
+    // match. The range-partitioned write gives each file a tight key
+    // interval, the probe reads only intersecting files, and the exact
+    // row-level filter still runs — a superset manifest can cost IO,
+    // never correctness (the oracle pins that). SinksSpec asserts the
+    // physical payoff (files opened < files total) and the empty-range /
+    // full-range edges.
+    Q("k6_manifest_prune", "Q2",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_manifest")
+          .toString + "/orders"
+        Tables(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite").parquet(out)
+        Sinks.writeManifest(s, out, Seq("o_orderkey"))
+        Sinks.readRangeViaManifest(s, out, "o_orderkey", 10000, 19999)
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents_sum"))
+      },
+      Some("""SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+             |FROM orders WHERE o_orderkey BETWEEN 10000 AND 19999""".stripMargin)),
+
     // S5 generalized to a full operator: backward AS-OF JOIN — for every
     // "purchase" event, the latest "click" at-or-before it per user
     // (the reference's timestamp->block watermark lookup is the k=1 scalar

@@ -268,4 +268,30 @@ class SinksSpec extends SparkSpec {
       else hconf.set("parquet.block.size", prevBlock)
     }
   }
+
+  test("manifest skipping: narrow probe opens a strict file subset, answers stay exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink_manifest").toString + "/t"
+    spark.range(0, 1000)
+      .select($"id".as("k"), ($"id" * 7).as("v"))
+      .repartitionByRange(8, $"k")
+      .write.mode("overwrite").parquet(dir)
+    Sinks.writeManifest(spark, dir, Seq("k"))
+    // narrow probe: range-partitioned files have tight [min,max] — the
+    // manifest must keep strictly fewer than all 8
+    val (keep, total) = Sinks.manifestPrunedFiles(spark, dir, "k", 100, 199)
+    assert(total == 8 && keep.nonEmpty && keep.length < 8,
+      s"kept ${keep.length} of $total")
+    val got = Sinks.readRangeViaManifest(spark, dir, "k", 100, 199)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (100L to 199L).map(k => (k, k * 7))
+    assert(got.toSeq == want)
+    // empty range beyond the data: zero files opened, schema intact
+    val (none, _) = Sinks.manifestPrunedFiles(spark, dir, "k", 5000, 6000)
+    assert(none.isEmpty)
+    val empty = Sinks.readRangeViaManifest(spark, dir, "k", 5000, 6000)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v"))
+    // full range: superset manifest never drops rows
+    assert(Sinks.readRangeViaManifest(spark, dir, "k", 0, 999).count() == 1000)
+  }
 }
