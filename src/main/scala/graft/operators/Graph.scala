@@ -444,4 +444,73 @@ object Graph {
     }
     labels
   }
+
+  /** Graph coarsening: contract a weighted digraph by a node→community
+    * map into its super-graph — one row per (src community, dst
+    * community) with the collapsed edge count and total weight, plus an
+    * `intra` flag. This is the cluster-level EDGE table of an entity
+    * model (graphsense's cluster relations over its address relations:
+    * once addresses collapse to entities, flow tracing reads THIS table,
+    * |C|² ≪ |V|² rows) and the standard coarsening step of multilevel
+    * graph algorithms (Karypis–Kumar METIS): analyze the super-graph,
+    * refine on the full graph.
+    *
+    * Scale shape: two equi-joins labels⋈edges on the node id (the label
+    * frame is |V| rows — broadcast when small, shuffle-join on the node
+    * id otherwise; Spark's planner picks by stats) + ONE aggregate on
+    * the community pair, map-side combined, output |C|² bounded by |E|.
+    * No windows, no driver state. Hub communities skew the pair key the
+    * same way hub nodes skew joins — AQE skew split applies. */
+  def coarsen(edges: DataFrame, labels: DataFrame,
+              srcCol: String = "src", dstCol: String = "dst",
+              weightCol: Option[String] = None,
+              nodeCol: String = "node", labelCol: String = "label"): DataFrame = {
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val lab = labels.select(col(nodeCol).cast("long").as("__n"),
+      col(labelCol).cast("long").as("__c"))
+    edges
+      .select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"), w.as("__w"))
+      .join(lab.withColumnRenamed("__c", "src_comm"), col("__s") === col("__n"))
+      .drop("__n")
+      .join(lab.withColumnRenamed("__c", "dst_comm"), col("__d") === col("__n"))
+      .groupBy(col("src_comm"), col("dst_comm"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("__w")).as("w_total"))
+      .select(col("src_comm"), col("dst_comm"), col("n_edges"), col("w_total"),
+        (col("src_comm") === col("dst_comm")).as("intra"))
+  }
+
+  /** Time-respecting two-hop paths (temporal flow tracing): pairs of
+    * timestamped edges A→B at t1, B→C at t2 with t1 ≤ t2 ≤ t1 + maxGap —
+    * the "value leaves A and reaches C THROUGH B within the window"
+    * motif of transaction forensics, where plain [[twoHopPaths]]
+    * over-counts by pairing hops that happen in the wrong order. Per
+    * terminal node: path count, distinct origins, distinct
+    * intermediaries, and the earliest completion time.
+    *
+    * Scale shape: one self-equi-join on the mid node with the time
+    * predicate applied AS the join residual (Catalyst keys the exchange
+    * on `mid`; the range condition filters inside the join, before the
+    * aggregate sees a row), then one map-side-combined aggregate with a
+    * distinct-expand bounded by the surviving pair set. Hub cost is
+    * deg_in × deg_out per mid BEFORE the time filter — at 100 TB,
+    * bucket the edge table by time so the window predicate also prunes
+    * partitions (the same layout [[graft.eth.Sinks]] gives block
+    * ranges), turning the residual filter into a scan bound. */
+  def temporalTwoHop(edges: DataFrame, maxGap: String,
+                     srcCol: String = "src", dstCol: String = "dst",
+                     tsCol: String = "ts"): DataFrame = {
+    val a = edges.select(col(srcCol).cast("long").as("s0"),
+      col(dstCol).cast("long").as("mid"), col(tsCol).as("t1"))
+    val b = edges.select(col(srcCol).cast("long").as("mid"),
+      col(dstCol).cast("long").as("node"), col(tsCol).as("t2"))
+    a.join(b, Seq("mid"))
+      .filter(col("t2") >= col("t1")
+        && col("t2") <= col("t1") + expr(s"INTERVAL $maxGap"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("s0")).as("n_sources"),
+        countDistinct(col("mid")).as("n_mids"),
+        min(col("t2")).as("first_complete"))
+  }
 }

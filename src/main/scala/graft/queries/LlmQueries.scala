@@ -66,6 +66,29 @@ object LlmQueries {
       |ew AS (SELECT src, user_id AS dst, count(*) AS w FROM ev
       |       WHERE src IS NOT NULL AND src <> user_id GROUP BY 1, 2)""".stripMargin
 
+  /** [[transitionEdges]] with the transition's own timestamp (the dst
+    * event's ts) — the edge list for TIME-RESPECTING path motifs, where
+    * hop order matters and collapsing to weights would erase it. */
+  private def transitionEdgesTs(s: org.apache.spark.sql.SparkSession,
+                                d: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables(s, d, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      .withColumn("src", lag(col("user_id"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+      .select(col("src"), col("user_id").as("dst"), col("ts"))
+  }
+
+  /** DuckDB twin of [[transitionEdgesTs]]: `et(src, dst, t)`. */
+  private val transitionEdgesTsCte =
+    """WITH ev AS (SELECT event_type, user_id, ts, event_id,
+      |         lag(user_id) OVER (PARTITION BY event_type
+      |                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+      |       FROM events),
+      |et AS (SELECT src, user_id AS dst, CAST(ts AS TIMESTAMP) AS t FROM ev
+      |       WHERE src IS NOT NULL AND src <> user_id)""".stripMargin
+
   /** The REPEAT-transition backbone: [[transitionEdges]] collapsed to
     * weights, keeping only edges observed at least twice. One-off
     * co-occurrences are noise in a behavioral graph; the w >= 2 filter is
@@ -98,6 +121,30 @@ object LlmQueries {
        |dg AS (SELECT node, count(*) AS deg FROM
        |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
        |       GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of `Graph.labelPropagation(rounds = 2, weighted)` over
+    * [[backboneEdges]]: `l2(node, label)`. Shared by the community query
+    * and the super-graph coarsening so the two oracles can never
+    * disagree on what the communities ARE. */
+  private val lpaLabelsCte =
+    s"""$backboneEdgesCte,
+       |sym AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |          SELECT src AS a, dst AS b, w FROM ew
+       |          UNION ALL SELECT dst, src, w FROM ew) GROUP BY 1, 2),
+       |n AS (SELECT DISTINCT a AS node FROM sym),
+       |l0 AS (SELECT node, node AS label FROM n),
+       |v1 AS (SELECT s.a, l0.label, sum(s.w) AS sw FROM sym s
+       |       JOIN l0 ON s.b = l0.node GROUP BY 1, 2),
+       |w1 AS (SELECT a, label, row_number() OVER
+       |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v1),
+       |l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
+       |       FROM n LEFT JOIN w1 ON w1.a = n.node AND w1.rn = 1),
+       |v2 AS (SELECT s.a, l1.label, sum(s.w) AS sw FROM sym s
+       |       JOIN l1 ON s.b = l1.node GROUP BY 1, 2),
+       |w2 AS (SELECT a, label, row_number() OVER
+       |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v2),
+       |l2 AS (SELECT n.node, coalesce(w2.label, n.node) AS label
+       |       FROM n LEFT JOIN w2 ON w2.a = n.node AND w2.rn = 1)""".stripMargin
 
   /** DuckDB twin of `Graph.orient` (degree-ordered orientation over
     * und/dg): `ori(s, t)`, each edge pointing from the endpoint lower in
@@ -1762,25 +1809,56 @@ object LlmQueries {
       (s, d) => graft.operators.Graph.labelPropagation(
           backboneEdges(s, d), rounds = 2, weightCol = Some("w"))
         .orderBy("node"),
-      Some(s"""$backboneEdgesCte,
-              |sym AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
-              |          SELECT src AS a, dst AS b, w FROM ew
-              |          UNION ALL SELECT dst, src, w FROM ew) GROUP BY 1, 2),
-              |n AS (SELECT DISTINCT a AS node FROM sym),
-              |l0 AS (SELECT node, node AS label FROM n),
-              |v1 AS (SELECT s.a, l0.label, sum(s.w) AS sw FROM sym s
-              |       JOIN l0 ON s.b = l0.node GROUP BY 1, 2),
-              |w1 AS (SELECT a, label, row_number() OVER
-              |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v1),
-              |l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
-              |       FROM n LEFT JOIN w1 ON w1.a = n.node AND w1.rn = 1),
-              |v2 AS (SELECT s.a, l1.label, sum(s.w) AS sw FROM sym s
-              |       JOIN l1 ON s.b = l1.node GROUP BY 1, 2),
-              |w2 AS (SELECT a, label, row_number() OVER
-              |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v2),
-              |l2 AS (SELECT n.node, coalesce(w2.label, n.node) AS label
-              |       FROM n LEFT JOIN w2 ON w2.a = n.node AND w2.rn = 1)
+      Some(s"""$lpaLabelsCte
               |SELECT node, CAST(label AS BIGINT) AS label FROM l2 ORDER BY node""".stripMargin)),
+
+    // Super-graph coarsening (the cluster-level edge table of an entity
+    // model — graphsense's cluster relations, METIS's coarsening step):
+    // contract the backbone by the SAME 2-round LPA labels as
+    // graph_lpa_communities, one row per community pair with collapsed
+    // edge count, total weight, and the intra-community flag. Where the
+    // address-relations table answers "who sent to whom", this answers
+    // "which GROUPS move value between each other" — the table flow
+    // analysis actually reads once |V| is billions. Two label joins +
+    // one map-side-combined pair aggregate; no windows past the label
+    // stage.
+    Q("graph_supergraph", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val labels = graft.operators.Graph.labelPropagation(
+          ew, rounds = 2, weightCol = Some("w"))
+        graft.operators.Graph.coarsen(ew, labels, weightCol = Some("w"))
+          .orderBy("src_comm", "dst_comm")
+      },
+      Some(s"""$lpaLabelsCte
+              |SELECT ls.label AS src_comm, ld.label AS dst_comm,
+              |       CAST(count(*) AS BIGINT) AS n_edges,
+              |       CAST(sum(ew.w) AS BIGINT) AS w_total,
+              |       ls.label = ld.label AS intra
+              |FROM ew JOIN l2 ls ON ew.src = ls.node
+              |        JOIN l2 ld ON ew.dst = ld.node
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Time-respecting two-hop flow (temporal motif): A→B at t1, B→C at
+    // t2 with t1 ≤ t2 ≤ t1 + 2h — the "value reached C through B within
+    // the window" trace that plain two-hop over-counts by pairing hops
+    // in the wrong order (here: 11.5k ordered paths vs 10× that
+    // unordered). The time predicate rides the mid-node equi-join as a
+    // residual, so the exchange still keys on mid and Catalyst never
+    // sees a cartesian.
+    Q("graph_temporal_two_hop", "GRAPH",
+      (s, d) => graft.operators.Graph.temporalTwoHop(
+          transitionEdgesTs(s, d), maxGap = "2 hours")
+        .orderBy("node"),
+      Some(s"""$transitionEdgesTsCte,
+              |p AS (SELECT a.src AS s0, a.dst AS mid, b.dst AS node, b.t AS t2
+              |      FROM et a JOIN et b ON a.dst = b.src
+              |      WHERE b.t >= a.t AND b.t <= a.t + INTERVAL 2 HOUR)
+              |SELECT node, CAST(count(*) AS BIGINT) AS n_paths,
+              |       CAST(count(DISTINCT s0) AS BIGINT) AS n_sources,
+              |       CAST(count(DISTINCT mid) AS BIGINT) AS n_mids,
+              |       min(t2) AS first_complete
+              |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Sequence packing: concat-and-chunk placement (the pretraining data
     // layout) — per-shard running token sums, 2048-token chunks. Sharded by

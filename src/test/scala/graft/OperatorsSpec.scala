@@ -463,6 +463,47 @@ class OperatorsSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("coarsen: community pairs aggregate edges, intra flag marks self-loops") {
+    import graft.operators.Graph
+    // communities {1,2}→A(=1) and {3,4}→B(=3); edges: 2 intra-A, 1 intra-B,
+    // 2 A→B (one per direction pair), weights summed per community pair
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, 2L), (3L, 4L, 7L),
+      (1L, 3L, 1L), (2L, 4L, 3L)).toDF("src", "dst", "w")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("node", "label")
+    val got = Graph.coarsen(edges, labels, weightCol = Some("w")).collect()
+      .map(r => (r.getAs[Long]("src_comm"), r.getAs[Long]("dst_comm")) ->
+        (r.getAs[Long]("n_edges"), r.getAs[Long]("w_total"), r.getAs[Boolean]("intra")))
+      .toMap
+    assert(got == Map(
+      (1L, 1L) -> (2L, 7L, true),
+      (3L, 3L) -> (1L, 7L, true),
+      (1L, 3L) -> (2L, 4L, false)), s"got $got")
+    // unweighted defaults to edge counting
+    val unw = Graph.coarsen(edges, labels).collect()
+      .map(r => (r.getAs[Long]("src_comm"), r.getAs[Long]("dst_comm")) ->
+        r.getAs[Long]("w_total")).toMap
+    assert(unw == Map((1L, 1L) -> 2L, (3L, 3L) -> 1L, (1L, 3L) -> 2L))
+  }
+
+  test("temporal two-hop: only time-ordered in-window hop pairs count") {
+    import graft.operators.Graph
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // in-window ordered pairs through mid 2: (1→2 @10:00, 2→3 @10:30) and
+    // (1→2 @10:00, 2→3 @10:45) count; 4→2 @10:50 is AFTER both second
+    // hops (order violation); 5→2 @09:00 is 90/105 min before them
+    // (outside the 1h window). Expect exactly the two paths 1→2→3.
+    val edges = Seq(
+      (1L, 2L, ts(0)), (2L, 3L, ts(30)), (2L, 3L, ts(45)),
+      (4L, 2L, ts(50)),
+      (5L, 2L, Timestamp.valueOf("2024-01-01 09:00:00"))).toDF("src", "dst", "ts")
+    val got = Graph.temporalTwoHop(edges, maxGap = "1 hour").collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_paths"), r.getAs[Long]("n_sources"), r.getAs[Long]("n_mids")))
+      .toMap
+    assert(got == Map(3L -> (2L, 1L, 1L)), s"got $got")
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
