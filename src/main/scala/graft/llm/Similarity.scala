@@ -375,6 +375,74 @@ object Similarity {
         round(err * 1000000000d).cast("long").as("err_nano"))
   }
 
+  /** Matryoshka (MRL, Kusupati et al. 2022) prefix truncation: keep the
+    * first `dims` components of each embedding — MRL-trained models front-
+    * load information, so the prefix IS a usable lower-dim embedding (the
+    * 4-16× storage/serving compression knob next to [[quantizeInt8]]'s
+    * 4×). Emits the truncated vector in integer micro-units (comma-joined
+    * — top-level arrays are not oracle-comparable) plus the retained-
+    * energy ratio ‖prefix‖²/‖full‖² in integer milli (the built-in audit:
+    * how much of the vector's mass the prefix kept). Both energies are
+    * rounded to micro BEFORE the integer ratio so the division is exact
+    * long arithmetic (truncating, non-negative — engine-independent);
+    * zero-energy vectors report 1000 (a zero prefix retains all of
+    * nothing). One scan, zero shuffles, all inside codegen. */
+  def matryoshkaTruncate(df: DataFrame, dims: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    GraftFunctions.register(df.sparkSession)
+    val prefix = slice(col(vecCol), 1, dims)
+    df.select(col(idCol), prefix.as("__p"),
+        round(dot(prefix, prefix) * 1000000d).cast("long").as("__pe"),
+        round(dot(col(vecCol), col(vecCol)) * 1000000d).cast("long").as("__fe"))
+      .select(col(idCol),
+        array_join(transform(col("__p"),
+          v => round(v.cast("double") * 1000000d).cast("long")), ",")
+          .as("prefix_micro"),
+        when(col("__fe") === 0L, lit(1000L))
+          .otherwise(expr("(__pe * 1000) div __fe")).as("retained_milli"))
+  }
+
+  /** Coarse-to-fine two-stage ANN over matryoshka prefixes: stage 1 ranks
+    * every candidate by the `dims`-prefix dot product and keeps a
+    * per-query shortlist; stage 2 re-scores ONLY the shortlist at full
+    * dimension and returns the top `k`. This is the standard MRL serving
+    * funnel — at scale the prefix lives in its own (4-16× smaller) column
+    * so stage 1's scan reads a fraction of the bytes, and stage 2's
+    * full-vector fetch touches `shortlist` rows per query instead of the
+    * corpus. Here both columns ride the same scan (one pass, no second
+    * shuffle — the local stand-in for that layout; the plan shape
+    * (broadcast queries → scan → two windows over the same partition key)
+    * is the real one. Ties break on neighbor id at both stages, so the
+    * funnel is deterministic end to end. */
+  def matryoshkaSearch(candidates: DataFrame, queries: DataFrame, dims: Int,
+                       k: Int, shortlist: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got k=$k shortlist=$shortlist")
+    GraftFunctions.register(candidates.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+      slice(col(vecCol), 1, dims).as("__qp"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"),
+      slice(col(vecCol), 1, dims).as("__cp"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_coarse").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("score_coarse", round(dot(col("__qp"), col("__cp")), 6))
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= shortlist)
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        col("score"), col("score_coarse"))
+  }
+
   /** Product-quantization code assignment (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): split each vector into
     * `m` contiguous subvectors of `dim/m` dims and assign each subvector

@@ -238,6 +238,148 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** One full BPE training step (Sennrich et al. 2016): count adjacent
+    * pairs over the distinct-word frequency table, elect the most frequent
+    * pair (ties to the smaller pair string), and apply it GREEDILY
+    * LEFTMOST NON-OVERLAPPING to every word — the exact merge the
+    * tokenizer-training loop would record, with per-word merge accounting.
+    * [[bpePairCounts]] is the counting half; this adds the election and
+    * the apply, so one call = one iteration of the train loop.
+    *
+    * The greedy-apply is relational, not a per-row scan loop: occurrence
+    * positions of the elected pair form runs of CONSECUTIVE indices only
+    * when the pair overlaps itself ("aa" in "aaaa"); leftmost-greedy
+    * keeps ceil(run/2) merges per run (classic gaps-and-islands: island =
+    * pos − row_number(), one window over the vocabulary-sized occurrence
+    * table, then integer (run+1) div 2). Corpus size stops mattering
+    * after the first aggregate — everything downstream is |vocab| rows.
+    *
+    * Returns one row per word CONTAINING the elected pair: (word, freq,
+    * pair, n_occurrences, n_chars, n_merges, n_symbols_after) — enough to
+    * replay the merge's effect on the corpus (Σ freq·n_merges symbols
+    * saved) and feed the next iteration. */
+  def bpeTrainStep(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .groupBy(col("__w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // reused: pair election + greedy apply
+    val top = words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(__w) - 1), i -> substring(__w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(1)
+    val occ = words.crossJoin(broadcast(top))
+      .select(col("__w"), col("freq"), col("pair"), col("n_occurrences"),
+        explode(expr(
+          "filter(sequence(1, length(__w) - 1), i -> substring(__w, i, 2) = pair)"))
+          .as("pos"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__w")).orderBy(col("pos"))
+    occ
+      .withColumn("grp", col("pos") - row_number().over(wnd))
+      .groupBy(col("__w"), col("freq"), col("pair"), col("n_occurrences"),
+        col("grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col("__w"), col("freq"), col("pair"), col("n_occurrences"))
+      .agg(sum(expr("(__run + 1) div 2")).as("n_merges"))
+      .select(col("__w").as("word"), col("freq"), col("pair"),
+        col("n_occurrences"),
+        length(col("__w")).cast("long").as("n_chars"), col("n_merges"),
+        (length(col("__w")).cast("long") - col("n_merges"))
+          .as("n_symbols_after"))
+  }
+
+  /** The full fixed-round BPE TRAINING LOOP (Sennrich et al. 2016):
+    * `rounds` iterations of elect-most-frequent-pair → greedy leftmost
+    * non-overlapping merge across the whole vocabulary, carrying the
+    * merged SYMBOL sequences (not raw strings) between rounds — so round
+    * 2 counts pairs of round-1 merge products, exactly like the real
+    * tokenizer trainer. [[bpeTrainStep]] is one such round with per-word
+    * accounting; this returns the MERGE TABLE the trainer exists to
+    * produce: one row per round with the elected pair and its corpus
+    * effect.
+    *
+    * State between rounds is the symbol-row table (word, freq, position,
+    * symbol) — |vocab|·avg-word-length rows, corpus-size-independent
+    * after the first aggregate. Each round: one lead() window (adjacent
+    * pairs), one bounded aggregate + top-1 election, the gaps-and-islands
+    * greedy (two windows over occurrence rows only), and a rebuild via
+    * two (word, position) equi-joins + a renumbering window. Every
+    * shuffle keys on the word (high-cardinality, even spread); lineage
+    * truncated per round; no driver state beyond the loop counter.
+    *
+    * Returns (round, pair, n_occurrences, n_words_affected,
+    * n_merges_applied, n_symbols_after) — n_* weighted by corpus word
+    * frequency. */
+  def bpeTrainMerges(df: DataFrame, rounds: Int,
+                     textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val W = org.apache.spark.sql.expressions.Window
+    val wnd = W.partitionBy(col("word")).orderBy(col("i"))
+    var syms = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("__p0", "s")))
+      .select(col("word"), col("freq"),
+        (col("__p0") + 1).cast("long").as("i"), col("s"))
+      .localCheckpoint(true)
+
+    var out: DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      val withNext = syms.withColumn("nxt", lead(col("s"), 1).over(wnd))
+      val pairs = withNext.filter(col("nxt").isNotNull)
+        .withColumn("pair", concat(col("s"), col("nxt")))
+      val top = pairs.groupBy(col("pair"))
+        .agg(sum(col("freq")).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("pair")).limit(1)
+      // greedy leftmost non-overlapping: occurrence starts overlap only at
+      // consecutive positions (self-overlapping pairs), so within each
+      // island of consecutive starts keep the odd-ranked ones
+      val cand = pairs.join(broadcast(top.select(col("pair"))), Seq("pair"))
+        .select(col("word"), col("freq"), col("i"))
+      val kept = cand
+        .withColumn("grp", col("i") - row_number().over(wnd))
+        .withColumn("__rr",
+          row_number().over(W.partitionBy(col("word"), col("grp")).orderBy(col("i"))))
+        .filter(col("__rr") % 2 === 1)
+        .select(col("word"), col("freq"), col("i"))
+        .localCheckpoint(true)
+      val stats = kept.agg(
+        coalesce(sum(col("freq")), lit(0L)).as("n_merges_applied"),
+        countDistinct(col("word")).as("n_words_affected"))
+      // rebuild: kept starts absorb their successor symbol; consumed
+      // successors drop; positions renumber in original order
+      val merged = withNext
+        .join(kept.select(col("word"), col("i"), lit(1).as("__st")),
+          Seq("word", "i"), "left")
+        .join(kept.select(col("word"), (col("i") + 1).as("i"), lit(1).as("__cons")),
+          Seq("word", "i"), "left")
+        .filter(col("__cons").isNull)
+        .select(col("word"), col("freq"), col("i").as("__oi"),
+          when(col("__st").isNotNull, concat(col("s"), col("nxt")))
+            .otherwise(col("s")).as("s"))
+        .withColumn("i", row_number()
+          .over(W.partitionBy(col("word")).orderBy(col("__oi"))).cast("long"))
+        .select(col("word"), col("freq"), col("i"), col("s"))
+        .localCheckpoint(true)
+      val after = merged.agg(
+        coalesce(sum(col("freq")), lit(0L)).as("n_symbols_after"))
+      val row = top.withColumn("round", lit(r))
+        .crossJoin(stats).crossJoin(after)
+        .select(col("round"), col("pair"), col("n_occurrences"),
+          col("n_words_affected"), col("n_merges_applied"),
+          col("n_symbols_after"))
+      out = if (out == null) row else out.union(row)
+      syms = merged
+      r += 1
+    }
+    out
+  }
+
   /** Per-item Bloom positions under Kirsch-Mitzenmacher double hashing
     * (pos_j = (h1 + j·h2) mod bits): two md5 digests per item regardless
     * of `numHashes`, both reduced mod `bits` BEFORE the affine combine so

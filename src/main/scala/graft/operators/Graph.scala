@@ -83,6 +83,65 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank with a FIXED iteration count — [[pagerank]]'s
+    * importance ranking RESTARTED at a seed set: the teleport mass lands
+    * only on the seeds, so the stationary distribution concentrates on
+    * the seeds' forward neighborhood. This is the value-tracing ranking
+    * between [[khopReach]] (reachable at all, hop-labeled) and
+    * [[haircutTaint]] (exact pro-rata dilution): "which addresses does
+    * seed money KEEP flowing through", damping included.
+    *
+    *   rank0(v)    = 1,000,000 micro for seeds, absent otherwise
+    *   rank'(v)    = base(v) + (dampMilli · Σ contrib(u→v)) div 1000
+    *   base(v)     = (1000 − dampMilli)·1000 for seeds, 0 otherwise
+    *
+    * Same integer micro-unit discipline as [[pagerank]] (truncating
+    * division of non-negative operands — bit-deterministic across
+    * engines and retries); dangling mass evaporates identically.
+    *
+    * Scale shape: the rank vector stays SPARSE — per round the
+    * contribution join carries only currently-ranked nodes (seed
+    * neighborhood, not |V|), keyed on the node id against the pinned
+    * edge+denominator table; the update is one map-side-combined
+    * aggregate over (seed base ∪ pushed contributions). Returns
+    * (node, rank_micro), rank_micro > 0 only. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, dampMilli: Long = 850,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           weightCol: Option[String] = None,
+                           seedCol: String = "node"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampMilli >= 0 && dampMilli <= 1000,
+      s"dampMilli must be in [0, 1000], got $dampMilli")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val ew = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("__w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0) // zero/negative collapsed weights carry no flow
+    val e = ew.join(ew.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
+      .localCheckpoint(true)
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint(true)
+    val base = (1000L - dampMilli) * 1000L
+
+    var ranks = sd.withColumn("rank_micro", lit(1000000L))
+    var i = 0
+    while (i < iters) {
+      val pushed = ranks.join(e, ranks("node") === e("src"))
+        .select(col("dst"), expr("(rank_micro * w) div ow").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__m"))
+        .select(col("dst").as("node"),
+          expr(s"(__m * $dampMilli) div 1000").as("__part"))
+      ranks = sd.select(col("node"), lit(base).as("__part"))
+        .union(pushed)
+        .groupBy(col("node")).agg(sum(col("__part")).as("rank_micro"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    ranks.filter(col("rank_micro") > 0)
+  }
+
   /** Two-hop in-neighborhood aggregate — "what reaches this address
     * through one intermediary" (the multi-hop flow question graphsense's
     * entity graph answers). Multi-edges are collapsed to weights; per
@@ -478,6 +537,136 @@ object Graph {
       .agg(count(lit(1)).as("n_edges"), sum(col("__w")).as("w_total"))
       .select(col("src_comm"), col("dst_comm"), col("n_edges"), col("w_total"),
         (col("src_comm") === col("dst_comm")).as("intra"))
+  }
+
+  /** Exact strongly-connected components of a digraph — the MUTUAL-flow
+    * entity view ("addresses between which value provably cycles"),
+    * where [[ConnectedComponents]]'s weak components only ask for any
+    * undirected link. Implemented as the coloring algorithm (Orzan 2004;
+    * the Pregel/graphx SCC shape), phases per outer round:
+    *
+    *   1. TRIM: a live node with no in-edges or no out-edges cannot sit
+    *      on a cycle — assign it its own singleton SCC. One round of
+    *      trimming per outer round (the coloring handles what trimming
+    *      misses; trimming just sheds the cheap mass first).
+    *   2. COLOR to fixpoint: color(v) = max id that reaches v (max-label
+    *      propagation along edge direction — [[ConnectedComponents.run]]'s
+    *      loop with max instead of min, directed instead of symmetrized).
+    *      Monotone non-decreasing, so an unchanged color sum IS the
+    *      fixpoint (one Observation long per iteration, no diff join).
+    *   3. ROOTS + MEMBERSHIP: v with color(v) = v is a root; SCC(c) =
+    *      {v : color(v) = c ∧ v reaches c}, collected by backward BFS
+    *      from the roots along reversed edges, restricted to same-color
+    *      nodes (frontier-only expansion, as [[khopReach]]).
+    *   4. Remove assigned nodes and incident edges; repeat.
+    *
+    * Every SCC containing its color class's maximum id resolves in the
+    * round that elects it, so each outer round strictly shrinks the live
+    * set; a partial labeling is REFUSED (throw), never returned — the
+    * same no-silent-split contract as [[ConnectedComponents]].
+    *
+    * Scale shape: all joins key on the node id (frontier ⋈ edges,
+    * labels ⋈ edges); aggregates are map-side-combined with |V|-bounded
+    * output; per-iteration driver state is one scalar (color sum /
+    * frontier count / live count); lineage truncated per round. Input
+    * nodes are the edge endpoints (isolated nodes have no edges to be
+    * strongly connected BY — same contract as the other operators here).
+    * Returns one row per node: (node, scc), scc = the component's
+    * electing color (a member node id). */
+  def scc(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          maxRounds: Int = 10, maxPropIter: Int = 50): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull
+        && col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var live = e0
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var assigned = Seq.empty[(Long, Long)].toDF("node", "scc")
+      .filter(lit(false)) // empty, schema-typed accumulator
+    var remaining = nodes.count()
+    var round = 0
+
+    while (remaining > 0 && round < maxRounds) {
+      // 1. trim: no in-edges or no out-edges -> singleton SCC
+      val srcs = live.select(col("src").as("node")).distinct()
+      val dsts = live.select(col("dst").as("node")).distinct()
+      val trimmed = nodes.join(srcs, Seq("node"), "left_anti")
+        .union(nodes.join(dsts, Seq("node"), "left_anti"))
+        .distinct()
+        .select(col("node"), col("node").as("scc"))
+        .localCheckpoint(true)
+      assigned = assigned.union(trimmed).localCheckpoint(true)
+      nodes = nodes.join(trimmed, Seq("node"), "left_anti").localCheckpoint(true)
+      remaining = nodes.count()
+      if (remaining > 0) {
+        live = live
+          .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+
+        // 2. color to fixpoint: color(v) = max id that reaches v
+        var colors = nodes.withColumn("color", col("node")).localCheckpoint(true)
+        var prevSum = colors.agg(sum(col("color"))).collect()(0).getLong(0)
+        var converged = false
+        var it = 0
+        while (it < maxPropIter && !converged) {
+          val incoming = live.join(colors, live("src") === colors("node"))
+            .select(live("dst").as("node"), col("color"))
+          val obs = new org.apache.spark.sql.Observation()
+          val updated = colors.select(col("node"), col("color"))
+            .union(incoming)
+            .groupBy(col("node")).agg(max(col("color")).as("color"))
+            .observe(obs, sum(col("color")).as("color_sum"))
+            .localCheckpoint(true)
+          val newSum = obs.get("color_sum").asInstanceOf[Number].longValue()
+          colors = updated
+          converged = newSum == prevSum // colors are monotone non-decreasing
+          prevSum = newSum
+          it += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"scc color propagation did not converge in $maxPropIter iterations")
+
+        // 3. backward BFS from roots within the same color class
+        var members = colors.filter(col("color") === col("node"))
+          .select(col("node"), col("node").as("scc"))
+          .localCheckpoint(true)
+        var frontier = members
+        var fc = frontier.count()
+        while (fc > 0) {
+          val preds = live.join(frontier, live("dst") === frontier("node"))
+            .select(live("src").as("node"), col("scc"))
+            .distinct()
+            .join(colors, Seq("node"))
+            .filter(col("color") === col("scc"))
+            .select(col("node"), col("scc"))
+            .join(members, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          members = members.union(preds).localCheckpoint(true)
+          frontier = preds
+          fc = frontier.count()
+        }
+
+        // 4. retire the assigned SCCs from the live subgraph
+        assigned = assigned.union(members).localCheckpoint(true)
+        nodes = nodes.join(members, Seq("node"), "left_anti").localCheckpoint(true)
+        live = live
+          .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        remaining = nodes.count()
+      }
+      round += 1
+    }
+    if (remaining > 0) throw new IllegalStateException(
+      s"scc did not converge in $maxRounds rounds — $remaining nodes unassigned")
+    assigned
   }
 
   /** Time-respecting two-hop paths (temporal flow tracing): pairs of

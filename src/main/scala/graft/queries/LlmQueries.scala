@@ -908,6 +908,113 @@ object LlmQueries {
              |SELECT pair, n_occurrences FROM a
              |ORDER BY n_occurrences DESC, pair LIMIT 25""".stripMargin)),
 
+    // One full BPE training step: elect the most frequent adjacent pair
+    // (ties to the smaller string) and apply it greedily leftmost
+    // non-overlapping to every vocabulary word — gaps-and-islands over
+    // the occurrence positions (one window on the |vocab|-sized table),
+    // ceil(run/2) merges per self-overlap run. The oracle replays the
+    // election AND the greedy apply, so a tie-break or overlap bug on
+    // either side hash-mismatches.
+    Q("bpe_train_step", "LLM",
+      (s, d) => TextAnalysis.bpeTrainStep(Tables(s, d, "documents"), "text")
+        .orderBy("word"),
+      Some("""WITH wf AS (SELECT w, count(*) AS freq FROM
+             |         (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+             |       WHERE len(w) >= 2 GROUP BY 1),
+             |p AS (SELECT unnest(list_transform(range(1, len(w)),
+             |                i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, freq
+             |      FROM wf),
+             |top AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+             |        FROM p GROUP BY 1
+             |        ORDER BY n_occurrences DESC, pair LIMIT 1),
+             |occ AS (SELECT wf.w, wf.freq, top.pair, top.n_occurrences,
+             |          unnest(list_filter(range(1, len(wf.w)),
+             |            i -> substring(wf.w, CAST(i AS INTEGER), 2) = top.pair)) AS pos
+             |        FROM wf, top),
+             |isl AS (SELECT w, freq, pair, n_occurrences,
+             |          pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+             |        FROM occ),
+             |runs AS (SELECT w, freq, pair, n_occurrences, grp, count(*) AS run
+             |         FROM isl GROUP BY 1, 2, 3, 4, 5),
+             |m AS (SELECT w, freq, pair, n_occurrences,
+             |        CAST(sum((run + 1) // 2) AS BIGINT) AS n_merges
+             |      FROM runs GROUP BY 1, 2, 3, 4)
+             |SELECT w AS word, freq, pair, n_occurrences,
+             |       CAST(len(w) AS BIGINT) AS n_chars, n_merges,
+             |       CAST(len(w) - n_merges AS BIGINT) AS n_symbols_after
+             |FROM m ORDER BY word""".stripMargin)),
+
+    // The full BPE training loop, 2 fixed rounds: round 2 counts pairs of
+    // round-1 MERGE PRODUCTS (symbol sequences carry between rounds), so
+    // this is the real trainer, not two independent steps. The oracle
+    // unrolls both rounds — election, greedy island apply, and the
+    // rebuild — so a single mis-merged symbol anywhere shifts round 2's
+    // counts and hash-mismatches.
+    Q("bpe_train_merges", "LLM",
+      (s, d) => TextAnalysis.bpeTrainMerges(Tables(s, d, "documents"),
+        rounds = 2, "text").orderBy("round"),
+      Some("""WITH wf AS (SELECT w, count(*) AS freq FROM
+             |         (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+             |       WHERE len(w) >= 2 GROUP BY 1),
+             |sy AS (SELECT w AS word, freq, unnest(range(1, len(w) + 1)) AS i0 FROM wf),
+             |s1 AS (SELECT word, freq, CAST(i0 AS BIGINT) AS i,
+             |         substring(word, CAST(i0 AS INTEGER), 1) AS s FROM sy),
+             |p1 AS (SELECT word, freq, i, s,
+             |         lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM s1),
+             |pp1 AS (SELECT word, freq, i, s || nxt AS pair FROM p1 WHERE nxt IS NOT NULL),
+             |t1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM pp1
+             |       GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 1),
+             |c1 AS (SELECT pp1.word, pp1.freq, pp1.i FROM pp1 JOIN t1 USING (pair)),
+             |g1 AS (SELECT word, freq, i,
+             |         i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp FROM c1),
+             |k1 AS (SELECT word, freq, i FROM
+             |         (SELECT word, freq, i, row_number() OVER
+             |            (PARTITION BY word, grp ORDER BY i) AS rr FROM g1)
+             |       WHERE rr % 2 = 1),
+             |st1 AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_merges_applied,
+             |          CAST(count(DISTINCT word) AS BIGINT) AS n_words_affected FROM k1),
+             |m1 AS (SELECT p1.word, p1.freq, p1.i AS oi,
+             |         CASE WHEN ks.i IS NOT NULL THEN p1.s || p1.nxt ELSE p1.s END AS s
+             |       FROM p1
+             |       LEFT JOIN k1 ks ON ks.word = p1.word AND ks.i = p1.i
+             |       LEFT JOIN k1 kc ON kc.word = p1.word AND kc.i + 1 = p1.i
+             |       WHERE kc.i IS NULL),
+             |m1r AS (SELECT word, freq,
+             |          CAST(row_number() OVER (PARTITION BY word ORDER BY oi) AS BIGINT) AS i, s
+             |        FROM m1),
+             |a1 AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_symbols_after FROM m1r),
+             |r1 AS (SELECT 1 AS round, t1.pair, t1.n_occurrences, st1.n_words_affected,
+             |         st1.n_merges_applied, a1.n_symbols_after FROM t1, st1, a1),
+             |p2 AS (SELECT word, freq, i, s,
+             |         lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM m1r),
+             |pp2 AS (SELECT word, freq, i, s || nxt AS pair FROM p2 WHERE nxt IS NOT NULL),
+             |t2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM pp2
+             |       GROUP BY 1 ORDER BY n_occurrences DESC, pair LIMIT 1),
+             |c2 AS (SELECT pp2.word, pp2.freq, pp2.i FROM pp2 JOIN t2 USING (pair)),
+             |g2 AS (SELECT word, freq, i,
+             |         i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp FROM c2),
+             |k2 AS (SELECT word, freq, i FROM
+             |         (SELECT word, freq, i, row_number() OVER
+             |            (PARTITION BY word, grp ORDER BY i) AS rr FROM g2)
+             |       WHERE rr % 2 = 1),
+             |st2 AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_merges_applied,
+             |          CAST(count(DISTINCT word) AS BIGINT) AS n_words_affected FROM k2),
+             |m2 AS (SELECT p2.word, p2.freq, p2.i AS oi,
+             |         CASE WHEN ks.i IS NOT NULL THEN p2.s || p2.nxt ELSE p2.s END AS s
+             |       FROM p2
+             |       LEFT JOIN k2 ks ON ks.word = p2.word AND ks.i = p2.i
+             |       LEFT JOIN k2 kc ON kc.word = p2.word AND kc.i + 1 = p2.i
+             |       WHERE kc.i IS NULL),
+             |m2r AS (SELECT word, freq,
+             |          CAST(row_number() OVER (PARTITION BY word ORDER BY oi) AS BIGINT) AS i, s
+             |        FROM m2),
+             |a2 AS (SELECT CAST(coalesce(sum(freq), 0) AS BIGINT) AS n_symbols_after FROM m2r),
+             |r2 AS (SELECT 2 AS round, t2.pair, t2.n_occurrences, st2.n_words_affected,
+             |         st2.n_merges_applied, a2.n_symbols_after FROM t2, st2, a2)
+             |SELECT round, pair, n_occurrences, n_words_affected, n_merges_applied,
+             |       n_symbols_after
+             |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) ORDER BY round""".stripMargin)),
+
     // Language ID via stopword-ratio heuristic.
     Q("text_langid", "LLM",
       (s, d) => Tables(s, d, "documents")
@@ -1546,6 +1653,79 @@ object LlmQueries {
              |                               abs(qs[i] * scale - CAST(e[i] AS DOUBLE)))) END) * 1000000000) AS BIGINT) AS err_nano
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // Matryoshka prefix truncation (MRL): the first 16 of 64 dims as a
+    // usable lower-dim embedding, in integer micro-units, plus the
+    // retained-energy audit (‖prefix‖²/‖full‖² in milli, exact integer
+    // ratio of micro-rounded energies). One scan, zero shuffles.
+    Q("emb_matryoshka", "LLM",
+      (s, d) => Similarity.matryoshkaTruncate(Tables(s, d, "embeddings"), dims = 16)
+        .orderBy("vec_id"),
+      Some("""WITH m AS (SELECT vec_id, embedding AS e,
+             |         CAST(round(list_sum(list_transform(range(1, 17),
+             |           i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) * 1000000) AS BIGINT) AS pe,
+             |         CAST(round(list_sum(list_transform(range(1, 65),
+             |           i -> CAST(e[i] AS DOUBLE) * CAST(e[i] AS DOUBLE))) * 1000000) AS BIGINT) AS fe
+             |       FROM embeddings)
+             |SELECT vec_id,
+             |       array_to_string(list_transform(range(1, 17),
+             |         i -> CAST(round(CAST(e[i] AS DOUBLE) * 1000000) AS BIGINT)), ',') AS prefix_micro,
+             |       CAST(CASE WHEN fe = 0 THEN 1000 ELSE (pe * 1000) // fe END AS BIGINT) AS retained_milli
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // Coarse-to-fine matryoshka ANN: rank everything on the 16-dim prefix,
+    // keep a 20-deep shortlist per query, re-score only the shortlist at
+    // full 64 dims — the MRL serving funnel (prefix scan reads 4× fewer
+    // bytes at scale; the full-dim fetch touches 20 rows per query, not
+    // the corpus). The oracle replays both stages and both tie-breaks.
+    Q("ann_matryoshka", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.matryoshkaSearch(e.filter(col("vec_id") >= 5),
+            e.filter(col("vec_id") < 5), dims = 16, k = 5, shortlist = 20)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+              |sc AS (SELECT query_id, neighbor_id, qe, ce,
+              |         round(list_sum(list_transform(range(1, 17),
+              |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), 6) AS score_coarse
+              |       FROM q, c),
+              |s1 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                   ORDER BY score_coarse DESC, neighbor_id) AS r1 FROM sc),
+              |s2 AS (SELECT query_id, neighbor_id, score_coarse, round($dotSql, 6) AS score
+              |       FROM s1 WHERE r1 <= 20),
+              |r AS (SELECT query_id, neighbor_id, score, score_coarse,
+              |        CAST(row_number() OVER (PARTITION BY query_id
+              |               ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |      FROM s2)
+              |SELECT query_id, neighbor_id, rnk, score, score_coarse
+              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // SCD2 dimension build from the event log: collapse each user's
+    // event-type stream into versioned [valid_from, valid_to) runs — the
+    // CDC-consumer shape that preserves the history the reference's
+    // latest-value upserts lose. Two windows over ONE exchange on the key.
+    Q("scd2_user_state", "STREAM",
+      (s, d) => graft.operators.Scd2.buildIntervals(Tables(s, d, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("user_id", "version"),
+      Some("""WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             |       FROM events),
+             |c AS (SELECT user_id, event_type, t, event_id FROM o
+             |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+             |v AS (SELECT user_id, event_type, t AS valid_from,
+             |        lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to,
+             |        CAST(row_number() OVER (PARTITION BY user_id
+             |               ORDER BY t, event_id) AS INTEGER) AS version
+             |      FROM c)
+             |SELECT user_id, event_type, valid_from, valid_to, version,
+             |       valid_to IS NULL AS is_current
+             |FROM v ORDER BY user_id, version""".stripMargin)),
+
     // Ordered-stage funnel over the event log: view → click → purchase
     // with strictly sequential timestamps; the rollup counts users
     // reaching each stage. All shuffles key on user_id (one exchange,
@@ -1859,6 +2039,70 @@ object LlmQueries {
               |       CAST(count(DISTINCT mid) AS BIGINT) AS n_mids,
               |       min(t2) AS first_complete
               |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Strongly-connected components (mutual-flow entities): where
+    // graph_components asks "linked at all?", this asks "does value
+    // provably CYCLE between them?" — the coloring algorithm (trim +
+    // forward max-coloring to fixpoint + backward membership BFS),
+    // convergence-proven, partial labelings refused. The oracle is the
+    // DIRECTED transitive closure's mutual-reachability relation — pure
+    // semantics, no algorithm replay — so any propagation bug
+    // hash-mismatches regardless of which side caused it.
+    Q("graph_scc", "GRAPH",
+      (s, d) => graft.operators.Graph.scc(backboneEdges(s, d))
+        .orderBy("node"),
+      Some(s"""${backboneEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |e AS (SELECT DISTINCT src, dst FROM ew WHERE src <> dst),
+              |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              |reach(a, b) AS (SELECT src, dst FROM e
+              |                UNION
+              |                SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+              |mut AS (SELECT r1.a AS v, r1.b AS m FROM reach r1
+              |        JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+              |SELECT node, CAST(max(m) AS BIGINT) AS scc FROM (
+              |  SELECT node, node AS m FROM n UNION ALL SELECT v, m FROM mut)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Personalized PageRank (seeded flow ranking): pagerank's power
+    // iteration with the teleport mass restarted at the mod-37 seed set —
+    // "which addresses does seed money KEEP flowing through", damping
+    // included. The rank vector stays sparse (seed forward neighborhood
+    // only); integer micro-units, truncating division; the oracle unrolls
+    // the same 3 rounds.
+    Q("graph_ppr", "GRAPH",
+      (s, d) => {
+        val ew = transitionEdges(s, d)
+        val nodes = ew.select(col("src").as("node"))
+          .union(ew.select(col("dst").as("node"))).distinct()
+        graft.operators.Graph.personalizedPagerank(ew,
+            nodes.filter(col("node") % 37 === 0), iters = 3)
+          .orderBy("node")
+      },
+      Some {
+        s"""$transitionEdgesCte,
+           |outw AS (SELECT src, sum(w) AS ow FROM ew GROUP BY 1),
+           |e AS (SELECT ew.src, ew.dst, ew.w, outw.ow FROM ew JOIN outw USING (src)),
+           |sd AS (SELECT DISTINCT node FROM
+           |         (SELECT src AS node FROM ew UNION SELECT dst FROM ew)
+           |       WHERE node % 37 = 0),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM sd),
+           |s1 AS (SELECT e.dst, sum((r0.rm * e.w) // e.ow) AS m
+           |       FROM r0 JOIN e ON e.src = r0.node GROUP BY 1),
+           |r1 AS (SELECT node, CAST(sum(v) AS BIGINT) AS rm FROM (
+           |         SELECT node, 150000 AS v FROM sd
+           |         UNION ALL SELECT dst, (m * 850) // 1000 FROM s1) GROUP BY 1),
+           |s2 AS (SELECT e.dst, sum((r1.rm * e.w) // e.ow) AS m
+           |       FROM r1 JOIN e ON e.src = r1.node GROUP BY 1),
+           |r2 AS (SELECT node, CAST(sum(v) AS BIGINT) AS rm FROM (
+           |         SELECT node, 150000 AS v FROM sd
+           |         UNION ALL SELECT dst, (m * 850) // 1000 FROM s2) GROUP BY 1),
+           |s3 AS (SELECT e.dst, sum((r2.rm * e.w) // e.ow) AS m
+           |       FROM r2 JOIN e ON e.src = r2.node GROUP BY 1),
+           |r3 AS (SELECT node, CAST(sum(v) AS BIGINT) AS rm FROM (
+           |         SELECT node, 150000 AS v FROM sd
+           |         UNION ALL SELECT dst, (m * 850) // 1000 FROM s3) GROUP BY 1)
+           |SELECT node, rm AS rank_micro FROM r3 WHERE rm > 0 ORDER BY 1""".stripMargin
+      }),
 
     // Sequence packing: concat-and-chunk placement (the pretraining data
     // layout) — per-shard running token sums, 2048-token chunks. Sharded by

@@ -17,16 +17,24 @@ final case class Q(
 object Tables {
   /** Load one driver testdata table (TESTDATA.md).
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as a nanos long (legacy conf) and truncate to microseconds —
-    * exactly what DuckDB's `CAST(ts_ns AS TIMESTAMP)` does, so oracle
-    * comparisons agree. */
+    * `events.ts` has shipped as either parquet TIMESTAMP(NANOS) (which
+    * Spark reads only as a nanos long, via the legacy conf) or plain
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ), depending
+    * on the generator run. Normalize BOTH to a session-zone (UTC)
+    * microsecond TIMESTAMP — exactly what DuckDB's `CAST(ts AS TIMESTAMP)`
+    * yields for either layout, so oracle comparisons agree. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        // integer div, not `/` (double loses bits on ~1.7e18 nanos)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer div, not `/` (double loses bits on ~1.7e18 nanos)
+          df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => // micros: NTZ -> session-zone timestamp, value preserved
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -308,6 +308,104 @@ class OperatorsSpec extends SparkSpec {
     assert(rm(1L) == 150000L + 850L * 666666L / 1000L)
   }
 
+  test("personalized pagerank: mass restarts at seeds; rank vector stays sparse") {
+    import graft.operators.Graph
+    // chain 1 -> 2 -> 3, seed {1}: after 3 iters the exact integer ranks
+    // are 150000 / 127500 / 108375; nothing else appears (sparse vector)
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.personalizedPagerank(chain, seeds, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    assert(r == Map(1L -> 150000L, 2L -> 127500L, 3L -> 108375L))
+    // seed on a 2-cycle keeps full mass at fixpoint shape: both nodes ranked
+    val cyc = Seq((5L, 6L), (6L, 5L)).toDF("src", "dst")
+    val rc = Graph.personalizedPagerank(cyc, Seq(Tuple1(5L)).toDF("node"),
+        iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("rank_micro")).toMap
+    // i1: 5 -> 150000 + 0, 6 -> 850000; i2: 5 -> 150000 + 722500, 6 -> 127500
+    assert(rc == Map(5L -> 872500L, 6L -> 127500L))
+  }
+
+  test("scc: cycles fuse, DAG tails stay singletons, label is the max member") {
+    import graft.operators.Graph
+    // 3-cycle {1,2,3} feeding a chain 4 -> 5, a 2-cycle {6,7}, a lone edge
+    // 8 -> 9, and a self-loop (dropped)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 6L), (8L, 9L), (9L, 9L)).toDF("src", "dst")
+    val r = Graph.scc(e).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
+    assert(r(1L) == 3L && r(2L) == 3L && r(3L) == 3L)
+    assert(r(6L) == 7L && r(7L) == 7L)
+    assert(r(4L) == 4L && r(5L) == 5L && r(8L) == 8L && r(9L) == 9L)
+    assert(r.size == 9)
+  }
+
+  test("scc: a decreasing-id chain of cycles needs (and gets) multiple rounds") {
+    import graft.operators.Graph
+    // {30,31} -> {20,21} -> {10,11}: color floods the max id 31 downstream,
+    // so only one SCC resolves per round — exercises the outer loop
+    val e = Seq((30L, 31L), (31L, 30L), (20L, 21L), (21L, 20L),
+      (10L, 11L), (11L, 10L), (31L, 20L), (21L, 10L)).toDF("src", "dst")
+    val r = Graph.scc(e).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
+    assert(r(30L) == 31L && r(31L) == 31L)
+    assert(r(20L) == 21L && r(21L) == 21L)
+    assert(r(10L) == 11L && r(11L) == 11L)
+  }
+
+  test("scc matches a driver-side Tarjan on seeded random digraphs") {
+    import graft.operators.Graph
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val m = 60 + trial * 30
+      val raw = Seq.fill(m)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // reference: iterative Tarjan over the same edge set
+      val adj = raw.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val vs = raw.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = scala.collection.mutable.Map.empty[Long, Int]
+      val low = scala.collection.mutable.Map.empty[Long, Int]
+      val onStk = scala.collection.mutable.Set.empty[Long]
+      val stk = scala.collection.mutable.Stack.empty[Long]
+      val comp = scala.collection.mutable.Map.empty[Long, Long]
+      var counter = 0
+      def strong(v0: Long): Unit = { // explicit work-stack, no deep recursion
+        case class Frame(v: Long, var rest: List[Long])
+        val work = scala.collection.mutable.Stack(
+          Frame(v0, adj.getOrElse(v0, Seq.empty).toList))
+        idx(v0) = counter; low(v0) = counter; counter += 1
+        stk.push(v0); onStk += v0
+        while (work.nonEmpty) {
+          val f = work.top
+          f.rest match {
+            case w :: tl =>
+              f.rest = tl
+              if (!idx.contains(w)) {
+                idx(w) = counter; low(w) = counter; counter += 1
+                stk.push(w); onStk += w
+                work.push(Frame(w, adj.getOrElse(w, Seq.empty).toList))
+              } else if (onStk(w)) low(f.v) = math.min(low(f.v), idx(w))
+            case Nil =>
+              work.pop()
+              if (work.nonEmpty)
+                low(work.top.v) = math.min(low(work.top.v), low(f.v))
+              if (low(f.v) == idx(f.v)) {
+                var grp = List.empty[Long]
+                var w = stk.pop(); onStk -= w; grp ::= w
+                while (w != f.v) { w = stk.pop(); onStk -= w; grp ::= w }
+                val label = grp.max
+                grp.foreach(comp(_) = label)
+              }
+          }
+        }
+      }
+      vs.foreach(v => if (!idx.contains(v)) strong(v))
+      val got = Graph.scc(raw.toDF("src", "dst"), maxRounds = 30).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
+      assert(got == comp.toMap, s"trial $trial")
+    }
+  }
+
   test("two-hop paths: multiplicities multiply along the path; only reachable nodes appear") {
     import graft.operators.Graph
     // 1 -> 2 (x2), 2 -> 3: two 2-paths land on 3; nothing lands on 1 or 2
@@ -502,6 +600,85 @@ class OperatorsSpec extends SparkSpec {
         (r.getAs[Long]("n_paths"), r.getAs[Long]("n_sources"), r.getAs[Long]("n_mids")))
       .toMap
     assert(got == Map(3L -> (2L, 1L, 1L)), s"got $got")
+  }
+
+  test("scd2: consecutive duplicates collapse, intervals chain, last run stays open") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // key 1: a,a,b,a -> runs a/b/a; key 2: single run; same-ts tie broken by ord
+    val log = Seq(
+      (1L, "a", t(1), 10L), (1L, "a", t(2), 11L), (1L, "b", t(3), 12L),
+      (1L, "a", t(4), 13L), (2L, "x", t(1), 14L), (2L, "x", t(1), 15L))
+      .toDF("k", "attr", "ts", "ord")
+    val out = graft.operators.Scd2.buildIntervals(log, "k", "attr", "ts", "ord")
+      .orderBy("k", "version").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getString(1)).toSeq == Seq("a", "b", "a"))
+    assert(k1.map(_.getInt(4)).toSeq == Seq(1, 2, 3))
+    // intervals chain: each valid_to equals the next valid_from
+    assert(k1(0).getTimestamp(3) == k1(1).getTimestamp(2))
+    assert(k1(1).getTimestamp(3) == k1(2).getTimestamp(2))
+    assert(k1(2).isNullAt(3) && k1(2).getBoolean(5)) // open + current
+    assert(!k1(0).getBoolean(5) && !k1(1).getBoolean(5))
+    val k2 = out.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 && k2(0).getBoolean(5)) // dup at same value: one run
+  }
+
+  test("bpe train step: elects the top pair and applies it greedily non-overlapping") {
+    import graft.llm.TextAnalysis
+    // vocab: aa (freq 1), aaaa (freq 2), ab (freq 1)
+    // pair counts: "aa" = 1 + 3*2 = 7, "ab" = 1, "aaaa"-internal dupes are
+    // all "aa" -> elected pair "aa"; greedy: "aa" -> 1 merge, "aaaa" ->
+    // positions {1,2,3} one run -> ceil(3/2) = 2 merges; "ab" excluded
+    val docs = Seq((1L, "aa aaaa"), (2L, "aaaa ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainStep(docs, "text").orderBy("word").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("aa", "aaaa"))
+    assert(out.forall(r => r.getString(2) == "aa" && r.getAs[Long]("n_occurrences") == 7L))
+    val byWord = out.map(r => r.getString(0) ->
+      (r.getAs[Long]("freq"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_merges"), r.getAs[Long]("n_symbols_after"))).toMap
+    assert(byWord("aa") == ((1L, 2L, 1L, 1L)))
+    assert(byWord("aaaa") == ((2L, 4L, 2L, 2L)))
+  }
+
+  test("bpe train loop: round 2 merges round-1 products; symbol counts shrink exactly") {
+    import graft.llm.TextAnalysis
+    // vocab: abab (freq 2), cd (freq 1)
+    // round 1: 'ab' wins (2 starts x freq 2 = 4 > 'ba' 2 > 'cd' 1);
+    //          abab -> [ab, ab]; symbols 2*2 + 2*1 = 6
+    // round 2: 'abab' (the round-1 product!) wins with 2; abab -> [abab];
+    //          symbols 1*2 + 2*1 = 4
+    val docs = Seq((1L, "abab cd"), (2L, "abab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, rounds = 2).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getAs[Long](2),
+        r.getAs[Long](3), r.getAs[Long](4), r.getAs[Long](5)))
+    assert(out(0) == ((1, "ab", 4L, 1L, 4L, 6L)))
+    assert(out(1) == ((2, "abab", 2L, 1L, 2L, 4L)))
+  }
+
+  test("matryoshka: truncation reports exact retained energy; search funnel matches brute force at full width") {
+    import graft.llm.Similarity
+    val vecs = Seq(
+      (0L, Array(3f, 4f, 12f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 0f, 0f)), (3L, Array(0f, 2f, 0f, 1f)),
+      (4L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val tr = Similarity.matryoshkaTruncate(vecs, dims = 2).orderBy("vec_id").collect()
+    // |prefix|^2 = 25e6 micro, |full|^2 = 169e6 -> 25000*1000 div 169... = 147
+    assert(tr(0).getString(1) == "3000000,4000000")
+    assert(tr(0).getAs[Long]("retained_milli") == 25000000L * 1000L / 169000000L)
+    assert(tr(1).getAs[Long]("retained_milli") == 1000L) // energy all in prefix
+    assert(tr(2).getAs[Long]("retained_milli") == 1000L) // zero vector guard
+    // at dims = full width with an exhaustive shortlist, the funnel IS
+    // brute force (score_coarse == score, same ranking)
+    val q = vecs.filter(col("vec_id") < 2)
+    val c = vecs.filter(col("vec_id") >= 2)
+    val funnel = Similarity.matryoshkaSearch(c, q, dims = 4, k = 3, shortlist = 3)
+      .orderBy("query_id", "rnk").collect()
+    val brute = Similarity.bruteForceTopK(c, q, 3)
+      .orderBy("query_id", "rnk").collect()
+    assert(funnel.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSeq == brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
+    assert(funnel.forall(r => r.getDouble(3) == r.getDouble(4)))
   }
 
   test("DDL generation round-trips through Spark SQL's parser") {

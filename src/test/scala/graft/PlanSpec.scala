@@ -450,6 +450,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
 
+  test("scd2 intervals: both windows ride ONE exchange on the key, no joins") {
+    val p = plan("scd2_user_state")
+    // change-point lag/rn and interval lead/version all partition by
+    // user_id with the same ordering — Spark must plan a single hash
+    // exchange (plus the oracle-determinism output sort's range exchange)
+    val hashExchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(hashExchanges == 1, s"expected one key exchange, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"scd2 is window-only, no joins:\n$p")
+  }
+
+  test("matryoshka funnel: both stages are windows over one broadcast join, no shuffle of candidates by score") {
+    val p = plan("ann_matryoshka")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must ride a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled or cartesian join:\n$p")
+    // both ranking stages key the same window partition (query_id): one
+    // hash exchange feeds both sorts
+    val hashExchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(hashExchanges == 1, s"expected one query_id exchange, got $hashExchanges:\n$p")
+  }
+
   test("summary stats: four 1-row aggregates meet by broadcast nested loop, streams never row-join") {
     val p = plan("eth_summary_stats")
     // every cross join input is a 1-row aggregate — BroadcastNestedLoop on
