@@ -542,23 +542,34 @@ object Graph {
   /** Exact strongly-connected components of a digraph — the MUTUAL-flow
     * entity view ("addresses between which value provably cycles"),
     * where [[ConnectedComponents]]'s weak components only ask for any
-    * undirected link. Implemented as the coloring algorithm (Orzan 2004;
-    * the Pregel/graphx SCC shape), phases per outer round:
+    * undirected link. Implemented as the MULTISTEP method (Slota,
+    * Rajamanickam & Madduri 2014, "BFS and Coloring-based Parallel
+    * Algorithms for Strongly Connected Components"), the shape production
+    * graph systems actually run, per outer round:
     *
     *   1. TRIM: a live node with no in-edges or no out-edges cannot sit
     *      on a cycle — assign it its own singleton SCC. One round of
     *      trimming per outer round (the coloring handles what trimming
     *      misses; trimming just sheds the cheap mass first).
-    *   2. COLOR to fixpoint: color(v) = max id that reaches v (max-label
+    *   2. LOCAL FINISH: once the live subgraph fits `localThreshold`
+    *      rows (nodes + edges), collect it and run serial Tarjan — the
+    *      Multistep handoff. An iterative algorithm pays O(diameter)
+    *      sequential supersteps; paying them in scheduler round-trips
+    *      for a remnant that fits in tens of MB is pure waste at ANY
+    *      cluster size, which is why the published method switches. At
+    *      100 TB the first rounds run distributed and only the shrunken
+    *      tail collects.
+    *   3. COLOR to fixpoint: color(v) = max id that reaches v (max-label
     *      propagation along edge direction — [[ConnectedComponents.run]]'s
     *      loop with max instead of min, directed instead of symmetrized).
     *      Monotone non-decreasing, so an unchanged color sum IS the
     *      fixpoint (one Observation long per iteration, no diff join).
-    *   3. ROOTS + MEMBERSHIP: v with color(v) = v is a root; SCC(c) =
+    *   4. ROOTS + MEMBERSHIP: v with color(v) = v is a root; SCC(c) =
     *      {v : color(v) = c ∧ v reaches c}, collected by backward BFS
     *      from the roots along reversed edges, restricted to same-color
-    *      nodes (frontier-only expansion, as [[khopReach]]).
-    *   4. Remove assigned nodes and incident edges; repeat.
+    *      nodes (frontier-only expansion; the frontier size rides the
+    *      checkpoint's own Observation — one job per hop).
+    *   5. Remove assigned nodes and incident edges; repeat.
     *
     * Every SCC containing its color class's maximum id resolves in the
     * round that elects it, so each outer round strictly shrinks the live
@@ -568,13 +579,17 @@ object Graph {
     * Scale shape: all joins key on the node id (frontier ⋈ edges,
     * labels ⋈ edges); aggregates are map-side-combined with |V|-bounded
     * output; per-iteration driver state is one scalar (color sum /
-    * frontier count / live count); lineage truncated per round. Input
-    * nodes are the edge endpoints (isolated nodes have no edges to be
-    * strongly connected BY — same contract as the other operators here).
-    * Returns one row per node: (node, scc), scc = the component's
-    * electing color (a member node id). */
+    * frontier count / live count) until the documented local-finish
+    * collect, whose size is capped by `localThreshold`. Input nodes are
+    * the edge endpoints (isolated nodes have no edges to be strongly
+    * connected BY — same contract as the other operators here). Returns
+    * one row per node: (node, scc), scc = the component's maximum member
+    * id (identical label on both the distributed and the local path).
+    * `localThreshold = 0` forces the pure distributed path (used by the
+    * cross-validation specs). */
   def scc(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          maxRounds: Int = 10, maxPropIter: Int = 50): DataFrame = {
+          maxRounds: Int = 10, maxPropIter: Int = 50,
+          localThreshold: Long = 200000L): DataFrame = {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -610,7 +625,21 @@ object Graph {
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true)
 
-        // 2. color to fixpoint: color(v) = max id that reaches v
+        // 2. Multistep local finish: the remnant fits — stop paying
+        // scheduler round-trips per hop and solve it serially
+        if (remaining + live.count() <= localThreshold) {
+          val es = live.select(col("src"), col("dst")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val ns = nodes.select(col("node")).collect().map(_.getLong(0))
+          val labeled = tarjanScc(ns, es)
+          assigned = assigned
+            .union(spark.createDataFrame(labeled).toDF("node", "scc"))
+            .localCheckpoint(true)
+          remaining = 0
+          round += 1
+        } else {
+
+        // 3. color to fixpoint: color(v) = max id that reaches v
         var colors = nodes.withColumn("color", col("node")).localCheckpoint(true)
         var prevSum = colors.agg(sum(col("color"))).collect()(0).getLong(0)
         var converged = false
@@ -632,14 +661,20 @@ object Graph {
         }
         if (!converged) throw new IllegalStateException(
           s"scc color propagation did not converge in $maxPropIter iterations")
+        if (sys.env.contains("GRAFT_SCC_DEBUG"))
+          System.err.println(s"[scc] round=$round colorIters=$it live=$remaining")
 
-        // 3. backward BFS from roots within the same color class
+        // 4. backward BFS from roots within the same color class — each
+        // hop is ONE job: the frontier size rides the checkpoint's own
+        // Observation, and the visited set is a union of already-
+        // checkpointed frontiers (no per-hop re-checkpoint of it)
         var members = colors.filter(col("color") === col("node"))
           .select(col("node"), col("node").as("scc"))
           .localCheckpoint(true)
         var frontier = members
-        var fc = frontier.count()
+        var fc = 1L
         while (fc > 0) {
+          val obs = new org.apache.spark.sql.Observation()
           val preds = live.join(frontier, live("dst") === frontier("node"))
             .select(live("src").as("node"), col("scc"))
             .distinct()
@@ -647,13 +682,15 @@ object Graph {
             .filter(col("color") === col("scc"))
             .select(col("node"), col("scc"))
             .join(members, Seq("node"), "left_anti")
+            .observe(obs, count(lit(1)).as("n"))
             .localCheckpoint(true)
-          members = members.union(preds).localCheckpoint(true)
+          fc = Option(obs.get("n").asInstanceOf[Number])
+            .map(_.longValue()).getOrElse(0L)
+          members = members.union(preds) // inputs both checkpointed
           frontier = preds
-          fc = frontier.count()
         }
 
-        // 4. retire the assigned SCCs from the live subgraph
+        // 5. retire the assigned SCCs from the live subgraph
         assigned = assigned.union(members).localCheckpoint(true)
         nodes = nodes.join(members, Seq("node"), "left_anti").localCheckpoint(true)
         live = live
@@ -661,12 +698,60 @@ object Graph {
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true)
         remaining = nodes.count()
+        }
       }
       round += 1
     }
     if (remaining > 0) throw new IllegalStateException(
       s"scc did not converge in $maxRounds rounds — $remaining nodes unassigned")
     assigned
+  }
+
+  /** Serial Tarjan SCC (iterative, explicit work stack) over a collected
+    * remnant subgraph — the Multistep local-finish step of [[scc]].
+    * Labels each node with its SCC's MAXIMUM member id, matching the
+    * distributed coloring path's labeling exactly. */
+  private def tarjanScc(nodes: Array[Long],
+                        edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val idx = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStk = scala.collection.mutable.Set.empty[Long]
+    val stk = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    final case class Frame(v: Long, var rest: List[Long])
+    def strong(v0: Long): Unit = {
+      val work = scala.collection.mutable.Stack(
+        Frame(v0, adj.getOrElse(v0, Array.empty[Long]).toList))
+      idx(v0) = counter; low(v0) = counter; counter += 1
+      stk.push(v0); onStk += v0
+      while (work.nonEmpty) {
+        val f = work.top
+        f.rest match {
+          case w :: tl =>
+            f.rest = tl
+            if (!idx.contains(w)) {
+              idx(w) = counter; low(w) = counter; counter += 1
+              stk.push(w); onStk += w
+              work.push(Frame(w, adj.getOrElse(w, Array.empty[Long]).toList))
+            } else if (onStk(w)) low(f.v) = math.min(low(f.v), idx(w))
+          case Nil =>
+            work.pop()
+            if (work.nonEmpty)
+              low(work.top.v) = math.min(low(work.top.v), low(f.v))
+            if (low(f.v) == idx(f.v)) {
+              var grp = List.empty[Long]
+              var w = stk.pop(); onStk -= w; grp ::= w
+              while (w != f.v) { w = stk.pop(); onStk -= w; grp ::= w }
+              val label = grp.max
+              grp.foreach(comp(_) = label)
+            }
+        }
+      }
+    }
+    nodes.sorted.foreach(v => if (!idx.contains(v)) strong(v))
+    comp.toSeq
   }
 
   /** Time-respecting two-hop paths (temporal flow tracing): pairs of

@@ -332,12 +332,16 @@ class OperatorsSpec extends SparkSpec {
     // 8 -> 9, and a self-loop (dropped)
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
       (6L, 7L), (7L, 6L), (8L, 9L), (9L, 9L)).toDF("src", "dst")
-    val r = Graph.scc(e).collect()
-      .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
-    assert(r(1L) == 3L && r(2L) == 3L && r(3L) == 3L)
-    assert(r(6L) == 7L && r(7L) == 7L)
-    assert(r(4L) == 4L && r(5L) == 5L && r(8L) == 8L && r(9L) == 9L)
-    assert(r.size == 9)
+    // both execution paths must label identically: the distributed
+    // coloring rounds (localThreshold = 0) and the Multistep local finish
+    for (thr <- Seq(0L, 200000L)) {
+      val r = Graph.scc(e, localThreshold = thr).collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
+      assert(r(1L) == 3L && r(2L) == 3L && r(3L) == 3L, s"thr=$thr")
+      assert(r(6L) == 7L && r(7L) == 7L, s"thr=$thr")
+      assert(r(4L) == 4L && r(5L) == 5L && r(8L) == 8L && r(9L) == 9L, s"thr=$thr")
+      assert(r.size == 9, s"thr=$thr")
+    }
   }
 
   test("scc: a decreasing-id chain of cycles needs (and gets) multiple rounds") {
@@ -346,7 +350,7 @@ class OperatorsSpec extends SparkSpec {
     // so only one SCC resolves per round — exercises the outer loop
     val e = Seq((30L, 31L), (31L, 30L), (20L, 21L), (21L, 20L),
       (10L, 11L), (11L, 10L), (31L, 20L), (21L, 10L)).toDF("src", "dst")
-    val r = Graph.scc(e).collect()
+    val r = Graph.scc(e, localThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
     assert(r(30L) == 31L && r(31L) == 31L)
     assert(r(20L) == 21L && r(21L) == 21L)
@@ -400,7 +404,10 @@ class OperatorsSpec extends SparkSpec {
         }
       }
       vs.foreach(v => if (!idx.contains(v)) strong(v))
-      val got = Graph.scc(raw.toDF("src", "dst"), maxRounds = 30).collect()
+      // force the DISTRIBUTED coloring path — with the default threshold
+      // these graphs would take the local finish, which is itself Tarjan
+      val got = Graph.scc(raw.toDF("src", "dst"), maxRounds = 30,
+          localThreshold = 0L).collect()
         .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
       assert(got == comp.toMap, s"trial $trial")
     }
