@@ -2040,6 +2040,78 @@ object LlmQueries {
               |       min(t2) AS first_complete
               |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Entity-relations rollup (graphsense's cluster_relations): ENTITIES
+    // form by weakly-connecting the STRONG ties (w >= 4 repeat edges —
+    // the stand-in for a multi-input clustering heuristic; unclustered
+    // nodes stay their own entity), then ALL flows (the w >= 2 backbone)
+    // roll up to entity pairs. Unlike coarsening by the same edge set,
+    // inter-entity edges survive — the weak ties BETWEEN strong clusters
+    // are exactly what flow tracing reads at the entity level. The
+    // oracle recomputes the entity map from the transitive closure of
+    // the strong graph, so a clustering bug upstream of the rollup
+    // cannot hide.
+    Q("graph_entity_relations", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val sl = graft.operators.ConnectedComponents.run(
+          ew.filter(col("w") >= 4), "src", "dst")
+        val nodes = ew.select(col("src").as("node"))
+          .union(ew.select(col("dst").as("node"))).distinct()
+        val labels = nodes.join(sl, Seq("node"), "left")
+          .select(col("node"), coalesce(col("component"), col("node")).as("label"))
+        graft.operators.Graph.coarsen(ew, labels, weightCol = Some("w"))
+          .orderBy("src_comm", "dst_comm")
+      },
+      Some(s"""${backboneEdgesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |es AS (SELECT src AS a, dst AS b FROM ew WHERE w >= 4
+              |       UNION SELECT dst, src FROM ew WHERE w >= 4),
+              |reach(a, b) AS (SELECT a, b FROM es
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN es e2 ON r.b = e2.a),
+              |sl AS (SELECT n AS node, CAST(min(m) AS BIGINT) AS label FROM (
+              |         SELECT a AS n, a AS m FROM es UNION ALL SELECT a, b FROM reach)
+              |       GROUP BY n),
+              |nd AS (SELECT DISTINCT node FROM
+              |         (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+              |lab AS (SELECT nd.node, coalesce(sl.label, nd.node) AS label
+              |        FROM nd LEFT JOIN sl ON sl.node = nd.node)
+              |SELECT ls.label AS src_comm, ld.label AS dst_comm,
+              |       CAST(count(*) AS BIGINT) AS n_edges,
+              |       CAST(sum(ew.w) AS BIGINT) AS w_total,
+              |       ls.label = ld.label AS intra
+              |FROM ew JOIN lab ls ON ew.src = ls.node
+              |        JOIN lab ld ON ew.dst = ld.node
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Cohort retention over the event log: users grouped by first-seen
+    // week, activity counted per (cohort, week offset) — the standard
+    // engagement matrix. One window to stamp each user's cohort (keyed
+    // on user_id, high cardinality) + one distinct aggregate; weeks are
+    // Monday-truncated identically in both engines.
+    Q("event_cohort_retention", "STREAM",
+      (s, d) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("ts"))
+          .withColumn("cohort_week",
+            date_trunc("week", min(col("ts")).over(byUser)))
+          .withColumn("week_offset", expr(
+            "CAST(datediff(date_trunc('week', ts), cohort_week) div 7 AS INT)"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+             |         min(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS t0
+             |       FROM events),
+             |w AS (SELECT user_id, CAST(date_trunc('week', t) AS TIMESTAMP) AS wk,
+             |        CAST(date_trunc('week', t0) AS TIMESTAMP) AS cw FROM f)
+             |SELECT cw AS cohort_week,
+             |       CAST(date_diff('day', CAST(cw AS DATE), CAST(wk AS DATE)) // 7 AS INTEGER) AS week_offset,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Strongly-connected components (mutual-flow entities): where
     // graph_components asks "linked at all?", this asks "does value
     // provably CYCLE between them?" — the coloring algorithm (trim +
