@@ -1726,6 +1726,52 @@ object LlmQueries {
              |       valid_to IS NULL AS is_current
              |FROM v ORDER BY user_id, version""".stripMargin)),
 
+    // Integer-exact 3-sigma anomaly gate per event type: the z-score test
+    // rewritten to avoid sqrt AND division — (x−μ)² > 9σ² becomes
+    // (n·x − Σx)² > 9·(n·Σx² − (Σx)²), all decimal(38,0) integer
+    // arithmetic on micro-quantized values, so the outlier SET is
+    // bit-identical across engines (a float z-score would flip flags on
+    // boundary ties). One stats aggregate (5 rows) broadcast back over
+    // one scan.
+    Q("event_value_outliers", "STREAM",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 1000000d).cast("long").as("v"))
+        val dv = col("v").cast("decimal(38,0)")
+        val st = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(dv).as("s1"), sum(dv * dv).as("s2"))
+        val dn = col("n").cast("decimal(38,0)")
+        val dxn = dn * col("v") - col("s1")
+        ev.join(broadcast(st), Seq("event_type"))
+          .withColumn("is_out", dxn * dxn > lit(9) * (dn * col("s2") - col("s1") * col("s1")))
+          .withColumn("mean_micro", floor(col("s1") / col("n")).cast("long"))
+          .groupBy(col("event_type"), col("n"), col("mean_micro"))
+          .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+            max(when(col("is_out"), abs(col("v") - col("mean_micro"))))
+              .as("max_out_dev_micro"))
+          .select(col("event_type"), col("n"), col("mean_micro"),
+            col("n_outliers"), col("max_out_dev_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+             |       FROM events),
+             |s AS (SELECT event_type, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s1,
+             |        sum(CAST(v AS HUGEINT) * v) AS s2 FROM e GROUP BY 1)
+             |SELECT e.event_type, CAST(max(s.n) AS BIGINT) AS n,
+             |       CAST(max(s.s1 // s.n) AS BIGINT) AS mean_micro,
+             |       CAST(sum(CASE WHEN (CAST(s.n AS HUGEINT) * e.v - s.s1)
+             |                        * (CAST(s.n AS HUGEINT) * e.v - s.s1)
+             |                      > 9 * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |       CAST(max(CASE WHEN (CAST(s.n AS HUGEINT) * e.v - s.s1)
+             |                        * (CAST(s.n AS HUGEINT) * e.v - s.s1)
+             |                      > 9 * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
+             |                     THEN abs(e.v - CAST(s.s1 // s.n AS BIGINT)) END) AS BIGINT)
+             |         AS max_out_dev_micro
+             |FROM e JOIN s USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Ordered-stage funnel over the event log: view → click → purchase
     // with strictly sequential timestamps; the rollup counts users
     // reaching each stage. All shuffles key on user_id (one exchange,

@@ -383,4 +383,27 @@ class PropertiesSpec extends SparkSpec {
     assert(rows(graft.llm.TextAnalysis.globalQualityGate(docs, "doc_id", "text")) ==
       rows(graft.llm.TextAnalysis.globalQualityGate(docs.repartition(13), "doc_id", "text")))
   }
+
+  test("partitioning invariance: round-7 ops give identical results under repartition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(graft.llm.TextAnalysis.bpeTrainMerges(docs, rounds = 2)) ==
+      rows(graft.llm.TextAnalysis.bpeTrainMerges(docs.repartition(13), rounds = 2)))
+    assert(rows(graft.llm.Similarity.matryoshkaTruncate(embs, dims = 16)) ==
+      rows(graft.llm.Similarity.matryoshkaTruncate(embs.repartition(13), dims = 16)))
+    val ev = Seq((1L, "a", 10L, 100L), (1L, "a", 20L, 101L), (1L, "b", 30L, 102L),
+      (2L, "x", 10L, 103L), (2L, "x", 40L, 104L), (2L, "y", 50L, 105L))
+      .toDF("k", "attr", "ts", "ord")
+    assert(rows(graft.operators.Scd2.buildIntervals(ev, "k", "attr", "ts", "ord")) ==
+      rows(graft.operators.Scd2.buildIntervals(ev.repartition(5), "k", "attr", "ts", "ord")))
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    assert(rows(graft.operators.Graph.scc(edges, localThreshold = 0L)) ==
+      rows(graft.operators.Graph.scc(edges.repartition(7), localThreshold = 0L)))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    assert(rows(graft.operators.Graph.personalizedPagerank(edges, seeds, iters = 3)) ==
+      rows(graft.operators.Graph.personalizedPagerank(edges.repartition(7), seeds, iters = 3)))
+  }
 }
