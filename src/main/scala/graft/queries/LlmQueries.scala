@@ -2086,6 +2086,69 @@ object LlmQueries {
               |       min(t2) AS first_complete
               |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Edge reciprocity (who sends BACK): the fraction of backbone edges
+    // whose reverse edge also exists — a one-semi-join graph statistic
+    // that separates mutual-exchange topologies from broadcast trees.
+    // Integer milli ratio, truncating division.
+    Q("graph_reciprocity", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d).select(col("src"), col("dst"))
+        val rec = ew.join(
+          ew.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        ew.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+          .select(col("n_edges"), col("n_reciprocal"),
+            expr("(1000 * n_reciprocal) div n_edges").as("reciprocity_milli"))
+      },
+      Some(s"""$backboneEdgesCte,
+              |r AS (SELECT count(*) AS n_reciprocal FROM ew a
+              |      WHERE EXISTS (SELECT 1 FROM ew b
+              |                    WHERE b.src = a.dst AND b.dst = a.src)),
+              |t AS (SELECT count(*) AS n_edges FROM ew)
+              |SELECT CAST(t.n_edges AS BIGINT) AS n_edges,
+              |       CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+              |       CAST((1000 * r.n_reciprocal) // t.n_edges AS BIGINT)
+              |         AS reciprocity_milli
+              |FROM t, r""".stripMargin)),
+
+    // Top behavioral trigram paths: the most common 3-step event
+    // sequences per user with every consecutive gap within 30 minutes —
+    // the Markov-path census of session analytics. One exchange on
+    // user_id feeds all three lead() columns; the trigram table
+    // aggregates map-side.
+    Q("event_top_paths", "STREAM",
+      (s, d) => {
+        val byUser = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e1", lead(col("event_type"), 1).over(byUser))
+          .withColumn("e2", lead(col("event_type"), 2).over(byUser))
+          .withColumn("t1", lead(col("ts"), 1).over(byUser))
+          .withColumn("t2", lead(col("ts"), 2).over(byUser))
+          .filter(col("e2").isNotNull
+            && col("t1") <= col("ts") + expr("INTERVAL 30 MINUTES")
+            && col("t2") <= col("t1") + expr("INTERVAL 30 MINUTES"))
+          .select(concat_ws(">", col("event_type"), col("e1"), col("e2")).as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             |         event_id FROM events),
+             |l AS (SELECT event_type,
+             |        lead(event_type, 1) OVER w AS e1,
+             |        lead(event_type, 2) OVER w AS e2,
+             |        t,
+             |        lead(t, 1) OVER w AS t1,
+             |        lead(t, 2) OVER w AS t2
+             |      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+             |p AS (SELECT event_type || '>' || e1 || '>' || e2 AS path FROM l
+             |      WHERE e2 IS NOT NULL AND t1 <= t + INTERVAL 30 MINUTE
+             |        AND t2 <= t1 + INTERVAL 30 MINUTE)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
     // Entity-relations rollup (graphsense's cluster_relations): ENTITIES
     // form by weakly-connecting the STRONG ties (w >= 4 repeat edges —
     // the stand-in for a multi-input clustering heuristic; unclustered
