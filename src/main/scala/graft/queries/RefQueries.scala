@@ -608,13 +608,17 @@ object RefQueries {
     Q("k2_csv_reference_headers", "K2",
       (s, d) => {
         val out = java.nio.file.Files.createTempDirectory("graft_csvhdr").toString
-        graft.eth.EthPipeline.exportCsvRange(s, out, 0, 999)
+        // one 100-block file window: the header strings, file prefix,
+        // %08d-%08d window naming, and 1M-block directory layout under
+        // test are identical at any window size — the full default-window
+        // roundtrip is k2_csv_export_pipeline's job
+        graft.eth.EthPipeline.exportCsvRange(s, out, 0, 99, fileBatchSize = 100L)
         import s.implicits._
         Seq("block", "transaction", "log", "trace").map { t =>
           val p = Sinks.csvFilePrefix(t)
           // single-gzip file = one partition: first line is the header
           val line = s.read.textFile(
-            s"$out/00000000-00999999/${p}_00000000-00000999.csv.gz").first()
+            s"$out/00000000-00999999/${p}_00000000-00000099.csv.gz").first()
           (t, line)
         }.toDF("table_name", "header").orderBy("table_name")
       },
