@@ -231,6 +231,60 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming SCD2 dimension maintenance: keep a versioned
+    * valid_from/valid_to dimension ([[graft.operators.Scd2]]) current
+    * against a change stream, rebuilding intervals ONLY for the keys a
+    * micro-batch touches. Per batch:
+    *
+    *   1. the raw change rows land in a key-hash-bucketed change LOG via
+    *      the idempotent PK upsert (PK = key, ts, ord — a replayed batch
+    *      overwrites itself, the exactly-once recipe);
+    *   2. the full stored history of the TOUCHED keys (partition-pruned
+    *      to their buckets, semi-joined to the touched key set) replays
+    *      through [[graft.operators.Scd2.buildIntervals]];
+    *   3. the rebuilt rows land in the dimension table via the same PK
+    *      upsert (PK = key, version).
+    *
+    * Version rows never go stale: inserting a change row (even late,
+    * mid-history) can only preserve or INCREASE a key's run count —
+    * adjacent-difference boundaries never decrease under insertion — so
+    * upserting by (key, version) always overwrites every previously
+    * stored version of a touched key. Per-batch IO is proportional to
+    * the touched buckets, not the dimension. */
+  def maintainScd2(changes: DataFrame, logDir: String, dimDir: String,
+                   checkpointDir: String,
+                   keyCol: String = "user_id", attrCol: String = "event_type",
+                   tsCol: String = "ts", ordCol: String = "event_id",
+                   keyBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val kb = pmod(graft.functions.ColumnFns.md5Long(
+          col(keyCol).cast("string")), lit(keyBuckets.toLong))
+        val rows = batch.toDF()
+          .select(col(keyCol), col(attrCol), col(tsCol), col(ordCol))
+          .withColumn("kb", kb)
+        // bounded metadata: ≤ keyBuckets longs + the touched key frame
+        val touched = rows.select(col("kb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        graft.eth.Sinks.upsertBucketedParquet(rows, logDir,
+          pkCols = Seq(keyCol, tsCol, ordCol), bucketCol = "kb",
+          sortCols = Seq(keyCol, tsCol), newBuckets = Some(touched))
+        val touchedKeys = rows.select(col(keyCol)).distinct()
+        val history = spark.read.parquet(logDir)
+          .filter(col("kb").isin(touched: _*)) // partition-pruned read
+          .join(touchedKeys, Seq(keyCol), "left_semi")
+        val dim = graft.operators.Scd2
+          .buildIntervals(history, keyCol, attrCol, tsCol, ordCol)
+          .withColumn("kb", kb)
+        graft.eth.Sinks.upsertBucketedParquet(dim, dimDir,
+          pkCols = Seq(keyCol, "version"), bucketCol = "kb",
+          sortCols = Seq(keyCol, "version"), newBuckets = Some(touched))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

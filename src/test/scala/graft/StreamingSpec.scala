@@ -211,6 +211,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming SCD2 maintenance: touched-key rebuild matches the batch build, late rows renumber") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
+    val input = MemoryStream[(Long, String, Timestamp, Long)]
+    val query = StreamingOps.maintainScd2(
+      input.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+      s"$dir/log", s"$dir/dim", s"$dir/ckpt")
+    def dimRows(): Set[String] = spark.read.parquet(s"$dir/dim")
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "version", "is_current")
+      .collect().map(_.toString).toSet
+    try {
+      input.addData((1L, "a", ts(1), 1L), (1L, "a", ts(2), 2L),
+        (1L, "b", ts(3), 3L), (2L, "x", ts(1), 4L))
+      query.processAllAvailable()
+      // batch 2: extends u1's open run, adds a NEW key, and lands a LATE
+      // row BEFORE u1's history start — the rebuild renumbers u1's
+      // versions (2 -> 3 runs) and overwrites every stored one
+      input.addData((1L, "b", ts(4), 5L), (3L, "z", ts(1), 6L),
+        (1L, "c", ts(0), 7L))
+      query.processAllAvailable()
+      val got = dimRows()
+      val want = graft.operators.Scd2.buildIntervals(
+          spark.read.parquet(s"$dir/log"),
+          "user_id", "event_type", "ts", "event_id")
+        .collect().map(_.toString).toSet
+      assert(got == want)
+      // u1: c@0 | a@1 | b@3.. -> exactly 3 versions, one current
+      val u1 = spark.read.parquet(s"$dir/dim").filter(col("user_id") === 1L)
+      assert(u1.count() == 3 &&
+        u1.filter(col("is_current")).select("event_type").collect()
+          .map(_.getString(0)).toSeq == Seq("b"))
+      // replayed rows (at-least-once delivery) must not change the table
+      input.addData((1L, "b", ts(4), 5L), (3L, "z", ts(1), 6L))
+      query.processAllAvailable()
+      assert(dimRows() == got)
+    } finally query.stop()
+  }
+
   test("RocksDB state store: sessionization and dedupe hold ~100k keys") {
     // The default HDFS-backed provider keeps every key's state on the JVM
     // heap — the one piece of the streaming stack whose 100×-scale behavior
