@@ -357,6 +357,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r(10L) == 11L && r(11L) == 11L)
   }
 
+  test("scc hybrid: distributed rounds hand off to the local finish mid-run") {
+    import graft.operators.Graph
+    // threshold 7: the initial graph (6 nodes + 8 edges = 14) runs the
+    // distributed coloring, each round retires one cycle; the final
+    // remnant (2 + 2 = 4) crosses the threshold and finishes in Tarjan —
+    // labels must be seamless across the handoff
+    val e = Seq((30L, 31L), (31L, 30L), (20L, 21L), (21L, 20L),
+      (10L, 11L), (11L, 10L), (31L, 20L), (21L, 10L)).toDF("src", "dst")
+    val r = Graph.scc(e, localThreshold = 7L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("scc")).toMap
+    assert(r == Map(30L -> 31L, 31L -> 31L, 20L -> 21L, 21L -> 21L,
+      10L -> 11L, 11L -> 11L))
+  }
+
   test("scc matches a driver-side Tarjan on seeded random digraphs") {
     import graft.operators.Graph
     val rnd = new scala.util.Random(7)
