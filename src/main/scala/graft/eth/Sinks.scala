@@ -261,6 +261,83 @@ object Sinks {
       .filter(col(statsCol).between(lo, hi))
   }
 
+  def bloomManifestPath(path: String): String =
+    path.stripSuffix("/") + "_manifest_bloom"
+
+  /** Per-file BLOOM side-manifest — point-lookup file skipping where
+    * min/max intervals can't help (high-cardinality hash keys spread
+    * uniformly, so every file's [min,max] covers every probe; Delta and
+    * Iceberg grow bloom/dictionary file stats for exactly this case).
+    * One row per (file, 64-bit word index) with the OR'd bit mask, built
+    * from the SAME Kirsch-Mitzenmacher double-hash derivation as the
+    * corpus Bloom ([[graft.llm.TextAnalysis.bloomPositions]]) — so build
+    * and probe can never drift. Build cost: one column-pruned scan with a
+    * map-side-combined aggregate; output ≤ #files × bits/64 rows,
+    * metadata-sized. Same freshness contract as [[writeManifest]]. */
+  def writeBloomManifest(spark: SparkSession, path: String, keyCol: String,
+                         bits: Int = 1 << 12, numHashes: Int = 3): Unit = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0,
+      s"bits must be a power of two >= 64, got $bits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val pos = explode(array(
+      graft.llm.TextAnalysis.bloomPositions(col(keyCol), bits, numHashes): _*))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), pos.as("__p"))
+      .select(col("file"), shiftright(col("__p"), 6).as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          col("__p").bitwiseAND(lit(63L)).cast("int")).as("__m"))
+      .groupBy(col("file"), col("word_idx")).agg(bit_or(col("__m")).as("bits"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomManifestPath(path))
+  }
+
+  /** Data files that MAY contain `probe` per the bloom manifest, plus the
+    * total file count. A file is kept iff every one of the probe's bit
+    * positions is set in its filter — a file with no row for a needed
+    * word index set no bits there and is pruned (no false negatives by
+    * construction; false positives only cost IO, the row filter still
+    * runs). The kept list is bounded driver-side metadata. */
+  def bloomPrunedFiles(spark: SparkSession, path: String, probe: String,
+                       bits: Int = 1 << 12, numHashes: Int = 3)
+      : (Seq[String], Long) = {
+    // the probe's (word, mask) needs, derived DRIVER-SIDE through the JVM
+    // twin of the column hash (same Kirsch-Mitzenmacher formula as the
+    // build: pos_j = (h1 + j·h2) mod bits on the md5-long family) — no
+    // Spark job for three constants
+    val h1 = graft.llm.Similarity.md5LongJvm(probe) % bits
+    val h2 = graft.llm.Similarity.md5LongJvm("1|" + probe) % bits
+    val need = (0 until numHashes).map { j =>
+      val p = (h1 + j.toLong * h2) % bits
+      (p >> 6, 1L << (p & 63L).toInt)
+    }.distinct
+    // one independent `when` per needed (word, mask): a (file, word) row
+    // contributes the count of needs it satisfies; all needs satisfied
+    // ⟺ the per-file sum reaches |needs| (one row per word by build).
+    // ONE job: the per-file hit counts double as the total file count.
+    val hits = need.map { case (w, mk) =>
+      when(col("word_idx") === w
+        && col("bits").bitwiseAND(lit(mk)) =!= 0L, 1).otherwise(0)
+    }.reduce(_ + _)
+    val perFile = spark.read.parquet(bloomManifestPath(path))
+      .select(col("file"), hits.as("__h"))
+      .groupBy(col("file")).agg(sum(col("__h")).as("__hits"))
+      .collect() // metadata-sized: #files rows
+    val keep = perFile.filter(_.getLong(1) == need.size.toLong)
+      .map(_.getString(0)).toIndexedSeq
+    (keep, perFile.length.toLong)
+  }
+
+  /** Point lookup THROUGH the bloom manifest: open only may-contain
+    * files, then apply the exact key predicate (the manifest is a
+    * superset filter — false positives cost IO, never wrong answers). */
+  def pointLookupViaBloom(spark: SparkSession, path: String, keyCol: String,
+                          probe: String, bits: Int = 1 << 12,
+                          numHashes: Int = 3): DataFrame = {
+    val (keep, _) = bloomPrunedFiles(spark, path, probe, bits, numHashes)
+    if (keep.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(keep: _*).filter(col(keyCol) === probe)
+  }
+
   /** Per-table CSV dialect (ref: scripts/csv_import.sh:12-39): logs use `|`
     * because `topics` is rendered as a JSON-ish string containing commas
     * (ref: scripts/eth_csv_export.py:574-580); all other tables use `,`. */

