@@ -178,6 +178,69 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Interpolated bigram log-probability scoring — the next step up from
+    * [[unigramLogProbScores]] on the perplexity-proxy ladder: a document of
+    * common words in IMPROBABLE order (shuffled text, keyword stuffing,
+    * tables read as prose) scores high on unigrams but low on bigrams.
+    * Each adjacent token pair (w1, w2) is scored by the Jelinek-Mercer
+    * interpolation
+    *
+    *   P(w2 | w1) = λ · c(w1,w2)/c(w1·) + (1−λ) · c(w2)/N
+    *
+    * with λ = lambdaMilli/1000 — the unigram backoff floors the estimate
+    * for unseen-in-context pairs, so ln never sees a zero.
+    *
+    * Determinism: same discipline as the unigram scorer — ln is evaluated
+    * ONCE PER BIGRAM TYPE in the (vocabulary-sized) model table and
+    * quantized to integer micro-nats there; per-document aggregation is
+    * then pure integer addition, immune to float reduction order.
+    *
+    * Scale shape: two model aggregates (bigram and unigram counts —
+    * vocabulary-sized, map-side combined), one broadcast of the 1-row
+    * corpus total, and one join of the token stream against the model on
+    * the bigram key — the same join cardinality the corpus already has.
+    * Returns (id, n_bigrams, logprob_bi, avg_logprob_bi); documents with
+    * fewer than two tokens carry no bigrams and are absent (the caller
+    * left-joins if it needs them as rows). */
+  def bigramLogProbScores(df: DataFrame, idCol: String, textCol: String,
+                          lambdaMilli: Int = 800): DataFrame = {
+    require(lambdaMilli > 0 && lambdaMilli < 1000,
+      s"lambdaMilli must be in (0, 1000), got $lambdaMilli")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val bigramsOf = expr(
+      """transform(slice(__toks, 1, size(__toks) - 1), (w, i) ->
+        |  named_struct('w1', w, 'w2', __toks[i + 1]))""".stripMargin)
+    val big = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(bigramsOf).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val uni = toks.select(explode(col("__toks")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c2")).as("__n"))
+    val bigCounts = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctxCounts = bigCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // The ln argument is ONE double division of two EXACT integers —
+    //   (λm·c12·N + (1000−λm)·c2·c1) / (1000·c1·N)
+    // — algebraically the interpolation, but with no float constants whose
+    // decimal-vs-binary typing differs across engines; long→double
+    // conversion and a single divide are IEEE-defined everywhere. Products
+    // stay in Long up to ~1e16 token corpora per λm=800 factor; past that
+    // the model table (vocabulary-sized) moves the products to decimal.
+    val model = bigCounts.join(ctxCounts, "w1").join(uni, "w2")
+      .join(broadcast(total))
+      .select(col("w1"), col("w2"),
+        round(log(
+          expr(s"cast($lambdaMilli * c12 * __n + ${1000 - lambdaMilli} * c2 * c1 as double)" +
+            s" / cast(1000 * c1 * __n as double)"))
+          * 1000000).cast("long").as("__lp"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("logprob_bi"))
+      .select(col(idCol), col("n_bigrams"), col("logprob_bi"),
+        round(col("logprob_bi").cast("double") / (col("n_bigrams") * 1000000), 6)
+          .as("avg_logprob_bi"))
+  }
+
   /** Global-percentile quality gate: keep documents whose integer quality
     * score (stopword hits per 1000 tokens — the Gopher-style "natural
     * language" signal) clears the EXACT corpus-wide `pct` percentile.

@@ -787,4 +787,162 @@ object Graph {
         countDistinct(col("mid")).as("n_mids"),
         min(col("t2")).as("first_complete"))
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) with a FIXED round count and
+    * UNNORMALIZED integer scores — the directed-graph complement to
+    * [[pagerank]]: an *authority* is pointed at by good hubs (a deposit
+    * address many distributors feed), a *hub* points at good authorities
+    * (a distributor feeding many deposit addresses). Per round, the
+    * weighted mutual recursion:
+    *
+    *   auth'(v) = Σ_{(u,v)∈E} w(u,v) · hub(u)
+    *   hub'(u)  = Σ_{(u,v)∈E} w(u,v) · auth'(v)     (auth FIRST — standard)
+    *
+    * Classic HITS L2-normalizes each round, which only rescales — the
+    * RANKING is what the operator serves, and skipping the normalization
+    * keeps every score an exact integer (bit-deterministic across engines,
+    * retries, and partitionings; no float reduction order). Magnitudes
+    * grow ~(Σw·deg)^round, so scores ride DECIMAL(38,0): two rounds on a
+    * graph with 1e9-weight hubs stays < 1e38 while a Long would wrap.
+    *
+    * Scale shape: identical to [[pagerank]]'s round — the collapsed edge
+    * list is pinned once; each half-round is one equi-join shuffle of the
+    * current score vector (|V| rows) against the edges plus one
+    * map-side-combined aggregate; 2·rounds joins total, no driver state.
+    * Returns (node, hub_score, auth_score), every node of the graph. */
+  def hits(edges: DataFrame, rounds: Int = 2,
+           srcCol: String = "src", dstCol: String = "dst",
+           weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val ew = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("__w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("__w")).cast("decimal(38,0)").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(true)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val one = lit(1L).cast("decimal(38,0)")
+    var hub = nodes.withColumn("hub_score", one)
+    var auth = nodes.withColumn("auth_score", one)
+    var r = 0
+    while (r < rounds) {
+      val a = hub.join(ew, hub("node") === ew("src"))
+        .select(col("dst"), (col("w") * col("hub_score")).as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      auth = nodes.join(a, nodes("node") === a("dst"), "left")
+        .select(col("node"),
+          coalesce(col("__s"), lit(0)).cast("decimal(38,0)").as("auth_score"))
+        .localCheckpoint(true)
+      val h = auth.join(ew, auth("node") === ew("dst"))
+        .select(col("src"), (col("w") * col("auth_score")).as("__c"))
+        .groupBy(col("src")).agg(sum(col("__c")).as("__s"))
+      hub = nodes.join(h, nodes("node") === h("src"), "left")
+        .select(col("node"),
+          coalesce(col("__s"), lit(0)).cast("decimal(38,0)").as("hub_score"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub_score"), col("auth_score"))
+  }
+
+  /** Link prediction by the Resource-Allocation index (Zhou, Lü & Zhang
+    * 2009) — "which UNCONNECTED address pairs share suspicious common
+    * neighbors": for each non-adjacent pair (x, y),
+    *
+    *   RA(x, y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1 / deg(z)
+    *
+    * in integer MICRO-units (`1000000 div deg(z)` — truncating division
+    * of positives, engine-exact). RA beats raw common-neighbor counts
+    * because a 1M-degree exchange hub connecting two wallets is ~zero
+    * evidence (1/1e6 each) while a 3-degree private intermediary is
+    * strong evidence — exactly the right forensic weighting, and the same
+    * weighting is what makes the operator SAFE at scale:
+    *
+    * Scale shape: candidate pairs are generated by expanding the
+    * neighbor sets of CENTERS z with deg(z) <= maxCenterDeg only. The cut
+    * is principled, not a shortcut — a center above the cap contributes
+    * < 1e6/maxCenterDeg micro per pair (rounding to ~0) while generating
+    * deg² candidates, so high-degree centers cost quadratically and
+    * evidence-wise contribute nothing. Per center the expansion is the
+    * collect_list → pair-explode shape the dedup family uses (bounded by
+    * the cap, never a self-join of the corpus); existing edges drop via
+    * one anti-join against the undirected edge set. Returns the top
+    * `topK` pairs by (ra_micro, n_common) with a full total-order
+    * tiebreak, so the cut is deterministic. */
+  def linkPrediction(edges: DataFrame, maxCenterDeg: Int = 64,
+                     topK: Int = 20, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    require(maxCenterDeg >= 2, s"maxCenterDeg must be >= 2, got $maxCenterDeg")
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = degrees(und)
+    // adjacency of eligible centers: (z, neighbor), deg(z) <= cap
+    val adj = und.select(col("u").as("z"), col("v").as("n"))
+      .union(und.select(col("v").as("z"), col("u").as("n")))
+      .join(deg.filter(col("deg") <= maxCenterDeg)
+        .select(col("node").as("z"), col("deg")), "z")
+    val pairs = adj.groupBy(col("z"), col("deg"))
+      .agg(sort_array(collect_list(col("n"))).as("__ns"))
+      .select(col("z"), col("deg"), explode(expr(
+        """flatten(transform(__ns, (x, i) ->
+          |  transform(slice(__ns, i + 2, size(__ns)), y ->
+          |    named_struct('x', x, 'y', y))))""".stripMargin)).as("__p"))
+      .select(col("__p.x").as("x"), col("__p.y").as("y"),
+        expr("1000000 div deg").as("__ra"))
+    pairs
+      .join(und.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_anti") // already-adjacent pairs are not predictions
+      .groupBy(col("x"), col("y"))
+      .agg(sum(col("__ra")).as("ra_micro"), count(lit(1)).as("n_common"))
+      .orderBy(col("ra_micro").desc, col("n_common").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
+  /** Degree-assortativity moments — does the graph wire hub-to-hub
+    * (assortative: r > 0, typical of social graphs) or hub-to-leaf
+    * (disassortative: r < 0, typical of money-flow star topologies)?
+    * Computed over the 2|E| ordered endpoint pairs (deg(a), deg(b)) of the
+    * undirected edge set — Newman (2002)'s r is the Pearson correlation of
+    * those pairs. Rather than emit a float r (whose sqrt is
+    * engine-dependent at ulp level), the operator returns the EXACT
+    * integer moment vector and the exact correlation numerator/denominator
+    * — r = num / den, den = n·Σx² − (Σx)² (x and y moments coincide by
+    * endpoint symmetry) — plus r_milli by sign-split truncating division.
+    * All sums ride DECIMAL(38,0): Σ deg·deg over 1e12 edges of 1e7-degree
+    * hubs is ~1e26, far past Long.
+    *
+    * Scale shape: one degree aggregate, two broadcast-sized joins to
+    * attach endpoint degrees, one fixed-width (single-row) aggregate —
+    * map-side combined, no full-graph shuffle beyond the degree attach. */
+  def assortativityMoments(edges: DataFrame, srcCol: String = "src",
+                           dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = degrees(und)
+    val ends = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      // both orientations: the (x, y) sample set of Newman's r
+      .select(col("du").as("x"), col("dv").as("y"))
+      .union(
+        und.join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(col("dv").as("x"), col("du").as("y")))
+    val d = "cast(x as decimal(38,0))"
+    val dy = "cast(y as decimal(38,0))"
+    ends
+      .agg(count(lit(1)).as("n_ends"),
+        expr(s"sum($d)").as("sum_x"),
+        expr(s"sum($d * $d)").as("sum_xx"),
+        expr(s"sum($d * $dy)").as("sum_xy"))
+      .withColumn("r_num", expr("n_ends * sum_xy - sum_x * sum_x"))
+      .withColumn("r_den", expr("n_ends * sum_xx - sum_x * sum_x"))
+      .withColumn("r_milli", expr(
+        """CASE WHEN r_den = 0 THEN 0
+          |     WHEN r_num < 0 THEN -CAST((-r_num) * 1000 div r_den AS BIGINT)
+          |     ELSE CAST(r_num * 1000 div r_den AS BIGINT) END""".stripMargin))
+  }
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColumnFns
+
+/** Mergeable cardinality / frequency sketches, built relationally so they
+  * run as ordinary shuffles and stay oracle-verifiable.
+  *
+  * Why sketches in a 100 TB engine: exact `COUNT(DISTINCT)` over a
+  * billion-key column is a full shuffle of every distinct key, and exact
+  * per-key frequency tables can exceed memory at the consumer. A sketch is
+  * a FIXED-SIZE summary (here: 256 longs for KMV, d×w cells for CMS) that
+  * (a) aggregates with map-side combine, (b) merges across partitions,
+  * files, or days by construction, and (c) answers the query with bounded
+  * error. Spark's own `approx_count_distinct` (HLL++) covers the plain
+  * case but its register layout is opaque to SQL oracles; these operators
+  * use the engine's SQL-reproducible `md5Long` hash (`CAST('0x'||substr(
+  * md5(x),1,15) AS BIGINT)` in any engine) so every estimate is
+  * value-checkable in DuckDB — the same property the MinHash family relies
+  * on.
+  *
+  * Determinism: md5-derived hashes, integer arithmetic only (truncating
+  * `div` of non-negative operands), explicit total-order tiebreaks.
+  */
+object Sketches {
+
+  /** 2^60 — the exclusive upper bound of [[ColumnFns.md5Long]]'s range. */
+  val HashSpace: Long = 1L << 60
+
+  /** K-minimum-values (KMV / bottom-k theta) distinct-count sketch:
+    * keep the k smallest DISTINCT hash values of the key column; if the
+    * k-th smallest is `h_k`, the keys are uniform on [0, 2^60) and the
+    * unbiased estimate is `(k-1) * 2^60 / h_k` (Bar-Yossef et al. 2002;
+    * the DataSketches "theta" sketch is this plus union algebra).
+    *
+    * Scale shape: one hash projection + one DISTINCT on the hash (the
+    * only shuffle — map-side combined, and at most k values per partition
+    * need to survive in a tuned implementation) + a k-row top-k. The
+    * sketch itself (k longs) broadcasts anywhere; union-merge = union the
+    * value sets and re-take the bottom k, which is exactly re-running
+    * this operator on the concatenation ([[kmvMerge]]).
+    *
+    * Returns ONE row: (k, n_kept, kth_min_hash, est_distinct). Callers
+    * wanting an accuracy audit cross-join the exact distinct count next
+    * to it (the query layer does; production drops it — the exact count
+    * is the shuffle the sketch exists to avoid).
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashes = df.select(ColumnFns.md5Long(col(keyCol)).as("__h")).distinct()
+    val bottomK = hashes.orderBy(col("__h")).limit(k)
+    // kth_min = the LARGEST of the bottom-k survivors. If the column has
+    // fewer than k distinct keys the sketch IS the exact value set, so the
+    // estimate returns the exact count — standard KMV small-cardinality
+    // behavior; callers size k below expected |keys|. The (k-1)*2^60
+    // product exceeds Long, so the quotient rides DECIMAL(38,0) and only
+    // the final (always < 2^61-scale) estimate narrows back to BIGINT.
+    bottomK
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth_min_hash"))
+      .select(lit(k).as("k"), col("n_kept"), col("kth_min_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("long"))
+          .otherwise(expr(
+            s"CAST((CAST(n_kept AS DECIMAL(38,0)) - 1) * ${HashSpace}" +
+              " div kth_min_hash AS BIGINT)")))
+  }
+
+  /** Union-merge of KMV sketches stored as (bottom-k hash) VALUE tables:
+    * concatenate, distinct, re-take bottom k. Associative + commutative +
+    * idempotent, so per-file / per-day sketches roll up in any order —
+    * the property that makes the sketch a manifest-friendly statistic. */
+  def kmvMerge(parts: Seq[DataFrame], k: Int = 256): DataFrame =
+    parts.reduce(_ unionByName _).distinct().orderBy(col("__h")).limit(k)
+
+  /** Count-min sketch build: d independent md5 rows × w columns of long
+    * counters. Each input row increments cell `(r, md5Long(r||key) % w)`
+    * by one. The WHOLE sketch is d×w rows — it aggregates with map-side
+    * combine (shuffle cardinality d×w, never |rows|) and merges across
+    * batches by cell-wise addition.
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, d: Int = 3, w: Int = 64): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val rows = (0 until d).map { r =>
+      df.select(lit(r).as("row_id"),
+        pmod(ColumnFns.md5Long(concat(lit(s"cms$r|"), col(keyCol))), lit(w))
+          .as("cell_id"))
+    }.reduce(_ unionByName _)
+    rows.groupBy(col("row_id"), col("cell_id"))
+      .agg(count(lit(1)).as("cell_count"))
+  }
+
+  /** Count-min point estimate for a candidate key set: probe each key's d
+    * cells, take the MIN across rows — the classic CMS guarantee:
+    * `exact <= est <= exact + eps*N` with probability 1-delta (Cormode &
+    * Muthukrishnan 2005). The sketch side is d×w rows and BROADCASTS;
+    * the probe is a map-side join, so estimating frequencies for any
+    * candidate set never shuffles the corpus.
+    *
+    * Returns (key, est_count) — one row per candidate key.
+    */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame, keyCol: String,
+                  d: Int = 3, w: Int = 64): DataFrame = {
+    val probes = (0 until d).map { r =>
+      candidates.select(col(keyCol), lit(r).as("row_id"),
+        pmod(ColumnFns.md5Long(concat(lit(s"cms$r|"), col(keyCol))), lit(w))
+          .as("cell_id"))
+    }.reduce(_ unionByName _)
+    probes.join(broadcast(sketch), Seq("row_id", "cell_id"))
+      .groupBy(col(keyCol))
+      .agg(min(col("cell_count")).as("est_count"))
+  }
+}

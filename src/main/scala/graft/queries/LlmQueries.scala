@@ -2809,5 +2809,201 @@ object LlmQueries {
            |       FROM v JOIN c ON v.subspace = c.subspace)
            |SELECT vec_id, subspace, code, CAST(round(d2 * 1000000) AS BIGINT) AS dist_micro
            |FROM sc WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
-      }))
+      }),
+
+    // HITS hubs & authorities over the weighted behavioral backbone:
+    // 2 rounds of the unnormalized integer mutual recursion (auth first),
+    // decimal(38,0) scores; the oracle unrolls the identical half-rounds.
+    Q("graph_hits", "GRAPH",
+      (s, d) => graft.operators.Graph.hits(backboneEdges(s, d), rounds = 2,
+          weightCol = Some("w"))
+        .orderBy("node"),
+      Some {
+        s"""$backboneEdgesCte,
+           |n AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+           |a1 AS (SELECT ew.dst AS node, sum(ew.w) AS sc FROM ew GROUP BY 1),
+           |av1 AS (SELECT n.node, CAST(coalesce(a1.sc, 0) AS HUGEINT) AS a
+           |        FROM n LEFT JOIN a1 USING (node)),
+           |h1 AS (SELECT ew.src AS node, sum(ew.w * av1.a) AS sc FROM ew
+           |       JOIN av1 ON av1.node = ew.dst GROUP BY 1),
+           |hv1 AS (SELECT n.node, CAST(coalesce(h1.sc, 0) AS HUGEINT) AS h
+           |        FROM n LEFT JOIN h1 USING (node)),
+           |a2 AS (SELECT ew.dst AS node, sum(ew.w * hv1.h) AS sc FROM ew
+           |       JOIN hv1 ON hv1.node = ew.src GROUP BY 1),
+           |av2 AS (SELECT n.node, CAST(coalesce(a2.sc, 0) AS HUGEINT) AS a
+           |        FROM n LEFT JOIN a2 USING (node)),
+           |h2 AS (SELECT ew.src AS node, sum(ew.w * av2.a) AS sc FROM ew
+           |       JOIN av2 ON av2.node = ew.dst GROUP BY 1),
+           |hv2 AS (SELECT n.node, CAST(coalesce(h2.sc, 0) AS HUGEINT) AS h
+           |        FROM n LEFT JOIN h2 USING (node))
+           |SELECT n.node, CAST(hv2.h AS DECIMAL(38,0)) AS hub_score,
+           |       CAST(av2.a AS DECIMAL(38,0)) AS auth_score
+           |FROM n JOIN hv2 USING (node) JOIN av2 USING (node)
+           |ORDER BY node""".stripMargin
+      }),
+
+    // Link prediction by the Resource-Allocation index: top-20 unconnected
+    // pairs sharing low-degree common neighbors (deg(center) <= 64 — the
+    // principled hub cut: a capped center contributes < 1e6/64 micro while
+    // costing deg^2 candidates); integer micro 1/deg, full tiebreak.
+    Q("graph_link_prediction", "GRAPH",
+      (s, d) => graft.operators.Graph.linkPrediction(backboneEdges(s, d),
+        maxCenterDeg = 64, topK = 20),
+      Some {
+        s"""$backboneUndirectedCte,
+           |adj AS (SELECT u AS z, v AS nb FROM und
+           |        UNION ALL SELECT v AS z, u AS nb FROM und),
+           |el AS (SELECT adj.z, adj.nb, dg.deg FROM adj
+           |       JOIN dg ON dg.node = adj.z WHERE dg.deg <= 64),
+           |pr AS (SELECT a.nb AS x, b.nb AS y, a.deg FROM el a
+           |       JOIN el b ON a.z = b.z AND a.nb < b.nb),
+           |cand AS (SELECT x, y, 1000000 // deg AS ra FROM pr
+           |         WHERE NOT EXISTS (SELECT 1 FROM und
+           |                           WHERE und.u = pr.x AND und.v = pr.y))
+           |SELECT x, y, CAST(sum(ra) AS BIGINT) AS ra_micro,
+           |       count(*) AS n_common
+           |FROM cand GROUP BY 1, 2
+           |ORDER BY ra_micro DESC, n_common DESC, x, y LIMIT 20""".stripMargin
+      }),
+
+    // Degree assortativity (Newman 2002): exact integer moment vector over
+    // the 2|E| edge-endpoint degree pairs + exact Pearson numerator /
+    // denominator and sign-split truncating r_milli — no float sqrt.
+    Q("graph_assortativity", "GRAPH",
+      (s, d) => graft.operators.Graph.assortativityMoments(backboneEdges(s, d)),
+      Some {
+        s"""$backboneUndirectedCte,
+           |ed AS (SELECT dg1.deg AS du, dg2.deg AS dv FROM und
+           |       JOIN dg dg1 ON dg1.node = und.u
+           |       JOIN dg dg2 ON dg2.node = und.v),
+           |ends AS (SELECT du AS x, dv AS y FROM ed
+           |         UNION ALL SELECT dv AS x, du AS y FROM ed),
+           |m AS (SELECT count(*) AS n_ends, sum(CAST(x AS HUGEINT)) AS sum_x,
+           |        sum(CAST(x AS HUGEINT) * x) AS sum_xx,
+           |        sum(CAST(x AS HUGEINT) * y) AS sum_xy FROM ends),
+           |r AS (SELECT *, n_ends * sum_xy - sum_x * sum_x AS r_num,
+           |        n_ends * sum_xx - sum_x * sum_x AS r_den FROM m)
+           |SELECT CAST(n_ends AS BIGINT) AS n_ends,
+           |  CAST(sum_x AS DECIMAL(38,0)) AS sum_x,
+           |  CAST(sum_xx AS DECIMAL(38,0)) AS sum_xx,
+           |  CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
+           |  CAST(r_num AS DECIMAL(38,0)) AS r_num,
+           |  CAST(r_den AS DECIMAL(38,0)) AS r_den,
+           |  CAST(CASE WHEN r_den = 0 THEN 0
+           |            WHEN r_num < 0 THEN -((-r_num) * 1000 // r_den)
+           |            ELSE r_num * 1000 // r_den END AS BIGINT) AS r_milli
+           |FROM r""".stripMargin
+      }),
+
+    // KMV (bottom-k / theta) distinct-count sketch over the event user
+    // population: 64 smallest md5 hash values -> (k-1)*2^60/h_k estimate;
+    // exact distinct rides along as the accuracy audit column.
+    Q("sketch_kmv_distinct", "SKETCH",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id").cast("string").as("user_key"))
+        graft.operators.Sketches.kmvDistinct(ev, "user_key", k = 64)
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col("user_key")).as("exact_distinct"))))
+      },
+      Some("""WITH h AS (SELECT DISTINCT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh FROM events),
+             |b AS (SELECT hh FROM h ORDER BY hh LIMIT 64),
+             |a AS (SELECT count(*) AS n_kept, max(hh) AS kth FROM b),
+             |x AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+             |SELECT CAST(64 AS INTEGER) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+             |  kth AS kth_min_hash,
+             |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+             |       ELSE (CAST(n_kept AS HUGEINT) - 1) * 1152921504606846976 // kth
+             |       END AS BIGINT) AS est_distinct,
+             |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+             |FROM a CROSS JOIN x""".stripMargin)),
+
+    // Count-min sketch heavy hitters: 3x64 md5 cells built with one
+    // map-side-combined aggregate (shuffle cardinality d*w, never |rows|),
+    // broadcast probe, min-across-rows estimate (est >= exact always);
+    // top-10 users by estimate with the exact count as the audit column.
+    Q("sketch_cms_topk", "SKETCH",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id").cast("string").as("user_key"))
+        val sketch = graft.operators.Sketches.cmsBuild(ev, "user_key", d = 3, w = 64)
+        val exact = ev.groupBy(col("user_key")).agg(count(lit(1)).as("exact_count"))
+        graft.operators.Sketches
+          .cmsEstimate(sketch, ev.distinct(), "user_key", d = 3, w = 64)
+          .join(exact, "user_key")
+          .orderBy(col("est_count").desc, col("exact_count").desc, col("user_key"))
+          .limit(10)
+      },
+      Some("""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS user_key FROM events),
+             |rs AS (SELECT unnest([0, 1, 2]) AS r),
+             |cells AS (SELECT r, CAST('0x' || substring(md5('cms' || r || '|' || user_key), 1, 15) AS BIGINT) % 64 AS cell,
+             |            count(*) AS cell_count
+             |          FROM ev CROSS JOIN rs GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT user_key FROM ev),
+             |probe AS (SELECT user_key, r, CAST('0x' || substring(md5('cms' || r || '|' || user_key), 1, 15) AS BIGINT) % 64 AS cell
+             |          FROM cand CROSS JOIN rs),
+             |est AS (SELECT p.user_key, min(cells.cell_count) AS est_count FROM probe p
+             |        JOIN cells ON cells.r = p.r AND cells.cell = p.cell GROUP BY 1),
+             |exact AS (SELECT user_key, count(*) AS exact_count FROM ev GROUP BY 1)
+             |SELECT user_key, CAST(est_count AS BIGINT) AS est_count,
+             |       CAST(exact_count AS BIGINT) AS exact_count
+             |FROM est JOIN exact USING (user_key)
+             |ORDER BY est_count DESC, exact_count DESC, user_key LIMIT 10""".stripMargin)),
+
+    // Rate-burst detection: hourly event-type counts flagged when the rate
+    // exceeds 1.5x the mean of the previous three observed windows (pure
+    // integer cross-multiplication, full-history windows only) — the
+    // monitoring primitive for ingest anomaly alerts.
+    Q("event_bursts", "STREAM",
+      (s, d) => {
+        val hourly = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("window_start"))
+          .agg(count(lit(1)).as("n_events"))
+        val pw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("window_start"))
+          .rowsBetween(-3, -1)
+        hourly
+          .withColumn("prev3_sum", coalesce(sum(col("n_events")).over(pw), lit(0L)))
+          .withColumn("prev3_n", count(col("n_events")).over(pw))
+          .withColumn("is_burst",
+            col("prev3_n") === 3 && col("n_events") * 3 > col("prev3_sum") * 2)
+          .orderBy("event_type", "window_start")
+      },
+      Some("""WITH hourly AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             |                  count(*) AS n_events
+             |                FROM events GROUP BY 1, 2),
+             |w AS (SELECT event_type, window_start, CAST(n_events AS BIGINT) AS n_events,
+             |        CAST(coalesce(sum(n_events) OVER pw, 0) AS BIGINT) AS prev3_sum,
+             |        CAST(count(n_events) OVER pw AS BIGINT) AS prev3_n
+             |      FROM hourly
+             |      WINDOW pw AS (PARTITION BY event_type ORDER BY window_start
+             |                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+             |SELECT event_type, window_start, n_events, prev3_sum, prev3_n,
+             |       (prev3_n = 3 AND n_events * 3 > prev3_sum * 2) AS is_burst
+             |FROM w ORDER BY event_type, window_start""".stripMargin)),
+
+    // Interpolated bigram log-probability ("word-order perplexity proxy"):
+    // Jelinek-Mercer lambda=0.8 with unigram backoff; ln argument is one
+    // double division of two exact integer products, ln quantized once per
+    // bigram type to micro-nats, per-doc aggregation pure integer.
+    Q("text_bigram_logprob", "LLM",
+      (s, d) => TextAnalysis.bigramLogProbScores(
+          Tables(s, d, "documents"), "doc_id", "text", lambdaMilli = 800)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+             |big AS (SELECT doc_id, unnest(ts[:len(ts)-1]) AS w1, unnest(ts[2:]) AS w2
+             |        FROM toks WHERE len(ts) >= 2),
+             |uni AS (SELECT unnest(str_split(text, ' ')) AS w2 FROM documents),
+             |cu AS (SELECT w2, count(*) AS cnt2 FROM uni GROUP BY 1),
+             |nn AS (SELECT CAST(sum(cnt2) AS BIGINT) AS n FROM cu),
+             |cb AS (SELECT w1, w2, count(*) AS cnt12 FROM big GROUP BY 1, 2),
+             |cx AS (SELECT w1, CAST(sum(cnt12) AS BIGINT) AS cnt1 FROM cb GROUP BY 1),
+             |model AS (SELECT cb.w1, cb.w2,
+             |    CAST(round(ln(CAST(800 * cnt12 * n + 200 * cnt2 * cnt1 AS DOUBLE)
+             |                  / CAST(1000 * cnt1 * n AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+             |  FROM cb JOIN cx USING (w1) JOIN cu USING (w2) CROSS JOIN nn)
+             |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS logprob_bi,
+             |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob_bi
+             |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, Sketches}
+import graft.llm.TextAnalysis
+
+/** Round-7 additions: KMV / CMS sketches, HITS, RA link prediction,
+  * assortativity moments, bigram LM scoring. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- KMV ----------------
+
+  test("kmv: under-full sketch returns the exact distinct count") {
+    val df = (1 to 40).map(i => s"key${i % 17}").toDF("k")
+    val row = Sketches.kmvDistinct(df, "k", k = 64).collect().head
+    assert(row.getAs[Long]("n_kept") == 17L)
+    assert(row.getAs[Long]("est_distinct") == 17L)
+  }
+
+  test("kmv: estimate is within 35% of truth at n >> k") {
+    val df = (1 to 20000).map(i => s"user$i").toDF("k")
+    val row = Sketches.kmvDistinct(df, "k", k = 256).collect().head
+    val est = row.getAs[Long]("est_distinct")
+    // k=256 gives ~1/sqrt(254) ≈ 6% relative std error; 35% is >5 sigma
+    assert(est > 13000 && est < 27000, s"estimate $est too far from 20000")
+  }
+
+  test("kmv: merging per-part value sets equals the whole-corpus sketch") {
+    val whole = (1 to 5000).map(i => s"u$i").toDF("k")
+    val parts = Seq(
+      (1 to 3000).map(i => s"u$i").toDF("k"), // overlapping halves:
+      (2000 to 5000).map(i => s"u$i").toDF("k")) // union algebra must dedup
+      .map(p => p.select(graft.functions.ColumnFns.md5Long(col("k")).as("__h"))
+        .distinct().orderBy(col("__h")).limit(256))
+    val merged = Sketches.kmvMerge(parts, k = 256).collect().map(_.getLong(0))
+    val direct = whole.select(graft.functions.ColumnFns.md5Long(col("k")).as("__h"))
+      .distinct().orderBy(col("__h")).limit(256).collect().map(_.getLong(0))
+    assert(merged.sorted.sameElements(direct.sorted))
+  }
+
+  // ---------------- CMS ----------------
+
+  test("cms: estimate never under-counts and is exact for dominant keys") {
+    val rows = (1 to 900).map(_ => "whale") ++ (1 to 300).flatMap(i => Seq(s"m$i"))
+    val df = rows.toDF("k")
+    val sketch = Sketches.cmsBuild(df, "k", d = 3, w = 64)
+    assert(sketch.count() <= 3L * 64) // the sketch is d*w cells, never |rows|
+    val exact = df.groupBy($"k").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(sketch, df.distinct(), "k", d = 3, w = 64)
+      .join(exact, "k").collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("est_count") >= r.getAs[Long]("exact"),
+        s"CMS under-counted ${r.getAs[String]("k")}")
+    }
+    val whale = est.find(_.getAs[String]("k") == "whale").get
+    // 300 light keys over 3*64 cells collide with the whale by at most a
+    // handful of counts; the whale estimate stays within +10%
+    assert(whale.getAs[Long]("est_count") <= 990)
+  }
+
+  // ---------------- HITS ----------------
+
+  test("hits: star fan-in makes the center the authority, feeders the hubs") {
+    // 1->4, 2->4, 3->4: auth(4)=3 after round 1, hub(1|2|3)=auth(4)
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(e, rounds = 1).collect()
+      .map(r => r.getLong(0) -> (r.getDecimal(1).longValue(), r.getDecimal(2).longValue()))
+      .toMap
+    assert(out(4L) == ((0L, 3L))) // pure authority: no out-edges
+    assert(out(1L) == ((3L, 0L)) && out(2L) == ((3L, 0L)) && out(3L) == ((3L, 0L)))
+  }
+
+  test("hits: weighted two-round recursion matches the hand-unrolled values") {
+    // 1->2 (w 2), 3->2 (w 1), 2->4 (w 5)
+    val e = Seq((1L, 2L, 2L), (3L, 2L, 1L), (2L, 4L, 5L)).toDF("src", "dst", "w")
+    // round 1: a1 = in-weight: a1(2)=3, a1(4)=5
+    //          h1(1)=2*3=6, h1(3)=1*3=3, h1(2)=5*5=25
+    // round 2: a2(2)=2*h1(1)+1*h1(3)=15, a2(4)=5*h1(2)=125
+    //          h2(1)=2*15=30, h2(3)=15, h2(2)=5*125=625
+    val out = Graph.hits(e, rounds = 2, weightCol = Some("w")).collect()
+      .map(r => r.getLong(0) -> (r.getDecimal(1).longValue(), r.getDecimal(2).longValue()))
+      .toMap
+    assert(out(1L) == ((30L, 0L)))
+    assert(out(2L) == ((625L, 15L)))
+    assert(out(3L) == ((15L, 0L)))
+    assert(out(4L) == ((0L, 125L)))
+  }
+
+  // ---------------- link prediction ----------------
+
+  test("link prediction: 4-cycle predicts exactly the two diagonals") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val out = Graph.linkPrediction(e, maxCenterDeg = 64, topK = 10).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("ra_micro"), r.getAs[Long]("n_common"))).toSet
+    // each diagonal shares BOTH opposite corners, deg 2 each: 2 * 500000
+    assert(got == Set((1L, 3L, 1000000L, 2L), (2L, 4L, 1000000L, 2L)))
+  }
+
+  test("link prediction: high-degree centers are cut, existing edges never predicted") {
+    // hub 99 connects 1..10 (deg 10 > cap 4): contributes nothing;
+    // path 1-20-2 through a deg-2 center predicts (1,2)
+    val hubEdges = (1L to 10L).map(i => (99L, i))
+    val e = (hubEdges ++ Seq((1L, 20L), (20L, 2L))).toDF("src", "dst")
+    val out = Graph.linkPrediction(e, maxCenterDeg = 4, topK = 100).collect()
+    val got = out.map(r => (r.getLong(0), r.getLong(1),
+      r.getAs[Long]("ra_micro"), r.getAs[Long]("n_common"))).toSet
+    // deg-2 centers 1 and 2 each link their neighbor pair {20, 99};
+    // center 20 links (1, 2). NO pair is centered at the capped hub 99 —
+    // none of 3..10's sole-neighbor pairs appear.
+    assert(got == Set((1L, 2L, 500000L, 1L), (20L, 99L, 1000000L, 2L)))
+    assert(!got.exists { case (x, y, _, _) => x >= 3L && x <= 10L || y >= 3L && y <= 10L })
+  }
+
+  // ---------------- assortativity ----------------
+
+  test("assortativity: star graph is exactly disassortative (r = -1)") {
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = Graph.assortativityMoments(e).collect().head
+    // endpoint pairs: (3,1) x3 and (1,3) x3 -> r = -1 exactly
+    assert(r.getAs[Long]("n_ends") == 6L)
+    assert(r.getAs[Long]("r_milli") == -1000L)
+  }
+
+  test("assortativity: regular graph has zero variance -> r_den 0, r 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst") // 2-regular
+    val r = Graph.assortativityMoments(e).collect().head
+    assert(r.getDecimal(5).longValue() == 0L) // r_den
+    assert(r.getAs[Long]("r_milli") == 0L)
+  }
+
+  // ---------------- bigram LM ----------------
+
+  test("bigram scoring: probable word order outscores shuffled order") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the")) // same unigrams, improbable order
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("logprob_bi")).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L)) // identical docs tie
+    assert(out(4L) < out(1L), // shuffled doc is less probable
+      s"shuffled ${out(4L)} should score below natural ${out(1L)}")
+  }
+
+  test("bigram scoring: single-token docs carry no bigrams") {
+    val docs = Seq((1L, "hello"), (2L, "hello world")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbScores(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    assert(out.head.getAs[Long]("n_bigrams") == 1L)
+  }
+}
