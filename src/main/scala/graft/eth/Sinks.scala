@@ -338,6 +338,47 @@ object Sinks {
     else spark.read.parquet(keep: _*).filter(col(keyCol) === probe)
   }
 
+  def ndvManifestPath(path: String): String =
+    path.stripSuffix("/") + "_manifest_ndv"
+
+  /** Per-file NDV (distinct-count) side-manifest: each data file's KMV
+    * value set — its k smallest distinct md5-long hashes of `keyCol` —
+    * stored as (file, __h) rows. The statistic every join planner wants
+    * (broadcast vs shuffle, dedup sizing) and no min/max manifest can
+    * give. Two properties make the KMV form the right per-file stat:
+    * the manifest is bounded (<= #files × k rows, metadata-sized), and it
+    * MERGES LOSSLESSLY — the bottom k of a union of per-file bottom-k
+    * sets IS the bottom k of the union, so a whole-table (or any
+    * file-subset: a partition, a day, a snapshot) estimate needs only the
+    * manifest, never the data ([[graft.operators.Sketches.kmvFromHashes]]
+    * algebra, asserted in SinksSpec). Build cost: one column-pruned scan
+    * + a per-file distinct + per-file top-k window over file-local rows.
+    * Same freshness contract as [[writeManifest]]. */
+  def writeNdvManifest(spark: SparkSession, path: String, keyCol: String,
+                       k: Int = 256): Unit = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("file")).orderBy(col("__h"))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        graft.functions.ColumnFns.md5Long(col(keyCol)).as("__h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("file"), col("__h"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(ndvManifestPath(path))
+  }
+
+  /** Whole-table distinct-count estimate from the NDV manifest ALONE (no
+    * data read): merge every file's KMV value set and re-estimate. Exact
+    * merge algebra — equals [[graft.operators.Sketches.kmvDistinct]] run
+    * directly on the table, bit for bit. */
+  def ndvFromManifest(spark: SparkSession, path: String,
+                      k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvFromHashes(
+      spark.read.parquet(ndvManifestPath(path)).select(col("__h")), k)
+
   /** Per-table CSV dialect (ref: scripts/csv_import.sh:12-39): logs use `|`
     * because `topics` is rendered as a JSON-ish string containing commas
     * (ref: scripts/eth_csv_export.py:574-580); all other tables use `,`. */

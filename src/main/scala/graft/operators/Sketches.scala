@@ -48,10 +48,19 @@ object Sketches {
     * to it (the query layer does; production drops it — the exact count
     * is the shuffle the sketch exists to avoid).
     */
-  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame =
+    kmvFromHashes(df.select(ColumnFns.md5Long(col(keyCol)).as("__h")), k)
+
+  /** [[kmvDistinct]] over an already-hashed value table (`__h` in
+    * [0, 2^60)) — the entry point for PRE-SKETCHED inputs: per-file
+    * manifest value sets ([[graft.eth.Sinks.writeNdvManifest]]), unions of
+    * per-day sketches, etc. Taking the bottom k of a union of per-part
+    * bottom-k sets is EXACTLY the bottom k of the union (min is
+    * associative), so estimates from merged sketches equal estimates from
+    * the raw data — the algebra the manifest path relies on. */
+  def kmvFromHashes(hashes: DataFrame, k: Int = 256): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashes = df.select(ColumnFns.md5Long(col(keyCol)).as("__h")).distinct()
-    val bottomK = hashes.orderBy(col("__h")).limit(k)
+    val bottomK = hashes.select(col("__h")).distinct().orderBy(col("__h")).limit(k)
     // kth_min = the LARGEST of the bottom-k survivors. If the column has
     // fewer than k distinct keys the sketch IS the exact value set, so the
     // estimate returns the exact count — standard KMV small-cardinality
@@ -111,5 +120,58 @@ object Sketches {
     probes.join(broadcast(sketch), Seq("row_id", "cell_id"))
       .groupBy(col(keyCol))
       .agg(min(col("cell_count")).as("est_count"))
+  }
+
+  /** Log2-bucketed histogram of a non-negative long measure — the
+    * deterministic fixed-size quantile sketch: bucket `b` holds values in
+    * [2^b, 2^(b+1)) (zero and negatives land in guard bucket -1), so the
+    * whole summary is <= 64 rows regardless of input size, aggregates
+    * with map-side combine, and merges across batches/files/days by
+    * cell-wise addition + min/max — the same mergeability contract as
+    * [[cmsBuild]]. Relative error of a quantile read off the histogram is
+    * bounded by the bucket width (2× — tighten by bucketing
+    * `length(bin(v * scale))` if needed). Float-free: `bin()` length IS
+    * floor(log2)+1, exactly, for every positive long.
+    *
+    * Returns (bucket_log2, n_rows, lo, hi) — lo/hi the observed extrema
+    * within the bucket (tighter than the power-of-two bounds). */
+  def logHistogram(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"),
+        when(col("__v") <= 0, lit(-1))
+          .otherwise((length(bin(col("__v"))) - 1).cast("int")).as("bucket_log2"))
+      .groupBy(col("bucket_log2"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+
+  /** Quantile read-out of a [[logHistogram]]: for each requested q (in
+    * milli-units), the first bucket whose cumulative count reaches
+    * ceil(q·n/1000) — the bucket that CONTAINS the exact q-quantile, with
+    * its observed upper bound `hi` as the point estimate (never below the
+    * true quantile). Pure integer threshold arithmetic; the cumulative
+    * window runs over the <= 64-row summary (metadata-sized by
+    * construction — the corpus never re-sorts). Returns
+    * (q_milli, bucket_log2, bucket_hi, n_le) per requested quantile. */
+  def histogramQuantiles(hist: DataFrame, qMillis: Seq[Int]): DataFrame = {
+    require(qMillis.nonEmpty && qMillis.forall(q => q > 0 && q <= 1000),
+      s"quantiles must be in (0, 1000] milli, got $qMillis")
+    val cumWin = Window.orderBy(col("bucket_log2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("n_le", sum(col("n_rows")).over(cumWin))
+      .select(col("bucket_log2"), col("hi"), col("n_le"))
+    val total = hist.agg(sum(col("n_rows")).as("__n"))
+    val qs = hist.sparkSession
+      .createDataset(qMillis)(org.apache.spark.sql.Encoders.scalaInt)
+      .toDF("q_milli").crossJoin(broadcast(total))
+      .select(col("q_milli"),
+        expr("(q_milli * __n + 999) div 1000").as("__thr"))
+    val pick = qs.join(cum, cum("n_le") >= qs("__thr"))
+      .groupBy(col("q_milli"))
+      .agg(min(col("bucket_log2")).as("bucket_log2"))
+    pick.join(cum, Seq("bucket_log2"))
+      .select(col("q_milli"), col("bucket_log2"), col("hi").as("bucket_hi"),
+        col("n_le"))
   }
 }

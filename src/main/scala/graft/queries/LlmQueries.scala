@@ -2950,6 +2950,43 @@ object LlmQueries {
              |FROM est JOIN exact USING (user_key)
              |ORDER BY est_count DESC, exact_count DESC, user_key LIMIT 10""".stripMargin)),
 
+    // Mergeable log2-histogram quantile sketch: p50/p90/p99 of the event
+    // value (integer cents) read off a <= 64-row summary — the bucket
+    // containing the true quantile, by pure integer threshold arithmetic;
+    // the exact order statistic rides along as the audit column (and must
+    // land inside the picked bucket — SketchSpec pins the invariant).
+    Q("sketch_quantile_hist", "SKETCH",
+      (s, d) => {
+        val cents = Tables(s, d, "events")
+          .select(round(col("value") * 100).cast("long").as("cents"))
+        val hist = graft.operators.Sketches.logHistogram(cents, "cents")
+        val qs = graft.operators.Sketches
+          .histogramQuantiles(hist, Seq(500, 900, 990))
+        val ranked = cents.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cents")))) // exact audit only; production drops it
+        val thr = qs.crossJoin(broadcast(cents.agg(count(lit(1)).as("__n"))))
+          .withColumn("__thr", expr("(q_milli * __n + 999) div 1000"))
+        thr.join(ranked, col("rn") === col("__thr"))
+          .select(col("q_milli"), col("bucket_log2"), col("bucket_hi"),
+            col("n_le"), col("cents").as("exact_q"))
+          .orderBy("q_milli")
+      },
+      Some("""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |hist AS (SELECT CASE WHEN v <= 0 THEN -1 ELSE CAST(length(bin(v)) - 1 AS INTEGER) END AS b,
+             |                count(*) AS n_rows, max(v) AS hi FROM c GROUP BY 1),
+             |cum AS (SELECT b, hi, CAST(sum(n_rows) OVER (ORDER BY b) AS BIGINT) AS n_le FROM hist),
+             |tot AS (SELECT count(*) AS n FROM c),
+             |qs AS (SELECT unnest([500, 900, 990]) AS q_milli),
+             |thr AS (SELECT q_milli, (q_milli * n + 999) // 1000 AS t FROM qs CROSS JOIN tot),
+             |pick AS (SELECT q_milli, min(b) AS b FROM thr JOIN cum ON cum.n_le >= thr.t GROUP BY 1),
+             |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c)
+             |SELECT p.q_milli, p.b AS bucket_log2, cum.hi AS bucket_hi,
+             |       cum.n_le, rk.v AS exact_q
+             |FROM pick p JOIN cum ON cum.b = p.b
+             |JOIN thr ON thr.q_milli = p.q_milli JOIN rk ON rk.rn = thr.t
+             |ORDER BY p.q_milli""".stripMargin)),
+
     // Rate-burst detection: hourly event-type counts flagged when the rate
     // exceeds 1.5x the mean of the previous three observed windows (pure
     // integer cross-multiplication, full-history windows only) — the

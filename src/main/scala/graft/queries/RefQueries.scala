@@ -1571,6 +1571,37 @@ object RefQueries {
              |WHERE '0x' || md5(c_name) =
              |  (SELECT '0x' || md5(c_name) FROM customer WHERE c_custkey = 42)""".stripMargin)),
 
+    // Per-file NDV (KMV) manifest: the table's distinct-count estimate
+    // computed from METADATA ONLY — each file stores its bottom-256 md5
+    // value set; bottom-k of the union of per-file bottom-k sets IS the
+    // bottom-k of the union (lossless merge algebra), so the
+    // manifest-only estimate equals running the KMV sketch directly on
+    // the data — which is exactly what the oracle does. Exact distinct
+    // rides along as the audit column.
+    Q("k8_manifest_ndv", "Q2",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft_ndv")
+          .toString + "/customer"
+        Tables(s, d, "customer").select(col("c_name"))
+          .repartition(8, col("c_name"))
+          .write.mode("overwrite").parquet(out)
+        Sinks.writeNdvManifest(s, out, "c_name", k = 256)
+        Sinks.ndvFromManifest(s, out, k = 256)
+          .crossJoin(broadcast(Tables(s, d, "customer")
+            .agg(countDistinct(col("c_name")).as("exact_distinct"))))
+      },
+      Some("""WITH h AS (SELECT DISTINCT CAST('0x' || substring(md5(c_name), 1, 15) AS BIGINT) AS hh FROM customer),
+             |b AS (SELECT hh FROM h ORDER BY hh LIMIT 256),
+             |a AS (SELECT count(*) AS n_kept, max(hh) AS kth FROM b),
+             |x AS (SELECT count(DISTINCT c_name) AS exact_distinct FROM customer)
+             |SELECT CAST(256 AS INTEGER) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+             |  kth AS kth_min_hash,
+             |  CAST(CASE WHEN n_kept < 256 THEN n_kept
+             |       ELSE (CAST(n_kept AS HUGEINT) - 1) * 1152921504606846976 // kth
+             |       END AS BIGINT) AS est_distinct,
+             |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+             |FROM a CROSS JOIN x""".stripMargin)),
+
     // S5 generalized to a full operator: backward AS-OF JOIN — for every
     // "purchase" event, the latest "click" at-or-before it per user
     // (the reference's timestamp->block watermark lookup is the k=1 scalar

@@ -285,6 +285,44 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming count-min sketch maintenance — bounded-state heavy-hitter
+    * tracking over an unbounded stream: per micro-batch, build the batch's
+    * d×w cell counts ([[graft.operators.Sketches.cmsBuild]] — pure column
+    * work, shuffle cardinality d×w) and land them keyed by batchId via the
+    * idempotent PK upsert: a replayed batch overwrites ITS OWN partial
+    * cells (the [[maintainRelations]] exactly-once recipe), and the
+    * queryable sketch is the cell-wise SUM over batches
+    * ([[readCmsSketch]]) — CMS merge is exactly addition, so the
+    * merge-on-read view equals the sketch of the whole history. Total
+    * state: d×w rows per batch, independent of key cardinality — the
+    * reason to sketch a stream instead of counting it. */
+  def maintainCms(stream: DataFrame, tableDir: String, checkpointDir: String,
+                  keyCol: String, d: Int = 3, w: Int = 64,
+                  keyBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val cells = graft.operators.Sketches
+          .cmsBuild(batch.toDF(), keyCol, d, w)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("bk", lit(batchId % keyBuckets.toLong))
+        graft.eth.Sinks.upsertBucketedParquet(cells, tableDir,
+          pkCols = Seq("row_id", "cell_id", "batch_id"), bucketCol = "bk",
+          sortCols = Seq("row_id", "cell_id"),
+          newBuckets = Some(Seq(batchId % keyBuckets.toLong)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merge-on-read of [[maintainCms]]'s per-batch partials: cell-wise sum
+    * -> the d×w sketch of everything ingested so far, ready for
+    * [[graft.operators.Sketches.cmsEstimate]]. */
+  def readCmsSketch(spark: org.apache.spark.sql.SparkSession,
+                    tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+      .groupBy(col("row_id"), col("cell_id"))
+      .agg(sum(col("cell_count")).as("cell_count"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

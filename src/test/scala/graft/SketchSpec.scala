@@ -60,6 +60,55 @@ class SketchSpec extends SparkSpec {
     assert(whale.getAs[Long]("est_count") <= 990)
   }
 
+  test("ndv manifest: metadata-only estimate equals the direct KMV sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndvspec")
+      .toString + "/t"
+    val df = (1 to 3000).map(i => s"key$i").toDF("k")
+    df.repartition(6, col("k")).write.mode("overwrite").parquet(dir)
+    graft.eth.Sinks.writeNdvManifest(spark, dir, "k", k = 128)
+    val manifest = spark.read.parquet(
+      graft.eth.Sinks.ndvManifestPath(dir))
+    assert(manifest.count() <= 6L * 128) // metadata-sized: files x k
+    val fromManifest = graft.eth.Sinks.ndvFromManifest(spark, dir, k = 128)
+      .collect().head
+    val direct = Sketches.kmvDistinct(df, "k", k = 128).collect().head
+    // lossless merge algebra: bottom-k of per-file bottom-k == global
+    assert(fromManifest.toSeq == direct.toSeq)
+  }
+
+  // ---------------- histogram quantiles ----------------
+
+  test("histogram quantiles: picked bucket contains the exact order statistic") {
+    val vals = ((1 to 700).map(_.toLong * 3 + 1) ++ (1 to 300).map(_.toLong * 97))
+      .toDF("v")
+    val hist = Sketches.logHistogram(vals, "v")
+    val qs = Sketches.histogramQuantiles(hist, Seq(100, 500, 900, 1000))
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getAs[Long]("bucket_hi"), r.getAs[Long]("n_le"))).toMap
+    val sorted = vals.orderBy("v").collect().map(_.getLong(0))
+    val n = sorted.length
+    for ((q, (bucket, hi, nLe)) <- qs) {
+      val exact = sorted((q * n + 999) / 1000 - 1)
+      // the true quantile lives in the picked bucket: same log2, <= hi
+      assert(java.lang.Long.numberOfTrailingZeros(
+        java.lang.Long.highestOneBit(exact)) == bucket,
+        s"q=$q exact=$exact not in bucket $bucket")
+      assert(exact <= hi && nLe >= (q.toLong * n + 999) / 1000)
+    }
+  }
+
+  test("histogram: merge by cell-wise addition equals whole-corpus build") {
+    val a = (1 to 500).map(_.toLong).toDF("v")
+    val b = (300 to 2000).map(_.toLong).toDF("v")
+    val merged = Sketches.logHistogram(a, "v")
+      .unionByName(Sketches.logHistogram(b, "v"))
+      .groupBy("bucket_log2")
+      .agg(sum(col("n_rows")).as("n_rows"), min(col("lo")).as("lo"),
+        max(col("hi")).as("hi"))
+    val direct = Sketches.logHistogram(a.unionByName(b), "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
   // ---------------- HITS ----------------
 
   test("hits: star fan-in makes the center the authority, feeders the hubs") {

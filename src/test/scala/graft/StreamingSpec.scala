@@ -211,6 +211,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CMS maintenance: merged sketch equals the batch-built sketch of all data") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scms").toString
+    val input = MemoryStream[String]
+    val query = StreamingOps.maintainCms(
+      input.toDF().toDF("k"), s"$dir/cms", s"$dir/ckpt", keyCol = "k")
+    try {
+      val b1 = (1 to 50).map(_ => "whale") ++ (1 to 20).map(i => s"m$i")
+      val b2 = (1 to 30).map(_ => "whale") ++ (21 to 40).map(i => s"m$i")
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val merged = StreamingOps.readCmsSketch(spark, s"$dir/cms")
+      val direct = graft.operators.Sketches.cmsBuild(
+        (b1 ++ b2).toDF("k"), "k")
+      // CMS merge is cell-wise addition: streamed-and-merged == one-shot
+      val diff = merged.union(direct).groupBy("row_id", "cell_id")
+        .agg(countDistinct(col("cell_count")).as("nv"), count(lit(1)).as("n"))
+        .filter(col("nv") =!= 1 || col("n") =!= 2).count()
+      assert(diff == 0L, "merged stream sketch diverges from batch sketch")
+      val est = graft.operators.Sketches.cmsEstimate(
+        merged, Seq("whale").toDF("k"), "k").collect().head
+      assert(est.getAs[Long]("est_count") >= 80L) // exact 80, CMS never under
+    } finally query.stop()
+  }
+
   test("streaming SCD2 maintenance: touched-key rebuild matches the batch build, late rows renumber") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
