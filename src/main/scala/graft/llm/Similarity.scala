@@ -689,4 +689,32 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("score"))
   }
+
+  /** Radius (range) search: ALL corpus vectors within cosine >= `radius`
+    * of each query — the "find everything this similar" primitive that
+    * top-k cannot express (k is unknown; a hot query may have thousands
+    * of in-radius neighbors, a cold one zero). Queries ride a broadcast;
+    * the corpus takes ONE scan with the fused one-pass `graft_cosine`
+    * per (row, query) and a codegen'd filter — no shuffle at all (unlike
+    * top-k, which needs the per-query window). Cosine is rounded to 1e-6
+    * BEFORE the threshold compare so the kept set is bit-deterministic
+    * across engines (same discipline as [[bruteForceTopK]]).
+    *
+    * Scale shape: cost is |corpus| x |queries| dots, map-only — right for
+    * bounded query sets (the audit/probe regime). For corpus-vs-corpus
+    * radius search use the LSH-bucketed near-dup path
+    * ([[graft.llm.Dedup.embeddingNearDupPairs]]), which is this operator
+    * with candidate generation replacing the broadcast. */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, radius: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__q"), col("__c")), 6))
+      .filter(col("cosine") >= radius)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
 }

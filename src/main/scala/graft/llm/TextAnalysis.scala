@@ -503,4 +503,127 @@ object TextAnalysis {
       }
       .reduce(_ && _)
   }
+
+  /** Per-document token-distribution entropy (nats, micro-quantized):
+    * H = Σ_t (c_t/n)·ln(n/c_t) over the document's token frequencies —
+    * the Gopher-style gibberish signal a plain length/stopword filter
+    * misses (a doc of one word repeated 500 times has H = 0; natural
+    * prose sits near ln(n_types)). Also returns the type count, whose
+    * ratio to n_tokens is the classic type-token diversity.
+    *
+    * Determinism discipline (same as [[bigramLogProbScores]]): the ln
+    * argument is ONE double division of two exact integers (n/c_t — both
+    * counts), its result is quantized to integer micro-nats per DISTINCT
+    * (doc, token) row, and everything after — the c_t multiply, the sum,
+    * the final truncating `div` by n (non-negative: n >= c_t so ln >= 0)
+    * — is exact integer arithmetic. Bit-identical across engines.
+    *
+    * Scale shape: one explode + one (id, token) hash aggregate (map-side
+    * combined, keys are high-cardinality), one per-doc total aggregate
+    * joined back on the id (both sides already hash-partitioned on it),
+    * one final per-doc aggregate. No window, no broadcast, no corpus
+    * sort. */
+  def tokenEntropyScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val n = tf.groupBy(col(idCol)).agg(sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    tf.join(n, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (col("__c") * round(log(col("n_tokens").cast("double") / col("__c")
+          .cast("double")) * lit(1e6)).cast("long")).as("__term"))
+      .groupBy(col(idCol), col("n_tokens"), col("n_types"))
+      .agg(expr("sum(__term) div n_tokens").as("entropy_micro"))
+      .select(col(idCol), col("n_tokens"), col("n_types"), col("entropy_micro"))
+  }
+
+  /** Perplexity gate: keep documents whose mean bigram negative
+    * log-likelihood under the corpus LM ([[bigramLogProbScores]]) clears
+    * the EXACT corpus-wide `pct` percentile — the CCNet/KenLM-style
+    * "drop the most surprising tail" filter, with the corpus itself as
+    * the LM (self-perplexity), so no external model ships. nll is
+    * per-bigram micro-nats: `(-logprob_bi) div n_bigrams` — the
+    * numerator is non-negative (every bigram probability <= 1), so the
+    * truncating `div` is floor in every engine and the gate is
+    * bit-deterministic given the micro-quantized model.
+    *
+    * Scale shape: the LM build is [[bigramLogProbScores]]'s (vocabulary-
+    * sized model, corpus-sized token join); the gate adds ONE bounded
+    * percentile aggregate riding a 1-row broadcast back onto the scored
+    * docs — no driver collect, no corpus sort (same discipline as
+    * [[globalQualityGate]]). Keeps LOW-nll docs (fluent under the LM). */
+  def perplexityGate(df: DataFrame, idCol: String, textCol: String,
+                     lambdaMilli: Int = 800, pct: Double = 0.5): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
+    val scored = bigramLogProbScores(df, idCol, textCol, lambdaMilli)
+      .withColumn("nll_micro", expr("(-logprob_bi) div n_bigrams"))
+    val thr = scored.agg(expr(s"percentile(nll_micro, $pct)").as("__p"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("nll_micro") <= col("__p"))
+      .select(col(idCol), col("n_bigrams"), col("nll_micro"))
+  }
+
+  /** BPE ENCODING with a fixed merge table (the inference half of the
+    * tokenizer whose training half is [[bpeTrainMerges]]): apply each
+    * (left, right) merge IN TABLE ORDER, greedy leftmost non-overlapping
+    * within a merge — exactly the Sennrich et al. 2016 encode loop — and
+    * return the corpus token-frequency table under the learned
+    * vocabulary. This is "token counting" with a REAL subword tokenizer
+    * instead of the whitespace proxy: the count a training-budget
+    * estimate actually needs.
+    *
+    * Matching is on SYMBOL PAIRS (s_i = left AND s_{i+1} = right), not
+    * flat strings — ("a","bc") and ("ab","c") are different merges even
+    * though both concatenate to "abc", exactly as in the reference
+    * algorithm. The per-merge greedy apply is the trainer's
+    * gaps-and-islands program (islands of consecutive occurrence
+    * positions, keep odd ranks), one round per merge-table entry.
+    *
+    * Scale shape: corpus size stops mattering after the first aggregate
+    * — all rounds run over the |vocab|·avg-word-length symbol table,
+    * shuffles keyed on the word (high-cardinality, even spread),
+    * lineage truncated per round. The merge table is plan literals (a
+    * trained tokenizer is thousands of entries — still literals). */
+  def bpeEncode(df: DataFrame, merges: Seq[(String, String)],
+                textCol: String = "text"): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    val W = org.apache.spark.sql.expressions.Window
+    val wnd = W.partitionBy(col("word")).orderBy(col("i"))
+    var syms = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("__p0", "s")))
+      .select(col("word"), col("freq"),
+        (col("__p0") + 1).cast("long").as("i"), col("s"))
+      .localCheckpoint(true)
+    merges.foreach { case (left, right) =>
+      val withNext = syms.withColumn("nxt", lead(col("s"), 1).over(wnd))
+      val cand = withNext
+        .filter(col("s") === lit(left) && col("nxt") === lit(right))
+        .select(col("word"), col("i"))
+      val kept = cand
+        .withColumn("grp", col("i") - row_number().over(wnd))
+        .withColumn("__rr", row_number()
+          .over(W.partitionBy(col("word"), col("grp")).orderBy(col("i"))))
+        .filter(col("__rr") % 2 === 1)
+        .select(col("word"), col("i"))
+      syms = withNext
+        .join(kept.select(col("word"), col("i"), lit(1).as("__st")),
+          Seq("word", "i"), "left")
+        .join(kept.select(col("word"), (col("i") + 1).as("i"), lit(1).as("__cons")),
+          Seq("word", "i"), "left")
+        .filter(col("__cons").isNull)
+        .select(col("word"), col("freq"), col("i").as("__oi"),
+          when(col("__st").isNotNull, concat(col("s"), col("nxt")))
+            .otherwise(col("s")).as("s"))
+        .withColumn("i", row_number()
+          .over(W.partitionBy(col("word")).orderBy(col("__oi"))).cast("long"))
+        .select(col("word"), col("freq"), col("i"), col("s"))
+        .localCheckpoint(true)
+    }
+    syms.groupBy(col("s")).agg(sum(col("freq")).as("n_occurrences"))
+      .select(col("s").as("token"), col("n_occurrences"))
+  }
 }

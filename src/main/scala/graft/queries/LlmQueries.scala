@@ -169,6 +169,40 @@ object LlmQueries {
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
 
+  /** Merge table for `bpe_encode`: common English pairs, in priority
+    * order; entry 2 ("th","e") consumes round-0 products — the
+    * symbol-pair (not flat-string) semantics the oracle must share. */
+  private val BpeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+
+  /** DuckDB twin of [[graft.llm.TextAnalysis.bpeEncode]]: one CTE block
+    * per merge round — lead() adjacency, islands of consecutive
+    * occurrence starts, keep odd ranks, absorb-and-renumber — generated
+    * so the SQL stays in lockstep with the merge table. */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    val rounds = merges.zipWithIndex.map { case ((l, r), k) =>
+      s"""wn$k AS (SELECT word, freq, i, s, lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt FROM st$k),
+         |kept$k AS (SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rr FROM (
+         |      SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |      FROM wn$k WHERE s = '$l' AND nxt = '$r')) WHERE rr % 2 = 1),
+         |st${k + 1} AS (SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY oi) AS i, s FROM (
+         |    SELECT a.word, a.freq, a.i AS oi,
+         |           CASE WHEN k.i IS NOT NULL THEN a.s || a.nxt ELSE a.s END AS s
+         |    FROM wn$k a LEFT JOIN kept$k k ON a.word = k.word AND a.i = k.i
+         |                LEFT JOIN kept$k c ON a.word = c.word AND a.i = c.i + 1
+         |    WHERE c.i IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT word, count(*) AS freq
+       |           FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+       |           WHERE length(word) >= 1 GROUP BY 1),
+       |st0 AS (SELECT word, freq, i, substring(word, CAST(i AS INT), 1) AS s FROM (
+       |    SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM w)),
+       |$rounds
+       |SELECT s AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+       |FROM st${merges.size} GROUP BY 1 ORDER BY token""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one survivor (min id) per distinct content hash.
@@ -3042,5 +3076,77 @@ object LlmQueries {
              |  FROM cb JOIN cx USING (w1) JOIN cu USING (w2) CROSS JOIN nn)
              |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS logprob_bi,
              |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob_bi
-             |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Token-distribution entropy: the Gopher-style gibberish signal
+    // (repeated-token docs score ~0, natural prose near ln(n_types)).
+    Q("text_token_entropy", "LLM",
+      (s, d) => TextAnalysis.tokenEntropyScores(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tf AS (SELECT doc_id, t, count(*) AS c
+             |            FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+             |            GROUP BY 1, 2),
+             |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |             count(*) AS n_types FROM tf GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_types,
+             |       CAST(sum(c * CAST(round(ln(CAST(n_tokens AS DOUBLE) / CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT)
+             |         // n_tokens AS entropy_micro
+             |FROM tf JOIN n USING (doc_id)
+             |GROUP BY doc_id, n_tokens, n_types ORDER BY doc_id""".stripMargin)),
+
+    // Self-perplexity gate: drop the corpus half most surprising under
+    // the corpus's own bigram LM (CCNet/KenLM-style filtering with no
+    // external model).
+    Q("text_perplexity_gate", "LLM",
+      (s, d) => TextAnalysis.perplexityGate(
+          Tables(s, d, "documents"), "doc_id", "text",
+          lambdaMilli = 800, pct = 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+             |big AS (SELECT doc_id, unnest(ts[:len(ts)-1]) AS w1, unnest(ts[2:]) AS w2
+             |        FROM toks WHERE len(ts) >= 2),
+             |uni AS (SELECT unnest(str_split(text, ' ')) AS w2 FROM documents),
+             |cu AS (SELECT w2, count(*) AS cnt2 FROM uni GROUP BY 1),
+             |nn AS (SELECT CAST(sum(cnt2) AS BIGINT) AS n FROM cu),
+             |cb AS (SELECT w1, w2, count(*) AS cnt12 FROM big GROUP BY 1, 2),
+             |cx AS (SELECT w1, CAST(sum(cnt12) AS BIGINT) AS cnt1 FROM cb GROUP BY 1),
+             |model AS (SELECT cb.w1, cb.w2,
+             |    CAST(round(ln(CAST(800 * cnt12 * n + 200 * cnt2 * cnt1 AS DOUBLE)
+             |                  / CAST(1000 * cnt1 * n AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+             |  FROM cb JOIN cx USING (w1) JOIN cu USING (w2) CROSS JOIN nn),
+             |sc AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS lb
+             |       FROM big JOIN model USING (w1, w2) GROUP BY doc_id),
+             |g AS (SELECT doc_id, n_bigrams, (-lb) // n_bigrams AS nll_micro FROM sc),
+             |thr AS (SELECT quantile_cont(nll_micro, 0.5) AS p FROM g)
+             |SELECT doc_id, n_bigrams, nll_micro
+             |FROM g, thr WHERE nll_micro <= p ORDER BY doc_id""".stripMargin)),
+
+    // Radius search: every corpus vector within cosine >= 0.1 of each of
+    // 6 probe vectors — broadcast probes, one map-only corpus scan.
+    Q("ann_range_search", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.rangeSearch(e, e.filter(col("vec_id") < 6), radius = 0.1)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 6),
+             |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)
+             |SELECT query_id, neighbor_id,
+             |       round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             |                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 6) AS cosine
+             |FROM c CROSS JOIN q
+             |WHERE query_id <> neighbor_id
+             |  AND round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |            / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             |               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 6) >= 0.1
+             |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // BPE encode with a fixed merge table: corpus token frequencies under
+    // the learned subword vocabulary (the inference half of the trainer).
+    Q("bpe_encode", "LLM",
+      (s, d) => TextAnalysis.bpeEncode(Tables(s, d, "documents"), BpeMerges)
+        .orderBy("token"),
+      Some(bpeEncodeOracle(BpeMerges))))
 }

@@ -523,6 +523,31 @@ object RefQueries {
              |       CAST(max(block_id) + 1 AS BIGINT) AS resume_from
              |FROM final""".stripMargin)),
 
+    // T2/T6 companion: ingest-completeness audit — the missing block
+    // ranges of a store with both scattered holes (md5-derived) and a
+    // 200-block wholly-missing span, so the in-bucket, cross-bucket, and
+    // empty-bucket paths of the operator all contribute ranges. Oracle
+    // computes the gaps the naive way (one lag over everything).
+    Q("t6_ingest_gaps", "T6",
+      (s, d) => {
+        val present = s.read.format("graft-chain")
+          .option("stream", "block").option("start", 0).option("end", 999)
+          .option("batchSize", 100).load()
+          .select(col("number"))
+          .filter(pmod(md5Long(concat(lit("gap-"), col("number").cast("string"))),
+            lit(13L)) =!= 0)
+          .filter(!col("number").between(150, 349))
+        Ingest.ingestGaps(present, "number", bucketSize = 100)
+          .orderBy("gap_start")
+      },
+      Some("""WITH present AS (SELECT r.range AS b FROM range(0, 1000) r
+             |  WHERE CAST('0x' || substring(md5('gap-' || CAST(r.range AS VARCHAR)), 1, 15) AS BIGINT) % 13 <> 0
+             |    AND r.range NOT BETWEEN 150 AND 349),
+             |g AS (SELECT b, lag(b) OVER (ORDER BY b) AS prev FROM present)
+             |SELECT prev + 1 AS gap_start, b - 1 AS gap_end, b - prev - 1 AS n_missing
+             |FROM g WHERE prev IS NOT NULL AND b > prev + 1
+             |ORDER BY gap_start""".stripMargin)),
+
     // T5/K1: bucket-partitioned parquet sink + partition-pruned read-back.
     Q("t5_partitioned_sink", "T5",
       (s, d) => {

@@ -189,4 +189,34 @@ class IngestSpec extends SparkSpec {
     upsert(b0)
     assert(read().toSeq == expected)
   }
+
+  test("ingestGaps equals the naive lag answer and is bucket-size invariant") {
+    import spark.implicits._
+    // scattered holes + a long wholly-missing span crossing bucket edges
+    val present = (0L until 1000L)
+      .filter(b => b % 7 != 3 && !(b >= 151 && b <= 402))
+    val expected = present.zip(present.tail)
+      .collect { case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1) }
+    def gaps(bucket: Long) = graft.eth.Ingest
+      .ingestGaps(present.toDF("block_id"), "block_id", bucket)
+      .select($"gap_start".as[Long], $"gap_end".as[Long], $"n_missing".as[Long])
+      .collect().sorted.toSeq
+    assert(gaps(100) == expected)
+    // any bucketing gives the same ranges (stitch covers all boundaries)
+    assert(gaps(10) == expected && gaps(1000) == expected && gaps(3) == expected)
+    // duplicates in the input (replayed rows) change nothing
+    assert(graft.eth.Ingest.ingestGaps(
+      (present ++ present).toDF("block_id"), "block_id", 100)
+      .count() == expected.size)
+  }
+
+  test("ingestGaps: contiguous, single-block, and empty stores have no gaps") {
+    import spark.implicits._
+    assert(graft.eth.Ingest.ingestGaps(
+      (0L until 100L).toDF("block_id"), "block_id", 10).count() == 0)
+    assert(graft.eth.Ingest.ingestGaps(
+      Seq(42L).toDF("block_id"), "block_id", 10).count() == 0)
+    assert(graft.eth.Ingest.ingestGaps(
+      Seq.empty[Long].toDF("block_id"), "block_id", 10).count() == 0)
+  }
 }

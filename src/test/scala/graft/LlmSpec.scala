@@ -821,4 +821,69 @@ class LlmSpec extends SparkSpec {
       TextAnalysis.bloomMightContain(bloom, bits * 2, 4, $"g")
     }
   }
+
+  test("token entropy: repeated-token doc scores 0, uniform doc scores ln(k)") {
+    val fix = Seq(
+      (0L, "spam spam spam spam"),        // 1 type -> H = 0
+      (1L, "alpha beta gamma delta"),     // 4 uniform types -> H = ln(4)
+      (2L, "x"))                          // single token -> H = 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropyScores(fix, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_types") == 1L
+      && out(0).getAs[Long]("entropy_micro") == 0L)
+    // each c=1, n=4: term = round(ln 4 * 1e6) summed 4x, then div 4
+    assert(out(1).getAs[Long]("entropy_micro")
+      == math.round(math.log(4.0) * 1e6))
+    assert(out(2).getAs[Long]("entropy_micro") == 0L)
+  }
+
+  test("perplexity gate: every kept doc is at most as surprising as every dropped doc") {
+    val corpus = docs.select($"doc_id", $"text")
+    val scored = TextAnalysis.bigramLogProbScores(corpus, "doc_id", "text")
+      .withColumn("nll", expr("(-logprob_bi) div n_bigrams"))
+      .select($"doc_id".as[Long], $"nll".as[Long]).collect().toMap
+    val kept = TextAnalysis.perplexityGate(corpus, "doc_id", "text")
+      .select($"doc_id".as[Long]).collect().toSet
+    assert(kept.nonEmpty && kept.size < scored.size) // pct=0.5 splits
+    val keptMax = kept.map(scored).max
+    val dropMin = (scored.keySet -- kept).map(scored).min
+    assert(keptMax <= dropMin)
+  }
+
+  test("range search: keeps exactly the pairs whose rounded cosine clears the radius") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.1f, 0f)),   // cos(0,1) ~ 0.995
+      (2L, Array(0f, 1f, 0f)),     // cos(0,2) = 0
+      (3L, Array(-1f, 0f, 0f)),    // cos(0,3) = -1
+      (4L, Array(1f, 1f, 0f)))     // cos(0,4) ~ 0.707
+      .toDF("vec_id", "embedding")
+    val out = Similarity.rangeSearch(vecs, vecs.filter($"vec_id" === 0L),
+        radius = 0.5)
+      .select($"neighbor_id".as[Long]).collect().toSet
+    assert(out == Set(1L, 4L)) // 2 and 3 below radius; self excluded
+    // radius -1 keeps everything but self
+    assert(Similarity.rangeSearch(vecs, vecs.filter($"vec_id" === 0L), -1.0)
+      .count() == 4)
+  }
+
+  test("bpe encode: merge chain consumes earlier products; greedy is leftmost non-overlapping") {
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
+    val fix = Seq((0L, "the then an in")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(fix, merges)
+      .select($"token".as[String], $"n_occurrences".as[Long]).collect().toMap
+    // "the"->the; "then"->the,n; "an"->an; "in"->in
+    assert(out == Map("the" -> 2L, "n" -> 1L, "an" -> 1L, "in" -> 1L))
+    // self-overlapping pair: "ttt" under ("t","t") keeps the LEFT merge
+    val tt = TextAnalysis.bpeEncode(Seq((0L, "ttt")).toDF("doc_id", "text"),
+        Seq(("t", "t")))
+      .select($"token".as[String], $"n_occurrences".as[Long]).collect().toMap
+    assert(tt == Map("tt" -> 1L, "t" -> 1L))
+    // non-overlapping repeats all merge in one round
+    val th = TextAnalysis.bpeEncode(Seq((0L, "ththth")).toDF("doc_id", "text"),
+        Seq(("t", "h")))
+      .select($"token".as[String], $"n_occurrences".as[Long]).collect().toMap
+    assert(th == Map("th" -> 3L))
+  }
 }
