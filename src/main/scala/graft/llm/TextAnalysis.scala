@@ -48,6 +48,40 @@ object TextAnalysis {
       round(stopwordHits(toks).cast("double") / nTokens.cast("double"), 6).as("stopword_ratio"))
   }
 
+  /** Model-based quality scoring (the fastText-classifier shape, Joulin
+    * et al. 2016): a linear bag-of-words — per-doc logit = bias + the
+    * MEAN of the tokens' learned weights — with the trained weights as a
+    * (token, w_micro) table. This is the "quality classifier" stage of
+    * CCNet/GPT-3-style corpus filtering; the toy weight tables in tests
+    * stand in for a trained model, the PLAN is the production one.
+    *
+    * Integer end to end: weights are micro-units, the mean is
+    * `sum(w_micro) div n_tokens` (sum may be negative — `div` truncates
+    * toward zero in BOTH Spark and DuckDB, unlike floor-division `%`
+    * semantics, so the oracle matches sign-for-sign), the label is a
+    * sign test. Bit-deterministic.
+    *
+    * Scale shape: one corpus scan (explode) + a BROADCAST left join on
+    * the weight table (a trained vocabulary is ~1M rows × 16 bytes —
+    * megabytes) + one per-doc aggregate, map-side combined. Unknown
+    * tokens contribute 0, exactly fastText's OOV handling with no
+    * hash-bucket collisions. At vocabularies too big to broadcast, drop
+    * the `broadcast` hint and the same plan shuffle-joins on the token —
+    * still one pass. */
+  def linearQualityScore(df: DataFrame, weights: DataFrame,
+                         idCol: String, textCol: String,
+                         biasMicro: Long = 0L): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(weights.select(col("token"), col("w_micro"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("w_micro")).as("n_hits"),
+        coalesce(sum(col("w_micro")), lit(0L)).as("__sw"))
+      .select(col(idCol), col("n_tokens"), col("n_hits"),
+        (lit(biasMicro) + expr("__sw div n_tokens")).as("logit_micro"))
+      .withColumn("keep", col("logit_micro") >= 0)
+
   /** Token count, whitespace and BPE-ish: words, digit runs, and single
     * non-alphanumeric symbols — the pre-tokenization regex family used by
     * BPE tokenizers. */

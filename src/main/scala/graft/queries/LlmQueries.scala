@@ -3148,5 +3148,35 @@ object LlmQueries {
     Q("bpe_encode", "LLM",
       (s, d) => TextAnalysis.bpeEncode(Tables(s, d, "documents"), BpeMerges)
         .orderBy("token"),
-      Some(bpeEncodeOracle(BpeMerges))))
+      Some(bpeEncodeOracle(BpeMerges))),
+
+    // fastText-shape linear quality classifier: per-doc mean of learned
+    // token weights (integer micro-units) + bias, sign-test label. The
+    // weight literals stand in for a trained model; the broadcast-join +
+    // per-doc mean PLAN is the production one.
+    Q("text_quality_classifier", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val weights = Seq(
+          ("the", 150000L), ("and", 120000L), ("of", 100000L),
+          ("to", 80000L), ("in", 60000L), ("a", 50000L),
+          ("click", -400000L), ("free", -300000L), ("win", -500000L),
+          ("buy", -350000L)).toDF("token", "w_micro")
+        TextAnalysis.linearQualityScore(Tables(s, d, "documents"), weights,
+          "doc_id", "text", biasMicro = -50000L).orderBy("doc_id")
+      },
+      Some("""WITH wt(token, w_micro) AS (VALUES
+             |    ('the', 150000), ('and', 120000), ('of', 100000),
+             |    ('to', 80000), ('in', 60000), ('a', 50000),
+             |    ('click', -400000), ('free', -300000), ('win', -500000),
+             |    ('buy', -350000)),
+             |tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+             |ag AS (SELECT doc_id, count(*) AS n_tokens,
+             |              count(w_micro) AS n_hits,
+             |              CAST(coalesce(sum(w_micro), 0) AS BIGINT) AS sw
+             |       FROM tok LEFT JOIN wt USING (token) GROUP BY 1)
+             |SELECT doc_id, n_tokens, CAST(n_hits AS BIGINT) AS n_hits,
+             |       CAST(-50000 + (sw // n_tokens) AS BIGINT) AS logit_micro,
+             |       (-50000 + (sw // n_tokens)) >= 0 AS keep
+             |FROM ag ORDER BY doc_id""".stripMargin)))
 }

@@ -868,6 +868,25 @@ class LlmSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("linear quality classifier: mean-of-weights logit, OOV contributes zero, sign label") {
+    val weights = Seq(("good", 1000000L), ("bad", -2000000L))
+      .toDF("token", "w_micro")
+    val fix = Seq(
+      (0L, "good good good good"),   // logit = 1e6 + bias
+      (1L, "bad bad good unseen"),   // sum = -3e6, div 4 = -750000
+      (2L, "unseen only here"))      // all OOV -> bias alone
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.linearQualityScore(fix, weights, "doc_id", "text",
+        biasMicro = 100000L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("logit_micro") == 1100000L
+      && out(0).getAs[Boolean]("keep"))
+    assert(out(1).getAs[Long]("logit_micro") == -650000L
+      && out(1).getAs[Long]("n_hits") == 3L && !out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Long]("logit_micro") == 100000L
+      && out(2).getAs[Long]("n_hits") == 0L)
+  }
+
   test("bpe encode: merge chain consumes earlier products; greedy is leftmost non-overlapping") {
     val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
     val fix = Seq((0L, "the then an in")).toDF("doc_id", "text")
