@@ -122,4 +122,49 @@ object EthTransforms {
       // (ref: scripts/eth_csv_export.py:342-344).
       encoded.withColumn("topics", to_json(col("topics")))
   }
+
+  /** Per-transaction call-tree rollup over raw traces: the internal-call
+    * structure downstream analytics read off `trace_address` (depth =
+    * path length; a trace's PARENT is the trace whose address is its
+    * path minus the last hop — the geth/parity call-tree encoding the
+    * reference exports verbatim). Reward traces (null tx hash) are
+    * block-level, not part of any tx's tree, and are excluded. Returns
+    * per tx: n_calls, max_depth (root call = depth 0), n_failed, and
+    * n_linked — how many non-root traces have their parent present (on
+    * a complete export n_linked = count(depth >= 1); a shortfall is a
+    * truncated-trace export, the data-quality signal this rollup
+    * exists to surface).
+    *
+    * Scale shape: depth/failure stats are ONE map-side-combined
+    * aggregate. The parent link is a self equi-join on
+    * (tx_hash, parent_path_string) — both sides hash-partition on the
+    * tx hash (high-cardinality, even spread), candidate sets are
+    * per-tx (bounded by per-tx trace counts), no window, no broadcast
+    * of anything corpus-sized. */
+  def traceCallTree(raw: DataFrame): DataFrame = {
+    val t = raw
+      .filter(col("transaction_hash").isNotNull)
+      .select(col("block_number"), col("transaction_hash").as("tx_hash"),
+        coalesce(col("trace_address"), array().cast("array<int>")).as("__ta"),
+        col("error"))
+      .withColumn("__path", array_join(col("__ta").cast("array<string>"), ","))
+      .withColumn("__depth", size(col("__ta")))
+    val stats = t.groupBy(col("block_number"), col("tx_hash"))
+      .agg(count(lit(1)).as("n_calls"),
+        max(col("__depth")).as("max_depth"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("n_failed"))
+    val parents = t.select(col("tx_hash").as("__ptx"), col("__path").as("__ppath"))
+    val linked = t.filter(col("__depth") >= 1)
+      .withColumn("__parent",
+        array_join(slice(col("__ta"), lit(1), size(col("__ta")) - 1)
+          .cast("array<string>"), ","))
+      .join(parents, col("__parent") === col("__ppath") &&
+        col("tx_hash") === col("__ptx"), "left_semi")
+      .groupBy(col("tx_hash").as("__lt"))
+      .agg(count(lit(1)).as("n_linked"))
+    stats.join(linked, col("tx_hash") === col("__lt"), "left")
+      .select(col("block_number"), col("tx_hash"), col("n_calls"),
+        col("max_depth"), col("n_failed"),
+        coalesce(col("n_linked"), lit(0L)).as("n_linked"))
+  }
 }

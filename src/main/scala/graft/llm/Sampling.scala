@@ -277,4 +277,46 @@ object Sampling {
         expr("CASE WHEN weight_micro < 0 THEN -((-weight_micro) div n_tokens)" +
           " ELSE weight_micro div n_tokens END").as("avg_weight_micro"))
   }
+
+  /** One DoReMi-style domain-reweighting step (Xie et al. 2023): update
+    * each domain's mixture weight multiplicatively by its (excess) loss —
+    * `w' ∝ w · exp(η · loss)` — then renormalize. The exponentiated-
+    * gradient update that upweights the domains the proxy model finds
+    * hardest; iterating it is the DoReMi training loop, and ONE step is
+    * the per-round relational program (the loop is driver-side over
+    * bounded domain rows, like the k-means step).
+    *
+    * Determinism: the exp argument is one double division of an exact
+    * integer product (`etaMilli · loss_milli`, ≤ 4e6 — exactly
+    * representable), the factor is quantized to integer MILLI units
+    * (keeping the normalization products ≤ ~5.5e16, far under Long), and
+    * the renormalization is exact integer arithmetic on a 1-row
+    * broadcast. `loss_milli` outside [0, 4000] raises a descriptive
+    * error instead of silently overflowing (e^4 is the quantization
+    * budget's ceiling).
+    *
+    * Scale shape: domains are BOUNDED rows (a mixture has tens of
+    * domains, never corpus-scale) — one scan of the domain table, one
+    * 1-row broadcast. The expensive part of DoReMi (per-domain loss) is
+    * the caller's aggregate over the corpus, which IS corpus-sized but
+    * map-side combined on the domain key. */
+  def doremiStep(domainLoss: DataFrame, domainCol: String,
+                 lossMilliCol: String, prevMicroCol: String,
+                 etaMilli: Int = 500): DataFrame = {
+    require(etaMilli > 0 && etaMilli <= 1000,
+      s"etaMilli must be in (0, 1000], got $etaMilli")
+    val guarded = expr(s"""CASE WHEN $lossMilliCol < 0 OR $lossMilliCol > 4000 THEN
+      |  raise_error(concat('doremiStep: $lossMilliCol = ',
+      |    CAST($lossMilliCol AS STRING), ' outside [0, 4000] — rescale the loss'))
+      |ELSE $lossMilliCol END""".stripMargin)
+    val f = domainLoss
+      .withColumn("factor_milli",
+        round(exp(expr(s"cast($etaMilli as double)") * guarded / lit(1e6))
+          * 1000).cast("long"))
+      .withColumn("__unnorm", col(prevMicroCol) * col("factor_milli"))
+    f.crossJoin(broadcast(f.agg(sum(col("__unnorm")).as("__tot"))))
+      .withColumn("w_new_micro", expr("(__unnorm * 1000000) div __tot"))
+      .select(col(domainCol), col(lossMilliCol), col(prevMicroCol),
+        col("factor_milli"), col("w_new_micro"))
+  }
 }

@@ -56,10 +56,12 @@ object TextAnalysis {
     * stand in for a trained model, the PLAN is the production one.
     *
     * Integer end to end: weights are micro-units, the mean is
-    * `sum(w_micro) div n_tokens` (sum may be negative — `div` truncates
-    * toward zero in BOTH Spark and DuckDB, unlike floor-division `%`
-    * semantics, so the oracle matches sign-for-sign), the label is a
-    * sign test. Bit-deterministic.
+    * `sum(w_micro) div n_tokens` with an explicit sign split — the
+    * weight sum CAN be negative, and integer division on negatives is
+    * where trunc-vs-floor engine conventions diverge (the DSIR op was
+    * bitten by exactly this; see [[graft.llm.Sampling.importanceWeights]]),
+    * so both operands are made non-negative before dividing. The label
+    * is a sign test. Bit-deterministic.
     *
     * Scale shape: one corpus scan (explode) + a BROADCAST left join on
     * the weight table (a trained vocabulary is ~1M rows × 16 bytes —
@@ -79,7 +81,8 @@ object TextAnalysis {
         count(col("w_micro")).as("n_hits"),
         coalesce(sum(col("w_micro")), lit(0L)).as("__sw"))
       .select(col(idCol), col("n_tokens"), col("n_hits"),
-        (lit(biasMicro) + expr("__sw div n_tokens")).as("logit_micro"))
+        (lit(biasMicro) + expr("CASE WHEN __sw < 0 THEN -((-__sw) div n_tokens)" +
+          " ELSE __sw div n_tokens END")).as("logit_micro"))
       .withColumn("keep", col("logit_micro") >= 0)
 
   /** Token count, whitespace and BPE-ish: words, digit runs, and single

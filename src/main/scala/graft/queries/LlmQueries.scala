@@ -3176,7 +3176,42 @@ object LlmQueries {
              |              CAST(coalesce(sum(w_micro), 0) AS BIGINT) AS sw
              |       FROM tok LEFT JOIN wt USING (token) GROUP BY 1)
              |SELECT doc_id, n_tokens, CAST(n_hits AS BIGINT) AS n_hits,
-             |       CAST(-50000 + (sw // n_tokens) AS BIGINT) AS logit_micro,
-             |       (-50000 + (sw // n_tokens)) >= 0 AS keep
-             |FROM ag ORDER BY doc_id""".stripMargin)))
+             |       CAST(-50000 + (CASE WHEN sw < 0 THEN -((-sw) // n_tokens)
+             |                           ELSE sw // n_tokens END) AS BIGINT) AS logit_micro,
+             |       (-50000 + (CASE WHEN sw < 0 THEN -((-sw) // n_tokens)
+             |                       ELSE sw // n_tokens END)) >= 0 AS keep
+             |FROM ag ORDER BY doc_id""".stripMargin)),
+
+    // One DoReMi domain-reweighting step: per-source "hardness" (inverse
+    // stopword density, milli) drives the exponentiated-gradient weight
+    // update from a uniform prior.
+    Q("sample_doremi_step", "LLM",
+      (s, d) => {
+        val loss = Tables(s, d, "documents")
+          .select(col("source"),
+            TextAnalysis.stopwordHits(tokens(col("text"))).cast("long").as("__h"),
+            size(tokens(col("text"))).cast("long").as("__n"))
+          .groupBy(col("source"))
+          .agg(sum(col("__h")).as("__hh"), sum(col("__n")).as("__nn"))
+          .select(col("source"),
+            (lit(1000L) - expr("(__hh * 1000) div __nn")).as("loss_milli"),
+            lit(1000000L).as("w_prev_micro"))
+        Sampling.doremiStep(loss, "source", "loss_milli", "w_prev_micro",
+          etaMilli = 500).orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source,
+             |        CAST(sum(len(list_filter(str_split(text, ' '),
+             |            x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT) AS hh,
+             |        CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS nn
+             |      FROM documents GROUP BY 1),
+             |l AS (SELECT source, 1000 - ((hh * 1000) // nn) AS loss_milli FROM m),
+             |f AS (SELECT source, loss_milli,
+             |        CAST(round(exp(CAST(500 AS DOUBLE) * loss_milli / 1000000.0) * 1000) AS BIGINT) AS factor_milli
+             |      FROM l),
+             |u AS (SELECT *, 1000000 * factor_milli AS un FROM f),
+             |t AS (SELECT CAST(sum(un) AS BIGINT) AS tot FROM u)
+             |SELECT source, CAST(loss_milli AS BIGINT) AS loss_milli,
+             |       CAST(1000000 AS BIGINT) AS w_prev_micro, factor_milli,
+             |       CAST((un * 1000000) // tot AS BIGINT) AS w_new_micro
+             |FROM u, t ORDER BY source""".stripMargin)))
 }

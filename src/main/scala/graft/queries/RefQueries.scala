@@ -829,6 +829,62 @@ object RefQueries {
              |       CASE WHEN i <> b % 3 + 1 AND (b + i) % 13 = 0 THEN 'out of gas' ELSE NULL END AS error
              |FROM ti ORDER BY block_number, trace_index""".stripMargin)),
 
+    // Call-tree rollup over a constructed multi-trace fixture (the
+    // synthetic chain emits one trace per tx, which would leave the
+    // parent-link join untested): per-tx root + a depth chain + a branch
+    // (t%5) + an ORPHANED path (t%7, parent deliberately absent) — so
+    // n_linked < n_calls-1 exactly on the orphan txs, the truncated-
+    // export signal the rollup exists to surface.
+    Q("eth_trace_call_tree", "S3",
+      (s, d) => {
+        val paths = s.range(0, 500).select(col("id").as("t"))
+          .select(col("t"), explode(concat(
+            array(lit("")),
+            slice(array(lit("0"), lit("0,1"), lit("0,1,2")), lit(1),
+              expr("cast(t % 4 as int)")),
+            when(expr("t % 5 = 0"), array(lit("1")))
+              .otherwise(expr("cast(array() as array<string>)")),
+            when(expr("t % 7 = 0"), array(lit("2,0")))
+              .otherwise(expr("cast(array() as array<string>)")))).as("p"))
+        val traces = paths.select(
+          expr("t div 10").as("block_number"),
+          md5(concat(lit("ct-"), col("t").cast("string"))).as("transaction_hash"),
+          expr("CASE WHEN p = '' THEN cast(array() as array<int>)" +
+            " ELSE transform(split(p, ','), x -> cast(x as int)) END")
+            .as("trace_address"),
+          when(expr("(t + (CASE WHEN p = '' THEN 0 ELSE size(split(p, ',')) END) * 3) % 13 = 0"),
+            lit("out of gas")).as("error"))
+        graft.eth.EthTransforms.traceCallTree(traces)
+          .orderBy("block_number", "tx_hash")
+      },
+      Some("""WITH base AS (SELECT r.range AS t FROM range(0, 500) r),
+             |p AS (SELECT t, unnest(
+             |        [''] || (['0', '0,1', '0,1,2'])[1:CAST(t % 4 AS INT)]
+             |             || (CASE WHEN t % 5 = 0 THEN ['1'] ELSE [] END)
+             |             || (CASE WHEN t % 7 = 0 THEN ['2,0'] ELSE [] END)) AS p
+             |      FROM base),
+             |tr AS (SELECT t, t // 10 AS block_number,
+             |         md5('ct-' || CAST(t AS VARCHAR)) AS tx_hash, p,
+             |         CASE WHEN p = '' THEN 0 ELSE len(str_split(p, ',')) END AS d,
+             |         CASE WHEN (t + (CASE WHEN p = '' THEN 0 ELSE len(str_split(p, ',')) END) * 3) % 13 = 0
+             |              THEN 'out of gas' END AS error
+             |       FROM p),
+             |stats AS (SELECT block_number, tx_hash,
+             |            count(*) AS n_calls, CAST(max(d) AS BIGINT) AS max_depth,
+             |            CAST(sum(CASE WHEN error IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+             |          FROM tr GROUP BY 1, 2),
+             |linked AS (SELECT c.tx_hash, count(*) AS n_linked
+             |           FROM tr c
+             |           WHERE c.d >= 1 AND EXISTS (
+             |             SELECT 1 FROM tr pa WHERE pa.tx_hash = c.tx_hash
+             |               AND pa.p = CASE WHEN c.p NOT LIKE '%,%' THEN ''
+             |                               ELSE regexp_replace(c.p, ',[^,]*$', '') END)
+             |           GROUP BY 1)
+             |SELECT s.block_number, s.tx_hash, s.n_calls, s.max_depth, s.n_failed,
+             |       CAST(coalesce(l.n_linked, 0) AS BIGINT) AS n_linked
+             |FROM stats s LEFT JOIN linked l USING (tx_hash)
+             |ORDER BY block_number, tx_hash""".stripMargin)),
+
     // The full pipeline, end to end: source -> J1 enrich -> J2 denorm ->
     // format -> bucketed sink -> read back; DuckDB reconstructs the enriched
     // transaction table from the same deterministic formulas.

@@ -89,4 +89,31 @@ class EthTransformsSpec extends SparkSpec {
     assert(rows(0) == Row(999, 0, "0xabcd"))
     assert(rows(1) == Row(1000, 1, "0xef01"))
   }
+
+  test("traceCallTree: depths, parent links, orphans, reward exclusion") {
+    import spark.implicits._
+    // tx A: root + [0] + [0,1] (full chain); tx B: root + ORPHAN [2,0]
+    // (parent [2] absent); reward trace: null tx hash, excluded
+    val traces = Seq(
+      ("A", Some(Seq.empty[Int]), None: Option[String]),
+      ("A", Some(Seq(0)), None),
+      ("A", Some(Seq(0, 1)), Some("out of gas")),
+      ("B", None, None), // raw root arrives as NULL trace_address
+      ("B", Some(Seq(2, 0)), None))
+      .toDF("transaction_hash", "trace_address", "error")
+      .withColumn("block_number", lit(7))
+      .union(Seq(("__reward", None: Option[Seq[Int]], None: Option[String]))
+        .toDF("transaction_hash", "trace_address", "error")
+        .withColumn("block_number", lit(7))
+        .withColumn("transaction_hash", lit(null: String)))
+    val out = graft.eth.EthTransforms.traceCallTree(traces)
+      .orderBy("tx_hash").collect()
+    assert(out.length == 2) // reward trace spawns no tx row
+    val a = out(0); val b = out(1)
+    assert(a.getAs[String]("tx_hash") == "A" && a.getAs[Long]("n_calls") == 3L
+      && a.getAs[Int]("max_depth") == 2 && a.getAs[Long]("n_failed") == 1L
+      && a.getAs[Long]("n_linked") == 2L) // both non-roots have parents
+    assert(b.getAs[String]("tx_hash") == "B" && b.getAs[Long]("n_calls") == 2L
+      && b.getAs[Int]("max_depth") == 2 && b.getAs[Long]("n_linked") == 0L)
+  }
 }

@@ -887,6 +887,30 @@ class LlmSpec extends SparkSpec {
       && out(2).getAs[Long]("n_hits") == 0L)
   }
 
+  test("doremi step: equal losses keep weights uniform; harder domains gain weight") {
+    val uniform = Seq(("a", 100L, 500000L), ("b", 100L, 500000L))
+      .toDF("domain", "loss_milli", "w_prev_micro")
+    val u = Sampling.doremiStep(uniform, "domain", "loss_milli", "w_prev_micro")
+      .select($"w_new_micro".as[Long]).collect()
+    assert(u.toSet == Set(500000L)) // identical factors -> unchanged shares
+    val skewed = Seq(("easy", 0L, 500000L), ("hard", 2000L, 500000L))
+      .toDF("domain", "loss_milli", "w_prev_micro")
+    val s2 = Sampling.doremiStep(skewed, "domain", "loss_milli", "w_prev_micro")
+      .orderBy("domain").collect()
+    val easy = s2(0).getAs[Long]("w_new_micro")
+    val hard = s2(1).getAs[Long]("w_new_micro")
+    assert(hard > easy && easy + hard <= 1000000L
+      && easy + hard >= 999998L) // truncation loses < 1 micro per row
+    // exp(0.5 * 2) = e; factor_milli = 2718
+    assert(s2(1).getAs[Long]("factor_milli") == 2718L)
+    // out-of-range loss raises the descriptive guard, not a wrong weight
+    val bad = Seq(("x", 9999L, 500000L)).toDF("domain", "loss_milli", "w_prev_micro")
+    val e = intercept[Exception] {
+      Sampling.doremiStep(bad, "domain", "loss_milli", "w_prev_micro").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("doremiStep"))
+  }
+
   test("bpe encode: merge chain consumes earlier products; greedy is leftmost non-overlapping") {
     val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"))
     val fix = Seq((0L, "the then an in")).toDF("doc_id", "text")
