@@ -276,6 +276,51 @@ object Graph {
     wedges.crossJoin(tri) // two 1-row sides
   }
 
+  /** k-truss by fixed-round edge peeling (Cohen 2008): repeatedly drop
+    * every edge sitting in fewer than k-2 triangles of the CURRENT
+    * subgraph — the edge-level cohesion filter one notch stronger than
+    * [[kcore]] (a k-truss edge needs k-2 common-neighbor witnesses, not
+    * just well-connected endpoints), the standard "tight ring" extractor
+    * over transfer graphs. Fixed synchronous rounds keep the output a
+    * pure function of the graph (same contract as [[kcore]]); the oracle
+    * unrolls the same rounds, so the engines agree even before the peel
+    * converges. Returns the surviving canonical edges with their support
+    * RECOMPUTED on the final subgraph (left-joined: a survivor whose
+    * last witnesses were peeled in the final round reports 0).
+    *
+    * Scale shape per round: support is triangle enumeration on the
+    * degree-ordered orientation ([[closedTriangles]], the O(E^1.5)
+    * bound) + a 3-way edge explode + one map-side-combined (u, v)
+    * aggregate; the peel is one semi-join on the edge key. Lineage is
+    * truncated per round; no driver state beyond the loop counter. */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int = 2,
+             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k=2 is every edge), got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def supportOf(e: DataFrame): DataFrame =
+      closedTriangles(orient(e, degrees(e)))
+        .select(explode(array(
+          struct(least(col("s"), col("x")).as("u"),
+            greatest(col("s"), col("x")).as("v")),
+          struct(least(col("s"), col("y")).as("u"),
+            greatest(col("s"), col("y")).as("v")),
+          struct(col("x").as("u"), col("y").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+    var live = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      live = live
+        .join(supportOf(live).filter(col("support") >= k - 2),
+          Seq("u", "v"), "left_semi")
+        .localCheckpoint(true)
+      r += 1
+    }
+    live.join(supportOf(live), Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Per-node triangle participation and LOCAL clustering coefficient —
     * the "is this address inside a ring?" score (c(v) = triangles at v /
     * C(deg(v), 2), in integer milli-units with truncating division).

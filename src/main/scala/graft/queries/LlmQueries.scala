@@ -203,6 +203,32 @@ object LlmQueries {
        |FROM st${merges.size} GROUP BY 1 ORDER BY token""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.Graph.ktruss]] over the backbone
+    * graph: `rounds` unrolled peel rounds, support by symmetric
+    * common-neighbor counting, final support left-joined (0 for a
+    * survivor whose witnesses died in the last peel). */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    def roundCte(r: Int) =
+      s"""sym$r AS (SELECT u AS a, v AS b FROM e$r UNION ALL SELECT v, u FROM e$r),
+         |sup$r AS (SELECT e.u, e.v, count(*) AS s
+         |          FROM e$r e JOIN sym$r s1 ON s1.a = e.u
+         |                     JOIN sym$r s2 ON s2.a = e.v AND s2.b = s1.b
+         |          GROUP BY 1, 2)""".stripMargin
+    val peels = (0 until rounds).map { r =>
+      s"""${roundCte(r)},
+         |e${r + 1} AS (SELECT e.u, e.v FROM e$r e
+         |              JOIN sup$r sp ON sp.u = e.u AND sp.v = e.v
+         |              WHERE sp.s >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""$backboneUndirectedCte,
+       |e0 AS (SELECT u, v FROM und),
+       |$peels,
+       |${roundCte(rounds)}
+       |SELECT e.u, e.v, CAST(coalesce(sp.s, 0) AS BIGINT) AS support
+       |FROM e$rounds e LEFT JOIN sup$rounds sp ON sp.u = e.u AND sp.v = e.v
+       |ORDER BY e.u, e.v""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one survivor (min id) per distinct content hash.
@@ -2035,6 +2061,18 @@ object LlmQueries {
            |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // k-truss (edge-level cohesion, one notch above k-core: every edge
+    // needs k-2 triangle witnesses in the current subgraph) — fixed peel
+    // rounds, oracle unrolls the same rounds via symmetric
+    // common-neighbor counting (a deliberately DIFFERENT support
+    // algorithm than the engine's oriented enumeration, so an
+    // orientation bug cannot cancel out).
+    Q("graph_ktruss", "GRAPH",
+      (s, d) => graft.operators.Graph.ktruss(backboneEdges(s, d),
+          k = 3, rounds = 2)
+        .orderBy("u", "v"),
+      Some(ktrussOracle(k = 3, rounds = 2))),
 
     // Weakly-connected components over the backbone graph — the
     // graphsense-style "entity" view (everything transitively connected

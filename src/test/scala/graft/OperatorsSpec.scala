@@ -498,6 +498,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.kcore(g, k = 1, rounds = 1).count() == 6L)
   }
 
+  test("ktruss: K4 survives k=4, lone triangle survives only k=3, pendants peel") {
+    import graft.operators.Graph
+    // K4 {0,1,2,3} (every edge in 2 triangles) + lone triangle {5,6,7}
+    // (support 1 each) + pendant 3-10 (support 0)
+    val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
+    val g = (k4 ++ Seq((5L, 6L), (6L, 7L), (5L, 7L), (3L, 10L)))
+      .toDF("src", "dst")
+    val t3 = Graph.ktruss(g, k = 3, rounds = 2).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) -> r.getAs[Long]("support"))
+      .toMap
+    // k=3: pendant gone, K4 + triangle stay with exact supports
+    assert(t3.keySet.size == 9 && !t3.contains((3L, 10L)))
+    assert(t3((5L, 6L)) == 1L && t3((0L, 1L)) == 2L)
+    val t4 = Graph.ktruss(g, k = 4, rounds = 2).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    // k=4: only K4's 6 edges have 2 witnesses
+    assert(t4 == k4.toSet)
+    // k above any support empties the graph
+    assert(Graph.ktruss(g, k = 5, rounds = 1).count() == 0L)
+  }
+
   test("khop reach: BFS hop labels are minimal; direction respected; budget caps depth") {
     import graft.operators.Graph
     // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 (so 3 is hop 1, NOT hop 2),
