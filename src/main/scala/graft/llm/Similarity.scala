@@ -300,6 +300,77 @@ object Similarity {
         meanMicro("__s", "n_members").as("mean_micro"),
         col("n_members"))
 
+  /** The full fixed-round k-means TRAINING LOOP (Lloyd iterations):
+    * `rounds` × (assign → per-dimension mean → rebuild centroids),
+    * carrying the centroid VECTORS between rounds — [[kmeansStep]] is one
+    * such round; this is the trainer that produces the codebooks the
+    * IVF/PQ family consumes. Returns the final round's
+    * (centroid_id, pos, mean_micro, n_members) — same schema as the
+    * step, so audits compose. Centroids that lose all members drop out
+    * (standard empty-cluster shrink), identically in both engines.
+    *
+    * Multi-round bit-determinism needs the ASSIGNMENT itself exact, not
+    * just the means — a half-ulp argmax flip in round 1 cascades — so
+    * the loop scores on QUANTIZED INTEGER dots: corpus components in
+    * milli, centroid components in micro (products ≤ 1e9/term, 64-dim
+    * sums ≤ 6.4e10 — exact in Long), ties to the smaller centroid id.
+    * This is spherical k-means on the quantized grid: deliberately a
+    * hair different from [[kmeansStep]]'s float-dot single step, and
+    * reproducible across engines, rounds, and retries.
+    *
+    * Scale shape per round: centroids ride a k-row broadcast; the
+    * assignment is a PER-ROW argmax fold over the broadcast array (no
+    * corpus shuffle, same pattern as [[pqCodes]] — scores materialized
+    * by one `transform`, the fold only compares); the update is the
+    * transpose-aggregate (shuffle cardinality k×dim, map-side combined);
+    * the rebuild is k bounded rows. Corpus milli-quantization is
+    * computed ONCE and pinned; lineage truncated per round; no driver
+    * state beyond the loop counter. */
+  def kmeansTrain(vectors: DataFrame, centroids: DataFrame, rounds: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val corpus = vectors.select(col(idCol),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))")
+          .as("__vm"))
+      .localCheckpoint(true) // reused every round
+    var cents = centroids.select(col(idCol).cast("long").as("cid"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("__cm"))
+    var out: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val packed = cents.groupBy()
+        .agg(collect_list(struct(col("cid"), col("__cm"))).as("__cands"))
+      val assigned = corpus.crossJoin(broadcast(packed))
+        .withColumn("__scored", expr(
+          """transform(__cands, c -> named_struct('cid', c.cid,
+            |  'sc', aggregate(zip_with(__vm, c.__cm, (a, b) -> a * b),
+            |                  cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin))
+        .withColumn("__best", expr(
+          """aggregate(__scored, __scored[0], (best, cur) ->
+            |  CASE WHEN cur.sc > best.sc
+            |         OR (cur.sc = best.sc AND cur.cid < best.cid)
+            |       THEN cur ELSE best END)""".stripMargin))
+        .select(col("__vm"), col("__best.cid").as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("__vm")).as(Seq("__p0", "__v")))
+        .select(col("cid"), (col("__p0") + 1).as("pos"), col("__v"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("n_members"))
+        .select(col("cid"), col("pos"),
+          meanMicro("__s", "n_members").as("mean_micro"), col("n_members"))
+        .localCheckpoint(true)
+      out = means
+      cents = means.groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean_micro)))," +
+          " s -> s.mean_micro)").as("__cm"))
+      r += 1
+    }
+    out.select(col("cid").as("centroid_id"), col("pos"),
+      col("mean_micro"), col("n_members"))
+  }
+
   /** Mean-pool vectors per group (chunk embeddings -> one document
     * embedding, the standard pooling step of embedding pipelines): the
     * same transpose-aggregate shape as [[kmeansStep]] — `posexplode` ->

@@ -229,6 +229,37 @@ object LlmQueries {
        |ORDER BY e.u, e.v""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.llm.Similarity.kmeansTrain]]: `rounds`
+    * unrolled Lloyd iterations on the same quantized-integer grid
+    * (corpus milli, centroids micro, integer-dot argmax with cid
+    * tie-break, truncating sign-split means, list rebuild per round). */
+  private def kmeansTrainOracle(rounds: Int): String = {
+    val idot = "list_sum(list_transform(range(1, 65), i -> v.vm[i] * c.cm[i]))"
+    val roundsSql = (0 until rounds).map { r =>
+      s"""a$r AS (SELECT vec_id, vm, cid FROM (
+         |    SELECT v.vec_id, v.vm, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $idot DESC, c.cid) AS rn
+         |    FROM corpus v, cent$r c) WHERE rn = 1),
+         |g$r AS (SELECT cid, i AS pos, CAST(sum(vm[i]) AS BIGINT) AS s, count(*) AS n
+         |        FROM a$r, (SELECT unnest(range(1, 65)) AS i) GROUP BY 1, 2),
+         |m$r AS (SELECT cid, pos,
+         |          CAST(CASE WHEN s < 0 THEN -((-s * 1000) // n)
+         |               ELSE (s * 1000) // n END AS BIGINT) AS mm, n FROM g$r),
+         |cent${r + 1} AS (SELECT cid, list(mm ORDER BY pos) AS cm FROM m$r GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm
+       |      FROM embeddings WHERE vec_id >= 16),
+       |cent0 AS (SELECT vec_id AS cid,
+       |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cm
+       |      FROM embeddings WHERE vec_id < 16),
+       |$roundsSql
+       |SELECT cid AS centroid_id, CAST(pos AS INTEGER) AS pos,
+       |       mm AS mean_micro, n AS n_members
+       |FROM m${rounds - 1} ORDER BY centroid_id, pos""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one survivor (min id) per distinct content hash.
@@ -934,6 +965,18 @@ object LlmQueries {
            |       n_members
            |FROM g ORDER BY centroid_id, pos""".stripMargin
       }),
+
+    // The full 2-round k-means training loop: centroids carry between
+    // rounds; assignment on quantized integer dots so round-1 argmax
+    // ties cannot cascade into cross-engine divergence.
+    Q("ann_kmeans_train", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.kmeansTrain(e.filter(col("vec_id") >= 16),
+            e.filter(col("vec_id") < 16), rounds = 2)
+          .orderBy("centroid_id", "pos")
+      },
+      Some(kmeansTrainOracle(2))),
 
     // Corpus n-gram statistics: top word-trigrams per language.
     Q("text_ngram_freq", "LLM",

@@ -887,6 +887,34 @@ class LlmSpec extends SparkSpec {
       && out(2).getAs[Long]("n_hits") == 0L)
   }
 
+  test("kmeans train: clean clusters converge to exact quantized means; empty centroids drop") {
+    // two tight clusters on axes + one centroid that attracts nothing
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.8f, 0.0f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(0.0f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(0.9f, 0.0f)), (1L, Array(0.0f, 0.9f)),
+      (2L, Array(-1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansTrain(corpus, cents, rounds = 2)
+      .orderBy("centroid_id", "pos").collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("pos")) ->
+        (r.getAs[Long]("mean_micro"), r.getAs[Long]("n_members"))).toMap
+    // centroid 2 never wins a vector: absent from every round's output
+    assert(!out.keys.exists(_._1 == 2L))
+    // cluster 0 = {10, 11}: mean_milli x = (1000 + 800) / 2 -> micro 900000
+    assert(out((0L, 1)) == (900000L, 2L) && out((0L, 2)) == (0L, 2L))
+    // cluster 1 = {12, 13}: mean y = (1000 + 600) / 2 -> micro 800000
+    assert(out((1L, 1)) == (0L, 2L) && out((1L, 2)) == (800000L, 2L))
+    // stability: a third round changes nothing on converged clusters
+    val out3 = Similarity.kmeansTrain(corpus, cents, rounds = 3)
+      .orderBy("centroid_id", "pos").collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("pos")) ->
+        (r.getAs[Long]("mean_micro"), r.getAs[Long]("n_members"))).toMap
+    assert(out3 == out)
+  }
+
   test("doremi step: equal losses keep weights uniform; harder domains gain weight") {
     val uniform = Seq(("a", 100L, 500000L), ("b", 100L, 500000L))
       .toDF("domain", "loss_milli", "w_prev_micro")
