@@ -1332,5 +1332,38 @@ object RelationalQueries {
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k
-             |FROM events ORDER BY event_id""".stripMargin)))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Recursive CTE execution (WITH RECURSIVE, new engine surface in
+    // Spark 4.1): level-order walk of a 1023-node binary-heap tree
+    // carrying root-to-node path sums — the org-chart/BOM rollup shape
+    // SQL recursion exists for. A tree (DAG) keeps UNION ALL recursion
+    // linear (Spark does not yet support UNION-dedup recursion, so
+    // cyclic fixpoints stay with the iterative Graph operators). Both
+    // engines run the same recursive SQL text.
+    Q("rec_tree_rollup", "Q",
+      (s, d) => {
+        s.range(1, 1023)
+          .selectExpr("id AS node", "(id - 1) div 2 AS parent")
+          .createOrReplaceTempView("rec_tree")
+        s.sql("""
+          WITH RECURSIVE walk(node, depth, path_sum) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT t.node, w.depth + 1, w.path_sum + t.node
+            FROM rec_tree t JOIN walk w ON t.parent = w.node)
+          SELECT depth, count(*) AS n_nodes, sum(path_sum) AS sum_paths,
+                 min(path_sum) AS min_path, max(path_sum) AS max_path
+          FROM walk GROUP BY depth ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT r.range AS node, (r.range - 1) // 2 AS parent
+             |                     FROM range(1, 1023) r),
+             |walk(node, depth, path_sum) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+             |  UNION ALL
+             |  SELECT t.node, w.depth + 1, w.path_sum + t.node
+             |  FROM t JOIN walk w ON t.parent = w.node)
+             |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS sum_paths,
+             |       min(path_sum) AS min_path, max(path_sum) AS max_path
+             |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)))
 }
