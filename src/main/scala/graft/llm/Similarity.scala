@@ -271,9 +271,44 @@ object Similarity {
     * (Spark rounds via BigDecimal HALF_UP on the decimal string, DuckDB
     * via float multiply-and-rint) — a tie one cell of one sf actually
     * produced. Integer division has no ties. */
-  private def meanMicro(s: String, n: String): Column =
+  private[graft] def meanMicro(s: String, n: String): Column =
     expr(s"CASE WHEN $s < 0 THEN -((-$s * 1000) div $n)" +
       s" ELSE ($s * 1000) div $n END")
+
+  /** Per-row integer-dot argmax over a broadcast centroid pack — the
+    * assignment kernel shared by [[kmeansTrain]] and the streaming
+    * centroid maintenance ([[graft.streaming.StreamingOps.maintainCentroids]]).
+    * `corpus` must carry `__vm` (milli-quantized long components); `cents`
+    * is (cid, __cm) with micro-quantized long components. Scores are
+    * materialized by one `transform` (interpreted HOFs have no CSE), the
+    * fold only compares — max score, ties to the smaller cid, an
+    * order-independent semilattice so `collect_list`'s nondeterministic
+    * pack order cannot change the winner. Adds `cid`; no shuffle. */
+  private[graft] def quantizedAssign(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.groupBy()
+      .agg(collect_list(struct(col("cid"), col("__cm"))).as("__cands"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("__scored", expr(
+        """transform(__cands, c -> named_struct('cid', c.cid,
+          |  'sc', aggregate(zip_with(__vm, c.__cm, (a, b) -> a * b),
+          |                  cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin))
+      .withColumn("__best", expr(
+        """aggregate(__scored, __scored[0], (best, cur) ->
+          |  CASE WHEN cur.sc > best.sc
+          |         OR (cur.sc = best.sc AND cur.cid < best.cid)
+          |       THEN cur ELSE best END)""".stripMargin))
+      .withColumn("cid", col("__best.cid"))
+      .drop("__cands", "__scored", "__best")
+  }
+
+  /** Milli-quantize a float/double vector column to long components —
+    * the corpus-side grid of the quantized assignment. */
+  private[graft] def milliVec(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))")
+
+  /** Micro-quantize a vector column — the centroid-side grid. */
+  private[graft] def microVec(vecCol: String): Column =
+    expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
 
   /** One spherical k-means update step: assign each vector to its nearest
     * centroid ([[ivfAssign]]'s broadcast-argmax), then recompute each
@@ -330,29 +365,15 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val corpus = vectors.select(col(idCol),
-        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000) as bigint))")
-          .as("__vm"))
+    val corpus = vectors.select(col(idCol), milliVec(vecCol).as("__vm"))
       .localCheckpoint(true) // reused every round
     var cents = centroids.select(col(idCol).cast("long").as("cid"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
-        .as("__cm"))
+      microVec(vecCol).as("__cm"))
     var out: DataFrame = null
     var r = 0
     while (r < rounds) {
-      val packed = cents.groupBy()
-        .agg(collect_list(struct(col("cid"), col("__cm"))).as("__cands"))
-      val assigned = corpus.crossJoin(broadcast(packed))
-        .withColumn("__scored", expr(
-          """transform(__cands, c -> named_struct('cid', c.cid,
-            |  'sc', aggregate(zip_with(__vm, c.__cm, (a, b) -> a * b),
-            |                  cast(0 as bigint), (acc, x) -> acc + x)))""".stripMargin))
-        .withColumn("__best", expr(
-          """aggregate(__scored, __scored[0], (best, cur) ->
-            |  CASE WHEN cur.sc > best.sc
-            |         OR (cur.sc = best.sc AND cur.cid < best.cid)
-            |       THEN cur ELSE best END)""".stripMargin))
-        .select(col("__vm"), col("__best.cid").as("cid"))
+      val assigned = quantizedAssign(corpus, cents)
+        .select(col("__vm"), col("cid"))
       val means = assigned
         .select(col("cid"), posexplode(col("__vm")).as(Seq("__p0", "__v")))
         .select(col("cid"), (col("__p0") + 1).as("pos"), col("__v"))

@@ -323,6 +323,78 @@ object StreamingOps {
       .groupBy(col("row_id"), col("cell_id"))
       .agg(sum(col("cell_count")).as("cell_count"))
 
+  /** Streaming MINI-BATCH k-means (Bottou–Bengio / Sculley web-scale
+    * variant): each micro-batch is assigned against the centroids AS OF
+    * that batch (first batch: `initCentroids`), and lands as per-batch
+    * per-dimension partial SUMS keyed by batchId — so the maintained
+    * state is exact running sums, and the merged centroid is the exact
+    * assignment-weighted mean of every vector ingested so far, not a
+    * decaying approximation. Sharing [[graft.llm.Similarity.kmeansTrain]]'s
+    * quantized-integer assignment kernel makes each batch's assignment
+    * bit-deterministic.
+    *
+    * Replay semantics (at-least-once sources): a replayed batch
+    * OVERWRITES its own (batch_id, cid, pos) rows — counts never double.
+    * If later batches advanced the centroids in between, the replayed
+    * assignment may differ from the original run (state-dependent, the
+    * standard mini-batch caveat) but the table stays internally
+    * consistent: every vector counted exactly once.
+    *
+    * Scale shape per batch: one bounded centroid-state read (k×dim
+    * rows), the per-row argmax fold (no batch shuffle), one k×dim
+    * partial aggregate, one single-bucket upsert. */
+  def maintainCentroids(vectors: DataFrame, tableDir: String,
+                        checkpointDir: String, initCentroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding", keyBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val cents =
+          if (fs.exists(hPath)) readCentroidVectors(spark, tableDir)
+          else initCentroids.select(col(idCol).cast("long").as("cid"),
+            graft.llm.Similarity.microVec(vecCol).as("__cm"))
+        val corpus = batch.toDF().select(col(idCol),
+          graft.llm.Similarity.milliVec(vecCol).as("__vm"))
+        val partials = graft.llm.Similarity.quantizedAssign(corpus, cents)
+          .select(col("cid"), posexplode(col("__vm")).as(Seq("__p0", "__v")))
+          .select(col("cid"), (col("__p0") + 1).as("pos"), col("__v"))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("__v")).as("sum_milli"), count(lit(1)).as("n_members"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("bk", lit(batchId % keyBuckets.toLong))
+        graft.eth.Sinks.upsertBucketedParquet(partials, tableDir,
+          pkCols = Seq("batch_id", "cid", "pos"), bucketCol = "bk",
+          sortCols = Seq("cid", "pos"),
+          newBuckets = Some(Seq(batchId % keyBuckets.toLong)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merge-on-read of [[maintainCentroids]]'s partials: exact running
+    * means per (cid, pos) — same schema as
+    * [[graft.llm.Similarity.kmeansTrain]]'s output, so audits compose. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("sum_milli")).as("__s"), sum(col("n_members")).as("n_members"))
+      .select(col("cid").as("centroid_id"), col("pos"),
+        graft.llm.Similarity.meanMicro("__s", "n_members").as("mean_micro"),
+        col("n_members"))
+
+  /** [[readCentroids]] rebuilt as micro-quantized centroid VECTORS —
+    * what the next batch's assignment consumes. */
+  def readCentroidVectors(spark: org.apache.spark.sql.SparkSession,
+                          tableDir: String): DataFrame =
+    readCentroids(spark, tableDir)
+      .groupBy(col("centroid_id").as("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mean_micro)))," +
+        " s -> s.mean_micro)").as("__cm"))
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

@@ -236,6 +236,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming centroid maintenance: running means stay exact across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_scent").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    val init = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val query = StreamingOps.maintainCentroids(
+      input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/cent", s"$dir/ckpt", init)
+    try {
+      input.addData((10L, Array(1.0f, 0.0f)), (11L, Array(0.8f, 0.0f)),
+        (12L, Array(0.0f, 1.0f)))
+      query.processAllAvailable()
+      input.addData((13L, Array(0.6f, 0.0f)), (14L, Array(0.0f, 0.8f)))
+      query.processAllAvailable()
+      val m = StreamingOps.readCentroids(spark, s"$dir/cent").collect()
+        .map(r => (r.getAs[Long]("centroid_id"), r.getAs[Int]("pos")) ->
+          (r.getAs[Long]("mean_micro"), r.getAs[Long]("n_members"))).toMap
+      // cluster 0 = {10, 11, 13}: x mean (1000+800+600)/3 -> 800000 micro;
+      // batch 2's assignment ran against the UPDATED (post-batch-1) state
+      assert(m((0L, 1)) == (800000L, 3L) && m((0L, 2)) == (0L, 3L))
+      // cluster 1 = {12, 14}: y mean (1000+800)/2 -> 900000 micro
+      assert(m((1L, 1)) == (0L, 2L) && m((1L, 2)) == (900000L, 2L))
+    } finally query.stop()
+  }
+
   test("streaming SCD2 maintenance: touched-key rebuild matches the batch build, late rows renumber") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
