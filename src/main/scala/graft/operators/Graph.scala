@@ -359,6 +359,45 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
         max(col("deg")).as("max_deg"))
 
+  /** Single-source (seed-set) shortest paths by FIXED Bellman–Ford
+    * relaxation rounds over non-negative integer edge weights — the
+    * cheapest-route primitive [[khopReach]]'s hop counter cannot express
+    * (a 2-hop path of cost 3 beats a 1-hop edge of cost 9). `rounds`
+    * bounds the path LENGTH considered, exactly Bellman–Ford's
+    * guarantee: after k rounds every distance using <= k edges is final;
+    * k = graph diameter gives the exact answer. Fixed synchronous rounds
+    * keep the output a pure function of the input ([[pagerank]]'s
+    * contract); the oracle unrolls the same rounds.
+    *
+    * Scale shape per round: ONE equi-join of the current distance table
+    * against the out-edge list (both hash-partitioned on the node id) +
+    * one min-aggregate; lineage truncated per round; no driver state.
+    * All-integer arithmetic — no float accumulation order to diverge. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int = 3,
+           srcCol: String = "src", dstCol: String = "dst",
+           weightCol: String = "w"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") >= 0)
+      .localCheckpoint(true) // reused every round
+    var dist = seeds.select(col("node").cast("long").as("node"),
+        lit(0L).as("dist"))
+      .distinct()
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"), (col("dist") + col("__w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
+
   /** Bounded k-hop reach from a seed set — the taint-tracing primitive
     * ("which addresses received funds within N hops of these seeds").
     * Directed frontier expansion with a min-hop label: hop 0 is the seed

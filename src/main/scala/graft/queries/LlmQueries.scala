@@ -233,7 +233,10 @@ object LlmQueries {
     * unrolled Lloyd iterations on the same quantized-integer grid
     * (corpus milli, centroids micro, integer-dot argmax with cid
     * tie-break, truncating sign-split means, list rebuild per round). */
-  private def kmeansTrainOracle(rounds: Int): String = {
+  /** The trainer's CTE chain alone (`WITH corpus …, cent$rounds`), so
+    * downstream oracles (trained-IVF search) can build on the trained
+    * codebook without restating the rounds. */
+  private def kmeansTrainCtes(rounds: Int): String = {
     val idot = "list_sum(list_transform(range(1, 65), i -> v.vm[i] * c.cm[i]))"
     val roundsSql = (0 until rounds).map { r =>
       s"""a$r AS (SELECT vec_id, vm, cid FROM (
@@ -254,10 +257,45 @@ object LlmQueries {
        |cent0 AS (SELECT vec_id AS cid,
        |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cm
        |      FROM embeddings WHERE vec_id < 16),
-       |$roundsSql
+       |$roundsSql""".stripMargin
+  }
+
+  private def kmeansTrainOracle(rounds: Int): String =
+    s"""${kmeansTrainCtes(rounds)}
        |SELECT cid AS centroid_id, CAST(pos AS INTEGER) AS pos,
        |       mm AS mean_micro, n AS n_members
        |FROM m${rounds - 1} ORDER BY centroid_id, pos""".stripMargin
+
+  /** Trained-IVF search oracle: the trainer's CTEs + corpus/query
+    * assignment against the TRAINED codebook + same-cell integer-dot
+    * top-k. */
+  private def ivfTrainedOracle(rounds: Int, k: Int): String = {
+    def assign(name: String, src: String) = {
+      val idot = s"list_sum(list_transform(range(1, 65), i -> v.vm[i] * c.cm[i]))"
+      s"""$name AS (SELECT vec_id, vm, cid FROM (
+         |    SELECT v.vec_id, v.vm, c.cid,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY $idot DESC, c.cid) AS rn
+         |    FROM $src v, cent$rounds c) WHERE rn = 1)""".stripMargin
+    }
+    val qdot = "list_sum(list_transform(range(1, 65), i -> q.vm[i] * c.vm[i]))"
+    s"""${kmeansTrainCtes(rounds)},
+       |corpusq AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm
+       |      FROM embeddings WHERE vec_id >= 21),
+       |qs AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm
+       |      FROM embeddings WHERE vec_id BETWEEN 16 AND 20),
+       |${assign("ac", "corpusq")},
+       |${assign("aq", "qs")}
+       |SELECT query_id, neighbor_id, centroid_id, CAST(rn AS INTEGER) AS rnk, score FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         q.cid AS centroid_id,
+       |         CAST($qdot AS BIGINT) AS score,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY $qdot DESC, c.vec_id) AS rn
+       |  FROM aq q JOIN ac c ON c.cid = q.cid AND c.vec_id <> q.vec_id)
+       |WHERE rn <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -977,6 +1015,41 @@ object LlmQueries {
           .orderBy("centroid_id", "pos")
       },
       Some(kmeansTrainOracle(2))),
+
+    // End-to-end trained-codebook IVF: 2 Lloyd rounds produce the
+    // centroids, corpus AND queries assign against the trained codebook
+    // on the same integer grid, search is same-cell integer-dot top-5 —
+    // the full index-build -> search pipeline in one plan.
+    Q("ann_ivf_trained", "LLM",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables(s, d, "embeddings")
+        val trained = Similarity.kmeansTrain(e.filter(col("vec_id") >= 16),
+          e.filter(col("vec_id") < 16), rounds = 2)
+        val cents = trained.groupBy(col("centroid_id").as("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, mean_micro)))," +
+            " s -> s.mean_micro)").as("__cm"))
+        def prep(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("vec_id"), Similarity.milliVec("embedding").as("__vm"))
+        val ac = Similarity.quantizedAssign(prep(e.filter(col("vec_id") >= 21)), cents)
+          .select(col("vec_id").as("neighbor_id"), col("__vm").as("__cv"), col("cid"))
+        val aq = Similarity.quantizedAssign(
+            prep(e.filter(col("vec_id").between(16, 20))), cents)
+          .select(col("vec_id").as("query_id"), col("__vm").as("__qv"), col("cid"))
+        val scored = aq.join(ac, Seq("cid"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("score", expr(
+            "aggregate(zip_with(__qv, __cv, (a, b) -> a * b)," +
+              " cast(0 as bigint), (acc, x) -> acc + x)"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("query_id"), col("neighbor_id"),
+            col("cid").as("centroid_id"), col("rnk"), col("score"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(ivfTrainedOracle(rounds = 2, k = 5))),
 
     // Corpus n-gram statistics: top word-trigrams per language.
     Q("text_ngram_freq", "LLM",
@@ -2103,6 +2176,31 @@ object LlmQueries {
            |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
            |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
            |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Seeded shortest paths (Bellman–Ford, 3 fixed relaxation rounds,
+    // integer weights) from the smallest backbone node — cheapest-route
+    // distances a hop counter cannot express.
+    Q("graph_sssp", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val seeds = ew.agg(min(col("src")).as("node"))
+        graft.operators.Graph.sssp(ew, seeds, rounds = 3).orderBy("node")
+      },
+      Some {
+        def round(r: Int) =
+          s"""d${r + 1} AS (SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d$r
+             |    UNION ALL
+             |    SELECT e.dst, d.dist + e.w FROM d$r d JOIN ew e ON e.src = d.node)
+             |  GROUP BY 1)""".stripMargin
+        s"""$backboneEdgesCte,
+           |s0 AS (SELECT min(src) AS n FROM ew),
+           |d0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS dist FROM s0),
+           |${round(0)},
+           |${round(1)},
+           |${round(2)}
+           |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
       }),
 
     // k-truss (edge-level cohesion, one notch above k-core: every edge

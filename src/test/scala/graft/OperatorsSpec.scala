@@ -519,6 +519,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Graph.ktruss(g, k = 5, rounds = 1).count() == 0L)
   }
 
+  test("sssp: cheaper long path beats direct edge; rounds bound path length") {
+    import graft.operators.Graph
+    import spark.implicits._
+    // 1->4 direct costs 9; 1->2->3->4 costs 3; unreachable node 9
+    val e = Seq((1L, 4L, 9L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (9L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val d3 = Graph.sssp(e, seeds, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 3 < 9
+    // with 1 round only paths of <= 1 edge are final: 4 still costs 9
+    val d1 = Graph.sssp(e, seeds, rounds = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(d1(4L) == 9L && d1(2L) == 1L && !d1.contains(3L))
+  }
+
   test("khop reach: BFS hop labels are minimal; direction respected; budget caps depth") {
     import graft.operators.Graph
     // 1 -> 2 -> 3 -> 4, plus shortcut 1 -> 3 (so 3 is hop 1, NOT hop 2),
