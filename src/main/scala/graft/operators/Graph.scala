@@ -1029,4 +1029,59 @@ object Graph {
           |     WHEN r_num < 0 THEN -CAST((-r_num) * 1000 div r_den AS BIGINT)
           |     ELSE CAST(r_num * 1000 div r_den AS BIGINT) END""".stripMargin))
   }
+
+  /** Newman modularity of a community assignment over the SIMPLE
+    * undirected graph (Newman & Girvan 2004) — the standard "is this
+    * partition better than chance?" audit for [[labelPropagation]] (or
+    * any node→label map): `Q = Σ_c [e_c/m − (d_c/2m)²]`, rewritten as the
+    * exact integer fraction `q_num / q_den` with
+    * `q_num = Σ_c (4·m·e_c − d_c²)`, `q_den = 4m²` — so two engines agree
+    * bit-for-bit with no float summation order to worry about (same
+    * discipline as [[assortativityMoments]]). `q_milli` is the sign-split
+    * truncating milli read-out; Q ∈ [−1/2, 1) by construction, and > 0.3
+    * conventionally reads as real community structure.
+    *
+    * Unweighted by design: e_c counts distinct intra-community edges of
+    * the simple graph and d_c sums simple degrees, even when the LABELS
+    * came from a weighted LPA — the audit asks whether the topology
+    * supports the partition, and stays comparable across weighting
+    * schemes.
+    *
+    * Scale shape: two |V|-row label equi-joins onto the edge endpoints
+    * (broadcast when labels are small, shuffle on node id otherwise —
+    * planner's call), two label-keyed map-side-combined aggregates
+    * (output ≤ |C| rows each), then a 1-row reduce. No windows, no
+    * driver state; the products ride DECIMAL(38,0) so billion-edge
+    * graphs (4·m·e_c ~ 4e18) never wrap Long.
+    *
+    * Returns ONE row: (m, n_comm, sum_e_in, q_num, q_den, q_milli). */
+  def modularity(edges: DataFrame, labels: DataFrame,
+                 srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = degrees(und)
+    val l = labels.select(col("node"), col("label"))
+    // intra-community edge count per label: both endpoints carry the label
+    val eIn = und
+      .join(l.select(col("node").as("u"), col("label").as("__lu")), "u")
+      .join(l.select(col("node").as("v"), col("label").as("__lv")), "v")
+      .filter(col("__lu") === col("__lv"))
+      .groupBy(col("__lu").as("label"))
+      .agg(count(lit(1)).as("e_c"))
+    // total simple degree per label (covers labels with zero intra edges)
+    val dC = deg.join(l, "node")
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    dC.join(eIn, Seq("label"), "left")
+      .select(col("label"), coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(broadcast(m))
+      .agg(max(col("m")).as("m"), count(lit(1)).as("n_comm"),
+        sum(col("e_c")).as("sum_e_in"),
+        expr("""sum(4 * cast(m as decimal(38,0)) * e_c
+               |    - cast(d_c as decimal(38,0)) * d_c)""".stripMargin).as("q_num"),
+        expr("max(4 * cast(m as decimal(38,0)) * m)").as("q_den"))
+      .withColumn("q_milli", expr(
+        """CASE WHEN q_den IS NULL OR q_den = 0 THEN 0
+          |     WHEN q_num < 0 THEN -CAST((-q_num) * 1000 div q_den AS BIGINT)
+          |     ELSE CAST(q_num * 1000 div q_den AS BIGINT) END""".stripMargin))
+  }
 }

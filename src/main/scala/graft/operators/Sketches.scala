@@ -77,6 +77,56 @@ object Sketches {
               " div kth_min_hash AS BIGINT)")))
   }
 
+  /** The KMV sketch as its VALUE table — the bottom-k distinct md5 hashes
+    * of the key column, one `__h` row each. This is the mergeable form
+    * ([[kmvMerge]]) and the form set algebra runs on ([[kmvIntersect]]);
+    * [[kmvFromHashes]] is its 1-row read-out. */
+  def kmvValues(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    df.select(ColumnFns.md5Long(col(keyCol)).as("__h"))
+      .distinct().orderBy(col("__h")).limit(k)
+  }
+
+  /** Theta-sketch set intersection over two KMV value tables (Dasgupta et
+    * al., the DataSketches "theta" algebra): the estimate of
+    * `|keys(A) ∩ keys(B)|` from two bottom-k sketches, never touching the
+    * raw data again.
+    *
+    * θ_X = the k-th (largest kept) hash when the sketch is saturated
+    * (n_kept = k), else 2^60 (the sketch IS the exact value set).
+    * θ = min(θ_A, θ_B); every kept hash < θ is a uniform sample of the
+    * key space at rate θ/2^60, so
+    * `est = |A_values ∩ B_values ∩ [0, θ)| * 2^60 / θ`.
+    * When both sketches are exact (θ = 2^60) the estimate IS the exact
+    * intersection cardinality. Join-planning use: `est` over two key
+    * columns is the distinct-key overlap — the equi-join's distinct-match
+    * cardinality — from two metadata-sized summaries.
+    *
+    * Scale shape: both inputs are <= k rows by construction, so the
+    * whole operator is a broadcastable k-row join + 1-row aggregates; the
+    * corpus is never rescanned. Integer/decimal arithmetic only.
+    *
+    * Returns ONE row: (theta, n_common, est_intersect). */
+  def kmvIntersect(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def theta(v: DataFrame) = v.agg(
+      when(count(lit(1)) >= k, max(col("__h"))).otherwise(lit(HashSpace))
+        .as("__theta"))
+    val thetas = theta(a).crossJoin(theta(b).withColumnRenamed("__theta", "__tb"))
+      .select(least(col("__theta"), col("__tb")).as("theta"))
+    val common = a.join(b, "__h")
+    common.crossJoin(broadcast(thetas))
+      .filter(col("__h") < col("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+      // right-outer-style guard: an empty intersection still yields a row
+      .unionByName(thetas.select(col("theta"), lit(0L).as("n_common")))
+      .groupBy(col("theta")).agg(max(col("n_common")).as("n_common"))
+      .withColumn("est_intersect",
+        expr(s"CAST(CAST(n_common AS DECIMAL(38,0)) * ${HashSpace}" +
+          " div theta AS BIGINT)"))
+  }
+
   /** Union-merge of KMV sketches stored as (bottom-k hash) VALUE tables:
     * concatenate, distinct, re-take bottom k. Associative + commutative +
     * idempotent, so per-file / per-day sketches roll up in any order —

@@ -2278,6 +2278,50 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Modularity audit of the LPA partition (Newman & Girvan 2004): the
+    // exact integer fraction Q = Σ_c(4·m·e_c − d_c²) / 4m² over the simple
+    // undirected backbone, with the SAME 2-round LPA labels as
+    // graph_lpa_communities — "did label propagation find real structure,
+    // or chance?" as a 1-row metadata answer. Two label joins + two
+    // label-keyed map-side aggregates + a 1-row reduce; products ride
+    // DECIMAL(38,0) so billion-edge graphs never wrap Long.
+    Q("graph_modularity", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val labels = graft.operators.Graph.labelPropagation(
+          ew, rounds = 2, weightCol = Some("w"))
+        graft.operators.Graph.modularity(ew, labels)
+      },
+      Some(s"""$lpaLabelsCte,
+              |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |        FROM ew WHERE src <> dst),
+              |dg AS (SELECT node, count(*) AS deg FROM
+              |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+              |       GROUP BY 1),
+              |mm AS (SELECT count(*) AS m FROM und),
+              |ein AS (SELECT la.label, count(*) AS e_c FROM und
+              |        JOIN l2 la ON la.node = und.u
+              |        JOIN l2 lb ON lb.node = und.v
+              |        WHERE la.label = lb.label GROUP BY 1),
+              |dcm AS (SELECT l2.label, sum(dg.deg) AS d_c FROM dg
+              |        JOIN l2 ON l2.node = dg.node GROUP BY 1),
+              |comm AS (SELECT dcm.label, coalesce(ein.e_c, 0) AS e_c, dcm.d_c
+              |         FROM dcm LEFT JOIN ein USING (label)),
+              |agg AS (SELECT max(mm.m) AS m, count(*) AS n_comm,
+              |          sum(e_c) AS sum_e_in,
+              |          sum(4 * CAST(mm.m AS HUGEINT) * e_c
+              |              - CAST(d_c AS HUGEINT) * d_c) AS q_num,
+              |          max(4 * CAST(mm.m AS HUGEINT) * mm.m) AS q_den
+              |        FROM comm, mm)
+              |SELECT CAST(m AS BIGINT) AS m, CAST(n_comm AS BIGINT) AS n_comm,
+              |  CAST(sum_e_in AS BIGINT) AS sum_e_in,
+              |  CAST(q_num AS DECIMAL(38,0)) AS q_num,
+              |  CAST(q_den AS DECIMAL(38,0)) AS q_den,
+              |  CAST(CASE WHEN q_den IS NULL OR q_den = 0 THEN 0
+              |       WHEN q_num < 0 THEN -((-q_num) * 1000 // q_den)
+              |       ELSE q_num * 1000 // q_den END AS BIGINT) AS q_milli
+              |FROM agg""".stripMargin)),
+
     // Time-respecting two-hop flow (temporal motif): A→B at t1, B→C at
     // t2 with t1 ≤ t2 ≤ t1 + 2h — the "value reached C through B within
     // the window" trace that plain two-hop over-counts by pairing hops
@@ -3130,6 +3174,41 @@ object LlmQueries {
              |       END AS BIGINT) AS est_distinct,
              |  CAST(exact_distinct AS BIGINT) AS exact_distinct
              |FROM a CROSS JOIN x""".stripMargin)),
+
+    // Theta-sketch set intersection (DataSketches algebra over two KMV
+    // value tables): estimated distinct-user overlap between the click and
+    // purchase populations from two 64-hash summaries — the equi-join
+    // distinct-match cardinality read from metadata, never rescanning the
+    // corpus. Exact intersection rides along as the accuracy audit.
+    Q("sketch_kmv_intersect", "SKETCH",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        def users(t: String) = ev.filter(col("event_type") === t)
+          .select(col("user_id").cast("string").as("user_key"))
+        val a = graft.operators.Sketches.kmvValues(users("click"), "user_key", k = 64)
+        val b = graft.operators.Sketches.kmvValues(users("purchase"), "user_key", k = 64)
+        val exact = users("click").distinct()
+          .join(users("purchase").distinct(), "user_key")
+          .agg(count(lit(1)).as("exact_intersect"))
+        graft.operators.Sketches.kmvIntersect(a, b, k = 64)
+          .crossJoin(broadcast(exact))
+      },
+      Some("""WITH ha AS (SELECT DISTINCT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS __h FROM events WHERE event_type = 'click'),
+             |a AS (SELECT __h FROM ha ORDER BY __h LIMIT 64),
+             |hb AS (SELECT DISTINCT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS __h FROM events WHERE event_type = 'purchase'),
+             |b AS (SELECT __h FROM hb ORDER BY __h LIMIT 64),
+             |ta AS (SELECT CASE WHEN count(*) >= 64 THEN max(__h) ELSE 1152921504606846976 END AS th FROM a),
+             |tb AS (SELECT CASE WHEN count(*) >= 64 THEN max(__h) ELSE 1152921504606846976 END AS th FROM b),
+             |th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+             |cm AS (SELECT count(*) AS n_common FROM a JOIN b USING (__h), th WHERE __h < theta),
+             |ex AS (SELECT count(*) AS exact_intersect FROM (
+             |        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             |        INTERSECT
+             |        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+             |SELECT theta, CAST(n_common AS BIGINT) AS n_common,
+             |  CAST(CAST(n_common AS HUGEINT) * 1152921504606846976 // theta AS BIGINT) AS est_intersect,
+             |  CAST(exact_intersect AS BIGINT) AS exact_intersect
+             |FROM th, cm, ex""".stripMargin)),
 
     // Count-min sketch heavy hitters: 3x64 md5 cells built with one
     // map-side-combined aggregate (shuffle cardinality d*w, never |rows|),

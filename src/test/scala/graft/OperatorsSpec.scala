@@ -619,6 +619,35 @@ class OperatorsSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("modularity: hand-computed two-triangle partition; one-community Q = 0") {
+    import graft.operators.Graph
+    // two triangles joined by a bridge, partitioned per triangle:
+    // m = 7; each community has e_c = 3, d_c = 7 (2+2+3);
+    // q_num = 2·(4·7·3 − 49) = 70, q_den = 4·49 = 196, Q = 0.357 → 357
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val r = Graph.modularity(g, labels).collect().head
+    assert(r.getAs[Long]("m") == 7L)
+    assert(r.getAs[Long]("n_comm") == 2L)
+    assert(r.getAs[Long]("sum_e_in") == 6L)
+    assert(r.getAs[java.math.BigDecimal]("q_num").longValueExact() == 70L)
+    assert(r.getAs[java.math.BigDecimal]("q_den").longValueExact() == 196L)
+    assert(r.getAs[Long]("q_milli") == 357L)
+
+    // the everything-in-one-community partition scores exactly 0
+    val one = labels.select($"node", lit(1L).as("label"))
+    val r1 = Graph.modularity(g, one).collect().head
+    assert(r1.getAs[java.math.BigDecimal]("q_num").longValueExact() == 0L)
+    assert(r1.getAs[Long]("q_milli") == 0L)
+
+    // anti-community partition (each edge cut) goes negative
+    val bad = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L), (6L, 2L))
+      .toDF("node", "label")
+    assert(Graph.modularity(g, bad).collect().head.getAs[Long]("q_milli") < 0L)
+  }
+
   test("coarsen: community pairs aggregate edges, intra flag marks self-loops") {
     import graft.operators.Graph
     // communities {1,2}→A(=1) and {3,4}→B(=3); edges: 2 intra-A, 1 intra-B,

@@ -27,6 +27,39 @@ class SketchSpec extends SparkSpec {
     assert(est > 13000 && est < 27000, s"estimate $est too far from 20000")
   }
 
+  test("kmv intersect: exact mode (both sketches under-full) is the exact overlap") {
+    val a = (1 to 30).map(i => s"u$i").toDF("k")   // {u1..u30}
+    val b = (21 to 50).map(i => s"u$i").toDF("k")  // {u21..u50} -> overlap 10
+    val row = Sketches.kmvIntersect(
+      Sketches.kmvValues(a, "k", k = 64),
+      Sketches.kmvValues(b, "k", k = 64), k = 64).collect().head
+    assert(row.getAs[Long]("theta") == Sketches.HashSpace)
+    assert(row.getAs[Long]("n_common") == 10L)
+    assert(row.getAs[Long]("est_intersect") == 10L)
+  }
+
+  test("kmv intersect: empty overlap still yields one row with estimate 0") {
+    val a = (1 to 20).map(i => s"a$i").toDF("k")
+    val b = (1 to 20).map(i => s"b$i").toDF("k")
+    val row = Sketches.kmvIntersect(
+      Sketches.kmvValues(a, "k", k = 16),
+      Sketches.kmvValues(b, "k", k = 16), k = 16).collect().head
+    assert(row.getAs[Long]("n_common") == 0L)
+    assert(row.getAs[Long]("est_intersect") == 0L)
+  }
+
+  test("kmv intersect: saturated sketches estimate a large overlap within tolerance") {
+    val a = (1 to 8000).map(i => s"u$i").toDF("k")
+    val b = (4001 to 12000).map(i => s"u$i").toDF("k") // true overlap 4000
+    val row = Sketches.kmvIntersect(
+      Sketches.kmvValues(a, "k", k = 256),
+      Sketches.kmvValues(b, "k", k = 256), k = 256).collect().head
+    assert(row.getAs[Long]("theta") < Sketches.HashSpace) // estimating mode
+    val est = row.getAs[Long]("est_intersect")
+    // ~1/sqrt(k_eff) error with k_eff ≈ n_common below theta; wide 3x band
+    assert(est > 1300 && est < 12000, s"estimate $est too far from 4000")
+  }
+
   test("kmv: merging per-part value sets equals the whole-corpus sketch") {
     val whole = (1 to 5000).map(i => s"u$i").toDF("k")
     val parts = Seq(
