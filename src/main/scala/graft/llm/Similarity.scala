@@ -782,6 +782,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("score"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al. 2007): each query probes its own
+    * bucket PLUS the `nProbes - 1` neighboring buckets reached by flipping
+    * the sign bits with the SMALLEST absolute hyperplane margin — the
+    * planes the vector sits closest to, i.e. the flips most likely to hide
+    * a true neighbor. Classic trade: multi-probe recovers the recall of a
+    * coarser table (fewer planes) WITHOUT growing bucket sizes — probe
+    * count scales the query side only, never the corpus index.
+    *
+    * Determinism: margins are quantized to micro units before ranking
+    * (ties to the smaller plane index), so the probe sequence is a pure
+    * function of the vector — same discipline as [[bruteForceTopK]]'s
+    * rounded scores.
+    *
+    * Scale shape: the corpus is bucketed ONCE (same index as [[lshTopK]];
+    * a probe is just another key into it). The query side fans out
+    * ×nProbes and rides a broadcast; the corpus side is one equi-join on
+    * the bucket key + the per-query top-k window. A corpus vector lives
+    * in exactly one bucket and probe buckets are distinct, so no
+    * (query, neighbor) pair is scored twice — no dedup pass needed. */
+  def multiProbeLshTopK(candidates: DataFrame, queries: DataFrame, dim: Int,
+                        k: Int, numPlanes: Int = 8, nProbes: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(nProbes >= 1 && nProbes <= numPlanes + 1,
+      s"nProbes must be in [1, numPlanes + 1], got $nProbes")
+    GraftFunctions.register(candidates.sparkSession)
+    val w = planeWeights(dim, numPlanes)
+    val margins = array((0 until numPlanes).map { p =>
+      dot(col(vecCol), array(w(p).map(lit).toIndexedSeq: _*))
+    }: _*)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+      margins.as("__m"),
+      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    // flip order: ascending quantized |margin|, plane index as tie-break
+    val flips = q.select(col("query_id"), col("bucket"),
+        posexplode(col("__m")).as(Seq("p", "__dp")))
+      .withColumn("__am", round(abs(col("__dp")) * 1e6).cast("long"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__am"), col("p"))))
+      .filter(col("__rn") <= nProbes - 1)
+      .select(col("query_id"),
+        expr("bucket ^ shiftleft(1L, p)").as("bucket"))
+    val probes = q.select(col("query_id"), col("bucket"))
+      .unionByName(flips)
+      .join(q.select(col("query_id"), col("__q")), "query_id")
+    val cb = lshBuckets(candidates, dim, numPlanes)
+      .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+    val scored = cb.join(broadcast(probes), Seq("bucket"))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"),
+        col("score"))
+  }
+
   /** Radius (range) search: ALL corpus vectors within cosine >= `radius`
     * of each query — the "find everything this similar" primitive that
     * top-k cannot express (k is unknown; a hot query may have thousands

@@ -743,6 +743,44 @@ object LlmQueries {
               |      FROM sc)
               |SELECT query_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Multi-probe LSH ANN (Lv et al. 2007): each query also probes the two
+    // buckets reached by flipping its smallest-|margin| sign bits — recall
+    // of a coarser table without growing the corpus index; probe count
+    // scales the (broadcast) query side only. Same bucketed index, one
+    // equi-join, per-query top-k window.
+    Q("ann_multiprobe_lsh", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.multiProbeLshTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            dim = 64, k = 5, numPlanes = 8, nProbes = 3)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 5),
+              |c AS (SELECT bucket, vec_id AS neighbor_id, embedding AS ce FROM b WHERE vec_id >= 5),
+              |qm AS (SELECT query_id, p, list_sum(list_transform(range(1, 65), i ->
+              |         CAST(qe[i] AS DOUBLE) *
+              |         (CASE WHEN CAST('0x' || substring(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 1
+              |               THEN 1.0 ELSE -1.0 END))) AS dp
+              |       FROM q, range(0, 8) t(p)),
+              |qr AS (SELECT query_id, p,
+              |         row_number() OVER (PARTITION BY query_id
+              |           ORDER BY CAST(round(abs(dp) * 1e6) AS BIGINT), p) AS rn
+              |       FROM qm),
+              |probes AS (SELECT query_id, bucket FROM q
+              |           UNION ALL
+              |           SELECT qr.query_id, xor(q.bucket, CAST(2**qr.p AS BIGINT))
+              |           FROM qr JOIN q USING (query_id) WHERE qr.rn <= 2),
+              |sc AS (SELECT q.query_id, c.neighbor_id, c.bucket, round($dotSql, 6) AS score
+              |       FROM probes pr JOIN q ON q.query_id = pr.query_id
+              |            JOIN c ON c.bucket = pr.bucket),
+              |r AS (SELECT query_id, neighbor_id, bucket, score,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, bucket, rnk, score FROM r
+              |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // ANN quality audit: recall@10 of the LSH tier against the brute-force
     // ground truth — the evaluation loop that tunes numPlanes/k before a
     // corpus-scale run. Left join of the two top-k sets on

