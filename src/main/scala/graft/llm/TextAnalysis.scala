@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.ColumnFns._
@@ -187,6 +188,74 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df_count"),
         round(col("tf") * log(col("__n_docs").cast("double") / col("df_count").cast("double")), 6)
           .as("tfidf"))
+  }
+
+  /** BM25 lexical retrieval (Robertson–Spärck Jones): score a small query
+    * set against the corpus through an inverted index — the sparse twin of
+    * the dense ANN family, and the retrieval primitive RAG stacks put in
+    * front of a reranker. `score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf+k1·K)`
+    * with `K = 1−b+b·dl/avgdl`, over the DISTINCT terms of the query.
+    *
+    * Integer-exact scoring so two engines agree bit-for-bit: idf is
+    * quantized ONCE PER TERM to micro-nats (`round(ln(1+(N−df+0.5)/
+    * (df+0.5))·1e6)` — the same per-type-ln discipline as
+    * [[unigramLogProbScores]]); the saturation fraction rides milli-scaled
+    * integer arithmetic (`k1Centi`/`bMilli` defaults = the standard
+    * k1=1.2, b=0.75) with truncating `div` at each quantization point.
+    *
+    * Scale shape: the corpus explodes ONCE into the (doc, term, tf)
+    * posting table (map-side combined); the query terms prune it by an
+    * equi-join on `term` (query side broadcast — postings of NON-query
+    * terms never shuffle); per-(query, doc) scores are one map-side
+    * combined aggregate; the final top-k window partitions by query. The
+    * df/avgdl statistics land via vocabulary-sized joins and a 1-row
+    * broadcast — no driver-side collects. */
+  def bm25Search(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 qidCol: String = "query_id", qtextCol: String = "query_text",
+                 k1Centi: Int = 120, bMilli: Int = 750): DataFrame = {
+    require(k >= 1 && k1Centi >= 0 && bMilli >= 0 && bMilli <= 1000,
+      s"need k >= 1, k1Centi >= 0, bMilli in [0,1000]; got $k/$k1Centi/$bMilli")
+    val toks = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_count"))
+    // N and avgdl over docs with >= 1 token (empty docs score nothing and
+    // would only skew avgdl downward)
+    val stats = dl
+      .agg(count(lit(1)).as("__n_docs"), sum(col("dl")).as("__total"))
+      .select(col("__n_docs"),
+        expr("__total * 1000 div __n_docs").as("__avgdl_milli"))
+    val qterms = queries
+      .select(col(qidCol), explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val idf = dfreq.join(broadcast(stats))
+      .select(col("term"),
+        round(log(lit(1.0)
+          + (col("__n_docs") - col("df_count") + 0.5) / (col("df_count") + 0.5))
+          * 1e6).cast("long").as("idf_micro"),
+        col("__avgdl_milli"))
+    val scoredTerms = tf
+      .join(broadcast(qterms), Seq("term")) // inverted-index pruning
+      .join(idf, Seq("term"))
+      .join(dl, idCol)
+      .withColumn("__k_milli", expr(
+        s"(1000 - $bMilli) + ($bMilli * dl * 1000) div __avgdl_milli"))
+      .withColumn("__denom_milli", expr(
+        s"tf * 1000 + ($k1Centi * 10 * __k_milli) div 1000"))
+      .withColumn("__s_micro", expr(
+        s"idf_micro * tf * ((100 + $k1Centi) * 10) div __denom_milli"))
+    val scores = scoredTerms
+      .groupBy(col(qidCol), col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("__s_micro")).as("score_micro"))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("score_micro").desc, col(idCol))
+    scores.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qidCol), col(idCol), col("n_hit_terms"), col("score_micro"),
+        col("rnk"))
   }
 
   /** Unigram log-probability scoring — the classic "perplexity proxy"

@@ -1627,6 +1627,53 @@ object LlmQueries {
     // sharing word trigrams with a benchmark set. The benchmark side is
     // small by construction -> broadcast; the training side streams through
     // one explode + join, never a cross product.
+    // BM25 lexical retrieval (k1=1.2, b=0.75, integer-exact micro scores):
+    // three probe queries ride a broadcast into the corpus posting table —
+    // postings of non-query terms never shuffle — then one (query, doc)
+    // aggregate and a per-query top-10 window. The sparse twin of the
+    // ann_* dense family; the retrieval primitive in front of a reranker.
+    Q("text_bm25_search", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val probes = Seq(
+          (1, "spark join shuffle window"),
+          (2, "customer order line value"),
+          (3, "vector hash merge nosuchterm")).toDF("query_id", "query_text")
+        TextAnalysis.bm25Search(Tables(s, d, "documents"), probes, k = 10)
+          .orderBy("query_id", "rnk")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs, sum(dl) * 1000 // count(*) AS avgdl_milli FROM dl),
+             |q(query_id, query_text) AS (VALUES
+             |  (1, 'spark join shuffle window'),
+             |  (2, 'customer order line value'),
+             |  (3, 'vector hash merge nosuchterm')),
+             |qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+             |idf AS (SELECT term,
+             |          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) AS idf_micro,
+             |          avgdl_milli
+             |        FROM dfq, stats),
+             |sc AS (SELECT qt.query_id, tf.doc_id,
+             |         idf.idf_micro * tf.tf * 2200
+             |           // (tf.tf * 1000
+             |              + (1200 * (250 + (750 * dl.dl * 1000) // idf.avgdl_milli)) // 1000)
+             |           AS s_micro
+             |       FROM tf JOIN qt USING (term) JOIN idf USING (term)
+             |            JOIN dl USING (doc_id)),
+             |ag AS (SELECT query_id, doc_id, count(*) AS n_hit_terms,
+             |         sum(s_micro) AS score_micro FROM sc GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, n_hit_terms, score_micro,
+             |        CAST(row_number() OVER (PARTITION BY query_id
+             |          ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rnk
+             |      FROM ag)
+             |SELECT query_id, doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms,
+             |       CAST(score_micro AS BIGINT) AS score_micro, rnk
+             |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
     Q("text_decontaminate", "LLM",
       (s, d) => {
         val docs = Tables(s, d, "documents")

@@ -194,6 +194,26 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("bm25: only matching docs return; shorter doc wins at equal tf; rare term outranks common") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "x y"),            // tf_x=1, dl=2
+      (2L, "x y z w"),        // tf_x=1, dl=4 -> length-normalized below doc 1
+      (3L, "z w z w"),        // no query terms -> absent
+      (4L, "q y")             // rare term q
+    ).toDF("doc_id", "text")
+    val queries = Seq((1, "x"), (2, "q y")).toDF("query_id", "query_text")
+    val out = TextAnalysis.bm25Search(docs, queries, k = 10).collect()
+    val q1 = out.filter(_.getInt(0) == 1).sortBy(_.getAs[Int]("rnk"))
+    assert(q1.map(_.getLong(1)).toSeq == Seq(1L, 2L), "x-docs only, shorter first")
+    assert(q1.forall(_.getAs[Long]("score_micro") > 0))
+    val q2 = out.filter(_.getInt(0) == 2).sortBy(_.getAs[Int]("rnk"))
+    // doc 4 holds the rare 'q' (df=1) plus 'y': top hit with 2 terms
+    assert(q2.head.getLong(1) == 4L && q2.head.getAs[Long]("n_hit_terms") == 2L)
+    // docs 1 and 2 match only 'y' (df=3, low idf) and rank below
+    assert(q2.map(_.getLong(1)).toSet == Set(4L, 1L, 2L))
+  }
+
   test("multi-probe LSH: nProbes=1 equals single-probe; more probes only add candidates; full probe of a flipped twin recovers it") {
     val cands = vecs.filter($"vec_id" >= 10)
     val queries = vecs.filter($"vec_id" === 0)
