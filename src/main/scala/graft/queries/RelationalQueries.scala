@@ -1133,6 +1133,29 @@ object RelationalQueries {
              |       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // LATERAL correlated subquery through the SQL front end: per-nation
+    // top-2 customers by balance — the "top-k per outer row" shape LATERAL
+    // expresses directly (same text runs on both engines). Catalyst plans
+    // the correlated limit as a partitioned window under the hood, so the
+    // SQL surface costs the same as the window formulation.
+    Q("subq_lateral_topk", "SUBQ",
+      (s, d) => {
+        Tables(s, d, "nation").createOrReplaceTempView("nation")
+        Tables(s, d, "customer").createOrReplaceTempView("customer")
+        s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+                |FROM nation n,
+                |LATERAL (SELECT c_name, c_acctbal FROM customer
+                |         WHERE c_nationkey = n.n_nationkey
+                |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+                |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_name, c_acctbal FROM customer
+             |         WHERE c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+             |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)),
+
     // Scalar subquery through the SQL front end (same text runs on both
     // engines — parser/analyzer parity check).
     Q("subq_scalar", "SUBQ",
