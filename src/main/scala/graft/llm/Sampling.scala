@@ -54,6 +54,38 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-ES): a fixed-size sample of `k` rows where selection
+    * probability tracks the row's weight — the "pick 50M docs, favoring
+    * quality" primitive [[weighted]] (per-row Bernoulli, variable output
+    * size) cannot express. E-S draws `u^(1/w)` per row and keeps the k
+    * largest; equivalently the k SMALLEST of `-ln(u)/w`, which is the form
+    * that quantizes: `u = md5(id)/2^60` (the family's cross-engine
+    * uniform), `nlu_micro = -round(ln(u)·1e6)`, key =
+    * `nlu_micro·1e6 div w` with truncating integer division, ties to the
+    * smaller id — fully deterministic, replayable, oracle-checkable.
+    *
+    * Scale shape: one scan computing the key (codegen'd; md5 + ln per
+    * row), then a k-row `TakeOrderedAndProject` (per-partition top-k,
+    * merge of k·partitions survivors — never a full sort). Weights must
+    * be positive integers (char counts, token counts, milli-quality);
+    * non-positive rows are excluded (cannot be sampled).
+    */
+  def weightedSampleNoReplacement(df: DataFrame, idCol: String,
+                                  weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = greatest(md5Long(col(idCol).cast("string")), lit(1L)) // h=0 guard
+    df.withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("__nlu",
+        (-round(log(u.cast("double") / lit(1.152921504606846976e18)) * 1e6))
+          .cast("long"))
+      .withColumn("es_key", expr("__nlu * 1000000 div w"))
+      .select(col(idCol), col("w"), col("es_key"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(k)
+  }
+
   /** Per-row weighted deterministic sampling: keep a row iff
     * `hash(id) mod granularity < round(weight * granularity)`, with the
     * weight a per-row COLUMN in [0,1] (vs [[stratified]]'s per-stratum

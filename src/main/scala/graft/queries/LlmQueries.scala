@@ -1790,6 +1790,26 @@ object LlmQueries {
              |      < CAST(round(least(n_chars, 400) / 400.0 * 1000000) AS BIGINT)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // a fixed 50-doc sample favoring longer documents — key =
+    // quantized(-ln(md5-uniform)) / n_chars, k smallest keys win. One
+    // scan + a k-row TakeOrderedAndProject; no full sort, no shuffle of
+    // the corpus. The fixed-size complement of sample_weighted's
+    // per-row Bernoulli.
+    Q("sample_weighted_noreplace", "LLM",
+      (s, d) => Sampling.weightedSampleNoReplacement(
+          Tables(s, d, "documents"), "doc_id", col("n_chars"), k = 50)
+        .orderBy("es_key", "doc_id"),
+      Some("""WITH h AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+             |         greatest(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), 1) AS hh
+             |       FROM documents WHERE n_chars > 0),
+             |key AS (SELECT doc_id, w,
+             |          (CAST(-round(ln(CAST(hh AS DOUBLE) / 1152921504606846976.0) * 1e6) AS BIGINT)
+             |           * 1000000) // w AS es_key
+             |        FROM h)
+             |SELECT doc_id, w, es_key FROM key
+             |ORDER BY es_key, doc_id LIMIT 50""".stripMargin)),
+
     // Per-stratum cap (domain quota): at most 5 docs per source, the ones
     // with the lowest (hash, id) — exact top-N per key via two-phase
     // partial/merge aggregation, no per-stratum window sort (a dominant

@@ -194,6 +194,27 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("A-ES sample: fixed size, weight-proportional, partitioning-invariant, zero-weight excluded") {
+    import graft.llm.Sampling
+    // 5000 ids: even ids weight 10, odd ids weight 1 -> heavy class should
+    // take roughly 10/11 of the sample (binomial(500, 10/11): 3+ sigma band)
+    val df = spark.range(0, 5000).selectExpr("id", "IF(id % 2 = 0, 10L, 1L) AS wt")
+    val out = Sampling.weightedSampleNoReplacement(df, "id", $"wt", k = 500)
+    val rows = out.collect()
+    assert(rows.length == 500)
+    val heavy = rows.count(_.getAs[Long]("id") % 2 == 0)
+    assert(heavy > 390 && heavy < 490, s"heavy share $heavy/500, expected ~455")
+    // deterministic under repartition
+    val rep = Sampling.weightedSampleNoReplacement(df.repartition(17), "id", $"wt", k = 500)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(rep == rows.map(_.getAs[Long]("id")).toSet)
+    // zero/negative weights can never be sampled
+    val z = Sampling.weightedSampleNoReplacement(
+      spark.range(0, 10).selectExpr("id", "IF(id < 5, 0L, 1L) AS wt"), "id", $"wt", k = 10)
+      .collect().map(_.getAs[Long]("id"))
+    assert(z.length == 5 && z.forall(_ >= 5))
+  }
+
   test("bm25: only matching docs return; shorter doc wins at equal tf; rare term outranks common") {
     import graft.llm.TextAnalysis
     val docs = Seq(
