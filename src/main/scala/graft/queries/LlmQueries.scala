@@ -1790,6 +1790,40 @@ object LlmQueries {
              |      < CAST(round(least(n_chars, 400) / 400.0 * 1000000) AS BIGINT)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Snapshot diff / CDC between two corpus states: one row per key that
+    // moved (added / removed / changed-by-content-hash), unchanged keys
+    // dropped — output ∝ churn, the property that makes incremental
+    // re-processing affordable. One full-outer join on the PK (co-located
+    // when both snapshots ride the bucketed sink layout). Prev is derived
+    // deterministically from the corpus so the oracle replays the churn.
+    Q("corpus_snapshot_diff", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val prev = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" EDIT"))).otherwise(col("text")))
+        val curr = docs.filter(col("doc_id") % 13 =!= 0)
+        graft.operators.Scd2.snapshotDiff(prev, curr, "doc_id",
+            Seq("text", "lang", "source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH prev AS (SELECT doc_id,
+             |         md5(concat_ws(chr(1),
+             |           CASE WHEN doc_id % 5 = 0 THEN text || ' EDIT' ELSE text END,
+             |           lang, source)) AS prev_hash
+             |       FROM documents WHERE doc_id % 7 <> 0),
+             |curr AS (SELECT doc_id,
+             |         md5(concat_ws(chr(1), text, lang, source)) AS curr_hash
+             |       FROM documents WHERE doc_id % 13 <> 0),
+             |j AS (SELECT coalesce(prev.doc_id, curr.doc_id) AS doc_id,
+             |        prev_hash, curr_hash,
+             |        CASE WHEN prev_hash IS NULL THEN 'added'
+             |             WHEN curr_hash IS NULL THEN 'removed'
+             |             WHEN prev_hash <> curr_hash THEN 'changed' END AS change
+             |      FROM prev FULL JOIN curr ON prev.doc_id = curr.doc_id)
+             |SELECT doc_id, change, prev_hash, curr_hash FROM j
+             |WHERE change IS NOT NULL ORDER BY doc_id""".stripMargin)),
+
     // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
     // a fixed 50-doc sample favoring longer documents — key =
     // quantized(-ln(md5-uniform)) / n_chars, k smallest keys win. One

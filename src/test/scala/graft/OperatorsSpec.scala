@@ -619,6 +619,18 @@ class OperatorsSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("snapshot diff: one row per churned key; unchanged dropped; separator blocks boundary collisions") {
+    import graft.operators.Scd2
+    val prev = Seq((1L, "same", "x"), (2L, "old", "x"), (3L, "gone", "x"),
+      (5L, "ab", "c")).toDF("pk", "a", "b")
+    val curr = Seq((1L, "same", "x"), (2L, "new", "x"), (4L, "born", "x"),
+      (5L, "a", "bc")).toDF("pk", "a", "b")
+    val out = Scd2.snapshotDiff(prev, curr, "pk", Seq("a", "b")).collect()
+      .map(r => r.getAs[Long]("pk") -> r.getAs[String]("change")).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed"), s"got $out") // 1 unchanged -> absent; 5 must not collide
+  }
+
   test("modularity: hand-computed two-triangle partition; one-community Q = 0") {
     import graft.operators.Graph
     // two triangles joined by a bridge, partitioned per triangle:
