@@ -190,6 +190,57 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Pointwise mutual information over co-occurring token pairs (Church &
+    * Hanks 1990) — the collocation statistic behind phrase mining,
+    * tokenizer-merge candidates, and word-association audits:
+    * `pmi(a,b) = ln(p(a,b) / (p(a)·p(b)))`, estimated from all ordered
+    * token pairs within `window` positions, canonicalized to unordered
+    * (least, greatest) pairs.
+    *
+    * Scale shape: NO self-join — the pair stream is `window` lead()
+    * columns over one (doc, position) partition sort (the exchange that
+    * would be needed anyway; same pattern as the trigram path census),
+    * then two map-side-combined aggregates (pair counts, unigram counts)
+    * and vocabulary-sized joins. Corpus totals ride a 1-row broadcast.
+    *
+    * Determinism: pmi is quantized ONCE PER PAIR TYPE from exact integer
+    * counts — `round(ln(c_ab·T·T / (P·c_a·c_b))·1e6)` with the products
+    * carried in DECIMAL(38,0) before ONE double division — so engines
+    * agree bit-for-bit (same per-type-ln discipline as the bigram LM).
+    * Pairs below `minCount` are dropped (PMI's small-count bias). */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+               window: Int = 2, minCount: Int = 5): DataFrame = {
+    require(window >= 1 && minCount >= 1,
+      s"need window >= 1, minCount >= 1; got $window/$minCount")
+    val toks = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withLeads = toks.select(col(idCol) +: col("term") +:
+      (1 to window).map(kk => lead(col("term"), kk).over(byPos).as(s"__l$kk")): _*)
+    val pairs = (1 to window).map { kk =>
+      withLeads.filter(col(s"__l$kk").isNotNull)
+        .select(least(col("term"), col(s"__l$kk")).as("t1"),
+          greatest(col("term"), col(s"__l$kk")).as("t2"))
+    }.reduce(_ unionByName _)
+    val pairCounts = pairs.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+    val totals = pairCounts.agg(sum(col("c_ab")).as("__p"))
+      .crossJoin(uni.agg(sum(col("c_t")).as("__t")))
+    pairCounts
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("term").as("t1"), col("c_t").as("c_a")), "t1")
+      .join(uni.select(col("term").as("t2"), col("c_t").as("c_b")), "t2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        round(log(expr("cast(c_ab as decimal(38,0)) * __t * __t").cast("double")
+          / expr("cast(__p as decimal(38,0)) * c_a * c_b").cast("double"))
+          * 1e6).cast("long"))
+      .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("pmi_micro"))
+  }
+
   /** BM25 lexical retrieval (Robertson–Spärck Jones): score a small query
     * set against the corpus through an inverted index — the sparse twin of
     * the dense ANN family, and the retrieval primitive RAG stacks put in

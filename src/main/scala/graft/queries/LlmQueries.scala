@@ -1790,6 +1790,42 @@ object LlmQueries {
              |      < CAST(round(least(n_chars, 400) / 400.0 * 1000000) AS BIGINT)
              |ORDER BY doc_id""".stripMargin)),
 
+    // PMI collocations (Church & Hanks): top word associations within a
+    // ±2-token window — phrase-mining / tokenizer-merge-candidate
+    // statistics. No self-join: two lead() columns over one (doc, pos)
+    // sort, two map-side aggregates, vocabulary-sized joins, per-pair-type
+    // quantized ln from exact DECIMAL(38,0) count products.
+    Q("text_pmi_pairs", "LLM",
+      (s, d) => TextAnalysis.pmiPairs(Tables(s, d, "documents"),
+          "doc_id", "text", window = 2, minCount = 10)
+        .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+        .limit(20),
+      Some("""WITH lst AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |tk0 AS (SELECT doc_id, unnest(l) AS term,
+             |          unnest(range(1, len(l) + 1)) AS pos FROM lst),
+             |tk AS (SELECT doc_id, pos, term FROM tk0 WHERE term <> ''),
+             |ld AS (SELECT doc_id, term,
+             |         lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+             |         lead(term, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+             |       FROM tk),
+             |pairs AS (SELECT least(term, l1) AS t1, greatest(term, l1) AS t2
+             |          FROM ld WHERE l1 IS NOT NULL
+             |          UNION ALL
+             |          SELECT least(term, l2), greatest(term, l2)
+             |          FROM ld WHERE l2 IS NOT NULL),
+             |pc AS (SELECT t1, t2, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+             |uni AS (SELECT term, count(*) AS c_t FROM tk GROUP BY 1),
+             |tot AS (SELECT (SELECT sum(c_ab) FROM pc) AS p,
+             |               (SELECT sum(c_t) FROM uni) AS t),
+             |sc AS (SELECT pc.t1, pc.t2, c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
+             |         CAST(round(ln(CAST(c_ab * t * t AS DOUBLE)
+             |                      / CAST(p * c_a * c_b AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+             |       FROM pc JOIN uni ua ON ua.term = pc.t1
+             |            JOIN uni ub ON ub.term = pc.t2, tot
+             |       WHERE c_ab >= 10)
+             |SELECT t1, t2, c_ab, c_a, c_b, pmi_micro FROM sc
+             |ORDER BY pmi_micro DESC, t1, t2 LIMIT 20""".stripMargin)),
+
     // Snapshot diff / CDC between two corpus states: one row per key that
     // moved (added / removed / changed-by-content-hash), unchanged keys
     // dropped — output ∝ churn, the property that makes incremental

@@ -194,6 +194,25 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("pmi: hand-computed counts and quantized ln; window widens to skip-grams; minCount prunes") {
+    import graft.llm.TextAnalysis
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // T=6, P=3, c(a,b)=2, c(a,c)=1, c_a=3, c_b=2, c_c=1:
+    // pmi(a,b) = ln(2·36/(3·3·2)) = ln 4; pmi(a,c) = ln(36/9) = ln 4
+    val out = TextAnalysis.pmiPairs(docs, "doc_id", "text", window = 1, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("c_ab"), r.getAs[Long]("pmi_micro"))).toMap
+    assert(out(("a", "b")) == (2L, 1386294L) && out(("a", "c")) == (1L, 1386294L))
+    // minCount prunes the singleton pair
+    assert(TextAnalysis.pmiPairs(docs, "doc_id", "text", window = 1, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a", "b")))
+    // window=2 adds the skip-gram (a,c) inside "a b c"
+    val sk = TextAnalysis.pmiPairs(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 2, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sk == Set(("a", "b"), ("b", "c"), ("a", "c")))
+  }
+
   test("A-ES sample: fixed size, weight-proportional, partitioning-invariant, zero-weight excluded") {
     import graft.llm.Sampling
     // 5000 ids: even ids weight 10, odd ids weight 1 -> heavy class should
