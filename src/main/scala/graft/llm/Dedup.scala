@@ -327,6 +327,66 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** EXACT all-pairs Jaccard join by prefix filtering (Chaudhuri et al.
+    * SSJoin 2006 / Bayardo et al. "Scaling Up All Pairs" 2007): every pair
+    * with `J >= t` is found, with NO false negatives and subquadratic
+    * candidate generation — the exact complement of the LSH families
+    * (probabilistic recall) and the capped bucket variant (surfaced
+    * drops).
+    *
+    * The theorem: order the shingle universe globally by ascending
+    * document frequency (rarest first, shingle string as tie-break). If
+    * two sets of sizes n_a, n_b have `J >= t`, their overlap is at least
+    * `ceil(t·n_a)`, so set a cannot avoid sharing an element with b's
+    * prefix — each set's first `n − ceil(t·n) + 1` shingles in global
+    * order. Candidates = pairs sharing >= 1 PREFIX shingle; each is then
+    * verified exactly.
+    *
+    * Scale shape: prefix shingles are the RAREST by construction, so
+    * their posting lists are the corpus's shortest — candidate volume
+    * tracks the true-near-dup density, not |docs|². One per-doc window
+    * (partition = doc id, bounded by doc length) ranks shingles; one
+    * equi-join on the prefix shingle generates candidates; verification
+    * joins the two distinct-shingle arrays back by id (projection-only
+    * scans, same shape as the LSH variant). Exact-duplicate floods are
+    * the caller's contract, as in [[nearDupEdges]]: run [[exact]] first.
+    *
+    * Returns (id_a, id_b, n_intersect, n_union, jacc_milli) for pairs
+    * with `jacc_milli >= thresholdMilli` — integer milli-Jaccard via
+    * truncating div, engine-exact. */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                               shingleLen: Int = 3,
+                               thresholdMilli: Int = 800): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [1, 1000], got $thresholdMilli")
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
+    val shRows = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val dfreq = shRows.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
+    val ranked = shRows.join(dfreq, "shingle")
+      .withColumn("__r", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("df_count"), col("shingle"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefixes = ranked.filter(
+      col("__r") <= col("__n")
+        - expr(s"($thresholdMilli * __n + 999) div 1000") + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefixes.select(col("shingle"), col("id").as("id_a"))
+      .join(prefixes.select(col("shingle"), col("id").as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
+        uni.as("n_union"))
+      .withColumn("jacc_milli",
+        expr("cast(n_intersect as bigint) * 1000 div n_union"))
+      .filter(col("jacc_milli") >= thresholdMilli)
+  }
+
   /** Boilerplate chunk removal — CCNet-style line dedup generalized to a
     * fixed `chunkWords`-word chunk (the unit newline-free corpora need):
     * any chunk string appearing in >= `minDf` distinct documents is dropped

@@ -628,6 +628,33 @@ object LlmQueries {
              |FROM k a JOIN k b ON a.source = b.source AND a.lang = b.lang
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
 
+    // EXACT all-pairs Jaccard by prefix filtering (SSJoin / Bayardo
+    // AllPairs): candidates share a rarest-first prefix shingle — zero
+    // false negatives by theorem, so the oracle is the EXHAUSTIVE pair
+    // scan and must match row-for-row. The engine side generates
+    // candidates from the shortest posting lists in the corpus and
+    // verifies each candidate once; the oracle pays |docs|² — exactly the
+    // asymmetry that makes this the exact-dedup scale path.
+    Q("dedup_jaccard_prefix", "LLM",
+      (s, d) => Dedup.prefixFilterJaccardPairs(Tables(s, d, "documents"),
+          "doc_id", "text", shingleLen = 3, thresholdMilli = 800)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+             |ds AS (SELECT doc_id,
+             |        list_distinct(CASE WHEN len(t) >= 3
+             |          THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
+             |          ELSE [array_to_string(t, ' ')] END) AS sh
+             |      FROM tk),
+             |sc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_intersect,
+             |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
+             |       FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, n_intersect, n_union,
+             |       CAST((CAST(n_intersect AS BIGINT) * 1000) // n_union AS BIGINT) AS jacc_milli
+             |FROM sc
+             |WHERE (CAST(n_intersect AS BIGINT) * 1000) // n_union >= 800
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // N-gram Jaccard over MinHash-LSH band buckets — the exhaustive scale
     // path. Shape: DISTINCT candidate pairs first (id-only band buckets,
     // no cap — never a silent drop; the oracle is uncapped too), then each

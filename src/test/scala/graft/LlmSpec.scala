@@ -194,6 +194,41 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("prefix-filter jaccard: equals the exhaustive all-pairs result (no false negatives)") {
+    import graft.llm.Dedup
+    // 30 docs in 3 families of near-identical sentences + mutations, plus
+    // unrelated docs — several true pairs above 0.8, many below
+    val docs = (0 until 30).map { i =>
+      val fam = i % 3
+      val base = fam match {
+        case 0 => "the quick brown fox jumps over the lazy dog again and again today"
+        case 1 => "pack my box with five dozen liquor jugs before the long winter night"
+        case _ => "sphinx of black quartz judge my vow under bright evening skies now"
+      }
+      val text = if (i < 6) base // exact family twins -> J = 1 pairs
+      else if (i < 18) base + s" tail$i" // near dups of their family
+      else s"unique document number $i with entirely different content words $i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      shingleLen = 3, thresholdMilli = 800)
+      .select("id_a", "id_b", "jacc_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exhaustive reference, computed the dumb way
+    val sets = docs.select($"doc_id",
+      array_distinct(graft.functions.ColumnFns.shingles(
+        graft.functions.ColumnFns.tokens($"text"), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      union = sets(a).size + sets(b).size - inter
+      jm = inter.toLong * 1000 / union if jm >= 800
+    } yield (a, b, jm)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty, "fixture must produce true near-dup pairs")
+  }
+
   test("pmi: hand-computed counts and quantized ln; window widens to skip-grams; minCount prunes") {
     import graft.llm.TextAnalysis
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
