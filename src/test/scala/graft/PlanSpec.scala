@@ -472,6 +472,47 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected one query_id exchange, got $hashExchanges:\n$p")
   }
 
+  test("bm25: query terms and idf stats ride broadcasts; corpus postings never cartesian") {
+    val p = plan("text_bm25_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"inverted-index pruning must broadcast the query terms:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+  }
+
+  test("prefix-filter jaccard: candidates from an equi-join on the prefix shingle, no cartesian") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("multi-probe LSH: probes ride a broadcast; plane weights are plan-time literals") {
+    val p = plan("ann_multiprobe_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe keys must broadcast into the bucketed corpus:\n$p")
+    assert(!p.contains("md5"), s"plane weights must be plan-time literals:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("snapshot diff: one full-outer equi-join on the key, content hashed before the join") {
+    val p = plan("corpus_snapshot_diff")
+    assert(p.contains("FullOuter"), s"expected a full outer join:\n$p")
+    assert(p.split("SortMergeJoin").length - 1 <= 1,
+      s"exactly one shuffled join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pmi: pair stream comes from lead() windows, never a positions self-join") {
+    val p = plan("text_pmi_pairs")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocabulary joins must broadcast; positions must not self-join:\n$p")
+  }
+
+  test("A-ES sample: top-k via TakeOrderedAndProject, never a global sort of the corpus") {
+    val p = plan("sample_weighted_noreplace")
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$p")
+  }
+
   test("summary stats: four 1-row aggregates meet by broadcast nested loop, streams never row-join") {
     val p = plan("eth_summary_stats")
     // every cross join input is a 1-row aggregate — BroadcastNestedLoop on
