@@ -782,6 +782,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("score"))
   }
 
+  /** Residual vectors for two-level quantization (the IVF+PQ coupling of
+    * Jégou et al. 2011 as actually deployed: PQ encodes `v − c(v)`, not
+    * `v`): assign each vector to its nearest coarse centroid, subtract
+    * that centroid, return the residual. On clustered corpora residuals
+    * live near the origin with far less inter-cell variance than raw
+    * vectors, so the same codebook budget spends its codewords on the
+    * fine structure. Whether a GIVEN corpus has enough coarse structure
+    * to pay for the second level is exactly what the `ann_pq_residual`
+    * audit measures (near-isotropic corpora come back negative — skip
+    * residualization there). Assignment is [[ivfAssign]]'s max-dot rule,
+    * which equals the quantization-correct min-L2 rule whenever vectors
+    * and centroids are L2-normalized (the corpus convention here).
+    *
+    * Residuals are DOUBLE arrays: float→double widening is exact and the
+    * subtraction of exact doubles is correctly rounded identically in
+    * every IEEE engine, so downstream PQ distances stay oracle-exact.
+    *
+    * Plan: [[ivfAssign]]'s broadcast-argmax (corpus never shuffles) + one
+    * broadcast join back to the centroid vectors + a codegen'd zip_with —
+    * map-only end to end. */
+  def residualVectors(df: DataFrame, centroids: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("__cv"))
+    ivfAssign(df, centroids, idCol, vecCol)
+      .join(broadcast(c), "centroid_id")
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col(vecCol), col("__cv"),
+          (a, b) => a.cast("double") - b.cast("double")).as("residual"))
+  }
+
   /** Multi-probe LSH top-k (Lv et al. 2007): each query probes its own
     * bucket PLUS the `nProbes - 1` neighboring buckets reached by flipping
     * the sign bits with the SMALLEST absolute hyperplane margin — the

@@ -3270,6 +3270,103 @@ object LlmQueries {
            |FROM sc WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
       }),
 
+    // Residual PQ audit (the IVF+PQ coupling of production ANN: PQ on
+    // v − c(v)): per-subspace total quantization error of residual-encoded
+    // vs raw-encoded PQ under the same 12-codeword budget — the go/no-go
+    // measurement for enabling two-level encoding on a given corpus.
+    // On clustered corpora residuals concentrate near the origin and the
+    // gain is large and positive; on THIS corpus (unit-normalized
+    // near-isotropic vectors, min ‖v−c‖² ≈ 1.7 > ‖v‖² = 1) gain_milli is
+    // NEGATIVE — residualization provably cannot pay without coarse
+    // structure, and the audit is what tells you so before you pay for it
+    // at scale. Both paths are broadcast-argmin folds; the corpus never
+    // shuffles.
+    Q("ann_pq_residual", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val toD = (c: org.apache.spark.sql.Column) =>
+          transform(c, x => x.cast("double"))
+        val corpus = e.filter(col("vec_id") >= 16)
+          .select(col("vec_id"), toD(col("embedding")).as("embedding"))
+        val coarse = e.filter(col("vec_id") < 4)
+          .select(col("vec_id"), toD(col("embedding")).as("embedding"))
+        val cb = e.filter(col("vec_id") >= 4 && col("vec_id") < 16)
+          .select(col("vec_id"), toD(col("embedding")).as("embedding"))
+        // each path's codebook is the deterministic 12-entry stand-in drawn
+        // from ITS OWN space (as a trained codebook would be): raw PQ gets
+        // raw vectors 4..15, residual PQ gets the residuals of 16..27; both
+        // paths score the same held-out vectors (id >= 28)
+        val raw = Similarity.pqCodes(corpus.filter(col("vec_id") >= 28),
+            cb, dim = 64, m = 8)
+          .groupBy(col("subspace")).agg(sum(col("dist_micro")).as("raw_dist_micro"))
+        val resid = Similarity.residualVectors(corpus, coarse)
+          .select(col("vec_id"), col("residual").as("embedding"))
+        val cbRes = resid.filter(col("vec_id") < 28)
+        val res = Similarity.pqCodes(resid.filter(col("vec_id") >= 28),
+            cbRes, dim = 64, m = 8)
+          .groupBy(col("subspace")).agg(sum(col("dist_micro")).as("res_dist_micro"))
+        raw.join(res, "subspace")
+          .withColumn("gain_milli", expr(
+            """CASE WHEN raw_dist_micro = 0 THEN 0
+              |     WHEN raw_dist_micro < res_dist_micro
+              |     THEN -((res_dist_micro - raw_dist_micro) * 1000 div raw_dist_micro)
+              |     ELSE (raw_dist_micro - res_dist_micro) * 1000 div raw_dist_micro
+              |END""".stripMargin))
+          .orderBy("subspace")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 9), i -> $x[i] * $y[i]))"
+        def dot64(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        s"""WITH sub AS (SELECT CAST(s AS BIGINT) AS s FROM (SELECT unnest(range(0, 8)) AS s)),
+           |corpus AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |           FROM embeddings WHERE vec_id >= 16),
+           |coarse AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |           FROM embeddings WHERE vec_id < 4),
+           |cb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |       FROM embeddings WHERE vec_id >= 4 AND vec_id < 16),
+           |asg AS (SELECT vec_id, centroid_id FROM (
+           |          SELECT v.vec_id, c.vec_id AS centroid_id,
+           |            row_number() OVER (PARTITION BY v.vec_id
+           |              ORDER BY ${dot64("v.e", "c.e")} DESC, c.vec_id) AS rn
+           |          FROM corpus v CROSS JOIN coarse c) WHERE rn = 1),
+           |resid AS (SELECT v.vec_id, list_transform(range(1, 65),
+           |            i -> v.e[i] - cc.e[i]) AS e
+           |          FROM corpus v JOIN asg ON asg.vec_id = v.vec_id
+           |               JOIN coarse cc ON cc.vec_id = asg.centroid_id),
+           |cs AS (SELECT vec_id AS code, s.s AS subspace, e[(s.s*8+1):(s.s*8+8)] AS cs
+           |       FROM cb, sub s),
+           |cs_res AS (SELECT vec_id AS code, s.s AS subspace, e[(s.s*8+1):(s.s*8+8)] AS cs
+           |           FROM resid, sub s WHERE vec_id < 28),
+           |rawv AS (SELECT vec_id, s.s AS subspace, e[(s.s*8+1):(s.s*8+8)] AS sv
+           |         FROM corpus, sub s WHERE vec_id >= 28),
+           |resv AS (SELECT vec_id, s.s AS subspace, e[(s.s*8+1):(s.s*8+8)] AS sv
+           |         FROM resid, sub s WHERE vec_id >= 28),
+           |rawd AS (SELECT subspace, sum(d_micro) AS raw_dist_micro FROM (
+           |           SELECT v.vec_id, v.subspace,
+           |             CAST(round(round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6) * 1000000) AS BIGINT) AS d_micro,
+           |             row_number() OVER (PARTITION BY v.vec_id, v.subspace
+           |               ORDER BY round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6), c.code) AS rn
+           |           FROM rawv v JOIN cs c ON v.subspace = c.subspace)
+           |         WHERE rn = 1 GROUP BY 1),
+           |resd AS (SELECT subspace, sum(d_micro) AS res_dist_micro FROM (
+           |           SELECT v.vec_id, v.subspace,
+           |             CAST(round(round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6) * 1000000) AS BIGINT) AS d_micro,
+           |             row_number() OVER (PARTITION BY v.vec_id, v.subspace
+           |               ORDER BY round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6), c.code) AS rn
+           |           FROM resv v JOIN cs_res c ON v.subspace = c.subspace)
+           |         WHERE rn = 1 GROUP BY 1)
+           |SELECT rawd.subspace, CAST(raw_dist_micro AS BIGINT) AS raw_dist_micro,
+           |  CAST(res_dist_micro AS BIGINT) AS res_dist_micro,
+           |  CAST(CASE WHEN raw_dist_micro = 0 THEN 0
+           |       WHEN raw_dist_micro < res_dist_micro
+           |       THEN -((res_dist_micro - raw_dist_micro) * 1000 // raw_dist_micro)
+           |       ELSE (raw_dist_micro - res_dist_micro) * 1000 // raw_dist_micro
+           |  END AS BIGINT) AS gain_milli
+           |FROM rawd JOIN resd USING (subspace) ORDER BY subspace""".stripMargin
+      }),
+
     // HITS hubs & authorities over the weighted behavioral backbone:
     // 2 rounds of the unnormalized integer mutual recursion (auth first),
     // decimal(38,0) scores; the oracle unrolls the identical half-rounds.

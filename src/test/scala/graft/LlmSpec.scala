@@ -194,6 +194,22 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("residual vectors: exact v - c(v) against the argmax-assigned centroid") {
+    import graft.llm.Similarity
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((10L, Array(0.9f, 0.1f, 0.5f)),   // nearest: centroid 0
+                     (11L, Array(0.1f, 0.8f, -0.25f))) // nearest: centroid 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.residualVectors(corpus, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("centroid_id"), r.getSeq[Double](2))).toMap
+    assert(out(10L)._1 == 0L && out(11L)._1 == 1L)
+    // float→double widening is exact, so the residual is bit-exact
+    assert(out(10L)._2 == Seq(0.9f.toDouble - 1.0, 0.1f.toDouble, 0.5f.toDouble))
+    assert(out(11L)._2 == Seq(0.1f.toDouble, 0.8f.toDouble - 1.0, -0.25f.toDouble))
+  }
+
   test("prefix-filter jaccard: equals the exhaustive all-pairs result (no false negatives)") {
     import graft.llm.Dedup
     // 30 docs in 3 families of near-identical sentences + mutations, plus
