@@ -2480,6 +2480,42 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Association rules over behavioral baskets (Agrawal-Srikant 1-item
+    // rules): items are (event_type × props-value quartile) per user;
+    // support / confidence / lift in integer milli-units. Distinct
+    // (basket, item) reduction first, one self-equi-join on the basket
+    // key, map-side-combined counts, 1-row basket-total broadcast.
+    Q("event_assoc_rules", "EVENT",
+      (s, d) => {
+        val items = Tables(s, d, "events").select(
+          col("user_id"),
+          concat(col("event_type"), lit("#"),
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
+              .cast("string")).as("item"))
+        graft.operators.Associations.rules(items, "user_id", "item",
+            minPairCount = 20)
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH it AS (SELECT DISTINCT user_id AS k,
+             |         event_type || '#' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS VARCHAR) AS i
+             |       FROM events),
+             |itn AS (SELECT * FROM it WHERE i IS NOT NULL),
+             |ic AS (SELECT i, count(*) AS c FROM itn GROUP BY 1),
+             |nb AS (SELECT count(DISTINCT k) AS n FROM itn),
+             |pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+             |       FROM itn a JOIN itn b ON a.k = b.k AND a.i <> b.i
+             |       GROUP BY 1, 2 HAVING count(*) >= 20)
+             |SELECT item_a, item_b, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+             |  CAST(n AS BIGINT) AS n_baskets,
+             |  CAST(c_ab * 1000 // n AS BIGINT) AS supp_milli,
+             |  CAST(c_ab * 1000 // ca.c AS BIGINT) AS conf_milli,
+             |  CAST(CAST(c_ab AS HUGEINT) * n * 1000
+             |       // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_milli
+             |FROM pc JOIN ic ca ON ca.i = pc.item_a
+             |     JOIN ic cb ON cb.i = pc.item_b, nb
+             |ORDER BY item_a, item_b""".stripMargin)),
+
     // Modularity audit of the LPA partition (Newman & Girvan 2004): the
     // exact integer fraction Q = Σ_c(4·m·e_c − d_c²) / 4m² over the simple
     // undirected backbone, with the SAME 2-round LPA labels as

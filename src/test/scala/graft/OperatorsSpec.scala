@@ -619,6 +619,26 @@ class OperatorsSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("association rules: hand-computed support/confidence/lift; duplicates inside a basket collapse") {
+    import graft.operators.Associations
+    // baskets: u1={A,B}, u2={A,B}, u3={A,C}, u4={B} (A dup in u1 collapses)
+    // N=4, c_A=3, c_B=3, c_C=1, c_AB=2:
+    // A=>B: supp = 2000/4 = 500, conf = 2000/3 = 666, lift = 2·4·1000/(3·3) = 888
+    val df = Seq((1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"),
+      (3, "A"), (3, "C"), (4, "B")).toDF("u", "item")
+    val out = Associations.rules(df, "u", "item", minPairCount = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("A", "B"), ("B", "A")), s"got ${out.keySet}")
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("c_ab") == 2L && ab.getAs[Long]("c_a") == 3L
+      && ab.getAs[Long]("n_baskets") == 4L)
+    assert(ab.getAs[Long]("supp_milli") == 500L)
+    assert(ab.getAs[Long]("conf_milli") == 666L)
+    assert(ab.getAs[Long]("lift_milli") == 888L)
+    // the symmetric rule shares counts but has its own confidence base
+    assert(out(("B", "A")).getAs[Long]("conf_milli") == 666L)
+  }
+
   test("snapshot diff: one row per churned key; unchanged dropped; separator blocks boundary collisions") {
     import graft.operators.Scd2
     val prev = Seq((1L, "same", "x"), (2L, "old", "x"), (3L, "gone", "x"),
