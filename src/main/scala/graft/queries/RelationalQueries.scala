@@ -124,6 +124,36 @@ object RelationalQueries {
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Native session_window TVF (Spark's event-time session semantics, in
+    // batch): sessions merge while the next event starts STRICTLY inside
+    // the previous event's [ts, ts + gap) extension, and the reported
+    // window end is last_ts + gap — both deliberately different from the
+    // gaps-and-islands formulation (stream_sessionize breaks only on
+    // ts > lag + gap and ends at max(ts)), so the oracle pins Spark's TVF
+    // contract, not a re-derivation. Planner-wise session_window is one
+    // hash exchange on the key + a per-partition merge — the same scale
+    // shape as the window form.
+    Q("w9_session_window", "W",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("w_start"),
+          col("sw.end").as("w_end"), col("n_events"))
+        .orderBy("user_id", "w_start"),
+      Some("""WITH dd AS (SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+             |              THEN 1 ELSE 0 END AS brk
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |ss AS (SELECT user_id, ts,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |       FROM dd)
+             |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS w_start,
+             |       CAST(max(ts) + INTERVAL 10 MINUTE AS TIMESTAMP) AS w_end,
+             |       count(*) AS n_events
+             |FROM ss GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin)),
+
     // UNPIVOT (wide -> long melt): the inverse of pivot, over integer-cent
     // metrics.
     Q("unpivot_metrics", "P",
