@@ -190,6 +190,33 @@ object TextAnalysis {
           .as("tfidf"))
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): map
+    * tokens into a FIXED d-dimensional sparse feature space with a hash —
+    * no vocabulary table, no fitting pass, no drift between train and
+    * serve. The signed variant: each term also draws a ±1 sign from an
+    * independent hash, so colliding terms cancel in expectation instead
+    * of piling up (the unbiasedness fix from the paper). Output is the
+    * sparse triplet form (id, feature_idx, weight) with exact zero
+    * cancellations dropped.
+    *
+    * Scale shape: one explode + one (id, feature) map-side-combined
+    * aggregate — no joins, no vocabulary shuffle, output bounded by
+    * min(d, tokens) per document. The cross-engine md5 hash keeps every
+    * bucket and sign oracle-reproducible. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  numFeatures: Int = 1024): DataFrame = {
+    require(numFeatures >= 2, s"numFeatures must be >= 2, got $numFeatures")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col(idCol),
+        pmod(md5Long(col("term")), lit(numFeatures.toLong)).as("feature_idx"),
+        when(pmod(md5Long(concat(lit("sign|"), col("term"))), lit(2L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)).as("__sgn"))
+      .groupBy(col(idCol), col("feature_idx"))
+      .agg(sum(col("__sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** Pointwise mutual information over co-occurring token pairs (Church &
     * Hanks 1990) — the collocation statistic behind phrase mining,
     * tokenizer-merge candidates, and word-association audits:

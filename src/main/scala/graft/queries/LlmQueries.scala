@@ -1654,6 +1654,25 @@ object LlmQueries {
     // sharing word trigrams with a benchmark set. The benchmark side is
     // small by construction -> broadcast; the training side streams through
     // one explode + join, never a cross product.
+    // Feature hashing (Weinberger et al. signed hashing trick): tokens →
+    // fixed 64-dim sparse vectors with ±1 sign unbiasing, no vocabulary
+    // table, no fitting pass. One explode + one map-side aggregate; the
+    // md5 bucket/sign hashes replay in the oracle.
+    Q("text_feature_hash", "LLM",
+      (s, d) => TextAnalysis.featureHash(Tables(s, d, "documents"),
+          "doc_id", "text", numFeatures = 64)
+        .orderBy("doc_id", "feature_idx"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+             |h AS (SELECT doc_id,
+             |        CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % 64 AS feature_idx,
+             |        CASE WHEN CAST('0x' || substring(md5('sign|' || term), 1, 15) AS BIGINT) % 2 = 1
+             |             THEN 1 ELSE -1 END AS sgn
+             |      FROM tk)
+             |SELECT doc_id, feature_idx, CAST(sum(sgn) AS BIGINT) AS weight
+             |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+             |ORDER BY doc_id, feature_idx""".stripMargin)),
+
     // BM25 lexical retrieval (k1=1.2, b=0.75, integer-exact micro scores):
     // three probe queries ride a broadcast into the corpus posting table —
     // postings of non-query terms never shuffle — then one (query, doc)
