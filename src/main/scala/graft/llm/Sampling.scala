@@ -54,6 +54,44 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** KL-divergence drift audit between two categorical samples — the
+    * distribution-shift monitor a mixture pipeline runs between epochs,
+    * snapshots, or source versions: `KL(p‖q) = Σ_t p_t·ln(p_t/q_t)` over
+    * the category distribution, add-one (Laplace) smoothed so categories
+    * absent from one side stay finite. Positive total = the new sample
+    * has drifted from the reference; per-category contributions say
+    * WHERE (a category with a large positive contribution is
+    * over-represented in `p` relative to `q`).
+    *
+    * Determinism: the log-ratio is quantized ONCE PER CATEGORY from
+    * exact integer counts (`round(ln((c1+1)·(N2+T) / ((c2+1)·(N1+T)))·
+    * 1e6)`, products in DECIMAL(38,0), one double division), and the
+    * contribution is integer arithmetic on it — engine-exact.
+    *
+    * Scale shape: two map-side-combined category counts (the only
+    * corpus-sized work), one category-keyed full outer join, totals via
+    * a 1-row broadcast. Output is category-table sized. */
+  def klDrift(p: DataFrame, q: DataFrame, keyCol: String): DataFrame = {
+    val cp = p.groupBy(col(keyCol)).agg(count(lit(1)).as("c1"))
+    val cq = q.groupBy(col(keyCol)).agg(count(lit(1)).as("c2"))
+    val joined = cp.join(cq, Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val totals = joined.agg(sum(col("c1")).as("__n1"), sum(col("c2")).as("__n2"),
+      count(lit(1)).as("__t"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        round(log(expr("cast(c1 + 1 as decimal(38,0)) * (__n2 + __t)").cast("double")
+          / expr("cast(c2 + 1 as decimal(38,0)) * (__n1 + __t)").cast("double"))
+          * 1e6).cast("long"))
+      .withColumn("contrib_micro", expr(
+        """CASE WHEN lr_micro < 0
+          |     THEN -((c1 + 1) * (-lr_micro) div (__n1 + __t))
+          |     ELSE (c1 + 1) * lr_micro div (__n1 + __t) END""".stripMargin))
+      .select(col(keyCol), col("c1"), col("c2"), col("lr_micro"),
+        col("contrib_micro"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
     * algorithm A-ES): a fixed-size sample of `k` rows where selection
     * probability tracks the row's weight — the "pick 50M docs, favoring

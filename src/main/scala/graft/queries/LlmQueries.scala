@@ -2499,6 +2499,38 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // KL drift audit between the month's two halves: has the event-type
+    // mix shifted? Add-one-smoothed per-category log-ratios quantized from
+    // exact integer counts; contributions say WHICH category drifted.
+    // Two map-side counts + a category-keyed join + a 1-row broadcast.
+    Q("event_kl_drift", "EVENT",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        Sampling.klDrift(
+            ev.filter(dayofmonth(col("ts")) <= 15).select(col("event_type")),
+            ev.filter(dayofmonth(col("ts")) > 15).select(col("event_type")),
+            "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type, count(*) AS c1 FROM events
+             |       WHERE day(CAST(ts AS TIMESTAMP)) <= 15 GROUP BY 1),
+             |q AS (SELECT event_type, count(*) AS c2 FROM events
+             |       WHERE day(CAST(ts AS TIMESTAMP)) > 15 GROUP BY 1),
+             |j AS (SELECT coalesce(p.event_type, q.event_type) AS event_type,
+             |        coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+             |      FROM p FULL JOIN q ON p.event_type = q.event_type),
+             |tt AS (SELECT sum(c1) AS n1, sum(c2) AS n2, count(*) AS t FROM j),
+             |sc AS (SELECT event_type, c1, c2,
+             |         CAST(round(ln(CAST((c1 + 1) * (n2 + t) AS DOUBLE)
+             |                      / CAST((c2 + 1) * (n1 + t) AS DOUBLE)) * 1e6) AS BIGINT) AS lr_micro
+             |       FROM j, tt)
+             |SELECT event_type, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+             |  lr_micro,
+             |  CAST(CASE WHEN lr_micro < 0
+             |       THEN -((c1 + 1) * (-lr_micro) // (n1 + t))
+             |       ELSE (c1 + 1) * lr_micro // (n1 + t) END AS BIGINT) AS contrib_micro
+             |FROM sc, tt ORDER BY event_type""".stripMargin)),
+
     // Association rules over behavioral baskets (Agrawal-Srikant 1-item
     // rules): items are (event_type × props-value quartile) per user;
     // support / confidence / lift in integer milli-units. Distinct

@@ -194,6 +194,25 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("kl drift: zero on identical samples; hand-computed contributions on a shifted pair") {
+    import graft.llm.Sampling
+    val a = Seq("A", "A", "B").toDF("k")
+    val same = Sampling.klDrift(a, a, "k").collect()
+    assert(same.forall(r => r.getAs[Long]("lr_micro") == 0L
+      && r.getAs[Long]("contrib_micro") == 0L))
+    // p = {A:2, B:1}, q = {A:1, B:2}, T=2, N=3 both:
+    // lr(A) = ln(3·5/(2·5)) = ln 1.5 → 405465; contrib(A) = 3·405465 div 5
+    val b = Seq("A", "B", "B").toDF("k")
+    val out = Sampling.klDrift(a, b, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("lr_micro") == 405465L)
+    assert(out("A").getAs[Long]("contrib_micro") == 243279L)
+    assert(out("B").getAs[Long]("lr_micro") == -405465L)
+    assert(out("B").getAs[Long]("contrib_micro") == -162186L)
+    // total KL is positive under drift
+    assert(out.values.map(_.getAs[Long]("contrib_micro")).sum > 0L)
+  }
+
   test("residual vectors: exact v - c(v) against the argmax-assigned centroid") {
     import graft.llm.Similarity
     val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
