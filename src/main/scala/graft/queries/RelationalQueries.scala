@@ -124,6 +124,37 @@ object RelationalQueries {
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Skyline / Pareto frontier (Börzsönyi 2001): cheapest line items with
+    // the deepest discounts — minimize price, maximize discount (negated).
+    // Broadcast knee-point prune kills the dominated quadrant in one
+    // codegen'd filter; the unpartitioned sweep window only ever sees the
+    // thin frontier band.
+    Q("skyline_price_discount", "Q",
+      (s, d) => {
+        val pts = Tables(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"),
+          (-cents(col("l_discount"))).as("neg_disc_c"))
+        graft.operators.Skyline.skyline2D(pts, "price_c", "neg_disc_c")
+          .select(col("l_orderkey"), col("l_linenumber"), col("price_c"),
+            (-col("neg_disc_c")).as("disc_c"))
+          .orderBy("price_c", "l_orderkey", "l_linenumber")
+      },
+      Some("""WITH pts AS (SELECT l_orderkey, l_linenumber,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+             |         -CAST(round(l_discount * 100) AS BIGINT) AS y
+             |       FROM lineitem),
+             |p0 AS (SELECT x AS px, y AS py FROM pts ORDER BY x + y, x LIMIT 1),
+             |pr AS (SELECT pts.* FROM pts, p0
+             |       WHERE NOT (x >= px AND y >= py AND (x > px OR y > py))),
+             |wv AS (SELECT *,
+             |         min(y) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp,
+             |         min(y) OVER (PARTITION BY x) AS ms
+             |       FROM pr)
+             |SELECT l_orderkey, l_linenumber, x AS price_c, -y AS disc_c
+             |FROM wv WHERE (mp IS NULL OR y < mp) AND y = ms
+             |ORDER BY price_c, l_orderkey, l_linenumber""".stripMargin)),
+
     // Native session_window TVF (Spark's event-time session semantics, in
     // batch): sessions merge while the next event starts STRICTLY inside
     // the previous event's [ts, ts + gap) extension, and the reported

@@ -619,6 +619,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rep == out)
   }
 
+  test("skyline: equals brute-force dominance filter; duplicates both survive; prune keeps frontier") {
+    import graft.operators.Skyline
+    val pts = Seq((1L, 1L, 9L), (2L, 3L, 5L), (3L, 5L, 5L), (4L, 6L, 2L),
+      (5L, 6L, 2L), (6L, 8L, 1L), (7L, 9L, 9L), (8L, 2L, 7L), (9L, 4L, 8L))
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y").collect()
+      .map(_.getAs[Long]("id")).toSet
+    val raw = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = raw.filter { case (i, x, y) =>
+      !raw.exists { case (j, sx, sy) =>
+        j != i && sx <= x && sy <= y && (sx < x || sy < y) }
+    }.map(_._1).toSet
+    assert(got == want, s"got $got want $want")
+    // (6,2) appears twice: both copies are on the frontier
+    assert(got.contains(4L) && got.contains(5L))
+    // dominated interior (3: (5,5) dominated by (3,5)) and corner (7) are gone
+    assert(!got.contains(3L) && !got.contains(7L))
+  }
+
   test("association rules: hand-computed support/confidence/lift; duplicates inside a basket collapse") {
     import graft.operators.Associations
     // baskets: u1={A,B}, u2={A,B}, u3={A,C}, u4={B} (A dup in u1 collapses)
