@@ -1443,6 +1443,72 @@ object RefQueries {
              |         (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_ffill
              |FROM days LEFT JOIN known USING (d) ORDER BY d""".stripMargin)),
 
+    // Linear gap interpolation over the day spine — the other half of the
+    // rate-table story: forward-fill holds the LAST value flat, this
+    // interpolates BETWEEN the surrounding known points (v0 + Δv·dt div
+    // gap, sign-split truncating integer math; endpoints fall back to the
+    // known side). Two ignoreNulls window walks over one date ordering —
+    // same single-sort shape as the ffill.
+    Q("q5_rate_interp", "Q5",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables(s, d, "orders")
+          .agg(min(to_date(col("o_orderdate"))).as("lo"),
+            max(to_date(col("o_orderdate"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        val known = Tables(s, d, "orders")
+          .select(to_date(col("o_orderdate")).as("d")).distinct()
+          .filter(dayofmonth(col("d")) % 5 === 1)
+          .withColumn("rate_cents",
+            (lit(10000) + dayofmonth(col("d")) * 10).cast("long"))
+        val byD = Window.orderBy(col("d"))
+        val back = byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = byD.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        days.join(known, Seq("d"), "left")
+          .withColumn("d0", last(when(col("rate_cents").isNotNull, col("d")),
+            ignoreNulls = true).over(back))
+          .withColumn("v0", last(col("rate_cents"), ignoreNulls = true).over(back))
+          .withColumn("d1", first(when(col("rate_cents").isNotNull, col("d")),
+            ignoreNulls = true).over(fwd))
+          .withColumn("v1", first(col("rate_cents"), ignoreNulls = true).over(fwd))
+          .withColumn("rate_interp", expr(
+            """CASE WHEN v0 IS NULL THEN v1
+              |     WHEN v1 IS NULL THEN v0
+              |     WHEN d1 = d0 THEN v0
+              |     WHEN v1 >= v0
+              |     THEN v0 + (v1 - v0) * datediff(d, d0) div datediff(d1, d0)
+              |     ELSE v0 - (v0 - v1) * datediff(d, d0) div datediff(d1, d0)
+              |END""".stripMargin))
+          .select(col("d"), col("rate_cents"), col("rate_interp"))
+          .orderBy("d")
+      },
+      Some("""WITH mm AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+             |                   max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+             |days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM mm),
+             |known AS (SELECT d, CAST(10000 + EXTRACT(day FROM d) * 10 AS BIGINT) AS rate_cents
+             |          FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+             |          WHERE EXTRACT(day FROM d) % 5 = 1),
+             |j AS (SELECT days.d, known.rate_cents FROM days LEFT JOIN known USING (d)),
+             |w AS (SELECT d, rate_cents,
+             |        last_value(CASE WHEN rate_cents IS NOT NULL THEN d END IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d0,
+             |        last_value(rate_cents IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+             |        first_value(CASE WHEN rate_cents IS NOT NULL THEN d END IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1,
+             |        first_value(rate_cents IGNORE NULLS)
+             |          OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+             |      FROM j)
+             |SELECT d, rate_cents,
+             |  CAST(CASE WHEN v0 IS NULL THEN v1
+             |       WHEN v1 IS NULL THEN v0
+             |       WHEN d1 = d0 THEN v0
+             |       WHEN v1 >= v0
+             |       THEN v0 + (v1 - v0) * date_diff('day', d0, d) // date_diff('day', d0, d1)
+             |       ELSE v0 - (v0 - v1) * date_diff('day', d0, d) // date_diff('day', d0, d1)
+             |  END AS BIGINT) AS rate_interp
+             |FROM w ORDER BY d""".stripMargin)),
+
     // Fiat-valued address relations — the estimation the graphsense
     // transformation actually serves (edge values in fiat, not wei):
     // per-tx conversion at the rate of the tx's OWN time period, then the
