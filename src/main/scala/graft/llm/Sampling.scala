@@ -54,6 +54,44 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Quantile normalization across strata (the microarray-era classic,
+    * Bolstad et al. 2003, as a corpus-mixing tool): replace each row's
+    * value with the GLOBAL value at the same within-stratum quantile, so
+    * every stratum ends up with the global distribution — the fix for
+    * "source A's quality scores run hot" before mixture sampling compares
+    * scores across sources.
+    *
+    * Integer-exact mapping: within-stratum rank r of n_s rows maps to
+    * global rank `ceil(r·N/n_s)` (1-indexed, `(r·N + n_s − 1) div n_s`),
+    * all ranks from `row_number` over the (value, id) total order — no
+    * float quantiles, engines agree exactly.
+    *
+    * Scale note: the within-stratum windows shuffle once on the stratum
+    * key; the global rank is a full sort — the cost ANY exact quantile
+    * transform pays. At 100 TB swap the global side for the mergeable
+    * [[graft.operators.Sketches.logHistogram]] read-out (approximate
+    * target values, same join shape) — this operator is the exact
+    * oracle-checkable form. */
+  def quantileNormalize(df: DataFrame, idCol: String, valueCol: String,
+                        strataCol: String): DataFrame = {
+    val v = df.select(col(idCol), col(strataCol), col(valueCol).cast("long").as("v"))
+    val byStratum = Window.partitionBy(col(strataCol))
+      .orderBy(col("v"), col(idCol))
+    val ranked = v
+      .withColumn("__r", row_number().over(byStratum).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(Window.partitionBy(col(strataCol)))
+        .cast("long"))
+    val globalRanked = v
+      .select(row_number().over(Window.orderBy(col("v"), col(idCol)))
+        .cast("long").as("__gr"), col("v").as("norm_value"))
+    val n = v.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__gr", expr("(__r * __n + __ns - 1) div __ns"))
+      .join(globalRanked, "__gr")
+      .select(col(idCol), col(strataCol), col("v").as("value"),
+        col("norm_value"))
+  }
+
   /** KL-divergence drift audit between two categorical samples — the
     * distribution-shift monitor a mixture pipeline runs between epochs,
     * snapshots, or source versions: `KL(p‖q) = Σ_t p_t·ln(p_t/q_t)` over

@@ -2499,6 +2499,26 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Quantile normalization of per-source length distributions onto the
+    // global one (Bolstad et al.): integer rank mapping r → ceil(r·N/n_s),
+    // no float quantiles — the cross-source score-comparability fix
+    // mixture sampling needs. Oracle replays the identical rank algebra.
+    Q("sample_quantile_norm", "LLM",
+      (s, d) => Sampling.quantileNormalize(Tables(s, d, "documents"),
+          "doc_id", "n_chars", "source")
+        .orderBy("doc_id"),
+      Some("""WITH v AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v FROM documents),
+             |r AS (SELECT doc_id, source, v,
+             |        CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS BIGINT) AS r,
+             |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+             |      FROM v),
+             |g AS (SELECT CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT) AS gr,
+             |        v AS norm_value FROM v),
+             |n AS (SELECT count(*) AS n FROM v)
+             |SELECT doc_id, source, v AS value, norm_value
+             |FROM r CROSS JOIN n JOIN g ON g.gr = (r.r * n.n + r.ns - 1) // r.ns
+             |ORDER BY doc_id""".stripMargin)),
+
     // KL drift audit between the month's two halves: has the event-type
     // mix shifted? Add-one-smoothed per-category log-ratios quantized from
     // exact integer counts; contributions say WHICH category drifted.

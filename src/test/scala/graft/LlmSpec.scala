@@ -194,6 +194,25 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("quantile normalize: per-stratum ranks map onto global order statistics; single stratum is identity") {
+    import graft.llm.Sampling
+    // strata A = {10, 20}, B = {100, 200, 300}; global sorted =
+    // [10, 20, 100, 200, 300], N=5
+    // A: r=1,ns=2 -> gr=ceil(5/2)=3 -> 100; r=2 -> gr=5 -> 300
+    // B: r=1,ns=3 -> gr=ceil(5/3)=2 -> 20; r=2 -> gr=4 -> 200; r=3 -> 300
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 100L),
+      (4L, "B", 200L), (5L, "B", 300L)).toDF("id", "src", "v")
+    val out = Sampling.quantileNormalize(df, "id", "v", "src").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("norm_value")).toMap
+    assert(out == Map(1L -> 100L, 2L -> 300L, 3L -> 20L, 4L -> 200L, 5L -> 300L),
+      s"got $out")
+    // one stratum: the mapping is the identity
+    val one = Sampling.quantileNormalize(df.withColumn("src", lit("x")),
+      "id", "v", "src").collect()
+      .map(r => r.getAs[Long]("value") -> r.getAs[Long]("norm_value"))
+    assert(one.forall { case (v, nv) => v == nv })
+  }
+
   test("kl drift: zero on identical samples; hand-computed contributions on a shifted pair") {
     import graft.llm.Sampling
     val a = Seq("A", "A", "B").toDF("k")
