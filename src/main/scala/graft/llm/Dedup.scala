@@ -327,6 +327,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Blocked fuzzy self-join with edit-distance verification — the entity-
+    * resolution primitive ("these two records are the same thing,
+    * modulo typos"): candidate pairs share a cheap BLOCKING key, then each
+    * candidate is verified with exact Levenshtein distance on a bounded
+    * prefix of the string. Classic two-phase record linkage (Fellegi &
+    * Sunter lineage); recall is the blocking key's property — same-block
+    * true matches are never lost, cross-block ones need a second pass
+    * with an orthogonal key (standard multi-pass blocking).
+    *
+    * Scale shape: one equi-join on the block key (pair volume is
+    * Σ block² — the caller picks keys that keep blocks O(100), exactly
+    * the bucket discipline of [[ngramJaccardPairs]]), then the O(p·maxLen²)
+    * Levenshtein verify runs ONLY on candidates, inside codegen
+    * (Spark's native `levenshtein`). The prefix bound caps the verify
+    * cost per pair regardless of document length.
+    *
+    * Returns (id_a, id_b, dist) for pairs with `dist <= maxDist`,
+    * id_a < id_b, deduplicated across blocks. */
+  def fuzzyJoinBlocked(df: DataFrame, idCol: String, strCol: String,
+                       blockCols: Seq[String], maxDist: Int,
+                       prefixLen: Int = 32): DataFrame = {
+    require(maxDist >= 0 && prefixLen >= 1,
+      s"need maxDist >= 0, prefixLen >= 1; got $maxDist/$prefixLen")
+    require(blockCols.nonEmpty, "fuzzyJoinBlocked needs >= 1 blocking column")
+    val rec = df.select(blockCols.map(col) :+ col(idCol).as("__id")
+      :+ substring(col(strCol), 1, prefixLen).as("__s"): _*)
+    val a = rec.select(blockCols.map(col) :+ col("__id").as("id_a")
+      :+ col("__s").as("__sa"): _*)
+    val b = rec.select(blockCols.map(col) :+ col("__id").as("id_b")
+      :+ col("__s").as("__sb"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
   /** EXACT all-pairs Jaccard join by prefix filtering (Chaudhuri et al.
     * SSJoin 2006 / Bayardo et al. "Scaling Up All Pairs" 2007): every pair
     * with `J >= t` is found, with NO false negatives and subquadratic

@@ -628,6 +628,31 @@ object LlmQueries {
              |FROM k a JOIN k b ON a.source = b.source AND a.lang = b.lang
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
 
+    // Blocked fuzzy join (record linkage): candidates share the cheap
+    // (lang, source, first-word) block, then exact Levenshtein on a
+    // 40-char prefix verifies each candidate inside codegen — typo-level
+    // duplicate discovery that shingle Jaccard's hard token boundaries
+    // miss. Blocks stay O(10), so the pair volume tracks the corpus, not
+    // its square.
+    Q("dedup_fuzzy_blocked", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("w1", split(col("text"), " ").getItem(0))
+        Dedup.fuzzyJoinBlocked(docs, "doc_id", "text",
+            Seq("lang", "source", "w1"), maxDist = 20, prefixLen = 40)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH r AS (SELECT doc_id, lang, source,
+             |         string_split(text, ' ')[1] AS w1, substring(text, 1, 40) AS s
+             |       FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+             |FROM r a JOIN r b
+             |  ON a.lang = b.lang AND a.source = b.source AND a.w1 = b.w1
+             | AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.s, b.s) <= 20
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // EXACT all-pairs Jaccard by prefix filtering (SSJoin / Bayardo
     // AllPairs): candidates share a rarest-first prefix shingle — zero
     // false negatives by theorem, so the oracle is the EXHAUSTIVE pair

@@ -194,6 +194,25 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("fuzzy blocked join: typo pairs inside a block match; cross-block and far pairs don't") {
+    import graft.llm.Dedup
+    val df = Seq(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "the quick brown fix"),   // 1 edit from doc 1, same block
+      (3L, "en", "a completely different sentence"),
+      (4L, "de", "the quick brown fox")    // identical text, other block
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.fuzzyJoinBlocked(df, "doc_id", "text", Seq("lang"),
+      maxDist = 2, prefixLen = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1)), s"got ${out.toSeq}")
+    // widening the block key recovers the cross-lang twin at distance 0
+    val all = Dedup.fuzzyJoinBlocked(df.withColumn("one", lit(1)),
+      "doc_id", "text", Seq("one"), maxDist = 2, prefixLen = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("quantile normalize: per-stratum ranks map onto global order statistics; single stratum is identity") {
     import graft.llm.Sampling
     // strata A = {10, 20}, B = {100, 200, 300}; global sorted =
