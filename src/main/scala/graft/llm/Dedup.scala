@@ -418,6 +418,12 @@ object Dedup {
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      // PPJoin length filter — J >= t forces t·max(n_a,n_b) <= min(n_a,n_b)
+      // (|∩| <= min and |∪| >= max), so size-mismatched candidates skip
+      // the O(n) intersect entirely; a necessary condition, results
+      // unchanged (the exhaustive oracle stays the ground truth)
+      .filter(least(size(col("sa")), size(col("sb"))).cast("long") * 1000
+        >= lit(thresholdMilli.toLong) * greatest(size(col("sa")), size(col("sb"))))
       .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
         uni.as("n_union"))
       .withColumn("jacc_milli",
