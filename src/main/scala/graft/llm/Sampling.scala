@@ -54,6 +54,36 @@ object Sampling {
       .drop("__stratum", "__rate")
   }
 
+  /** Winsorization at exact percentiles: clamp a numeric column into
+    * [P(loMilli), P(hiMilli)] — the robust-statistics tail treatment
+    * (outlier-capping before means/regressions/mixture weights) that
+    * DROP-based filters can't give you when every row must survive.
+    *
+    * Thresholds are EXACT order statistics (value at rank
+    * `ceil(p·n/1000)` over the (value, id) total order — integer rank
+    * arithmetic, engine-exact), landed on every row via a 2-value
+    * broadcast; the clamp itself is one codegen'd least/greatest. Same
+    * scale note as [[quantileNormalize]]: the exact rank needs the global
+    * sort once; at 100 TB swap the threshold derivation for the
+    * mergeable histogram sketch read-out, same broadcast join shape. */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+                loMilli: Int = 10, hiMilli: Int = 990): DataFrame = {
+    require(loMilli >= 0 && hiMilli <= 1000 && loMilli < hiMilli,
+      s"need 0 <= loMilli < hiMilli <= 1000, got $loMilli/$hiMilli")
+    val v = df.select(col(idCol), col(valueCol).cast("long").as("value"))
+    val ranked = v
+      .withColumn("__rn", row_number()
+        .over(Window.orderBy(col("value"), col(idCol))).cast("long"))
+    val thr = ranked.crossJoin(broadcast(v.agg(count(lit(1)).as("__n"))))
+      .filter(col("__rn") === expr(s"greatest(1L, ($loMilli * __n + 999) div 1000)")
+        || col("__rn") === expr(s"greatest(1L, ($hiMilli * __n + 999) div 1000)"))
+      .agg(min(col("value")).as("__lo"), max(col("value")).as("__hi"))
+    v.crossJoin(broadcast(thr))
+      .select(col(idCol), col("value"),
+        least(greatest(col("value"), col("__lo")), col("__hi"))
+          .as("winsorized"))
+  }
+
   /** Quantile normalization across strata (the microarray-era classic,
     * Bolstad et al. 2003, as a corpus-mixing tool): replace each row's
     * value with the GLOBAL value at the same within-stratum quantile, so

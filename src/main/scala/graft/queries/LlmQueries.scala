@@ -2524,6 +2524,26 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Winsorization of the event value at exact [P1, P99]: robust tail
+    // clamping where every row must survive (the complement of the
+    // drop-based outlier gate). Exact order-statistic thresholds on a
+    // 2-value broadcast; the clamp is one codegen'd least/greatest.
+    Q("event_winsorize", "EVENT",
+      (s, d) => Sampling.winsorize(
+          Tables(s, d, "events")
+            .select(col("event_id"), round(col("value") * 1000000)
+              .cast("long").as("v_micro")),
+          "event_id", "v_micro", loMilli = 10, hiMilli = 990)
+        .orderBy("event_id"),
+      Some("""WITH v AS (SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS value FROM events),
+             |r AS (SELECT *, CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rn FROM v),
+             |n AS (SELECT count(*) AS n FROM v),
+             |thr AS (SELECT min(value) AS lo, max(value) AS hi FROM r, n
+             |        WHERE rn = greatest(1, (10 * n + 999) // 1000)
+             |           OR rn = greatest(1, (990 * n + 999) // 1000))
+             |SELECT event_id, value, least(greatest(value, lo), hi) AS winsorized
+             |FROM v, thr ORDER BY event_id""".stripMargin)),
+
     // Quantile normalization of per-source length distributions onto the
     // global one (Bolstad et al.): integer rank mapping r → ceil(r·N/n_s),
     // no float quantiles — the cross-source score-comparability fix

@@ -194,6 +194,17 @@ class LlmSpec extends SparkSpec {
     assert(top.nonEmpty && top(0).getAs[Long]("neighbor_id") == 10L)
   }
 
+  test("winsorize: exact order-statistic thresholds clamp both tails; interior untouched") {
+    import graft.llm.Sampling
+    val df = (1L to 10L).map(i => (i, i)).toDF("id", "v")
+    // loMilli=200 -> rank ceil(200·10/1000)=2 -> lo=2;
+    // hiMilli=900 -> rank 9 -> hi=9
+    val out = Sampling.winsorize(df, "id", "v", loMilli = 200, hiMilli = 900)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("winsorized")).toMap
+    assert(out(1L) == 2L && out(10L) == 9L, s"tails must clamp: $out")
+    assert((2L to 9L).forall(i => out(i) == i), s"interior untouched: $out")
+  }
+
   test("fuzzy blocked join: typo pairs inside a block match; cross-block and far pairs don't") {
     import graft.llm.Dedup
     val df = Seq(
