@@ -513,6 +513,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected per-partition top-k:\n$p")
   }
 
+  test("winsorize: thresholds land by broadcast; the clamp never shuffle-joins the corpus") {
+    val p = plan("event_winsorize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"2-value threshold frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffled join of the corpus:\n$p")
+  }
+
+  test("skyline: knee-point prune rides a 1-row broadcast before the sweep window") {
+    val p = plan("skyline_price_discount")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the knee point must broadcast into the prune filter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("fuzzy blocked join: candidates come from an equi-join on the block key") {
+    val p = plan("dedup_fuzzy_blocked")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay an equi-join:\n$p")
+    assert(p.contains("levenshtein"), s"verify must run as the native expression:\n$p")
+  }
+
   test("summary stats: four 1-row aggregates meet by broadcast nested loop, streams never row-join") {
     val p = plan("eth_summary_stats")
     // every cross join input is a 1-row aggregate — BroadcastNestedLoop on
