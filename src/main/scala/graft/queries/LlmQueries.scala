@@ -2524,6 +2524,85 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // CUSUM change-point detection (Page 1954) over the hourly event rate:
+    // the hour where the cumulative deviation from the global mean peaks —
+    // "when did the rate regime shift?". Division-free: S_t = Σ(c_i·H − N)
+    // stays integer-exact (scaled by H); argmax by |S|, earliest hour on
+    // ties. One hourly aggregate (map-side combined), windows over the
+    // hours-sized table only.
+    Q("event_cusum_changepoint", "EVENT",
+      (s, d) => {
+        val hourly = Tables(s, d, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val tot = hourly.agg(count(lit(1)).as("__hh"), sum(col("c")).as("__n"))
+        val cum = hourly.crossJoin(broadcast(tot))
+          .withColumn("cusum_scaled",
+            sum(expr("c * __hh - __n")).over(
+              org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        cum.select(col("h").as("change_hour"), col("c").as("n_in_hour"),
+            col("cusum_scaled"), col("__hh").as("n_hours"), col("__n").as("n_total"))
+          .orderBy(abs(col("cusum_scaled")).desc, col("change_hour"))
+          .limit(1)
+      },
+      Some("""WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS c
+             |       FROM events GROUP BY 1),
+             |tot AS (SELECT count(*) AS hh, sum(c) AS n FROM hourly),
+             |cum AS (SELECT h, c, hh, n,
+             |          sum(c * hh - n) OVER (ORDER BY h
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_scaled
+             |        FROM hourly, tot)
+             |SELECT h AS change_hour, CAST(c AS BIGINT) AS n_in_hour,
+             |  CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+             |  CAST(hh AS BIGINT) AS n_hours, CAST(n AS BIGINT) AS n_total
+             |FROM cum ORDER BY abs(cusum_scaled) DESC, change_hour LIMIT 1""".stripMargin)),
+
+    // Time-weighted average of an irregularly-sampled gauge (trapezoidal
+    // integration — THE correct mean for unevenly-spaced telemetry, where
+    // a plain avg over-weights bursts): per user, Σ(v_i + v_{i+1})·Δt / 2T
+    // in integer micro-units with ONE truncating division at the end.
+    // One lead() window per user partition; single-event users fall back
+    // to their value.
+    Q("event_time_weighted_avg", "EVENT",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            round(col("value") * 1000000).cast("long").as("v"))
+          .withColumn("__ts_s", unix_timestamp(col("ts")))
+          .withColumn("__nv", lead(col("v"), 1).over(w))
+          .withColumn("__nts", lead(col("__ts_s"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("__ts_s")) - min(col("__ts_s"))).as("duration_s"),
+            sum(when(col("__nts").isNotNull,
+              (col("v") + col("__nv")) * (col("__nts") - col("__ts_s")))
+              .otherwise(lit(0L))).as("__num"),
+            min(col("v")).as("__v1"))
+          .withColumn("twa_micro", expr(
+            "CASE WHEN duration_s = 0 THEN __v1 ELSE __num div (2 * duration_s) END"))
+          .select(col("user_id"), col("n_events"), col("duration_s"),
+            col("twa_micro"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |         CAST(round(value * 1000000) AS BIGINT) AS v,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+             |       FROM events),
+             |l AS (SELECT *, lead(v) OVER w AS nv, lead(ts_s) OVER w AS nts
+             |      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |a AS (SELECT user_id, count(*) AS n_events,
+             |        max(ts_s) - min(ts_s) AS duration_s,
+             |        sum(CASE WHEN nts IS NOT NULL THEN (v + nv) * (nts - ts_s) ELSE 0 END) AS num,
+             |        min(v) AS v1
+             |      FROM l GROUP BY 1)
+             |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(duration_s AS BIGINT) AS duration_s,
+             |  CAST(CASE WHEN duration_s = 0 THEN v1 ELSE num // (2 * duration_s) END AS BIGINT) AS twa_micro
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // Winsorization of the event value at exact [P1, P99]: robust tail
     // clamping where every row must survive (the complement of the
     // drop-based outlier gate). Exact order-statistic thresholds on a
