@@ -2524,6 +2524,68 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Column profiling as a table (the pre-trust data-quality pass): one
+    // row per column with row/non-null/exact-distinct counts and native-
+    // type min/max — ONE scan, multi-countDistinct via Expand, wide→rows
+    // by a plan-time struct explode. Integer/string columns only in the
+    // oracle-facing report (float formatting is engine-specific).
+    Q("profile_lineitem", "K",
+      (s, d) => graft.operators.Profile.profile(Tables(s, d, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+        .orderBy("column"),
+      Some("""SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+             |       count(l_orderkey) AS n_nonnull,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |       CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+             |       CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+             |UNION ALL
+             |SELECT 'l_linenumber', count(*), count(l_linenumber),
+             |       CAST(count(DISTINCT l_linenumber) AS BIGINT),
+             |       CAST(min(l_linenumber) AS VARCHAR),
+             |       CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_returnflag', count(*), count(l_returnflag),
+             |       CAST(count(DISTINCT l_returnflag) AS BIGINT),
+             |       min(l_returnflag), max(l_returnflag) FROM lineitem
+             |UNION ALL
+             |SELECT 'l_linestatus', count(*), count(l_linestatus),
+             |       CAST(count(DISTINCT l_linestatus) AS BIGINT),
+             |       min(l_linestatus), max(l_linestatus) FROM lineitem
+             |ORDER BY "column"""".stripMargin)),
+
+    // Gini coefficient of per-user value concentration (exact integer
+    // form: G = (2·Σi·vᵢ − (n+1)·Σv) / (n·Σv) over the ascending (v, id)
+    // order) — the one-number inequality audit (whale-dominance of value
+    // flow, source-dominance of a corpus). One per-key aggregate, one
+    // rank window, DECIMAL(38,0) moments, sign-free by construction.
+    Q("event_gini_value", "EVENT",
+      (s, d) => {
+        val perUser = Tables(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 1000000).cast("long")).as("v"))
+        val ranked = perUser.withColumn("i", row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("v"), col("user_id"))).cast("long"))
+        ranked.agg(count(lit(1)).as("n_users"),
+            sum(col("v")).as("sum_v"),
+            expr("sum(cast(i as decimal(38,0)) * v)").as("__w"))
+          .withColumn("gini_milli", expr(
+            """CASE WHEN sum_v = 0 THEN 0
+              |ELSE CAST((2 * __w - (n_users + 1) * cast(sum_v as decimal(38,0)))
+              |          * 1000 div (n_users * cast(sum_v as decimal(38,0))) AS BIGINT)
+              |END""".stripMargin))
+          .select(col("n_users"), col("sum_v"), col("gini_milli"))
+      },
+      Some("""WITH pu AS (SELECT user_id, sum(CAST(round(value * 1000000) AS BIGINT)) AS v
+             |       FROM events GROUP BY 1),
+             |r AS (SELECT v, CAST(row_number() OVER (ORDER BY v, user_id) AS BIGINT) AS i FROM pu),
+             |a AS (SELECT count(*) AS n, sum(v) AS s, sum(CAST(i AS HUGEINT) * v) AS w FROM r)
+             |SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS sum_v,
+             |  CAST(CASE WHEN s = 0 THEN 0
+             |       ELSE (2 * w - (n + 1) * CAST(s AS HUGEINT)) * 1000 // (n * CAST(s AS HUGEINT))
+             |  END AS BIGINT) AS gini_milli
+             |FROM a""".stripMargin)),
+
     // CUSUM change-point detection (Page 1954) over the hourly event rate:
     // the hour where the cumulative deviation from the global mean peaks —
     // "when did the rate regime shift?". Division-free: S_t = Σ(c_i·H − N)
