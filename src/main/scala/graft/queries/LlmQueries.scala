@@ -2553,6 +2553,30 @@ object LlmQueries {
              |       min(l_linestatus), max(l_linestatus) FROM lineitem
              |ORDER BY "column"""".stripMargin)),
 
+    // Statistical mode per group WITHOUT a window sort: the per-user
+    // dominant event type as min(struct(−count, type)) over the
+    // (user, type) counts — two map-side-combined hash aggregates, never
+    // a per-group row_number sort; ties break to the smallest type by the
+    // struct's lexicographic order. The argmax-as-extremum pattern every
+    // "most frequent X per Y" question should compile to at scale.
+    Q("event_mode_per_user", "EVENT",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("cnt")).as("__nc"), col("event_type").as("__t")))
+          .as("__m"))
+        .select(col("user_id"), col("__m.__t").as("mode_type"),
+          (-col("__m.__nc")).as("cnt"))
+        .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+             |       FROM events GROUP BY 1, 2),
+             |r AS (SELECT user_id, event_type, cnt,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY cnt DESC, event_type) AS rn FROM c)
+             |SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+             |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
     // Gini coefficient of per-user value concentration (exact integer
     // form: G = (2·Σi·vᵢ − (n+1)·Σv) / (n·Σv) over the ascending (v, id)
     // order) — the one-number inequality audit (whale-dominance of value
