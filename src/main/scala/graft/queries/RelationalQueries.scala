@@ -124,6 +124,37 @@ object RelationalQueries {
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // Remaining ranking-function surface in one query: cume_dist (exact
+    // rational, rounded at 1e-6 like the percent_rank query), ntile
+    // quartiles, and nth_value over an explicit full-partition frame (the
+    // default frames differ between engines — pinning the frame IS the
+    // semantic being tested). Unique (value, id) ordering keeps every
+    // function deterministic.
+    Q("w10_dist_functions", "W",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("v_c"), col("event_id"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables(s, d, "events")
+          .select(col("event_type"), col("event_id"),
+            cents(col("value")).as("v_c"))
+          .select(col("event_type"), col("event_id"), col("v_c"),
+            round(cume_dist().over(w), 6).as("cd"),
+            ntile(4).over(w).as("quartile"),
+            nth_value(col("v_c"), 3).over(wFull).as("third_lowest"))
+          .orderBy("event_type", "v_c", "event_id")
+      },
+      Some("""SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v_c,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |  nth_value(CAST(round(value * 100) AS BIGINT), 3) OVER
+             |    (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_lowest
+             |FROM events
+             |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+             |ORDER BY event_type, v_c, event_id""".stripMargin)),
+
     // Skyline / Pareto frontier (Börzsönyi 2001): cheapest line items with
     // the deepest discounts — minimize price, maximize discount (negated).
     // Broadcast knee-point prune kills the dominated quadrant in one
