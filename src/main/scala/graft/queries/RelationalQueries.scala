@@ -124,6 +124,22 @@ object RelationalQueries {
              |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              |ORDER BY user_id, event_id""".stripMargin)),
 
+    // GROUP BY ALL through the SQL front end (the non-aggregated
+    // projection defines the keys; same text on both engines — pure
+    // parser/analyzer parity, plans as an ordinary hash aggregate).
+    Q("agg_group_by_all", "A",
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+                |FROM orders GROUP BY ALL
+                |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+             |FROM orders GROUP BY ALL
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
     // Remaining ranking-function surface in one query: cume_dist (exact
     // rational, rounded at 1e-6 like the percent_rank query), ntile
     // quartiles, and nth_value over an explicit full-partition frame (the
