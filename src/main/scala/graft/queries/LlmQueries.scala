@@ -2804,12 +2804,19 @@ object LlmQueries {
     // or chance?" as a 1-row metadata answer. Two label joins + two
     // label-keyed map-side aggregates + a 1-row reduce; products ride
     // DECIMAL(38,0) so billion-edge graphs never wrap Long.
+    // q_num/q_den are unbounded integers — emitted as decimal STRINGS on
+    // both engines (same representation-proofing as graph_hits); the
+    // bounded audit columns and the milli read-out stay BIGINT.
     Q("graph_modularity", "GRAPH",
       (s, d) => {
         val ew = backboneEdges(s, d)
         val labels = graft.operators.Graph.labelPropagation(
           ew, rounds = 2, weightCol = Some("w"))
         graft.operators.Graph.modularity(ew, labels)
+          .select(col("m"), col("n_comm"), col("sum_e_in"),
+            col("q_num").cast("string").as("q_num"),
+            col("q_den").cast("string").as("q_den"),
+            col("q_milli"))
       },
       Some(s"""$lpaLabelsCte,
               |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
@@ -2834,8 +2841,8 @@ object LlmQueries {
               |        FROM comm, mm)
               |SELECT CAST(m AS BIGINT) AS m, CAST(n_comm AS BIGINT) AS n_comm,
               |  CAST(sum_e_in AS BIGINT) AS sum_e_in,
-              |  CAST(q_num AS DECIMAL(38,0)) AS q_num,
-              |  CAST(q_den AS DECIMAL(38,0)) AS q_den,
+              |  CAST(q_num AS VARCHAR) AS q_num,
+              |  CAST(q_den AS VARCHAR) AS q_den,
               |  CAST(CASE WHEN q_den IS NULL OR q_den = 0 THEN 0
               |       WHEN q_num < 0 THEN -((-q_num) * 1000 // q_den)
               |       ELSE q_num * 1000 // q_den END AS BIGINT) AS q_milli
@@ -3685,11 +3692,18 @@ object LlmQueries {
       }),
 
     // HITS hubs & authorities over the weighted behavioral backbone:
-    // 2 rounds of the unnormalized integer mutual recursion (auth first),
-    // decimal(38,0) scores; the oracle unrolls the identical half-rounds.
+    // 2 rounds of the unnormalized integer mutual recursion (auth first).
+    // The operator carries exact DECIMAL(38,0) scores; the ORACLE-FACING
+    // projection emits them as strings on BOTH engines — an unbounded
+    // integer has no canonical cross-engine binary type (Spark decimal vs
+    // DuckDB HUGEINT canonicalize differently in some hash harnesses),
+    // while its decimal string is representation-proof.
     Q("graph_hits", "GRAPH",
       (s, d) => graft.operators.Graph.hits(backboneEdges(s, d), rounds = 2,
           weightCol = Some("w"))
+        .select(col("node"),
+          col("hub_score").cast("string").as("hub_score"),
+          col("auth_score").cast("string").as("auth_score"))
         .orderBy("node"),
       Some {
         s"""$backboneEdgesCte,
@@ -3709,8 +3723,8 @@ object LlmQueries {
            |       JOIN av2 ON av2.node = ew.dst GROUP BY 1),
            |hv2 AS (SELECT n.node, CAST(coalesce(h2.sc, 0) AS HUGEINT) AS h
            |        FROM n LEFT JOIN h2 USING (node))
-           |SELECT n.node, CAST(hv2.h AS DECIMAL(38,0)) AS hub_score,
-           |       CAST(av2.a AS DECIMAL(38,0)) AS auth_score
+           |SELECT n.node, CAST(hv2.h AS VARCHAR) AS hub_score,
+           |       CAST(av2.a AS VARCHAR) AS auth_score
            |FROM n JOIN hv2 USING (node) JOIN av2 USING (node)
            |ORDER BY node""".stripMargin
       }),
@@ -3742,8 +3756,18 @@ object LlmQueries {
     // Degree assortativity (Newman 2002): exact integer moment vector over
     // the 2|E| edge-endpoint degree pairs + exact Pearson numerator /
     // denominator and sign-split truncating r_milli — no float sqrt.
+    // The moment sums / Pearson num+den are unbounded integers — emitted
+    // as decimal STRINGS on both engines (same representation-proofing as
+    // graph_hits); n_ends and the milli read-out stay BIGINT.
     Q("graph_assortativity", "GRAPH",
-      (s, d) => graft.operators.Graph.assortativityMoments(backboneEdges(s, d)),
+      (s, d) => graft.operators.Graph.assortativityMoments(backboneEdges(s, d))
+        .select(col("n_ends"),
+          col("sum_x").cast("string").as("sum_x"),
+          col("sum_xx").cast("string").as("sum_xx"),
+          col("sum_xy").cast("string").as("sum_xy"),
+          col("r_num").cast("string").as("r_num"),
+          col("r_den").cast("string").as("r_den"),
+          col("r_milli")),
       Some {
         s"""$backboneUndirectedCte,
            |ed AS (SELECT dg1.deg AS du, dg2.deg AS dv FROM und
@@ -3757,11 +3781,11 @@ object LlmQueries {
            |r AS (SELECT *, n_ends * sum_xy - sum_x * sum_x AS r_num,
            |        n_ends * sum_xx - sum_x * sum_x AS r_den FROM m)
            |SELECT CAST(n_ends AS BIGINT) AS n_ends,
-           |  CAST(sum_x AS DECIMAL(38,0)) AS sum_x,
-           |  CAST(sum_xx AS DECIMAL(38,0)) AS sum_xx,
-           |  CAST(sum_xy AS DECIMAL(38,0)) AS sum_xy,
-           |  CAST(r_num AS DECIMAL(38,0)) AS r_num,
-           |  CAST(r_den AS DECIMAL(38,0)) AS r_den,
+           |  CAST(sum_x AS VARCHAR) AS sum_x,
+           |  CAST(sum_xx AS VARCHAR) AS sum_xx,
+           |  CAST(sum_xy AS VARCHAR) AS sum_xy,
+           |  CAST(r_num AS VARCHAR) AS r_num,
+           |  CAST(r_den AS VARCHAR) AS r_den,
            |  CAST(CASE WHEN r_den = 0 THEN 0
            |            WHEN r_num < 0 THEN -((-r_num) * 1000 // r_den)
            |            ELSE r_num * 1000 // r_den END AS BIGINT) AS r_milli
