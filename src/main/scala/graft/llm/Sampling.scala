@@ -62,18 +62,19 @@ object Sampling {
     * Thresholds are EXACT order statistics (value at rank
     * `ceil(p·n/1000)` over the (value, id) total order — integer rank
     * arithmetic, engine-exact), landed on every row via a 2-value
-    * broadcast; the clamp itself is one codegen'd least/greatest. Same
-    * scale note as [[quantileNormalize]]: the exact rank needs the global
-    * sort once; at 100 TB swap the threshold derivation for the
-    * mergeable histogram sketch read-out, same broadcast join shape. */
+    * broadcast; the clamp itself is one codegen'd least/greatest. The
+    * exact ranks come from [[graft.operators.GlobalRank.globalRowNumber]]
+    * — the two-phase range-partitioned form, never a single-task global
+    * window — so the exact derivation itself survives 100 TB; the
+    * mergeable histogram sketch read-out remains the cheaper approximate
+    * twin when ±1-rank slack is acceptable. */
   def winsorize(df: DataFrame, idCol: String, valueCol: String,
                 loMilli: Int = 10, hiMilli: Int = 990): DataFrame = {
     require(loMilli >= 0 && hiMilli <= 1000 && loMilli < hiMilli,
       s"need 0 <= loMilli < hiMilli <= 1000, got $loMilli/$hiMilli")
     val v = df.select(col(idCol), col(valueCol).cast("long").as("value"))
-    val ranked = v
-      .withColumn("__rn", row_number()
-        .over(Window.orderBy(col("value"), col(idCol))).cast("long"))
+    val ranked = graft.operators.GlobalRank.globalRowNumber(
+      v, Seq(col("value"), col(idCol)), "__rn")
     val thr = ranked.crossJoin(broadcast(v.agg(count(lit(1)).as("__n"))))
       .filter(col("__rn") === expr(s"greatest(1L, ($loMilli * __n + 999) div 1000)")
         || col("__rn") === expr(s"greatest(1L, ($hiMilli * __n + 999) div 1000)"))
@@ -97,11 +98,13 @@ object Sampling {
     * float quantiles, engines agree exactly.
     *
     * Scale note: the within-stratum windows shuffle once on the stratum
-    * key; the global rank is a full sort — the cost ANY exact quantile
-    * transform pays. At 100 TB swap the global side for the mergeable
-    * [[graft.operators.Sketches.logHistogram]] read-out (approximate
-    * target values, same join shape) — this operator is the exact
-    * oracle-checkable form. */
+    * key; the global side rides
+    * [[graft.operators.GlobalRank.globalRowNumber]] (two-phase
+    * range-partitioned exact ranks — never a single-task global window),
+    * so the exact form itself is the 100-TB plan. The mergeable
+    * [[graft.operators.Sketches.logHistogram]] read-out remains the
+    * cheaper approximate twin (same join shape) when ±1-rank slack is
+    * acceptable. */
   def quantileNormalize(df: DataFrame, idCol: String, valueCol: String,
                         strataCol: String): DataFrame = {
     val v = df.select(col(idCol), col(strataCol), col(valueCol).cast("long").as("v"))
@@ -111,9 +114,9 @@ object Sampling {
       .withColumn("__r", row_number().over(byStratum).cast("long"))
       .withColumn("__ns", count(lit(1)).over(Window.partitionBy(col(strataCol)))
         .cast("long"))
-    val globalRanked = v
-      .select(row_number().over(Window.orderBy(col("v"), col(idCol)))
-        .cast("long").as("__gr"), col("v").as("norm_value"))
+    val globalRanked = graft.operators.GlobalRank.globalRowNumber(
+        v.select(col("v"), col(idCol)), Seq(col("v"), col(idCol)), "__gr")
+      .select(col("__gr"), col("v").as("norm_value"))
     val n = v.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("__gr", expr("(__r * __n + __ns - 1) div __ns"))

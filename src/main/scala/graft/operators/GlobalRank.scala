@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT global ranking: the two-phase alternative to
+  * `row_number().over(Window.orderBy(...))`, which Spark executes by
+  * moving the ENTIRE input through one task (WindowExec warns exactly
+  * this) — the classic 100-TB cliff hiding inside a correct small-scale
+  * plan.
+  *
+  * Phase shape (all declarative, all codegen'd):
+  *
+  *   1. `repartitionByRange(orderCols)` — range-shuffle so partition i
+  *      holds a contiguous slice of the total order (RangePartitioner
+  *      boundaries from a deterministic-seed sample; slice boundaries
+  *      don't affect the result, only balance). `localCheckpoint(true)`
+  *      pins the partitioning so the two consumers below can NEVER see
+  *      different boundaries (cheaper and stricter than relying on
+  *      exchange reuse).
+  *   2. per-partition `row_number()` over a window PARTITIONED by
+  *      `spark_partition_id()` — 32…N concurrent sorts of one slice
+  *      each, never a single task.
+  *   3. per-partition counts → cumulative offsets: an aggregate with ≤
+  *      one row PER PARTITION, then an unpartitioned running-sum window
+  *      over that dimension-sized frame (the one place a global window
+  *      is legitimate: its input is already ≤ numShufflePartitions
+  *      rows).
+  *   4. broadcast the offsets back onto the slices:
+  *      `global_rank = offset(pid) + local_rank`.
+  *
+  * The ranks are IDENTICAL to the single-task form for a total order
+  * (callers pass a unique tiebreak column, so the order is total) —
+  * same oracles keep passing — but the plan survives a 1000-executor
+  * 100-TB input: two distributed shuffles of the narrow projection
+  * instead of one all-to-one-task sort.
+  */
+object GlobalRank {
+
+  /** Append `rnCol` = the exact 1-based global row number of each row
+    * under the total order `orderCols` (callers must include a unique
+    * tiebreak column so the order is total — otherwise ties are broken
+    * by partition placement). */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      rnCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "globalRowNumber needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("__gr_lrn", row_number()
+      .over(Window.partitionBy(col("__gr_pid")).orderBy(orderCols: _*))
+      .cast("long"))
+    // one row per shuffle partition — dimension-sized by construction,
+    // so the running-sum window below is NOT a corpus-sized global sort
+    val offsets = ranged.groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off", coalesce(
+        sum(col("__gr_cnt")).over(Window.orderBy(col("__gr_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    local.join(broadcast(offsets), Seq("__gr_pid"))
+      .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
+      .drop("__gr_pid", "__gr_lrn", "__gr_off")
+  }
+}

@@ -1242,21 +1242,20 @@ object RefQueries {
     // block, then tx index, then sender-before-receiver). Appearances
     // collapse to one row per address via an argmin aggregate
     // (min-of-struct — one map-side-combined shuffle on the address);
-    // the final dense numbering is a row_number over the |V|-row
-    // aggregate. That global sort serializes one |V| pass and is the
-    // documented cost of DENSE ids (the production-scale twin is
-    // sort + zipWithIndex over the same aggregate, two passes, no single
-    // point); at 100 TB |V| ≈ 10^9 rows of ~60 bytes — the aggregate,
-    // not the numbering, dominates.
+    // the final dense numbering is GlobalRank.globalRowNumber over the
+    // |V|-row aggregate — two-phase range-partitioned exact ranks, so
+    // the numbering never funnels |V| ≈ 10^9 addresses through one task
+    // at chain scale (the aggregate and the ranking both stay fully
+    // distributed).
     Q("eth_address_ids", "P4",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val tx = s.read.format("graft-chain")
           .option("stream", "transaction").option("start", 0).option("end", 999)
           .option("batchSize", 100).load()
-        tx.select(col("block_number"), col("transaction_index"), explode(array(
-            struct(col("from_address").as("address"), lit(0).as("side")),
-            struct(col("to_address").as("address"), lit(1).as("side")))).as("e"))
+        val firsts = tx.select(col("block_number"), col("transaction_index"),
+            explode(array(
+              struct(col("from_address").as("address"), lit(0).as("side")),
+              struct(col("to_address").as("address"), lit(1).as("side")))).as("e"))
           .select(col("e.address").as("address"), col("block_number"),
             col("transaction_index").cast("int").as("tx_index"), col("e.side").as("side"))
           .filter(col("address").isNotNull)
@@ -1264,9 +1263,9 @@ object RefQueries {
           .agg(min(struct(col("block_number"), col("tx_index"), col("side"))).as("f"))
           .select(col("address"), col("f.block_number").as("first_block"),
             col("f.tx_index").as("first_tx_index"), col("f.side").as("first_side"))
-          .withColumn("address_id", row_number().over(Window.orderBy(
-            col("first_block"), col("first_tx_index"), col("first_side"),
-            col("address"))).cast("long"))
+        graft.operators.GlobalRank.globalRowNumber(firsts,
+            Seq(col("first_block"), col("first_tx_index"), col("first_side"),
+              col("address")), "address_id")
           .select(col("address_id"), col("address"), col("first_block"),
             col("first_tx_index"))
           .orderBy("address_id")

@@ -419,11 +419,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
 
-  test("address ids: first-appearance argmin is an aggregate; the only window is the dense numbering") {
+  test("address ids: first-appearance argmin is an aggregate; numbering windows are partitioned or dimension-sized") {
     val p = plan("eth_address_ids")
-    // one Window (the |V|-row global row_number), never a window over the
-    // raw appearance rows
-    assert(p.split("Window").length == 2, s"expected exactly one window:\n$p")
+    // two windows since the GlobalRank rewrite: the per-slice local
+    // row_number (partitioned by pid) and the ≤ nParts-row offsets
+    // running sum — never a window over the raw appearance rows (the
+    // "one task" audit lives in the exact-global-ranks test below)
+    assert(p.split("Window").length <= 3, s"expected at most two windows:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
   }
 
@@ -542,5 +544,28 @@ class PlanSpec extends SparkSpec {
     // streams would be the bug
     assert(p.split("HashAggregate").length > 4, s"expected per-stream aggregates:\n$p")
     assert(!p.contains("CartesianProduct"), s"1-row joins must broadcast:\n$p")
+  }
+
+  test("exact global ranks never funnel the corpus through one window task") {
+    // GlobalRank.globalRowNumber replaced the partition-less
+    // row_number().over(Window.orderBy(...)) in these three plans; the
+    // only legal partition-less WindowExec left is the offsets running
+    // sum, whose input is a per-shuffle-partition aggregate (≤ nParts
+    // rows). AQE off so executedPlan is a concrete traversable tree.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("event_winsorize", "sample_quantile_norm", "eth_address_ids")
+      .foreach { name =>
+        val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
+        val bare = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        bare.foreach { w =>
+          val overAggregate =
+            w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+          assert(overAggregate,
+            s"$name: partition-less Window over non-aggregated (corpus-sized) input:\n$w")
+        }
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
