@@ -523,10 +523,18 @@ class PlanSpec extends SparkSpec {
       s"no shuffled join of the corpus:\n$p")
   }
 
-  test("skyline: knee-point prune rides a 1-row broadcast before the sweep window") {
+  test("skyline: sweep is per-slice (pid-partitioned window), cross-slice merge is a broadcast") {
+    // the knee-point 1-row broadcast prune runs inside the eagerly
+    // checkpointed slicing stage (it shows as the ExistingRDD scan here);
+    // the post-checkpoint plan must show the DISTRIBUTED sweep: the
+    // two-frame window partitioned by the slice id — never an
+    // unpartitioned window over the survivors — and the prefix-min
+    // merge landing by broadcast hash join
     val p = plan("skyline_price_discount")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"the knee point must broadcast into the prune filter:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"sweep window must be partitioned by the slice id:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"prefix-min merge must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
@@ -555,7 +563,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try Seq("event_winsorize", "sample_quantile_norm", "eth_address_ids")
+    try Seq("event_winsorize", "sample_quantile_norm", "eth_address_ids",
+      "skyline_price_discount")
       .foreach { name =>
         val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
         val bare = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
