@@ -1,6 +1,6 @@
 package graft.eth
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -80,10 +80,19 @@ object Sinks {
     * files being overwritten — the non-overlapping bulk of the batch streams
     * straight through.
     */
+  /** @param dropOldWhere optional predicate over STORED rows: matching
+    *   rows in the overlap bucket(s) are dropped before the PK merge even
+    *   if the incoming batch carries no colliding PK. The replay-scope
+    *   eraser for writers whose row KEYS are state-dependent (a replayed
+    *   mini-batch may key partials differently than its original run —
+    *   see StreamingOps.maintainCentroids): pass the batch-scope
+    *   predicate (e.g. batch_id === current) so the replay REPLACES the
+    *   original batch's rows wholesale instead of merging beside them. */
   def upsertBucketedParquet(df: DataFrame, path: String, pkCols: Seq[String],
                             bucketCol: String = "block_id_group",
                             sortCols: Seq[String] = Seq("block_id"),
-                            newBuckets: Option[Seq[Long]] = None): Unit = {
+                            newBuckets: Option[Seq[Long]] = None,
+                            dropOldWhere: Option[Column] = None): Unit = {
     val spark = df.sparkSession
     val incoming = newBuckets.getOrElse {
       // fallback: derive from the batch (one extra evaluation of df's plan).
@@ -114,10 +123,14 @@ object Sinks {
       // evolution instead of failing to resolve the new column
       val oldRaw = spark.read.option("mergeSchema", "true").parquet(path)
         .filter(inOverlap) // partition-pruned to the boundary bucket(s)
-      val old = oldRaw.select(df.columns.map { c =>
+      val aligned = oldRaw.select(df.columns.map { c =>
         if (oldRaw.columns.contains(c)) col(c)
         else lit(null).cast(df.schema(c).dataType).as(c)
       }.toIndexedSeq: _*)
+      // null-safe negation: a null predicate value must KEEP the row
+      val old = dropOldWhere
+        .map(p => aligned.filter(!coalesce(p, lit(false))))
+        .getOrElse(aligned)
       // precedence: incoming rows win over stored rows on PK collision
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pkCols.map(col).toIndexedSeq: _*)

@@ -155,10 +155,13 @@ object Sampling {
         round(log(expr("cast(c1 + 1 as decimal(38,0)) * (__n2 + __t)").cast("double")
           / expr("cast(c2 + 1 as decimal(38,0)) * (__n1 + __t)").cast("double"))
           * 1e6).cast("long"))
+      // the (c1+1)·lr product rides DECIMAL(38,0) like the lr operands
+      // above: a 1e11-count category times a ~8e7 lr_micro wraps Long
       .withColumn("contrib_micro", expr(
-        """CASE WHEN lr_micro < 0
-          |     THEN -((c1 + 1) * (-lr_micro) div (__n1 + __t))
-          |     ELSE (c1 + 1) * lr_micro div (__n1 + __t) END""".stripMargin))
+        """CAST(CASE WHEN lr_micro < 0
+          |     THEN -(cast(c1 + 1 as decimal(38,0)) * (-lr_micro) div (__n1 + __t))
+          |     ELSE cast(c1 + 1 as decimal(38,0)) * lr_micro div (__n1 + __t)
+          |     END AS BIGINT)""".stripMargin))
       .select(col(keyCol), col("c1"), col("c2"), col("lr_micro"),
         col("contrib_micro"))
   }

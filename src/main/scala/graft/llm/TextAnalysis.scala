@@ -231,9 +231,13 @@ object TextAnalysis {
     * and vocabulary-sized joins. Corpus totals ride a 1-row broadcast.
     *
     * Determinism: pmi is quantized ONCE PER PAIR TYPE from exact integer
-    * counts — `round(ln(c_ab·T·T / (P·c_a·c_b))·1e6)` with the products
-    * carried in DECIMAL(38,0) before ONE double division — so engines
-    * agree bit-for-bit (same per-type-ln discipline as the bigram LM).
+    * counts — `round(ln(c_ab·T·T / (P·c_a·c_b))·1e6)` with each side
+    * assembled as (exact two-factor DECIMAL(38,0) product → double) ×
+    * (double third factor) before ONE double division — so engines agree
+    * bit-for-bit (same per-type-ln discipline as the bigram LM), and the
+    * three-factor product NEVER exceeds decimal precision: two counts
+    * bounded by a 1e13-token corpus multiply to ~1e26 « 1e38, where the
+    * naive c_ab·T² at that scale silently NULLs past 38 digits.
     * Pairs below `minCount` are dropped (PMI's small-count bias). */
   def pmiPairs(df: DataFrame, idCol: String, textCol: String,
                window: Int = 2, minCount: Int = 5): DataFrame = {
@@ -261,8 +265,11 @@ object TextAnalysis {
       .join(uni.select(col("term").as("t2"), col("c_t").as("c_b")), "t2")
       .crossJoin(broadcast(totals))
       .withColumn("pmi_micro",
-        round(log(expr("cast(c_ab as decimal(38,0)) * __t * __t").cast("double")
-          / expr("cast(__p as decimal(38,0)) * c_a * c_b").cast("double"))
+        round(log(
+          (expr("cast(c_ab as decimal(38,0)) * __t").cast("double")
+            * col("__t").cast("double"))
+          / (expr("cast(__p as decimal(38,0)) * c_a").cast("double")
+            * col("c_b").cast("double")))
           * 1e6).cast("long"))
       .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
         col("pmi_micro"))

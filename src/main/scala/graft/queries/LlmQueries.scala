@@ -1889,8 +1889,8 @@ object LlmQueries {
              |tot AS (SELECT (SELECT sum(c_ab) FROM pc) AS p,
              |               (SELECT sum(c_t) FROM uni) AS t),
              |sc AS (SELECT pc.t1, pc.t2, c_ab, ua.c_t AS c_a, ub.c_t AS c_b,
-             |         CAST(round(ln(CAST(c_ab * t * t AS DOUBLE)
-             |                      / CAST(p * c_a * c_b AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+             |         CAST(round(ln(CAST(c_ab * t AS DOUBLE) * CAST(t AS DOUBLE)
+             |                      / (CAST(p * c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) * 1e6) AS BIGINT) AS pmi_micro
              |       FROM pc JOIN uni ua ON ua.term = pc.t1
              |            JOIN uni ub ON ub.term = pc.t2, tot
              |       WHERE c_ab >= 10)
@@ -2526,9 +2526,11 @@ object LlmQueries {
 
     // Column profiling as a table (the pre-trust data-quality pass): one
     // row per column with row/non-null/exact-distinct counts and native-
-    // type min/max — ONE scan, multi-countDistinct via Expand, wide→rows
-    // by a plan-time struct explode. Integer/string columns only in the
-    // oracle-facing report (float formatting is engine-specific).
+    // type min/max — two passes that both avoid the k-way Expand blowup:
+    // an exploded (column, value) distinct aggregate for the per-column
+    // distinct counts, and a map-side-combined min/max/count pass, met by
+    // broadcast. Integer/string columns only in the oracle-facing report
+    // (float formatting is engine-specific).
     Q("profile_lineitem", "K",
       (s, d) => graft.operators.Profile.profile(Tables(s, d, "lineitem"),
           Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))

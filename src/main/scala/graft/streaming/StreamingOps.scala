@@ -334,11 +334,16 @@ object StreamingOps {
     * bit-deterministic.
     *
     * Replay semantics (at-least-once sources): a replayed batch
-    * OVERWRITES its own (batch_id, cid, pos) rows — counts never double.
-    * If later batches advanced the centroids in between, the replayed
-    * assignment may differ from the original run (state-dependent, the
-    * standard mini-batch caveat) but the table stays internally
-    * consistent: every vector counted exactly once.
+    * REPLACES its own rows wholesale — the upsert carries a
+    * `dropOldWhere(batch_id = current)` scope eraser, not just PK
+    * precedence. PK collision alone would NOT suffice here: if later
+    * batches advanced the centroids in between, the replayed assignment
+    * may route a vector to a different cid, and the original run's
+    * (batch_id, old_cid, pos) partials would survive beside the new
+    * (batch_id, new_cid, pos) ones — double-counting the vector. With
+    * the batch-scope erase the table stays internally consistent:
+    * every vector counted exactly once (under whichever assignment ran
+    * last — state-dependent, the standard mini-batch caveat).
     *
     * Scale shape per batch: one bounded centroid-state read (k×dim
     * rows), the per-row argmax fold (no batch shuffle), one k×dim
@@ -369,7 +374,8 @@ object StreamingOps {
         graft.eth.Sinks.upsertBucketedParquet(partials, tableDir,
           pkCols = Seq("batch_id", "cid", "pos"), bucketCol = "bk",
           sortCols = Seq("cid", "pos"),
-          newBuckets = Some(Seq(batchId % keyBuckets.toLong)))
+          newBuckets = Some(Seq(batchId % keyBuckets.toLong)),
+          dropOldWhere = Some(col("batch_id") === batchId))
       }
       .option("checkpointLocation", checkpointDir)
       .start()

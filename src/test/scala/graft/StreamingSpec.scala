@@ -262,6 +262,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("centroid replay with a changed assignment replaces the batch's rows, never double-counts") {
+    // the maintainCentroids replay hazard, exercised at the sink level:
+    // batch 0 originally assigned its vector to cid 0; the replay (state
+    // advanced in between) assigns it to cid 1 — DIFFERENT PK, so plain
+    // PK-precedence merge would keep both. dropOldWhere(batch_id = 0)
+    // must erase the original run's rows wholesale.
+    val dir = java.nio.file.Files.createTempDirectory("graft_creplay").toString
+    def partials(cid: Long) = Seq(
+      (0L, cid, 1, 1000L, 1L), (0L, cid, 2, 0L, 1L)
+    ).toDF("batch_id", "cid", "pos", "sum_milli", "n_members")
+      .withColumn("bk", lit(0L))
+    graft.eth.Sinks.upsertBucketedParquet(partials(0L), s"$dir/cent",
+      pkCols = Seq("batch_id", "cid", "pos"), bucketCol = "bk",
+      sortCols = Seq("cid", "pos"), newBuckets = Some(Seq(0L)),
+      dropOldWhere = Some(col("batch_id") === 0L))
+    graft.eth.Sinks.upsertBucketedParquet(partials(1L), s"$dir/cent",
+      pkCols = Seq("batch_id", "cid", "pos"), bucketCol = "bk",
+      sortCols = Seq("cid", "pos"), newBuckets = Some(Seq(0L)),
+      dropOldWhere = Some(col("batch_id") === 0L))
+    val stored = spark.read.parquet(s"$dir/cent")
+      .select("batch_id", "cid", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stored == Set((0L, 1L, 1), (0L, 1L, 2)),
+      s"replayed batch must replace, not accrete: $stored")
+    // merge-on-read counts the vector exactly once
+    val n = StreamingOps.readCentroids(spark, s"$dir/cent")
+      .agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(n == 2L, s"2 (cid,pos) cells of one vector expected, got $n")
+  }
+
   test("streaming SCD2 maintenance: touched-key rebuild matches the batch build, late rows renumber") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
