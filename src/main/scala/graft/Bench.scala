@@ -47,6 +47,15 @@ object Bench {
         .withColumn("rn", row_number().over(Window.orderBy("r_regionkey")))
         .orderBy(col("rn").desc).queryExecution.toRdd.count()
     } catch { case _: Throwable => }
+    // exercise the ObjectHashAggregate / percentile-digest machinery once
+    // untimed — its class-loading + JIT otherwise bills to whichever
+    // approx_percentile/median query runs first
+    try spark.sql(
+      """SELECT approx_percentile(r_regionkey, array(0.25, 0.5, 0.95)),
+        |       percentile(r_regionkey, 0.5), median(r_regionkey)
+        |FROM parquet.`""".stripMargin + sfDir + "/region.parquet`")
+      .queryExecution.toRdd.count()
+    catch { case _: Throwable => }
     // pre-create the bucketed tables so j_bucketed_colocated times the
     // zero-shuffle join, not the one-time DDL+write that backs it
     try graft.queries.RelationalQueries.ensureBucketedTables(spark, sfDir)
@@ -114,7 +123,10 @@ object Bench {
     // last match wins so an sfN earlier in the path can't shadow the leaf.
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findAllMatchIn(sfDir)
       .map(_.group(1)).toSeq.lastOption.getOrElse("0")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"errors":$errJson,"n_queries":${results.size},"n_failed":${errors.size},"sf":$sfNum,"sf_dir":"${esc(sfDir)}"}"""
+    // total_s duplicates "value" AFTER the (large) per-query map: an
+    // artifact store that keeps only the tail of the line still carries
+    // the headline number
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"errors":$errJson,"total_s":$total,"n_queries":${results.size},"n_failed":${errors.size},"sf":$sfNum,"sf_dir":"${esc(sfDir)}"}"""
     spark.stop()
     // printed AFTER spark.stop() so the JSON is the LAST stdout line of the
     // run (build.sbt suppresses sbt's trailing "[success]" line) — robust
