@@ -245,4 +245,51 @@ object Ingest {
     inBucket.unionByName(crossBucket)
       .withColumn("n_missing", col("gap_end") - col("gap_start") + 1)
   }
+
+  /** T6 companion: parent-hash continuity audit — the DETECTION half of
+    * reorg handling ([[resumeWithReorgCheck]] is the repair half). Every
+    * block carries its parent's hash; an append-only ingester that
+    * followed a chain switch mid-stream (the source reorganized under
+    * it) stores a block whose `parent_hash` does not equal the stored
+    * hash of block−1 — the on-ingest signal that an orphaned span sits
+    * in the store and the rewrite path must run. The reference resumes
+    * blindly and never checks this (SURVEY T6).
+    *
+    * Returns one row per discontinuity: (block_id, parent_hash,
+    * prev_hash) where the predecessor block id−1 is PRESENT but its
+    * stored hash differs from the block's parent pointer. Holes are
+    * deliberately NOT reported (id−1 absent is [[ingestGaps]]' finding,
+    * not a reorg); a null parent (genesis) never fires.
+    *
+    * Scale shape — same as [[ingestGaps]]: in-bucket predecessors from a
+    * lag window PARTITIONED BY BUCKET; bucket-boundary predecessors from
+    * a lag over the per-bucket (last id, last hash) SUMMARY —
+    * n/bucketSize rows of bounded metadata through the one
+    * single-partition window — landed back by a broadcast join. */
+  def detectReorgs(blocks: DataFrame, blockIdCol: String = "block_id",
+                   hashCol: String = "block_hash",
+                   parentCol: String = "parent_hash",
+                   bucketSize: Long = 1000): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val b = blocks.select(col(blockIdCol).cast("long").as("__b"),
+        col(hashCol).as("__h"), col(parentCol).as("__p"))
+      .withColumn("__bkt", expr(s"__b div $bucketSize"))
+    val byBucket = W.partitionBy(col("__bkt")).orderBy(col("__b"))
+    val inBucket = b
+      .withColumn("__prev_b", lag(col("__b"), 1).over(byBucket))
+      .withColumn("__prev_h", lag(col("__h"), 1).over(byBucket))
+    val summary = b.groupBy(col("__bkt"))
+      .agg(max(col("__b")).as("__last_b"), max_by(col("__h"), col("__b")).as("__last_h"))
+      .withColumn("__pb_b", lag(col("__last_b"), 1).over(W.orderBy(col("__bkt"))))
+      .withColumn("__pb_h", lag(col("__last_h"), 1).over(W.orderBy(col("__bkt"))))
+      .select(col("__bkt"), col("__pb_b"), col("__pb_h"))
+    inBucket.join(broadcast(summary), Seq("__bkt"))
+      .withColumn("__pred_b", coalesce(col("__prev_b"), col("__pb_b")))
+      .withColumn("__pred_h", coalesce(col("__prev_h"), col("__pb_h")))
+      .filter(col("__pred_b") === col("__b") - 1
+        && col("__pred_h") =!= col("__p"))
+      .select(col("__b").as(blockIdCol), col("__p").as(parentCol),
+        col("__pred_h").as("prev_hash"))
+  }
 }

@@ -523,6 +523,46 @@ object RefQueries {
              |       CAST(max(block_id) + 1 AS BIGINT) AS resume_from
              |FROM final""".stripMargin)),
 
+    // T6 companion: parent-hash continuity DETECTION (the on-ingest
+    // signal that feeds t6_reorg_rewrite's repair). The synthetic frame
+    // is what an append-only ingester accumulates across two chain
+    // switches: canon 0..299, an orphaned alt span 300..449 (forked at
+    // 299, so its first parent MATCHES — no false positive), canon again
+    // 450..699 (parent canon_449 ≠ stored alt_449 → signal, mid-bucket
+    // path), and a fork chain 700.. that diverged earlier (parent
+    // fork_699 ≠ stored canon_699 → signal, bucket-boundary path at
+    // bucketSize=100). Oracle replays the naive lag-over-everything.
+    Q("t6_reorg_detect", "T6",
+      (s, d) => {
+        def h(chain: org.apache.spark.sql.Column,
+              id: org.apache.spark.sql.Column) =
+          md5(concat(chain, lit("_"), id.cast("string")))
+        val chain = when(col("id").between(300, 449), lit("alt"))
+          .when(col("id") >= 700, lit("fork")).otherwise(lit("canon"))
+        val pchain = when(col("id").between(301, 449), lit("alt"))
+          .when(col("id") >= 700, lit("fork")).otherwise(lit("canon"))
+        val blocks = s.range(0, 1000).select(col("id").as("block_id"),
+          h(chain, col("id")).as("block_hash"),
+          when(col("id") === 0, lit(null).cast("string"))
+            .otherwise(h(pchain, col("id") - 1)).as("parent_hash"))
+        Ingest.detectReorgs(blocks, bucketSize = 100).orderBy("block_id")
+      },
+      Some("""WITH ch AS (SELECT r.range AS b,
+             |         CASE WHEN r.range BETWEEN 300 AND 449 THEN 'alt'
+             |              WHEN r.range >= 700 THEN 'fork' ELSE 'canon' END AS c,
+             |         CASE WHEN r.range BETWEEN 301 AND 449 THEN 'alt'
+             |              WHEN r.range >= 700 THEN 'fork' ELSE 'canon' END AS pc
+             |       FROM range(0, 1000) r),
+             |bl AS (SELECT b, md5(c || '_' || CAST(b AS VARCHAR)) AS h,
+             |         CASE WHEN b = 0 THEN NULL
+             |              ELSE md5(pc || '_' || CAST(b - 1 AS VARCHAR)) END AS p
+             |       FROM ch),
+             |lg AS (SELECT b, h, p, lag(b) OVER (ORDER BY b) AS prev_b,
+             |         lag(h) OVER (ORDER BY b) AS prev_h FROM bl)
+             |SELECT b AS block_id, p AS parent_hash, prev_h AS prev_hash
+             |FROM lg WHERE prev_b = b - 1 AND prev_h <> p
+             |ORDER BY block_id""".stripMargin)),
+
     // T2/T6 companion: ingest-completeness audit — the missing block
     // ranges of a store with both scattered holes (md5-derived) and a
     // 200-block wholly-missing span, so the in-bucket, cross-bucket, and

@@ -380,6 +380,64 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Live-chain reorg DETECTION on ingest (the watch half of T6;
+    * [[graft.eth.Ingest.resumeWithReorgCheck]] is the repair half, and
+    * the reference checks neither — it resumes blindly from max id):
+    * per micro-batch of (block_id, block_hash, parent_hash) rows,
+    * parent-hash continuity is audited BOTH within the batch and across
+    * the batch boundary against the stored predecessor (one
+    * partition-pruned single-block read), via
+    * [[graft.eth.Ingest.detectReorgs]]. Detected discontinuities land in
+    * `signalDir` keyed by block_id — the idempotent PK upsert, so an
+    * at-least-once replay re-emits the same signal rows, never
+    * duplicates — and the blocks themselves accrete into `logDir`
+    * through the same upsert. A consumer that sees a signal row runs
+    * `resumeWithReorgCheck` with `checkDepth` covering the signalled
+    * block to repair the store.
+    *
+    * Scale shape per batch: one 1-row pruned predecessor read, the
+    * bucket-partitioned continuity windows over the BATCH (not the
+    * store), two bounded upserts. */
+  def watchParentHash(blocks: DataFrame, logDir: String, signalDir: String,
+                      checkpointDir: String, bucketSize: Long = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    blocks.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(logDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bdf = batch.toDF()
+          .select(col("block_id").cast("long").as("block_id"),
+            col("block_hash"), col("parent_hash"))
+          .withColumn("block_id_group", expr(s"block_id div $bucketSize"))
+          .localCheckpoint(true) // consumed three times below; bounded (one batch)
+        val loRow = bdf.agg(min(col("block_id"))).collect()(0)
+        if (!loRow.isNullAt(0)) {
+          val lo = loRow.getLong(0)
+          val pred = if (fs.exists(hPath))
+            spark.read.parquet(logDir) // pruned to ONE bucket, ONE block
+              .filter(col("block_id_group") === (lo - 1) / bucketSize
+                && col("block_id") === lo - 1)
+              .select(col("block_id"), col("block_hash"), col("parent_hash"),
+                col("block_id_group"))
+          else bdf.limit(0)
+          val signals = graft.eth.Ingest
+            .detectReorgs(pred.unionByName(bdf), bucketSize = bucketSize)
+            .withColumn("block_id_group", expr(s"block_id div $bucketSize"))
+          // clean batches are the common case — don't leave an empty
+          // signal table behind (consumers poll for the dir's existence)
+          if (!signals.isEmpty)
+            graft.eth.Sinks.upsertBucketedParquet(signals, signalDir,
+              pkCols = Seq("block_id"), bucketCol = "block_id_group",
+              sortCols = Seq("block_id"))
+          graft.eth.Sinks.upsertBucketedParquet(bdf, logDir,
+            pkCols = Seq("block_id"), bucketCol = "block_id_group",
+            sortCols = Seq("block_id"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Merge-on-read of [[maintainCentroids]]'s partials: exact running
     * means per (cid, pos) — same schema as
     * [[graft.llm.Similarity.kmeansTrain]]'s output, so audits compose. */

@@ -262,6 +262,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("parent-hash watcher signals a chain switch across micro-batches, clean batches stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_watch").toString
+    def h(c: String, i: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${c}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val input = MemoryStream[(Long, String, String)]
+    val query = StreamingOps.watchParentHash(
+      input.toDF().toDF("block_id", "block_hash", "parent_hash"),
+      s"$dir/log", s"$dir/sig", s"$dir/ckpt", bucketSize = 10)
+    try {
+      // batch 1: canonical 0..14 — contiguous, includes a bucket boundary
+      input.addData((0L until 15L).map(i =>
+        (i, h("canon", i), if (i == 0) null else h("canon", i - 1))): _*)
+      query.processAllAvailable()
+      assert(!new java.io.File(s"$dir/sig").exists(),
+        "clean batch must not create a signal table")
+      // batch 2: the source reorganized — fork chain delivers 15..17 whose
+      // parent pointer is fork_14, not the stored canon_14
+      input.addData((15L to 17L).map(i => (i, h("fork", i), h("fork", i - 1))): _*)
+      query.processAllAvailable()
+      val sig = spark.read.parquet(s"$dir/sig")
+        .select("block_id", "parent_hash", "prev_hash").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(sig.toSeq == Seq((15L, h("fork", 14), h("canon", 14))),
+        s"expected one signal at the switch block: ${sig.toSeq}")
+      // the log accreted both batches regardless
+      assert(spark.read.parquet(s"$dir/log").count() == 18L)
+    } finally query.stop()
+  }
+
   test("centroid replay with a changed assignment replaces the batch's rows, never double-counts") {
     // the maintainCentroids replay hazard, exercised at the sink level:
     // batch 0 originally assigned its vector to cid 0; the replay (state
