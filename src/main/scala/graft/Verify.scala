@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // engine default: object-hash aggregates (bottom-k sketch, uint256,
+      // percentile) keep tiny per-group buffers; the 128-group fallback
+      // would sort whole pair streams for no memory benefit
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

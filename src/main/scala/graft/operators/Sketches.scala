@@ -77,6 +77,56 @@ object Sketches {
               " div kth_min_hash AS BIGINT)")))
   }
 
+  /** [[graft.functions.KmvBottomK]] as a Column aggregate: the bottom-k
+    * DISTINCT values of a BIGINT column, ascending. Map-side partials
+    * carry ≤ k longs per (group, partition) — the shuffle cap the
+    * relational DISTINCT + window formulation cannot give. */
+  def bottomK(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.KmvBottomK(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), k)
+        .toAggregateExpression())
+
+  /** Per-GROUP KMV distinct-count sketch — [[kmvDistinct]] with a group
+    * column: one (group, k, n_kept, kth_min_hash, est_distinct) row per
+    * group. The twin that per-group exact `COUNT(DISTINCT)` reaches for
+    * when the distinct shuffle dominates (e.g. the two-hop
+    * neighborhood's per-node distinct-source count — the suite's most
+    * expensive exact aggregate).
+    *
+    * Scale shape: ONE aggregation over the raw (group, key) stream —
+    * the native [[bottomK]] dedups and trims INSIDE the aggregate, so
+    * map-side partials are ≤ k longs per (group, partition) and the
+    * shuffle never carries the distinct pair set (the relational
+    * DISTINCT-then-window form moves every distinct pair; this moves a
+    * fixed-size sketch per group). Same estimator and decimal
+    * discipline as [[kmvFromHashes]]. */
+  def kmvDistinctPerKey(df: DataFrame, groupCol: String, keyCol: String,
+                        k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    kmvPerKeyReadOut(
+      df.select(col(groupCol), ColumnFns.md5Long(col(keyCol)).as("__h"))
+        .groupBy(col(groupCol))
+        .agg(bottomK(col("__h"), k).as("__bk")),
+      groupCol, "__bk", k)
+  }
+
+  /** Read a per-group bottom-k VALUE-ARRAY column out as the KMV
+    * estimate row: (group, k, n_kept, kth_min_hash, est_distinct). The
+    * array is [[bottomK]]'s output — possibly re-merged through the
+    * union algebra first (bottom-k of a union of per-part bottom-k
+    * arrays IS the bottom-k of the union; min is associative). */
+  def kmvPerKeyReadOut(df: DataFrame, groupCol: String, bkCol: String,
+                       k: Int): DataFrame =
+    df.select(col(groupCol), lit(k).as("k"),
+        size(col(bkCol)).cast("long").as("n_kept"),
+        try_element_at(col(bkCol), size(col(bkCol))).as("kth_min_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("long"))
+          .otherwise(expr(
+            s"CAST((CAST(n_kept AS DECIMAL(38,0)) - 1) * ${HashSpace}" +
+              " div kth_min_hash AS BIGINT)")))
+
   /** The KMV sketch as its VALUE table — the bottom-k distinct md5 hashes
     * of the key column, one `__h` row each. This is the mergeable form
     * ([[kmvMerge]]) and the form set algebra runs on ([[kmvIntersect]]);

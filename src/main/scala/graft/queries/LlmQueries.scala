@@ -2264,6 +2264,72 @@ object LlmQueries {
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // graph_two_hop's SKETCH twin: the per-node distinct-source count —
+    // the exact form's only irreducibly pair-level aggregate — via the
+    // native graft_kmv_bottomk TypedImperativeAggregate AND the KMV
+    // union algebra, which FACTORIZES the pair set away entirely:
+    // sketch(sources of node) = bottom-k of ∪_{mid→node} sketch(sources
+    // of mid), because bottom-k of a union of bottom-k sets IS the
+    // bottom-k of the union (min is associative). So: per-MID sketches
+    // from one |E|-level aggregate (map-side partials ≤ k longs per
+    // group), one |E|-level join carrying ≤ k-long arrays to the out-
+    // edges, explode + re-merge per node — |E|·k rows max, where both
+    // the exact form and a direct per-node sketch pay the
+    // Σ deg_in·deg_out pair join. Estimates equal the direct per-node
+    // bottom-k EXACTLY, which is what the oracle replays relationally.
+    // n_paths keeps the same inflow factorization as the exact operator.
+    // The exact form stays registered above; this is the read a 100 TB
+    // neighborhood audit actually runs.
+    Q("graph_two_hop_sketch", "GRAPH",
+      (s, d) => {
+        val k = 32
+        val ew = transitionEdges(s, d)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+          .localCheckpoint(true) // reused: inflow + mid sketch + out-edges
+        val inflow = ew.groupBy(col("dst")).agg(sum(col("w")).as("iw"))
+          .select(col("dst").as("mid"), col("iw"))
+        val pathAgg = ew
+          .select(col("src").as("mid"), col("dst").as("node"), col("w"))
+          .join(inflow, "mid")
+          .groupBy(col("node")).agg(sum(col("w") * col("iw")).as("n_paths"))
+        val midSk = ew.select(
+            graft.functions.ColumnFns.md5Long(col("src").cast("string")).as("__h"),
+            col("dst").as("mid"))
+          .groupBy(col("mid"))
+          .agg(graft.operators.Sketches.bottomK(col("__h"), k).as("__mbk"))
+        val nodeSk = ew.select(col("src").as("mid"), col("dst").as("node"))
+          .join(midSk, "mid")
+          .select(col("node"), explode(col("__mbk")).as("__h"))
+          .groupBy(col("node"))
+          .agg(graft.operators.Sketches.bottomK(col("__h"), k).as("__bk"))
+        pathAgg
+          .join(graft.operators.Sketches.kmvPerKeyReadOut(
+            nodeSk, "node", "__bk", k), "node")
+          .select(col("node"), col("n_paths"), col("k"), col("n_kept"),
+            col("kth_min_hash"), col("est_distinct"))
+          .orderBy("node")
+      },
+      Some {
+        s"""$transitionEdgesCte,
+           |p AS (SELECT a.src AS s0, b.dst AS node, a.w AS w1, b.w AS w2
+           |      FROM ew a JOIN ew b ON a.dst = b.src),
+           |dh AS (SELECT DISTINCT node,
+           |         CAST('0x' || substring(md5(CAST(s0 AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           |       FROM p),
+           |rk AS (SELECT node, h,
+           |         row_number() OVER (PARTITION BY node ORDER BY h) AS rn FROM dh),
+           |kept AS (SELECT node, count(*) AS n_kept, max(h) AS kth
+           |         FROM rk WHERE rn <= 32 GROUP BY 1),
+           |paths AS (SELECT node, sum(w1 * w2) AS n_paths FROM p GROUP BY 1)
+           |SELECT kept.node, CAST(paths.n_paths AS BIGINT) AS n_paths,
+           |  CAST(32 AS INTEGER) AS k, CAST(n_kept AS BIGINT) AS n_kept,
+           |  kth AS kth_min_hash,
+           |  CAST(CASE WHEN n_kept < 32 THEN n_kept
+           |       ELSE (CAST(n_kept AS HUGEINT) - 1) * 1152921504606846976 // kth
+           |       END AS BIGINT) AS est_distinct
+           |FROM kept JOIN paths USING (node) ORDER BY node""".stripMargin
+      }),
+
     // Triangle + wedge census (graph cohesion): degree-ordered edge
     // orientation makes wedge generation O(E^1.5) total regardless of hub
     // degree — the oracle replays the identical orientation so the two

@@ -73,6 +73,49 @@ class SketchSpec extends SparkSpec {
     assert(merged.sorted.sameElements(direct.sorted))
   }
 
+  test("native bottom-k aggregate equals the relational distinct+sort bottom-k per group") {
+    val df = (1 to 4000).map(i => (s"g${i % 7}", s"v${i % 997}")).toDF("g", "v")
+    val native = Sketches.kmvDistinctPerKey(df, "g", "v", k = 32).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min_hash"),
+          r.getAs[Long]("est_distinct"))).toMap
+    // relational replay: distinct hash per group, sort, take 32
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("__h"))
+    val rel = df.select(col("g"),
+        graft.functions.ColumnFns.md5Long(col("v")).as("__h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 32)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("kth"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kth"))).toMap
+    assert(native.keySet == rel.keySet)
+    rel.foreach { case (g, (n, kth)) =>
+      assert(native(g)._1 == n && native(g)._2 == kth,
+        s"group $g: native ${native(g)} != relational ($n, $kth)")
+    }
+  }
+
+  test("bottom-k union algebra: merged per-part sketches equal the direct per-group sketch") {
+    val df = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % 499}", i % 5))
+      .toDF("g", "v", "part")
+    val k = 16
+    // per-(group, part) sketches, exploded and re-merged per group
+    val merged = Sketches.kmvPerKeyReadOut(
+      df.select(col("g"), col("part"),
+          graft.functions.ColumnFns.md5Long(col("v")).as("__h"))
+        .groupBy(col("g"), col("part"))
+        .agg(Sketches.bottomK(col("__h"), k).as("__pbk"))
+        .select(col("g"), explode(col("__pbk")).as("__h"))
+        .groupBy(col("g")).agg(Sketches.bottomK(col("__h"), k).as("__bk")),
+      "g", "__bk", k).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    val direct = Sketches.kmvDistinctPerKey(df, "g", "v", k = k).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(merged == direct, s"$merged != $direct")
+  }
+
   // ---------------- CMS ----------------
 
   test("cms: estimate never under-counts and is exact for dominant keys") {

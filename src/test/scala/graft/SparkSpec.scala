@@ -9,6 +9,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      // engine default: object-hash aggregates (bottom-k sketch, uint256,
+      // percentile) keep tiny per-group buffers; the 128-group fallback
+      // would sort whole pair streams for no memory benefit
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
