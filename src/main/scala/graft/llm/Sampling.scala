@@ -251,6 +251,43 @@ object Sampling {
         col("__r.id").as(idCol))
   }
 
+  /** Per-STRATUM Efraimidis–Spirakis weighted sampling without
+    * replacement: k rows per stratum with inclusion probability
+    * proportional to `weight` — the "fixed-size weighted sample per
+    * domain/language/source" read a mixture pipeline takes before
+    * inspecting or re-weighting a corpus. Same deterministic integer
+    * `es_key` as [[weightedSampleNoReplacement]] (quantized −ln(u)/w,
+    * md5-derived u — engines agree bit-for-bit, replays are stable);
+    * the per-stratum top-k uses [[capPerStratum]]'s two-phase
+    * local-top-k / merge shape (each phase bounded by the PARTITION,
+    * exact for any skew), so a corpus-dominating stratum never funnels
+    * its rows through one `row_number` window task.
+    * Returns (stratum, rank, id, w, es_key), rank 1..k. */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String,
+                               strataCol: String, weight: Column,
+                               k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = greatest(md5Long(col(idCol).cast("string")), lit(1L)) // h=0 guard
+    val keyed = df.withColumn("w", weight.cast("long"))
+      .filter(col("w") > 0)
+      .withColumn("__nlu",
+        (-round(log(u.cast("double") / lit(1.152921504606846976e18)) * 1e6))
+          .cast("long"))
+      .withColumn("es_key", expr("__nlu * 1000000 div w"))
+    val rec = struct(col("es_key"), col(idCol).as("id"), col("w"))
+    keyed
+      .select(col(strataCol), rec.as("__rec"), spark_partition_id().as("__pid"))
+      .groupBy(col(strataCol), col("__pid"))
+      .agg(slice(sort_array(collect_list(col("__rec"))), 1, k).as("__local"))
+      .groupBy(col(strataCol))
+      .agg(slice(sort_array(flatten(collect_list(col("__local")))), 1, k)
+        .as("__top"))
+      .select(col(strataCol), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col(strataCol), (col("__pos") + 1).as("rank"),
+        col("__r.id").as(idCol), col("__r.w").as("w"),
+        col("__r.es_key").as("es_key"))
+  }
+
   /** Largest value whose ×1e6 micro-unit quantization fits a Long. Both
     * mixture builders multiply a per-stratum quantity by 1e6 before the
     * integer `div`; past this bound the product no longer fits 63 bits.

@@ -1951,6 +1951,29 @@ object LlmQueries {
              |SELECT doc_id, w, es_key FROM key
              |ORDER BY es_key, doc_id LIMIT 50""".stripMargin)),
 
+    // Per-stratum Efraimidis-Spirakis weighted reservoir: 5 docs per
+    // source, inclusion odds proportional to n_chars — same integer
+    // es_key as sample_weighted_noreplace, same skew-proof two-phase
+    // top-k shape as sample_domain_cap (never a per-stratum window
+    // sort). Oracle is the semantically identical row_number form.
+    Q("sample_stratified_reservoir", "LLM",
+      (s, d) => Sampling.weightedSamplePerStratum(
+          Tables(s, d, "documents"), "doc_id", "source", col("n_chars"), k = 5)
+        .orderBy("source", "rank"),
+      Some("""WITH h AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+             |         greatest(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), 1) AS hh
+             |       FROM documents WHERE n_chars > 0),
+             |key AS (SELECT source, doc_id, w,
+             |          (CAST(-round(ln(CAST(hh AS DOUBLE) / 1152921504606846976.0) * 1e6) AS BIGINT)
+             |           * 1000000) // w AS es_key
+             |        FROM h),
+             |rk AS (SELECT source, doc_id, w, es_key,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY es_key, doc_id) AS rank
+             |       FROM key)
+             |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, w, es_key
+             |FROM rk WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
     // Per-stratum cap (domain quota): at most 5 docs per source, the ones
     // with the lowest (hash, id) — exact top-N per key via two-phase
     // partial/merge aggregation, no per-stratum window sort (a dominant

@@ -314,6 +314,43 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming KMV (bottom-k / theta) distinct-count maintenance — the
+    * cardinality companion to [[maintainCms]]'s frequency tracking: per
+    * micro-batch, the batch's bottom-k md5 value set
+    * ([[graft.operators.Sketches.kmvValues]] — ≤ k rows) lands keyed by
+    * batchId through the idempotent PK upsert (a replayed batch rewrites
+    * ITS OWN values — kmvValues is deterministic in the batch content,
+    * so replay is exact), and the queryable sketch is the re-merged
+    * bottom-k over all batches ([[readKmvSketch]]): bottom-k of a union
+    * of per-batch bottom-k sets IS the bottom-k of the union (min is
+    * associative), so the merge-on-read estimate equals the sketch of
+    * the whole history. Total state: ≤ k rows per batch, independent of
+    * key cardinality. */
+  def maintainKmv(stream: DataFrame, tableDir: String, checkpointDir: String,
+                  keyCol: String, k: Int = 256, keyBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val vals = graft.operators.Sketches.kmvValues(batch.toDF(), keyCol, k)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("bk", lit(batchId % keyBuckets.toLong))
+        if (!vals.isEmpty)
+          graft.eth.Sinks.upsertBucketedParquet(vals, tableDir,
+            pkCols = Seq("batch_id", "__h"), bucketCol = "bk",
+            sortCols = Seq("__h"),
+            newBuckets = Some(Seq(batchId % keyBuckets.toLong)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Merge-on-read of [[maintainKmv]]'s per-batch value sets: re-take the
+    * bottom k of the union → the 1-row KMV estimate of every key ingested
+    * so far (exact when total distinct < k). */
+  def readKmvSketch(spark: org.apache.spark.sql.SparkSession,
+                    tableDir: String, k: Int = 256): DataFrame =
+    graft.operators.Sketches.kmvFromHashes(
+      spark.read.parquet(tableDir).select(col("__h")), k)
+
   /** Merge-on-read of [[maintainCms]]'s per-batch partials: cell-wise sum
     * -> the d×w sketch of everything ingested so far, ready for
     * [[graft.operators.Sketches.cmsEstimate]]. */

@@ -236,6 +236,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming KMV maintenance: merged estimate equals the one-shot sketch of all data") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_skmv").toString
+    val input = MemoryStream[String]
+    val query = StreamingOps.maintainKmv(
+      input.toDF().toDF("k"), s"$dir/kmv", s"$dir/ckpt", keyCol = "k", k = 64)
+    try {
+      val b1 = (1 to 600).map(i => s"u$i")
+      val b2 = (400 to 1000).map(i => s"u$i") // overlap: union algebra must dedup
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      val merged = StreamingOps.readKmvSketch(spark, s"$dir/kmv", k = 64)
+        .collect().head
+      val direct = graft.operators.Sketches.kmvDistinct(
+        (b1 ++ b2).toDF("k"), "k", k = 64).collect().head
+      // bottom-k of the per-batch bottom-k union IS the bottom-k of the
+      // union: the streamed sketch read-out matches one-shot bit-for-bit
+      assert(merged.getAs[Long]("kth_min_hash") == direct.getAs[Long]("kth_min_hash"))
+      assert(merged.getAs[Long]("est_distinct") == direct.getAs[Long]("est_distinct"))
+    } finally query.stop()
+  }
+
   test("streaming centroid maintenance: running means stay exact across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_scent").toString
