@@ -554,6 +554,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"1-row joins must broadcast:\n$p")
   }
 
+  test("reorg detection: boundary stitch rides a broadcast of the bucket summary, no cartesian") {
+    val p = plan("t6_reorg_detect")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-summary stitch must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"no corpus-shuffled or cartesian join in the continuity audit:\n$p")
+  }
+
+  test("two-hop sketch: native bottom-k aggregates (ObjectHashAggregate), no pair-level distinct") {
+    val p = plan("graph_two_hop_sketch")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bottom-k must run as the typed aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the exact form's pair-level expand/distinct must NOT appear: the
+    // union algebra merges per-mid sketches instead
+    assert(!p.contains("Expand"), s"no multi-distinct expand:\n$p")
+  }
+
   test("exact global ranks never funnel the corpus through one window task") {
     // GlobalRank.globalRowNumber replaced the partition-less
     // row_number().over(Window.orderBy(...)) in these three plans; the
