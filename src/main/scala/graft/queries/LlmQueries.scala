@@ -1577,6 +1577,42 @@ object LlmQueries {
              |  3 AS channels, 8 AS n_features
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Multimodal REAL decode: payloads are spec-conformant 24-bit BMPs
+    // synthesized from pixel FORMULAS (encodeBmp writes real headers,
+    // BGR bottom-up rows, 4-byte padding), parsed back by the pure-JVM
+    // decodeBmp, and the oracle verifies the decoded dimensions and
+    // EXACT per-channel pixel sums by evaluating the same formulas
+    // arithmetically — byte-level encode→decode round-trips through a
+    // real file format, value-checked cross-engine without the oracle
+    // touching a byte.
+    Q("multimodal_decode_bmp", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeBmp(w, h, (x, y) =>
+            (((x * 7 + y * 13 + m) % 256).toInt,
+              ((x * 3 + y * 5) % 256).toInt,
+              ((x + y * 2 + m * 11) % 256).toInt)), "image/bmp")
+        }
+        Multimodal.imageStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+             |sums AS (SELECT id, w, h,
+             |           sum((x * 7 + y * 13 + id) % 256) AS r_sum,
+             |           sum((x * 3 + y * 5) % 256) AS g_sum,
+             |           sum((x + y * 2 + id * 11) % 256) AS b_sum
+             |         FROM pix GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
+             |FROM sums ORDER BY media_id""".stripMargin)),
+
     // Time-series gap fill ("date scaffold"): per-user hourly spine via
     // sequence + explode, left join the real counts, zero-fill the gaps —
     // the resample primitive behind rate/SLA reporting. Spine cardinality

@@ -559,6 +559,55 @@ class LlmSpec extends SparkSpec {
     assert(packed == packed2)
   }
 
+  test("multimodal BMP codec: encode/decode round-trips exactly, incl. row padding") {
+    // w=9 → 27-byte rows padded to 28: the padding path must not leak
+    // pad bytes into the channel sums
+    val px = (x: Int, y: Int) => (x * 10 + y, 255 - x, (x * y) % 256)
+    val bytes = Multimodal.encodeBmp(9, 4, px)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    assert(bytes.length == 54 + 28 * 4)
+    val Some((w, h, sums)) = Multimodal.decodeBmp(bytes)
+    assert(w == 9 && h == 4)
+    val expect = for (x <- 0 until 9; y <- 0 until 4) yield px(x, y)
+    assert(sums(0) == expect.map(_._1 % 256).sum.toLong)
+    assert(sums(1) == expect.map(_._2 % 256).sum.toLong)
+    assert(sums(2) == expect.map(_._3 % 256).sum.toLong)
+  }
+
+  test("multimodal BMP codec: top-down (negative height) files decode; junk does not") {
+    val bytes = Multimodal.encodeBmp(5, 3, (x, y) => (x, y, x + y))
+    // flip to top-down: height field at offset 22, little-endian
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    val Some((w, h, sums)) = Multimodal.decodeBmp(bytes)
+    assert(w == 5 && h == 3 && sums(0) == 30L) // Σx over 5x3 grid = 10*3
+    assert(Multimodal.decodeBmp("not a bitmap at all, sorry".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp(bytes.take(40)).isEmpty) // truncated header
+    assert(Multimodal.decodeBmp(bytes.take(60)).isEmpty) // truncated pixels
+  }
+
+  test("multimodal PPM codec: round-trip with comment header; imageStats dispatches by magic") {
+    val px = (x: Int, y: Int) => (x + 1, y + 2, 7)
+    val ppm = Multimodal.encodePpm(4, 2, px)
+    val Some((w, h, sums)) = Multimodal.decodePpm(ppm)
+    assert(w == 4 && h == 2 && sums(2) == 7L * 8)
+    // netpbm comments between header tokens must be skipped
+    val commented = ("P6\n# a comment\n4 2\n# another\n255\n").getBytes("US-ASCII") ++
+      ppm.drop("P6\n4 2\n255\n".getBytes("US-ASCII").length)
+    assert(Multimodal.decodePpm(commented).contains((4, 2, sums)) ||
+      Multimodal.decodePpm(commented).exists(t => t._1 == 4 && t._2 == 2
+        && t._3.sameElements(sums)))
+    // mixed table: one BMP, one PPM, one garbage — stats keeps the two real ones
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(3, 3, (x, y) => (x, y, 1)), "image/bmp"),
+      Multimodal.MediaRecord(2L, ppm, "image/x-portable-pixmap"),
+      Multimodal.MediaRecord(3L, "plain text".getBytes, "text/plain")).toDS()
+    val out = Multimodal.imageStats(media).collect().map(s => s.media_id -> s).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).width == 3 && out(1L).n_pixels == 9L && out(1L).b_sum == 9L)
+    assert(out(2L).width == 4 && out(2L).height == 2)
+  }
+
   test("multimodal: empty payloads decode to zero features, not a crash") {
     val (w, h, c, f) = Multimodal.decodeStub(Array.empty[Byte])
     assert(f.toSeq == Seq.fill(8)(0.0f) && c == 3 && w == 16 && h == 16)
