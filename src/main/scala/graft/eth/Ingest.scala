@@ -265,7 +265,11 @@ object Ingest {
     * lag window PARTITIONED BY BUCKET; bucket-boundary predecessors from
     * a lag over the per-bucket (last id, last hash) SUMMARY —
     * n/bucketSize rows of bounded metadata through the one
-    * single-partition window — landed back by a broadcast join. */
+    * single-partition window — landed back by a broadcast join. The
+    * summary is n/bucketSize rows (~20k for the 20M-block Ethereum
+    * chain — trivially broadcastable); for a hypothetical 1e10-block
+    * store raise `bucketSize` so the summary stays metadata-sized, the
+    * same knob [[ingestGaps]] documents. */
   def detectReorgs(blocks: DataFrame, blockIdCol: String = "block_id",
                    hashCol: String = "block_hash",
                    parentCol: String = "parent_hash",

@@ -406,4 +406,37 @@ class PropertiesSpec extends SparkSpec {
     assert(rows(graft.operators.Graph.personalizedPagerank(edges, seeds, iters = 3)) ==
       rows(graft.operators.Graph.personalizedPagerank(edges.repartition(7), seeds, iters = 3)))
   }
+
+  test("globalRowNumber equals the single-task row_number for arbitrary data and partitionings") {
+    // one batched frame: 2k rows with heavy value ties so the tiebreak
+    // and the range-boundary tie colocating both get exercised
+    val df = (1 to 2000).map(i => (i.toLong, (i * 37 % 23).toLong))
+      .toDF("id", "v")
+    def ranked(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.GlobalRank.globalRowNumber(d, Seq(col("v"), col("id")), "rn")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    val expect = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(ranked(df) == expect)
+    assert(ranked(df.repartition(17)) == expect) // physical layout must not matter
+  }
+
+  test("KmvBottomK equals sorted-distinct-take-k for arbitrary long multisets") {
+    val rows = (1 to 3000).map(i =>
+      (s"g${i % 4}", ((i * 2654435761L) % 500) & 0x0FFFFFFFFFFFFFFFL))
+    val df = rows.toDF("g", "h")
+    val got = df.groupBy(col("g"))
+      .agg(graft.operators.Sketches.bottomK(col("h"), 24).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val expect = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(_._2).distinct.sorted.take(24).toSeq
+    }
+    assert(got == expect)
+    // merge path: pre-partitioned partials re-merge to the same bottom-k
+    val merged = df.repartition(11).groupBy(col("g"))
+      .agg(graft.operators.Sketches.bottomK(col("h"), 24).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(merged == expect)
+  }
 }
