@@ -886,6 +886,146 @@ object Similarity {
     * radius search use the LSH-bucketed near-dup path
     * ([[graft.llm.Dedup.embeddingNearDupPairs]]), which is this operator
     * with candidate generation replacing the broadcast. */
+  /** Top principal direction of the uncentered Gram matrix XᵀX by
+    * distributed power iteration — the 1-D PCA/SVD primitive behind
+    * embedding whitening, ABTT post-processing, and drift monitoring
+    * (is one direction swallowing the space?).
+    *
+    * Each round is two passes, both map-side combined:
+    *   1. per-row score `s_i = ⟨m_i, v⟩` against the broadcast direction
+    *      (a codegen-friendly integer fold — no shuffle);
+    *   2. the matrix-vector product `w = Σ m_i·s_i` via the
+    *      transpose-aggregate shape (`posexplode` → partial sums on pos),
+    *      so shuffle cardinality is `dim`, never |vectors|.
+    * Between rounds the direction renormalizes onto the ±1e6 integer grid
+    * by its max-|component| (a 1-row broadcast), so every round is
+    * bit-deterministic: vectors ride the milli grid, per-dimension sums
+    * ride DECIMAL(38,0) (Σ m·s reaches ~3e18 at sf0.1 and would wrap Long
+    * at corpus scale), and the only divisions are sign-handled truncating
+    * integer divides. `v₀` = all-ones (micro grid): deterministic, and
+    * never orthogonal to the leading direction of real embedding clouds.
+    * Returns one row per dimension: (pos, v_micro). */
+  def powerIteration(df: DataFrame, rounds: Int = 2,
+                     vecCol: String = "embedding"): DataFrame = {
+    val m = df.select(milliVec(vecCol).as("__m"))
+    var v: DataFrame = null // (pos, vm) — the current direction estimate
+    for (_ <- 0 until rounds) {
+      val scored =
+        if (v == null)
+          m.withColumn("__s", expr(
+            "aggregate(__m, cast(0 as bigint), (acc, x) -> acc + x * 1000000)"))
+        else {
+          val packed = v.groupBy().agg(expr(
+            "transform(array_sort(collect_list(struct(pos, vm))), s -> s.vm)")
+            .as("__v"))
+          m.crossJoin(broadcast(packed))
+            .withColumn("__s", expr(
+              """aggregate(zip_with(__m, __v, (a, b) -> a * b),
+                |          cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        }
+      val w = scored
+        .select(posexplode(col("__m")).as(Seq("__p0", "__md")), col("__s"))
+        .select((col("__p0") + 1).cast("int").as("pos"),
+          (col("__md").cast("decimal(38,0)") * col("__s")).as("__wc"))
+        .groupBy(col("pos")).agg(sum(col("__wc")).as("__w"))
+      val mx = w.agg(max(abs(col("__w"))).as("__mx"))
+      v = w.crossJoin(broadcast(mx)).select(col("pos"), expr(
+        """CASE WHEN __mx = 0 THEN cast(0 as bigint)
+          |     WHEN __w < 0 THEN cast(-((-__w * 1000000) div __mx) as bigint)
+          |     ELSE cast((__w * 1000000) div __mx as bigint) END""".stripMargin)
+        .as("vm"))
+    }
+    v.select(col("pos"), col("vm").as("v_micro")).orderBy("pos")
+  }
+
+  /** Per-dimension standardization (z-scoring) of an embedding column —
+    * the whitening step ahead of PCA/clustering, in its exact distributed
+    * form: one stats pass (micro-grid moments per dimension, map-side
+    * combined, shuffle cardinality = dim), then the transform joins each
+    * row against the `dim`-row broadcast stats table. `probe` bounds the
+    * *emitted* slice (the audit read-out); the stats always cover the full
+    * input, and at 100 TB the same plan re-emits every row by widening
+    * the probe.
+    *
+    * Exactness discipline: moments ride DECIMAL(38,0) (Σ mv² reaches
+    * ~1e16 at sf0.1 and n·Q wraps Long well before corpus scale); the
+    * z-score is `(n·x − S)·1e6 / floor(sqrt(n·Q − S²))` — numerator fully
+    * integer, the single sqrt is IEEE-exact on both engines (the
+    * bigint→double conversion and sqrt are each correctly rounded), and
+    * floor + sign-handled truncating div leave no rounding-mode ties.
+    * Returns (id, pos, z_micro, mean_micro, sigma_micro). */
+  def standardize(df: DataFrame, probe: Column, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val e = df.select(col(idCol),
+        posexplode(microVec(vecCol)).as(Seq("__p0", "__mv")))
+      .select(col(idCol), (col("__p0") + 1).cast("int").as("pos"), col("__mv"))
+    val stats = e.groupBy(col("pos")).agg(
+        count(lit(1)).as("__n"),
+        sum(col("__mv").cast("decimal(38,0)")).as("__sd"),
+        sum(col("__mv").cast("decimal(38,0)") * col("__mv")).as("__qd"))
+      .withColumn("__den",
+        floor(sqrt((col("__n") * col("__qd") - col("__sd") * col("__sd"))
+          .cast("double"))).cast("decimal(38,0)"))
+    e.filter(probe)
+      .join(broadcast(stats), "pos")
+      .withColumn("z_micro", expr(
+        """CASE WHEN __den = 0 THEN cast(0 as bigint)
+          |     WHEN (cast(__n as decimal(38,0)) * __mv - __sd) < 0
+          |       THEN cast(-((-(cast(__n as decimal(38,0)) * __mv - __sd) * 1000000)
+          |                   div __den) as bigint)
+          |     ELSE cast(((cast(__n as decimal(38,0)) * __mv - __sd) * 1000000)
+          |               div __den as bigint)
+          |END""".stripMargin))
+      .withColumn("mean_micro", expr(
+        """CASE WHEN __sd < 0 THEN cast(-((-__sd) div __n) as bigint)
+          |     ELSE cast(__sd div __n as bigint) END""".stripMargin))
+      .withColumn("sigma_micro", expr("cast(__den div __n as bigint)"))
+      .select(col(idCol), col("pos"), col("z_micro"), col("mean_micro"),
+        col("sigma_micro"))
+  }
+
+  /** Greedy k-center selection (Gonzalez 1985) — the classic 2-approx
+    * diversity coreset: start from the min-id vector, then repeatedly take
+    * the point FARTHEST from every center chosen so far. The
+    * facility-location complement of per-cell quota sampling
+    * ([[ivfAssign]] + cap): quota sampling balances, k-center *covers* —
+    * the selected set's max-min distance bounds every point's distance to
+    * its nearest representative within 2× of optimal.
+    *
+    * Scale shape: each of the k−1 rounds is ONE map pass — the chosen set
+    * (≤ k rows) broadcasts as a packed array, per-row `dmin` is an
+    * `array_min` over integer squared-L2 folds (milli grid: exact,
+    * order-independent), and the global argmax is an `orderBy.limit(1)`
+    * top-1 (per-partition heaps). No collect, no corpus shuffle; the loop
+    * composes plans, k is small by construction (a coreset seed set).
+    * Ties at equal distance break to the smaller id on both engines.
+    * Returns (round, id, d2_at_pick) — d2 in squared milli units against
+    * the centers chosen BEFORE that round. */
+  def kcenterGreedy(df: DataFrame, k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val m = df.select(col(idCol).as("vid"), milliVec(vecCol).as("__m"))
+    var chosen = m.orderBy(col("vid")).limit(1)
+      .select(col("vid").as("cid"), col("__m").as("__cm"),
+        lit(1L).as("round"), lit(0L).as("d2_at_pick"))
+    for (r <- 2 to k) {
+      val packed = chosen.groupBy()
+        .agg(collect_list(struct(col("cid"), col("__cm"))).as("__cs"))
+      val next = m.crossJoin(broadcast(packed))
+        .withColumn("__dmin", expr(
+          """array_min(transform(__cs, c ->
+            |  aggregate(zip_with(__m, c.__cm, (a, b) -> (a - b) * (a - b)),
+            |            cast(0 as bigint), (s, x) -> s + x)))""".stripMargin))
+        .orderBy(col("__dmin").desc, col("vid"))
+        .limit(1)
+        .select(col("vid").as("cid"), col("__m").as("__cm"),
+          lit(r.toLong).as("round"), col("__dmin").as("d2_at_pick"))
+      chosen = chosen.union(next)
+    }
+    chosen.select(col("round"), col("cid").as(idCol), col("d2_at_pick"))
+      .orderBy("round")
+  }
+
   def rangeSearch(corpus: DataFrame, queries: DataFrame, radius: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {

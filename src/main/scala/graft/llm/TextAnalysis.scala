@@ -817,4 +817,73 @@ object TextAnalysis {
     syms.groupBy(col("s")).agg(sum(col("freq")).as("n_occurrences"))
       .select(col("s").as("token"), col("n_occurrences"))
   }
+
+  /** Per-document lexical diversity: type-token ratio and hapax share —
+    * the vocabulary-richness quality features (template spam and keyword
+    * stuffing crater TTR; natural prose keeps a fat hapax tail). One
+    * explode + two hash aggregates, both map-side combined; ratios are
+    * truncating integer milli (numerators are nonnegative, no sign
+    * handling needed). Returns (id, n_tokens, n_types, n_hapax,
+    * ttr_milli, hapax_milli). */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_milli", expr("n_types * 1000 div n_tokens"))
+      .withColumn("hapax_milli", expr("n_hapax * 1000 div n_types"))
+
+  /** Zipf-law fit over the corpus token-frequency curve: OLS of
+    * ln(frequency) against ln(rank) over the top-`topN` tokens — the
+    * one-number lexical-health audit (natural corpora sit near slope −1;
+    * boilerplate floods and template spam bend it).
+    *
+    * Scale shape: the token count is ONE map-side-combined aggregate over
+    * the corpus; the global top-N is an `orderBy.limit` top-k (per-partition
+    * heaps, no full sort), and everything after runs on `topN` rows — the
+    * rank window is bounded by construction, never corpus-sized.
+    *
+    * Exactness discipline: ln values are micro-quantized PER POINT before
+    * any summation (double accumulation order would be nondeterministic),
+    * the OLS moments ride DECIMAL(38,0), and slope/intercept come out of
+    * sign-handled truncating divides — the intercept reuses the already
+    * truncated slope so both engines round identically. Returns one row:
+    * (n_points, slope_micro, intercept_micro). */
+  def zipfFit(df: DataFrame, textCol: String = "text",
+              topN: Int = 100): DataFrame = {
+    val top = df.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(topN)
+    val pts = top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("tf").desc, col("term"))))
+      .select(round(log(col("rank").cast("double")) * 1000000d)
+          .cast("long").as("xq"),
+        round(log(col("tf").cast("double")) * 1000000d)
+          .cast("long").as("yq"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("xq")).as("__sx"), sum(col("yq")).as("__sy"),
+        sum(col("xq").cast("decimal(38,0)") * col("xq")).as("__sxx"),
+        sum(col("xq").cast("decimal(38,0)") * col("yq")).as("__sxy"))
+      .withColumn("__num",
+        col("n_points") * col("__sxy") -
+          col("__sx").cast("decimal(38,0)") * col("__sy"))
+      .withColumn("__den",
+        col("n_points") * col("__sxx") -
+          col("__sx").cast("decimal(38,0)") * col("__sx"))
+      .withColumn("slope_micro", expr(
+        """CASE WHEN __den = 0 THEN cast(0 as bigint)
+          |     WHEN __num < 0 THEN cast(-((-__num * 1000000) div __den) as bigint)
+          |     ELSE cast((__num * 1000000) div __den as bigint) END""".stripMargin))
+      .withColumn("__inum",
+        col("__sy").cast("decimal(38,0)") * 1000000L -
+          col("slope_micro").cast("decimal(38,0)") * col("__sx"))
+      .withColumn("intercept_micro", expr(
+        """CASE WHEN __inum < 0
+          |       THEN cast(-((-__inum) div (n_points * 1000000)) as bigint)
+          |     ELSE cast(__inum div (n_points * 1000000) as bigint) END""".stripMargin))
+      .select(col("n_points"), col("slope_micro"), col("intercept_micro"))
+  }
 }

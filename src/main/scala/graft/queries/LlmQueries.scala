@@ -1493,6 +1493,61 @@ object LlmQueries {
              |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob
              |FROM toks JOIN p USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Per-document lexical diversity (type-token ratio + hapax share):
+    // vocabulary-richness quality features; one explode + two map-side
+    // hash aggregates, truncating integer milli ratios.
+    Q("text_lexical_diversity", "LLM",
+      (s, d) => TextAnalysis.lexicalDiversity(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+             |       FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+             |             FROM documents) GROUP BY 1, 2),
+             |a AS (SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_types,
+             |        sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS n_hapax
+             |      FROM tf GROUP BY 1)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  CAST(n_hapax AS BIGINT) AS n_hapax,
+             |  CAST(n_types * 1000 // n_tokens AS BIGINT) AS ttr_milli,
+             |  CAST(n_hapax * 1000 // n_types AS BIGINT) AS hapax_milli
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // Zipf-law fit of the token-frequency curve (OLS of ln f vs ln rank
+    // over the top 100 tokens): the lexical-health audit — natural corpora
+    // sit near slope −1, template spam bends it. One corpus aggregate +
+    // bounded top-k; per-point micro-quantized lns, integer OLS moments.
+    Q("text_zipf_fit", "LLM",
+      (s, d) => TextAnalysis.zipfFit(Tables(s, d, "documents"), topN = 100),
+      Some("""WITH toks AS (SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+             |c AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+             |top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 100),
+             |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM top),
+             |p AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS xq,
+             |             CAST(round(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+             |      FROM r),
+             |a AS (SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+             |        sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+             |        sum(CAST(xq AS HUGEINT) * yq) AS sxy
+             |      FROM p),
+             |m AS (SELECT n, sx, sy,
+             |        n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+             |        n * sxx - CAST(sx AS HUGEINT) * sx AS den
+             |      FROM a),
+             |sl AS (SELECT n, sx, sy,
+             |         CASE WHEN den = 0 THEN 0
+             |              WHEN num < 0 THEN -((-num * 1000000) // den)
+             |              ELSE (num * 1000000) // den END AS slope_micro
+             |       FROM m),
+             |i AS (SELECT n, slope_micro,
+             |        CAST(sy AS HUGEINT) * 1000000 - CAST(slope_micro AS HUGEINT) * sx AS inum
+             |      FROM sl)
+             |SELECT CAST(n AS BIGINT) AS n_points,
+             |  CAST(slope_micro AS BIGINT) AS slope_micro,
+             |  CAST(CASE WHEN inum < 0 THEN -((-inum) // (n * 1000000))
+             |            ELSE inum // (n * 1000000) END AS BIGINT) AS intercept_micro
+             |FROM i""".stripMargin)),
+
     // Rolling-hash document fingerprint.
     Q("text_fingerprint", "LLM",
       (s, d) => TextAnalysis.fingerprints(Tables(s, d, "documents"), "doc_id", "text")
@@ -2133,6 +2188,100 @@ object LlmQueries {
              |                        ELSE list_max(list_transform(range(1, 65), i ->
              |                               abs(qs[i] * scale - CAST(e[i] AS DOUBLE)))) END) * 1000000000) AS BIGINT) AS err_nano
              |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Top principal direction by 2-round distributed power iteration
+    // (uncentered 1-D PCA): per-round one broadcast-dot map pass + one
+    // transpose-aggregate (shuffle cardinality = dim), renormalized onto
+    // the ±1e6 integer grid between rounds. The oracle unrolls the same
+    // two rounds on the same grid in SQL.
+    Q("emb_pca_power", "LLM",
+      (s, d) => Similarity.powerIteration(Tables(s, d, "embeddings"), rounds = 2),
+      Some {
+        def round_(sIn: String, wOut: String, vOut: String) =
+          s"""w$wOut AS (SELECT p.i AS pos, sum(CAST(m[p.i] AS HUGEINT) * s) AS w
+             |       FROM $sIn, (SELECT unnest(range(1, 65)) AS i) p GROUP BY 1),
+             |x$wOut AS (SELECT max(abs(w)) AS mx FROM w$wOut),
+             |$vOut AS (SELECT pos,
+             |        CASE WHEN mx = 0 THEN 0
+             |             WHEN w < 0 THEN -((-w * 1000000) // mx)
+             |             ELSE (w * 1000000) // mx END AS vm
+             |      FROM w$wOut, x$wOut)""".stripMargin
+        s"""WITH m AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+           |       FROM embeddings),
+           |s1 AS (SELECT m, list_sum(list_transform(m, x -> x * 1000000)) AS s FROM m),
+           |${round_("s1", "1", "v1")},
+           |vl AS (SELECT list(vm ORDER BY pos) AS v FROM v1),
+           |s2 AS (SELECT m, list_sum(list_transform(range(1, 65), j -> m[j] * v[j])) AS s
+           |       FROM m, vl),
+           |${round_("s2", "2", "v2")}
+           |SELECT CAST(pos AS INTEGER) AS pos, CAST(vm AS BIGINT) AS v_micro
+           |FROM v2 ORDER BY pos""".stripMargin
+      }),
+
+    // Per-dimension standardization (whitening): one micro-grid moments
+    // pass over the full corpus (DECIMAL(38,0) — n·Q wraps Long before
+    // corpus scale), z-transform against the dim-row broadcast stats; the
+    // emitted slice is the bounded audit probe, the stats cover everything.
+    Q("emb_standardize", "LLM",
+      (s, d) => Similarity.standardize(Tables(s, d, "embeddings"),
+          probe = col("vec_id") < 8)
+        .orderBy("vec_id", "pos"),
+      Some("""WITH e AS (SELECT vec_id, p.i AS pos,
+             |         CAST(round(CAST(embedding[p.i] AS DOUBLE) * 1000000) AS BIGINT) AS mv
+             |       FROM embeddings, (SELECT unnest(range(1, 65)) AS i) p),
+             |st AS (SELECT pos, count(*) AS n, sum(CAST(mv AS HUGEINT)) AS s,
+             |         sum(CAST(mv AS HUGEINT) * mv) AS q
+             |       FROM e GROUP BY 1),
+             |d AS (SELECT pos, n, s,
+             |        CAST(floor(sqrt(CAST(n * q - s * s AS DOUBLE))) AS HUGEINT) AS den
+             |      FROM st)
+             |SELECT e.vec_id, CAST(e.pos AS INTEGER) AS pos,
+             |  CAST(CASE WHEN den = 0 THEN 0
+             |            WHEN (n * e.mv - s) < 0 THEN -((-(n * e.mv - s) * 1000000) // den)
+             |            ELSE ((n * e.mv - s) * 1000000) // den END AS BIGINT) AS z_micro,
+             |  CAST(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS BIGINT) AS mean_micro,
+             |  CAST(den // n AS BIGINT) AS sigma_micro
+             |FROM e JOIN d USING (pos) WHERE e.vec_id < 8
+             |ORDER BY vec_id, pos""".stripMargin)),
+
+    // Greedy k-center coreset (Gonzalez 2-approx): 4 rounds of
+    // broadcast-fold dmin + global top-1 — max-min-distance coverage
+    // sampling, the diversity complement of per-cell quotas. The oracle
+    // unrolls the identical rounds with least()-folded running dmin.
+    Q("sample_kcenter", "LLM",
+      (s, d) => Similarity.kcenterGreedy(Tables(s, d, "embeddings"), k = 4),
+      Some {
+        def d2(a: String, b: String) =
+          s"list_sum(list_transform(range(1, 65), j -> ($a.m[j] - $b.m[j]) * ($a.m[j] - $b.m[j])))"
+        val rounds = (2 to 4).map { r =>
+          val (prev, c) = (s"d${r - 1}", s"c$r")
+          val upd =
+            if (r == 2)
+              s"""d1 AS (SELECT m.vec_id, m.m, ${d2("m", "c1")} AS dmin FROM m, c1),
+                 |c2 AS (SELECT vec_id, m, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+            else {
+              val dp = s"d${r - 2}"
+              val dn = s"d${r - 1}"
+              val cp = s"c${r - 1}"
+              s"""$dn AS (SELECT $dp.vec_id, $dp.m, least($dp.dmin, ${d2(dp, cp)}) AS dmin
+                 |      FROM $dp, $cp),
+                 |$c AS (SELECT vec_id, m, dmin FROM $dn ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+            }
+          upd
+        }.mkString(",\n")
+        s"""WITH m AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+           |       FROM embeddings),
+           |c1 AS (SELECT vec_id, m FROM m ORDER BY vec_id LIMIT 1),
+           |$rounds
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS round, vec_id, CAST(0 AS BIGINT) AS d2_at_pick FROM c1
+           |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM c2
+           |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM c3
+           |  UNION ALL SELECT CAST(4 AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM c4)
+           |ORDER BY round""".stripMargin
+      }),
 
     // Matryoshka prefix truncation (MRL): the first 16 of 64 dims as a
     // usable lower-dim embedding, in integer micro-units, plus the
@@ -2815,6 +2964,116 @@ object LlmQueries {
              |  CAST(duration_s AS BIGINT) AS duration_s,
              |  CAST(CASE WHEN duration_s = 0 THEN v1 ELSE num // (2 * duration_s) END AS BIGINT) AS twa_micro
              |FROM a ORDER BY user_id""".stripMargin)),
+
+    // Lag-k autocorrelation of the daily event-rate series (k = 1, 7 —
+    // day-over-day persistence and the weekly seasonality read-out):
+    // r_k = Σ dev_t·dev_{t+k} / Σ dev_t² with dev scaled by N (division-
+    // free: dev_t = N·c_t − Σc stays integer-exact, same trick as CUSUM).
+    // One daily aggregate (map-side combined); the lead() windows ride the
+    // days-sized spine only. DECIMAL(38,0) products, one sign-handled
+    // truncating divide per lag.
+    Q("event_autocorr", "EVENT",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+        val tot = daily.agg(count(lit(1)).as("__nd"), sum(col("c")).as("__sc"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        val dev = daily.crossJoin(broadcast(tot))
+          .withColumn("__dev",
+            (col("c") * col("__nd") - col("__sc")).cast("decimal(38,0)"))
+          .withColumn("__d1", lead(col("__dev"), 1).over(w))
+          .withColumn("__d7", lead(col("__dev"), 7).over(w))
+        dev.agg(
+            sum(col("__dev") * col("__dev")).as("den"),
+            sum(when(col("__d1").isNotNull, col("__dev") * col("__d1")))
+              .as("n1"),
+            count(col("__d1")).as("c1"),
+            sum(when(col("__d7").isNotNull, col("__dev") * col("__d7")))
+              .as("n7"),
+            count(col("__d7")).as("c7"))
+          .select(explode(array(
+            struct(lit(1L).as("lag"), col("c1").as("n_terms"),
+              col("n1").as("num"), col("den")),
+            struct(lit(7L).as("lag"), col("c7").as("n_terms"),
+              col("n7").as("num"), col("den")))).as("__r"))
+          .select(col("__r.lag").as("lag"), col("__r.n_terms").as("n_terms"),
+            expr("""CASE WHEN __r.den = 0 OR __r.num IS NULL THEN cast(0 as bigint)
+                   |     WHEN __r.num < 0
+                   |       THEN cast(-((-__r.num * 1000000) div __r.den) as bigint)
+                   |     ELSE cast((__r.num * 1000000) div __r.den as bigint)
+                   |END""".stripMargin).as("r_micro"))
+          .orderBy("lag")
+      },
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+             |       FROM events GROUP BY 1),
+             |t AS (SELECT count(*) AS nd, sum(c) AS sc FROM daily),
+             |dv AS (SELECT CAST(c * nd - sc AS HUGEINT) AS dev,
+             |         lead(CAST(c * nd - sc AS HUGEINT), 1) OVER (ORDER BY day) AS d1,
+             |         lead(CAST(c * nd - sc AS HUGEINT), 7) OVER (ORDER BY day) AS d7
+             |       FROM daily, t),
+             |a AS (SELECT sum(dev * dev) AS den,
+             |        sum(CASE WHEN d1 IS NOT NULL THEN dev * d1 END) AS n1, count(d1) AS c1,
+             |        sum(CASE WHEN d7 IS NOT NULL THEN dev * d7 END) AS n7, count(d7) AS c7
+             |      FROM dv)
+             |SELECT lag, n_terms, r_micro FROM (
+             |  SELECT CAST(1 AS BIGINT) AS lag, CAST(c1 AS BIGINT) AS n_terms,
+             |    CAST(CASE WHEN den = 0 OR n1 IS NULL THEN 0
+             |              WHEN n1 < 0 THEN -((-n1 * 1000000) // den)
+             |              ELSE (n1 * 1000000) // den END AS BIGINT) AS r_micro
+             |  FROM a
+             |  UNION ALL
+             |  SELECT CAST(7 AS BIGINT), CAST(c7 AS BIGINT),
+             |    CAST(CASE WHEN den = 0 OR n7 IS NULL THEN 0
+             |              WHEN n7 < 0 THEN -((-n7 * 1000000) // den)
+             |              ELSE (n7 * 1000000) // den END AS BIGINT)
+             |  FROM a)
+             |ORDER BY lag""".stripMargin)),
+
+    // Benford first-digit audit of the value column — the classic
+    // fabricated-data / unit-mixup screen (organic multiplicative values
+    // follow P(d) = log10(1+1/d); synthetic or truncated feeds don't).
+    // First digit via decimal-string head (log10+floor would be
+    // ulp-fragile at exact powers of ten); the expected shares are
+    // builder-computed micro literals inlined into BOTH engines, so
+    // neither engine's log10 is on the hash path. One hash aggregate +
+    // one 1-row broadcast.
+    Q("event_benford", "EVENT",
+      (s, d) => {
+        val expected = (1 to 9).map(dg =>
+          struct(lit(dg).as("digit"),
+            lit(math.round(math.log10(1.0 + 1.0 / dg) * 1000000)).as("expected_micro")))
+        val cnt = Tables(s, d, "events")
+          .select(abs(round(col("value") * 1000000).cast("long")).as("__av"))
+          .filter(col("__av") > 0)
+          .select(substring(col("__av").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val tot = cnt.agg(sum(col("n_obs")).as("__n"))
+        val exp_ = cnt.sparkSession.range(1)
+          .select(explode(array(expected: _*)).as("__e"))
+          .select(col("__e.digit").as("digit"), col("__e.expected_micro"))
+        cnt.join(broadcast(exp_), "digit").crossJoin(broadcast(tot))
+          .withColumn("share_micro", expr("n_obs * 1000000 div __n"))
+          .withColumn("dev_micro", col("share_micro") - col("expected_micro"))
+          .select(col("digit"), col("n_obs"), col("expected_micro"),
+            col("share_micro"), col("dev_micro"))
+          .orderBy("digit")
+      },
+      Some {
+        val vals = (1 to 9).map(dg =>
+          s"($dg, ${math.round(math.log10(1.0 + 1.0 / dg) * 1000000)})").mkString(", ")
+        s"""WITH v AS (SELECT CAST(abs(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS av
+           |       FROM events),
+           |dg AS (SELECT CAST(substring(CAST(av AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |       FROM v WHERE av > 0),
+           |c AS (SELECT digit, count(*) AS n_obs FROM dg GROUP BY 1),
+           |t AS (SELECT sum(n_obs) AS n FROM c),
+           |e(digit, expected_micro) AS (VALUES $vals)
+           |SELECT c.digit, CAST(n_obs AS BIGINT) AS n_obs,
+           |  CAST(expected_micro AS BIGINT) AS expected_micro,
+           |  CAST(n_obs * 1000000 // n AS BIGINT) AS share_micro,
+           |  CAST(n_obs * 1000000 // n - expected_micro AS BIGINT) AS dev_micro
+           |FROM c JOIN e USING (digit), t ORDER BY digit""".stripMargin
+      }),
 
     // Winsorization of the event value at exact [P1, P99]: robust tail
     // clamping where every row must survive (the complement of the

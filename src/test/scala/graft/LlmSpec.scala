@@ -1205,4 +1205,73 @@ class LlmSpec extends SparkSpec {
       .select($"token".as[String], $"n_occurrences".as[Long]).collect().toMap
     assert(th == Map("th" -> 3L))
   }
+
+  test("power iteration: recovers a dominant axis at full micro magnitude") {
+    // cloud hugging +x: the top singular direction is ~(1, eps). After
+    // renormalization the lead component must sit at exactly +-1e6 and the
+    // cross component near zero.
+    val cloud = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.9f, -0.04f)),
+      (2L, Array(1.1f, 0.02f)), (3L, Array(0.95f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val v = Similarity.powerIteration(cloud, rounds = 2).collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("v_micro")).toMap
+    assert(v(1) == 1000000L)
+    assert(math.abs(v(2)) < 50000L)
+  }
+
+  test("standardize: hand-checked z-scores; zero-variance dim yields z=0") {
+    // dim1: values 1.0 and 3.0 -> mean 2.0, sigma 1.0, z = -1, +1.
+    // dim2: constant -> den 0 -> z 0, sigma 0.
+    val df = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(3.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardize(df, probe = lit(true)).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("pos")) ->
+        (r.getAs[Long]("z_micro"), r.getAs[Long]("mean_micro"),
+          r.getAs[Long]("sigma_micro"))).toMap
+    assert(out((0L, 1)) == ((-1000000L, 2000000L, 1000000L)))
+    assert(out((1L, 1)) == ((1000000L, 2000000L, 1000000L)))
+    assert(out((0L, 2)) == ((0L, 2000000L, 0L)))
+  }
+
+  test("k-center greedy: picks the farthest point each round, min-id ties") {
+    // line of points at x = 0, 1, 10: seed = id 0 (min id), round 2 takes
+    // x=10 (farthest), round 3 takes x=1 (dmin 1e6 vs the two ends).
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kcenterGreedy(pts, k = 3).collect()
+      .map(r => r.getAs[Long]("round") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Long]("d2_at_pick"))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((2L, 100000000L)))  // (10*1000)^2
+    assert(out(3L) == ((1L, 1000000L)))    // min(1, 81)e6 squared-milli
+  }
+
+  test("lexical diversity: hand-counted TTR and hapax share") {
+    // "a a b c": 4 tokens, 3 types, 2 hapax -> ttr 750, hapax 666.
+    val out = TextAnalysis.lexicalDiversity(
+      Seq((0L, "a a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_tokens") == 4L)
+    assert(out.getAs[Long]("n_types") == 3L)
+    assert(out.getAs[Long]("n_hapax") == 2L)
+    assert(out.getAs[Long]("ttr_milli") == 750L)
+    assert(out.getAs[Long]("hapax_milli") == 666L)
+  }
+
+  test("zipf fit: an exact power-law corpus fits slope -1") {
+    // frequencies 12/rank: "a" x12, "b" x6, "c" x4, "d" x3.
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = TextAnalysis.zipfFit(Seq((0L, text)).toDF("doc_id", "text"),
+      topN = 4).collect().head
+    assert(r.getAs[Long]("n_points") == 4L)
+    val slope = r.getAs[Long]("slope_micro")
+    assert(slope > -1000010L && slope < -999990L, s"slope_micro=$slope")
+    val icept = r.getAs[Long]("intercept_micro")
+    // intercept = ln 12 ~ 2.4849
+    assert(math.abs(icept - 2484906L) < 10L, s"intercept_micro=$icept")
+  }
 }
