@@ -595,4 +595,33 @@ class PlanSpec extends SparkSpec {
       }
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("power iteration: direction rides broadcasts, corpus never shuffle-joins") {
+    val p = plan("emb_pca_power")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the dim-row direction and 1-row max must broadcast:\n$p")
+    // the transpose-aggregate must partial-aggregate map-side
+    assert(p.contains("partial_") || p.split("HashAggregate").length > 2,
+      s"expected partial+final aggregate for the pos sums:\n$p")
+  }
+
+  test("standardize: dim-row stats meet the corpus by broadcast hash join") {
+    val p = plan("emb_standardize")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
+  }
+
+  test("k-center: every round's argmax is a top-1 heap, chosen set broadcasts") {
+    val p = plan("sample_kcenter")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-1 for the farthest-point pick:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"chosen-set pack must broadcast:\n$p")
+  }
+
+  test("zipf fit: the global top-k is a heap, not a full corpus sort") {
+    val p = plan("text_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected top-k for the frequency head:\n$p")
+  }
 }
