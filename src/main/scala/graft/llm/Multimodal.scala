@@ -213,6 +213,91 @@ object Multimodal {
     Some((width, height, Array(rSum, gSum, bSum)))
   }
 
+  /** Parse a 24-bit BMP to the full grayscale image in IMAGE coordinates
+    * (row-major, y=0 at the top): gray = (r+g+b)/3 truncating. Undoes the
+    * file's bottom-up row order (positive height) so hashes are
+    * orientation-independent; top-down (negative height) reads straight
+    * through. None on non-conformant payloads, like [[decodeBmp]]. */
+  def decodeBmpGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = b.getInt(10)
+    val hdrSize = b.getInt(14)
+    val width = b.getInt(18)
+    val rawHeight = b.getInt(22)
+    if (hdrSize < 40 || b.getShort(26) != 1 || b.getShort(28) != 24 ||
+      b.getInt(30) != 0) return None
+    if (width <= 0 || rawHeight == 0 || off < 54) return None
+    val height = math.abs(rawHeight)
+    val rowSize = (width * 3 + 3) / 4 * 4
+    if (off.toLong + rowSize.toLong * height > payload.length) return None
+    val gray = new Array[Int](width * height)
+    var row = 0
+    while (row < height) {
+      val y = if (rawHeight > 0) height - 1 - row else row
+      var p = off + row * rowSize
+      var x = 0
+      while (x < width) {
+        gray(y * width + x) = ((payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+          (payload(p + 2) & 0xff)) / 3
+        p += 3; x += 1
+      }
+      row += 1
+    }
+    Some((width, height, gray))
+  }
+
+  /** Perceptual average-hash (aHash) over the REAL decoded pixels: gray
+    * values of the fixed top-left `winW`×`winH` window, thresholded
+    * against the window's truncating-integer mean, packed row-major into
+    * one long (bit y·winW+x) — the image-dedup fingerprint (identical
+    * hash ⇒ visually identical content; small Hamming distance ⇒ near-dup,
+    * band-joinable exactly like [[Dedup]]'s SimHash path, since the hash
+    * is bit-banded the same way).
+    *
+    * Default window 8×6 = 48 bits keeps the hash in positive BIGINT range
+    * (SQL-comparable without sign games). Images smaller than the window
+    * are dropped (no partial-window hashes — they would collide
+    * structurally). Same partition-preserving `mapPartitions` decode
+    * boundary as [[imageStats]] — map-only, no shuffle. */
+  case class ImageHash(media_id: Long, width: Int, height: Int,
+                       ahash: Long, n_set: Long)
+  def aHash(media: Dataset[MediaRecord], winW: Int = 8,
+            winH: Int = 6): Dataset[ImageHash] = {
+    require(winW * winH <= 62, "hash window must fit a positive long")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeBmpGray(r.payload).collect {
+          case (w, h, gray) if w >= winW && h >= winH =>
+            var sum = 0L
+            var y = 0
+            while (y < winH) {
+              var x = 0
+              while (x < winW) { sum += gray(y * w + x); x += 1 }
+              y += 1
+            }
+            val mean = sum / (winW * winH)
+            var hash = 0L
+            var nSet = 0L
+            y = 0
+            while (y < winH) {
+              var x = 0
+              while (x < winW) {
+                if (gray(y * w + x) > mean) {
+                  hash |= 1L << (y * winW + x)
+                  nSet += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            ImageHash(r.media_id, w, h, hash, nSet)
+        }
+      }
+    }
+  }
+
   /** Write a binary PPM (P6, maxval 255). */
   def encodePpm(width: Int, height: Int,
                 pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {

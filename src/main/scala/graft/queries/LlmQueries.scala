@@ -1668,6 +1668,43 @@ object LlmQueries {
              |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
              |FROM sums ORDER BY media_id""".stripMargin)),
 
+    // Perceptual average-hash over the REAL decoded pixels: gray window
+    // thresholded against its mean, packed into a 48-bit fingerprint —
+    // the image-dedup primitive (band-joinable like SimHash). Same
+    // map-only decode boundary as the stats query; the oracle replays
+    // the generator's pixel algebra and the identical hash packing.
+    Q("multimodal_ahash", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeBmp(w, h, (x, y) =>
+            (((x * 7 + y * 13 + m) % 256).toInt,
+              ((x * 3 + y * 5) % 256).toInt,
+              ((x + y * 2 + m * 11) % 256).toInt)), "image/bmp")
+        }
+        Multimodal.aHash(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(8)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(6)) AS y FROM xs),
+             |g AS (SELECT id, w, h, x, y,
+             |        ((x * 7 + y * 13 + id) % 256 + (x * 3 + y * 5) % 256
+             |         + (x + y * 2 + id * 11) % 256) // 3 AS gray
+             |      FROM pix),
+             |mn AS (SELECT id, sum(gray) // 48 AS mean FROM g GROUP BY 1),
+             |hb AS (SELECT g.id, g.w, g.h,
+             |         sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS ahash,
+             |         sum(CASE WHEN gray > mean THEN 1 ELSE 0 END) AS n_set
+             |       FROM g JOIN mn USING (id) GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(ahash AS BIGINT) AS ahash,
+             |  CAST(n_set AS BIGINT) AS n_set
+             |FROM hb ORDER BY media_id""".stripMargin)),
+
     // Time-series gap fill ("date scaffold"): per-user hourly spine via
     // sequence + explode, left join the real counts, zero-fill the gaps —
     // the resample primitive behind rate/SLA reporting. Spine cardinality

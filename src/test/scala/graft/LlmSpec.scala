@@ -1261,6 +1261,27 @@ class LlmSpec extends SparkSpec {
     assert(out.getAs[Long]("hapax_milli") == 666L)
   }
 
+  test("aHash: brightness-shift invariant, distinct content separates") {
+    // uniform +20 brightness shifts every gray AND the window mean by
+    // exactly 20 (integer math), so the thresholded bits cannot move.
+    def img(shift: Int) = Multimodal.encodeBmp(8, 6, (x, y) =>
+      (x * 11 % 180 + shift, y * 17 % 180 + shift, (x + y) * 7 % 180 + shift))
+    val media = Seq(
+      Multimodal.MediaRecord(0L, img(0), "image/bmp"),
+      Multimodal.MediaRecord(1L, img(20), "image/bmp"),
+      Multimodal.MediaRecord(2L, Multimodal.encodeBmp(8, 6,
+        (x, y) => (y * 31 % 200, x * 29 % 200, 128)), "image/bmp"),
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3), "image/bmp"), // junk
+      Multimodal.MediaRecord(4L, Multimodal.encodeBmp(4, 4,
+        (_, _) => (1, 2, 3)), "image/bmp")) // smaller than the window
+      .toDS()
+    val out = Multimodal.aHash(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(out.keySet == Set(0L, 1L, 2L)) // junk + undersized dropped
+    assert(out(0L) == out(1L), "uniform brightness shift must not move bits")
+    assert(out(0L) != out(2L), "different content must separate")
+  }
+
   test("zipf fit: an exact power-law corpus fits slope -1") {
     // frequencies 12/rank: "a" x12, "b" x6, "c" x4, "d" x3.
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
