@@ -263,6 +263,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs over a PRE-COMPUTED long signature (SimHash, image
+    * aHash, any Hamming-space fingerprint): band the `bits`-wide sig into
+    * `bands` chunks, bucket-join on (band, chunk), Hamming-filter the
+    * in-bucket pairs. Recall is EXACT for `maxHamming < bands` — a pair
+    * differing in ≤ maxHamming bits cannot touch every band (pigeonhole).
+    * Same one-scan / two-shuffle shape as [[simhashBandPairs]] (which owns
+    * the text→sig derivation); this is the composition point for
+    * signatures computed elsewhere — e.g. [[Multimodal.aHash]] image
+    * fingerprints, pre-collapsed to one representative per distinct sig so
+    * exact-dup floods never reach the pair expansion. */
+  def sigBandPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must divide evenly into bands ($bands)")
+    require(maxHamming < bands,
+      s"recall is only exact for maxHamming < bands ($maxHamming >= $bands)")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val recs = col("__recs")
+    sigs
+      .select(col(idCol), col(sigCol).as("__sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_key",
+        expr(s"shiftrightunsigned(__sig, band * $bandBits) & $mask"))
+      .select(col("band"), col("band_key"),
+        struct(col(idCol).as("id"), col("__sig").as("sig")).as("__rec"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
+      .filter(size(recs) > 1)
+      .select(explode(orderedPairs(recs)).as("__p"))
+      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
+        bit_count(col("__p.a.sig").bitwiseXOR(col("__p.b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors are LSH-bucketed
     * ([[Similarity.lshBucket]]), per-bucket pairs expanded (one scan, one
     * shuffle — same shape as [[withinBucketPairs]]), and only same-bucket

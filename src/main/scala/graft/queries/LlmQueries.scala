@@ -1705,6 +1705,50 @@ object LlmQueries {
              |  CAST(n_set AS BIGINT) AS n_set
              |FROM hb ORDER BY media_id""".stripMargin)),
 
+    // Image near-dup pairs: collapse identical aHash fingerprints to one
+    // representative (the exact-dup flood never reaches the pair
+    // expansion), then band the 48-bit hash into 6 bytes and bucket-join —
+    // exact recall for Hamming <= 5 by pigeonhole. The oracle brute-forces
+    // the tiny representative set; at corpus scale only the banded join
+    // exists.
+    Q("multimodal_near_dup", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeBmp(w, h, (x, y) =>
+            (((x * 7 + y * 13 + m) % 256).toInt,
+              ((x * 3 + y * 5) % 256).toInt,
+              ((x + y * 2 + m * 11) % 256).toInt)), "image/bmp")
+        }
+        val reps = Multimodal.aHash(media).toDF()
+          .groupBy(col("ahash")).agg(min(col("media_id")).as("rep_id"))
+        Dedup.sigBandPairs(reps, "rep_id", "ahash",
+            bits = 48, bands = 6, maxHamming = 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM m),
+             |xs AS (SELECT id, unnest(range(8)) AS x FROM dims),
+             |pix AS (SELECT id, x, unnest(range(6)) AS y FROM xs),
+             |g AS (SELECT id, x, y,
+             |        ((x * 7 + y * 13 + id) % 256 + (x * 3 + y * 5) % 256
+             |         + (x + y * 2 + id * 11) % 256) // 3 AS gray
+             |      FROM pix),
+             |mn AS (SELECT id, sum(gray) // 48 AS mean FROM g GROUP BY 1),
+             |hb AS (SELECT g.id,
+             |         sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS ahash
+             |       FROM g JOIN mn USING (id) GROUP BY 1),
+             |reps AS (SELECT CAST(min(id) AS BIGINT) AS rep_id, CAST(ahash AS BIGINT) AS ahash
+             |         FROM hb GROUP BY ahash)
+             |SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+             |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+             |FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+             |WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Time-series gap fill ("date scaffold"): per-user hourly spine via
     // sequence + explode, left join the real counts, zero-fill the gaps —
     // the resample primitive behind rate/SLA reporting. Spine cardinality
