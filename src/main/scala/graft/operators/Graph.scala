@@ -83,6 +83,54 @@ object Graph {
     ranks
   }
 
+  /** Eigenvector centrality by FIXED-round power iteration — the
+    * undamped sibling of [[pagerank]]: r'(v) = Σ_{u→v} w(u,v)·r(u), no
+    * teleport, no out-degree normalization, renormalized onto the ±1e6
+    * integer grid by the round's max in-flow (a 1-row broadcast — the
+    * same discipline as the embedding-side power iteration, so every
+    * round is bit-deterministic: DECIMAL(38,0) flow sums, one truncating
+    * divide). Prestige flows to nodes fed by already-central nodes;
+    * unlike PageRank a leaf feeding one hub contributes its full weight.
+    * Nodes with no in-flow read 0.
+    *
+    * Scale shape: identical to [[pagerank]] — the collapsed edge list is
+    * pinned once, each round is one hash join on src + one map-side-
+    * combined aggregate on dst (cardinality |V|), plus a 1-row max.
+    * Returns (node, centrality_micro). */
+  def eigencentrality(edges: DataFrame, rounds: Int = 2,
+                      srcCol: String = "src", dstCol: String = "dst",
+                      weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val ew = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), w.as("__w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(true)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var r = nodes.withColumn("cm", lit(1000000L))
+    var i = 0
+    while (i < rounds) {
+      val sums = r.join(ew, r("node") === ew("src"))
+        .select(col("dst"),
+          (col("cm").cast("decimal(38,0)") * col("w")).as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__m"))
+      val mx = sums.agg(max(col("__m")).as("__mx"))
+      r = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"), expr(
+          """CASE WHEN __mx IS NULL OR __mx = 0 THEN cast(0 as bigint)
+            |     ELSE cast((coalesce(__m, 0) * 1000000) div __mx as bigint)
+            |END""".stripMargin).as("cm"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    r.select(col("node"), col("cm").as("centrality_micro"))
+  }
+
   /** Personalized PageRank with a FIXED iteration count — [[pagerank]]'s
     * importance ranking RESTARTED at a seed set: the teleport mass lands
     * only on the seeds, so the stationary distribution concentrates on

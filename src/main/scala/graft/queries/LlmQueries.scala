@@ -2536,6 +2536,31 @@ object LlmQueries {
            |SELECT id AS node, rm AS rank_micro FROM r3 ORDER BY 1""".stripMargin
       }),
 
+    // Eigenvector centrality (undamped power iteration, max-normalized
+    // integer grid): prestige ranking where feeding a hub counts full
+    // weight — the no-teleport sibling of pagerank, same pinned-edge
+    // per-round join + dst aggregate shape.
+    Q("graph_eigencentrality", "GRAPH",
+      (s, d) => graft.operators.Graph.eigencentrality(
+          transitionEdges(s, d), rounds = 2)
+        .orderBy("node"),
+      Some {
+        def rnd(prev: String, n: Int) =
+          s"""s$n AS (SELECT ew.dst, sum(CAST($prev.cm AS HUGEINT) * ew.w) AS m
+             |       FROM $prev JOIN ew ON ew.src = $prev.id GROUP BY 1),
+             |x$n AS (SELECT max(m) AS mx FROM s$n),
+             |r$n AS (SELECT n.id,
+             |         CAST(CASE WHEN mx IS NULL OR mx = 0 THEN 0
+             |              ELSE (COALESCE(s$n.m, 0) * 1000000) // mx END AS BIGINT) AS cm
+             |       FROM nodes n LEFT JOIN s$n ON n.id = s$n.dst, x$n)""".stripMargin
+        s"""$transitionEdgesCte,
+           |nodes AS (SELECT DISTINCT src AS id FROM ew UNION SELECT DISTINCT dst FROM ew),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS cm FROM nodes),
+           |${rnd("r0", 1)},
+           |${rnd("r1", 2)}
+           |SELECT id AS node, cm AS centrality_micro FROM r2 ORDER BY 1""".stripMargin
+      }),
+
     // Two-hop in-neighborhood (multi-hop flow): per node, the weighted
     // 2-path count, distinct 2-hop sources, and distinct intermediaries —
     // one self-equi-join on the mid node (cost Σ deg_in·deg_out, never
@@ -2879,6 +2904,84 @@ object LlmQueries {
               |        JOIN l2 ld ON ew.dst = ld.node
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Pairwise Pearson correlation matrix over the numeric columns (the
+    // feature-redundancy / leakage screen of a profiling pass): ALL
+    // moments for every pair ride ONE map-side-combined aggregate over
+    // one scan — cents-integer inputs, DECIMAL(38,0) cross-moments, the
+    // denominator as a product of two exact floor-sqrt integers so the
+    // only rounding is one final sign-handled truncating divide per pair.
+    Q("profile_corr_matrix", "K",
+      (s, d) => {
+        val cols = Seq("q" -> "l_quantity", "ep" -> "l_extendedprice",
+          "dc" -> "l_discount", "tx" -> "l_tax")
+        val names = cols.map(_._1)
+        val v = Tables(s, d, "lineitem").select(cols.map { case (n, c) =>
+          round(col(c) * 100).cast("long").as(n)
+        }: _*)
+        val pairs = for {
+          i <- names.indices; j <- names.indices if i < j
+        } yield (names(i), names(j))
+        val moments =
+          count(lit(1)).as("n") +:
+          (names.map(n => sum(col(n)).as(s"s_$n")) ++
+            names.map(n =>
+              sum(col(n).cast("decimal(38,0)") * col(n)).as(s"qq_$n")) ++
+            pairs.map { case (a, b) =>
+              sum(col(a).cast("decimal(38,0)") * col(b)).as(s"p_${a}_$b") })
+        val agg = v.agg(moments.head, moments.tail: _*)
+        val rows = pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            expr(s"n * p_${a}_$b - cast(s_$a as decimal(38,0)) * s_$b").as("num"),
+            expr(s"n * qq_$a - cast(s_$a as decimal(38,0)) * s_$a").as("va"),
+            expr(s"n * qq_$b - cast(s_$b as decimal(38,0)) * s_$b").as("vb"))
+        }
+        agg.select(col("n"), explode(array(rows: _*)).as("__r"))
+          .select(col("__r.col_a").as("col_a"), col("__r.col_b").as("col_b"),
+            col("n"), expr(
+              """CASE WHEN __r.va <= 0 OR __r.vb <= 0 THEN cast(0 as bigint)
+                |     WHEN __r.num < 0 THEN cast(-((-__r.num * 1000000) div
+                |       (cast(floor(sqrt(cast(__r.va as double))) as decimal(38,0))
+                |        * cast(floor(sqrt(cast(__r.vb as double))) as decimal(38,0)))) as bigint)
+                |     ELSE cast((__r.num * 1000000) div
+                |       (cast(floor(sqrt(cast(__r.va as double))) as decimal(38,0))
+                |        * cast(floor(sqrt(cast(__r.vb as double))) as decimal(38,0))) as bigint)
+                |END""".stripMargin).as("corr_micro"))
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val names = Seq("q", "ep", "dc", "tx")
+        val pairs = for {
+          i <- names.indices; j <- names.indices if i < j
+        } yield (names(i), names(j))
+        val pairSel = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+             |  n * p_${a}_$b - CAST(s_$a AS HUGEINT) * s_$b AS num,
+             |  n * qq_$a - CAST(s_$a AS HUGEINT) * s_$a AS va,
+             |  n * qq_$b - CAST(s_$b AS HUGEINT) * s_$b AS vb FROM a""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH v AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+           |         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+           |         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+           |         CAST(round(l_tax * 100) AS BIGINT) AS tx
+           |       FROM lineitem),
+           |a AS (SELECT count(*) AS n,
+           |        ${names.map(n => s"sum($n) AS s_$n").mkString(", ")},
+           |        ${names.map(n => s"sum(CAST($n AS HUGEINT) * $n) AS qq_$n").mkString(", ")},
+           |        ${pairs.map { case (a, b) => s"sum(CAST($a AS HUGEINT) * $b) AS p_${a}_$b" }.mkString(", ")}
+           |      FROM v),
+           |pr AS ($pairSel)
+           |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+           |  CAST(CASE WHEN va <= 0 OR vb <= 0 THEN 0
+           |       WHEN num < 0 THEN -((-num * 1000000) //
+           |         (CAST(floor(sqrt(CAST(va AS DOUBLE))) AS HUGEINT)
+           |          * CAST(floor(sqrt(CAST(vb AS DOUBLE))) AS HUGEINT)))
+           |       ELSE (num * 1000000) //
+           |         (CAST(floor(sqrt(CAST(va AS DOUBLE))) AS HUGEINT)
+           |          * CAST(floor(sqrt(CAST(vb AS DOUBLE))) AS HUGEINT))
+           |  END AS BIGINT) AS corr_micro
+           |FROM pr ORDER BY col_a, col_b""".stripMargin
+      }),
+
     // Column profiling as a table (the pre-trust data-quality pass): one
     // row per column with row/non-null/exact-distinct counts and native-
     // type min/max — two passes that both avoid the k-way Expand blowup:
@@ -3109,6 +3212,41 @@ object LlmQueries {
              |              ELSE (n7 * 1000000) // den END AS BIGINT)
              |  FROM a)
              |ORDER BY lag""".stripMargin)),
+
+    // Day-of-week seasonality profile of the event stream: per weekday
+    // slot, days observed, event share, and the per-day mean rate. The
+    // weekday index is epoch-days mod 7 (1970-01-01 = Thursday = slot 0)
+    // — pure integer on both engines, immune to the engines' different
+    // dayofweek numbering conventions. One daily aggregate + one 7-row
+    // rollup.
+    Q("event_dow_profile", "EVENT",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+          .withColumn("dow_idx",
+            (datediff(col("day"), lit("1970-01-01")) % 7).cast("long"))
+        val prof = daily.groupBy(col("dow_idx"))
+          .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+        val tot = prof.agg(sum(col("n_events")).as("__t"))
+        prof.crossJoin(broadcast(tot))
+          .withColumn("share_micro", expr("n_events * 1000000 div __t"))
+          .withColumn("daily_mean_micro", expr("n_events * 1000000 div n_days"))
+          .select(col("dow_idx"), col("n_days"), col("n_events"),
+            col("share_micro"), col("daily_mean_micro"))
+          .orderBy("dow_idx")
+      },
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+             |       FROM events GROUP BY 1),
+             |p AS (SELECT (day - DATE '1970-01-01') % 7 AS dow_idx,
+             |        count(*) AS n_days, sum(c) AS n_events
+             |      FROM daily GROUP BY 1),
+             |t AS (SELECT sum(n_events) AS tt FROM p)
+             |SELECT CAST(dow_idx AS BIGINT) AS dow_idx,
+             |  CAST(n_days AS BIGINT) AS n_days,
+             |  CAST(n_events AS BIGINT) AS n_events,
+             |  CAST(n_events * 1000000 // tt AS BIGINT) AS share_micro,
+             |  CAST(n_events * 1000000 // n_days AS BIGINT) AS daily_mean_micro
+             |FROM p, t ORDER BY dow_idx""".stripMargin)),
 
     // Benford first-digit audit of the value column — the classic
     // fabricated-data / unit-mixup screen (organic multiplicative values

@@ -308,6 +308,25 @@ class OperatorsSpec extends SparkSpec {
     assert(rm(1L) == 150000L + 850L * 666666L / 1000L)
   }
 
+  test("eigencentrality: prestige chains through feeders; max pins the grid") {
+    import graft.operators.Graph
+    // funnel 1,2 -> 3 -> 4. Round 1: node 3 takes the max inflow (2) ->
+    // 1e6, node 4 half of it. Round 2: only node 4 has inflow (from 3),
+    // so it alone holds the grid max; the sources read 0 throughout.
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r1 = Graph.eigencentrality(edges, rounds = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("centrality_micro")).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 0L, 3L -> 1000000L, 4L -> 500000L))
+    val r2 = Graph.eigencentrality(edges, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("centrality_micro")).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1000000L))
+    // a cycle is a fixed point: every node keeps full centrality
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = Graph.eigencentrality(cycle, rounds = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("centrality_micro")).toMap
+    assert(rc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
   test("personalized pagerank: mass restarts at seeds; rank vector stays sparse") {
     import graft.operators.Graph
     // chain 1 -> 2 -> 3, seed {1}: after 3 iters the exact integer ranks
