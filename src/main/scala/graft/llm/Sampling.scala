@@ -68,6 +68,39 @@ object Sampling {
     * window — so the exact derivation itself survives 100 TB; the
     * mergeable histogram sketch read-out remains the cheaper approximate
     * twin when ±1-rank slack is acceptable. */
+  /** Median-absolute-deviation outlier gate — the robust complement of
+    * the 3-sigma screen (a single whale inflates a standard deviation
+    * until nothing flags; the median and MAD don't move): flag rows with
+    * |v − median| · 1000 > kMilli · MAD. Both medians are EXACT lower
+    * order statistics (rank (n+1)/2) via the two-phase global ranking —
+    * no single-task window — and every comparison is integer, so the
+    * gate is bit-deterministic. Two ranking passes + two 1-row
+    * broadcasts; returns only the flagged rows
+    * (id, value, abs_dev, mad). */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+                  kMilli: Long = 3000): DataFrame = {
+    require(kMilli > 0, s"kMilli must be positive, got $kMilli")
+    val v = df.select(col(idCol), col(valueCol).cast("long").as("value"))
+    val n1 = v.agg(count(lit(1)).as("__n"))
+    val med = graft.operators.GlobalRank
+      .globalRowNumber(v, Seq(col("value"), col(idCol)), "__rn")
+      .crossJoin(broadcast(n1))
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .agg(min(col("value")).as("__med"))
+    val dev = v.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col("value") - col("__med")))
+    val mad = graft.operators.GlobalRank
+      .globalRowNumber(dev.select(col(idCol), col("__dev")),
+        Seq(col("__dev"), col(idCol)), "__rn2")
+      .crossJoin(broadcast(n1))
+      .filter(col("__rn2") === expr("(__n + 1) div 2"))
+      .agg(min(col("__dev")).as("__mad"))
+    dev.crossJoin(broadcast(mad))
+      .filter(col("__dev") * 1000L > lit(kMilli) * col("__mad"))
+      .select(col(idCol), col("value"), col("__dev").as("abs_dev"),
+        col("__mad").as("mad"))
+  }
+
   def winsorize(df: DataFrame, idCol: String, valueCol: String,
                 loMilli: Int = 10, hiMilli: Int = 990): DataFrame = {
     require(loMilli >= 0 && hiMilli <= 1000 && loMilli < hiMilli,

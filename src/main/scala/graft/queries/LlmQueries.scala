@@ -3248,6 +3248,64 @@ object LlmQueries {
              |  CAST(n_events * 1000000 // n_days AS BIGINT) AS daily_mean_micro
              |FROM p, t ORDER BY dow_idx""".stripMargin)),
 
+    // Median-absolute-deviation outlier gate: the robust twin of the
+    // 3-sigma screen (whales can't inflate the threshold) — two exact
+    // order-statistic medians via two-phase global ranking, integer
+    // comparisons only.
+    Q("event_mad_outliers", "EVENT",
+      (s, d) => Sampling.madOutliers(
+          Tables(s, d, "events")
+            .select(col("event_id"),
+              round(col("value") * 1000000).cast("long").as("v_micro")),
+          "event_id", "v_micro", kMilli = 3000)
+        .orderBy("event_id"),
+      Some("""WITH v AS (SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS value FROM events),
+             |n AS (SELECT count(*) AS n FROM v),
+             |r AS (SELECT *, row_number() OVER (ORDER BY value, event_id) AS rn FROM v),
+             |med AS (SELECT value AS med FROM r, n WHERE rn = (n + 1) // 2),
+             |dv AS (SELECT event_id, value, abs(value - med) AS dev FROM v, med),
+             |r2 AS (SELECT *, row_number() OVER (ORDER BY dev, event_id) AS rn2 FROM dv),
+             |mad AS (SELECT dev AS mad FROM r2, n WHERE rn2 = (n + 1) // 2)
+             |SELECT event_id, value, dev AS abs_dev, mad
+             |FROM dv, mad WHERE dev * 1000 > 3000 * mad
+             |ORDER BY event_id""".stripMargin)),
+
+    // Effective sample size of a proposed weighting (Kish): ESS/n =
+    // (Σw)² / (n·Σw²) in milli — the one-number health check before any
+    // weighted sampling pass (ESS ≈ n: weights are benign; ESS ≪ n: a
+    // few rows dominate and the sample will be noise). Per event-type
+    // strata + overall via one grouping-sets-free union of two hash
+    // aggregates; DECIMAL(38,0) moments.
+    Q("sample_ess", "EVENT",
+      (s, d) => {
+        val v = Tables(s, d, "events").select(col("event_type"),
+          greatest(round(col("value") * 1000000).cast("long"), lit(0L)).as("w"))
+        def essAgg(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+          .agg(count(lit(1)).as("n"), sum(col("w")).as("__s"),
+            sum(col("w").cast("decimal(38,0)") * col("w")).as("__q"))
+          .withColumn("ess_milli", expr(
+            """CASE WHEN __q = 0 THEN cast(0 as bigint)
+              |ELSE cast((cast(__s as decimal(38,0)) * __s * 1000) div (n * __q) as bigint)
+              |END""".stripMargin))
+        essAgg(v.groupBy(col("event_type")))
+          .select(col("event_type"), col("n"), col("ess_milli"))
+          .unionAll(essAgg(v.groupBy())
+            .select(lit("__all__").as("event_type"), col("n"), col("ess_milli")))
+          .orderBy("event_type")
+      },
+      Some("""WITH v AS (SELECT event_type,
+             |         greatest(CAST(round(value * 1000000) AS BIGINT), 0) AS w
+             |       FROM events),
+             |p AS (SELECT event_type, count(*) AS n, sum(w) AS s,
+             |        sum(CAST(w AS HUGEINT) * w) AS q
+             |      FROM v GROUP BY 1
+             |      UNION ALL
+             |      SELECT '__all__', count(*), sum(w), sum(CAST(w AS HUGEINT) * w) FROM v)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |  CAST(CASE WHEN q = 0 THEN 0
+             |       ELSE (CAST(s AS HUGEINT) * s * 1000) // (n * q) END AS BIGINT) AS ess_milli
+             |FROM p ORDER BY event_type""".stripMargin)),
+
     // Benford first-digit audit of the value column — the classic
     // fabricated-data / unit-mixup screen (organic multiplicative values
     // follow P(d) = log10(1+1/d); synthetic or truncated feeds don't).

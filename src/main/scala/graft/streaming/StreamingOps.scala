@@ -197,6 +197,58 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming image-dedup ingest — [[maintainBandIndexAndFlag]]'s loop
+    * with the REAL image path: per micro-batch, decode the BMP payloads
+    * to 48-bit aHash fingerprints ([[graft.llm.Multimodal.aHash]]), fold
+    * their 6 byte-bands into a hash-bucketed index (idempotent pk
+    * upsert, replay rewrites the same rows), then flag the batch against
+    * the updated index at Hamming ≤ `maxHamming` — exact recall for
+    * maxHamming < 6 by pigeonhole, the streaming twin of
+    * [[graft.llm.Dedup.sigBandPairs]]. Upsert-before-flag keeps
+    * same-batch twins visible to each other; undecodable payloads drop
+    * at the codec boundary. Index IO prunes to the batch's touched key
+    * buckets on both the upsert and the flag read. */
+  def maintainImageIndexAndFlag(media: DataFrame, indexDir: String,
+                                flagsDir: String, checkpointDir: String,
+                                maxHamming: Int = 5, keyBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val hashes = graft.llm.Multimodal.aHash(batch.toDF()
+            .select(col("media_id").cast("long").as("media_id"),
+              col("payload"), col("mime").cast("string").as("mime"))
+            .as[graft.llm.Multimodal.MediaRecord]).toDF()
+        val banded = hashes
+          .select(col("media_id"), col("ahash"),
+            explode(sequence(lit(0), lit(5))).as("band"))
+          .withColumn("band_key",
+            expr("shiftrightunsigned(ahash, band * 8) & 255"))
+          .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
+            concat_ws("|", col("band"), col("band_key"))),
+            lit(keyBuckets.toLong)))
+        val touched = banded.select(col("kb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        graft.eth.Sinks.upsertBucketedParquet(banded, indexDir,
+          pkCols = Seq("media_id", "band"), bucketCol = "kb",
+          sortCols = Seq("band_key", "media_id"), newBuckets = Some(touched))
+        val idx = spark.read.parquet(indexDir)
+          .filter(col("kb").isin(touched: _*))
+          .select(col("band"), col("band_key"),
+            col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
+        banded.join(idx, Seq("band", "band_key"))
+          .filter(col("media_id") =!= col("matched_id"))
+          .withColumn("hamming",
+            bit_count(col("ahash").bitwiseXOR(col("matched_hash"))))
+          .filter(col("hamming") <= maxHamming)
+          .select(col("media_id"), col("matched_id"), col("hamming"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming maintenance of the address-relations table
     * ([[graft.eth.Relations]]'s contract driven by a stream): each
     * micro-batch of transfer rows (from_address, to_address, value,

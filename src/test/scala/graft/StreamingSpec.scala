@@ -187,6 +187,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming image-hash index: cross-batch and same-batch near-dups flag") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_imix").toString
+    def img(seed: Int) = Multimodal.encodeBmp(8, 6, (x, y) =>
+      ((x * 11 + seed) % 200, (y * 17 + seed * 3) % 200, (x + y) * 7 % 200))
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val query = StreamingOps.maintainImageIndexAndFlag(
+      input.toDF().toDF("media_id", "payload", "mime"),
+      s"$dir/index", s"$dir/flags", s"$dir/ckpt")
+    try {
+      input.addData((0L, img(1), "image/bmp"), (1L, img(90), "image/bmp"))
+      query.processAllAvailable()
+      input.addData(
+        (10L, img(1), "image/bmp"),  // identical content to 0 (hamming 0)
+        (20L, img(55), "image/bmp"), (21L, img(55), "image/bmp"), // twins
+        (30L, Array[Byte](9, 9), "image/bmp")) // undecodable -> dropped
+      query.processAllAvailable()
+      val flags = spark.read.parquet(s"$dir/flags").collect()
+        .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("matched_id"),
+          r.getAs[Int]("hamming")))
+      assert(flags.map(f => (f._1, f._2)).toSet
+        .contains((10L, 0L)), s"cross-batch dup must flag: ${flags.toSeq}")
+      assert(flags.contains((20L, 21L, 0)) && flags.contains((21L, 20L, 0)),
+        s"same-batch twins must flag both ways: ${flags.toSeq}")
+      // index holds 6 bands for each decodable image, none for the junk
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.select("media_id").distinct().count() == 5)
+      assert(idx.count() == 30)
+    } finally query.stop()
+  }
+
   test("streaming relations maintenance: partials accrete across batches, merge on read") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_srel").toString
