@@ -68,6 +68,34 @@ object Sampling {
     * window — so the exact derivation itself survives 100 TB; the
     * mergeable histogram sketch read-out remains the cheaper approximate
     * twin when ±1-rank slack is acceptable. */
+  /** Systematic probability-proportional-to-size sampling: lay the rows
+    * end-to-end on their weight intervals (exact distributed prefix sum —
+    * [[graft.operators.GlobalRank.globalPrefixSum]], never a single-task
+    * window), then take every step-th point of the total weight line
+    * (step = W div k). A row is picked once per step-multiple its
+    * interval covers — heavy rows can be picked multiple times
+    * (`n_picks` > 1), zero-weight rows never. Fully deterministic and
+    * integer-exact: picks are `cum div step − (cum − w) div step`, no
+    * random stream to reconcile across engines. Σ n_picks = W div step
+    * (≥ k). Returns only picked rows: (id, w, cum_w, n_picks). */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val v = df.select(col(idCol),
+      greatest(col(weightCol).cast("long"), lit(0L)).as("w"))
+    val cum = graft.operators.GlobalRank
+      .globalPrefixSum(v, Seq(col(idCol)), "w", "__cum")
+    val tot = v.agg(sum(col("w").cast("decimal(38,0)")).as("__tw"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__step", expr(s"__tw div $k"))
+      .filter(col("__step") > 0)
+      .withColumn("n_picks",
+        expr("cast(__cum div __step - (__cum - w) div __step as bigint)"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("w"), col("__cum").cast("long").as("cum_w"),
+        col("n_picks"))
+  }
+
   /** Median-absolute-deviation outlier gate — the robust complement of
     * the 3-sigma screen (a single whale inflates a standard deviation
     * until nothing flags; the median and MAD don't move): flag rows with

@@ -64,4 +64,36 @@ object GlobalRank {
       .withColumn(rnCol, col("__gr_off") + col("__gr_lrn"))
       .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
+
+  /** Append `cumCol` = the exact inclusive prefix sum of `valueCol` under
+    * the total order `orderCols` — [[globalRowNumber]]'s two-phase shape
+    * with sums in place of counts: range-shuffle, per-slice running sums
+    * (pid-partitioned window, never one task), per-slice totals →
+    * dimension-sized offset window, broadcast add-back. Sums ride
+    * DECIMAL(38,0) so corpus-scale weights can't wrap; the result is
+    * identical to the single-task `sum().over(Window.orderBy(...))` form.
+    * The primitive behind cumulative-share curves and systematic /
+    * PPS sampling ([[graft.llm.Sampling.ppsSystematic]]). */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[Column],
+                      valueCol: String, cumCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "globalPrefixSum needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("__gp_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("__gp_lcs",
+      sum(col(valueCol).cast("decimal(38,0)"))
+        .over(Window.partitionBy(col("__gp_pid")).orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = ranged.groupBy(col("__gp_pid"))
+      .agg(sum(col(valueCol).cast("decimal(38,0)")).as("__gp_tot"))
+      .withColumn("__gp_off", coalesce(
+        sum(col("__gp_tot")).over(Window.orderBy(col("__gp_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast("decimal(38,0)")))
+      .select(col("__gp_pid"), col("__gp_off"))
+    local.join(broadcast(offsets), Seq("__gp_pid"))
+      .withColumn(cumCol, col("__gp_off") + col("__gp_lcs"))
+      .drop("__gp_pid", "__gp_lcs", "__gp_off")
+  }
 }

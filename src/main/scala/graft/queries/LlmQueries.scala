@@ -3372,6 +3372,27 @@ object LlmQueries {
              |SELECT event_id, value, least(greatest(value, lo), hi) AS winsorized
              |FROM v, thr ORDER BY event_id""".stripMargin)),
 
+    // Systematic PPS sampling: every step-th point of the cumulative
+    // weight line via the EXACT distributed prefix sum (two-phase, no
+    // single-task window) — deterministic size-proportional selection,
+    // heavy rows legitimately picked more than once.
+    Q("sample_pps", "LLM",
+      (s, d) => Sampling.ppsSystematic(
+          Tables(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id"),
+      Some("""WITH v AS (SELECT doc_id, greatest(CAST(n_chars AS BIGINT), 0) AS w FROM documents),
+             |c AS (SELECT doc_id, w,
+             |        sum(w) OVER (ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM v),
+             |t AS (SELECT sum(w) // 100 AS step FROM v)
+             |SELECT doc_id, w, CAST(cum AS BIGINT) AS cum_w,
+             |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
+             |FROM c, t
+             |WHERE step > 0 AND cum // step - (cum - w) // step > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // Quantile normalization of per-source length distributions onto the
     // global one (Bolstad et al.): integer rank mapping r → ceil(r·N/n_s),
     // no float quantiles — the cross-source score-comparability fix

@@ -1282,6 +1282,22 @@ class LlmSpec extends SparkSpec {
     assert(out(0L) != out(2L), "different content must separate")
   }
 
+  test("systematic PPS: heavy rows pick multiple times, light rows skip, total = W div step") {
+    // weights 1,1,1,1,6: W=10, k=2 -> step=5; only the heavy row's
+    // interval (4,10] covers the step points 5 and 10 -> 2 picks.
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 6L))
+      .toDF("doc_id", "w")
+    val out = Sampling.ppsSystematic(df, "doc_id", "w", k = 2).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_picks")))
+      .toSeq == Seq((5L, 2L)))
+    // uniform weights: exactly k evenly spaced picks, one each
+    val uni = (1L to 100L).map(i => (i, 7L)).toDF("doc_id", "w")
+    val picks = Sampling.ppsSystematic(uni, "doc_id", "w", k = 10).collect()
+    assert(picks.length == 10 && picks.forall(_.getAs[Long]("n_picks") == 1L))
+    // prefix sum underneath is exact: cum of the last pick = 700
+    assert(picks.map(_.getAs[Long]("cum_w")).max == 700L)
+  }
+
   test("zipf fit: an exact power-law corpus fits slope -1") {
     // frequencies 12/rank: "a" x12, "b" x6, "c" x4, "d" x3.
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
