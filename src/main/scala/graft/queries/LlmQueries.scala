@@ -3070,6 +3070,45 @@ object LlmQueries {
              |  END AS BIGINT) AS gini_milli
              |FROM a""".stripMargin)),
 
+    // Pareto concentration curve ("top x% of users hold y% of value"):
+    // per-user value totals ranked descending, cumulative share read out
+    // at the nine decile boundaries — the curve behind the Gini number.
+    // Exact two-phase global rank + exact distributed prefix sum; one
+    // truncating milli divide per read-out row.
+    Q("event_pareto_curve", "EVENT",
+      (s, d) => {
+        val perUser = Tables(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(sum(greatest(round(col("value") * 1000000).cast("long"),
+            lit(0L))).as("v"))
+        val ranked = graft.operators.GlobalRank.globalRowNumber(
+          perUser, Seq(col("v").desc, col("user_id")), "rnk")
+        val cum = graft.operators.GlobalRank.globalPrefixSum(
+          ranked, Seq(col("v").desc, col("user_id")), "v", "cum_v")
+        val tot = perUser.agg(count(lit(1)).as("__n"),
+          sum(col("v").cast("decimal(38,0)")).as("__tv"))
+        cum.crossJoin(broadcast(tot))
+          .filter(expr("array_contains(transform(sequence(1, 9), dd -> (dd * __n + 9) div 10), rnk)"))
+          .withColumn("share_milli", expr(
+            "CASE WHEN __tv = 0 THEN cast(0 as bigint) ELSE cast((cum_v * 1000) div __tv as bigint) END"))
+          .select(col("rnk").as("rank_at"), col("share_milli"))
+          .orderBy("rank_at")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+             |         sum(greatest(CAST(round(value * 1000000) AS BIGINT), 0)) AS v
+             |       FROM events GROUP BY 1),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v DESC, user_id) AS rnk,
+             |        sum(v) OVER (ORDER BY v DESC, user_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM pu),
+             |t AS (SELECT count(*) AS n, sum(v) AS tv FROM pu),
+             |b AS (SELECT DISTINCT (dd * n + 9) // 10 AS rnk
+             |      FROM t, (SELECT unnest(range(1, 10)) AS dd))
+             |SELECT CAST(r.rnk AS BIGINT) AS rank_at,
+             |  CAST(CASE WHEN tv = 0 THEN 0 ELSE (cum * 1000) // tv END AS BIGINT) AS share_milli
+             |FROM r JOIN b ON r.rnk = b.rnk, t
+             |ORDER BY rank_at""".stripMargin)),
+
     // CUSUM change-point detection (Page 1954) over the hourly event rate:
     // the hour where the cumulative deviation from the global mean peaks —
     // "when did the rate regime shift?". Division-free: S_t = Σ(c_i·H − N)
