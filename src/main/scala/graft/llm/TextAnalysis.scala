@@ -432,6 +432,56 @@ object TextAnalysis {
           .as("avg_logprob_bi"))
   }
 
+  /** Interpolated Kneser-Ney bigram log-probability scorer — the
+    * industry-standard LM smoothing (absolute discount d = 3/4, with the
+    * backoff weight going to the CONTINUATION probability: how many
+    * distinct contexts a word follows, not how often it occurs — the fix
+    * that stops "Francisco" looking probable everywhere because "San
+    * Francisco" is frequent):
+    *
+    *   P(w2|w1) = (max(c12 − d, 0) + d·N1+(w1·)·Pcont(w2)) / c1
+    *   Pcont(w2) = N1+(·w2) / |distinct bigram types|
+    *
+    * With d = 3/4 the ln argument is ONE double division of two EXACT
+    * integers — num = max(4·c12 − 3, 0)·NBT + 3·N1+(w1·)·N1+(·w2),
+    * den = 4·c1·NBT — the same no-float-constant discipline as
+    * [[bigramLogProbScores]]; num ≥ NBT > 0 whenever the bigram was seen,
+    * so ln never sees zero. Per-point micro-quantized before the per-doc
+    * sum. Counts are vocabulary-sized aggregates off one bigram table;
+    * products stay in Long up to ~1e15-bigram corpora (then the model
+    * table moves to decimal). Returns (id, n_bigrams, kn_logprob,
+    * avg_kn_micro). */
+  def knBigramLogProbScores(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val bigramsOf = expr(
+      """transform(slice(__toks, 1, size(__toks) - 1), (w, i) ->
+        |  named_struct('w1', w, 'w2', __toks[i + 1]))""".stripMargin)
+    val big = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(bigramsOf).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val bigCounts = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = bigCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bigCounts.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val nbt = bigCounts.agg(count(lit(1)).as("__nbt"))
+    val model = bigCounts.join(ctx, "w1").join(cont, "w2")
+      .join(broadcast(nbt))
+      .select(col("w1"), col("w2"),
+        round(log(expr(
+          "cast(greatest(4 * c12 - 3, 0) * __nbt + 3 * n1f * n1r as double)" +
+            " / cast(4 * c1 * __nbt as double)")) * 1000000).cast("long")
+          .as("__lp"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("kn_logprob"))
+      .withColumn("avg_kn_micro", expr(
+        """CASE WHEN kn_logprob < 0 THEN -((-kn_logprob) div n_bigrams)
+          |ELSE kn_logprob div n_bigrams END""".stripMargin))
+  }
+
   /** Global-percentile quality gate: keep documents whose integer quality
     * score (stopword hits per 1000 tokens — the Gopher-style "natural
     * language" signal) clears the EXACT corpus-wide `pct` percentile.

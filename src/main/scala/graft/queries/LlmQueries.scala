@@ -4699,6 +4699,31 @@ object LlmQueries {
              |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob_bi
              |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Kneser-Ney smoothed bigram scoring (d = 3/4, continuation-prob
+    // backoff): the industry-standard LM perplexity proxy — exact-integer
+    // inner rational, one double divide + ln per model row, micro-
+    // quantized before the per-doc sum.
+    Q("text_kn_logprob", "LLM",
+      (s, d) => TextAnalysis.knBigramLogProbScores(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+             |big AS (SELECT doc_id, unnest(ts[:len(ts)-1]) AS w1, unnest(ts[2:]) AS w2
+             |        FROM toks WHERE len(ts) >= 2),
+             |cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |cx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f
+             |       FROM cb GROUP BY 1),
+             |cr AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY 1),
+             |nb AS (SELECT count(*) AS nbt FROM cb),
+             |model AS (SELECT cb.w1, cb.w2,
+             |    CAST(round(ln(CAST(greatest(4 * c12 - 3, 0) * nbt + 3 * n1f * n1r AS DOUBLE)
+             |               / CAST(4 * c1 * nbt AS DOUBLE)) * 1000000) AS BIGINT) AS lp
+             |  FROM cb JOIN cx USING (w1) JOIN cr USING (w2) CROSS JOIN nb)
+             |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS kn_logprob,
+             |  CAST(CASE WHEN sum(lp) < 0 THEN -((-sum(lp)) // count(*))
+             |       ELSE sum(lp) // count(*) END AS BIGINT) AS avg_kn_micro
+             |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Token-distribution entropy: the Gopher-style gibberish signal
     // (repeated-token docs score ~0, natural prose near ln(n_types)).
     Q("text_token_entropy", "LLM",

@@ -1298,6 +1298,20 @@ class LlmSpec extends SparkSpec {
     assert(picks.map(_.getAs[Long]("cum_w")).max == 700L)
   }
 
+  test("Kneser-Ney bigram scoring: hand-computed discounted probabilities") {
+    // corpus "a b a b": c(a,b)=2, c(b,a)=1; every context/continuation
+    // count is 1; NBT=2. With d=3/4:
+    //   P(b|a) = (max(2-.75,0) + .75*1*(1/2)) / 2 = 13/16
+    //   P(a|b) = (max(1-.75,0) + .75*1*(1/2)) / 1 = 5/8
+    // doc logprob = 2*round(ln(13/16)*1e6) + round(ln(5/8)*1e6)
+    val out = TextAnalysis.knBigramLogProbScores(
+      Seq((0L, "a b a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_bigrams") == 3L)
+    assert(out.getAs[Long]("kn_logprob") == 2L * -207639L + -470004L)
+    assert(out.getAs[Long]("avg_kn_micro") == -295094L)
+  }
+
   test("zipf fit: an exact power-law corpus fits slope -1") {
     // frequencies 12/rank: "a" x12, "b" x6, "c" x4, "d" x3.
     val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
