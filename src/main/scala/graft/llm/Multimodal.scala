@@ -247,6 +247,53 @@ object Multimodal {
     Some((width, height, gray))
   }
 
+  /** Parse a binary PPM to the full grayscale image (row-major, already
+    * top-down in the file). Same conformance rules as [[decodePpm]]. */
+  def decodePpmGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePpmWith(payload) { (w, h, at) =>
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        gray(i) = (at(3 * i) + at(3 * i + 1) + at(3 * i + 2)) / 3
+        i += 1
+      }
+      gray
+    }
+
+  /** Shared PPM header walk: parses P6 dims/maxval, hands the body reader
+    * `(w, h, byteAt)` to the continuation. */
+  private def decodePpmWith[A](payload: Array[Byte])(
+      body: (Int, Int, Int => Int) => A): Option[(Int, Int, A)] = {
+    if (payload.length < 9 || payload(0) != 'P' || payload(1) != '6') return None
+    var p = 2
+    def nextInt(): Option[Int] = {
+      while (p < payload.length &&
+        (payload(p) == ' ' || payload(p) == '\n' || payload(p) == '\r'
+          || payload(p) == '\t' || payload(p) == '#')) {
+        if (payload(p) == '#')
+          while (p < payload.length && payload(p) != '\n') p += 1
+        else p += 1
+      }
+      var v = 0L; var any = false
+      while (p < payload.length && payload(p) >= '0' && payload(p) <= '9') {
+        v = v * 10 + (payload(p) - '0'); any = true; p += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    val dims = for (w <- nextInt(); h <- nextInt(); mx <- nextInt()) yield (w, h, mx)
+    dims match {
+      case Some((w, h, mx)) if w > 0 && h > 0 && mx > 0 && mx <= 255 =>
+        p += 1
+        if (p.toLong + 3L * w * h > payload.length) None
+        else {
+          val off = p
+          Some((w, h, body(w, h, i => payload(off + i) & 0xff)))
+        }
+      case _ => None
+    }
+  }
+
   /** Perceptual average-hash (aHash) over the REAL decoded pixels: gray
     * values of the fixed top-left `winW`×`winH` window, thresholded
     * against the window's truncating-integer mean, packed row-major into
@@ -268,7 +315,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeBmpGray(r.payload).collect {
+        decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload)).collect {
           case (w, h, gray) if w >= winW && h >= winH =>
             var sum = 0L
             var y = 0

@@ -1282,6 +1282,18 @@ class LlmSpec extends SparkSpec {
     assert(out(0L) != out(2L), "different content must separate")
   }
 
+  test("aHash is format-independent: BMP (bottom-up) and PPM (top-down) agree") {
+    def px(x: Int, y: Int) = (x * 13 % 220, y * 19 % 220, (x * y + 5) % 220)
+    val media = Seq(
+      Multimodal.MediaRecord(0L, Multimodal.encodeBmp(9, 7, px), "image/bmp"),
+      Multimodal.MediaRecord(1L, Multimodal.encodePpm(9, 7, px), "image/x-ppm"))
+      .toDS()
+    val out = Multimodal.aHash(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(out(0L) == out(1L),
+      "same pixels through both codecs must fingerprint identically")
+  }
+
   test("systematic PPS: heavy rows pick multiple times, light rows skip, total = W div step") {
     // weights 1,1,1,1,6: W=10, k=2 -> step=5; only the heavy row's
     // interval (4,10] covers the step points 5 and 10 -> 2 picks.

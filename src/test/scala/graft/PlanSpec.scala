@@ -582,7 +582,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Seq("event_winsorize", "sample_quantile_norm", "eth_address_ids",
-      "skyline_price_discount")
+      "skyline_price_discount", "sample_pps", "event_mad_outliers",
+      "event_pareto_curve")
       .foreach { name =>
         val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
         val bare = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
