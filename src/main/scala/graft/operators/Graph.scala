@@ -83,6 +83,56 @@ object Graph {
     ranks
   }
 
+  /** Deterministic weighted random walks — the DeepWalk/node2vec corpus
+    * generator (walk sequences ARE the training sentences for graph
+    * embeddings): one walk starts at every node and takes `steps`
+    * weighted picks. "Randomness" is a hash stream, not an RNG: step t of
+    * walker v picks the out-edge whose cumulative-weight interval covers
+    * `md5(walker:t) mod out_w + 1` — reproducible across engines,
+    * retries, and partitionings (the same discipline as the hash split),
+    * and replayable as plain SQL. Walks that reach a sink simply end
+    * (their later steps emit nothing).
+    *
+    * Scale shape: the per-src cumulative weights ride a window PARTITIONED
+    * by src (bounded by out-degree, never global); each step is ONE
+    * equi-join of the walk frontier against the pinned cumulative edge
+    * table plus a range filter that keeps exactly one edge per walk.
+    * Returns (walker, step, node), step 0 = the start. */
+  def randomWalks(edges: DataFrame, steps: Int = 3,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  weightCol: Option[String] = None): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val wc = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val ew = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), wc.as("__w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
+    val perSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val ec = ew
+      .withColumn("cw", sum(col("w")).over(perSrc.orderBy(col("dst"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("ow", sum(col("w")).over(perSrc))
+      .localCheckpoint(true)
+    val nodes = ec.select(col("src").as("node"))
+      .union(ec.select(col("dst").as("node"))).distinct()
+    var frontier = nodes.select(col("node").as("walker"), col("node").as("cur"))
+    var acc = frontier.select(col("walker"), lit(0L).as("step"),
+      col("cur").as("node"))
+    var t = 1
+    while (t <= steps) {
+      val r = graft.functions.ColumnFns.md5Long(
+        concat_ws(":", col("walker"), lit(t))) % col("ow") + 1
+      frontier = frontier.join(ec, frontier("cur") === ec("src"))
+        .filter(col("cw") - col("w") < r && r <= col("cw"))
+        .select(col("walker"), col("dst").as("cur"))
+      acc = acc.unionAll(frontier.select(col("walker"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+      t += 1
+    }
+    acc
+  }
+
   /** Eigenvector centrality by FIXED-round power iteration — the
     * undamped sibling of [[pagerank]]: r'(v) = Σ_{u→v} w(u,v)·r(u), no
     * teleport, no out-degree normalization, renormalized onto the ±1e6

@@ -2536,6 +2536,38 @@ object LlmQueries {
            |SELECT id AS node, rm AS rank_micro FROM r3 ORDER BY 1""".stripMargin
       }),
 
+    // Deterministic weighted random walks (DeepWalk corpus generation):
+    // hash-stream picks over per-src cumulative weight intervals — fully
+    // replayable, one frontier join per step. The oracle unrolls the
+    // identical three picks.
+    Q("graph_walk_sample", "GRAPH",
+      (s, d) => graft.operators.Graph.randomWalks(transitionEdges(s, d), steps = 3)
+        .orderBy("walker", "step"),
+      Some {
+        def pick(prev: String, t: Int) =
+          s"""w$t AS (SELECT walker, dst AS cur FROM $prev JOIN ec ON ec.src = $prev.cur
+             |  WHERE (CAST('0x' || substring(md5(CAST(walker AS VARCHAR) || ':$t'), 1, 15) AS BIGINT)
+             |         % ow) + 1 > cw - w
+             |    AND (CAST('0x' || substring(md5(CAST(walker AS VARCHAR) || ':$t'), 1, 15) AS BIGINT)
+             |         % ow) + 1 <= cw)""".stripMargin
+        s"""$transitionEdgesCte,
+           |ec AS (SELECT src, dst, w,
+           |         sum(w) OVER (PARTITION BY src ORDER BY dst
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           |         sum(w) OVER (PARTITION BY src) AS ow
+           |       FROM ew),
+           |nodes AS (SELECT DISTINCT src AS id FROM ew UNION SELECT DISTINCT dst FROM ew),
+           |w0 AS (SELECT id AS walker, id AS cur FROM nodes),
+           |${pick("w0", 1)},
+           |${pick("w1", 2)},
+           |${pick("w2", 3)}
+           |SELECT walker, CAST(0 AS BIGINT) AS step, cur AS node FROM w0
+           |UNION ALL SELECT walker, CAST(1 AS BIGINT), cur FROM w1
+           |UNION ALL SELECT walker, CAST(2 AS BIGINT), cur FROM w2
+           |UNION ALL SELECT walker, CAST(3 AS BIGINT), cur FROM w3
+           |ORDER BY walker, step""".stripMargin
+      }),
+
     // Eigenvector centrality (undamped power iteration, max-normalized
     // integer grid): prestige ranking where feeding a hub counts full
     // weight — the no-teleport sibling of pagerank, same pinned-edge
@@ -4698,6 +4730,48 @@ object LlmQueries {
              |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS logprob_bi,
              |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob_bi
              |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Train/val n-gram coverage: what fraction of each val doc's bigrams
+    // the train split already contains — the eval-set health probe
+    // (coverage ~1: val is in-distribution; low: domain gap; exactly 1
+    // everywhere: suspect leakage). Same hash split as sample_hash_split;
+    // one distinct-bigram train relation met by left semi-ish join.
+    Q("text_ngram_coverage", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("__bkt", md5Long(col("doc_id").cast("string")) % 100)
+        val toks = docs.select(col("doc_id"), col("__bkt"),
+          split(col("text"), " ").as("__toks"))
+        val bigramsOf = expr(
+          """transform(slice(__toks, 1, size(__toks) - 1), (w, i) ->
+            |  concat(w, ' ', __toks[i + 1]))""".stripMargin)
+        val big = toks.filter(size(col("__toks")) >= 2)
+          .select(col("doc_id"), col("__bkt"), explode(bigramsOf).as("bg"))
+        val trainBigrams = big.filter(col("__bkt") < 80)
+          .select(col("bg")).distinct().withColumn("__seen", lit(1L))
+        big.filter(col("__bkt") >= 80 && col("__bkt") < 90)
+          .join(trainBigrams, Seq("bg"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+          .withColumn("coverage_milli", expr("n_seen * 1000 div n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt,
+             |         str_split(text, ' ') AS ts
+             |       FROM documents),
+             |big AS (SELECT doc_id, bkt,
+             |          unnest(ts[:len(ts)-1]) || ' ' || unnest(ts[2:]) AS bg
+             |        FROM b WHERE len(ts) >= 2),
+             |tr AS (SELECT DISTINCT bg FROM big WHERE bkt < 80),
+             |v AS (SELECT doc_id, big.bg, tr.bg IS NOT NULL AS seen
+             |      FROM big LEFT JOIN tr USING (bg)
+             |      WHERE bkt >= 80 AND bkt < 90)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+             |  CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS coverage_milli
+             |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Kneser-Ney smoothed bigram scoring (d = 3/4, continuation-prob
     // backoff): the industry-standard LM perplexity proxy — exact-integer

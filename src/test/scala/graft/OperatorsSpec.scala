@@ -327,6 +327,20 @@ class OperatorsSpec extends SparkSpec {
     assert(rc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
   }
 
+  test("random walks: sinks end walks; forced path follows the only edge") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.randomWalks(edges, steps = 3).collect()
+      .map(r => (r.getAs[Long]("walker"), r.getAs[Long]("step"),
+        r.getAs[Long]("node"))).toSet
+    // walker 1 must step to 2 then stop (2 is a sink); walker 2 never moves
+    assert(out == Set((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 2L)))
+    // a 2-cycle walks forever: every step emits for both walkers
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val oc = Graph.randomWalks(cyc, steps = 3).collect()
+    assert(oc.length == 8) // 2 walkers x steps 0..3, no drops
+  }
+
   test("personalized pagerank: mass restarts at seeds; rank vector stays sparse") {
     import graft.operators.Graph
     // chain 1 -> 2 -> 3, seed {1}: after 3 iters the exact integer ranks
