@@ -345,6 +345,45 @@ object Multimodal {
     }
   }
 
+  /** One pooled output cell: the block mean of the decoded grayscale. */
+  case class PooledPixel(media_id: Long, bx: Int, by: Int, g_mean: Long)
+
+  /** REAL downsample: average-pool the decoded grayscale over `bw`×`bh`
+    * blocks of the fixed `winW`×`winH` top-left window — the resize step
+    * of an image feature pipeline, on actual pixels (the stub-path
+    * [[sampleFrames]] keeps the plan-shape contract for formats without
+    * a JVM codec). Truncating integer block means; images smaller than
+    * the window drop, same contract as [[aHash]]. Map-only. */
+  def avgPool(media: Dataset[MediaRecord], winW: Int = 8, winH: Int = 6,
+              bw: Int = 2, bh: Int = 2): Dataset[PooledPixel] = {
+    require(winW % bw == 0 && winH % bh == 0,
+      s"window ${winW}x$winH must tile by ${bw}x$bh blocks")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload)).toSeq.collect {
+          case (w, h, gray) if w >= winW && h >= winH =>
+            for {
+              by <- 0 until winH / bh
+              bx <- 0 until winW / bw
+            } yield {
+              var s = 0L
+              var dy = 0
+              while (dy < bh) {
+                var dx = 0
+                while (dx < bw) {
+                  s += gray((by * bh + dy) * w + (bx * bw + dx))
+                  dx += 1
+                }
+                dy += 1
+              }
+              PooledPixel(r.media_id, bx, by, s / (bw * bh))
+            }
+        }.flatten
+      }
+    }
+  }
+
   /** Write a binary PPM (P6, maxval 255). */
   def encodePpm(width: Int, height: Int,
                 pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {

@@ -1705,6 +1705,36 @@ object LlmQueries {
              |  CAST(n_set AS BIGINT) AS n_set
              |FROM hb ORDER BY media_id""".stripMargin)),
 
+    // Real decoded-pixel downsample: 2x2 average pooling of the gray
+    // window — the resize stage of an image feature pipeline on actual
+    // pixels, truncating integer block means; the oracle replays the
+    // generator algebra block by block.
+    Q("multimodal_resize_pool", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeBmp(w, h, (x, y) =>
+            (((x * 7 + y * 13 + m) % 256).toInt,
+              ((x * 3 + y * 5) % 256).toInt,
+              ((x + y * 2 + m * 11) % 256).toInt)), "image/bmp")
+        }
+        Multimodal.avgPool(media).toDF().orderBy("media_id", "by", "bx")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |xs AS (SELECT id, unnest(range(8)) AS x FROM m),
+             |pix AS (SELECT id, x, unnest(range(6)) AS y FROM xs),
+             |g AS (SELECT id, x, y,
+             |        ((x * 7 + y * 13 + id) % 256 + (x * 3 + y * 5) % 256
+             |         + (x + y * 2 + id * 11) % 256) // 3 AS gray
+             |      FROM pix),
+             |p AS (SELECT id, x // 2 AS bx, y // 2 AS by, sum(gray) // 4 AS g_mean
+             |      FROM g GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(bx AS INTEGER) AS bx,
+             |  CAST(by AS INTEGER) AS by, CAST(g_mean AS BIGINT) AS g_mean
+             |FROM p ORDER BY media_id, by, bx""".stripMargin)),
+
     // Image near-dup pairs: collapse identical aHash fingerprints to one
     // representative (the exact-dup flood never reaches the pair
     // expansion), then band the 48-bit hash into 6 bytes and bucket-join —

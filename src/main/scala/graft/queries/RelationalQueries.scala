@@ -1076,6 +1076,28 @@ object RelationalQueries {
       Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts, count(*) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bitmap-bucket exact distinct (the ClickHouse/Druid technique for
+    // dense integer keys): ids land in 64-wide buckets, each bucket
+    // OR-accumulates one long of presence bits — two map-side-combined
+    // hash aggregates, popcount at the end. Exact like countDistinct but
+    // with fixed 8-byte partial state per bucket instead of a sort/hash
+    // of the raw values; the oracle is the SEMANTIC check (true
+    // COUNT(DISTINCT)), proving bitmap == exact.
+    Q("agg_bitmap_distinct", "A",
+      (s, d) => Tables(s, d, "events")
+        .select(col("event_type"), expr("user_id div 64").as("__bkt"),
+          expr("shiftleft(1L, cast(user_id % 64 as int))").as("__bit"))
+        .groupBy(col("event_type"), col("__bkt"))
+        .agg(expr("bit_or(__bit)").as("__bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(bit_count(col("__bm")).cast("long")).as("n_distinct"),
+          count(lit(1)).as("n_buckets"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+             |  CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_buckets
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // HLL-sketch distinct (approx_count_distinct): algorithm-specific
     // estimates differ per engine -> rows-only check, no SQL oracle.
     // HLL sketch: the estimator is engine-specific, so the oracle can't match
