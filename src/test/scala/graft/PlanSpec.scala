@@ -625,4 +625,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"expected top-k for the frequency head:\n$p")
   }
+
+  test("random walks: per-step frontier joins stay equi-joins, no cartesian") {
+    val p = plan("graph_walk_sample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"walk steps must join on the node key:\n$p")
+  }
+
+  test("image fingerprinting is map-only: decode + hash never shuffle") {
+    // aHash: mapPartitions over the media rows; the only exchange allowed
+    // is the final presentation sort of the query's orderBy.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.queries("multimodal_ahash")(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = p.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"decode+hash must not shuffle (1 allowed for the output sort):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

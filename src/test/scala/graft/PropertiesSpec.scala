@@ -422,6 +422,22 @@ class PropertiesSpec extends SparkSpec {
     assert(ranked(df.repartition(17)) == expect) // physical layout must not matter
   }
 
+  test("globalPrefixSum equals the single-task cumulative sum under any partitioning") {
+    // negative weights included: the decimal accumulators must carry sign
+    val df = (1 to 2000).map(i => (i.toLong, ((i * 37 % 23) - 5).toLong))
+      .toDF("id", "w")
+    def cum(d: org.apache.spark.sql.DataFrame): Map[Long, BigDecimal] =
+      graft.operators.GlobalRank.globalPrefixSum(d, Seq(col("id")), "w", "cw")
+        .collect()
+        .map(r => r.getAs[Long]("id") -> BigDecimal(r.getAs[java.math.BigDecimal]("cw")))
+        .toMap
+    var run = 0L
+    val expect = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).map { case (id, w) => run += w; id -> BigDecimal(run) }.toMap
+    assert(cum(df) == expect)
+    assert(cum(df.repartition(17)) == expect) // physical layout must not matter
+  }
+
   test("KmvBottomK equals sorted-distinct-take-k for arbitrary long multisets") {
     val rows = (1 to 3000).map(i =>
       (s"g${i % 4}", ((i * 2654435761L) % 500) & 0x0FFFFFFFFFFFFFFFL))
