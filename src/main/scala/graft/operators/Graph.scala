@@ -83,6 +83,55 @@ object Graph {
     ranks
   }
 
+  /** Seeded (semi-supervised) label spreading — the classification twin
+    * of LPA community detection: a small labeled seed set pushes labels
+    * along weighted edges for a FIXED round count; every other node takes
+    * the label with the maximum incoming labeled mass (ties to the
+    * smaller label), seeds stay clamped. The entity-resolution /
+    * address-tagging primitive: "these 50 addresses are exchanges — who
+    * else behaves like one?".
+    *
+    * Determinism: the per-round vote is an integer weight sum and the
+    * argmax is a min over the (−mass, label) struct semilattice — no
+    * order dependence; fixed rounds, zero driver state.
+    * Scale shape: per round ONE equi-join of the current label frontier
+    * against the pinned edge list + one map-side-combined (dst, label)
+    * aggregate — label cardinality bounds the combine width.
+    * Returns (node, label, labeled_round). */
+  def labelSpread(edges: DataFrame, seeds: DataFrame, rounds: Int = 2,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  weightCol: Option[String] = None,
+                  seedNodeCol: String = "node",
+                  seedLabelCol: String = "label"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wc = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val ew = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), wc.as("__w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(true)
+    val seed = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("label"), lit(0L).as("labeled_round"))
+    var labels = seed
+    var t = 1
+    while (t <= rounds) {
+      val votes = labels.join(ew, labels("node") === ew("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("__m"))
+      val picked = votes
+        .groupBy(col("dst"))
+        .agg(min(struct((col("__m") * -1L).as("__neg"), col("label"))).as("__b"))
+        .select(col("dst").as("node"), col("__b.label").as("label"),
+          lit(t.toLong).as("labeled_round"))
+      labels = labels.unionAll(
+          picked.join(labels.select(col("node")), Seq("node"), "left_anti"))
+        .localCheckpoint(true)
+      t += 1
+    }
+    labels
+  }
+
   /** Deterministic weighted random walks — the DeepWalk/node2vec corpus
     * generator (walk sequences ARE the training sentences for graph
     * embeddings): one walk starts at every node and takes `steps`

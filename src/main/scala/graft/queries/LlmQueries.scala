@@ -2566,6 +2566,43 @@ object LlmQueries {
            |SELECT id AS node, rm AS rank_micro FROM r3 ORDER BY 1""".stripMargin
       }),
 
+    // Seeded label spreading (semi-supervised classification on the
+    // graph): clamped seeds push labels by weighted majority for 2
+    // rounds — the address-tagging primitive. Oracle unrolls the same
+    // votes with row_number argmax.
+    Q("graph_label_spread", "GRAPH",
+      (s, d) => {
+        val e = transitionEdges(s, d)
+        val seeds = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .filter(col("node") % 7 === 0)
+          .withColumn("label", col("node"))
+        graft.operators.Graph.labelSpread(e, seeds, rounds = 2)
+          .orderBy("node")
+      },
+      Some {
+        def rnd(prev: String, t: Int) =
+          s"""v$t AS (SELECT ew.dst, $prev.label, sum(ew.w) AS m
+             |       FROM $prev JOIN ew ON ew.src = $prev.node GROUP BY 1, 2),
+             |p$t AS (SELECT dst AS node, label FROM (
+             |         SELECT dst, label,
+             |                row_number() OVER (PARTITION BY dst ORDER BY m DESC, label) AS rn
+             |         FROM v$t) WHERE rn = 1),
+             |l$t AS (SELECT node, label, labeled_round FROM $prev
+             |       UNION ALL
+             |       SELECT p$t.node, p$t.label, $t FROM p$t
+             |       WHERE p$t.node NOT IN (SELECT node FROM $prev))""".stripMargin
+        s"""$transitionEdgesCte,
+           |nodes AS (SELECT DISTINCT src AS id FROM ew UNION SELECT DISTINCT dst FROM ew),
+           |l0 AS (SELECT id AS node, id AS label, CAST(0 AS BIGINT) AS labeled_round
+           |       FROM nodes WHERE id % 7 = 0),
+           |${rnd("l0", 1)},
+           |${rnd("l1", 2)}
+           |SELECT node, CAST(label AS BIGINT) AS label,
+           |  CAST(labeled_round AS BIGINT) AS labeled_round
+           |FROM l2 ORDER BY node""".stripMargin
+      }),
+
     // Deterministic weighted random walks (DeepWalk corpus generation):
     // hash-stream picks over per-src cumulative weight intervals — fully
     // replayable, one frontier join per step. The oracle unrolls the
@@ -3131,6 +3168,54 @@ object LlmQueries {
              |       ELSE (2 * w - (n + 1) * CAST(s AS HUGEINT)) * 1000 // (n * CAST(s AS HUGEINT))
              |  END AS BIGINT) AS gini_milli
              |FROM a""".stripMargin)),
+
+    // First/last-touch attribution: each purchase credits the user's
+    // earliest and latest click/view in the trailing 7 days. ONE
+    // range-framed window pass (min/max of a (ts, event_id) struct over
+    // RANGE [-7d, -1s] — no purchase×touch join, no per-pair blowup);
+    // the oracle replays it as the join + row_number form, proving the
+    // window algebra equals the relational definition.
+    Q("event_attribution", "EVENT",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("__ts_s"))
+          .rangeBetween(-604800L, -1L)
+        val touch = col("event_type").isin("click", "view")
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("__ts_s"))
+        ev.withColumn("__ft", min(when(touch,
+              struct(col("__ts_s"), col("event_id"), col("event_type")))).over(w))
+          .withColumn("__lt", max(when(touch,
+              struct(col("__ts_s"), col("event_id"), col("event_type")))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("__ft.event_id").as("first_touch_id"),
+            col("__ft.event_type").as("first_touch_type"),
+            col("__lt.event_id").as("last_touch_id"),
+            col("__lt.event_type").as("last_touch_type"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+             |       FROM events),
+             |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+             |t AS (SELECT * FROM ev WHERE event_type IN ('click', 'view')),
+             |j AS (SELECT p.event_id, p.user_id,
+             |        t.event_id AS tid, t.event_type AS ttype,
+             |        row_number() OVER (PARTITION BY p.event_id
+             |          ORDER BY t.ts_s, t.event_id) AS rf,
+             |        row_number() OVER (PARTITION BY p.event_id
+             |          ORDER BY t.ts_s DESC, t.event_id DESC) AS rl
+             |      FROM p JOIN t ON p.user_id = t.user_id
+             |       AND t.ts_s BETWEEN p.ts_s - 604800 AND p.ts_s - 1)
+             |SELECT p.event_id, p.user_id,
+             |  f.tid AS first_touch_id, f.ttype AS first_touch_type,
+             |  l.tid AS last_touch_id, l.ttype AS last_touch_type
+             |FROM p
+             |LEFT JOIN j f ON f.event_id = p.event_id AND f.rf = 1
+             |LEFT JOIN j l ON l.event_id = p.event_id AND l.rl = 1
+             |ORDER BY p.event_id""".stripMargin)),
 
     // Pareto concentration curve ("top x% of users hold y% of value"):
     // per-user value totals ranked descending, cumulative share read out

@@ -327,6 +327,22 @@ class OperatorsSpec extends SparkSpec {
     assert(rc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
   }
 
+  test("label spread: chains label hop by hop; equal-mass ties take the smaller label") {
+    import graft.operators.Graph
+    val chain = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val seeds = Seq((0L, 10L)).toDF("node", "label")
+    val out = Graph.labelSpread(chain, seeds, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("label"), r.getAs[Long]("labeled_round"))).toMap
+    assert(out == Map(0L -> ((10L, 0L)), 1L -> ((10L, 1L)), 2L -> ((10L, 2L))))
+    // two seeds vote on node 3 with equal weight -> smaller label wins
+    val vee = Seq((0L, 3L), (7L, 3L)).toDF("src", "dst")
+    val two = Seq((0L, 100L), (7L, 200L)).toDF("node", "label")
+    val ov = Graph.labelSpread(vee, two, rounds = 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(ov(3L) == 100L)
+  }
+
   test("random walks: sinks end walks; forced path follows the only edge") {
     import graft.operators.Graph
     val edges = Seq((1L, 2L)).toDF("src", "dst")
