@@ -2566,6 +2566,46 @@ object LlmQueries {
            |SELECT id AS node, rm AS rank_micro FROM r3 ORDER BY 1""".stripMargin
       }),
 
+    // Directed triad motif census: 3-cycles (feedback: u→v→w→u) vs
+    // feed-forward triangles (u→v→w with the u→w shortcut) — the two
+    // motifs whose ratio separates flow hierarchies from circular
+    // structures (wash-trading rings read as cycles). Distinct-edge
+    // 2-paths via one self-equi-join, each motif closed by one more
+    // equi-join; cycles counted once per rotation → div 3. Count-only
+    // output (the pair-level stream never leaves the aggregate).
+    Q("graph_triad_motifs", "GRAPH",
+      (s, d) => {
+        val e = transitionEdges(s, d).select(col("src"), col("dst")).distinct()
+          .localCheckpoint(true)
+        val paths = e.as("a").join(e.as("b"), col("a.dst") === col("b.src"))
+          .filter(col("a.src") =!= col("b.dst"))
+          .select(col("a.src").as("u"), col("a.dst").as("v"),
+            col("b.dst").as("w"))
+        val closedCycle = paths.join(e.select(col("src").as("w"),
+          col("dst").as("u")), Seq("w", "u"))
+        val closedFfl = paths.join(e.select(col("src").as("u"),
+          col("dst").as("w")), Seq("u", "w"))
+        val agg = paths.agg(count(lit(1)).as("n_paths2"))
+          .crossJoin(closedCycle.agg(count(lit(1)).as("__cc"))
+            .select(expr("__cc div 3").as("n_cycles")))
+          .crossJoin(closedFfl.agg(count(lit(1)).as("n_ffl")))
+        agg.select(col("n_paths2"), col("n_cycles"), col("n_ffl"))
+      },
+      Some {
+        s"""$transitionEdgesCte,
+           |e AS (SELECT DISTINCT src, dst FROM ew),
+           |p AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+           |      FROM e a JOIN e b ON a.dst = b.src WHERE a.src <> b.dst),
+           |c AS (SELECT count(*) // 3 AS n_cycles
+           |      FROM p JOIN e ON e.src = p.w AND e.dst = p.u),
+           |f AS (SELECT count(*) AS n_ffl
+           |      FROM p JOIN e ON e.src = p.u AND e.dst = p.w)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_paths2,
+           |  CAST(n_cycles AS BIGINT) AS n_cycles,
+           |  CAST(n_ffl AS BIGINT) AS n_ffl
+           |FROM c, f""".stripMargin
+      }),
+
     // Seeded label spreading (semi-supervised classification on the
     // graph): clamped seeds push labels by weighted majority for 2
     // rounds — the address-tagging primitive. Oracle unrolls the same
@@ -3168,6 +3208,48 @@ object LlmQueries {
              |       ELSE (2 * w - (n + 1) * CAST(s AS HUGEINT)) * 1000 // (n * CAST(s AS HUGEINT))
              |  END AS BIGINT) AS gini_milli
              |FROM a""".stripMargin)),
+
+    // Exponentially weighted moving average of the daily event rate with
+    // α = 1/2 realized as BIT-SHIFT weights (2^(k−1) on the current row
+    // down to 2^0 on the oldest of a k≤10-day frame): integer-exact
+    // EWMA — the trend smoother — with the partial head handled by the
+    // exact geometric denominator 2^k − 1. The frame rides the
+    // days-sized spine only.
+    Q("event_ewma", "EVENT",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(-9, 0)
+        daily
+          .withColumn("__win", collect_list(col("c")).over(w))
+          .withColumn("n_terms", size(col("__win")).cast("long"))
+          // frame order = oldest..current; weight 2^(i) for i-th element
+          // of a k-term frame ascending to 2^(k-1) on the current row
+          .withColumn("__num", expr(
+            """aggregate(zip_with(__win, sequence(1, size(__win)),
+              |  (v, i) -> v * shiftleft(1L, i - 1)),
+              |  cast(0 as bigint), (a, x) -> a + x)""".stripMargin))
+          .withColumn("__den", expr(
+            "shiftleft(1L, cast(n_terms as int)) - 1"))
+          .withColumn("ewma_milli", expr("(__num * 1000) div __den"))
+          .select(col("day"), col("c").as("n_events"), col("n_terms"),
+            col("ewma_milli"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+             |       FROM events GROUP BY 1),
+             |f AS (SELECT day, c,
+             |        list(c) OVER (ORDER BY day
+             |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS win
+             |      FROM daily),
+             |a AS (SELECT day, c, CAST(len(win) AS BIGINT) AS n_terms,
+             |        CAST(list_sum(list_transform(range(1, len(win) + 1),
+             |          i -> win[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS num
+             |      FROM f)
+             |SELECT day, CAST(c AS BIGINT) AS n_events, n_terms,
+             |  CAST((num * 1000) // ((CAST(1 AS BIGINT) << n_terms) - 1) AS BIGINT) AS ewma_milli
+             |FROM a ORDER BY day""".stripMargin)),
 
     // First/last-touch attribution: each purchase credits the user's
     // earliest and latest click/view in the trailing 7 days. ONE
