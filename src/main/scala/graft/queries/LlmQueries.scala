@@ -3538,6 +3538,62 @@ object LlmQueries {
              |FROM dv, mad WHERE dev * 1000 > 3000 * mad
              |ORDER BY event_id""".stripMargin)),
 
+    // Deterministic Poisson bootstrap (the distributed bootstrap: each
+    // row enters replicate r Poisson(1) times, independence across rows
+    // makes it one pass): draw counts come from a HASH inverse-CDF, not
+    // an RNG — md5(id:rep) mod 1e6 against builder-inlined cumulative
+    // thresholds — so every replicate is reproducible across engines and
+    // retries. 8 replicate means of the event value; the spread IS the
+    // standard-error estimate.
+    Q("sample_bootstrap", "EVENT",
+      (s, d) => {
+        val thr = {
+          val pmf = (0 to 4).map(k => math.exp(-1.0) / (1 to k).product)
+          pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 1000000))
+        }
+        val u = col("__u")
+        val kCase = thr.zipWithIndex.reverse.foldLeft(lit(5L): org.apache.spark.sql.Column) {
+          case (els, (t, k)) => when(u < t, k.toLong).otherwise(els)
+        }
+        Tables(s, d, "events")
+          .select(col("event_id"),
+            round(col("value") * 1000000).cast("long").as("v"))
+          .withColumn("rep", explode(sequence(lit(0L), lit(7L))))
+          .withColumn("__u",
+            md5Long(concat_ws(":", col("event_id"), col("rep"))) % 1000000L)
+          .withColumn("__k", kCase)
+          .groupBy(col("rep"))
+          .agg(sum(col("__k")).as("n_drawn"),
+            sum(col("__k").cast("decimal(38,0)") * col("v")).as("__s"))
+          .withColumn("mean_micro", expr(
+            """CASE WHEN n_drawn = 0 THEN cast(0 as bigint)
+              |     WHEN __s < 0 THEN cast(-((-__s) div n_drawn) as bigint)
+              |     ELSE cast(__s div n_drawn as bigint) END""".stripMargin))
+          .select(col("rep"), col("n_drawn"), col("mean_micro"))
+          .orderBy("rep")
+      },
+      Some {
+        val thr = {
+          val pmf = (0 to 4).map(k => math.exp(-1.0) / (1 to k).product)
+          pmf.scanLeft(0.0)(_ + _).tail.map(c => math.round(c * 1000000))
+        }
+        val kCase = ("CASE " + thr.zipWithIndex.map { case (t, k) =>
+          s"WHEN u < $t THEN $k" }.mkString(" ") + " ELSE 5 END")
+        s"""WITH v AS (SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS v FROM events),
+           |r AS (SELECT event_id, v, unnest(range(0, 8)) AS rep FROM v),
+           |u AS (SELECT rep, v,
+           |        CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS u
+           |      FROM r),
+           |k AS (SELECT rep, v, $kCase AS k FROM u),
+           |a AS (SELECT rep, sum(k) AS n_drawn, sum(CAST(k AS HUGEINT) * v) AS s
+           |      FROM k GROUP BY 1)
+           |SELECT CAST(rep AS BIGINT) AS rep, CAST(n_drawn AS BIGINT) AS n_drawn,
+           |  CAST(CASE WHEN n_drawn = 0 THEN 0
+           |       WHEN s < 0 THEN -((-s) // n_drawn)
+           |       ELSE s // n_drawn END AS BIGINT) AS mean_micro
+           |FROM a ORDER BY rep""".stripMargin
+      }),
+
     // Effective sample size of a proposed weighting (Kish): ESS/n =
     // (Σw)² / (n·Σw²) in milli — the one-number health check before any
     // weighted sampling pass (ESS ≈ n: weights are benign; ESS ≪ n: a
