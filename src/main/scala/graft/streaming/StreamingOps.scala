@@ -566,6 +566,43 @@ object StreamingOps {
     * @param watermarkDelay how much event-time disorder to tolerate before
     *                       the watermark (and therefore session finalization)
     *                       advances. */
+  /** One key's running EWMA state: the milli-grid estimate and the
+    * count of observations folded in. */
+  case class EwmaState(ewma_milli: Long, n: Long)
+
+  /** Per-batch EWMA read-out row. */
+  case class EwmaReadout(key: String, batch_n: Long, total_n: Long,
+                         ewma_milli: Long)
+
+  /** Stateful streaming EWMA per key (α = 1/2) — the continuous twin of
+    * the batch `event_ewma` smoother, as the canonical
+    * `mapGroupsWithState` shape: per micro-batch each key folds its new
+    * observations IN EVENT ORDER into one integer state cell
+    * (`e' = (e + x·1000) div 2`, exact milli grid — a replayed batch in
+    * order reproduces the same state, and state size is exactly one
+    * (long, long) per ACTIVE key), then emits one read-out row. Update
+    * output mode; ordering inside a batch is pinned by (ts, event_id) so
+    * retries are deterministic. */
+  def ewmaStreaming(events: Dataset[Event]): Dataset[EwmaReadout] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[EwmaState, EwmaReadout](
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L))
+          sorted.foreach { e =>
+            val xMilli = math.round(e.value * 1000)
+            st =
+              if (st.n == 0L) EwmaState(xMilli, 1L)
+              else EwmaState(Math.floorDiv(st.ewma_milli + xMilli, 2L), st.n + 1L)
+          }
+          state.update(st)
+          EwmaReadout(key, sorted.size.toLong, st.n, st.ewma_milli)
+      }
+  }
+
   def sessionizeStreaming(events: Dataset[Event],
                           gapSeconds: Long = 600L,
                           watermarkDelay: String = "10 minutes"): Dataset[Session] = {

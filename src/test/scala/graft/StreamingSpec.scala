@@ -187,6 +187,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming EWMA: integer state folds across batches in event order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = StreamingOps.ewmaStreaming(input.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("ewma_out").outputMode("update").start()
+    try {
+      // batch 1, key "a": values 4.0 then 8.0 (order pinned by ts) ->
+      // e = 4000, then (4000 + 8000) div 2 = 6000
+      input.addData(
+        Event(1L, ts(0), 1L, "a", 4.0), Event(2L, ts(1), 1L, "a", 8.0),
+        Event(3L, ts(0), 2L, "b", 10.0))
+      query.processAllAvailable()
+      val r1 = spark.table("ewma_out").as[StreamingOps.EwmaReadout].collect()
+        .map(r => r.key -> r).toMap
+      assert(r1("a").ewma_milli == 6000L && r1("a").total_n == 2L)
+      assert(r1("b").ewma_milli == 10000L)
+      // batch 2 folds into the carried state: (6000 + 1000) div 2 = 3500
+      input.addData(Event(4L, ts(2), 1L, "a", 1.0))
+      query.processAllAvailable()
+      val r2 = spark.table("ewma_out").as[StreamingOps.EwmaReadout].collect()
+        .filter(r => r.key == "a" && r.total_n == 3L)
+      assert(r2.nonEmpty && r2.head.ewma_milli == 3500L)
+    } finally query.stop()
+  }
+
   test("streaming image-hash index: cross-batch and same-batch near-dups flag") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.Multimodal
