@@ -101,4 +101,59 @@ object AsofJoin {
       .select((leftCols.map(col) ++
         valueCols.map(c => col(s"__asof.$c").as(s"asof_$c"))).toIndexedSeq: _*)
   }
+
+  /** Nearest as-of join: for each left row, the right row with the
+    * MINIMUM |Δts| — backward on ties (the MergeTree/kdb "nearest"
+    * mode). Both direction candidates come from the SAME single key
+    * shuffle: one exchange, two window sorts (ascending for
+    * last-at-or-before, descending for first-at-or-after), then a
+    * per-row integer distance compare picks the winner. Right-side ties
+    * on (key, ts) resolve by the same highest-`tieBreak` rule. Lands
+    * `asof_<col>` plus `asof_direction` ('backward'/'forward', null when
+    * no right row exists on either side). */
+  def nearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTs: String, rightTs: String, valueCols: Seq[String],
+              tieBreak: String): DataFrame = {
+    val reserved = Seq("__ts", "__side", "__b", "__f", "asof_direction") ++
+      valueCols.map(c => s"asof_$c")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"left columns collide with as-of internals/outputs: ${clash.mkString(", ")}")
+    val key = keyCols.map(col)
+    val rightRanked = right.withColumn("__rdup",
+        row_number().over(Window.partitionBy((keyCols :+ rightTs).map(col): _*)
+          .orderBy((col(tieBreak).desc +: valueCols.map(col(_).desc)).toIndexedSeq: _*)))
+      .filter(col("__rdup") === 1).drop("__rdup")
+    val leftCols = left.columns
+    val taggedLeft = left
+      .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
+    val taggedRight = rightRanked
+      .select((key :+ col(rightTs).as("__ts") :+ lit(0).as("__side")
+        :+ struct((col(rightTs).as("__rts") +: valueCols.map(col)).toIndexedSeq: _*)
+          .as("__rv")).toIndexedSeq: _*)
+    val unioned = taggedLeft.unionByName(taggedRight, allowMissingColumns = true)
+    val wb = Window.partitionBy(key: _*)
+      .orderBy(col("__ts").asc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(key: _*)
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = unioned
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wb))
+      .withColumn("__f", last(col("__rv"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__pick", expr(
+        """CASE
+          |  WHEN __b IS NULL AND __f IS NULL THEN NULL
+          |  WHEN __f IS NULL THEN named_struct('v', __b, 'dir', 'backward')
+          |  WHEN __b IS NULL THEN named_struct('v', __f, 'dir', 'forward')
+          |  WHEN unix_micros(__ts) - unix_micros(__b.__rts)
+          |       <= unix_micros(__f.__rts) - unix_micros(__ts)
+          |    THEN named_struct('v', __b, 'dir', 'backward')
+          |  ELSE named_struct('v', __f, 'dir', 'forward')
+          |END""".stripMargin))
+    picked.select((leftCols.map(col) ++
+      valueCols.map(c => col(s"__pick.v.$c").as(s"asof_$c")) :+
+      col("__pick.dir").as("asof_direction")).toIndexedSeq: _*)
+  }
 }

@@ -1848,6 +1848,44 @@ object RefQueries {
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // The nearest direction: minimum |Δts| with backward winning ties —
+    // the MergeTree/kdb "nearest" mode. ONE key exchange feeds both
+    // direction windows; a per-row integer micros compare picks the
+    // winner. DuckDB has no nearest ASOF, so the oracle is the explicit
+    // per-pair argmin — proving the window form equals the definition.
+    Q("j_asof_nearest", "S5",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val left = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val right = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("rts"),
+            col("event_id").as("click_id"), col("value").as("click_value"))
+        graft.operators.AsofJoin.nearest(left, right, Seq("user_id"),
+            leftTs = "ts", rightTs = "rts",
+            valueCols = Seq("click_id", "click_value"), tieBreak = "click_id")
+          .select(col("event_id"), col("user_id"), col("asof_click_id"),
+            round(col("asof_click_value") * 100).cast("long").as("asof_click_cents"),
+            col("asof_direction"))
+          .orderBy("event_id")
+      },
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |r0 AS (SELECT user_id, ts, event_id AS click_id, value FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, ts, click_id, value FROM (
+             |        SELECT r0.*, row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) AS rn
+             |        FROM r0) WHERE rn = 1),
+             |j AS (SELECT l.event_id, r.click_id, r.value,
+             |        CASE WHEN r.ts <= l.ts THEN 'backward' ELSE 'forward' END AS dir,
+             |        row_number() OVER (PARTITION BY l.event_id
+             |          ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+             |                   CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END) AS rn
+             |      FROM l JOIN r ON l.user_id = r.user_id)
+             |SELECT l.event_id, l.user_id, j.click_id AS asof_click_id,
+             |       CAST(round(j.value * 100) AS BIGINT) AS asof_click_cents,
+             |       j.dir AS asof_direction
+             |FROM l LEFT JOIN j ON j.event_id = l.event_id AND j.rn = 1
+             |ORDER BY l.event_id""".stripMargin)),
+
     // K5, DDL-executor form: render each registry entry as CREATE TABLE DDL
     // (the engine-side analogue of the reference feeding schema.cql to its
     // DDL executor). Oracle transcribed by hand from the contract.

@@ -34,6 +34,28 @@ class OperatorsSpec extends SparkSpec {
       Seq(Some(101L), Some(102L), Some(103L), None, None))
   }
 
+  test("as-of nearest: min |dt| wins, equidistant goes backward, one-sided falls back") {
+    val left = Seq(
+      (1L, 10L, ts(200)), // click at 100 (dt 100) vs 250 (dt 50) -> forward
+      (2L, 10L, ts(175)), // equidistant 100/250 (dt 75) -> backward wins
+      (3L, 20L, ts(50)),  // only a later click -> forward fallback
+      (4L, 30L, ts(50)))  // no clicks at all -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts(100), 101L, 1.0), (10L, ts(250), 102L, 2.0),
+      (20L, ts(500), 201L, 3.0))
+      .toDF("user_id", "rts", "click_id", "click_value")
+    val out = AsofJoin.nearest(left, right, Seq("user_id"), "ts", "rts",
+        Seq("click_id", "click_value"), tieBreak = "click_id")
+      .orderBy("event_id").collect()
+    def pick(i: Int) = (Option(out(i).getAs[Any]("asof_click_id")),
+      Option(out(i).getAs[String]("asof_direction")))
+    assert(pick(0) == ((Some(102L), Some("forward"))))
+    assert(pick(1) == ((Some(101L), Some("backward"))))
+    assert(pick(2) == ((Some(201L), Some("forward"))))
+    assert(pick(3) == ((None, None)))
+  }
+
   test("as-of backward: right-side ties on (key, ts) resolve to highest tieBreak") {
     val left = Seq((1L, 10L, ts(500))).toDF("event_id", "user_id", "ts")
     val right = Seq(
