@@ -1026,6 +1026,55 @@ object Similarity {
       .orderBy("round")
   }
 
+  /** k-means++ initialization (Arthur & Vassilvitskii) in deterministic
+    * distributed form — the principled seeding [[kmeansTrain]] should
+    * start from: each new center is D²-SAMPLED (probability ∝ squared
+    * distance to the nearest chosen center) instead of [[kcenterGreedy]]'s
+    * max — outlier-robust where the max is outlier-seeking.
+    *
+    * The random draw is a HASH POINT on the cumulative D² line: round r
+    * picks the row whose [cum−d², cum] interval covers
+    * `md5("kmeanspp:r") mod ΣD² + 1` — the same replayable-stream
+    * discipline as the PPS sampler, so engines, retries, and
+    * partitionings agree. Per round: one broadcast-fold dmin² pass, one
+    * exact distributed prefix sum
+    * ([[graft.operators.GlobalRank.globalPrefixSum]] — never a one-task
+    * window), one interval filter (exactly one row). D² sums ride Long
+    * (≤ ~4e12 at sf0.1; the decimal move is the same one the scaladoc'd
+    * prefix sum already makes internally). Returns (round, id,
+    * d2_at_pick). */
+  def kmeansPpInit(df: DataFrame, k: Int = 3, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k-means++ needs k >= 1")
+    val m = df.select(col(idCol).as("vid"), milliVec(vecCol).as("__m"))
+    var chosen = m.orderBy(col("vid")).limit(1)
+      .select(col("vid").as("cid"), col("__m").as("__cm"),
+        lit(1L).as("round"), lit(0L).as("d2_at_pick"))
+    for (r <- 2 to k) {
+      val packed = chosen.groupBy()
+        .agg(collect_list(struct(col("cid"), col("__cm"))).as("__cs"))
+      val scored = m.crossJoin(broadcast(packed))
+        .withColumn("__d2", expr(
+          """array_min(transform(__cs, c ->
+            |  aggregate(zip_with(__m, c.__cm, (a, b) -> (a - b) * (a - b)),
+            |            cast(0 as bigint), (s, x) -> s + x)))""".stripMargin))
+        .select(col("vid"), col("__m"), col("__d2"))
+      val cum = graft.operators.GlobalRank
+        .globalPrefixSum(scored, Seq(col("vid")), "__d2", "__cum")
+      val tot = scored.agg(sum(col("__d2")).as("__tw"))
+      val next = cum.crossJoin(broadcast(tot))
+        .withColumn("__p",
+          graft.functions.ColumnFns.md5Long(lit(s"kmeanspp:$r")) % col("__tw") + 1L)
+        .filter(col("__cum") - col("__d2") < col("__p") &&
+          col("__p") <= col("__cum"))
+        .select(col("vid").as("cid"), col("__m").as("__cm"),
+          lit(r.toLong).as("round"), col("__d2").as("d2_at_pick"))
+      chosen = chosen.union(next)
+    }
+    chosen.select(col("round"), col("cid").as(idCol), col("d2_at_pick"))
+      .orderBy("round")
+  }
+
   def rangeSearch(corpus: DataFrame, queries: DataFrame, radius: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {

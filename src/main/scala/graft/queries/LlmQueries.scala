@@ -2394,6 +2394,41 @@ object LlmQueries {
            |ORDER BY round""".stripMargin
       }),
 
+    // k-means++ initialization: D²-sampling realized as hash points on
+    // the exact distributed prefix sum — composes the broadcast dmin²
+    // fold, globalPrefixSum, and the replayable hash stream into the
+    // principled seeding for kmeansTrain. The oracle unrolls the same
+    // rounds, picks included.
+    Q("ann_kmeanspp_init", "LLM",
+      (s, d) => Similarity.kmeansPpInit(Tables(s, d, "embeddings"), k = 3),
+      Some {
+        def dist(a: String, b: String) =
+          s"list_sum(list_transform(range(1, 65), j -> ($a.m[j] - $b.m[j]) * ($a.m[j] - $b.m[j])))"
+        def rnd(prevD: String, r: Int) =
+          s"""s$r AS (SELECT vec_id, m, dd,
+             |        sum(dd) OVER (ORDER BY vec_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM $prevD),
+             |t$r AS (SELECT sum(dd) AS tw FROM $prevD),
+             |p$r AS (SELECT (CAST('0x' || substring(md5('kmeanspp:$r'), 1, 15) AS BIGINT) % tw) + 1 AS p
+             |       FROM t$r),
+             |c$r AS (SELECT vec_id, m, dd FROM s$r, p$r WHERE cum - dd < p AND p <= cum)""".stripMargin
+        s"""WITH m AS (SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS m
+           |       FROM embeddings),
+           |c1 AS (SELECT vec_id, m FROM m ORDER BY vec_id LIMIT 1),
+           |e1 AS (SELECT m.vec_id, m.m, ${dist("m", "c1")} AS dd FROM m, c1),
+           |${rnd("e1", 2)},
+           |e2 AS (SELECT e1.vec_id, e1.m, least(e1.dd, ${dist("e1", "c2")}) AS dd
+           |       FROM e1, c2),
+           |${rnd("e2", 3)}
+           |SELECT * FROM (
+           |  SELECT CAST(1 AS BIGINT) AS round, vec_id, CAST(0 AS BIGINT) AS d2_at_pick FROM c1
+           |  UNION ALL SELECT CAST(2 AS BIGINT), vec_id, CAST(dd AS BIGINT) FROM c2
+           |  UNION ALL SELECT CAST(3 AS BIGINT), vec_id, CAST(dd AS BIGINT) FROM c3)
+           |ORDER BY round""".stripMargin
+      }),
+
     // Matryoshka prefix truncation (MRL): the first 16 of 64 dims as a
     // usable lower-dim embedding, in integer micro-units, plus the
     // retained-energy audit (‖prefix‖²/‖full‖² in milli, exact integer
