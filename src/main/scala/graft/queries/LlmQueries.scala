@@ -3286,6 +3286,55 @@ object LlmQueries {
              |  CAST((num * 1000) // ((CAST(1 AS BIGINT) << n_terms) - 1) AS BIGINT) AS ewma_milli
              |FROM a ORDER BY day""".stripMargin)),
 
+    // Holt double-exponential smoothing (level + trend, α = β = 1/2) of
+    // the daily rate — the forecasting upgrade over plain EWMA, exact on
+    // the milli grid: both recursions halve by TRUNCATING integral
+    // division (`div` / `//` — identical toward-zero semantics on both
+    // engines even on the negatives the TREND state reaches; shiftright
+    // would floor and diverge), folded over the expanding day-spine
+    // frame with a struct accumulator. The spine is dimension-sized;
+    // the per-row refold is O(days²) on ≤ a few thousand rows, never
+    // corpus-scaled.
+    Q("event_holt", "EVENT",
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        daily
+          .withColumn("__win", collect_list(col("c") * 1000L).over(w))
+          .withColumn("__st", expr(
+            """aggregate(slice(__win, 2, size(__win) - 1),
+              |  named_struct('l', __win[0], 't', cast(0 as bigint)),
+              |  (a, x) -> named_struct(
+              |    'l', (x + a.l + a.t) div 2,
+              |    't', (a.t + ((x + a.l + a.t) div 2) - a.l) div 2))""".stripMargin))
+          .select(col("day"), col("c").as("n_events"),
+            col("__st.l").as("level_milli"), col("__st.t").as("trend_milli"))
+          .orderBy("day")
+      },
+      // oracle as a RECURSIVE CTE, not a struct-accumulator list_reduce:
+      // DuckDB 1.0.0 returns different folds for identical struct lists
+      // depending on how the list was constructed (observed: a literal
+      // struct list mis-evaluates the shared (a.l+a.t+e.l)//2 term) —
+      // the row-by-row recursion has no such hazard.
+      Some("""WITH RECURSIVE daily AS (
+             |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS c
+             |  FROM events GROUP BY 1),
+             |d2 AS (SELECT day, c, c * 1000 AS x,
+             |         row_number() OVER (ORDER BY day) AS rn FROM daily),
+             |r AS (
+             |  SELECT rn, day, c, l, t FROM (
+             |    SELECT rn, day, c, x AS l, CAST(0 AS BIGINT) AS t FROM d2) WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d2.rn, d2.day, d2.c,
+             |    (d2.x + r.l + r.t) // 2,
+             |    (r.t + ((d2.x + r.l + r.t) // 2) - r.l) // 2
+             |  FROM r JOIN d2 ON d2.rn = r.rn + 1)
+             |SELECT day, CAST(c AS BIGINT) AS n_events,
+             |  CAST(l AS BIGINT) AS level_milli, CAST(t AS BIGINT) AS trend_milli
+             |FROM r ORDER BY day""".stripMargin)),
+
     // First/last-touch attribution: each purchase credits the user's
     // earliest and latest click/view in the trailing 7 days. ONE
     // range-framed window pass (min/max of a (ts, event_id) struct over

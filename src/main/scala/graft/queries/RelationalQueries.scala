@@ -1098,6 +1098,27 @@ object RelationalQueries {
              |  CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_buckets
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Bitmap set algebra on the same buckets: exact "users who did BOTH"
+    // via per-bucket bit_and of the two presence bitmaps — set
+    // intersection without a distinct-distinct join; popcount reads the
+    // answer. Semantic oracle again (INTERSECT count).
+    Q("agg_bitmap_intersect", "A",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        def bm(t: String) = ev.filter(col("event_type") === t)
+          .select(expr("user_id div 64").as("bkt"),
+            expr("shiftleft(1L, cast(user_id % 64 as int))").as("__bit"))
+          .groupBy(col("bkt")).agg(expr("bit_or(__bit)").as(s"bm_$t"))
+        bm("click").join(bm("purchase"), Seq("bkt"))
+          .select(bit_count(expr("bm_click & bm_purchase")).cast("long")
+            .as("__both"))
+          .agg(sum(col("__both")).as("n_both"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_both FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'click'
+             |  INTERSECT
+             |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)),
+
     // HLL-sketch distinct (approx_count_distinct): algorithm-specific
     // estimates differ per engine -> rows-only check, no SQL oracle.
     // HLL sketch: the estimator is engine-specific, so the oracle can't match
