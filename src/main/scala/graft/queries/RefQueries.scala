@@ -1886,6 +1886,41 @@ object RefQueries {
              |FROM l LEFT JOIN j ON j.event_id = l.event_id AND j.rn = 1
              |ORDER BY l.event_id""".stripMargin)),
 
+    // K9: multi-version time travel on the bucketed sink (Delta-lite
+    // manifest log): commit v1, then a correction commit touching only
+    // half the buckets; read BOTH versions back and prove v1 still
+    // answers with pre-correction numbers while untouched buckets share
+    // physical files. Oracle recomputes both versions' stats from the
+    // base table.
+    Q("k9_time_travel", "K",
+      (s, d) => {
+        import graft.eth.Versioned
+        val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+        val base = Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            expr("o_orderkey div 500").as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        Versioned.commit(base, dir, Seq("o_orderkey"), "bkt")
+        val correction = base
+          .filter(col("o_orderkey") > 1000)
+          .withColumn("price_c", col("price_c") + 100000L)
+        Versioned.commit(correction, dir, Seq("o_orderkey"), "bkt")
+        def stats(v: Long) = Versioned.readAt(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_cents"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_price_cents"))
+        stats(1L).unionAll(stats(2L)).orderBy("version")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS p
+             |       FROM orders WHERE o_orderkey <= 2000),
+             |v1 AS (SELECT CAST(1 AS BIGINT) AS version, count(*) AS n, sum(p) AS s FROM base),
+             |v2 AS (SELECT CAST(2 AS BIGINT), count(*),
+             |         sum(CASE WHEN o_orderkey > 1000 THEN p + 100000 ELSE p END)
+             |       FROM base)
+             |SELECT version, CAST(n AS BIGINT) AS n_rows, CAST(s AS BIGINT) AS sum_price_cents
+             |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+             |ORDER BY version""".stripMargin)),
+
     // K5, DDL-executor form: render each registry entry as CREATE TABLE DDL
     // (the engine-side analogue of the reference feeding schema.cql to its
     // DDL executor). Oracle transcribed by hand from the contract.

@@ -321,4 +321,34 @@ class SinksSpec extends SparkSpec {
     // row filter guarantees emptiness either way
     assert(none.length <= total)
   }
+
+  test("versioned table: time travel, untouched-bucket file sharing, pk upsert") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_ver").toString + "/t"
+    // v1: ids 0..29 over 3 buckets, value = id
+    val v1df = (0L until 30L).map(i => (i, i / 10, i * 10))
+      .toDF("id", "bkt", "v")
+    assert(Versioned.commit(v1df, dir, Seq("id"), "bkt") == 1L)
+    // v2: touch ONLY bucket 1 — update ids 10..14, add id 100
+    val v2df = ((10L until 15L).map(i => (i, 1L, 999L)) :+ ((100L, 1L, 7L)))
+      .toDF("id", "bkt", "v")
+    assert(Versioned.commit(v2df, dir, Seq("id"), "bkt") == 2L)
+
+    val at1 = Versioned.readAt(spark, dir, 1L)
+    assert(at1.count() == 30)
+    assert(at1.filter(col("id") === 12L).select("v").as[Long].head() == 120L)
+    val at2 = Versioned.readAt(spark, dir) // latest
+    assert(at2.count() == 31) // 30 + the new id 100
+    assert(at2.filter(col("id") === 12L).select("v").as[Long].head() == 999L)
+    assert(at2.filter(col("id") === 17L).select("v").as[Long].head() == 170L)
+    // untouched buckets 0 and 2 are the SAME physical files in both versions
+    val f1 = Versioned.activeFiles(dir, 1L).filter(_._2 != 1L).toSet
+    val f2 = Versioned.activeFiles(dir, 2L).filter(_._2 != 1L).toSet
+    assert(f1 == f2 && f1.nonEmpty, "untouched buckets must share files")
+    // bucket 1's v1 file was removed from v2's active set
+    assert(!Versioned.activeFiles(dir, 2L).exists(f =>
+      f._2 == 1L && f._1.contains("/v1/")))
+  }
 }
