@@ -84,12 +84,42 @@ object Versioned {
     (adds, removes)
   }
 
-  /** The active (file, bucket) set as of `asOf` (manifest replay —
-    * metadata-sized, driver-side by design). */
+  /** Highest checkpoint version ≤ `asOf`, 0 if none. A checkpoint is a
+    * full active-set snapshot (`<v>.checkpoint.json`) that lets replay
+    * start mid-chain — the standard Delta-checkpoint move, and what
+    * makes [[vacuum]]'s manifest truncation safe. */
+  private def checkpointAtOrBefore(dir: String, asOf: Long): Long = {
+    val vd = versionsDir(dir)
+    if (!Files.isDirectory(vd)) return 0L
+    val it = Files.list(vd)
+    try {
+      var best = 0L
+      val i = it.iterator()
+      while (i.hasNext) {
+        val n = i.next().getFileName.toString
+        if (n.endsWith(".checkpoint.json")) {
+          val v = n.stripSuffix(".checkpoint.json").toLong
+          if (v <= asOf) best = math.max(best, v)
+        }
+      }
+      best
+    } finally it.close()
+  }
+
+  /** The active (file, bucket) set as of `asOf` (manifest replay from the
+    * nearest checkpoint — metadata-sized, driver-side by design). Fails
+    * if `asOf` predates the retention horizon ([[vacuum]]). */
   def activeFiles(dir: String, asOf: Long): Seq[(String, Long)] = {
     require(asOf >= 1, s"versions start at 1, got $asOf")
-    var active = Map.empty[String, Long]
-    var v = 1L
+    val cp = checkpointAtOrBefore(dir, asOf)
+    var active: Map[String, Long] =
+      if (cp == 0L) Map.empty
+      else {
+        val txt = Files.readString(versionsDir(dir).resolve(s"$cp.checkpoint.json"))
+        val addRe = """\{"file": "([^"]+)", "bucket": (-?\d+)\}""".r
+        addRe.findAllMatchIn(txt).map(m => (m.group(1), m.group(2).toLong)).toMap
+      }
+    var v = cp + 1
     while (v <= asOf) {
       val (adds, removes) = parseManifest(dir, v)
       active = active -- removes
@@ -97,6 +127,57 @@ object Versioned {
       v += 1
     }
     active.toSeq.sortBy(_._1)
+  }
+
+  /** Snapshot version `v`'s full active set so replay can start there. */
+  def checkpoint(dir: String, v: Long): Unit = {
+    val files = activeFiles(dir, v)
+    val json = s"""{"checkpoint": $v, "active": [${files.map { case (f, b) =>
+      s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}]}"""
+    val tmp = versionsDir(dir).resolve(s".$v.checkpoint.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, versionsDir(dir).resolve(s"$v.checkpoint.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Retention enforcement: keep every version in [`minVersion`, latest]
+    * readable, physically delete everything only older versions
+    * referenced. Checkpoints `minVersion` first (so truncating the
+    * manifest chain below it is safe), then removes (a) data files not
+    * active in ANY retained version and (b) manifests before the
+    * checkpoint. Time travel below `minVersion` then fails by contract —
+    * the same semantics as Delta VACUUM's retention window. Returns the
+    * number of data files deleted. */
+  def vacuum(dir: String, minVersion: Long): Int = {
+    val latest = latestVersion(dir)
+    require(minVersion >= 1 && minVersion <= latest,
+      s"minVersion must be in [1, $latest], got $minVersion")
+    checkpoint(dir, minVersion)
+    val keep = (minVersion to latest)
+      .flatMap(v => activeFiles(dir, v).map(_._1)).toSet
+    // walk data/: delete any parquet file no retained version references
+    var deleted = 0
+    val dataDir = Paths.get(dir, "data")
+    if (Files.isDirectory(dataDir)) {
+      val walk = Files.walk(dataDir)
+      try {
+        val it = walk.iterator()
+        val toDelete = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet") &&
+            !keep.contains(p.toString)) toDelete += p
+        }
+        toDelete.foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      } finally walk.close()
+    }
+    // truncate the manifest chain below the checkpoint
+    var v = 1L
+    while (v < minVersion) {
+      Files.deleteIfExists(versionsDir(dir).resolve(s"$v.json"))
+      v += 1
+    }
+    deleted
   }
 
   /** Read the table as of a version (default: latest). */

@@ -351,4 +351,29 @@ class SinksSpec extends SparkSpec {
     assert(!Versioned.activeFiles(dir, 2L).exists(f =>
       f._2 == 1L && f._1.contains("/v1/")))
   }
+
+  test("versioned vacuum: retained versions survive, horizon is enforced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
+    val v1df = (0L until 30L).map(i => (i, i / 10, i)).toDF("id", "bkt", "v")
+    Versioned.commit(v1df, dir, Seq("id"), "bkt")
+    Versioned.commit(Seq((10L, 1L, 111L)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    Versioned.commit(Seq((20L, 2L, 222L)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    val deleted = Versioned.vacuum(dir, minVersion = 2L)
+    // only bucket 1's v1 file is unreferenced by versions 2..3 (bucket 2's
+    // v1 file is still what version 2 reads)
+    assert(deleted == 1, s"expected exactly the replaced v1 bucket file, got $deleted")
+    val at2 = Versioned.readAt(spark, dir, 2L)
+    assert(at2.count() == 30)
+    assert(at2.filter(col("id") === 10L).select("v").as[Long].head() == 111L)
+    assert(at2.filter(col("id") === 20L).select("v").as[Long].head() == 20L)
+    val at3 = Versioned.readAt(spark, dir, 3L)
+    assert(at3.filter(col("id") === 20L).select("v").as[Long].head() == 222L)
+    // below the retention horizon: replay must fail, not silently misread
+    intercept[Exception] { Versioned.activeFiles(dir, 1L) }
+  }
 }
