@@ -632,6 +632,14 @@ class PlanSpec extends SparkSpec {
       s"walk steps must join on the node key:\n$p")
   }
 
+  test("attribution: one range-framed window pass, never a purchase-by-touch join") {
+    val p = plan("event_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"attribution must not join purchases against touches:\n$p")
+    assert(p.contains("Window"), s"expected the range-framed window:\n$p")
+  }
+
   test("image fingerprinting is map-only: decode + hash never shuffle") {
     // aHash: mapPartitions over the media rows; the only exchange allowed
     // is the final presentation sort of the query's orderBy.
