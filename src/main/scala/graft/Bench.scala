@@ -42,7 +42,11 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "events", "documents", "embeddings").foreach { t =>
       try graft.queries.Tables(spark, sfDir, t).queryExecution.toRdd.count()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        // loud swallow: a permanently unreadable table would otherwise
+        // silently shift its cold-IO cost onto the first query touching it
+        System.err.println(s"[bench] warm-up of table '$t' failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     try {
       import org.apache.spark.sql.expressions.Window

@@ -44,6 +44,12 @@ object Enrich {
     *     `missingObs` and check [[assertNoMissingReceipts]] after their
     *     terminal action — single pass, validation piggybacks on the real
     *     job.
+    *
+    * PIPELINE DEFAULT: fused pipelines must not call this with the eager
+    * defaults — both default-on checks add an extra job per micro-batch
+    * that is easy to forget in a larger DAG. Use
+    * [[enrichTransactionsPipelined]] (PK-dedup + Observation, zero extra
+    * jobs), which is what [[EthPipeline]] runs.
     */
   def enrichTransactions(
       txs: DataFrame,
@@ -83,6 +89,25 @@ object Enrich {
     }
     observed.drop("__receipt_tx_hash")
   }
+
+  /** The pipeline-default J1: single-pass contract enforcement with ZERO
+    * extra jobs per micro-batch. Duplicate receipts are collapsed by PK
+    * (replayed rows are byte-identical — T4 idempotence makes the
+    * dropDuplicates semantics-preserving, not lossy) instead of the eager
+    * count/countDistinct scan, and the missing-receipt check rides the
+    * caller's Observation, validated by [[assertNoMissingReceipts]] after
+    * the terminal action. This is what [[EthPipeline]] runs; prefer it in
+    * any fused DAG. */
+  def enrichTransactionsPipelined(
+      txs: DataFrame,
+      receipts: DataFrame,
+      missingObs: Observation,
+      txHashCol: String = "tx_hash",
+      receiptTxHashCol: String = "transaction_hash"): DataFrame =
+    enrichTransactions(txs, receipts.dropDuplicates(receiptTxHashCol),
+      txHashCol, receiptTxHashCol,
+      requireReceipt = false, missingObs = Some(missingObs),
+      checkDuplicates = false)
 
   /** Read the missing-receipt count recorded by an [[Observation]] passed to
     * [[enrichTransactions]], after a terminal action has run. Throws the

@@ -33,7 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object Versioned {
 
-  private def versionsDir(dir: String) = Paths.get(dir, "_versions")
+  /** All path bookkeeping (manifest contents, vacuum's keep-set string
+    * compare) flows through ONE canonical form of the table dir, so a
+    * caller mixing `tmp/t`, `tmp/t/` and `/abs/tmp/t` across commit /
+    * readAt / vacuum can never make the keep-set lookup miss and delete
+    * a still-referenced data file. */
+  private def norm(dir: String): String =
+    Paths.get(dir).toAbsolutePath.normalize.toString
+
+  private def versionsDir(dir: String) = Paths.get(norm(dir), "_versions")
+
+  // pure manifests only: `<v>.checkpoint.json` (written by checkpoint/
+  // vacuum) also ends in ".json" — matching it here would make
+  // "N.checkpoint".toLong throw on every commit after the first vacuum
+  private val manifestName = """(\d+)\.json""".r
 
   /** Highest committed version, 0 if the table does not exist yet. */
   def latestVersion(dir: String): Long = {
@@ -45,8 +58,10 @@ object Versioned {
         val vs = it.iterator()
         var mx = 0L
         while (vs.hasNext) {
-          val n = vs.next().getFileName.toString
-          if (n.endsWith(".json")) mx = math.max(mx, n.stripSuffix(".json").toLong)
+          vs.next().getFileName.toString match {
+            case manifestName(v) => mx = math.max(mx, v.toLong)
+            case _ => // checkpoint snapshot or tmp file — not a manifest
+          }
         }
         mx
       } finally it.close()
@@ -156,8 +171,10 @@ object Versioned {
     val keep = (minVersion to latest)
       .flatMap(v => activeFiles(dir, v).map(_._1)).toSet
     // walk data/: delete any parquet file no retained version references
+    // (walk from the same canonical root the manifests were written
+    // against, so path strings compare equal)
     var deleted = 0
-    val dataDir = Paths.get(dir, "data")
+    val dataDir = Paths.get(norm(dir), "data")
     if (Files.isDirectory(dataDir)) {
       val walk = Files.walk(dataDir)
       try {
@@ -180,12 +197,21 @@ object Versioned {
     deleted
   }
 
-  /** Read the table as of a version (default: latest). */
+  /** Read the table as of a version (default: latest). A nonexistent /
+    * empty table resolves to version 0 and reads as the documented empty
+    * frame rather than tripping activeFiles' `asOf >= 1` contract.
+    * `mergeSchema` makes reads correct across schema evolution: a
+    * version whose active set mixes pre- and post-evolution files (an
+    * untouched bucket still carried by reference) widens to the union
+    * schema with nulls for the missing column, while time travel to a
+    * pre-evolution version — whose active set is all-old files — yields
+    * exactly the old schema. */
   def readAt(spark: SparkSession, dir: String, asOf: Long = -1L): DataFrame = {
     val v = if (asOf == -1L) latestVersion(dir) else asOf
+    if (v == 0L) return spark.emptyDataFrame
     val files = activeFiles(dir, v).map(_._1)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*).drop("__pv")
+    else spark.read.option("mergeSchema", "true").parquet(files: _*).drop("__pv")
   }
 
   /** Commit a batch: bucket-granular upsert producing version
@@ -193,7 +219,8 @@ object Versioned {
   def commit(df: DataFrame, dir: String, pkCols: Seq[String],
              bucketCol: String): Long = {
     val spark = df.sparkSession
-    val prev = latestVersion(dir)
+    val ndir = norm(dir)
+    val prev = latestVersion(ndir)
     val v = prev + 1
     val touchedRows = df.select(col(bucketCol).cast("long")).distinct().collect()
     require(!touchedRows.exists(_.isNullAt(0)),
@@ -209,8 +236,17 @@ object Versioned {
           .filter(fb => touchedSet.contains(fb._2)).map(_._1)
         if (curFiles.isEmpty) df
         else {
-          val old = spark.read.parquet(curFiles: _*).drop("__pv")
-            .select(df.columns.map(col).toIndexedSeq: _*)
+          // schema evolution (add-column across commits): a touched
+          // bucket's carried-forward rows may predate a column the new
+          // batch carries — align to the NEW schema with typed nulls so
+          // the rewritten bucket lands fully evolved, while untouched
+          // buckets keep their old files (readAt merges schemas).
+          val old0 = spark.read.option("mergeSchema", "true")
+            .parquet(curFiles: _*).drop("__pv")
+          val old = old0.select(df.columns.toIndexedSeq.map { c =>
+            if (old0.columns.contains(c)) col(c)
+            else lit(null).cast(df.schema(c).dataType).as(c)
+          }: _*)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(pkCols.map(col).toIndexedSeq: _*)
             .orderBy(col("__src"))
@@ -223,7 +259,7 @@ object Versioned {
 
     // one job: every touched bucket's full new content, one file per
     // bucket dir (repartition by the partition column pins 1:1)
-    val commitDir = s"$dir/data/v$v"
+    val commitDir = s"$ndir/data/v$v"
     merged.withColumn("__pv", col(bucketCol).cast("long"))
       .repartition(col("__pv"))
       .write.partitionBy("__pv").mode("overwrite").parquet(commitDir)

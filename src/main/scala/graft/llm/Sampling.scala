@@ -92,7 +92,10 @@ object Sampling {
       .withColumn("n_picks",
         expr("cast(__cum div __step - (__cum - w) div __step as bigint)"))
       .filter(col("n_picks") > 0)
-      .select(col(idCol), col("w"), col("__cum").cast("long").as("cum_w"),
+      // cum_w stays DECIMAL(38,0) (globalPrefixSum's native width): at
+      // 100 TB the running total can exceed Long.MaxValue, and a long
+      // cast would silently null/wrap it while n_picks stayed correct
+      .select(col(idCol), col("w"), col("__cum").as("cum_w"),
         col("n_picks"))
   }
 

@@ -1307,7 +1307,8 @@ class LlmSpec extends SparkSpec {
     val picks = Sampling.ppsSystematic(uni, "doc_id", "w", k = 10).collect()
     assert(picks.length == 10 && picks.forall(_.getAs[Long]("n_picks") == 1L))
     // prefix sum underneath is exact: cum of the last pick = 700
-    assert(picks.map(_.getAs[Long]("cum_w")).max == 700L)
+    // (cum_w rides DECIMAL(38,0) — the long cast would wrap at 100 TB)
+    assert(picks.map(_.getAs[java.math.BigDecimal]("cum_w").longValueExact()).max == 700L)
   }
 
   test("Kneser-Ney bigram scoring: hand-computed discounted probabilities") {

@@ -376,4 +376,117 @@ class SinksSpec extends SparkSpec {
     // below the retention horizon: replay must fail, not silently misread
     intercept[Exception] { Versioned.activeFiles(dir, 1L) }
   }
+
+  test("versioned: commit and vacuum AFTER a vacuum (checkpoint files must not poison version discovery)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac2").toString + "/t"
+    Versioned.commit((0L until 20L).map(i => (i, i / 10, i)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    Versioned.commit(Seq((5L, 0L, 555L)).toDF("id", "bkt", "v"), dir, Seq("id"), "bkt")
+    Versioned.vacuum(dir, minVersion = 2L) // writes 2.checkpoint.json
+    // regression (r8 ADVICE): latestVersion used to match ANY *.json and
+    // throw NumberFormatException on "2.checkpoint".toLong — every commit,
+    // default readAt and second vacuum after the first vacuum crashed
+    assert(Versioned.latestVersion(dir) == 2L)
+    val v3 = Versioned.commit(Seq((6L, 0L, 666L)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    assert(v3 == 3L)
+    val latest = Versioned.readAt(spark, dir) // default asOf resolves latest
+    assert(latest.count() == 20)
+    assert(latest.filter(col("id") === 6L).select("v").as[Long].head() == 666L)
+    assert(Versioned.vacuum(dir, minVersion = 3L) >= 0) // second vacuum survives too
+    assert(Versioned.readAt(spark, dir, 3L).count() == 20)
+  }
+
+  test("versioned: empty-table readAt returns the documented empty frame; dir normalization holds across spellings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    // nonexistent table: readAt must return empty, not trip activeFiles' require
+    assert(Versioned.readAt(spark, base + "/nope").isEmpty)
+    // commit via one spelling, read/vacuum via differently-normalized ones:
+    // the keep-set compare is on canonical paths, so vacuum must NOT delete
+    // files still referenced by retained versions
+    val dir = base + "/t"
+    Versioned.commit((0L until 20L).map(i => (i, i / 10, i)).toDF("id", "bkt", "v"),
+      dir + "/", Seq("id"), "bkt") // trailing slash
+    Versioned.commit(Seq((5L, 0L, 555L)).toDF("id", "bkt", "v"),
+      base + "/./t", Seq("id"), "bkt") // dot segment
+    assert(Versioned.latestVersion(dir) == 2L)
+    Versioned.vacuum(base + "/x/../t", minVersion = 1L) // parent hop
+    val at1 = Versioned.readAt(spark, dir, 1L)
+    assert(at1.count() == 20, "vacuum under a different dir spelling deleted live files")
+    assert(at1.filter(col("id") === 5L).select("v").as[Long].head() == 5L)
+    assert(Versioned.readAt(spark, dir, 2L)
+      .filter(col("id") === 5L).select("v").as[Long].head() == 555L)
+  }
+
+  test("versioned schema evolution: add-column commit; time travel yields the OLD schema, latest merges with nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    // v1: (id, bkt, v) over buckets 0..2
+    Versioned.commit((0L until 30L).map(i => (i, i / 10, i)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    // v2 EVOLVES the schema: adds column w, touches ONLY bucket 1
+    Versioned.commit(Seq((10L, 1L, 111L, 77L), (101L, 1L, 1L, 88L))
+      .toDF("id", "bkt", "v", "w"), dir, Seq("id"), "bkt")
+    // time travel to v1: pre-evolution active set -> exactly the old schema
+    val at1 = Versioned.readAt(spark, dir, 1L)
+    assert(at1.columns.toSet == Set("id", "bkt", "v"), s"v1 schema leaked: ${at1.columns.mkString(",")}")
+    assert(at1.count() == 30)
+    // latest: union schema; untouched buckets' rows carry null w, the
+    // evolved bucket carries real values (carried-forward rows of the
+    // touched bucket were rewritten with typed-null w)
+    val at2 = Versioned.readAt(spark, dir)
+    assert(at2.columns.toSet == Set("id", "bkt", "v", "w"))
+    assert(at2.count() == 31)
+    assert(at2.filter(col("id") === 10L).select("w").as[Long].head() == 77L)
+    val r5 = at2.filter(col("id") === 5L).select("w").head()
+    assert(r5.isNullAt(0)) // pre-evolution row in an untouched bucket: null w
+    val r11 = at2.filter(col("id") === 11L).select("w").head()
+    assert(r11.isNullAt(0)) // carried-forward row in the touched bucket
+    // a later commit in the evolved schema still round-trips
+    Versioned.commit(Seq((11L, 1L, 112L, 99L)).toDF("id", "bkt", "v", "w"),
+      dir, Seq("id"), "bkt")
+    assert(Versioned.readAt(spark, dir).filter(col("id") === 11L)
+      .select("w").as[Long].head() == 99L)
+  }
+
+  test("versioned crash injection: data written but manifest missing -> invisible; retried commit heals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    Versioned.commit((0L until 20L).map(i => (i, i / 10, i)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    val v2 = Versioned.commit(Seq((5L, 0L, 555L)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    // simulate the crash window: the data job finished but the process died
+    // BEFORE the manifest rename-into-place (the commit point). The on-disk
+    // state is exactly that: orphan data files under data/v2, no 2.json.
+    val manifest = java.nio.file.Paths.get(dir, "_versions", s"$v2.json")
+    java.nio.file.Files.delete(manifest)
+    assert(Versioned.latestVersion(dir) == 1L, "uncommitted data became visible")
+    val at = Versioned.readAt(spark, dir)
+    assert(at.count() == 20)
+    assert(at.filter(col("id") === 5L).select("v").as[Long].head() == 5L,
+      "reader saw a half-committed update")
+    // restart path: the writer retries the same logical batch; the retry
+    // allocates the same version number and clobbers the orphan dir
+    val v2b = Versioned.commit(Seq((5L, 0L, 555L)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    assert(v2b == 2L)
+    val healed = Versioned.readAt(spark, dir)
+    assert(healed.count() == 20)
+    assert(healed.filter(col("id") === 5L).select("v").as[Long].head() == 555L)
+    // and the orphan files are not double-counted (exactly one active file
+    // per (version, bucket) for bucket 0)
+    val b0 = Versioned.activeFiles(dir, 2L).filter(_._2 == 0L)
+    assert(b0.size == 1, s"orphan data file leaked into the active set: $b0")
+  }
 }
