@@ -1169,12 +1169,20 @@ object Graph {
         expr(s"sum($d)").as("sum_x"),
         expr(s"sum($d * $d)").as("sum_xx"),
         expr(s"sum($d * $dy)").as("sum_xy"))
-      .withColumn("r_num", expr("n_ends * sum_xy - sum_x * sum_x"))
-      .withColumn("r_den", expr("n_ends * sum_xx - sum_x * sum_x"))
+      .withColumn("__rn", expr("n_ends * sum_xy - sum_x * sum_x"))
+      .withColumn("__rd", expr("n_ends * sum_xx - sum_x * sum_x"))
       .withColumn("r_milli", expr(
-        """CASE WHEN r_den = 0 THEN 0
-          |     WHEN r_num < 0 THEN -CAST((-r_num) * 1000 div r_den AS BIGINT)
-          |     ELSE CAST(r_num * 1000 div r_den AS BIGINT) END""".stripMargin))
+        """CASE WHEN __rd = 0 THEN 0
+          |     WHEN __rn < 0 THEN -CAST((-__rn) * 1000 div __rd AS BIGINT)
+          |     ELSE CAST(__rn * 1000 div __rd AS BIGINT) END""".stripMargin))
+      // unbounded-integer fraction emitted as decimal STRINGS at the
+      // operator boundary: engines disagree on unbounded-decimal scale
+      // canonicalization (DECIMAL(38,0) vs HUGEINT), and every caller
+      // that re-derived its own cast re-entered that trap — the bounded
+      // r_milli read-out is the numeric form
+      .withColumn("r_num", col("__rn").cast("string"))
+      .withColumn("r_den", col("__rd").cast("string"))
+      .drop("__rn", "__rd")
   }
 
   /** Newman modularity of a community assignment over the SIMPLE
@@ -1224,11 +1232,117 @@ object Graph {
       .agg(max(col("m")).as("m"), count(lit(1)).as("n_comm"),
         sum(col("e_c")).as("sum_e_in"),
         expr("""sum(4 * cast(m as decimal(38,0)) * e_c
-               |    - cast(d_c as decimal(38,0)) * d_c)""".stripMargin).as("q_num"),
-        expr("max(4 * cast(m as decimal(38,0)) * m)").as("q_den"))
+               |    - cast(d_c as decimal(38,0)) * d_c)""".stripMargin).as("__qn"),
+        expr("max(4 * cast(m as decimal(38,0)) * m)").as("__qd"))
       .withColumn("q_milli", expr(
-        """CASE WHEN q_den IS NULL OR q_den = 0 THEN 0
-          |     WHEN q_num < 0 THEN -CAST((-q_num) * 1000 div q_den AS BIGINT)
-          |     ELSE CAST(q_num * 1000 div q_den AS BIGINT) END""".stripMargin))
+        """CASE WHEN __qd IS NULL OR __qd = 0 THEN 0
+          |     WHEN __qn < 0 THEN -CAST((-__qn) * 1000 div __qd AS BIGINT)
+          |     ELSE CAST(__qn * 1000 div __qd AS BIGINT) END""".stripMargin))
+      // string emission at the OPERATOR boundary (see
+      // [[assortativityMoments]]): no caller can re-enter the
+      // unbounded-decimal canonicalization family; q_milli is the
+      // bounded numeric read-out
+      .withColumn("q_num", col("__qn").cast("string"))
+      .withColumn("q_den", col("__qd").cast("string"))
+      .drop("__qn", "__qd")
+  }
+
+  /** Modularity-optimizing community moves — the synchronous, fixed-round
+    * form of the Louvain local-move phase (Blondel et al. 2008; the
+    * synchronous parallelization is the standard distributed variant, cf.
+    * Que et al. 2015 "Scalable Community Detection with the Louvain
+    * Algorithm"). Each round EVERY node evaluates, for each community c
+    * found among its neighbors (plus staying put), the modularity gain of
+    * joining c with itself removed from its current community first:
+    *
+    *   gain(i→c) ∝ 2m·k_{i,in}(c) − k_i·(Σtot(c) − [c = c_i]·k_i)
+    *
+    * (the classic ΔQ multiplied through by the positive constant 2m², so
+    * the argmax is over EXACT integers — no float, no 1/2m² rounding),
+    * and adopts the argmax, ties toward the SMALLEST community label.
+    * Moves are gated by node-id PARITY alternating per round (round r
+    * moves only nodes with node mod 2 = r mod 2) — the 2-coloring form
+    * of the conflict-serialization every parallel Louvain needs (cf.
+    * Halappanavar et al., Grappolo: simultaneous moves of adjacent nodes
+    * swap-oscillate on symmetric structure; a two-triangle graph never
+    * converges without it). Parity + fixed rounds makes the output a
+    * pure function of the graph — reproducible across engines,
+    * partitionings, and retries, the same contract as [[labelPropagation]]
+    * (whose weight-majority vote this upgrades to a modularity objective).
+    * The default rounds = 2 gives each color class exactly one move.
+    * For the multilevel hierarchy, compose with [[coarsen]]: contract by
+    * these labels, re-run on the super-graph (weights = collapsed edge
+    * weights, self-loops = intra-community mass), refine.
+    *
+    * Scale shape, per round: one equi-join of the |V|-row label frame onto
+    * the pinned symmetrized edge list (shuffle on the node id; broadcast
+    * when labels fit) + one (node, community) map-side-combined aggregate
+    * (output ≤ |E| collapsing toward |V|) + two |C|-bounded aggregates for
+    * the community totals + one argmax via max-of-struct — never a window
+    * sort. Gains ride DECIMAL(38,0): 2m ≤ ~1e14 at 100 TB and k_in ≤ 1e13
+    * put the product at ~1e27, far past Long but well inside 38 digits.
+    * Lineage truncated per round; driver state zero.
+    *
+    * Returns one row per node: (node, label). */
+  def louvainMove(edges: DataFrame, rounds: Int = 2,
+                  srcCol: String = "src", dstCol: String = "dst",
+                  weightCol: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    // symmetrize with summed weights (same construction as
+    // labelPropagation): k_i and Σtot then read straight off `sym`, and
+    // Σ_i k_i = 2m exactly
+    val sym = edges
+      .select(explode(array(
+        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"), w.as("__w")),
+        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"), w.as("__w"))))
+        .as("__e"))
+      .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__e.__w").as("__w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("__w")).as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("a")).agg(sum(col("w")).as("k"))
+      .localCheckpoint(true)
+    // 2m as a 1-row broadcast — the only "global" the gain needs
+    val m2 = deg.agg(sum(col("k")).as("__m2"))
+    var labels = deg.select(col("a").as("node"), col("a").as("label"))
+    var r = 0
+    while (r < rounds) {
+      val par = r % 2
+      // k_{i,in}(c): weight from MOVER node a into community c among its
+      // neighbors; the union row (a, own, 0) keeps the STAY candidate
+      // alive when a has no neighbor in its own community. The parity
+      // filter lands BEFORE the aggregate — half the graph per round.
+      val kin = sym.filter(pmod(col("a"), lit(2L)) === lit(par.toLong))
+        .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("kin"))
+        .unionByName(labels
+          .filter(pmod(col("node"), lit(2L)) === lit(par.toLong))
+          .select(col("node").as("a"), col("label"), lit(0L).as("kin")))
+        .groupBy(col("a"), col("label")).agg(sum(col("kin")).as("kin"))
+      // community state (totals, membership) reads ALL nodes
+      val tot = labels.join(deg, labels("node") === deg("a"))
+        .groupBy(col("label")).agg(sum(col("k")).as("tot"))
+      val own = labels.select(col("node").as("a"), col("label").as("__own"))
+      val moved = kin
+        .join(tot, "label")
+        .join(deg, "a")
+        .join(own, "a")
+        .crossJoin(broadcast(m2))
+        .withColumn("__gain", expr(
+          """cast(__m2 as decimal(38,0)) * kin
+            |  - cast(k as decimal(38,0)) *
+            |      (tot - CASE WHEN label = __own THEN k ELSE 0 END)""".stripMargin))
+        // argmax by (gain, smallest label) — min-of-struct, no window
+        .groupBy(col("a"))
+        .agg(max(struct(col("__gain"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("a").as("node"), (-col("__m.__nl")).as("label"))
+      labels = labels
+        .filter(pmod(col("node"), lit(2L)) =!= lit(par.toLong))
+        .unionByName(moved)
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
   }
 }

@@ -146,6 +146,50 @@ object LlmQueries {
        |l2 AS (SELECT n.node, coalesce(w2.label, n.node) AS label
        |       FROM n LEFT JOIN w2 ON w2.a = n.node AND w2.rn = 1)""".stripMargin
 
+  /** DuckDB twin of `Graph.louvainMove(rounds = 2, weighted)` over
+    * [[backboneEdges]]: `g2(node, label)`. Replays both synchronous
+    * move rounds exactly — per round: neighbor-community incident weight
+    * k_in, community degree totals, the integer gain
+    * 2m·k_in − k·(tot − [own]·k) in HUGEINT (Spark: DECIMAL(38,0)), and
+    * the (gain DESC, label ASC) argmax. Shared by the louvain label
+    * query and its modularity audit so the two oracles can never
+    * disagree on what the communities ARE. */
+  private val louvainLabelsCte = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "g0" else s"g${i - 1}"
+      val par = (i - 1) % 2 // round r moves only nodes with node%2 = r%2
+      s"""kin$i AS (SELECT x.a, x.label, sum(x.kin) AS kin FROM (
+         |    SELECT s.a, l.label, s.w AS kin FROM sym s JOIN $prev l ON l.node = s.b
+         |    WHERE s.a % 2 = $par
+         |    UNION ALL SELECT node, label, 0 FROM $prev WHERE node % 2 = $par) x
+         |  GROUP BY 1, 2),
+         |tot$i AS (SELECT l.label, sum(d.k) AS tot FROM $prev l
+         |          JOIN dgv d ON d.a = l.node GROUP BY 1),
+         |sc$i AS (SELECT c.a, c.label,
+         |           CAST((SELECT s FROM m2) AS HUGEINT) * c.kin
+         |             - CAST(d.k AS HUGEINT) *
+         |                 (t.tot - CASE WHEN c.label = o.label THEN d.k ELSE 0 END) AS gain
+         |         FROM kin$i c JOIN dgv d ON d.a = c.a
+         |              JOIN $prev o ON o.node = c.a
+         |              JOIN tot$i t ON t.label = c.label),
+         |g$i AS (SELECT node, label FROM $prev WHERE node % 2 <> $par
+         |        UNION ALL
+         |        SELECT a AS node, label FROM (
+         |          SELECT a, label, row_number() OVER
+         |            (PARTITION BY a ORDER BY gain DESC, label ASC) AS rn
+         |          FROM sc$i) WHERE rn = 1)""".stripMargin
+    }
+    s"""$backboneEdgesCte,
+       |sym AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |          SELECT src AS a, dst AS b, w FROM ew
+       |          UNION ALL SELECT dst, src, w FROM ew) GROUP BY 1, 2),
+       |dgv AS (SELECT a, sum(w) AS k FROM sym GROUP BY 1),
+       |m2 AS (SELECT sum(k) AS s FROM dgv),
+       |g0 AS (SELECT a AS node, a AS label FROM dgv),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   /** DuckDB twin of `Graph.orient` (degree-ordered orientation over
     * und/dg): `ori(s, t)`, each edge pointing from the endpoint lower in
     * the (degree, id) total order. */
@@ -3795,7 +3839,7 @@ object LlmQueries {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |      FROM v),
              |t AS (SELECT sum(w) // 100 AS step FROM v)
-             |SELECT doc_id, w, CAST(cum AS BIGINT) AS cum_w,
+             |SELECT doc_id, w, CAST(cum AS DECIMAL(38,0)) AS cum_w,
              |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
              |FROM c, t
              |WHERE step > 0 AND cum // step - (cum - w) // step > 0
@@ -3923,6 +3967,68 @@ object LlmQueries {
               |        WHERE la.label = lb.label GROUP BY 1),
               |dcm AS (SELECT l2.label, sum(dg.deg) AS d_c FROM dg
               |        JOIN l2 ON l2.node = dg.node GROUP BY 1),
+              |comm AS (SELECT dcm.label, coalesce(ein.e_c, 0) AS e_c, dcm.d_c
+              |         FROM dcm LEFT JOIN ein USING (label)),
+              |agg AS (SELECT max(mm.m) AS m, count(*) AS n_comm,
+              |          sum(e_c) AS sum_e_in,
+              |          sum(4 * CAST(mm.m AS HUGEINT) * e_c
+              |              - CAST(d_c AS HUGEINT) * d_c) AS q_num,
+              |          max(4 * CAST(mm.m AS HUGEINT) * mm.m) AS q_den
+              |        FROM comm, mm)
+              |SELECT CAST(m AS BIGINT) AS m, CAST(n_comm AS BIGINT) AS n_comm,
+              |  CAST(sum_e_in AS BIGINT) AS sum_e_in,
+              |  CAST(q_num AS VARCHAR) AS q_num,
+              |  CAST(q_den AS VARCHAR) AS q_den,
+              |  CAST(CASE WHEN q_den IS NULL OR q_den = 0 THEN 0
+              |       WHEN q_num < 0 THEN -((-q_num) * 1000 // q_den)
+              |       ELSE q_num * 1000 // q_den END AS BIGINT) AS q_milli
+              |FROM agg""".stripMargin)),
+
+    // Modularity-OPTIMIZING communities (the Louvain local-move phase,
+    // Blondel et al. 2008, synchronous fixed-round distributed form):
+    // each round every node joins the neighboring community with the
+    // best exact-integer modularity gain 2m·k_in − k·Σtot' (ties to the
+    // smallest label), all moves applied simultaneously — the
+    // GraphSense-style entity-clustering step LPA's weight-majority vote
+    // approximates. Per round: one label⋈edges equi-join, one
+    // (node, community) map-side-combined aggregate, |C|-bounded totals,
+    // argmax via max-of-struct; gains ride DECIMAL(38,0) so 100 TB-scale
+    // 2m·k_in (~1e27) never wraps.
+    Q("graph_louvain", "GRAPH",
+      (s, d) => graft.operators.Graph.louvainMove(
+          backboneEdges(s, d), rounds = 2, weightCol = Some("w"))
+        .orderBy("node"),
+      Some(s"""$louvainLabelsCte
+              |SELECT node, CAST(label AS BIGINT) AS label FROM g2
+              |ORDER BY node""".stripMargin)),
+
+    // Modularity audit of the LOUVAIN partition — same exact-integer
+    // Newman Q as graph_modularity but over the modularity-optimizing
+    // labels, so the pair of 1-row answers directly compares the two
+    // community methods on identical topology (Louvain's objective IS
+    // this number; it should not lose to LPA's).
+    Q("graph_louvain_modularity", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val labels = graft.operators.Graph.louvainMove(
+          ew, rounds = 2, weightCol = Some("w"))
+        graft.operators.Graph.modularity(ew, labels)
+          .select(col("m"), col("n_comm"), col("sum_e_in"),
+            col("q_num"), col("q_den"), col("q_milli"))
+      },
+      Some(s"""$louvainLabelsCte,
+              |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |        FROM ew WHERE src <> dst),
+              |dg AS (SELECT node, count(*) AS deg FROM
+              |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+              |       GROUP BY 1),
+              |mm AS (SELECT count(*) AS m FROM und),
+              |ein AS (SELECT la.label, count(*) AS e_c FROM und
+              |        JOIN g2 la ON la.node = und.u
+              |        JOIN g2 lb ON lb.node = und.v
+              |        WHERE la.label = lb.label GROUP BY 1),
+              |dcm AS (SELECT g2.label, sum(dg.deg) AS d_c FROM dg
+              |        JOIN g2 ON g2.node = dg.node GROUP BY 1),
               |comm AS (SELECT dcm.label, coalesce(ein.e_c, 0) AS e_c, dcm.d_c
               |         FROM dcm LEFT JOIN ein USING (label)),
               |agg AS (SELECT max(mm.m) AS m, count(*) AS n_comm,

@@ -754,20 +754,50 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("m") == 7L)
     assert(r.getAs[Long]("n_comm") == 2L)
     assert(r.getAs[Long]("sum_e_in") == 6L)
-    assert(r.getAs[java.math.BigDecimal]("q_num").longValueExact() == 70L)
-    assert(r.getAs[java.math.BigDecimal]("q_den").longValueExact() == 196L)
+    // q_num/q_den are operator-boundary STRINGS (divergence-proof form)
+    assert(r.getAs[String]("q_num").toLong == 70L)
+    assert(r.getAs[String]("q_den").toLong == 196L)
     assert(r.getAs[Long]("q_milli") == 357L)
 
     // the everything-in-one-community partition scores exactly 0
     val one = labels.select($"node", lit(1L).as("label"))
     val r1 = Graph.modularity(g, one).collect().head
-    assert(r1.getAs[java.math.BigDecimal]("q_num").longValueExact() == 0L)
+    assert(r1.getAs[String]("q_num").toLong == 0L)
     assert(r1.getAs[Long]("q_milli") == 0L)
 
     // anti-community partition (each edge cut) goes negative
     val bad = Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 2L), (5L, 1L), (6L, 2L))
       .toDF("node", "label")
     assert(Graph.modularity(g, bad).collect().head.getAs[Long]("q_milli") < 0L)
+  }
+
+  test("louvain move: two triangles converge to the perfect partition; beats LPA on its own objective") {
+    import graft.operators.Graph
+    // two triangles joined by one bridge. Synchronous moves WITHOUT the
+    // parity gate swap-oscillate on this graph forever; with it, round 1
+    // moves the even nodes (2->1, 4->5, 6->5) and round 2 pulls the odd
+    // nodes in (3->1), landing exactly one community per triangle.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Graph.louvainMove(g, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 5L, 5L -> 5L, 6L -> 5L), s"got $labels")
+    // the objective check: Q(louvain) on this graph is the optimum 357
+    // milli, strictly above the 2-round LPA partition's score — the
+    // modularity-optimizing step must not lose on its own objective
+    val qLouvain = Graph.modularity(g,
+        Graph.louvainMove(g, rounds = 2).select($"node", $"label"))
+      .collect().head.getAs[Long]("q_milli")
+    val qLpa = Graph.modularity(g,
+        Graph.labelPropagation(g, rounds = 2).select($"node", $"label"))
+      .collect().head.getAs[Long]("q_milli")
+    assert(qLouvain == 357L, s"got $qLouvain")
+    assert(qLouvain >= qLpa, s"louvain $qLouvain < lpa $qLpa")
+    // determinism: a second run is bit-identical
+    val again = Graph.louvainMove(g, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(again == labels)
   }
 
   test("coarsen: community pairs aggregate edges, intra flag marks self-loops") {
