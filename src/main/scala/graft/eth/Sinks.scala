@@ -148,6 +148,101 @@ object Sinks {
     }
   }
 
+  /** General MERGE semantics over a keyed frame — matched-update /
+    * not-matched-insert / matched-delete in ONE window pass (the K10
+    * generalization of the PK upsert; [[graft.eth.Relations]]'s
+    * incremental replay is the additive special case). `changes` carries
+    * full row payloads plus an op column (`"U"` = upsert: update when the
+    * PK exists, insert when it doesn't; `"D"` = delete when it exists —
+    * deleting an absent PK is a no-op, the CDC-replay contract) and a
+    * sequence column ordering multiple changes to the SAME PK within one
+    * batch (the CDC log offset): the highest sequence wins, and what it
+    * says — payload or tombstone — is the PK's final state.
+    *
+    * One shuffle on the PK (the exchange any merge needs), one window
+    * (partitioned by PK — never a global sort), zero joins: base and
+    * changes union, priority (change > stored, then seq) picks the
+    * survivor, tombstones drop. Deterministic for distinct (pk, seq)
+    * pairs. Scale shape: |base ∪ changes| rows through one hash exchange;
+    * with base already bucketed, pair with [[mergeCdcBucketedParquet]]
+    * which prunes the read to touched buckets first. */
+  def applyCdc(base: DataFrame, changes: DataFrame, pkCols: Seq[String],
+               opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val dataCols = base.columns.toIndexedSeq
+    require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
+      s"base must not carry the CDC bookkeeping columns ($opCol, $seqCol)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col).toIndexedSeq: _*)
+      .orderBy(col("__pri").desc, col("__seq").desc)
+    // op validation rides the merge itself (raise_error inside the one
+    // pass — no eager extra job over the changeset; the Enrich lesson)
+    val opChecked = when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("applyCdc: unknown op '"), col(opCol),
+        lit("' — expected U (upsert) / D (delete)"))))
+    changes.select(dataCols.map(col) :+ opChecked.as("__op") :+
+        col(seqCol).cast("long").as("__seq"): _*)
+      .withColumn("__pri", lit(1))
+      .unionByName(base.select(dataCols.map(col): _*)
+        .withColumn("__op", lit("U")).withColumn("__seq", lit(Long.MinValue))
+        .withColumn("__pri", lit(0)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      .select(dataCols.map(col): _*)
+  }
+
+  /** K10: [[applyCdc]] against a bucketed-parquet sink — the bucket-
+    * granular CDC apply. Touched buckets = the changeset's buckets (the
+    * PK→bucket map must be stable, same contract as the upsert); only
+    * those partitions are read back, merged through the one-window CDC
+    * pass, and rewritten via dynamic partition overwrite — untouched
+    * buckets keep their files byte-for-byte. A bucket whose merge result
+    * is EMPTY (everything deleted) is rewritten empty-but-present via an
+    * explicit directory cleanup, not left stale. Replaying the same
+    * changeset is idempotent. */
+  def mergeCdcBucketedParquet(changes: DataFrame, path: String,
+                              pkCols: Seq[String],
+                              opCol: String = "op", seqCol: String = "seq",
+                              bucketCol: String = "block_id_group",
+                              sortCols: Seq[String] = Seq("block_id")): Unit = {
+    val spark = changes.sparkSession
+    val touchedRows = changes.select(col(bucketCol).cast("long")).distinct().collect()
+    require(!touchedRows.exists(_.isNullAt(0)),
+      s"mergeCdcBucketedParquet: null $bucketCol in changeset — null buckets" +
+        " are not merge-addressable")
+    val touched = touchedRows.map(_.getLong(0)).toIndexedSeq
+    val overlap = existingBuckets(spark, path, bucketCol)
+      .intersect(touched.toSet).toIndexedSeq
+    val dataCols = changes.columns.filterNot(c => c == opCol || c == seqCol)
+      .toIndexedSeq
+    val base =
+      if (overlap.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(changes.schema.fields.filterNot(f =>
+            f.name == opCol || f.name == seqCol)))
+      else spark.read.parquet(path)
+        .filter(coalesce(col(bucketCol).cast("long").isin(overlap: _*), lit(false)))
+        .select(dataCols.map(col): _*)
+    val merged = applyCdc(base, changes, pkCols, opCol, seqCol)
+      // break lineage from the files about to be overwritten; bounded:
+      // touched buckets only
+      .localCheckpoint(true)
+    // dynamic overwrite only rewrites partitions PRESENT in the output —
+    // a fully-deleted bucket produces no rows, so its stale directory
+    // must be dropped explicitly
+    val live = merged.select(col(bucketCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val emptied = touched.filterNot(live)
+    if (emptied.nonEmpty) {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(hPath, s"$bucketCol=$b"), true)
+      }
+    }
+    if (live.nonEmpty) writeBucketedParquet(merged, path, bucketCol, sortCols)
+  }
+
   /** Small-files compaction for a bucketed sink — the table maintenance a
     * 100 TB layout needs continuously: append/upsert cycles leave buckets
     * holding one file per former write task, and thousands of tiny files

@@ -1345,4 +1345,149 @@ object Graph {
     }
     labels
   }
+
+  /** Pivot-sampled harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    * Centrality": harmonic = Σ_u 1/d(u,v) is the closeness variant that
+    * stays well-defined on disconnected graphs) — estimated from a SMALL
+    * deterministic pivot set with a FIXED hop horizon, the standard
+    * sampling estimator (Eppstein & Wang 2004) production graph systems
+    * run when |V| makes all-pairs BFS impossible:
+    *
+    *   harmonic_micro(v) = Σ_{p ∈ pivots, 0 < d(p,v) ≤ hops} 1e6 div d(p,v)
+    *
+    * Exact integer read-out (1e6 div d — no float), so engines replaying
+    * the same level-synchronous BFS agree bit-for-bit.
+    *
+    * Scale shape: the distance table is |pivots|·|V| bounded, keyed on
+    * the node id; per hop ONE frontier⋈edges equi-join + one
+    * (pivot, node) min-aggregate, map-side combined; fixed `hops` rounds
+    * (the horizon is part of the contract, like [[pagerank]]'s fixed
+    * iterations); lineage truncated per round, zero driver state. Pivot
+    * choice is the caller's (degree-ordered works well); keep |pivots|
+    * small — cost is |pivots| BFS frontiers sharing each round's join.
+    *
+    * Returns one row per node reached by ≥1 pivot in 1..hops hops:
+    * (node, harmonic_micro, n_reached). */
+  def harmonicCentrality(edges: DataFrame, pivots: DataFrame, hops: Int = 3,
+                         srcCol: String = "src", dstCol: String = "dst",
+                         pivotCol: String = "node"): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    // undirected hop adjacency (distances ignore direction and weight);
+    // the distinct-pair projection runs ONCE, both directions union it
+    val und0 = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val adj = und0.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var dist = pivots.select(col(pivotCol).cast("long").as("p"))
+      .distinct()
+      .select(col("p"), col("p").as("v"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var h = 0
+    while (h < hops) {
+      val expanded = dist
+        .join(adj, dist("v") === adj("a"))
+        .select(col("p"), col("b").as("v"), (col("d") + 1L).as("d"))
+        .unionByName(dist)
+        .groupBy(col("p"), col("v")).agg(min(col("d")).as("d"))
+      dist = expanded.localCheckpoint(true)
+      h += 1
+    }
+    dist.filter(col("d") > 0)
+      .groupBy(col("v").as("node"))
+      .agg(sum(expr("1000000 div d")).as("harmonic_micro"),
+        count(lit(1)).as("n_reached"))
+  }
+
+  /** Pivot-sampled betweenness centrality — Brandes' dependency
+    * accumulation (Brandes 2001) from a small deterministic pivot set
+    * with a FIXED hop horizon (the k-pivot estimator of Brandes & Pich
+    * 2007). Forward: level-synchronous BFS from every pivot computing
+    * d(p,v) and the shortest-path counts σ(p,v) (σ sums over
+    * predecessors — exact integers). Backward, from the horizon down:
+    *
+    *   δ(p,v) = Σ_{w: d(w) = d(v)+1, v~w} (σ(v)/σ(w)) · (1 + δ(p,w))
+    *
+    * in micro fixed-point: (σ_v · (1e6 + δ_micro(w))) div σ_w — the only
+    * division is a truncating div of non-negative integers, so both
+    * engines replay the levels bit-for-bit. bc_micro(v) = Σ_p δ(p,v)
+    * over non-pivot-endpoint pairs — the standard "how much shortest-path
+    * flow crosses v" forensics ranking (the within-horizon estimate;
+    * paths longer than `hops` contribute nothing, which is also the
+    * production regime — influence beyond a few hops is noise at 100 TB).
+    *
+    * Scale shape: dist/σ/δ tables are |pivots|·|V| bounded; per level ONE
+    * frontier⋈edges equi-join + one map-side-combined aggregate, forward
+    * and backward both fixed at `hops` levels; lineage truncated per
+    * level; no windows, no driver state.
+    *
+    * Returns (node, bc_micro) for every node with positive dependency. */
+  def betweennessPivot(edges: DataFrame, pivots: DataFrame, hops: Int = 3,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       pivotCol: String = "node"): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val und0 = undirected(edges, srcCol, dstCol)
+    val adj = und0.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und0.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    // forward: levels[h] = (p, v, sigma) for nodes FIRST reached at hop h
+    val l0 = pivots.select(col(pivotCol).cast("long").as("p")).distinct()
+      .select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var seen = l0.select(col("p"), col("v"), lit(0L).as("d"))
+    var frontier = l0
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
+    var h = 1
+    while (h <= hops) {
+      val cand = frontier.join(adj, frontier("v") === adj("a"))
+        .groupBy(col("p"), col("b").as("w"))
+        .agg(sum(col("sigma")).as("sigma"))
+      val next = cand
+        .join(seen.select(col("p"), col("v").as("w"), lit(1).as("__hit")),
+          Seq("p", "w"), "left_anti")
+        .select(col("p"), col("w").as("v"), col("sigma"))
+        .localCheckpoint(true)
+      levels += next
+      seen = seen.unionByName(
+          next.select(col("p"), col("v"), lit(h.toLong).as("d")))
+        .localCheckpoint(true)
+      frontier = next
+      h += 1
+    }
+    // backward: δ at the horizon is 0; accumulate level h-1 from level h
+    var delta = levels(hops)
+      .select(col("p"), col("v"), lit(0L).as("delta_micro"))
+    var acc: DataFrame = null
+    h = hops - 1
+    while (h >= 0) {
+      val cur = levels(h)
+      // (p, w, σw, δw) for the level-(h+1) nodes, then walk each edge
+      // w→b back; only b at level h (the join against cur) carries
+      // dependency — that join IS the d(b) = d(w) − 1 predecessor test
+      val up = delta
+        .join(levels(h + 1).select(col("p"), col("v"), col("sigma").as("__sw")),
+          Seq("p", "v"))
+        .select(col("p"), col("v").as("__w"), col("__sw"),
+          col("delta_micro").as("__dw"))
+      val contrib = up
+        .join(adj, up("__w") === adj("a"))
+        .select(col("p"), col("b").as("__vprev"), col("__sw"), col("__dw"))
+        .join(cur.select(col("p"), col("v").as("__vprev"),
+          col("sigma").as("__sv")), Seq("p", "__vprev"))
+        .select(col("p"), col("__vprev").as("v"),
+          expr("(__sv * (1000000 + __dw)) div __sw").as("__c"))
+        .groupBy(col("p"), col("v")).agg(sum(col("__c")).as("delta_micro"))
+      val curDelta = cur.select(col("p"), col("v"))
+        .join(contrib, Seq("p", "v"), "left")
+        .select(col("p"), col("v"),
+          coalesce(col("delta_micro"), lit(0L)).as("delta_micro"))
+        .localCheckpoint(true)
+      acc = if (acc == null) curDelta.filter(col("v") =!= col("p"))
+        else acc.unionByName(curDelta.filter(col("v") =!= col("p")))
+      delta = curDelta
+      h -= 1
+    }
+    acc.groupBy(col("v").as("node"))
+      .agg(sum(col("delta_micro")).as("bc_micro"))
+      .filter(col("bc_micro") > 0)
+  }
 }

@@ -190,6 +190,49 @@ object LlmQueries {
        |${round(2)}""".stripMargin
   }
 
+  /** DuckDB twin of `Classifier.logisticTrain(rounds = 2, lr = 0.5)` over
+    * the 64-dim hashed features of `documents` with y = (lang = 'en'):
+    * `w2(feature_idx, w)`. Replays both fixed-point gradient rounds —
+    * exact integer margins, micro-quantized sigmoid, HUGEINT gradients
+    * (Spark: DECIMAL(38,0)), sign-split truncating update. Shared by the
+    * training and scoring oracles so they can never disagree on the
+    * model. */
+  private val logitTrainCte = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""mg$i AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+         |         FROM feat f JOIN $prev w USING (feature_idx) GROUP BY 1),
+         |er$i AS (SELECT l.doc_id,
+         |           CAST(round(1000000.0 / (1.0 + exp(
+         |             -(CAST(coalesce(m.m, 0) AS DOUBLE) / 1000000.0)))) AS BIGINT)
+         |             - l.y * 1000000 AS e
+         |         FROM lab l LEFT JOIN mg$i m ON m.doc_id = l.doc_id),
+         |gr$i AS (SELECT f.feature_idx, sum(CAST(f.x AS HUGEINT) * e.e) AS g
+         |         FROM feat f JOIN er$i e ON e.doc_id = f.doc_id GROUP BY 1),
+         |w$i AS (SELECT w.feature_idx,
+         |          w.w - CASE WHEN coalesce(g.g, 0) < 0
+         |                THEN -(((-g.g) * 500) // (1000 * (SELECT n FROM nn)))
+         |                ELSE (coalesce(g.g, 0) * 500) // (1000 * (SELECT n FROM nn))
+         |                END AS w
+         |        FROM $prev w LEFT JOIN gr$i g USING (feature_idx))""".stripMargin
+    }
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substring(md5(term), 1, 15) AS BIGINT) % 64 AS feature_idx,
+       |        CASE WHEN CAST('0x' || substring(md5('sign|' || term), 1, 15) AS BIGINT) % 2 = 1
+       |             THEN 1 ELSE -1 END AS sgn
+       |      FROM tk),
+       |feat AS (SELECT doc_id, feature_idx, CAST(sum(sgn) AS BIGINT) AS x
+       |         FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0),
+       |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM documents),
+       |nn AS (SELECT count(*) AS n FROM lab),
+       |w0 AS (SELECT DISTINCT feature_idx, CAST(0 AS BIGINT) AS w FROM feat),
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
+
   /** DuckDB twin of `Graph.orient` (degree-ordered orientation over
     * und/dg): `ori(s, t)`, each edge pointing from the endpoint lower in
     * the (degree, id) total order. */
@@ -1943,6 +1986,54 @@ object LlmQueries {
              |SELECT doc_id, feature_idx, CAST(sum(sgn) AS BIGINT) AS weight
              |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
              |ORDER BY doc_id, feature_idx""".stripMargin)),
+
+    // Quality-classifier TRAINING (the learned upgrade of the fixed-weight
+    // quality gates): batch logistic regression over the same hashed
+    // 64-dim features as text_feature_hash, 2 deterministic fixed-point
+    // gradient rounds — exact integer margins and gradients (DECIMAL(38,0)
+    // against corpus-scale wrap), the pointwise sigmoid of an exact
+    // integer margin as the only float op, sign-split truncating update.
+    // Per round: one broadcast of the 64-row weight vector onto the
+    // feature stream + one doc-keyed error join — never a d×n shuffle.
+    // The oracle replays both rounds; y = (lang = 'en').
+    Q("text_quality_train", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.llm.Classifier.logisticTrain(
+          TextAnalysis.featureHash(docs, "doc_id", "text", numFeatures = 64),
+          docs.select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+          rounds = 2, lrMilli = 500L, xCol = "weight")
+          .orderBy("feature_idx")
+      },
+      Some(s"""$logitTrainCte
+              |SELECT feature_idx, CAST(w AS BIGINT) AS w_micro FROM w2
+              |ORDER BY feature_idx""".stripMargin)),
+
+    // Serve-side scoring with the trained weights (same features, same
+    // integer arithmetic — zero train/serve skew): exact integer margin +
+    // micro-quantized sigmoid per document, one broadcast join + one
+    // map-side-combined aggregate. The oracle extends the SAME training
+    // CTE, so the two queries can never disagree on what the model is.
+    Q("text_quality_score_trained", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
+          numFeatures = 64)
+        val w = graft.llm.Classifier.logisticTrain(
+          feats, docs.select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+          rounds = 2, lrMilli = 500L, xCol = "weight")
+        graft.llm.Classifier.logisticScore(feats, w, xCol = "weight")
+          .orderBy("doc_id")
+      },
+      Some(s"""$logitTrainCte,
+              |mgs AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+              |        FROM feat f JOIN w2 w USING (feature_idx) GROUP BY 1)
+              |SELECT doc_id, CAST(m AS BIGINT) AS margin_micro,
+              |  CAST(round(1000000.0 /
+              |    (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT) AS p_micro
+              |FROM mgs ORDER BY doc_id""".stripMargin)),
 
     // BM25 lexical retrieval (k1=1.2, b=0.75, integer-exact micro scores):
     // three probe queries ride a broadcast into the corpus posting table —
@@ -4045,6 +4136,99 @@ object LlmQueries {
               |       WHEN q_num < 0 THEN -((-q_num) * 1000 // q_den)
               |       ELSE q_num * 1000 // q_den END AS BIGINT) AS q_milli
               |FROM agg""".stripMargin)),
+
+    // Pivot-sampled harmonic centrality (Boldi–Vigna 2014 axioms;
+    // Eppstein–Wang sampling): Σ 1e6 div d(p,v) over the 4 highest-degree
+    // pivots within a 3-hop horizon — the closeness-family ranking that
+    // stays defined on disconnected graphs. Level-synchronous BFS, one
+    // frontier⋈edges equi-join + one (pivot,node) min-aggregate per hop,
+    // |pivots|·|V|-bounded state; the oracle unrolls the same hops.
+    Q("graph_harmonic", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val und = ew.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct()
+        val deg = und.select(col("u").as("node"))
+          .unionAll(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val pivots = deg.orderBy(col("deg").desc, col("node").asc)
+          .limit(4).select("node")
+        graft.operators.Graph.harmonicCentrality(ew, pivots, hops = 3)
+          .orderBy("node")
+      },
+      Some {
+        def bfs(i: Int) =
+          s"""d$i AS (SELECT p, v, min(d) AS d FROM (
+             |    SELECT p, v, d FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT t.p, a.b AS v, t.d + 1 FROM d${i - 1} t JOIN adj a ON a.a = t.v)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""$backboneUndirectedCte,
+           |adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+           |piv AS (SELECT node FROM dg ORDER BY deg DESC, node ASC LIMIT 4),
+           |d0 AS (SELECT node AS p, node AS v, CAST(0 AS BIGINT) AS d FROM piv),
+           |${bfs(1)},
+           |${bfs(2)},
+           |${bfs(3)}
+           |SELECT v AS node, CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro,
+           |       CAST(count(*) AS BIGINT) AS n_reached
+           |FROM d3 WHERE d > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Pivot-sampled betweenness (Brandes 2001 dependency accumulation;
+    // Brandes–Pich 2007 k-pivot estimate, 3-hop horizon): forward BFS
+    // counts shortest paths σ exactly; the backward pass accumulates
+    // δ(v) = Σ (σv/σw)(1e6 + δw) in micro fixed-point — the one division
+    // is a truncating div of non-negative integers, replayed level by
+    // level in the oracle. The "how much flow crosses this address"
+    // forensics ranking.
+    Q("graph_betweenness", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val und = ew.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v")).distinct()
+        val deg = und.select(col("u").as("node"))
+          .unionAll(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val pivots = deg.orderBy(col("deg").desc, col("node").asc)
+          .limit(4).select("node")
+        graft.operators.Graph.betweennessPivot(ew, pivots, hops = 3)
+          .orderBy("node")
+      },
+      Some {
+        def fwd(i: Int) =
+          s"""l$i AS (SELECT c.p, c.v, c.sigma FROM (
+             |    SELECT t.p, a.b AS v, sum(t.sigma) AS sigma
+             |    FROM l${i - 1} t JOIN adj a ON a.a = t.v GROUP BY 1, 2) c
+             |  WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} x
+             |                    WHERE x.p = c.p AND x.v = c.v)),
+             |s$i AS (SELECT p, v FROM s${i - 1} UNION ALL SELECT p, v FROM l$i)""".stripMargin
+        // backward level h: nodes of l_h pick up (σv·(1e6+δw)) // σw from
+        // their level-(h+1) neighbors w
+        def bwd(h: Int, wSrc: String) =
+          s"""dl$h AS (SELECT c.p, c.v, coalesce(g.dm, 0) AS dm FROM l$h c
+             |  LEFT JOIN (
+             |    SELECT w.p, cur.v, sum((cur.sigma * (1000000 + w.dm)) // w.sigma) AS dm
+             |    FROM $wSrc w
+             |    JOIN adj a ON a.a = w.v
+             |    JOIN l$h cur ON cur.p = w.p AND cur.v = a.b
+             |    GROUP BY 1, 2) g ON g.p = c.p AND g.v = c.v)""".stripMargin
+        s"""$backboneUndirectedCte,
+           |adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+           |piv AS (SELECT node FROM dg ORDER BY deg DESC, node ASC LIMIT 4),
+           |l0 AS (SELECT node AS p, node AS v, CAST(1 AS BIGINT) AS sigma FROM piv),
+           |s0 AS (SELECT p, v FROM l0),
+           |${fwd(1)},
+           |${fwd(2)},
+           |${fwd(3)},
+           |${bwd(2, "(SELECT p, v, sigma, CAST(0 AS BIGINT) AS dm FROM l3)")},
+           |${bwd(1, "(SELECT l2.p, l2.v, l2.sigma, dl2.dm FROM l2 JOIN dl2 ON dl2.p = l2.p AND dl2.v = l2.v)")}
+           |SELECT v AS node, CAST(sum(dm) AS BIGINT) AS bc_micro FROM (
+           |  SELECT p, v, dm FROM dl2 UNION ALL SELECT p, v, dm FROM dl1)
+           |WHERE v <> p GROUP BY 1 HAVING sum(dm) > 0 ORDER BY 1""".stripMargin
+      }),
 
     // Time-respecting two-hop flow (temporal motif): A→B at t1, B→C at
     // t2 with t1 ≤ t2 ≤ t1 + 2h — the "value reached C through B within

@@ -1921,6 +1921,73 @@ object RefQueries {
              |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
              |ORDER BY version""".stripMargin)),
 
+    // K10: general MERGE / CDC apply on the bucketed sink — matched-update,
+    // not-matched-insert, matched-delete, delete-of-absent (no-op),
+    // same-PK sequencing (highest CDC offset wins, including a
+    // delete-then-reinsert) — all in ONE window pass over the touched
+    // buckets only. The oracle replays the identical priority/seq window
+    // over the base ∪ changeset union.
+    Q("k10_merge_cdc", "K",
+      (s, d) => {
+        import s.implicits._
+        import graft.eth.Sinks
+        val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/t"
+        val base = Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            expr("o_orderkey div 500").as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        Sinks.writeBucketedParquet(base, dir, "bkt", Seq("o_orderkey"))
+        val upd = base
+          .filter(col("o_orderkey") > 500 && col("o_orderkey") <= 1000)
+          .withColumn("price_c", col("price_c") + 777L)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val del = base
+          .filter(col("o_orderkey") > 1500 && col("o_orderkey") <= 1600)
+          .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+        val ins = (9001L to 9005L)
+          .map(k => (k, k / 500, k * 10, "U", 1L))
+          .toDF("o_orderkey", "bkt", "price_c", "op", "seq")
+        val seqPlay = Seq(
+          (600L, 1L, 42L, "U", 2L),     // overrides the seq-1 update
+          (700L, 1L, 0L, "D", 2L),      // delete wins over the seq-1 update
+          (800L, 1L, 0L, "D", 2L),      // delete...
+          (800L, 1L, 4242L, "U", 3L),   // ...then reinsert at a later offset
+          (99999L, 199L, 0L, "D", 1L))  // delete of an absent PK: no-op
+          .toDF("o_orderkey", "bkt", "price_c", "op", "seq")
+        Sinks.mergeCdcBucketedParquet(
+          upd.unionByName(del).unionByName(ins).unionByName(seqPlay),
+          dir, Seq("o_orderkey"), bucketCol = "bkt",
+          sortCols = Seq("o_orderkey"))
+        s.read.parquet(dir)
+          .select(col("o_orderkey"), col("bkt").cast("long").as("bkt"),
+            col("price_c"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderkey // 500 AS bkt,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |       FROM orders WHERE o_orderkey <= 2000),
+             |changes(o_orderkey, bkt, price_c, op, seq) AS (
+             |  SELECT o_orderkey, bkt, price_c + 777, 'U', 1 FROM base
+             |  WHERE o_orderkey > 500 AND o_orderkey <= 1000
+             |  UNION ALL SELECT o_orderkey, bkt, price_c, 'D', 1 FROM base
+             |  WHERE o_orderkey > 1500 AND o_orderkey <= 1600
+             |  UNION ALL SELECT k, k // 500, k * 10, 'U', 1
+             |  FROM range(9001, 9006) t(k)
+             |  UNION ALL SELECT * FROM (VALUES (600, 1, 42, 'U', 2),
+             |    (700, 1, 0, 'D', 2), (800, 1, 0, 'D', 2),
+             |    (800, 1, 4242, 'U', 3), (99999, 199, 0, 'D', 1))),
+             |u AS (SELECT o_orderkey, bkt, price_c, op, seq, 1 AS pri FROM changes
+             |      UNION ALL
+             |      SELECT o_orderkey, bkt, price_c, 'U',
+             |             CAST(-9223372036854775807 - 1 AS BIGINT), 0 FROM base),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+             |        ORDER BY pri DESC, seq DESC) AS rn FROM u)
+             |SELECT o_orderkey, CAST(bkt AS BIGINT) AS bkt,
+             |       CAST(price_c AS BIGINT) AS price_c
+             |FROM r WHERE rn = 1 AND op <> 'D'
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // K5, DDL-executor form: render each registry entry as CREATE TABLE DDL
     // (the engine-side analogue of the reference feeding schema.cql to its
     // DDL executor). Oracle transcribed by hand from the contract.

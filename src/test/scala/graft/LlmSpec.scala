@@ -1338,4 +1338,35 @@ class LlmSpec extends SparkSpec {
     // intercept = ln 12 ~ 2.4849
     assert(math.abs(icept - 2484906L) < 10L, s"intercept_micro=$icept")
   }
+
+  test("logistic training: separable fixture learns the separating direction; deterministic") {
+    import graft.llm.Classifier
+    // 4 positive docs say "good", 4 negative say "bad" — linearly
+    // separable in the hashed feature space (distinct md5 buckets)
+    val docs = ((1L to 4L).map(i => (i, "good solid fine prose", 1L)) ++
+      (5L to 8L).map(i => (i, "bad junk spam noise", 0L)))
+      .toDF("doc_id", "text", "y")
+    val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
+      numFeatures = 64)
+    val w = Classifier.logisticTrain(feats,
+      docs.select($"doc_id", $"y"), rounds = 3, lrMilli = 800L,
+      xCol = "weight")
+    val scored = Classifier.logisticScore(feats, w, xCol = "weight")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("margin_micro"), r.getAs[Long]("p_micro"))).toMap
+    // every positive doc must outrank every negative doc after training
+    val posMin = (1L to 4L).map(scored(_)._1).min
+    val negMax = (5L to 8L).map(scored(_)._1).max
+    assert(posMin > negMax, s"posMin=$posMin negMax=$negMax")
+    // probabilities split around 1/2 the same way
+    assert((1L to 4L).forall(scored(_)._2 > 500000L))
+    assert((5L to 8L).forall(scored(_)._2 < 500000L))
+    // determinism: retraining is bit-identical (fixed rounds, integer
+    // margins/gradients, no float summation order anywhere)
+    val w2 = Classifier.logisticTrain(feats,
+      docs.select($"doc_id", $"y"), rounds = 3, lrMilli = 800L,
+      xCol = "weight")
+    assert(w.orderBy("feature_idx").collect().toSeq ==
+      w2.orderBy("feature_idx").collect().toSeq)
+  }
 }

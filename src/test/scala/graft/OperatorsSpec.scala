@@ -800,6 +800,46 @@ class OperatorsSpec extends SparkSpec {
     assert(again == labels)
   }
 
+  test("harmonic centrality: hand-computed path graph; horizon truncates") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5, pivots {1,5}, hops 4: every pair is within horizon
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val piv = Seq(1L, 5L).toDF("node")
+    val got = Graph.harmonicCentrality(path, piv, hops = 4).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("harmonic_micro"), r.getAs[Long]("n_reached"))).toMap
+    assert(got == Map(
+      1L -> (250000L, 1L),            // d(5,1)=4
+      2L -> (1333333L, 2L),           // 1/1 + 1/3
+      3L -> (1000000L, 2L),           // 1/2 + 1/2
+      4L -> (1333333L, 2L),
+      5L -> (250000L, 1L)), s"got $got")
+    // hops = 2 truncates: node 4 only reachable from pivot 5 (d=1),
+    // pivot 1's d=3 path falls outside the horizon
+    val h2 = Graph.harmonicCentrality(path, piv, hops = 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("harmonic_micro")).toMap
+    assert(h2(4L) == 1000000L, s"got ${h2(4L)}") // only d(5,4)=1 in horizon
+    assert(h2(3L) == 1000000L) // 1/2 + 1/2
+  }
+
+  test("betweenness: path graph interior carries all flow; diamond splits sigma exactly") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5, pivots {1,5}, hops 4: Brandes gives every interior
+    // node total dependency 4e6 micro (3e6 from the near pivot + 1e6 far)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val piv = Seq(1L, 5L).toDF("node")
+    val got = Graph.betweennessPivot(path, piv, hops = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("bc_micro")).toMap
+    assert(got == Map(2L -> 4000000L, 3L -> 4000000L, 4L -> 4000000L),
+      s"got $got")
+    // diamond 1-2-4, 1-3-4: two shortest paths to 4 -> sigma(4) = 2,
+    // delta(2) = delta(3) = (1 * 1e6) div 2 = 500000 exactly
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val d = Graph.betweennessPivot(diamond, Seq(1L).toDF("node"), hops = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("bc_micro")).toMap
+    assert(d == Map(2L -> 500000L, 3L -> 500000L), s"got $d")
+  }
+
   test("coarsen: community pairs aggregate edges, intra flag marks self-loops") {
     import graft.operators.Graph
     // communities {1,2}→A(=1) and {3,4}→B(=3); edges: 2 intra-A, 1 intra-B,

@@ -457,6 +457,54 @@ class SinksSpec extends SparkSpec {
       .select("w").as[Long].head() == 99L)
   }
 
+  test("merge cdc: update/insert/delete in one pass; emptied bucket dropped; replay idempotent; untouched buckets untouched") {
+    import graft.eth.Sinks
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcdc").toString + "/t"
+    // buckets 0..2, 10 rows each
+    val base = (0L until 30L).map(i => (i, i / 10, i * 100)).toDF("id", "bkt", "v")
+    Sinks.writeBucketedParquet(base, dir, "bkt", Seq("id"))
+    val f1Before = new java.io.File(s"$dir/bkt=1").listFiles().map(_.getName).toSet
+    val changes = Seq(
+      (5L, 0L, 999L, "U", 1L),    // matched update
+      (100L, 0L, 111L, "U", 1L),  // not-matched insert (existing bucket)
+      (40L, 4L, 444L, "U", 1L),   // insert into a brand-new bucket
+      (7L, 0L, 0L, "D", 1L),      // matched delete
+      (888L, 0L, 0L, "D", 1L),    // delete of absent PK: no-op
+      (8L, 0L, 0L, "D", 1L),      // delete then...
+      (8L, 0L, 808L, "U", 2L)     // ...reinsert at a later CDC offset
+    ) ++ (20L until 30L).map(i => (i, 2L, 0L, "D", 1L)) // empty out bucket 2
+    val ch = changes.toDF("id", "bkt", "v", "op", "seq")
+    Sinks.mergeCdcBucketedParquet(ch, dir, Seq("id"), bucketCol = "bkt",
+      sortCols = Seq("id"))
+    def state() = spark.read.parquet(dir)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = state()
+    assert(got(5L) == 999L)            // updated
+    assert(got(100L) == 111L)          // inserted
+    assert(got(40L) == 444L)           // new bucket materialized
+    assert(!got.contains(7L))          // deleted
+    assert(got(8L) == 808L)            // delete-then-reinsert: last offset wins
+    assert((20L until 30L).forall(!got.contains(_))) // bucket 2 fully gone
+    assert(!new java.io.File(s"$dir/bkt=2").exists(),
+      "fully-deleted bucket directory must be dropped, not left stale")
+    assert(got.size == 30 - 1 - 10 + 2) // 30 base - del 7 - bucket2 + ins 100,40
+    // bucket 1 was never touched: same physical files byte-for-byte
+    val f1After = new java.io.File(s"$dir/bkt=1").listFiles().map(_.getName).toSet
+    assert(f1After == f1Before, "untouched bucket rewritten")
+    // CDC replay (at-least-once delivery): same changeset, same state
+    Sinks.mergeCdcBucketedParquet(ch, dir, Seq("id"), bucketCol = "bkt",
+      sortCols = Seq("id"))
+    assert(state() == got, "replay must be idempotent")
+    // unknown op fails loudly inside the pass
+    intercept[Exception] {
+      Sinks.mergeCdcBucketedParquet(
+        Seq((1L, 0L, 1L, "X", 1L)).toDF("id", "bkt", "v", "op", "seq"),
+        dir, Seq("id"), bucketCol = "bkt", sortCols = Seq("id"))
+    }
+  }
+
   test("versioned crash injection: data written but manifest missing -> invisible; retried commit heals") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
