@@ -84,6 +84,9 @@ object Bench {
     // deterministic plan — interference can only ADD time, so min-of-k
     // converges on the true cost from above.
     val results = names.map { name =>
+      // stderr breadcrumb (stdout carries only the JSON line): a run that
+      // dies mid-suite (OOM, kill) must identify WHICH query was in flight
+      System.err.println(s"[bench] running $name")
       val fn = SparkEntry.queries(name)
       def onePass(): Either[String, Double] = {
         val t0 = System.nanoTime()

@@ -534,6 +534,46 @@ object LlmQueries {
               |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
               |GROUP BY n ORDER BY node""".stripMargin)),
 
+    // dedup_components' INDUCED-FLOOD twin: ~30% of the corpus is replaced
+    // by ONE byte-identical boilerplate page (the mirror/spam shape that
+    // makes candidate generation quadratic), then the SAME star-collapse
+    // pipeline runs: the flood collapses to one representative before
+    // banding, each copy contributes exactly one star edge, and the
+    // quadratic pair set never exists in the plan. The ORACLE computes the
+    // naive quadratic expansion (fine at oracle scale) — component
+    // equality proves the linear path answers the quadratic question.
+    Q("dedup_components_hot", "LLM",
+      (s, d) => {
+        val hot = Tables(s, d, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10L)) < 3,
+            lit("mirror boilerplate page shared across the whole corpus again and again"))
+            .otherwise(col("text")).as("text"))
+        graft.operators.ConnectedComponents.run(
+            Dedup.nearDupEdges(hot, "doc_id", "text"), "id_a", "id_b")
+          .orderBy("node")
+      },
+      Some(s"""${minhashSigCte
+                .replace("FROM documents", "FROM hotdocs")
+                .replaceFirst("WITH ", "WITH RECURSIVE hotdocs AS (SELECT doc_id,\n" +
+                  "  CASE WHEN doc_id % 10 < 3\n" +
+                  "       THEN 'mirror boilerplate page shared across the whole corpus again and again'\n" +
+                  "       ELSE text END AS text FROM documents),\n")},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
+              |         WHERE a.doc_id < b2.doc_id),
+              |ds AS (SELECT doc_id, list_distinct(s) AS dsh FROM sh),
+              |edges AS (SELECT id_a, id_b FROM cand
+              |          JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
+              |          WHERE CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
+              |                / (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) >= 0.8),
+              |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+              |SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
+              |GROUP BY n ORDER BY node""".stripMargin)),
+
     // Quality-aware survivor selection: per near-dup component keep the
     // HIGHEST-quality member (longest doc, id tie-break) — the SemDeDup
     // paper's policy, vs the min-id rule of dedup_corpus_survivors. The
@@ -2886,6 +2926,39 @@ object LlmQueries {
            |       CAST(count(DISTINCT mid) AS BIGINT) AS n_mids
            |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
       }),
+
+    // graph_two_hop's INDUCED-HUB twin: ~30% of endpoints collapse onto
+    // one hot node (the exchange-address shape), and the read runs the
+    // FACTORIZED form — n_paths(v) = Σ_{mid→v} w · inflow(mid) — whose
+    // cost is |E| regardless of hub degree, where the pair-expanding
+    // exact join would pay deg_in(hub)·deg_out(hub) (quadratic in the
+    // heat). This is the form a 100 TB hub-heavy flow audit runs; the
+    // oracle replays the same factorization after the same remap.
+    Q("graph_two_hop_hot", "GRAPH",
+      (s, d) => {
+        def hot(c: org.apache.spark.sql.Column) =
+          when(pmod(c, lit(10L)) < 3, lit(99L)).otherwise(c)
+        val ewh = transitionEdges(s, d)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+          .select(hot(col("src")).as("src"), hot(col("dst")).as("dst"), col("w"))
+          .filter(col("src") =!= col("dst"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        val inflow = ewh.groupBy(col("dst")).agg(sum(col("w")).as("iw"))
+          .select(col("dst").as("mid"), col("iw"))
+        ewh.select(col("src").as("mid"), col("dst").as("node"), col("w"))
+          .join(inflow, "mid")
+          .groupBy(col("node")).agg(sum(col("w") * col("iw")).as("n_paths"))
+          .orderBy("node")
+      },
+      Some(s"""$transitionEdgesCte,
+              |ewh AS (SELECT s2 AS src, d2 AS dst, CAST(sum(w) AS BIGINT) AS w FROM (
+              |          SELECT CASE WHEN src % 10 < 3 THEN 99 ELSE src END AS s2,
+              |                 CASE WHEN dst % 10 < 3 THEN 99 ELSE dst END AS d2, w
+              |          FROM ew) WHERE s2 <> d2 GROUP BY 1, 2),
+              |infl AS (SELECT dst AS mid, sum(w) AS iw FROM ewh GROUP BY 1)
+              |SELECT e2.dst AS node, CAST(sum(e2.w * infl.iw) AS BIGINT) AS n_paths
+              |FROM ewh e2 JOIN infl ON infl.mid = e2.src
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // graph_two_hop's SKETCH twin: the per-node distinct-source count —
     // the exact form's only irreducibly pair-level aggregate — via the

@@ -281,6 +281,41 @@ object RelationalQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // j_salted_skew's INDUCED-SKEW twin (the exchange-address shape: one
+    // hot key owning ~30% of the fact side): l_orderkey is remapped so
+    // keys ≡ 0..2 (mod 10) collapse onto the minimum order key, then the
+    // SAME salted join + aggregate runs — the salt spreads the hot key
+    // over 8 reducers where a plain key shuffle would pin one. The oracle
+    // applies the identical remap to a plain join; result equality proves
+    // the salting is semantics-free even under heavy skew. (SkewSpec
+    // carries the quantitative spread assertion.)
+    Q("j_salted_skew_hot", "J",
+      (s, d) => {
+        val ord = Tables(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        val hotKey = min(col("o_orderkey")).cast("long")
+        val hotLit = Tables(s, d, "orders").agg(hotKey.as("__hot"))
+        val li = Tables(s, d, "lineitem")
+          .crossJoin(broadcast(hotLit))
+          .withColumn("l_orderkey",
+            when(pmod(col("l_orderkey"), lit(10L)) < 3, col("__hot"))
+              .otherwise(col("l_orderkey")))
+          .drop("__hot")
+        graft.functions.Skew.saltedEquiJoin(li, ord, Seq("l_orderkey"), salts = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("price_c"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH hot AS (SELECT min(o_orderkey) AS h FROM orders),
+             |li AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN (SELECT h FROM hot)
+             |              ELSE l_orderkey END AS k, l_extendedprice
+             |       FROM lineitem)
+             |SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+             |FROM li JOIN orders ON li.k = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Approximate percentile (KLL/GK-style sketch): estimator is
     // engine-specific, so — like agg_approx_distinct — the query emits the
     // exact interpolated p90 plus a "sketch within 2% of exact" flag, and

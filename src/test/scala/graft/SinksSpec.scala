@@ -505,6 +505,40 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("upsert crash injection: in-flight task files stay invisible; retried batch heals to the clean state") {
+    import graft.eth.Sinks
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashup").toString + "/t"
+    val b1 = (0L until 30L).map(i => (i, i / 10, i)).toDF("id", "bkt", "v")
+    Sinks.upsertBucketedParquet(b1, dir, Seq("id"), "bkt", Seq("id"))
+    val clean = spark.read.parquet(dir).count()
+    // simulate the crash window of a second batch: the task wrote its
+    // file under the committer's _temporary staging area and the process
+    // died BEFORE job commit. The leftover is a fully valid parquet file
+    // (copied from a committed one) so a reader that failed to filter
+    // staging dirs would double-count.
+    val committed = new java.io.File(s"$dir/bkt=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val staging = new java.io.File(
+      s"$dir/_temporary/0/_temporary/attempt_0001/bkt=0")
+    assert(staging.mkdirs())
+    java.nio.file.Files.copy(committed.toPath,
+      new java.io.File(staging, "part-crashed.parquet").toPath)
+    assert(spark.read.parquet(dir).count() == clean,
+      "uncommitted staging files leaked into the read")
+    assert(spark.read.parquet(dir).filter(col("bkt") === 0).count() == 10)
+    // restart path: the writer retries the SAME logical batch; the final
+    // state must equal one clean application (PK merge idempotence), and
+    // the retry's own successful commit clears nothing it shouldn't
+    val b2 = Seq((5L, 0L, 555L), (35L, 3L, 350L)).toDF("id", "bkt", "v")
+    Sinks.upsertBucketedParquet(b2, dir, Seq("id"), "bkt", Seq("id"))
+    Sinks.upsertBucketedParquet(b2, dir, Seq("id"), "bkt", Seq("id")) // replay
+    val sta = spark.read.parquet(dir).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sta.size == 31 && sta(5L) == 555L && sta(35L) == 350L)
+    assert(sta(6L) == 6L, "untouched row lost in the retry")
+  }
+
   test("versioned crash injection: data written but manifest missing -> invisible; retried commit heals") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
