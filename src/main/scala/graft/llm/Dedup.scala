@@ -129,12 +129,72 @@ object Dedup {
       .select(bucketCols.map(col) :+ col("__p.a").as("id_a") :+ col("__p.b").as("id_b"): _*)
   }
 
+  /** Exact-duplicate collapse for ALL-PAIRS operators. Partitions rows by
+    * an operator-specific equivalence key — columns whose values fully
+    * determine the operator's view of a row: the content hash for the
+    * Jaccard families, block + compared prefix for the fuzzy join, the
+    * vector for cosine — and picks the min-id representative per class.
+    *
+    * Why every pair-emitting operator needs this: m byte-identical copies
+    * of one page (mirrors, boilerplate — the dominant adversarial shape of
+    * a web corpus) share every candidate bucket, so candidate generation
+    * over raw rows is inherently m² per flood no matter how well the
+    * buckets spread. Collapsed, all candidate/verify work runs over
+    * DISTINCT contents (u rows, not n) and the only quadratic-in-m stage
+    * is the final output-sized expansion — the information-theoretic floor
+    * for an all-pairs contract. Clean-corpus overhead: one extra
+    * fixed-width shuffle (every row is its own representative).
+    *
+    * Returns (members, reps): members = (`__rep`, `__member`) one row per
+    * input row (fixed-width, localCheckpointed — the window is computed
+    * once, not once per downstream branch); reps = the input rows whose id
+    * IS the representative. Rows with a NULL in any key column are
+    * EXCLUDED — equi-join candidate generators never pair null keys, and
+    * the collapse must not invent pairs the raw operator cannot emit. */
+  private[graft] def collapseByKey(df: DataFrame, idCol: String,
+                                   keyCols: Seq[Column]): (DataFrame, DataFrame) = {
+    val nonNull = df.filter(keyCols.map(_.isNotNull).reduce(_ && _))
+      .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(keyCols: _*)))
+      .localCheckpoint()
+    val members = nonNull.select(col("__rep"), col(idCol).as("__member"))
+    val reps = nonNull.filter(col(idCol) === col("__rep")).drop("__rep")
+    (members, reps)
+  }
+
+  /** Intra-class pairs of [[collapseByKey]]'s members — the hamming-0 /
+    * Jaccard-1 pairs between byte-identical copies, streamed from an
+    * equi-join on the representative (never a per-class collected array:
+    * an all-identical corpus degrades to a large join OUTPUT, not a single
+    * giant row). Returns (`__rep`, id_a, id_b), id_a < id_b; callers join
+    * per-representative self-stats by `__rep`. */
+  private[graft] def intraPairs(members: DataFrame): DataFrame =
+    members.as("x").join(members.as("y"),
+        col("x.__rep") === col("y.__rep")
+          && col("x.__member") < col("y.__member"))
+      .select(col("x.__rep").as("__rep"), col("x.__member").as("id_a"),
+        col("y.__member").as("id_b"))
+
+  /** Expand representative-level pairs (id_a, id_b, stats…) to
+    * member-level pairs: every (copy of a) × (copy of b). Adds `__ma`,
+    * `__mb` (the member ids) and `__swap` (true when emitting in id order
+    * reverses the rep order — asymmetric stats like containment's
+    * n_a/n_b must be swapped by the caller under `__swap`). Output-sized
+    * by construction. */
+  private[graft] def memberPairs(repPairs: DataFrame, members: DataFrame): DataFrame =
+    repPairs
+      .join(members.select(col("__rep").as("id_a"), col("__member").as("__ma")), "id_a")
+      .join(members.select(col("__rep").as("id_b"), col("__member").as("__mb")), "id_b")
+      .withColumn("__swap", col("__ma") > col("__mb"))
+
   /** Candidate near-dup pairs: docs sharing a (band, band_key) bucket.
     * PRECONDITION at corpus scale: run [[exact]] first — exact-duplicate
     * floods give identical signatures, so all copies share every band
     * bucket and ANY candidate generator expands them quadratically (the
     * band buckets here carry only ids, so the shuffle survives, but the
-    * pair count is inherently n² in the flood size).
+    * pair count is inherently n² in the flood size). The enforced form of
+    * the precondition is [[collapseByKey]]; [[nearDupEdges]],
+    * [[lshJaccardScoredPairs]], [[lshContainmentPairs]] and
+    * [[simhashBandPairs]] apply it internally.
     * Bucketed by construction — never an all-pairs comparison. */
   def minhashCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
     withinBucketPairs(bandsDf, Seq("band", "band_key"), idCol)
@@ -236,31 +296,55 @@ object Dedup {
       s"recall is only exact for maxHamming < bands ($maxHamming >= $bands)")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    // The signature is a single long, so it rides along in the band buckets
-    // as part of the collected record: the pair expansion emits both sigs
-    // directly and the Hamming filter runs BEFORE the pair-dedup shuffle.
-    // One scan, one shuffle for the buckets, one for the distinct — no
-    // join-back to a signature table (which would recompute the per-token
-    // md5 pass twice more and shuffle the pair set twice).
-    val banded = docs
+    // FLOOD-COLLAPSED shape: all banding, bucketing, and Hamming
+    // verification runs over DISTINCT signatures; doc ids re-enter only in
+    // the final output-sized expansion. A corpus where each page has m
+    // byte-identical mirror copies (the shape a 10x-tiled corpus — or the
+    // real web — produces) would otherwise pay m^2 inside every band
+    // bucket: candidate work here tracks u = |distinct sigs|, never n,
+    // and the only quadratic-in-m stage is the one that EMITS the
+    // quadratic-in-m answer (the information-theoretic floor for an
+    // all-pairs contract). The (id, sig) table is localCheckpointed: one
+    // per-token md5 pass total, reused by the intra-join and both
+    // expansion joins without recomputing the scan.
+    val sigs = docs
       .select(col(idCol), transform(tokens(col(textCol)), base60(_, fastHash)).as("__tb"))
       .select(col(idCol), simhashFromBases(col("__tb"), bits).as("__sig"))
-      .select(col(idCol), col("__sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .localCheckpoint()
+    // identical signature => hamming 0, no bucket pass needed: stream the
+    // pairs from an equi-join on the sig (never a per-sig collected array
+    // — an all-identical corpus degrades to a big join output, not a
+    // single giant row)
+    val intra = sigs.as("x").join(sigs.as("y"),
+        col("x.__sig") === col("y.__sig")
+          && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        lit(0).cast("integer").as("hamming"))
+    // band the DISTINCT sigs; in-bucket records are single longs and the
+    // Hamming filter runs before the pair-dedup shuffle. Bucket population
+    // is u/2^bandBits (see sizing note above).
+    val bucketed = sigs.select(col("__sig")).distinct()
+      .select(col("__sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_key",
         expr(s"shiftrightunsigned(__sig, band * $bandBits) & $mask"))
-    val recs = col("__recs")
-    banded
-      .select(col("band"), col("band_key"),
-        struct(col(idCol).as("id"), col("__sig").as("sig")).as("__rec"))
       .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
-      .filter(size(recs) > 1)
-      .select(explode(orderedPairs(recs)).as("__p"))
-      .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
-        bit_count(col("__p.a.sig").bitwiseXOR(col("__p.b.sig"))).as("hamming"))
+      .agg(sort_array(collect_list(col("__sig"))).as("__ss"))
+      .filter(size(col("__ss")) > 1)
+      .select(explode(orderedPairs(col("__ss"))).as("__p"))
+      .select(col("__p.a").as("__sa"), col("__p.b").as("__sb"),
+        bit_count(col("__p.a").bitwiseXOR(col("__p.b"))).cast("integer").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+      .distinct() // a sig pair can surface in several bands: dedup the
+                  // (small) sig pairs, not the expanded doc pairs
+    // output-sized expansion: every (docA, docB) across a qualifying sig
+    // pair. Distinct sigs make each doc pair reachable exactly once, and
+    // cross-sig hamming >= 1 keeps the union disjoint from intra's 0s.
+    val cross = bucketed
+      .join(sigs.select(col(idCol).as("__ida"), col("__sig").as("__sa")), "__sa")
+      .join(sigs.select(col(idCol).as("__idb"), col("__sig").as("__sb")), "__sb")
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("hamming"))
+    intra.union(cross)
   }
 
   /** Near-dup pairs over a PRE-COMPUTED long signature (SimHash, image
@@ -299,18 +383,116 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact distinct-shingle Jaccard scores over MinHash-LSH candidates —
+    * the exhaustive scale path (every candidate pair scored, no threshold,
+    * no cap). Flood-collapsed ([[collapseByKey]]): banding, candidate
+    * generation and the set-intersection verify run over DISTINCT
+    * contents; identical-copy pairs (J = 1.0 by definition — n/n is exact
+    * in IEEE754) and the cross-content expansion are emitted output-sized.
+    * Identical contents have identical signatures, hence identical bucket
+    * fate, so the collapsed result equals the raw one row-for-row.
+    * Returns (id_a, id_b, n_intersect, n_union, jaccard). */
+  def lshJaccardScoredPairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 2,
+                            fastHash: Boolean = false): DataFrame = {
+    val (members, reps) = collapseByKey(
+      docs.select(col(idCol), col(textCol)), idCol, Seq(md5(col(textCol))))
+    val cand = minhashCandidatePairs(
+      minhashBands(reps, idCol, textCol, shingleLen, bands, rowsPerBand,
+        fastHash), idCol)
+    val sh = reps.select(col(idCol),
+      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val uni = size(col("sa")) + size(col("sb")) - inter
+    val repPairs = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
+        uni.as("n_union"),
+        round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))
+    val intra = intraPairs(members)
+      .join(sh.select(col(idCol).as("__rep"), size(col("sh")).as("__n")), "__rep")
+      .select(col("id_a"), col("id_b"), col("__n").as("n_intersect"),
+        col("__n").as("n_union"), lit(1.0).as("jaccard"))
+    val cross = memberPairs(repPairs, members)
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("n_intersect"), col("n_union"), col("jaccard"))
+    intra.union(cross)
+  }
+
+  /** Asymmetric containment over MinHash-LSH candidates: |A∩B|/|A| vs
+    * |A∩B|/|B| in integer milli-units — catches a document CONTAINED in a
+    * larger one (quotes, concatenations), which symmetric Jaccard dilutes.
+    * Flood-collapsed like [[lshJaccardScoredPairs]]; containment stats are
+    * ASYMMETRIC, so the id-order relabel of the expansion swaps
+    * n_a/n_b and cont_a/cont_b when it reverses the representative order.
+    * Returns (id_a, id_b, n_intersect, n_a, n_b, cont_a_milli,
+    * cont_b_milli) for pairs with max(cont) >= `thresholdMilli`. */
+  def lshContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int = 3, bands: Int = 4,
+                          rowsPerBand: Int = 2, thresholdMilli: Int = 800,
+                          fastHash: Boolean = false): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [1, 1000], got $thresholdMilli")
+    val (members, reps) = collapseByKey(
+      docs.select(col(idCol), col(textCol)), idCol, Seq(md5(col(textCol))))
+    val cand = minhashCandidatePairs(
+      minhashBands(reps, idCol, textCol, shingleLen, bands, rowsPerBand,
+        fastHash), idCol)
+    val sh = reps.select(col(idCol),
+      array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val repPairs = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
+        size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
+      .withColumn("cont_a_milli",
+        expr("CAST((n_intersect * 1000) div n_a AS BIGINT)"))
+      .withColumn("cont_b_milli",
+        expr("CAST((n_intersect * 1000) div n_b AS BIGINT)"))
+      .filter(greatest(col("cont_a_milli"), col("cont_b_milli"))
+        >= thresholdMilli)
+    // identical copies: containment 1000 both ways (>= any valid threshold)
+    val intra = intraPairs(members)
+      .join(sh.select(col(idCol).as("__rep"), size(col("sh")).as("__n")), "__rep")
+      .select(col("id_a"), col("id_b"), col("__n").as("n_intersect"),
+        col("__n").as("n_a"), col("__n").as("n_b"),
+        lit(1000L).as("cont_a_milli"), lit(1000L).as("cont_b_milli"))
+    val cross = memberPairs(repPairs, members)
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("n_intersect"),
+        when(col("__swap"), col("n_b")).otherwise(col("n_a")).as("n_a"),
+        when(col("__swap"), col("n_a")).otherwise(col("n_b")).as("n_b"),
+        when(col("__swap"), col("cont_b_milli")).otherwise(col("cont_a_milli")).as("cont_a_milli"),
+        when(col("__swap"), col("cont_a_milli")).otherwise(col("cont_b_milli")).as("cont_b_milli"))
+    intra.union(cross)
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors are LSH-bucketed
     * ([[Similarity.lshBucket]]), per-bucket pairs expanded (one scan, one
     * shuffle — same shape as [[withinBucketPairs]]), and only same-bucket
-    * pairs pay the cosine. Returns pairs with cosine >= `threshold`. */
+    * pairs pay the cosine. Flood-collapsed ([[collapseByKey]] on the raw
+    * vector — byte-identical embeddings, the shape a mirrored corpus's
+    * re-embedded copies produce): bucketing and cosine verification run
+    * over DISTINCT vectors; identical-copy pairs take their cosine from
+    * the representative's self-cosine through the SAME kernel (bit-equal
+    * to what the raw pair would compute — including the 0-vector NaN
+    * case), and the expansion is output-sized.
+    * Returns pairs with cosine >= `threshold`. */
   def embeddingNearDupPairs(df: DataFrame, dim: Int, threshold: Double,
                             numPlanes: Int = 8, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    val (members, reps) = collapseByKey(
+      df.select(col(idCol), col(vecCol)), idCol, Seq(col(vecCol)))
     val rec = struct(col(idCol).as("id"), col(vecCol).as("v"))
     val recs = col("__recs")
     val cos = Similarity.cosine(col("__p.a.v"), col("__p.b.v"))
-    df.select(Similarity.lshBucket(col(vecCol), dim, numPlanes).as("bucket"), rec.as("__rec"))
+    val repPairs = reps
+      .select(Similarity.lshBucket(col(vecCol), dim, numPlanes).as("bucket"), rec.as("__rec"))
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("__rec"))).as("__recs"))
       .filter(size(recs) > 1)
@@ -318,6 +500,18 @@ object Dedup {
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         round(cos, 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // identical-copy pairs score the representative's self-cosine through
+    // the SAME kernel — ~1.0 for real vectors, NaN for the 0-vector (which
+    // then fails the threshold exactly as the raw pair would)
+    val intra = intraPairs(members)
+      .join(reps.select(col(idCol).as("__rep"),
+        round(Similarity.cosine(col(vecCol), col(vecCol)), 6).as("cosine")), "__rep")
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    val cross = memberPairs(repPairs, members)
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
+    intra.union(cross)
   }
 
   /** N-gram Jaccard similarity of candidate pairs *within buckets* (never
@@ -373,11 +567,15 @@ object Dedup {
     * with an orthogonal key (standard multi-pass blocking).
     *
     * Scale shape: one equi-join on the block key (pair volume is
-    * Σ block² — the caller picks keys that keep blocks O(100), exactly
-    * the bucket discipline of [[ngramJaccardPairs]]), then the O(p·maxLen²)
-    * Levenshtein verify runs ONLY on candidates, inside codegen
-    * (Spark's native `levenshtein`). The prefix bound caps the verify
-    * cost per pair regardless of document length.
+    * Σ block² over DISTINCT (block, prefix) classes — the caller picks
+    * keys that keep blocks O(100), exactly the bucket discipline of
+    * [[ngramJaccardPairs]]), then the O(p·maxLen²) Levenshtein verify runs
+    * ONLY on candidates, inside codegen (Spark's native `levenshtein`).
+    * The prefix bound caps the verify cost per pair regardless of document
+    * length. Rows whose compared prefix AND block are identical are
+    * collapsed first ([[collapseByKey]] — a flood of m identical records
+    * would otherwise pay m² Levenshtein calls for pairs that are dist 0 by
+    * definition); the verify therefore runs once per distinct string pair.
     *
     * Returns (id_a, id_b, dist) for pairs with `dist <= maxDist`,
     * id_a < id_b, deduplicated across blocks. */
@@ -389,16 +587,28 @@ object Dedup {
     require(blockCols.nonEmpty, "fuzzyJoinBlocked needs >= 1 blocking column")
     val rec = df.select(blockCols.map(col) :+ col(idCol).as("__id")
       :+ substring(col(strCol), 1, prefixLen).as("__s"): _*)
-    val a = rec.select(blockCols.map(col) :+ col("__id").as("id_a")
+    // equivalence key = block + compared prefix: the operator's entire
+    // view of a row (NULL keys are excluded by the collapse, matching the
+    // raw equi-join/verify, which never emits null-key pairs)
+    val (members, reps) = collapseByKey(rec, "__id",
+      blockCols.map(col) :+ col("__s"))
+    val a = reps.select(blockCols.map(col) :+ col("__id").as("id_a")
       :+ col("__s").as("__sa"): _*)
-    val b = rec.select(blockCols.map(col) :+ col("__id").as("id_b")
+    val b = reps.select(blockCols.map(col) :+ col("__id").as("id_b")
       :+ col("__s").as("__sb"): _*)
-    a.join(b, blockCols)
+    val repPairs = a.join(b, blockCols)
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
-      .distinct()
+    // identical (block, prefix) copies are dist 0 by definition; distinct
+    // classes in one block have dist >= 1, so the union is disjoint
+    val intra = intraPairs(members)
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    val cross = memberPairs(repPairs, members)
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("dist"))
+    intra.union(cross)
   }
 
   /** EXACT all-pairs Jaccard join by prefix filtering (Chaudhuri et al.
@@ -423,7 +633,10 @@ object Dedup {
     * equi-join on the prefix shingle generates candidates; verification
     * joins the two distinct-shingle arrays back by id (projection-only
     * scans, same shape as the LSH variant). Exact-duplicate floods are
-    * the caller's contract, as in [[nearDupEdges]]: run [[exact]] first.
+    * collapsed internally ([[collapseByKey]]): ranking, candidates and
+    * verification all run over DISTINCT contents; identical-copy pairs
+    * (J = 1000 by definition, always over threshold) and the cross-content
+    * pair expansion are emitted output-sized at the end.
     *
     * Returns (id_a, id_b, n_intersect, n_union, jacc_milli) for pairs
     * with `jacc_milli >= thresholdMilli` — integer milli-Jaccard via
@@ -433,7 +646,9 @@ object Dedup {
                                thresholdMilli: Int = 800): DataFrame = {
     require(thresholdMilli >= 1 && thresholdMilli <= 1000,
       s"thresholdMilli must be in [1, 1000], got $thresholdMilli")
-    val sets = df.select(col(idCol).as("id"),
+    val (members, reps) = collapseByKey(
+      df.select(col(idCol), col(textCol)), idCol, Seq(md5(col(textCol))))
+    val sets = reps.select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
     val shRows = sets.select(col("id"), explode(col("sh")).as("shingle"))
     val dfreq = shRows.groupBy(col("shingle")).agg(count(lit(1)).as("df_count"))
@@ -451,7 +666,7 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     val uni = size(col("sa")) + size(col("sb")) - inter
-    cand
+    val repPairs = cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
       // PPJoin length filter — J >= t forces t·max(n_a,n_b) <= min(n_a,n_b)
@@ -465,6 +680,19 @@ object Dedup {
       .withColumn("jacc_milli",
         expr("cast(n_intersect as bigint) * 1000 div n_union"))
       .filter(col("jacc_milli") >= thresholdMilli)
+    // identical copies: J = n/n = 1000 exactly (>= any valid threshold);
+    // stats come from the representative's own distinct-shingle count
+    val intra = intraPairs(members)
+      .join(sets.select(col("id").as("__rep"), size(col("sh")).as("__n")), "__rep")
+      .select(col("id_a"), col("id_b"), col("__n").as("n_intersect"),
+        col("__n").as("n_union"), lit(1000L).as("jacc_milli"))
+    // cross-content pairs: stats are symmetric in the pair, so the
+    // id-order relabel needs no swap
+    val cross = memberPairs(repPairs, members)
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("n_intersect"), col("n_union"), col("jacc_milli"))
+    intra.union(cross)
   }
 
   /** Boilerplate chunk removal — CCNet-style line dedup generalized to a
@@ -527,7 +755,16 @@ object Dedup {
     * [[graft.operators.ConnectedComponents]] does) — it feeds three
     * consumers (both pair-join sides and the output join), which would
     * otherwise each recompute it.
-    */
+    *
+    * Flood-collapsed ([[collapseByKey]] on the raw vector): assignment and
+    * the within-cluster pair scan run over DISTINCT vectors — m identical
+    * copies would otherwise pay m² cosines per flood. The drop rule
+    * factorizes exactly: a member m is dropped iff SOME qualifying source
+    * member is < m, and the smallest member of a vector class is its
+    * representative (min-id), so per class Y it suffices to compare m
+    * against M_Y = min(rep of any OTHER same-cluster class X with
+    * cos(X, Y) >= t, and rep_Y itself when the class's self-cosine
+    * qualifies — identical copies, ~1.0, NaN for the 0-vector). */
   def semanticDedup(vectors: DataFrame, centroids: DataFrame, threshold: Double,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
@@ -538,21 +775,40 @@ object Dedup {
     val k = centroids.count()
     require(k > 0, "semanticDedup requires a non-empty centroid set")
     val numCoarse = math.ceil(math.sqrt(k.toDouble)).toInt
+    val (members, reps) = collapseByKey(
+      vectors.select(col(idCol), col(vecCol)), idCol, Seq(col(vecCol)))
     val assigned = Similarity
-      .ivfAssignHier(vectors, centroids, numCoarse, idCol, vecCol)
+      .ivfAssignHier(reps, centroids, numCoarse, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
       .localCheckpoint()
     val a = assigned.select(col("centroid_id"), col(idCol).as("__ida"),
       col(vecCol).as("__va"))
     val b = assigned.select(col("centroid_id"), col(idCol).as("__idb"),
       col(vecCol).as("__vb"))
-    val dropped = a.join(b, Seq("centroid_id"))
+    // qualifying rep pairs, both directions: per class, the smallest
+    // qualifying OTHER-class representative
+    val q = a.join(b, Seq("centroid_id"))
       .filter(col("__ida") < col("__idb"))
       .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= threshold)
-      .select(col("__idb").as("__dropped")).distinct()
-    assigned.join(dropped, col(idCol) === col("__dropped"), "left")
-      .select(col(idCol), col("centroid_id"),
-        col("__dropped").isNull.as("kept"))
+      .select(col("__ida"), col("__idb"))
+    val otherMin = q.select(col("__ida").as("__src"), col("__idb").as("__rep"))
+      .union(q.select(col("__idb").as("__src"), col("__ida").as("__rep")))
+      .groupBy(col("__rep")).agg(min(col("__src")).as("__om"))
+    // self-qualification: identical copies score the class's self-cosine
+    // through the same kernel (NaN for the 0-vector fails the threshold
+    // exactly as the raw identical pair would)
+    val selfQ = when(
+      round(Similarity.cosine(col(vecCol), col(vecCol)), 6) >= threshold,
+      col(idCol))
+    val bound = assigned
+      .select(col(idCol).as("__rep"), col("centroid_id"), selfQ.as("__sq"))
+      .join(otherMin, Seq("__rep"), "left")
+      // least() skips nulls: M is the smallest qualifying source member
+      .select(col("__rep"), col("centroid_id"),
+        least(col("__om"), col("__sq")).as("__m"))
+    members.join(bound, Seq("__rep"))
+      .select(col("__member").as(idCol), col("centroid_id"),
+        (col("__m").isNull || col("__m") >= col("__member")).as("kept"))
   }
 
   /** Cross-document duplicated-span detection — the exact-substring dedup

@@ -700,11 +700,15 @@ object LlmQueries {
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // SimHash Hamming-distance dedup: 32-bit signatures split into 4
-    // 8-bit chunks (256 buckets per band — the bucket population, n/256,
-    // is what keeps the pair expansion bounded; see simhashBandPairs'
-    // sizing note); docs sharing any chunk are candidates (pigeonhole —
-    // exact recall for hamming <= 3), candidates pay one
-    // bit_count(xor) filter. Never an all-pairs scan.
+    // 8-bit chunks (256 buckets per band — the bucket population,
+    // u/256 over DISTINCT signatures, is what keeps the pair expansion
+    // bounded; see simhashBandPairs' sizing note); sigs sharing any chunk
+    // are candidates (pigeonhole — exact recall for hamming <= 3), each
+    // candidate pays one bit_count(xor) filter, and doc ids re-enter only
+    // in the output-sized expansion (identical-copy floods never reach
+    // the buckets — the sf1 scale gate measured the uncollapsed form at
+    // 117 s vs 8 s collapsed on a 10x-tiled corpus). Never an all-pairs
+    // scan.
     Q("dedup_simhash_hamming", "LLM",
       (s, d) => Dedup.simhashBandPairs(Tables(s, d, "documents"),
           "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
@@ -808,33 +812,19 @@ object LlmQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // N-gram Jaccard over MinHash-LSH band buckets — the exhaustive scale
-    // path. Shape: DISTINCT candidate pairs first (id-only band buckets,
-    // no cap — never a silent drop; the oracle is uncapped too), then each
-    // pair scored exactly ONCE against per-doc distinct shingles joined
-    // back by id. Scoring inside the band buckets instead would shingle
-    // per (doc, band) and score a pair once per shared band; this shape
-    // pays two projection-only shingle scans and no giant arrays through
-    // any shuffle. (Degenerate exact-duplicate clusters blow up ANY
-    // candidate generator quadratically — run dedup_exact first; the band
-    // buckets here only carry ids, so even that failure mode is shuffle-
-    // light.)
+    // path. Shape (Dedup.lshJaccardScoredPairs): exact-dup floods are
+    // collapsed to min-id representatives FIRST, DISTINCT candidate pairs
+    // come from id-only band buckets over reps (no cap — never a silent
+    // drop; the oracle is uncapped too), each rep pair is scored exactly
+    // ONCE against per-doc distinct shingles joined back by id, and the
+    // identical-copy pairs (J = 1.0 by definition) plus the cross-content
+    // expansion are emitted output-sized at the end — a mirror flood costs
+    // what its answer costs, never m² candidate work (proven at 10x
+    // tiling by the sf1 scale gate).
     Q("dedup_ngram_jaccard_lsh", "LLM",
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val cand = Dedup.minhashCandidatePairs(
-          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
-        val sh = docs.select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        val uni = size(col("sa")) + size(col("sb")) - inter
-        cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-          .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
-            uni.as("n_union"),
-            round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.lshJaccardScoredPairs(Tables(s, d, "documents"),
+          "doc_id", "text", shingleLen = 3, bands = 4, rowsPerBand = 2)
+        .orderBy("id_a", "id_b"),
       Some(s"""$minhashSigCte,
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
               |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
@@ -853,25 +843,10 @@ object LlmQueries {
     // larger one (quotes, concatenations), which symmetric Jaccard dilutes
     // below any workable threshold.
     Q("dedup_containment", "LLM",
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val cand = Dedup.minhashCandidatePairs(
-          Dedup.minhashBands(docs, "doc_id", "text", 3, 4, 2), "doc_id")
-        val sh = docs.select(col("doc_id"),
-          array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-          .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
-            size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
-          .withColumn("cont_a_milli",
-            expr("CAST((n_intersect * 1000) div n_a AS BIGINT)"))
-          .withColumn("cont_b_milli",
-            expr("CAST((n_intersect * 1000) div n_b AS BIGINT)"))
-          .filter(greatest(col("cont_a_milli"), col("cont_b_milli")) >= 800)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => Dedup.lshContainmentPairs(Tables(s, d, "documents"),
+          "doc_id", "text", shingleLen = 3, bands = 4, rowsPerBand = 2,
+          thresholdMilli = 800)
+        .orderBy("id_a", "id_b"),
       Some(s"""$minhashSigCte,
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
               |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key

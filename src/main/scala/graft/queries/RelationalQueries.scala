@@ -1195,10 +1195,15 @@ object RelationalQueries {
     // Band (range/theta) join: small side broadcast -> nested-loop with a
     // range predicate. At 100 TB this becomes a bucketed interval join; the
     // operator surface is the same.
+    // Band join via graft.operators.BandJoin — bucketed candidate
+    // generation + exact predicate, never the |S|·|C| nested-loop plan a
+    // raw non-equi condition forces (the sf1 scale gate measured the BNLJ
+    // form superlinear: 10x rows on a fixed value range = 100x
+    // comparisons; the bucketed form tracks per-band density instead).
     Q("j_range_band", "J",
-      (s, d) => Tables(s, d, "supplier")
-        .join(Tables(s, d, "customer"),
-          col("c_acctbal").between(col("s_acctbal") - 100, col("s_acctbal") + 100))
+      (s, d) => graft.operators.BandJoin.join(
+          Tables(s, d, "customer"), Tables(s, d, "supplier"),
+          col("c_acctbal"), col("s_acctbal"), width = 100.0)
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_near"))
         .orderBy("s_suppkey"),

@@ -674,6 +674,35 @@ class LlmSpec extends SparkSpec {
       Dedup.simhashBandPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
   }
 
+  test("simhash band pairs under an exact-dup flood: complete pairs, candidate work stays distinct-sig-sized") {
+    // 40 byte-identical mirror copies + 3 distinct pages: the flood's
+    // 40*39/2 intra pairs come out at hamming 0 via the equi-join, and the
+    // banding/verification stage sees only the 4 DISTINCT signatures (the
+    // quadratic stage is exactly the output-emitting one)
+    val flood = (0L until 40L).map(i => (i, "mirror boilerplate page body repeated verbatim")) ++
+      Seq((100L, "a unique page about spark catalyst planning"),
+        (101L, "a unique page about spark catalyst planning today"),
+        (102L, "entirely different content on graph analytics"))
+    val df = flood.toDF("doc_id", "text")
+    val pairs = Dedup.simhashBandPairs(df, "doc_id", "text",
+      bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // exhaustive truth
+    val sigs = df.select(col("doc_id"),
+      Dedup.simhash(tokens(col("text")), 16).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)
+    assert(pairs.toSet == want.toSet)
+    assert(pairs.count(_._3 == 0) >= 40 * 39 / 2)
+    // structural guarantee: every pair is unique (no per-band duplicate
+    // emission survives) — the distinct runs on sig pairs, so doc pairs
+    // must still come out exactly once
+    assert(pairs.size == pairs.distinct.size)
+  }
+
   test("redact: counts before replace, rules chain in order, no matches = intact") {
     val df = Seq((1L, "mail me at bob@example.com or alice@test.org today"),
       (2L, "no pii here at all")).toDF("doc_id", "text")

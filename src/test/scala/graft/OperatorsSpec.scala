@@ -960,6 +960,36 @@ class OperatorsSpec extends SparkSpec {
     assert(funnel.forall(r => r.getDouble(3) == r.getDouble(4)))
   }
 
+  test("band join equals the nested-loop truth: boundaries inclusive, negatives, nulls dropped, no BNLJ in the plan") {
+    import graft.operators.BandJoin
+    // values straddle bucket boundaries (multiples of the width), go
+    // negative, and include exact-width gaps — every edge of the
+    // floor-bucket candidate rule
+    val l = Seq((1L, -250.0), (2L, -100.0), (3L, 0.0), (4L, 99.99),
+      (5L, 100.0), (6L, 300.0), (7L, Double.NaN))
+      .toDF("lid", "lv").withColumn("lv",
+        when(col("lid") === 7L, lit(null).cast("double")).otherwise(col("lv")))
+    val r = Seq((10L, -200.0), (11L, 0.0), (12L, 200.0), (13L, 1000.0))
+      .toDF("rid", "rv")
+    val got = BandJoin.join(l, r, col("lv"), col("rv"), width = 100.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val want = (for {
+      (lid, lv) <- Seq((1L, -250.0), (2L, -100.0), (3L, 0.0), (4L, 99.99),
+        (5L, 100.0), (6L, 300.0))
+      (rid, rv) <- Seq((10L, -200.0), (11L, 0.0), (12L, 200.0), (13L, 1000.0))
+      if math.abs(lv - rv) <= 100.0
+    } yield (lid, rid)).toSet
+    assert(got == want)
+    assert(want.contains((2L, 10L)) && want.contains((2L, 11L)),
+      "fixture must exercise exact-width boundaries on both sides")
+    // the whole point: the plan is an equi-join on the bucket id, not a
+    // nested-loop scan
+    val plan = BandJoin.join(l, r, col("lv"), col("rv"), 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException](BandJoin.join(l, r, col("lv"), col("rv"), 0.0))
+  }
+
   test("DDL generation round-trips through Spark SQL's parser") {
     import org.apache.spark.sql.types.StructType
     graft.eth.EthSchemas.tables.foreach { case (name, st) =>
