@@ -400,6 +400,31 @@ object LlmQueries {
       Some(s"""$minhashSigCte
               |SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band""".stripMargin)),
 
+    // dedup_minhash_bands' INDUCED-FLOOD twin: ~30% of the corpus replaced
+    // by ONE byte-identical boilerplate page, then the SAME banding runs.
+    // Banding itself is linear by construction — exactly `bands` rows per
+    // document however flooded the corpus — so the hot board proves the
+    // assignment stage is flood-immune (the pair-generation stages own
+    // their flood story via collapseByKey; see dedup_components_hot).
+    // Value-exact oracle: the same signature algebra over the remapped
+    // corpus.
+    Q("dedup_minhash_bands_hot", "LLM",
+      (s, d) => {
+        val hot = Tables(s, d, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10L)) < 3,
+            lit("mirror boilerplate page shared across the whole corpus again and again"))
+            .otherwise(col("text")).as("text"))
+        Dedup.minhashBands(hot, "doc_id", "text",
+          shingleLen = 3, bands = 4, rowsPerBand = 2).orderBy("doc_id", "band")
+      },
+      Some(s"""${minhashSigCte
+                .replace("FROM documents", "FROM hotdocs")
+                .replaceFirst("WITH ", "WITH hotdocs AS (SELECT doc_id,\n" +
+                  "  CASE WHEN doc_id % 10 < 3\n" +
+                  "       THEN 'mirror boilerplate page shared across the whole corpus again and again'\n" +
+                  "       ELSE text END AS text FROM documents),\n")}
+              |SELECT doc_id, band, band_key FROM bands ORDER BY doc_id, band""".stripMargin)),
+
     // MinHash-LSH banding on the xxhash64 fast path: identical plan shape
     // and signature algebra to dedup_minhash_bands, ~3× the hash
     // throughput. xxhash64 values are not reproducible in standard SQL, so
