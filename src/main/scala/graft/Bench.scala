@@ -4,8 +4,30 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Failures are recorded as -1.0 with the error in an
-  * "errors" map — a broken query must never look like a fast one. */
+  * "errors" map — a broken query must never look like a fast one.
+  *
+  * Optional scale-evidence mode (the driver never enables it):
+  * SPARK_GRAFT_METRICS_OUT=<path> additionally writes one JSON object of
+  * per-query physical metrics — shuffle write/read bytes, parquet input
+  * bytes, spill, and the max single-task runtime — captured by a
+  * SparkListener around pass 1 of each query. Wall time is noisy;
+  * shuffle/input BYTES are deterministic properties of the plan at a given
+  * SF, so the sf0.1→sf1 byte ratio is the noise-free linearity proof the
+  * scale gate wants, and max-task-ms quantifies skew for the _hot twins. */
 object Bench {
+  /** Totals accumulated by the metrics listener since process start; the
+    * main loop snapshots deltas around each query. maxTaskMs is reset by
+    * the main loop before each query (CAS-max between resets). */
+  private final class MetricTotals {
+    import java.util.concurrent.atomic.AtomicLong
+    val shufW = new AtomicLong; val shufR = new AtomicLong
+    val inB = new AtomicLong; val spill = new AtomicLong
+    val tasks = new AtomicLong
+    val maxTaskMs = new AtomicLong
+    def snap: (Long, Long, Long, Long, Long) =
+      (shufW.get, shufR.get, inB.get, spill.get, tasks.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +42,40 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val metricsOut = sys.env.get("SPARK_GRAFT_METRICS_OUT")
+    val totals = new MetricTotals
+    if (metricsOut.isDefined) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      try spark.sparkContext.addSparkListener(new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            totals.shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            totals.shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            totals.inB.addAndGet(m.inputMetrics.bytesRead)
+            totals.spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            totals.tasks.incrementAndGet()
+            val rt = m.executorRunTime
+            var cur = totals.maxTaskMs.get
+            while (rt > cur && !totals.maxTaskMs.compareAndSet(cur, rt))
+              cur = totals.maxTaskMs.get
+          }
+        }
+      })
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] metrics listener failed to attach: $e")
+      }
+    }
+    /** Listener events are delivered async; poll until the task counter is
+      * stable so a snapshot taken right after an action includes its tasks.
+      * Bounded (500 ms) — metrics are evidence, never a hang risk. */
+    def drainListener(): Unit = if (metricsOut.isDefined) {
+      var last = -1L; var spins = 0
+      while (spins < 10 && totals.tasks.get != last) {
+        last = totals.tasks.get; Thread.sleep(50); spins += 1
+      }
+    }
 
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -75,6 +131,8 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // name -> (shuffle_write_b, shuffle_read_b, input_b, spill_b, tasks, max_task_ms)
+    val qMetrics = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Long, Long, Long)]()
     // Each query is timed as the MIN of two full passes ("timing":
     // "min_of_2" in the JSON). A single-pass harness records whatever the
     // box happened to be doing during that one window: one co-tenant burst
@@ -110,7 +168,20 @@ object Bench {
         catch { case _: Throwable => }
         out.map(_ => t)
       }
-      onePass() match {
+      // metrics snapshot brackets pass 1 (pass 2 would measure the same
+      // deterministic plan; one bracket keeps the harness simple)
+      drainListener()
+      val pre = totals.snap
+      totals.maxTaskMs.set(0L)
+      val firstPass = onePass()
+      if (metricsOut.isDefined) {
+        drainListener()
+        val post = totals.snap
+        qMetrics(name) = (post._1 - pre._1, post._2 - pre._2,
+          post._3 - pre._3, post._4 - pre._4, post._5 - pre._5,
+          totals.maxTaskMs.get)
+      }
+      firstPass match {
         // a failed FIRST pass is the query's verdict: a broken query must
         // never look like a fast one
         case Left(err) => errors(name) = err; name -> -1.0
@@ -138,6 +209,17 @@ object Bench {
     // artifact store that keeps only the tail of the line still carries
     // the headline number
     val line = s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","queries":$qs,"errors":$errJson,"total_s":$total,"n_queries":${results.size},"n_failed":${errors.size},"sf":$sfNum,"sf_dir":"${esc(sfDir)}"}"""
+    metricsOut.foreach { path =>
+      val body = qMetrics.map { case (k, (sw, sr, in, sp, nt, mt)) =>
+        "\"" + esc(k) + s"""":{"shuffle_write_b":$sw,"shuffle_read_b":$sr,"input_b":$in,"spill_b":$sp,"tasks":$nt,"max_task_ms":$mt}"""
+      }.mkString("{", ",", "}")
+      val json = s"""{"sf":$sfNum,"sf_dir":"${esc(sfDir)}","per_query":$body}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] metrics write to $path failed: $e")
+      }
+    }
     spark.stop()
     // printed AFTER spark.stop() so the JSON is the LAST stdout line of the
     // run (build.sbt suppresses sbt's trailing "[success]" line) — robust
