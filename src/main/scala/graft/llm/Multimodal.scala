@@ -462,4 +462,182 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // AUDIO: a REAL pure-JVM WAV (RIFF / 16-bit mono PCM) codec — same
+  // contract as the image path: uncompressed container formats parse
+  // for real over real bytes; compressed audio (MP3/AAC/Opus) would
+  // take the decodeStub fallback until a codec library is linked. The
+  // feature set is the standard audio-pipeline battery: per-record
+  // stats (duration, peak, RMS, zero-crossings), fixed-width frame
+  // energies (the spectrogram-less analogue of STFT frames), and an
+  // energy-delta fingerprint (Haitsma–Kalker style sign-of-derivative
+  // bits) that feeds the SAME banded-Hamming near-dup machinery as
+  // SimHash / image aHash. All integer arithmetic — engine- and
+  // order-invariant, so every query is value-exact against a DuckDB
+  // replay of the generator algebra.
+  // ------------------------------------------------------------------
+
+  /** Decoded audio statistics: all exact integers. `rms` is the floor
+    * square root of the mean squared sample (integer mean first). */
+  case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Long,
+                        duration_ms: Long, peak: Int, rms: Long,
+                        zero_crossings: Long)
+
+  /** One fixed-width analysis frame: `energy` = Σ s² over the frame
+    * (exact Long), `zcr` = sign changes between consecutive samples
+    * WITHIN the frame (frame-local, so frames are independent). */
+  case class AudioFrame(media_id: Long, frame_id: Int, n: Int,
+                        energy: Long, zcr: Int)
+
+  /** Write a canonical 16-bit mono PCM WAV: RIFF header, `fmt ` chunk,
+    * `data` chunk, little-endian samples. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, s"need positive sample rate, got $sampleRate")
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                   // PCM
+      .putShort(1)                   // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)        // byte rate
+      .putShort(2)                   // block align
+      .putShort(16)                  // bits per sample
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+    b.array()
+  }
+
+  /** Parse a WAV container: (sampleRate, samples) for 16-bit mono PCM,
+    * None for anything else (wrong magic, compressed, multi-channel,
+    * truncated). Walks the chunk list — `fmt ` and `data` may appear in
+    * any order with unknown chunks (LIST, fact, ...) between them, and
+    * odd-sized chunks carry a pad byte, both per the RIFF spec. */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (payload.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = b.getInt(off + 4)
+      if (size < 0 || off + 8 + size.toLong > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val fmt = b.getShort(off + 8)
+          val channels = b.getShort(off + 10)
+          val bits = b.getShort(off + 22)
+          if (fmt != 1 || channels != 1 || bits != 16) return None
+          rate = b.getInt(off + 12)
+          if (rate <= 0) return None
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ => // skip unknown chunk
+      }
+      off += 8 + size + (size & 1) // odd chunks are padded to even
+    }
+    if (rate < 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = b.getShort(dataOff + i * 2); i += 1 }
+    Some((rate, out))
+  }
+
+  /** Exact integer floor square root (no float round-trip on the hot
+    * path — the value must equal the oracle's for every input). */
+  private[llm] def floorSqrt(x: Long): Long = {
+    require(x >= 0, s"floorSqrt of negative $x")
+    if (x == 0) return 0L
+    var r = math.sqrt(x.toDouble).toLong + 1
+    while (r * r > x) r -= 1
+    r
+  }
+
+  /** Per-partition REAL decode → audio statistics. Map-only: the decode
+    * and the per-record reduction happen inside one task; nothing
+    * shuffles until the caller aggregates. Non-WAV payloads drop. */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWavPcm16(r.payload).map { case (rate, s) =>
+          var peak = 0; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v.toLong * v
+            if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
+            i += 1
+          }
+          val rms = if (s.length == 0) 0L else floorSqrt(sumSq / s.length)
+          AudioStats(r.media_id, rate, s.length,
+            s.length.toLong * 1000 / rate, peak, rms, zc)
+        }
+      }
+    }
+  }
+
+  /** Fixed-width frame energies + frame-local zero-crossing counts. The
+    * tail frame may be short (`n` < `frameLen`); zcr pairs never span a
+    * frame boundary, so the frames of one record are independent and
+    * the whole operator stays map-only (one output row per frame,
+    * emitted from the decode task). */
+  def audioFrames(media: Dataset[MediaRecord],
+                  frameLen: Int = 160): Dataset[AudioFrame] = {
+    require(frameLen > 0, s"need positive frame length, got $frameLen")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWavPcm16(r.payload).toSeq.flatMap { case (_, s) =>
+          val nFrames = (s.length + frameLen - 1) / frameLen
+          (0 until nFrames).map { f =>
+            val lo = f * frameLen
+            val hi = math.min(s.length, lo + frameLen)
+            var e = 0L; var zc = 0
+            var i = lo
+            while (i < hi) {
+              val v = s(i).toInt
+              e += v.toLong * v
+              if (i > lo && (s(i - 1) < 0) != (v < 0)) zc += 1
+              i += 1
+            }
+            AudioFrame(r.media_id, f, hi - lo, e, zc)
+          }
+        }
+      }
+    }
+  }
+
+  /** Energy-delta fingerprint (Haitsma–Kalker sign-of-derivative, time
+    * domain): bit f of `fp` is 1 iff energy(frame f+1) > energy(frame
+    * f), for the first `bits` deltas. Identical audio → identical fp;
+    * small edits flip few bits, so [[graft.llm.Dedup.sigBandPairs]]
+    * applies unchanged. Input is [[audioFrames]] output. ONE exchange:
+    * the adjacent-frame pairing is a lead() window PARTITIONED BY
+    * media_id (high-cardinality key — never a one-task window), and the
+    * bit packing rides the same partitioning as a partial aggregate. */
+  def audioFingerprint(frames: Dataset[AudioFrame], bits: Int = 48): DataFrame = {
+    require(bits > 0 && bits <= 63, s"fp bits must be in 1..63, got $bits")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_id")
+    frames.toDF()
+      .withColumn("energy_next", lead(col("energy"), 1).over(w))
+      .filter(col("frame_id") < bits && col("energy_next").isNotNull)
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("energy_next") > col("energy"),
+        expr("shiftleft(1L, cast(frame_id as int))"))
+        .otherwise(0L)).as("fp"))
+  }
 }

@@ -1906,6 +1906,140 @@ object LlmQueries {
              |WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // AUDIO battery over a REAL pure-JVM WAV/PCM codec (RIFF chunk walk,
+    // 16-bit mono). Same contract as the BMP/PPM image path: the media
+    // is generated deterministically in-engine, encoded to real WAV
+    // bytes, decoded for real, and the oracle replays the generator's
+    // sample algebra in SQL — so the byte-level codec is exercised on
+    // the engine side while the decoded VALUES are verified exactly.
+    // All-integer features (peak, floor-sqrt RMS, zero crossings, frame
+    // energies) keep the comparison ulp-proof.
+    Q("multimodal_wav_stats", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val n = 2000 + (m % 5).toInt * 400
+          val a = (m % 7).toInt + 3
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * a + m * 17) % 2048) - 1024).toShort)
+          Multimodal.MediaRecord(m, Multimodal.encodeWavPcm16(8000, samples), "audio/wav")
+        }
+        Multimodal.audioStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |par AS (SELECT id, 2000 + (id % 5) * 400 AS n, id % 7 + 3 AS a FROM m),
+             |smp AS (SELECT id, n, a, unnest(range(n)) AS i FROM par),
+             |s AS (SELECT id, n, i, (i * a + id * 17) % 2048 - 1024 AS v FROM smp),
+             |sgn AS (SELECT id, n, i, v,
+             |          lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s),
+             |st AS (SELECT id, any_value(n) AS n, max(abs(v)) AS peak,
+             |         sum(CAST(v AS BIGINT) * v) AS sum_sq,
+             |         sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |             THEN 1 ELSE 0 END) AS zc
+             |       FROM sgn GROUP BY id)
+             |SELECT id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(peak AS INTEGER) AS peak,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms,
+             |  CAST(zc AS BIGINT) AS zero_crossings
+             |FROM st ORDER BY media_id""".stripMargin)),
+
+    // Frame energies: the STFT-frame analogue without a transform —
+    // fixed 160-sample frames, exact Σs² energy and frame-local zero
+    // crossings. Map-only on the engine (frames are emitted from the
+    // decode task; nothing shuffles until the final presentation sort).
+    Q("multimodal_audio_frames", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val n = 2000 + (m % 5).toInt * 400
+          val a = (m % 7).toInt + 3
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * a + m * 17) % 2048) - 1024).toShort)
+          Multimodal.MediaRecord(m, Multimodal.encodeWavPcm16(8000, samples), "audio/wav")
+        }
+        Multimodal.audioFrames(media, frameLen = 160).toDF()
+          .orderBy("media_id", "frame_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |par AS (SELECT id, 2000 + (id % 5) * 400 AS n, id % 7 + 3 AS a FROM m),
+             |smp AS (SELECT id, n, a, unnest(range(n)) AS i FROM par),
+             |s AS (SELECT id, i, i // 160 AS f, (i * a + id * 17) % 2048 - 1024 AS v FROM smp),
+             |sgn AS (SELECT id, f, i, v,
+             |          lag(v) OVER (PARTITION BY id, f ORDER BY i) AS pv FROM s)
+             |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_id,
+             |  CAST(count(*) AS INTEGER) AS n,
+             |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+             |  CAST(sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |      THEN 1 ELSE 0 END) AS INTEGER) AS zcr
+             |FROM sgn GROUP BY id, f ORDER BY media_id, frame_id""".stripMargin)),
+
+    // Haitsma–Kalker energy-delta fingerprint: bit f = [energy(f+1) >
+    // energy(f)], packed into one BIGINT per media. ONE exchange on the
+    // engine (lead() window partitioned by media_id feeding a partial
+    // aggregate on the same key).
+    Q("multimodal_audio_fingerprint", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val n = 2000 + (m % 5).toInt * 400
+          val a = (m % 7).toInt + 3
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * a + m * 17) % 2048) - 1024).toShort)
+          Multimodal.MediaRecord(m, Multimodal.encodeWavPcm16(8000, samples), "audio/wav")
+        }
+        Multimodal.audioFingerprint(Multimodal.audioFrames(media, 40), bits = 48)
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |par AS (SELECT id, 2000 + (id % 5) * 400 AS n, id % 7 + 3 AS a FROM m),
+             |smp AS (SELECT id, n, a, unnest(range(n)) AS i FROM par),
+             |s AS (SELECT id, i // 40 AS f, (i * a + id * 17) % 2048 - 1024 AS v FROM smp),
+             |en AS (SELECT id, f, sum(CAST(v AS BIGINT) * v) AS e FROM s GROUP BY 1, 2),
+             |nx AS (SELECT id, f, e, lead(e) OVER (PARTITION BY id ORDER BY f) AS en FROM en)
+             |SELECT id AS media_id,
+             |  CAST(sum(CASE WHEN en > e THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT) AS fp
+             |FROM nx WHERE f < 48 AND en IS NOT NULL
+             |GROUP BY id ORDER BY media_id""".stripMargin)),
+
+    // Audio near-dup: ~30% of the corpus is replaced by ONE shared
+    // waveform (the boilerplate-jingle shape), fingerprints collapse to
+    // distinct reps first (flood immunity), then the SAME banded-Hamming
+    // pair machinery as SimHash / image aHash runs on the 48-bit fps.
+    Q("multimodal_audio_near_dup", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val seed: Long = if (m % 10 < 3) 7L else m
+          val n = 2000 + (seed % 5).toInt * 400
+          val a = (seed % 7).toInt + 3
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * a + seed * 17) % 2048) - 1024).toShort)
+          Multimodal.MediaRecord(m, Multimodal.encodeWavPcm16(8000, samples), "audio/wav")
+        }
+        val fps = Multimodal.audioFingerprint(Multimodal.audioFrames(media, 40), bits = 48)
+        val reps = fps.groupBy(col("fp")).agg(min(col("media_id")).as("rep_id"))
+        Dedup.sigBandPairs(reps, "rep_id", "fp", bits = 48, bands = 6, maxHamming = 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |sd AS (SELECT id, CASE WHEN id % 10 < 3 THEN 7 ELSE id END AS seed FROM m),
+             |par AS (SELECT id, seed, 2000 + (seed % 5) * 400 AS n, seed % 7 + 3 AS a FROM sd),
+             |smp AS (SELECT id, seed, n, a, unnest(range(n)) AS i FROM par),
+             |s AS (SELECT id, i // 40 AS f, (i * a + seed * 17) % 2048 - 1024 AS v FROM smp),
+             |en AS (SELECT id, f, sum(CAST(v AS BIGINT) * v) AS e FROM s GROUP BY 1, 2),
+             |nx AS (SELECT id, f, e, lead(e) OVER (PARTITION BY id ORDER BY f) AS en FROM en),
+             |fp AS (SELECT id,
+             |         CAST(sum(CASE WHEN en > e THEN CAST(1 AS BIGINT) << f ELSE 0 END) AS BIGINT) AS fp
+             |       FROM nx WHERE f < 48 AND en IS NOT NULL GROUP BY id),
+             |reps AS (SELECT CAST(min(id) AS BIGINT) AS rep_id, fp FROM fp GROUP BY fp)
+             |SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+             |FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Time-series gap fill ("date scaffold"): per-user hourly spine via
     // sequence + explode, left join the real counts, zero-fill the gaps —
     // the resample primitive behind rate/SLA reporting. Spine cardinality

@@ -617,6 +617,50 @@ class LlmSpec extends SparkSpec {
     assert(out.length == 1 && out(0).byte_len == 0)
   }
 
+  test("multimodal WAV codec: PCM16 round-trip; chunk walk skips LIST + pad byte; junk rejected") {
+    val samples = Array[Short](3, -2, 0, 5, -1, 32767, -32768)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val Some((rate, back)) = Multimodal.decodeWavPcm16(wav)
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // splice an odd-sized LIST chunk between fmt and data: the RIFF walk
+    // must skip it AND honor the pad byte odd sizes carry
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3) ++ Array[Byte](0)
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, spliced.length - 8)
+    val Some((r2, b2)) = Multimodal.decodeWavPcm16(spliced)
+    assert(r2 == 8000 && b2.toSeq == samples.toSeq)
+    assert(Multimodal.decodeWavPcm16("definitely not RIFF audio data here".getBytes).isEmpty)
+    assert(Multimodal.decodeWavPcm16(wav.take(40)).isEmpty) // truncated
+    val stereo = wav.clone
+    java.nio.ByteBuffer.wrap(stereo)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(22, 2)
+    assert(Multimodal.decodeWavPcm16(stereo).isEmpty) // mono only
+  }
+
+  test("multimodal audio: stats/frames/fingerprint match hand-computed integers") {
+    val s1 = Array[Short](3, -2, 0, 5, -1)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeWavPcm16(1000, s1), "audio/wav")).toDS()
+    val st = Multimodal.audioStats(media).collect()(0)
+    assert(st.sample_rate == 1000 && st.n_samples == 5)
+    assert(st.duration_ms == 5) // 5 samples at 1 kHz
+    assert(st.peak == 5)
+    assert(st.rms == 2) // floor(sqrt((9+4+0+25+1) / 5)) = floor(sqrt(7))
+    assert(st.zero_crossings == 3) // +,-,+,+,- with 0 counted nonnegative
+    val fr = Multimodal.audioFrames(media, frameLen = 2).orderBy("frame_id").collect()
+    assert(fr.map(f => (f.frame_id, f.n, f.energy, f.zcr)).toSeq ==
+      Seq((0, 2, 13L, 1), (1, 2, 25L, 0), (2, 1, 1L, 0)))
+    // energies 13 -> 25 -> 1: bit0 = (25>13) = 1, bit1 = (1>25) = 0 -> fp 1
+    val fp = Multimodal.audioFingerprint(Multimodal.audioFrames(media, 2), bits = 48)
+      .collect()(0)
+    assert(fp.getAs[Long]("fp") == 1L)
+    // non-WAV payloads drop (fall back to the stub path), never crash
+    val mixed = Seq(Multimodal.MediaRecord(2L, "not audio".getBytes, "text/plain")).toDS()
+    assert(Multimodal.audioStats(mixed).count() == 0)
+  }
+
   test("multimodal: payload metadata and stubbed per-partition decode are deterministic") {
     val media = Multimodal.asMediaTable(docs.select($"doc_id", $"text"), "doc_id", "text")
     val meta = Multimodal.payloadMetadata(media).orderBy("media_id").collect()

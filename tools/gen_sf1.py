@@ -73,7 +73,21 @@ for t, shifts in SHIFT.items():
             else:
                 cols[name] = col
         pieces.append(pa.table(cols))
-    out = pa.concat_tables(pieces)
-    pq.write_table(out, f'{OUT}/{t}.parquet', row_group_size=1_000_000)
-    print(t, src.num_rows, '->', out.num_rows)
+    # One FILE per copy inside a <t>.parquet directory, not one giant
+    # file: Spark assigns scan splits per file-offset range of the
+    # COMPRESSED bytes, so a heavy-text table like documents (5.8 MB on
+    # disk, ~600 MB of rows after decode at 10 copies) written as a
+    # single small file becomes ONE scan task and starves local[32] —
+    # the r9 sf1 bench measured p7_head_default at 52x instead of ~10x
+    # purely from that. Real 100 TB tables are always many files; the
+    # multi-file layout is the honest shape, and Spark reads a
+    # directory named *.parquet transparently.
+    d = f'{OUT}/{t}.parquet'
+    if os.path.isfile(d):
+        os.remove(d)
+    os.makedirs(d, exist_ok=True)
+    for c, piece in enumerate(pieces):
+        pq.write_table(piece, f'{d}/part-{c:03d}.parquet',
+                       row_group_size=250_000)
+    print(t, src.num_rows, '->', src.num_rows * COPIES, f'({COPIES} files)')
 print('done ->', OUT)
