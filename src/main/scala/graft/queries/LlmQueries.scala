@@ -385,6 +385,80 @@ object LlmQueries {
        |WHERE rn <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Deterministic dirty-records fixture for the entity-resolution
+    * family: 400 clean entities (6-letter hashed name, one of 20 cities,
+    * 7-digit phone — all pure integer arithmetic on the id) plus one
+    * dirty variant for every 5th entity (name truncated by one char;
+    * phone kept exact for every 10th, last digit bumped otherwise). The
+    * oracle replays the identical algebra in SQL, so every pair score
+    * and every survivorship pick is value-exact across engines. */
+  private def erRecords(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val base = s.range(0, 400).selectExpr(
+        "id",
+        "(id * 2654435761L) % 308915776L AS h",
+        "(id * 104729L) % 10000000L AS p")
+      .selectExpr(
+        "id",
+        "concat(chr(97 + (h % 26)), chr(97 + ((h div 26) % 26)), " +
+          "chr(97 + ((h div 676) % 26)), chr(97 + ((h div 17576) % 26)), " +
+          "chr(97 + ((h div 456976) % 26)), chr(97 + ((h div 11881376) % 26))) AS name",
+        "concat('c', cast((id * 7919L) % 20 AS string)) AS city",
+        "lpad(cast(p AS string), 7, '0') AS phone")
+    val variants = base.filter("id % 5 = 0").selectExpr(
+      "id + 10000 AS id",
+      "substring(name, 1, 5) AS name",
+      "city",
+      "CASE WHEN id % 10 = 0 THEN phone " +
+        "ELSE lpad(cast(cast(phone AS bigint) - cast(phone AS bigint) % 10 " +
+        "+ (cast(phone AS bigint) % 10 + 1) % 10 AS string), 7, '0') END AS phone")
+    base.unionByName(variants)
+      .withColumn("name3", expr("substring(name, 1, 3)"))
+  }
+
+  /** DuckDB replay of [[erRecords]] — `rec(id, name, city, phone)`. */
+  private val erFixtureCte =
+    """WITH ids AS (SELECT unnest(range(0, 400)) AS id),
+      |hp AS (SELECT id, (id * 2654435761) % 308915776 AS h,
+      |              (id * 104729) % 10000000 AS p FROM ids),
+      |base AS (SELECT id,
+      |    chr((97 + (h % 26))::int) || chr((97 + ((h // 26) % 26))::int) ||
+      |    chr((97 + ((h // 676) % 26))::int) || chr((97 + ((h // 17576) % 26))::int) ||
+      |    chr((97 + ((h // 456976) % 26))::int) || chr((97 + ((h // 11881376) % 26))::int) AS name,
+      |    'c' || CAST((id * 7919) % 20 AS VARCHAR) AS city,
+      |    lpad(CAST(p AS VARCHAR), 7, '0') AS phone
+      |  FROM hp),
+      |var AS (SELECT id + 10000 AS id, substring(name, 1, 5) AS name, city,
+      |    CASE WHEN id % 10 = 0 THEN phone
+      |         ELSE lpad(CAST(CAST(phone AS BIGINT) - CAST(phone AS BIGINT) % 10
+      |              + (CAST(phone AS BIGINT) % 10 + 1) % 10 AS VARCHAR), 7, '0') END AS phone
+      |  FROM base WHERE id % 5 = 0),
+      |rec AS (SELECT * FROM base UNION ALL SELECT * FROM var)""".stripMargin
+
+  /** Candidate + Fellegi–Sunter scoring CTEs shared by the ER oracles
+    * (multi-pass blocking: city+name-3-prefix UNION exact phone). */
+  private val erMatchCte =
+    s"""$erFixtureCte,
+       |cand AS (SELECT a.id AS id_a, b.id AS id_b FROM rec a JOIN rec b
+       |           ON a.city = b.city
+       |          AND substring(a.name, 1, 3) = substring(b.name, 1, 3)
+       |          AND a.id < b.id
+       |         UNION
+       |         SELECT a.id, b.id FROM rec a JOIN rec b
+       |           ON a.phone = b.phone AND a.id < b.id),
+       |sc AS (SELECT c.id_a, c.id_b,
+       |    (CASE WHEN levenshtein(x.name, y.name) <= 2 THEN 400 ELSE -400 END
+       |     + CASE WHEN x.phone = y.phone THEN 300 ELSE -200 END
+       |     + CASE WHEN x.city = y.city THEN 150 ELSE -150 END) AS score_milli
+       |  FROM cand c JOIN rec x ON x.id = c.id_a JOIN rec y ON y.id = c.id_b),
+       |m AS (SELECT id_a, id_b, score_milli FROM sc WHERE score_milli >= 300)""".stripMargin
+
+  /** ER passes/fields used by both er_* queries (engine side). */
+  private val erPasses = Seq(Seq("city", "name3"), Seq("phone"))
+  private val erFields = Seq(
+    graft.operators.EntityResolution.Field("name", 2, 400, -400),
+    graft.operators.EntityResolution.Field("phone", 0, 300, -200),
+    graft.operators.EntityResolution.Field("city", 0, 150, -150))
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: one survivor (min id) per distinct content hash.
@@ -2039,6 +2113,56 @@ object LlmQueries {
              |FROM reps a JOIN reps b ON a.rep_id < b.rep_id
              |WHERE bit_count(xor(a.fp, b.fp)) <= 5
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Entity resolution, stage 1+2: multi-pass blocking (city+name-prefix
+    // UNION exact-phone — a pair missed by one pass is caught by the
+    // other) then Fellegi-Sunter integer milli-weight scoring per
+    // candidate (Levenshtein<=2 name, exact phone, exact city). Pair
+    // volume is sum-of-block-squares, never corpus^2; every comparison is
+    // exact integer arithmetic so the oracle matches bit-for-bit.
+    Q("er_match_pairs", "LLM",
+      (s, d) => graft.operators.EntityResolution.matchPairs(
+          erRecords(s), "id", erPasses, erFields, thresholdMilli = 300)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$erMatchCte
+              |SELECT id_a, id_b, CAST(score_milli AS BIGINT) AS score_milli
+              |FROM m ORDER BY id_a, id_b""".stripMargin)),
+
+    // Entity resolution, stage 3+4: matches -> connected components
+    // (entity = smallest member id; singletons keep themselves) -> one
+    // surviving representative per entity picked by a struct-argmax in a
+    // single hash aggregate (greatest name, then smallest id — the
+    // 6-char original beats its truncated 5-char variant). The oracle
+    // replays clustering as a recursive transitive closure and
+    // survivorship as a window row_number.
+    Q("er_entities", "LLM",
+      (s, d) => {
+        val recs = erRecords(s)
+        val matches = graft.operators.EntityResolution.matchPairs(
+          recs, "id", erPasses, erFields, thresholdMilli = 300)
+        graft.operators.EntityResolution.resolve(recs, "id", matches, Seq("name"))
+          .orderBy("entity")
+      },
+      Some(s"""${erMatchCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |e AS (SELECT id_a AS a, id_b AS b FROM m
+              |      UNION SELECT id_b, id_a FROM m),
+              |reach(a, b) AS (SELECT a, b FROM e
+              |                UNION
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |comp AS (SELECT n AS id, min(mm) AS comp FROM (
+              |           SELECT a AS n, a AS mm FROM e
+              |           UNION ALL SELECT a, b FROM reach) GROUP BY n),
+              |lab AS (SELECT r.id, r.name, coalesce(c.comp, r.id) AS entity
+              |        FROM rec r LEFT JOIN comp c ON c.id = r.id),
+              |rk AS (SELECT entity, id, name,
+              |         row_number() OVER (PARTITION BY entity
+              |                            ORDER BY name DESC, id ASC) AS rn,
+              |         count(*) OVER (PARTITION BY entity) AS n
+              |       FROM lab)
+              |SELECT CAST(entity AS BIGINT) AS entity,
+              |       CAST(n AS BIGINT) AS n_records,
+              |       CAST(id AS BIGINT) AS rep_id, name AS rep_name
+              |FROM rk WHERE rn = 1 ORDER BY entity""".stripMargin)),
 
     // Time-series gap fill ("date scaffold"): per-user hourly spine via
     // sequence + explode, left join the real counts, zero-fill the gaps —

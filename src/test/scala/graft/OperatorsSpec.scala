@@ -1001,4 +1001,41 @@ class OperatorsSpec extends SparkSpec {
         st.fields.map(f => (f.name, f.dataType)).toSeq, name)
     }
   }
+
+  test("entity resolution: multi-pass blocking, FS scoring, clustering, survivorship") {
+    import graft.operators.EntityResolution
+    import graft.operators.EntityResolution.Field
+    // 1 & 2 are dirty twins (same phone catches them via pass 2 even
+    // though the name prefix differs); 3 & 4 share a block but disagree
+    // on every field; 5 is a singleton
+    val recs = Seq(
+      (1L, "smith", "c1", "5550001"),
+      (2L, "zmith", "c1", "5550001"), // name lev 1 but different prefix
+      (3L, "jones", "c2", "5550002"),
+      (4L, "jonas", "c2", "5550003"), // lev 1 name, same block, phone off
+      (5L, "brown", "c3", "5550004"))
+      .toDF("id", "name", "city", "phone")
+      .withColumn("name3", expr("substring(name, 1, 3)"))
+    val passes = Seq(Seq("city", "name3"), Seq("phone"))
+    val fields = Seq(Field("name", 1, 400, -400),
+      Field("phone", 0, 300, -200), Field("city", 0, 150, -150))
+    // candidates: (3,4) from pass 1; (1,2) only via the phone pass —
+    // the multi-pass union is what finds it
+    val cand = EntityResolution.candidates(recs, "id", passes)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.toSeq == Seq((1L, 2L), (3L, 4L)))
+    // scores: (1,2) = 400+300+150 = 850; (3,4) = 400-200+150 = 350
+    val mdf = EntityResolution.matchPairs(recs, "id", passes, fields, 500)
+    val m = mdf.orderBy("id_a").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 850L)))
+    // entities: {1,2} clustered (rep = "zmith", the greatest name),
+    // 3/4/5 singletons
+    val ents = EntityResolution.resolve(recs, "id", mdf, Seq("name"))
+      .orderBy("entity").collect()
+    assert(ents.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getString(3))).toSeq ==
+      Seq((1L, 2L, 2L, "zmith"), (3L, 1L, 3L, "jones"),
+        (4L, 1L, 4L, "jonas"), (5L, 1L, 5L, "brown")))
+  }
 }
