@@ -51,6 +51,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
   }
 
+  /** Sign-bit binary code: the leading min(dim, 63) components packed
+    * into ONE non-negative long (bit i−1 set iff component i > 0) — a
+    * ~256× compression of a 64-dim float vector that turns coarse
+    * similarity into a single XOR + popcount per pair. Bit 63 stays
+    * clear deliberately so the code is non-negative in every engine
+    * (a set sign bit would overflow DuckDB's BIGINT re-sum). */
+  private[graft] def binaryCode(vecCol: String): Column =
+    expr(s"aggregate(sequence(0, least(size($vecCol), 63) - 1), 0L, " +
+      s"(acc, i) -> acc + IF(cast(element_at($vecCol, i + 1) as double) > 0D, " +
+      "shiftleft(1L, cast(i as int)), 0L))")
+
+  /** Binary quantization + Hamming rerank — the memory-bound ANN scale
+    * path (Indyk/Charikar sign hashing; the shape RaBitQ/binary-embedding
+    * retrieval uses in production): corpus vectors compress 256× to
+    * 63-bit sign codes, the coarse stage scans CODES ONLY (8 bytes/row
+    * through the per-query top-`coarseK` window — XOR+popcount per pair,
+    * no float math), and only the surviving `coarseK` candidates per
+    * query are re-scored exactly against the full vectors joined back BY
+    * ID. At 100 TB the float vectors are never shuffled: the coarse pass
+    * moves 8-byte codes, the rerank moves `coarseK × |queries|` rows.
+    * Queries broadcast (both stages) — corpus is scanned exactly once
+    * for codes and probed once by id for the rerank. */
+  def binaryRerankTopK(candidates: DataFrame, queries: DataFrame,
+                       k: Int, coarseK: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    GraftFunctions.register(candidates.sparkSession)
+    val qCodes = queries.select(col(idCol).as("query_id"), binaryCode(vecCol).as("__qc"))
+    val cCodes = candidates.select(col(idCol).as("neighbor_id"), binaryCode(vecCol).as("__cc"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val pruned = cCodes.crossJoin(broadcast(qCodes))
+      .withColumn("hamming", expr("cast(bit_count(__qc ^ __cc) as int)"))
+      .withColumn("__cr", row_number().over(wH))
+      .filter(col("__cr") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+    val cv = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pruned.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("rnk"), col("score"))
+  }
+
   /** JVM twin of [[graft.functions.ColumnFns.md5Long]]: first 15 hex chars of
     * md5 as a long — used to precompute LSH plane weights at plan-build time
     * (they are constants; deriving them per row would burn a md5 per

@@ -184,6 +184,48 @@ object Sketches {
   def kmvMerge(parts: Seq[DataFrame], k: Int = 256): DataFrame =
     parts.reduce(_ unionByName _).distinct().orderBy(col("__h")).limit(k)
 
+  /** Sliding-window distinct estimates from MERGEABLE per-bucket KMV
+    * sketches — the "sketch once, merge many" pattern that makes
+    * windowed cardinality affordable at 100 TB: the corpus is scanned
+    * and hashed ONCE into one bottom-k per time bucket (a single
+    * map-side-combined aggregate whose shuffle carries ≤ k longs per
+    * bucket, never the rows), and every sliding window of
+    * `windowBuckets` consecutive buckets is then answered from the
+    * union algebra — bottom-k of a union of bottom-k arrays IS the
+    * bottom-k of the union, so each window costs ≤ k·W metadata longs
+    * instead of a re-scan. An exact windowed COUNT(DISTINCT) would pay
+    * a full shuffle of every (window, key) pair — W× the corpus.
+    *
+    * One output row per DISTINCT bucket value b: the window covering
+    * buckets (b − W, b]. The bucket→window fan-out is a W-element
+    * `sequence` explode on the ≤-k-long sketch rows (metadata-sized),
+    * then one hash aggregate per window end merges member arrays with
+    * `flatten → array_distinct → array_sort → slice k` — bounded at
+    * k·W elements per group by construction. */
+  def kmvSlidingWindows(df: DataFrame, bucketCol: String, keyCol: String,
+                        windowBuckets: Int, k: Int = 64): DataFrame = {
+    require(windowBuckets >= 1, s"need W >= 1, got $windowBuckets")
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val perBucket = df
+      .select(col(bucketCol).cast("long").as("__b"),
+        ColumnFns.md5Long(col(keyCol)).as("__h"))
+      .groupBy(col("__b"))
+      .agg(bottomK(col("__h"), k).as("__bk"))
+    // every bucket's sketch serves the W windows ending at b..b+W-1;
+    // keep only window ends that are real buckets (inner join with the
+    // bucket set — itself metadata-sized)
+    val ends = perBucket.select(col("__b").as("win_end"))
+    val fanned = perBucket
+      .select(explode(expr(s"sequence(__b, __b + ${windowBuckets - 1})"))
+        .as("win_end"), col("__bk"))
+      .join(ends.hint("broadcast"), "win_end")
+    kmvPerKeyReadOut(
+      fanned.groupBy(col("win_end"))
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("__bk"))))),
+          1, k).as("__bk")),
+      "win_end", "__bk", k)
+  }
+
   /** Count-min sketch build: d independent md5 rows × w columns of long
     * counters. Each input row increments cell `(r, md5Long(r||key) % w)`
     * by one. The WHOLE sketch is d×w rows — it aggregates with map-side

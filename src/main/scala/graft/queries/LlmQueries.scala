@@ -978,6 +978,39 @@ object LlmQueries {
               |      FROM sc)
               |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Binary-quantized ANN with exact rerank: corpus vectors pack to
+    // 63-bit sign codes (256x compression), the coarse pass ranks by
+    // XOR+popcount Hamming over CODES ONLY (8 bytes/row — floats never
+    // shuffle), and just the top-20 coarse survivors per query are
+    // re-scored exactly against full vectors joined back by id.
+    Q("ann_binary_rerank", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.binaryRerankTopK(e.filter(col("vec_id") >= 5),
+            e.filter(col("vec_id") < 5), k = 5, coarseK = 20)
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH bc AS (SELECT vec_id, embedding,
+              |  CAST(list_sum(list_transform(range(1, least(len(embedding), 63) + 1), i ->
+              |    CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+              |         THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END))
+              |    AS BIGINT) AS code
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, code AS qc, embedding AS qe FROM bc WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, code AS cc, embedding AS ce FROM bc WHERE vec_id >= 5),
+              |h AS (SELECT query_id, neighbor_id, CAST(bit_count(xor(qc, cc)) AS INTEGER) AS hamming,
+              |        qe, ce, row_number() OVER (PARTITION BY query_id
+              |                                   ORDER BY bit_count(xor(qc, cc)), neighbor_id) AS cr
+              |      FROM q, c),
+              |sc AS (SELECT query_id, neighbor_id, hamming, round($dotSql, 6) AS score
+              |       FROM h WHERE cr <= 20),
+              |r AS (SELECT query_id, neighbor_id, hamming, score,
+              |        CAST(row_number() OVER (PARTITION BY query_id
+              |                                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, hamming, rnk, score
+              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // LSH-bucketed ANN: the scale path — score only same-bucket pairs.
     Q("ann_lsh", "LLM",
       (s, d) => {
@@ -5562,6 +5595,46 @@ object LlmQueries {
              |  CAST(CAST(n_common AS HUGEINT) * 1152921504606846976 // theta AS BIGINT) AS est_intersect,
              |  CAST(exact_intersect AS BIGINT) AS exact_intersect
              |FROM th, cm, ex""".stripMargin)),
+
+    // Sliding-window distinct via MERGEABLE per-hour KMV sketches: the
+    // corpus is hashed ONCE into one bottom-64 per hour; every 6-hour
+    // window is answered by the union algebra (bottom-k of a union of
+    // bottom-k arrays IS the bottom-k of the union) over <= k*W metadata
+    // longs — never a per-window rescan. Exact windowed distinct rides
+    // along as the accuracy audit (the shuffle the sketch avoids).
+    Q("sketch_kmv_window", "SKETCH",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(expr("unix_timestamp(ts) div 3600").as("h"),
+            col("user_id").cast("string").as("uk"))
+        val est = graft.operators.Sketches.kmvSlidingWindows(
+          ev, "h", "uk", windowBuckets = 6, k = 64)
+        val exact = ev.distinct()
+          .select(explode(expr("sequence(h, h + 5)")).as("win_end"), col("uk"))
+          .join(ev.select(col("h").as("win_end")).distinct().hint("broadcast"),
+            "win_end")
+          .groupBy("win_end").agg(countDistinct(col("uk")).as("exact_distinct"))
+        est.join(exact, "win_end").orderBy("win_end")
+      },
+      Some("""WITH ev AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS h,
+             |              CAST(user_id AS VARCHAR) AS uk FROM events),
+             |bkt AS (SELECT DISTINCT h FROM ev),
+             |hh AS (SELECT DISTINCT h, CAST('0x' || substring(md5(uk), 1, 15) AS BIGINT) AS hv FROM ev),
+             |mem AS (SELECT DISTINCT w.h AS win_end, x.hv
+             |        FROM bkt w JOIN hh x ON x.h > w.h - 6 AND x.h <= w.h),
+             |rk AS (SELECT win_end, hv,
+             |         row_number() OVER (PARTITION BY win_end ORDER BY hv) AS rn FROM mem),
+             |ag AS (SELECT win_end, count(*) AS n_kept, max(hv) AS kth
+             |       FROM rk WHERE rn <= 64 GROUP BY 1),
+             |ex AS (SELECT w.h AS win_end, count(DISTINCT e.uk) AS exact_distinct
+             |       FROM bkt w JOIN ev e ON e.h > w.h - 6 AND e.h <= w.h GROUP BY 1)
+             |SELECT ag.win_end, CAST(64 AS INTEGER) AS k,
+             |  CAST(n_kept AS BIGINT) AS n_kept, kth AS kth_min_hash,
+             |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+             |       ELSE (CAST(n_kept AS HUGEINT) - 1) * 1152921504606846976 // kth
+             |       END AS BIGINT) AS est_distinct,
+             |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+             |FROM ag JOIN ex USING (win_end) ORDER BY win_end""".stripMargin)),
 
     // Count-min sketch heavy hitters: 3x64 md5 cells built with one
     // map-side-combined aggregate (shuffle cardinality d*w, never |rows|),

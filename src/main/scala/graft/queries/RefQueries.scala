@@ -273,6 +273,47 @@ object RefQueries {
              |       CAST(count(*) FILTER ((b + i) % 7 = 0) AS BIGINT), count(*) FROM bt
              |ORDER BY column_name""".stripMargin)),
 
+    // Declarative data-quality suite (Deequ / Great-Expectations shape):
+    // six constraints over lineitem evaluated in ONE aggregation pass —
+    // every violation predicate is a conditional sum of a single hash
+    // aggregate (Unique folds in via the multi-distinct Expand rewrite),
+    // so the 100 TB cost is one scan + a 1-row shuffle regardless of
+    // suite size. Mixed statuses by design: l_orderkey repeats per line
+    // (Unique fails) and l_tax tops out at 8 cents (range [0,5] fails).
+    Q("dq_expectations", "A",
+      (s, d) => {
+        import graft.operators.DataQuality._
+        validate(Tables(s, d, "lineitem"), Seq(
+          NotNull("orderkey_not_null", "l_orderkey"),
+          Unique("orderkey_unique", "l_orderkey"),
+          InRangeCents("discount_0_to_10c", "l_discount", 0L, 10L),
+          InRangeCents("tax_0_to_5c", "l_tax", 0L, 5L),
+          InSet("returnflag_domain", "l_returnflag", Seq("R", "A", "N")),
+          MatchesRegex("linestatus_shape", "l_linestatus", "[OF]")))
+      },
+      Some("""WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+             |v AS (
+             |  SELECT 0 AS i, 'orderkey_not_null' AS expectation, 'l_orderkey' AS "column",
+             |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_violations
+             |  UNION ALL SELECT 1, 'orderkey_unique', 'l_orderkey',
+             |    (SELECT count(l_orderkey) - count(DISTINCT l_orderkey) FROM lineitem)
+             |  UNION ALL SELECT 2, 'discount_0_to_10c', 'l_discount',
+             |    (SELECT count(*) FROM lineitem WHERE l_discount IS NULL
+             |        OR CAST(round(l_discount * 100) AS BIGINT) NOT BETWEEN 0 AND 10)
+             |  UNION ALL SELECT 3, 'tax_0_to_5c', 'l_tax',
+             |    (SELECT count(*) FROM lineitem WHERE l_tax IS NULL
+             |        OR CAST(round(l_tax * 100) AS BIGINT) NOT BETWEEN 0 AND 5)
+             |  UNION ALL SELECT 4, 'returnflag_domain', 'l_returnflag',
+             |    (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL
+             |        OR l_returnflag NOT IN ('R', 'A', 'N'))
+             |  UNION ALL SELECT 5, 'linestatus_shape', 'l_linestatus',
+             |    (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL
+             |        OR NOT regexp_full_match(l_linestatus, '[OF]')))
+             |SELECT expectation, "column", CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_violations AS BIGINT) AS n_violations,
+             |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+             |FROM v, n ORDER BY i""".stripMargin)),
+
     // A3: per-block transaction count.
     Q("a3_tx_count_per_block", "A3",
       (s, d) => Tables(s, d, "lineitem")

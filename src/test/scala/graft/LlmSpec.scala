@@ -184,6 +184,29 @@ class LlmSpec extends SparkSpec {
     assert(out(1).getAs[Long]("neighbor_id") == 11L)
   }
 
+  test("binary quantize + Hamming rerank: codes pack signs; full coarseK equals brute force") {
+    // sign pattern (+,0,-) -> only bit 0 set (strict > 0; zero stays clear)
+    val codes = Seq((1L, Array(0.5f, 0.0f, -0.5f))).toDF("vec_id", "embedding")
+      .select(graft.llm.Similarity.binaryCode("embedding").as("c"))
+      .collect()
+    assert(codes(0).getLong(0) == 1L)
+    // with coarseK >= corpus size the coarse stage prunes nothing, so
+    // the rerank output must equal exact brute force
+    val cands = vecs.filter($"vec_id" >= 10)
+    val queries = vecs.filter($"vec_id" === 0)
+    val rr = Similarity.binaryRerankTopK(cands, queries, k = 2, coarseK = 10)
+      .select("query_id", "neighbor_id", "rnk", "score")
+      .orderBy("rnk").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(cands, queries, k = 2)
+      .select("query_id", "neighbor_id", "rnk", "score")
+      .orderBy("rnk").collect().map(_.toSeq)
+    assert(rr.toSeq == brute.toSeq)
+    // the identical twin is Hamming-0 from the query
+    val h = Similarity.binaryRerankTopK(cands, queries, k = 1, coarseK = 10)
+      .collect()(0)
+    assert(h.getAs[Long]("neighbor_id") == 10L && h.getAs[Int]("hamming") == 0)
+  }
+
   test("LSH: identical vectors land in the same bucket; topK finds the twin") {
     val b = Similarity.lshBuckets(vecs, dim = 3).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap

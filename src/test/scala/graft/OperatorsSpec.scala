@@ -1002,6 +1002,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("data quality: one-pass suite with exact counts and mixed statuses") {
+    import graft.operators.DataQuality._
+    val df = Seq(
+      (Some(1L), Some(0.05), "A", "O"),
+      (Some(2L), Some(0.12), "A", "F"),   // discount over 10c
+      (Some(2L), Some(0.00), "X", "O"),   // dup id, bad flag
+      (None, None, "N", "xx"))            // null id, null discount, bad status
+      .toDF("id", "disc", "flag", "st")
+    val rep = graft.operators.DataQuality.validate(df, Seq(
+      NotNull("id_nn", "id"),
+      Unique("id_uq", "id"),
+      InRangeCents("disc_rng", "disc", 0L, 10L),
+      InSet("flag_set", "flag", Seq("A", "N")),
+      MatchesRegex("st_re", "st", "[OF]")))
+      .collect()
+    assert(rep.map(r => (r.getAs[String]("expectation"), r.getAs[Long]("n_rows"),
+      r.getAs[Long]("n_violations"), r.getAs[String]("status"))).toSeq == Seq(
+      ("id_nn", 4L, 1L, "fail"),
+      ("id_uq", 4L, 1L, "fail"),   // 3 non-null, 2 distinct
+      ("disc_rng", 4L, 2L, "fail"), // 0.12 + null
+      ("flag_set", 4L, 1L, "fail"),
+      ("st_re", 4L, 1L, "fail")))
+    // an all-pass suite on the clean subset
+    val clean = df.filter("id = 1")
+    val ok = graft.operators.DataQuality.validate(clean, Seq(NotNull("id_nn", "id"),
+      Unique("id_uq", "id"))).collect()
+    assert(ok.forall(_.getAs[String]("status") == "pass"))
+  }
+
   test("entity resolution: multi-pass blocking, FS scoring, clustering, survivorship") {
     import graft.operators.EntityResolution
     import graft.operators.EntityResolution.Field

@@ -278,4 +278,22 @@ class SketchSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(2L))
     assert(out.head.getAs[Long]("n_bigrams") == 1L)
   }
+
+  test("kmv sliding windows: each window equals the one-shot sketch of its member buckets") {
+    // buckets 10..14, keys overlap across buckets; W = 3, k = 4 (small
+    // enough that saturation and the under-full path both occur)
+    val rows = for (b <- 10 to 14; i <- 0 until (b - 8)) yield (b.toLong, s"u${b % 3}_$i")
+    val df = rows.toDF("h", "uk")
+    val win = Sketches.kmvSlidingWindows(df, "h", "uk", windowBuckets = 3, k = 4)
+      .orderBy("win_end").collect()
+    assert(win.map(_.getAs[Long]("win_end")).toSeq == (10L to 14L))
+    for (r <- win) {
+      val end = r.getAs[Long]("win_end")
+      val member = df.filter(col("h") > end - 3 && col("h") <= end)
+      val oneShot = Sketches.kmvDistinct(member, "uk", k = 4).collect().head
+      assert(r.getAs[Long]("n_kept") == oneShot.getAs[Long]("n_kept"), s"win $end")
+      assert(r.getAs[Long]("est_distinct") == oneShot.getAs[Long]("est_distinct"), s"win $end")
+      assert(r.getAs[Long]("kth_min_hash") == oneShot.getAs[Long]("kth_min_hash"), s"win $end")
+    }
+  }
 }
