@@ -214,10 +214,87 @@ object Versioned {
     else spark.read.option("mergeSchema", "true").parquet(files: _*).drop("__pv")
   }
 
+  /** Change-data read between two committed versions — Delta CDF's
+    * answer to "what changed between v_from and v_to", reconstructed
+    * from the manifests alone. Returns one row per changed PK:
+    * `change_type` ('insert' | 'update' | 'delete') + the data columns
+    * (new image for insert/update, old image for delete). Same-PK
+    * rewrites with identical content are NOT changes and don't appear.
+    *
+    * Scale shape — the load-bearing trick: data files are immutable and
+    * buckets carry forward BY REFERENCE, so any bucket whose file list
+    * is string-identical in both manifests provably has identical
+    * content and is pruned WITHOUT A SCAN. Only the touched buckets'
+    * files are read (both sides), full-outer-joined on the PK (one
+    * key shuffle), and classified with null-safe column compares. A
+    * 100 TB table with one hot bucket diffs at the cost of that bucket. */
+  def diff(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+           pkCols: Seq[String]): DataFrame = {
+    val latest = latestVersion(dir)
+    require(fromV >= 1 && fromV < toV && toV <= latest,
+      s"need 1 <= fromV < toV <= $latest, got ($fromV, $toV)")
+    def byBucket(v: Long): Map[Long, Seq[String]] =
+      activeFiles(dir, v).groupBy(_._2).map { case (b, fs) =>
+        b -> fs.map(_._1).sorted
+      }
+    val from = byBucket(fromV); val to = byBucket(toV)
+    val changed = (from.keySet ++ to.keySet)
+      .filter(b => from.get(b) != to.get(b)).toSeq.sorted
+    val oldFiles = changed.flatMap(b => from.getOrElse(b, Nil))
+    val newFiles = changed.flatMap(b => to.getOrElse(b, Nil))
+    def read(fs: Seq[String]): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(fs: _*).drop("__pv"))
+    (read(oldFiles), read(newFiles)) match {
+      case (None, None) => spark.emptyDataFrame
+      case (None, Some(nw)) =>
+        nw.select(lit("insert").as("change_type") +: nw.columns.toIndexedSeq.map(col): _*)
+      case (Some(od), None) =>
+        od.select(lit("delete").as("change_type") +: od.columns.toIndexedSeq.map(col): _*)
+      case (Some(od0), Some(nw)) =>
+        val cols = nw.columns.toIndexedSeq
+        // align the old side to the new schema (add-column evolution:
+        // pre-evolution rows compare as null in the new column)
+        val od = od0.select(cols.map { c =>
+          if (od0.columns.contains(c)) col(c)
+          else lit(null).cast(nw.schema(c).dataType).as(c)
+        }: _*)
+        val o = od.select(cols.map(c => col(c).as(s"__o_$c")): _*)
+        val joined = nw.join(o,
+          pkCols.map(k => nw(k) <=> col(s"__o_$k")).reduce(_ && _), "full_outer")
+        val isDelete = nw(pkCols.head).isNull
+        val isInsert = col(s"__o_${pkCols.head}").isNull
+        val valCols = cols.filterNot(pkCols.contains)
+        val differs = valCols.map(c => !(nw(c) <=> col(s"__o_$c")))
+          .foldLeft(lit(false))(_ || _)
+        joined
+          .withColumn("change_type",
+            when(isDelete, lit("delete")).when(isInsert, lit("insert"))
+              .when(differs, lit("update")))
+          .filter(col("change_type").isNotNull)
+          .select(col("change_type") +: cols.map { c =>
+            // delete rows carry the old image (the new side is all null)
+            when(col("change_type") === "delete", col(s"__o_$c"))
+              .otherwise(nw(c)).as(c)
+          }: _*)
+    }
+  }
+
   /** Commit a batch: bucket-granular upsert producing version
-    * latest+1. Returns the new version number. */
+    * latest+1. Returns the new version number.
+    *
+    * `deleteWhere` (the MERGE "when matched delete" arm): after the
+    * upsert merge, rows of the TOUCHED buckets matching the predicate
+    * are dropped from the new version. Scoped to touched buckets by
+    * construction — a delete targeting an untouched bucket must include
+    * a row for that bucket in `df` (or be applied as its own commit);
+    * this is the same locality contract as the upsert itself, and it is
+    * what keeps commit cost proportional to touched data. A bucket
+    * whose rows all die is written as an empty bucket (old file
+    * removed, no new file added). */
   def commit(df: DataFrame, dir: String, pkCols: Seq[String],
-             bucketCol: String): Long = {
+             bucketCol: String, deleteWhere: Option[Column] = None): Long = {
     val spark = df.sparkSession
     val ndir = norm(dir)
     val prev = latestVersion(ndir)
@@ -257,10 +334,15 @@ object Versioned {
         }
       }
 
+    // MERGE delete arm: applied to the merged content of the touched
+    // buckets, so a PK that is both upserted and delete-matched dies
+    // (delete wins — it is evaluated on the post-merge image)
+    val finalDf = deleteWhere.map(c => merged.filter(!c)).getOrElse(merged)
+
     // one job: every touched bucket's full new content, one file per
     // bucket dir (repartition by the partition column pins 1:1)
     val commitDir = s"$ndir/data/v$v"
-    merged.withColumn("__pv", col(bucketCol).cast("long"))
+    finalDf.withColumn("__pv", col(bucketCol).cast("long"))
       .repartition(col("__pv"))
       .write.partitionBy("__pv").mode("overwrite").parquet(commitDir)
 

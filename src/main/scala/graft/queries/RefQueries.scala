@@ -1933,6 +1933,57 @@ object RefQueries {
     // answers with pre-correction numbers while untouched buckets share
     // physical files. Oracle recomputes both versions' stats from the
     // base table.
+    // K11: change-data read between two Versioned commits (Delta CDF
+    // shape): v1 = base, v2 = upserts (+500c on key % 7 = 0) + inserts
+    // (keys 100001..100020, new bucket) + MERGE-delete (key % 13 = 0,
+    // evaluated post-merge so it beats a same-key update AND kills a
+    // matching insert). diff(1,2) classifies per PK from the manifests:
+    // buckets whose file lists are identical in both versions are pruned
+    // WITHOUT A SCAN (immutable files carried by reference); only
+    // touched buckets are read and full-outer-joined on the PK.
+    Q("k11_version_diff", "K",
+      (s, d) => {
+        import graft.eth.Versioned
+        val dir = java.nio.file.Files.createTempDirectory("graft_cdf").toString + "/t"
+        val base = Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            expr("o_orderkey div 500").as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        Versioned.commit(base, dir, Seq("o_orderkey"), "bkt")
+        val upd = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price_c", col("price_c") + 500L)
+        val ins = s.range(1, 21).select(
+          (col("id") + 100000L).as("o_orderkey"),
+          lit(200L).as("bkt"), (col("id") * 1000L).as("price_c"))
+        Versioned.commit(upd.unionByName(ins), dir, Seq("o_orderkey"), "bkt",
+          deleteWhere = Some(col("o_orderkey") % 13 === 0))
+        Versioned.diff(s, dir, 1L, 2L, Seq("o_orderkey"))
+          .orderBy("change_type", "o_orderkey")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderkey // 500 AS bkt,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |       FROM orders WHERE o_orderkey <= 2000),
+             |v2 AS (SELECT o_orderkey, bkt,
+             |         CASE WHEN o_orderkey % 7 = 0 THEN price_c + 500 ELSE price_c END AS price_c
+             |       FROM base WHERE o_orderkey % 13 <> 0
+             |       UNION ALL
+             |       SELECT 100000 + x, CAST(200 AS BIGINT), CAST(x * 1000 AS BIGINT)
+             |       FROM (SELECT unnest(range(1, 21)) AS x) WHERE (100000 + x) % 13 <> 0),
+             |j AS (SELECT b.o_orderkey AS ok, n.o_orderkey AS nk,
+             |        b.bkt AS ob, n.bkt AS nb, b.price_c AS op, n.price_c AS np
+             |      FROM base b FULL OUTER JOIN v2 n ON b.o_orderkey = n.o_orderkey),
+             |c AS (SELECT CASE WHEN nk IS NULL THEN 'delete'
+             |              WHEN ok IS NULL THEN 'insert'
+             |              WHEN op <> np OR ob <> nb THEN 'update' END AS change_type,
+             |        CASE WHEN nk IS NULL THEN ok ELSE nk END AS o_orderkey,
+             |        CASE WHEN nk IS NULL THEN ob ELSE nb END AS bkt,
+             |        CASE WHEN nk IS NULL THEN op ELSE np END AS price_c
+             |      FROM j)
+             |SELECT change_type, o_orderkey, bkt, price_c FROM c
+             |WHERE change_type IS NOT NULL
+             |ORDER BY change_type, o_orderkey""".stripMargin)),
+
     Q("k9_time_travel", "K",
       (s, d) => {
         import graft.eth.Versioned

@@ -571,4 +571,43 @@ class SinksSpec extends SparkSpec {
     val b0 = Versioned.activeFiles(dir, 2L).filter(_._2 == 0L)
     assert(b0.size == 1, s"orphan data file leaked into the active set: $b0")
   }
+
+  test("versioned diff: insert/update/delete classified; untouched buckets pruned without a scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff").toString + "/t"
+    // v1: 3 buckets of 10
+    val v1df = (0L until 30L).map(i => (i, i / 10, i * 2)).toDF("id", "bkt", "v")
+    Versioned.commit(v1df, dir, Seq("id"), "bkt")
+    // v2 touches ONLY bucket 0: update id 1, insert id 100 (same bucket),
+    // delete id 2 (merge-delete arm), and rewrite id 3 with IDENTICAL
+    // content (must NOT appear in the diff)
+    val batch = Seq((1L, 0L, 999L), (100L, 0L, 5L), (2L, 0L, 4L), (3L, 0L, 6L))
+      .toDF("id", "bkt", "v")
+    Versioned.commit(batch, dir, Seq("id"), "bkt",
+      deleteWhere = Some(col("id") === 2L))
+    val d = Versioned.diff(spark, dir, 1L, 2L, Seq("id"))
+      .orderBy("change_type", "id").collect()
+    assert(d.map(r => (r.getAs[String]("change_type"), r.getAs[Long]("id"),
+      r.getAs[Long]("v"))).toSeq == Seq(
+      ("delete", 2L, 4L),    // old image
+      ("insert", 100L, 5L),
+      ("update", 1L, 999L))) // new image
+    // pruning contract: buckets 1 and 2 carried forward by reference, so
+    // their file lists are identical across versions — diff never lists
+    // (hence never scans) their files
+    val f1 = Versioned.activeFiles(dir, 1L).toMap
+    val f2 = Versioned.activeFiles(dir, 2L).toMap
+    val shared = f1.keySet intersect f2.keySet
+    assert(shared.exists(f => f1(f) == 1L) && shared.exists(f => f1(f) == 2L))
+    // a bucket whose rows all die becomes empty (old file removed, none
+    // added) and reads back empty at the new version
+    val wipe = Seq((25L, 2L, 0L)).toDF("id", "bkt", "v")
+    Versioned.commit(wipe, dir, Seq("id"), "bkt",
+      deleteWhere = Some(col("bkt") === 2L))
+    assert(Versioned.readAt(spark, dir, 3L).filter(col("bkt") === 2L).count() == 0)
+    val d23 = Versioned.diff(spark, dir, 2L, 3L, Seq("id")).collect()
+    assert(d23.forall(_.getAs[String]("change_type") == "delete") && d23.length == 10)
+  }
 }
