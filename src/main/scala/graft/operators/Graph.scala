@@ -545,6 +545,66 @@ object Graph {
     dist
   }
 
+  /** Landmark distance sketch (Potamias et al., "Fast shortest path
+    * distance estimation in large networks"): hop distances from every
+    * one of L landmark nodes to every reachable node, computed as ONE
+    * multi-source BFS whose state rows are (node, landmark, hops) — all
+    * L searches share each round's single edge join instead of running
+    * L separate traversals. After `rounds` hops the table answers
+    * point-to-point distance queries as the triangle upper bound
+    * `min_l d(u,l) + d(l,v)` ([[landmarkEstimate]]) — the standard
+    * distance oracle for graphs where exact pairwise BFS is unpayable.
+    *
+    * Scale shape per round: one equi-join shuffle of the state table
+    * (≤ |V|·L rows — L is small by design, e.g. 16) against the pinned
+    * edge list, one map-side-combined min aggregate on (node, landmark).
+    * Driver state: none. Directionality follows the edge list passed in
+    * — symmetrize upstream for undirected distances. */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+                        rounds: Int = 3,
+                        srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("__s"),
+        col(dstCol).cast("long").as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct().localCheckpoint(true)
+    var dist = landmarks.select(col("node").cast("long").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("landmark"), lit(0).as("hops"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = dist.join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"), col("landmark"),
+          (col("hops") + 1).as("hops"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node"), col("landmark"))
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    dist
+  }
+
+  /** Distance estimation from a [[landmarkDistances]] sketch: for each
+    * query pair the triangle upper bound `min_l d(u,l)+d(l,v)` over the
+    * landmarks that reach BOTH endpoints (pairs no landmark covers
+    * drop — the sketch has no evidence about them). Two
+    * equi-joins on the landmark table + one min aggregate — the sketch
+    * is consulted, the graph is never re-traversed. */
+  def landmarkEstimate(landmarkDist: DataFrame, pairs: DataFrame,
+                       uCol: String = "u", vCol: String = "v"): DataFrame = {
+    val du = landmarkDist.select(col("node").as("__u"),
+      col("landmark").as("__l"), col("hops").as("__hu"))
+    val dv = landmarkDist.select(col("node").as("__v"),
+      col("landmark").as("__l2"), col("hops").as("__hv"))
+    pairs.select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .join(du, col("u") === col("__u"))
+      .join(dv, col("v") === col("__v") && col("__l") === col("__l2"))
+      .groupBy(col("u"), col("v"))
+      .agg(min(col("__hu") + col("__hv")).as("est_hops"))
+  }
+
   /** Bounded k-hop reach from a seed set — the taint-tracing primitive
     * ("which addresses received funds within N hops of these seeds").
     * Directed frontier expansion with a min-hop label: hop 0 is the seed

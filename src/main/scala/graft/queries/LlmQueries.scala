@@ -3502,6 +3502,83 @@ object LlmQueries {
            |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
       }),
 
+    // Landmark distance sketch (Potamias et al.): ONE multi-source BFS
+    // carries all 3 landmarks' distances as (node, landmark, hops) state
+    // rows — L searches share each round's single edge join. The oracle
+    // unrolls the same relax rounds keyed on (node, landmark).
+    Q("graph_landmark_dist", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val sym = ew.select(col("src"), col("dst"))
+          .unionByName(ew.select(col("dst").as("src"), col("src").as("dst")))
+        val lms = sym.select(col("src").as("node")).distinct()
+          .orderBy("node").limit(3)
+        graft.operators.Graph.landmarkDistances(sym, lms, rounds = 3)
+          .orderBy("node", "landmark")
+      },
+      Some {
+        def round(r: Int) =
+          s"""d${r + 1} AS (SELECT node, landmark, min(hops) AS hops FROM (
+             |    SELECT node, landmark, hops FROM d$r
+             |    UNION ALL
+             |    SELECT e.dst, d.landmark, d.hops + 1 FROM d$r d JOIN sym e ON e.src = d.node)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""$backboneEdgesCte,
+           |sym AS (SELECT src, dst FROM ew UNION SELECT dst, src FROM ew),
+           |lm AS (SELECT DISTINCT src AS node FROM sym ORDER BY 1 LIMIT 3),
+           |d0 AS (SELECT node, node AS landmark, CAST(0 AS INTEGER) AS hops FROM lm),
+           |${round(0)},
+           |${round(1)},
+           |${round(2)}
+           |SELECT node, landmark, CAST(hops AS INTEGER) AS hops
+           |FROM d3 ORDER BY node, landmark""".stripMargin
+      }),
+
+    // Point-to-point distance estimation from the landmark sketch: the
+    // triangle upper bound min_l d(u,l)+d(l,v) for sample pairs — two
+    // joins against the sketch + a min aggregate; the graph itself is
+    // never re-traversed. The classic distance-oracle trade at 100 TB:
+    // L linear BFS passes once, then O(L) per query forever.
+    Q("graph_landmark_estimate", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val sym = ew.select(col("src"), col("dst"))
+          .unionByName(ew.select(col("dst").as("src"), col("src").as("dst")))
+        val nodes = sym.select(col("src").as("node")).distinct()
+        val lms = nodes.orderBy("node").limit(3)
+        val sketch = graft.operators.Graph.landmarkDistances(sym, lms, rounds = 3)
+        val lo = nodes.orderBy("node").limit(8)
+        val hi = nodes.orderBy(col("node").desc).limit(8)
+        val pairs = lo.select(col("node").as("u"))
+          .crossJoin(hi.select(col("node").as("v")))
+          .filter(col("u") < col("v"))
+        graft.operators.Graph.landmarkEstimate(sketch, pairs)
+          .orderBy("u", "v")
+      },
+      Some {
+        def round(r: Int) =
+          s"""d${r + 1} AS (SELECT node, landmark, min(hops) AS hops FROM (
+             |    SELECT node, landmark, hops FROM d$r
+             |    UNION ALL
+             |    SELECT e.dst, d.landmark, d.hops + 1 FROM d$r d JOIN sym e ON e.src = d.node)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""$backboneEdgesCte,
+           |sym AS (SELECT src, dst FROM ew UNION SELECT dst, src FROM ew),
+           |lm AS (SELECT DISTINCT src AS node FROM sym ORDER BY 1 LIMIT 3),
+           |d0 AS (SELECT node, node AS landmark, CAST(0 AS INTEGER) AS hops FROM lm),
+           |${round(0)},
+           |${round(1)},
+           |${round(2)},
+           |nodes AS (SELECT DISTINCT src AS node FROM sym),
+           |lo AS (SELECT node FROM nodes ORDER BY node LIMIT 8),
+           |hi AS (SELECT node FROM nodes ORDER BY node DESC LIMIT 8),
+           |pairs AS (SELECT lo.node AS u, hi.node AS v FROM lo, hi WHERE lo.node < hi.node)
+           |SELECT p.u, p.v, CAST(min(a.hops + b.hops) AS INTEGER) AS est_hops
+           |FROM pairs p
+           |JOIN d3 a ON a.node = p.u JOIN d3 b ON b.node = p.v AND b.landmark = a.landmark
+           |GROUP BY p.u, p.v ORDER BY p.u, p.v""".stripMargin
+      }),
+
     // k-truss (edge-level cohesion, one notch above k-core: every edge
     // needs k-2 triangle witnesses in the current subgraph) — fixed peel
     // rounds, oracle unrolls the same rounds via symmetric

@@ -1002,6 +1002,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("landmark distances: multi-source BFS hops + triangle-bound estimation") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5 plus a chord 1-4; landmarks {1, 5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("src", "dst")
+    val sym = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+    val lms = Seq(1L, 5L).toDF("node")
+    val d = Graph.landmarkDistances(sym, lms, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(d((1L, 1L)) == 0 && d((4L, 1L)) == 1) // chord beats the path
+    assert(d((3L, 1L)) == 2 && d((5L, 1L)) == 2) // 1-4-5
+    assert(d((2L, 5L)) == 3)                     // 5-4-1-2 via chord
+    // estimate 2..3: true dist 1; the landmark bound gives
+    // min(d(2,1)+d(1,3), d(2,5)+d(5,3)) = min(1+2, 3+2) = 3 (upper bound)
+    val est = Graph.landmarkEstimate(
+      Graph.landmarkDistances(sym, lms, rounds = 4),
+      Seq((2L, 3L)).toDF("u", "v")).collect()
+    assert(est.length == 1 && est(0).getInt(2) == 3)
+  }
+
   test("data quality: one-pass suite with exact counts and mixed statuses") {
     import graft.operators.DataQuality._
     val df = Seq(
