@@ -70,14 +70,16 @@ object Versioned {
 
   /** One manifest line per file action; hand-rolled JSON (paths and longs
     * only — no escaping hazards beyond quotes, which file paths here
-    * cannot contain). */
+    * cannot contain; `txn` ids are restricted to [A-Za-z0-9._-]). */
   private def writeManifest(dir: String, version: Long,
                             adds: Seq[(String, Long)],
-                            removes: Seq[String]): Unit = {
+                            removes: Seq[String],
+                            txnId: Option[String] = None): Unit = {
     Files.createDirectories(versionsDir(dir))
+    val txnLine = txnId.map(t => s""""txn": "$t",\n""").getOrElse("")
     val json =
       s"""{"version": $version,
-         |"add": [${adds.map { case (f, b) => s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}],
+         |$txnLine"add": [${adds.map { case (f, b) => s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}],
          |"remove": [${removes.map(f => s""""$f"""").mkString(", ")}]}""".stripMargin
     val tmp = versionsDir(dir).resolve(s".$version.json.tmp")
     Files.writeString(tmp, json)
@@ -214,6 +216,49 @@ object Versioned {
     else spark.read.option("mergeSchema", "true").parquet(files: _*).drop("__pv")
   }
 
+  /** The version a transaction id was committed as, None if never.
+    * Driver-side scan of the manifest chain (metadata-sized; vacuumed
+    * manifests are gone, so retention must cover the replay horizon —
+    * the same contract as Delta's txn retention). */
+  def txnVersion(dir: String, txnId: String): Option[Long] = {
+    val vd = versionsDir(dir)
+    if (!Files.isDirectory(vd)) return None
+    val needle = s""""txn": "$txnId""""
+    val it = Files.list(vd)
+    try {
+      val i = it.iterator()
+      var found: Option[Long] = None
+      while (i.hasNext && found.isEmpty) {
+        i.next().getFileName.toString match {
+          case manifestName(v) =>
+            if (Files.readString(vd.resolve(s"$v.json")).contains(needle))
+              found = Some(v.toLong)
+          case _ =>
+        }
+      }
+      found
+    } finally it.close()
+  }
+
+  /** Exactly-once commit for streaming replay (the foreachBatch
+    * contract): `txnId` (e.g. "query7-batch42") is recorded in the
+    * manifest at the commit point; replaying the SAME txnId — a restart
+    * re-running a batch whose commit already landed — is a no-op that
+    * returns the original version instead of double-applying the batch.
+    * The check and the manifest write are driver-side and ordered
+    * (single-writer contract, like [[commit]]); data written by a crash
+    * BEFORE the manifest rename is invisible and re-written by the
+    * replay — the same recovery story the crash-injection specs pin for
+    * the manifest protocol. */
+  def commitTxn(df: DataFrame, dir: String, pkCols: Seq[String],
+                bucketCol: String, txnId: String,
+                deleteWhere: Option[Column] = None): Long = {
+    require(txnId.matches("[A-Za-z0-9._-]+"),
+      s"txn id must be [A-Za-z0-9._-]+, got '$txnId'")
+    txnVersion(dir, txnId).getOrElse(
+      commit(df, dir, pkCols, bucketCol, deleteWhere, txnId = Some(txnId)))
+  }
+
   /** Change-data read between two committed versions — Delta CDF's
     * answer to "what changed between v_from and v_to", reconstructed
     * from the manifests alone. Returns one row per changed PK:
@@ -294,7 +339,8 @@ object Versioned {
     * whose rows all die is written as an empty bucket (old file
     * removed, no new file added). */
   def commit(df: DataFrame, dir: String, pkCols: Seq[String],
-             bucketCol: String, deleteWhere: Option[Column] = None): Long = {
+             bucketCol: String, deleteWhere: Option[Column] = None,
+             txnId: Option[String] = None): Long = {
     val spark = df.sparkSession
     val ndir = norm(dir)
     val prev = latestVersion(ndir)
@@ -367,7 +413,7 @@ object Versioned {
     val removes =
       if (prev == 0) Seq.empty[String]
       else activeFiles(dir, prev).filter(fb => touchedSet.contains(fb._2)).map(_._1)
-    writeManifest(dir, v, adds, removes)
+    writeManifest(dir, v, adds, removes, txnId)
     v
   }
 }

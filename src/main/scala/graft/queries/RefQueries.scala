@@ -1933,6 +1933,46 @@ object RefQueries {
     // answers with pre-correction numbers while untouched buckets share
     // physical files. Oracle recomputes both versions' stats from the
     // base table.
+    // K12: exactly-once streaming commits — commitTxn records the batch's
+    // txn id at the manifest commit point; replaying the SAME txn id (a
+    // restarted stream re-running a batch whose commit already landed)
+    // is a no-op returning the original version instead of
+    // double-applying. The output row carries the version numbers each
+    // call returned plus the final table aggregate: double-apply would
+    // break the sum, a phantom version would break n_versions.
+    Q("k12_exactly_once", "K",
+      (s, d) => {
+        import graft.eth.Versioned
+        val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/t"
+        val base = Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"),
+            expr("o_orderkey div 500").as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        val v1 = Versioned.commitTxn(base, dir, Seq("o_orderkey"), "bkt", "batch-1")
+        val v1r = Versioned.commitTxn(base, dir, Seq("o_orderkey"), "bkt", "batch-1")
+        val delta = base.filter(col("o_orderkey") <= 100)
+          .withColumn("price_c", col("price_c") + 777L)
+        val v2 = Versioned.commitTxn(delta, dir, Seq("o_orderkey"), "bkt", "batch-2")
+        val v2r = Versioned.commitTxn(delta, dir, Seq("o_orderkey"), "bkt", "batch-2")
+        Versioned.readAt(s, dir)
+          .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_cents"))
+          .select(col("n_rows"), col("sum_price_cents"),
+            lit(v1).as("v1"), lit(v1r).as("v1_replay"),
+            lit(v2).as("v2"), lit(v2r).as("v2_replay"),
+            lit(Versioned.latestVersion(dir)).as("n_versions"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS p
+             |       FROM orders WHERE o_orderkey <= 1000)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderkey <= 100 THEN p + 777 ELSE p END) AS BIGINT)
+             |    AS sum_price_cents,
+             |  CAST(1 AS BIGINT) AS v1, CAST(1 AS BIGINT) AS v1_replay,
+             |  CAST(2 AS BIGINT) AS v2, CAST(2 AS BIGINT) AS v2_replay,
+             |  CAST(2 AS BIGINT) AS n_versions
+             |FROM base""".stripMargin)),
+
     // K11: change-data read between two Versioned commits (Delta CDF
     // shape): v1 = base, v2 = upserts (+500c on key % 7 = 0) + inserts
     // (keys 100001..100020, new bucket) + MERGE-delete (key % 13 = 0,

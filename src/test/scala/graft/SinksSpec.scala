@@ -572,6 +572,32 @@ class SinksSpec extends SparkSpec {
     assert(b0.size == 1, s"orphan data file leaked into the active set: $b0")
   }
 
+  test("versioned commitTxn: replay is a no-op; uncommitted data is invisible and recoverable") {
+    import spark.implicits._
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn").toString + "/t"
+    val b1 = Seq((1L, 0L, 10L), (2L, 0L, 20L)).toDF("id", "bkt", "v")
+    assert(Versioned.commitTxn(b1, dir, Seq("id"), "bkt", "q1-b0") == 1L)
+    // replay of the same batch id: no new version, same return value
+    assert(Versioned.commitTxn(b1, dir, Seq("id"), "bkt", "q1-b0") == 1L)
+    assert(Versioned.latestVersion(dir) == 1L)
+    assert(Versioned.readAt(spark, dir).count() == 2)
+    // crash injection: data files land for v2 but the manifest rename
+    // never happens -> the write is invisible; the restart replays the
+    // batch under the same txn id and commits cleanly
+    val crashDir = new java.io.File(s"$dir/data/v2/__pv=0")
+    crashDir.mkdirs()
+    java.nio.file.Files.writeString(
+      crashDir.toPath.resolve("part-orphan.parquet"), "not really parquet")
+    assert(Versioned.latestVersion(dir) == 1L) // still invisible
+    val b2 = Seq((3L, 0L, 30L)).toDF("id", "bkt", "v")
+    assert(Versioned.commitTxn(b2, dir, Seq("id"), "bkt", "q1-b1") == 2L)
+    assert(Versioned.readAt(spark, dir).count() == 3)
+    assert(Versioned.txnVersion(dir, "q1-b0").contains(1L))
+    assert(Versioned.txnVersion(dir, "q1-b1").contains(2L))
+    assert(Versioned.txnVersion(dir, "q1-b99").isEmpty)
+  }
+
   test("versioned diff: insert/update/delete classified; untouched buckets pruned without a scan") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
