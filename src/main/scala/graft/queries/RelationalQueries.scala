@@ -1175,6 +1175,31 @@ object RelationalQueries {
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Left-semi join (EXISTS).
+    // Bloom-prefiltered join (explicit runtime row-level filtering): a
+    // ~2%-selective order subset builds an 8 KiB Bloom that rides the
+    // plan as a literal; the probe is k codegen'd hashes per lineitem
+    // row AT THE SCAN, so ~98% of the fact side never reaches the join
+    // exchange. No false negatives, FPs die in the join — the result is
+    // EXACTLY the plain join's, which is what the oracle computes.
+    Q("j_bloom_prefilter", "J",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        val sm = Tables(s, d, "orders")
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.operators.BloomJoin.bloomFilteredJoin(li, sm, "l_orderkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("revenue_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderkey % 50 = 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("j_semi", "J",
       (s, d) => Tables(s, d, "customer")
         .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")

@@ -1002,6 +1002,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered join: result identical to the plain join; probe actually prunes") {
+    import graft.operators.BloomJoin
+    import graft.llm.TextAnalysis
+    val big = (0L until 2000L).map(i => (i, i * 3)).toDF("k", "v")
+    val small = Seq((7L, "a"), (1234L, "b"), (1999L, "c")).toDF("k", "tag")
+    val viaBloom = BloomJoin.bloomFilteredJoin(big, small, "k")
+      .orderBy("k").collect().map(_.toSeq)
+    val plain = big.join(small, "k").orderBy("k").collect().map(_.toSeq)
+    assert(viaBloom.toSeq == plain.toSeq && plain.length == 3)
+    // pruning evidence: the probe predicate alone rejects the vast
+    // majority of the big side (FP rate at 2^16 bits / 3 keys ~ 0)
+    val f = TextAnalysis.bloomBuild(
+      small.select($"k".cast("string").as("__k")), "__k", 1 << 16, 4)
+    val survivors = big.filter(
+      TextAnalysis.bloomMightContain(f, 1 << 16, 4, $"k".cast("string"))).count()
+    assert(survivors < 20, s"bloom probe rejected almost nothing: $survivors/2000")
+  }
+
   test("landmark distances: multi-source BFS hops + triangle-bound estimation") {
     import graft.operators.Graph
     // path 1-2-3-4-5 plus a chord 1-4; landmarks {1, 5}
