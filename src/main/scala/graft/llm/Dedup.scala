@@ -732,6 +732,48 @@ object Dedup {
           x => x.getField("ctext")), " ").as("cleaned"))
   }
 
+  /** Content-defined chunking — the FastCDC/rsync boundary rule at word
+    * granularity: a chunk opens at word 0 and at every position i whose
+    * rolling `window`-word shingle hash satisfies `hash % modulus == 0`
+    * (expected chunk length ≈ `modulus` words). Unlike fixed-width
+    * chunks ([[chunkDedup]]), an insertion early in a document shifts
+    * ONLY the chunk containing it — later boundaries are decided by
+    * local content and re-align immediately, which is what makes
+    * chunk-level dedup and delta storage robust to edits.
+    *
+    * Returns one row per (doc, chunk): (id, chunk_id, n_words,
+    * chunk_fp) with chunk_fp = md5-60bit of the chunk text — the join
+    * key for cross-document shared-chunk detection.
+    *
+    * Scale shape: one posexplode (word rows carry fixed-width ints), the
+    * boundary test is pure codegen column arithmetic on the carried
+    * array, the cumulative boundary count is a window keyed on the
+    * HIGH-CARDINALITY doc id, and the reassembly aggregate shuffles each
+    * word exactly once. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 3, modulus: Int = 8): DataFrame = {
+    require(window >= 1 && modulus >= 2,
+      s"need window >= 1 and modulus >= 2, got $window / $modulus")
+    val st = df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(col("__w")).as(Seq("__i", "__word")))
+    val sh = md5Long(array_join(
+      slice(col("__w"), col("__i") + 1, lit(window)), " "))
+    val isBoundary = when(col("__i") === 0, 1)
+      .when(col("__i") + window <= size(col("__w"))
+        && pmod(sh, lit(modulus.toLong)) === 0, 1)
+      .otherwise(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__i"))
+    st.withColumn("__b", isBoundary)
+      .withColumn("chunk_id", sum(col("__b")).over(w) - 1)
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+        md5Long(array_join(transform(
+          array_sort(collect_list(struct(col("__i"), col("__word")))),
+          x => x.getField("__word")), " ")).as("chunk_fp"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering embeddings and pruning near-identical pairs WITHIN each
     * cluster — cross-cluster pairs are never scored, which is what turns

@@ -35,7 +35,17 @@ object Associations {
     val itemCounts = baskets.groupBy(col("__i")).agg(count(lit(1)).as("c"))
     val nBaskets = baskets.select(col("__k")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    val pairs = baskets.select(col("__k"), col("__i").as("item_a"))
+    // The pair join fans out ~|basket| rows per input row — a property
+    // BYTES-based planning cannot see: AQE sizes post-shuffle partitions
+    // (and its coalescing) from the tiny distinct-baskets byte count and
+    // happily serializes the whole pair explosion into one task (measured
+    // 53x at the 10x scale gate before this pin). Explicit
+    // repartition(n, __k) is a hard distribution requirement AQE must
+    // honor, so the explosion and its map-side partial aggregate spread
+    // across the session's full parallelism.
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    val pairs = baskets.repartition(nPart, col("__k"))
+      .select(col("__k"), col("__i").as("item_a"))
       .join(baskets.select(col("__k"), col("__i").as("item_b")), "__k")
       .filter(col("item_a") =!= col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("c_ab"))

@@ -213,10 +213,14 @@ object Graph {
     var r = nodes.withColumn("cm", lit(1000000L))
     var i = 0
     while (i < rounds) {
+      // pinned: both the 1-row max and the update join read `sums`; an
+      // unpinned plan would run the round's dominant join+aggregate TWICE
+      // (measured at the 10x scale gate before this checkpoint)
       val sums = r.join(ew, r("node") === ew("src"))
         .select(col("dst"),
           (col("cm").cast("decimal(38,0)") * col("w")).as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__m"))
+        .localCheckpoint(true)
       val mx = sums.agg(max(col("__m")).as("__mx"))
       r = nodes.join(sums, nodes("node") === sums("dst"), "left")
         .crossJoin(broadcast(mx))

@@ -858,6 +858,33 @@ object LlmQueries {
              |FROM k a JOIN k b ON a.source = b.source AND a.lang = b.lang
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
 
+    // Content-defined chunking (FastCDC/rsync boundary rule, word
+    // granularity): boundaries open where the rolling 3-word shingle
+    // hash % 8 == 0, so an edit shifts only its own chunk and later
+    // boundaries re-align — the primitive behind edit-robust chunk
+    // dedup and delta storage. chunk_fp is the cross-doc join key.
+    Q("text_cdc_chunks", "LLM",
+      (s, d) => Dedup.cdcChunks(Tables(s, d, "documents").filter(col("doc_id") < 200),
+          "doc_id", "text", window = 3, modulus = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS w
+             |       FROM documents WHERE doc_id < 200),
+             |pos AS (SELECT doc_id, w, unnest(range(len(w))) AS i FROM tk),
+             |sh AS (SELECT doc_id, i, w,
+             |        CASE WHEN i = 0 THEN 1
+             |             WHEN i + 3 <= len(w) AND
+             |               CAST('0x' || substring(md5(array_to_string(w[(i+1):(i+3)], ' ')), 1, 15) AS BIGINT) % 8 = 0
+             |             THEN 1 ELSE 0 END AS b
+             |      FROM pos),
+             |ck AS (SELECT doc_id, i, w,
+             |         sum(b) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_id
+             |       FROM sh)
+             |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             |  CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST('0x' || substring(md5(string_agg(w[i + 1], ' ' ORDER BY i)), 1, 15) AS BIGINT) AS chunk_fp
+             |FROM ck GROUP BY doc_id, chunk_id
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Blocked fuzzy join (record linkage): candidates share the cheap
     // (lang, source, first-word) block, then exact Levenshtein on a
     // 40-char prefix verifies each candidate inside codegen — typo-level

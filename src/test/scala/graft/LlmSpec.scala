@@ -184,6 +184,25 @@ class LlmSpec extends SparkSpec {
     assert(out(1).getAs[Long]("neighbor_id") == 11L)
   }
 
+  test("cdc chunks: boundaries re-align after an insertion (edit-robust, unlike a fixed grid)") {
+    import graft.llm.Dedup
+    val words = (0 until 120).map(i => s"w${(i * 37) % 53}")
+    val a = words.mkString(" ")
+    val b = (words.take(2) ++ Seq("INSERTED") ++ words.drop(2)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", window = 3, modulus = 8)
+      .collect().groupBy(_.getLong(0))
+    def fps(id: Long) = ch(id).map(_.getAs[Long]("chunk_fp")).toSeq
+    val shared = fps(1L).intersect(fps(2L)).size
+    // everything after the first boundary past the insertion point is
+    // byte-identical and re-aligns; only the head chunk(s) differ
+    assert(shared >= fps(1L).size - 3,
+      s"CDC failed to re-align: ${fps(1L).size} chunks, only $shared shared")
+    // determinism + coverage: chunk word counts sum back to the doc
+    assert(ch(1L).map(_.getAs[Long]("n_words")).sum == 120L)
+    assert(ch(2L).map(_.getAs[Long]("n_words")).sum == 121L)
+  }
+
   test("binary quantize + Hamming rerank: codes pack signs; full coarseK equals brute force") {
     // sign pattern (+,0,-) -> only bit 0 set (strict > 0; zero stays clear)
     val codes = Seq((1L, Array(0.5f, 0.0f, -0.5f))).toDF("vec_id", "embedding")
