@@ -27,6 +27,51 @@ object Associations {
     * @return one row per ordered rule (a ⇒ b): item_a, item_b, c_ab, c_a,
     *         c_b, n_baskets, supp_milli = 1000·c_ab/N, conf_milli =
     *         1000·c_ab/c_a, lift_milli = 1000·N·c_ab/(c_a·c_b). */
+  /** Sequential 2-pattern rules (PrefixSpan restricted to length-2
+    * patterns — "users who did A tend to do B LATER"): a pair (a ⇒ b)
+    * counts for a basket when a's FIRST occurrence strictly precedes
+    * b's first occurrence. The order constraint is what [[rules]]
+    * cannot express — co-occurrence is symmetric, causality isn't.
+    *
+    * Scale shape: the basket reduces to one (key, item, first_ts) row
+    * per distinct item FIRST (map-side-combined min aggregate), so the
+    * ordered-pair join fans out at most |item universe|² per basket —
+    * and the pair stage's distribution is pinned on the basket key for
+    * the same reason as [[rules]] (bytes-based AQE cannot see fan-out).
+    * Ties (equal first timestamps) count for NEITHER direction —
+    * deterministic and symmetric.
+    *
+    * @return item_a, item_b, c_ab (baskets where a precedes b), c_a
+    *         (baskets containing a at all), n_baskets, supp_milli,
+    *         conf_milli. */
+  def sequenceRules(df: DataFrame, keyCol: String, itemCol: String,
+                    tsCol: String, minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val firsts = df.select(col(keyCol).as("__k"), col(itemCol).as("__i"),
+        col(tsCol).as("__t"))
+      .filter(col("__i").isNotNull && col("__t").isNotNull)
+      .groupBy(col("__k"), col("__i")).agg(min(col("__t")).as("__t"))
+      .localCheckpoint(true) // reused by both pair sides + item counts
+    val itemCounts = firsts.groupBy(col("__i")).agg(count(lit(1)).as("c"))
+    val nBaskets = firsts.select(col("__k")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
+    val pairs = firsts.repartition(nPart, col("__k"))
+      .select(col("__k"), col("__i").as("item_a"), col("__t").as("__ta"))
+      .join(firsts.select(col("__k"), col("__i").as("item_b"),
+        col("__t").as("__tb")), "__k")
+      .filter(col("__ta") < col("__tb"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("__i").as("item_a"), col("c").as("c_a")), "item_a")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("supp_milli", expr("c_ab * 1000 div n_baskets"))
+      .withColumn("conf_milli", expr("c_ab * 1000 div c_a"))
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+        col("n_baskets"), col("supp_milli"), col("conf_milli"))
+  }
+
   def rules(df: DataFrame, keyCol: String, itemCol: String,
             minPairCount: Long = 2L): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")

@@ -4492,6 +4492,64 @@ object LlmQueries {
              |     JOIN ic cb ON cb.i = pc.item_b, nb
              |ORDER BY item_a, item_b""".stripMargin)),
 
+    // Sequential 2-pattern rules (PrefixSpan at length 2): (a => b)
+    // counts when a's FIRST occurrence strictly precedes b's — the
+    // order-aware sibling of event_assoc_rules (co-occurrence is
+    // symmetric; causality isn't). Baskets reduce to one first-ts row
+    // per (user, type) before the pair join; ties count for neither.
+    Q("event_seq_rules", "EVENT",
+      (s, d) => graft.operators.Associations.sequenceRules(
+          Tables(s, d, "events"), "user_id", "event_type", "ts",
+          minPairCount = 20)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH f AS (SELECT user_id AS k, event_type AS i,
+             |         min(CAST(ts AS TIMESTAMP)) AS t FROM events GROUP BY 1, 2),
+             |ic AS (SELECT i, count(*) AS c FROM f GROUP BY 1),
+             |nb AS (SELECT count(DISTINCT k) AS n FROM f),
+             |pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+             |       FROM f a JOIN f b ON a.k = b.k AND a.t < b.t
+             |       GROUP BY 1, 2 HAVING count(*) >= 20)
+             |SELECT item_a, item_b, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(ca.c AS BIGINT) AS c_a, CAST(n AS BIGINT) AS n_baskets,
+             |  CAST(c_ab * 1000 // n AS BIGINT) AS supp_milli,
+             |  CAST(c_ab * 1000 // ca.c AS BIGINT) AS conf_milli
+             |FROM pc JOIN ic ca ON ca.i = pc.item_a, nb
+             |ORDER BY item_a, item_b""".stripMargin)),
+
+    // Script/charset profile (the mixed-script spam signal langid alone
+    // misses): per-document Latin / digit / space / other counts and
+    // milli ratios via anchored character-class regexp_replace — pure
+    // codegen column work, one scan, no shuffle but the final sort.
+    Q("text_script_profile", "LLM",
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_latin"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digit"),
+          length(regexp_replace(col("text"), "[^ ]", "")).as("n_space"))
+        .withColumn("n_other",
+          col("n_chars") - col("n_latin") - col("n_digit") - col("n_space"))
+        .withColumn("latin_milli", expr(
+          "CASE WHEN n_chars = 0 THEN 0L ELSE cast(n_latin as bigint) * 1000 div n_chars END"))
+        .withColumn("other_milli", expr(
+          "CASE WHEN n_chars = 0 THEN 0L ELSE cast(n_other as bigint) * 1000 div n_chars END"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+             |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_latin,
+             |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
+             |  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER) AS n_space,
+             |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |       - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |       - length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER) AS n_other,
+             |  CAST(CASE WHEN length(text) = 0 THEN 0
+             |       ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000 // length(text)
+             |       END AS BIGINT) AS latin_milli,
+             |  CAST(CASE WHEN length(text) = 0 THEN 0
+             |       ELSE (length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             |             - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             |             - length(regexp_replace(text, '[^ ]', '', 'g'))) * 1000 // length(text)
+             |       END AS BIGINT) AS other_milli
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Modularity audit of the LPA partition (Newman & Girvan 2004): the
     // exact integer fraction Q = Σ_c(4·m·e_c − d_c²) / 4m² over the simple
     // undirected backbone, with the SAME 2-round LPA labels as

@@ -1002,6 +1002,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sequence rules: first-occurrence order decides; ties count for neither direction") {
+    import graft.operators.Associations
+    val ev = Seq(
+      (1L, "a", ts(10)), (1L, "b", ts(20)), (1L, "a", ts(30)), // a->b (repeat ignored)
+      (2L, "a", ts(10)), (2L, "b", ts(5)),                     // b->a
+      (3L, "a", ts(7)), (3L, "b", ts(7)),                      // tie: neither
+      (4L, "a", ts(1)), (4L, "b", ts(2)), (4L, "c", ts(0)))    // c->a, c->b, a->b
+      .toDF("user_id", "item", "t")
+    val out = Associations.sequenceRules(ev, "user_id", "item", "t", minPairCount = 1)
+      .orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 4L),  // users 1 and 4; c_a = 4 baskets contain a
+      ("b", "a", 1L, 4L),  // user 2 only (tie user 3 counts neither)
+      ("c", "a", 1L, 1L),
+      ("c", "b", 1L, 1L)))
+  }
+
   test("bloom-prefiltered join: result identical to the plain join; probe actually prunes") {
     import graft.operators.BloomJoin
     import graft.llm.TextAnalysis
