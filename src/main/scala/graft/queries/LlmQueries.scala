@@ -4492,6 +4492,44 @@ object LlmQueries {
              |     JOIN ic cb ON cb.i = pc.item_b, nb
              |ORDER BY item_a, item_b""".stripMargin)),
 
+    // Interval x interval OVERLAP join, bucketized: per-(user, day)
+    // activity spans vs synthetic 90-minute windows anchored at every
+    // 4th hour. Each interval explodes into its covered hour buckets
+    // (O(1) per interval), candidates meet in a shared bucket, ONE
+    // equi-shuffle + pair-distinct + codegen verify — never |A|x|B|,
+    // which is exactly what the oracle pays.
+    Q("j_interval_overlap", "J",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("user_id"), expr("unix_timestamp(ts)").as("es"))
+          .filter(col("user_id") < 50)
+        val spans = ev.groupBy(col("user_id"),
+            expr("es div 86400").as("day"))
+          .agg(min(col("es")).as("s_a"), max(col("es")).as("e_a"))
+          .withColumn("a_key", concat(col("user_id"), lit("@"), col("day")))
+        val windows = ev.select(expr("es div 3600").as("h")).distinct()
+          .filter(col("h") % 4 === 0)
+          .select(col("h").cast("string").as("w_key"),
+            (col("h") * 3600).as("s_b"), (col("h") * 3600 + 5400).as("e_b"))
+        graft.operators.IntervalJoin.overlapJoin(spans, windows,
+            "a_key", "s_a", "e_a", "w_key", "s_b", "e_b", bucketSeconds = 3600)
+          .select(col("a_id"), col("b_id"), col("overlap_s"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es
+             |       FROM events WHERE user_id < 50),
+             |a AS (SELECT user_id || '@' || CAST(es // 86400 AS VARCHAR) AS a_id,
+             |        min(es) AS s_a, max(es) AS e_a
+             |      FROM ev GROUP BY user_id, es // 86400),
+             |b AS (SELECT CAST(h AS VARCHAR) AS b_id, h * 3600 AS s_b,
+             |        h * 3600 + 5400 AS e_b
+             |      FROM (SELECT DISTINCT es // 3600 AS h FROM ev) WHERE h % 4 = 0)
+             |SELECT a_id, b_id,
+             |  CAST(least(e_a, e_b) - greatest(s_a, s_b) AS BIGINT) AS overlap_s
+             |FROM a JOIN b ON s_a <= e_b AND s_b <= e_a
+             |ORDER BY a_id, b_id""".stripMargin)),
+
     // Sequential 2-pattern rules (PrefixSpan at length 2): (a => b)
     // counts when a's FIRST occurrence strictly precedes b's — the
     // order-aware sibling of event_assoc_rules (co-occurrence is

@@ -1002,6 +1002,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join: bucket-spanning pairs dedup; touching endpoints overlap") {
+    import graft.operators.IntervalJoin
+    val a = Seq(("a1", 0L, 250L), ("a2", 500L, 520L), ("a3", 900L, 950L))
+      .toDF("id", "s", "e")
+    val b = Seq(("b1", 240L, 600L), ("b2", 250L, 250L), ("b3", 951L, 999L))
+      .toDF("id", "s", "e")
+    // bucket 100s: a1 spans 3 buckets shared with b1 -> must appear ONCE
+    val out = IntervalJoin.overlapJoin(a, b, "id", "s", "e", "id", "s", "e", 100L)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getAs[String]("a_id"), r.getAs[String]("b_id"),
+        r.getAs[Long]("overlap_s")))
+    assert(out.toSeq == Seq(
+      ("a1", "b1", 10L),  // [0,250] x [240,600]
+      ("a1", "b2", 0L),   // touching point-interval at 250: closed semantics
+      ("a2", "b1", 20L))) // [500,520] inside [240,600]
+    // a3 [900,950] vs b3 [951,999]: adjacent but NOT touching -> no row
+  }
+
   test("sequence rules: first-occurrence order decides; ties count for neither direction") {
     import graft.operators.Associations
     val ev = Seq(
