@@ -283,6 +283,29 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Exactly-once streaming maintenance of a [[graft.eth.Versioned]]
+    * table — the foreachBatch contract done right: each micro-batch
+    * commits under txn id `<queryName>-<batchId>`, so a RESTARTED stream
+    * replaying a batch whose commit already landed is a provable no-op
+    * ([[graft.eth.Versioned.commitTxn]] returns the original version
+    * instead of double-applying). The upsert itself is bucket-granular;
+    * data written by a crash BEFORE the manifest rename is invisible and
+    * rewritten by the replay. This is the missing half of checkpoint
+    * recovery: Spark's checkpoint guarantees a batch is not SKIPPED, the
+    * txn marker guarantees it is not APPLIED TWICE. */
+  def maintainVersioned(stream: DataFrame, tableDir: String,
+                        checkpointDir: String, queryName: String,
+                        pkCols: Seq[String], bucketCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.eth.Versioned.commitTxn(batch.toDF(), tableDir, pkCols,
+          bucketCol, s"$queryName-$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming SCD2 dimension maintenance: keep a versioned
     * valid_from/valid_to dimension ([[graft.operators.Scd2]]) current
     * against a change stream, rebuilding intervals ONLY for the keys a

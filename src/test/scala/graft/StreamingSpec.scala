@@ -538,4 +538,38 @@ class StreamingSpec extends SparkSpec {
       assert(ids.length <= 3 && ids.length >= 2)
     } finally query.stop()
   }
+
+  test("maintainVersioned: a restart replaying a committed batch is a no-op (txn marker)") {
+    import graft.eth.Versioned
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val root = java.nio.file.Files.createTempDirectory("graft_svtx").toString
+    val dir = s"$root/t"; val cp = s"$root/cp"
+    def start() = StreamingOps.maintainVersioned(
+      input.toDS().toDF("id", "bkt", "v"), dir, cp, "q7", Seq("id"), "bkt")
+    val q1 = start()
+    try { input.addData((1L, 0L, 10L), (2L, 0L, 20L)); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(Versioned.latestVersion(dir) == 1L)
+    assert(Versioned.txnVersion(dir, "q7-0").contains(1L))
+    // crash injection: the SINK committed batch 0 but the CHECKPOINT
+    // commit never landed (delete commits/0) -> the restart re-runs
+    // batch 0; the txn marker must make the re-apply a no-op
+    assert(new java.io.File(s"$cp/commits/0").delete(),
+      "fixture rot: checkpoint commit file not where expected")
+    // the Hadoop local FS keeps a .crc sidecar; a stale one fails the
+    // replay's rename-into-place
+    new java.io.File(s"$cp/commits/.0.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Versioned.latestVersion(dir) == 1L, "replayed batch double-applied")
+    val rows = Versioned.readAt(spark, dir)
+    assert(rows.count() == 2 && rows.agg(sum("v")).collect()(0).getLong(0) == 30L)
+    // and the stream keeps moving: a NEW batch commits version 2
+    val q3 = start()
+    try { input.addData((3L, 0L, 30L)); q3.processAllAvailable() }
+    finally q3.stop()
+    assert(Versioned.latestVersion(dir) == 2L)
+    assert(Versioned.readAt(spark, dir).count() == 3)
+  }
 }
