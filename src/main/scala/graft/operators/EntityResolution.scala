@@ -49,14 +49,33 @@ object EntityResolution {
     * blocking-key columns) self-join records within the block, keep
     * id_a < id_b, union the passes, dedup. Null block keys never match
     * (SQL equality semantics) — a record with a missing phone simply
-    * contributes no pairs to the phone pass. */
+    * contributes no pairs to the phone pass.
+    *
+    * `maxBlock` (0 = unlimited) is the standard ER flood guard: a block
+    * larger than the cap — the "UNKNOWN"/"N/A" junk value that owns 30%
+    * of a real corpus — is EXCLUDED from that pass before the self-join,
+    * because its |block|² pair set is (a) unpayable and (b) evidentially
+    * worthless (sharing a junk value is not evidence of identity).
+    * That's exactly why blocking is multi-pass: records flooded out of
+    * the name pass still pair through the phone pass, where their keys
+    * are discriminative. The cap is one map-side-combined count per
+    * pass, joined back as a semi-filter — metadata-priced. */
   def candidates(records: DataFrame, idCol: String,
-                 passes: Seq[Seq[String]]): DataFrame = {
+                 passes: Seq[Seq[String]], maxBlock: Int = 0): DataFrame = {
     require(passes.nonEmpty, "need at least one blocking pass")
     val id = col(idCol).cast("long")
     val byPass = passes.map { keys =>
-      val a = records.select((id.as("id_a") +: keys.map(col)): _*)
-      val b = records.select((id.as("id_b") +: keys.map(col)): _*)
+      val base =
+        if (maxBlock <= 0) records
+        else {
+          val small = records.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") <= maxBlock)
+            .drop("__bn")
+          records.join(small, keys, "left_semi")
+        }
+      val a = base.select((id.as("id_a") +: keys.map(col)): _*)
+      val b = base.select((id.as("id_b") +: keys.map(col)): _*)
       a.join(b, keys.map(k => a(k) === b(k)).reduce(_ && _)
           && col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
@@ -72,9 +91,9 @@ object EntityResolution {
     * comparison runs inside whole-stage codegen. */
   def matchPairs(records: DataFrame, idCol: String,
                  passes: Seq[Seq[String]], fields: Seq[Field],
-                 thresholdMilli: Int): DataFrame = {
+                 thresholdMilli: Int, maxBlock: Int = 0): DataFrame = {
     require(fields.nonEmpty, "need at least one compare field")
-    val cand = candidates(records, idCol, passes)
+    val cand = candidates(records, idCol, passes, maxBlock)
     val cols = fields.map(_.col).distinct
     val left = records.select(col(idCol).cast("long").as("id_a") +:
       cols.map(c => col(c).as(s"__a_$c")): _*)

@@ -392,8 +392,9 @@ object LlmQueries {
     * phone kept exact for every 10th, last digit bumped otherwise). The
     * oracle replays the identical algebra in SQL, so every pair score
     * and every survivorship pick is value-exact across engines. */
-  private def erRecords(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
-    val base = s.range(0, 400).selectExpr(
+  private def erRecords(s: org.apache.spark.sql.SparkSession,
+                        flood: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val base0 = s.range(0, 400).selectExpr(
         "id",
         "(id * 2654435761L) % 308915776L AS h",
         "(id * 104729L) % 10000000L AS p")
@@ -404,6 +405,11 @@ object LlmQueries {
           "chr(97 + ((h div 456976) % 26)), chr(97 + ((h div 11881376) % 26))) AS name",
         "concat('c', cast((id * 7919L) % 20 AS string)) AS city",
         "lpad(cast(p AS string), 7, '0') AS phone")
+    // the _hot twin: 30% of the corpus degrades to the junk name + junk
+    // city every real corpus has — the (city, name-prefix) block floods
+    val base = if (!flood) base0 else base0.selectExpr("id",
+      "CASE WHEN id % 10 < 3 THEN 'unknown' ELSE name END AS name",
+      "CASE WHEN id % 10 < 3 THEN 'cx' ELSE city END AS city", "phone")
     val variants = base.filter("id % 5 = 0").selectExpr(
       "id + 10000 AS id",
       "substring(name, 1, 5) AS name",
@@ -416,23 +422,32 @@ object LlmQueries {
   }
 
   /** DuckDB replay of [[erRecords]] — `rec(id, name, city, phone)`. */
-  private val erFixtureCte =
-    """WITH ids AS (SELECT unnest(range(0, 400)) AS id),
-      |hp AS (SELECT id, (id * 2654435761) % 308915776 AS h,
-      |              (id * 104729) % 10000000 AS p FROM ids),
-      |base AS (SELECT id,
-      |    chr((97 + (h % 26))::int) || chr((97 + ((h // 26) % 26))::int) ||
-      |    chr((97 + ((h // 676) % 26))::int) || chr((97 + ((h // 17576) % 26))::int) ||
-      |    chr((97 + ((h // 456976) % 26))::int) || chr((97 + ((h // 11881376) % 26))::int) AS name,
-      |    'c' || CAST((id * 7919) % 20 AS VARCHAR) AS city,
-      |    lpad(CAST(p AS VARCHAR), 7, '0') AS phone
-      |  FROM hp),
-      |var AS (SELECT id + 10000 AS id, substring(name, 1, 5) AS name, city,
-      |    CASE WHEN id % 10 = 0 THEN phone
-      |         ELSE lpad(CAST(CAST(phone AS BIGINT) - CAST(phone AS BIGINT) % 10
-      |              + (CAST(phone AS BIGINT) % 10 + 1) % 10 AS VARCHAR), 7, '0') END AS phone
-      |  FROM base WHERE id % 5 = 0),
-      |rec AS (SELECT * FROM base UNION ALL SELECT * FROM var)""".stripMargin
+  private def erFixtureCteF(flood: Boolean): String = {
+    val floodCte =
+      if (!flood) "base AS (SELECT * FROM base0)"
+      else """base AS (SELECT id,
+             |    CASE WHEN id % 10 < 3 THEN 'unknown' ELSE name END AS name,
+             |    CASE WHEN id % 10 < 3 THEN 'cx' ELSE city END AS city, phone
+             |  FROM base0)""".stripMargin
+    s"""WITH ids AS (SELECT unnest(range(0, 400)) AS id),
+       |hp AS (SELECT id, (id * 2654435761) % 308915776 AS h,
+       |              (id * 104729) % 10000000 AS p FROM ids),
+       |base0 AS (SELECT id,
+       |    chr((97 + (h % 26))::int) || chr((97 + ((h // 26) % 26))::int) ||
+       |    chr((97 + ((h // 676) % 26))::int) || chr((97 + ((h // 17576) % 26))::int) ||
+       |    chr((97 + ((h // 456976) % 26))::int) || chr((97 + ((h // 11881376) % 26))::int) AS name,
+       |    'c' || CAST((id * 7919) % 20 AS VARCHAR) AS city,
+       |    lpad(CAST(p AS VARCHAR), 7, '0') AS phone
+       |  FROM hp),
+       |$floodCte,
+       |var AS (SELECT id + 10000 AS id, substring(name, 1, 5) AS name, city,
+       |    CASE WHEN id % 10 = 0 THEN phone
+       |         ELSE lpad(CAST(CAST(phone AS BIGINT) - CAST(phone AS BIGINT) % 10
+       |              + (CAST(phone AS BIGINT) % 10 + 1) % 10 AS VARCHAR), 7, '0') END AS phone
+       |  FROM base WHERE id % 5 = 0),
+       |rec AS (SELECT * FROM base UNION ALL SELECT * FROM var)""".stripMargin
+  }
+  private val erFixtureCte = erFixtureCteF(flood = false)
 
   /** Candidate + Fellegi–Sunter scoring CTEs shared by the ER oracles
     * (multi-pass blocking: city+name-3-prefix UNION exact phone). */
@@ -2187,6 +2202,42 @@ object LlmQueries {
       Some(s"""$erMatchCte
               |SELECT id_a, id_b, CAST(score_milli AS BIGINT) AS score_milli
               |FROM m ORDER BY id_a, id_b""".stripMargin)),
+
+    // er_match_pairs' INDUCED-FLOOD twin: 30% of the corpus degrades to
+    // the junk name + junk city every real corpus has, so the
+    // (city, name-prefix) block floods quadratically. maxBlock = 50
+    // excludes the flooded block from that pass BEFORE the self-join
+    // (sharing a junk value is not identity evidence); flooded records
+    // with surviving discriminative keys still pair through the phone
+    // pass — the recall multi-pass blocking exists to protect. The
+    // oracle replays the identical block-size rule.
+    Q("er_match_pairs_hot", "LLM",
+      (s, d) => graft.operators.EntityResolution.matchPairs(
+          erRecords(s, flood = true), "id", erPasses, erFields,
+          thresholdMilli = 300, maxBlock = 50)
+        .orderBy("id_a", "id_b"),
+      Some(s"""${erFixtureCteF(flood = true)},
+              |b1 AS (SELECT city, substring(name, 1, 3) AS n3, count(*) AS bn
+              |       FROM rec GROUP BY 1, 2),
+              |ok1 AS (SELECT city, n3 FROM b1 WHERE bn <= 50),
+              |b2 AS (SELECT phone, count(*) AS bn FROM rec GROUP BY 1),
+              |ok2 AS (SELECT phone FROM b2 WHERE bn <= 50),
+              |cand AS (SELECT a.id AS id_a, b.id AS id_b FROM rec a
+              |           JOIN ok1 o ON o.city = a.city AND o.n3 = substring(a.name, 1, 3)
+              |           JOIN rec b ON a.city = b.city
+              |            AND substring(a.name, 1, 3) = substring(b.name, 1, 3)
+              |            AND a.id < b.id
+              |         UNION
+              |         SELECT a.id, b.id FROM rec a
+              |           JOIN ok2 o ON o.phone = a.phone
+              |           JOIN rec b ON a.phone = b.phone AND a.id < b.id),
+              |sc AS (SELECT c.id_a, c.id_b,
+              |    (CASE WHEN levenshtein(x.name, y.name) <= 2 THEN 400 ELSE -400 END
+              |     + CASE WHEN x.phone = y.phone THEN 300 ELSE -200 END
+              |     + CASE WHEN x.city = y.city THEN 150 ELSE -150 END) AS score_milli
+              |  FROM cand c JOIN rec x ON x.id = c.id_a JOIN rec y ON y.id = c.id_b)
+              |SELECT id_a, id_b, CAST(score_milli AS BIGINT) AS score_milli
+              |FROM sc WHERE score_milli >= 300 ORDER BY id_a, id_b""".stripMargin)),
 
     // Entity resolution, stage 3+4: matches -> connected components
     // (entity = smallest member id; singletons keep themselves) -> one

@@ -1076,6 +1076,23 @@ class OperatorsSpec extends SparkSpec {
     assert(est.length == 1 && est(0).getInt(2) == 3)
   }
 
+  test("er blocking flood guard: capped block drops quadratic junk; other passes keep recall") {
+    import graft.operators.EntityResolution
+    // 40 records share the junk (city, prefix) block; 1 & 2 are a true
+    // twin pair INSIDE the flood, linked by an exact phone
+    val recs = (1L to 40L).map(i =>
+      (i, "unknown", "cx", if (i <= 2) "5550001" else f"555$i%04d"))
+      .toDF("id", "name", "city", "phone")
+      .withColumn("name3", expr("substring(name, 1, 3)"))
+    val passes = Seq(Seq("city", "name3"), Seq("phone"))
+    val unbounded = EntityResolution.candidates(recs, "id", passes).count()
+    assert(unbounded >= 40L * 39 / 2, s"expected the quadratic flood, got $unbounded")
+    val capped = EntityResolution.candidates(recs, "id", passes, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the junk block is gone; the phone pass still finds the twin
+    assert(capped.toSeq == Seq((1L, 2L)))
+  }
+
   test("data quality: one-pass suite with exact counts and mixed statuses") {
     import graft.operators.DataQuality._
     val df = Seq(

@@ -19,7 +19,12 @@ timeout_s = float(os.environ.get('CHECK_TIMEOUT_S', '0') or 0)
 con = duckdb.connect()
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # sf1-scale tables are DIRECTORIES of part files (Spark needs >1 file
+    # for scan splits); DuckDB needs the glob spelled out in that case
+    p = f'{sf}/{t}.parquet'
+    if os.path.isdir(p):
+        p = f'{p}/*.parquet'
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
 
