@@ -4543,6 +4543,52 @@ object LlmQueries {
              |     JOIN ic cb ON cb.i = pc.item_b, nb
              |ORDER BY item_a, item_b""".stripMargin)),
 
+    // OHLC candles + VWAP per (event_type, hour): open/close are
+    // struct-argmin/argmax in the SAME single hash aggregate as
+    // high/low/volume — no window sort over the event stream, one
+    // map-side-combined pass. Deterministic tie-break on (ts, event_id);
+    // integer cents end to end.
+    Q("event_ohlc_vwap", "EVENT",
+      (s, d) => {
+        val ev = Tables(s, d, "events").select(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("hr"),
+          col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        ev.groupBy(col("event_type"), col("hr"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("cents")))
+              .getField("cents").as("open_cents"),
+            max(col("cents")).as("high_cents"),
+            min(col("cents")).as("low_cents"),
+            max(struct(col("ts"), col("event_id"), col("cents")))
+              .getField("cents").as("close_cents"),
+            count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"))
+          .withColumn("vwap_cents", expr("sum_cents div n"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
+             |         CAST(ts AS TIMESTAMP) AS t, event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS cents
+             |       FROM events),
+             |rk AS (SELECT *,
+             |         row_number() OVER (PARTITION BY event_type, hr
+             |                            ORDER BY t, event_id) AS rf,
+             |         row_number() OVER (PARTITION BY event_type, hr
+             |                            ORDER BY t DESC, event_id DESC) AS rl
+             |       FROM ev)
+             |SELECT event_type, hr,
+             |  CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS open_cents,
+             |  CAST(max(cents) AS BIGINT) AS high_cents,
+             |  CAST(min(cents) AS BIGINT) AS low_cents,
+             |  CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |  CAST(sum(cents) // count(*) AS BIGINT) AS vwap_cents
+             |FROM rk GROUP BY event_type, hr
+             |ORDER BY event_type, hr""".stripMargin)),
+
     // Interval x interval OVERLAP join, bucketized: per-(user, day)
     // activity spans vs synthetic 90-minute windows anchored at every
     // 4th hour. Each interval explodes into its covered hour buckets
