@@ -51,6 +51,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
   }
 
+  /** Hard-negative mining for contrastive training (the batch-mining
+    * step behind SimCLR/DPR-style embedding training): for each query,
+    * the k MOST SIMILAR candidates whose label DIFFERS — maximally
+    * confusable negatives, which carry far more gradient signal than
+    * random ones. Same plan shape as [[bruteForceTopK]] (one candidate
+    * scan × broadcast queries → per-query top-k) with the label
+    * exclusion fused into the scan filter, so rejected same-label rows
+    * never reach the ranking window. For corpus-scale mining swap the
+    * scoring stage for [[binaryRerankTopK]]'s coarse pass — the label
+    * filter composes the same way. */
+  def hardNegatives(candidates: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(candidates.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"),
+      col(labelCol).as("__ql"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"),
+      col(labelCol).as(s"neg_$labelCol"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col(s"neg_$labelCol") =!= col("__ql"))
+      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col(s"neg_$labelCol"),
+        col("rnk"), col("score"))
+  }
+
   /** Sign-bit binary code: the leading min(dim, 63) components packed
     * into ONE non-negative long (bit i−1 set iff component i > 0) — a
     * ~256× compression of a 64-dim float vector that turns coarse

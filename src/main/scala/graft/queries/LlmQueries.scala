@@ -1053,6 +1053,35 @@ object LlmQueries {
               |SELECT query_id, neighbor_id, hamming, rnk, score
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Hard-negative mining (the contrastive-training batch-mining step):
+    // per query, the 5 most similar DIFFERENT-lang documents — maximally
+    // confusable negatives. Label exclusion fuses into the candidate
+    // scan; embeddings carry their document's label via an id equi-join.
+    Q("ann_hard_negatives", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .join(Tables(s, d, "documents").select(col("doc_id"), col("lang")),
+            col("vec_id") === col("doc_id"))
+        Similarity.hardNegatives(e.filter(col("vec_id") >= 5),
+            e.filter(col("vec_id") < 5), k = 5, labelCol = "lang")
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, lang FROM embeddings
+              |           JOIN documents ON vec_id = doc_id),
+              |q AS (SELECT vec_id AS query_id, embedding AS qe, lang AS ql
+              |      FROM e WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, lang AS neg_lang
+              |      FROM e WHERE vec_id >= 5),
+              |sc AS (SELECT query_id, neighbor_id, neg_lang,
+              |         round($dotSql, 6) AS score
+              |       FROM q, c WHERE neg_lang <> ql),
+              |r AS (SELECT query_id, neighbor_id, neg_lang, score,
+              |        CAST(row_number() OVER (PARTITION BY query_id
+              |                                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |      FROM sc)
+              |SELECT query_id, neighbor_id, neg_lang, rnk, score
+              |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // LSH-bucketed ANN: the scale path — score only same-bucket pairs.
     Q("ann_lsh", "LLM",
       (s, d) => {
