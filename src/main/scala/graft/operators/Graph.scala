@@ -1311,6 +1311,38 @@ object Graph {
       .drop("__qn", "__qd")
   }
 
+  /** Per-community conductance φ(C) = cut(C) / min(vol(C), vol_total −
+    * vol(C)) over the simple undirected graph — the cut-quality audit
+    * that complements [[modularity]]: modularity says a partition beats
+    * chance, conductance says WHICH communities leak (low φ = tight).
+    * Integer milli with truncating division. One labeled-edge join
+    * (each cut edge charged to BOTH sides via a 2-element explode), one
+    * degree aggregate per label, a 1-row total — all map-side-combined
+    * equi-shuffles on node id / label. */
+  def conductance(edges: DataFrame, labels: DataFrame,
+                  srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    val deg = degrees(und)
+    val l = labels.select(col("node"), col("label"))
+    val cut = und
+      .join(l.select(col("node").as("u"), col("label").as("__lu")), "u")
+      .join(l.select(col("node").as("v"), col("label").as("__lv")), "v")
+      .filter(col("__lu") =!= col("__lv"))
+      .select(explode(array(col("__lu"), col("__lv"))).as("label"))
+      .groupBy(col("label")).agg(count(lit(1)).as("cut_edges"))
+    val vol = deg.join(l, "node")
+      .groupBy(col("label")).agg(sum(col("deg")).as("vol"))
+    val m2 = und.agg((count(lit(1)) * 2).as("vol_total"))
+    vol.join(cut, Seq("label"), "left")
+      .select(col("label"), col("vol"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .crossJoin(broadcast(m2))
+      .withColumn("phi_milli", expr(
+        """CASE WHEN least(vol, vol_total - vol) = 0 THEN 0L
+          |     ELSE cut_edges * 1000 div least(vol, vol_total - vol)
+          |END""".stripMargin))
+  }
+
   /** Modularity-optimizing community moves — the synchronous, fixed-round
     * form of the Louvain local-move phase (Blondel et al. 2008; the
     * synchronous parallelization is the standard distributed variant, cf.

@@ -4714,6 +4714,42 @@ object LlmQueries {
              |       END AS BIGINT) AS other_milli
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Per-community conductance over the SAME 2-round LPA labels as
+    // graph_modularity: cut / min(vol, total - vol) — modularity says
+    // the partition beats chance, conductance says WHICH communities
+    // leak. Cut edges charged to both sides via a 2-element explode.
+    Q("graph_conductance", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val labels = graft.operators.Graph.labelPropagation(
+          ew, rounds = 2, weightCol = Some("w"))
+        graft.operators.Graph.conductance(ew, labels)
+          .select(col("label"), col("vol"), col("cut_edges"), col("phi_milli"))
+          .orderBy("label")
+      },
+      Some(s"""$lpaLabelsCte,
+              |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |        FROM ew WHERE src <> dst),
+              |dg AS (SELECT node, count(*) AS deg FROM
+              |         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+              |       GROUP BY 1),
+              |lb AS (SELECT lu.label AS la, lv.label AS lv2 FROM und
+              |       JOIN l2 lu ON lu.node = und.u JOIN l2 lv ON lv.node = und.v),
+              |cut AS (SELECT label, count(*) AS cut_edges FROM (
+              |          SELECT la AS label FROM lb WHERE la <> lv2
+              |          UNION ALL SELECT lv2 FROM lb WHERE la <> lv2)
+              |        GROUP BY 1),
+              |vol AS (SELECT l2.label, sum(dg.deg) AS vol
+              |        FROM dg JOIN l2 ON l2.node = dg.node GROUP BY 1),
+              |m2 AS (SELECT 2 * count(*) AS vt FROM und)
+              |SELECT label, CAST(vol AS BIGINT) AS vol,
+              |  CAST(coalesce(cut_edges, 0) AS BIGINT) AS cut_edges,
+              |  CAST(CASE WHEN least(vol, vt - vol) = 0 THEN 0
+              |       ELSE coalesce(cut_edges, 0) * 1000 // least(vol, vt - vol)
+              |       END AS BIGINT) AS phi_milli
+              |FROM vol LEFT JOIN cut USING (label), m2
+              |ORDER BY label""".stripMargin)),
+
     // Modularity audit of the LPA partition (Newman & Girvan 2004): the
     // exact integer fraction Q = Σ_c(4·m·e_c − d_c²) / 4m² over the simple
     // undirected backbone, with the SAME 2-round LPA labels as
