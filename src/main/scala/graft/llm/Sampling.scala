@@ -564,4 +564,50 @@ object Sampling {
       .select(col(domainCol), col(lossMilliCol), col(prevMicroCol),
         col("factor_milli"), col("w_new_micro"))
   }
+
+  /** Neyman-allocation stratified sample sizing (Neyman 1934 — the
+    * variance-optimal split of a budget of `n` samples across strata):
+    * stratum h receives n·(N_h·σ_h)/Σ(N_h·σ_h). With integer-cent
+    * values, N_h·σ_h = √(N_h·Σx² − (Σx)²) EXACTLY, so the allocation
+    * weight needs no division at all; fractional seats resolve by the
+    * largest-remainder method (Hamilton), remainder ties broken by
+    * stratum value — fully deterministic, Σ n_alloc = n by construction.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the corpus (the
+    * only data-sized pass), a 1-row total broadcast, and a seat-ranking
+    * window over the STRATUM table — bounded by the stratum universe
+    * (segments, languages, domains: O(10..10k)), never corpus-sized.
+    * Degenerate all-zero-variance corpora (Σ weights = 0) allocate by
+    * population instead — the uniform-σ limit of the formula. */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCentsCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"sample budget must be >= 1, got $n")
+    val v = col(valueCentsCol).cast("decimal(38,0)")
+    val st = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_pop"), sum(v).as("__s"),
+        sum(v * v).as("__q"))
+      .withColumn("alloc_w", expr(
+        "cast(floor(sqrt(cast(n_pop * __q - __s * __s as double))) as bigint)"))
+    val tot = st.agg(sum(col("alloc_w")).as("__w"), sum(col("n_pop")).as("__np"))
+    // degenerate all-zero-variance corpus: substitute population for
+    // weight — the uniform-σ limit of the formula (a flat rem here would
+    // cap one seat per stratum and LOSE seats when n > #strata)
+    val based = st.crossJoin(broadcast(tot))
+      .withColumn("__base", expr(
+        s"""CASE WHEN __w = 0 THEN cast($n as bigint) * n_pop div __np
+           |     ELSE cast($n as bigint) * alloc_w div __w END""".stripMargin))
+      .withColumn("__rem", expr(
+        s"""CASE WHEN __w = 0 THEN cast($n as bigint) * n_pop - __base * __np
+           |     ELSE cast($n as bigint) * alloc_w - __base * __w END""".stripMargin))
+    val extra = based.agg((lit(n.toLong) - sum(col("__base"))).as("__extra"))
+    // seat ranking runs over the bounded stratum table — the one-task
+    // window is by design here, same class as the day-spine whitelist
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("stratum"))
+    based.crossJoin(broadcast(extra))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_alloc",
+        col("__base") + when(col("__rk") <= col("__extra"), 1L).otherwise(0L))
+      .select(col("stratum"), col("n_pop"), col("alloc_w"), col("n_alloc"))
+  }
 }

@@ -2605,6 +2605,36 @@ object LlmQueries {
     // src0, 25% of src1, 10% of everything else, decided by id hash alone
     // (content- and partitioning-independent, replay-stable). Broadcast
     // rate lookup + one filtered scan, no shuffle of the corpus.
+    // Neyman-allocation sample sizing: a 100-sample budget split across
+    // market segments proportionally to N_h*sigma_h (exact integer
+    // sqrt(N*Sum(x^2) - Sum(x)^2) weights), fractional seats by largest
+    // remainder with deterministic ties — one corpus aggregate, then
+    // metadata-sized seat ranking. Sum(n_alloc) = 100 by construction.
+    Q("sample_neyman", "LLM",
+      (s, d) => Sampling.neymanAllocation(
+          Tables(s, d, "customer")
+            .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long")),
+          "c_mktsegment", "bal_c", n = 100)
+        .orderBy("stratum"),
+      Some("""WITH st AS (SELECT c_mktsegment AS stratum, count(*) AS n_pop,
+             |         sum(CAST(round(c_acctbal * 100) AS HUGEINT)) AS s,
+             |         sum(CAST(round(c_acctbal * 100) AS HUGEINT)
+             |             * CAST(round(c_acctbal * 100) AS HUGEINT)) AS q
+             |       FROM customer GROUP BY 1),
+             |w AS (SELECT stratum, n_pop,
+             |        CAST(floor(sqrt(CAST(n_pop * q - s * s AS DOUBLE))) AS BIGINT) AS alloc_w
+             |      FROM st),
+             |t AS (SELECT sum(alloc_w) AS tw FROM w),
+             |b AS (SELECT stratum, n_pop, alloc_w,
+             |        100 * alloc_w // tw AS base,
+             |        100 * alloc_w - (100 * alloc_w // tw) * tw AS rem
+             |      FROM w, t),
+             |e AS (SELECT 100 - sum(base) AS extra FROM b),
+             |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
+             |SELECT stratum, CAST(n_pop AS BIGINT) AS n_pop, alloc_w,
+             |  CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+             |FROM r, e ORDER BY stratum""".stripMargin)),
+
     Q("sample_stratified", "LLM",
       (s, d) => {
         import s.implicits._

@@ -184,6 +184,26 @@ class LlmSpec extends SparkSpec {
     assert(out(1).getAs[Long]("neighbor_id") == 11L)
   }
 
+  test("neyman allocation: seats sum to n; high-variance strata get more; zero-variance degenerates") {
+    import graft.llm.Sampling
+    // stratum A: spread values (high sigma); B: constant (sigma 0); C: mild
+    val df = (Seq.tabulate(50)(i => ("A", (i * 97L) % 1000)) ++
+      Seq.fill(50)(("B", 500L)) ++
+      Seq.tabulate(50)(i => ("C", 500L + (i % 3)))).toDF("s", "cents")
+    val a = Sampling.neymanAllocation(df, "s", "cents", n = 10)
+      .orderBy("stratum").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    assert(a.values.sum == 10L, s"seats must sum to the budget: $a")
+    assert(a("A") > a("C") && a("C") >= a("B"), s"variance ordering violated: $a")
+    assert(a("B") == 0L) // sigma = 0 -> no seats while others have weight
+    // all-zero-variance corpus: allocation falls back to population
+    val flat = Seq.fill(30)(("X", 5L)).toDF("s", "cents")
+      .unionByName(Seq.fill(10)(("Y", 7L)).toDF("s", "cents"))
+    val f = Sampling.neymanAllocation(flat, "s", "cents", n = 4)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_alloc")).toMap
+    assert(f.values.sum == 4L && f("X") >= f("Y"))
+  }
+
   test("cdc chunks: boundaries re-align after an insertion (edit-robust, unlike a fixed grid)") {
     import graft.llm.Dedup
     val words = (0 until 120).map(i => s"w${(i * 37) % 53}")
