@@ -653,4 +653,37 @@ class PlanSpec extends SparkSpec {
         s"decode+hash must not shuffle (1 allowed for the output sort):\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("assoc-rules pair stage keeps the explicit repartition pin (AQE cannot coalesce it)") {
+    // the r9 scale gate measured a 53x serialization when AQE coalesced
+    // the byte-tiny baskets exchange under the pair fan-out; the plan
+    // must carry REPARTITION_BY_NUM (a hard distribution requirement)
+    val p = plan("event_assoc_rules")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"pair stage lost its pinned repartition:\n$p")
+  }
+
+  test("bloom-prefiltered join probes at the scan, below the join") {
+    val p = plan("j_bloom_prefilter")
+    // the probe is k shift/AND tests against the filter literal — it
+    // must appear as a Filter containing shiftright, not a join
+    val probeIdx = p.indexOf("shiftright")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("HashJoin"))
+    assert(probeIdx >= 0, s"bloom probe not found in plan:\n$p")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe must sit BELOW the join in the plan tree:\n$p")
+  }
+
+  test("binary rerank: the coarse ranking window carries codes, not float vectors") {
+    val p = Registry.queries("ann_binary_rerank")(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = p.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    // the FIRST (deepest) window is the Hamming coarse top-k: its child
+    // must not carry any embedding array — 8-byte codes only
+    val coarse = windows.last.child.output.map(_.name)
+    assert(!coarse.exists(n => n == "__q" || n == "__c"),
+      s"coarse window shuffles float vectors: $coarse")
+  }
 }
