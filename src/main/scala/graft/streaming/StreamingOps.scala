@@ -92,6 +92,29 @@ object StreamingOps {
       .drop(s"__r_$keyCol")
   }
 
+  /** Left-outer stream-stream interval join: like [[intervalJoin]] but a
+    * left row with NO right match within the lookback still emits (right
+    * columns null) — once the right-side watermark passes the end of the
+    * row's join window, the engine can PROVE no future match exists and
+    * releases the row with nulls while evicting its state. This is the
+    * attribution-completeness contract the inner join can't give
+    * ("purchases with no preceding click must still be counted"), and
+    * the watermark is what bounds state at 100 TB-stream scale: without
+    * it a left-outer stream join would hold every row forever. Both
+    * inputs must carry event-time watermarks. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            keyCol: String = "user_id", leftTs: String = "ts",
+                            rightTs: String = "rts",
+                            lookback: String = "30 minutes"): DataFrame = {
+    val r = right.withColumnRenamed(keyCol, s"__r_$keyCol")
+    left.join(r,
+      left(keyCol) === r(s"__r_$keyCol")
+        && r(rightTs) >= left(leftTs) - expr(s"INTERVAL $lookback")
+        && r(rightTs) <= left(leftTs),
+      "leftOuter")
+      .drop(s"__r_$keyCol")
+  }
+
   /** Stream-static enrichment: a live stream joined to a slowly-changing
     * dimension (the "events × lookup table" deployment shape). Structured
     * Streaming re-evaluates the static side per micro-batch — dimension

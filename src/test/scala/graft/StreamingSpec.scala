@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer interval join: unmatched purchases emit with nulls after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamingOps.intervalJoinLeftOuter(
+      StreamingOps.withLateDataWatermark(
+        purchases.toDF().select(col("event_id"), col("user_id"), col("ts"))),
+      StreamingOps.withLateDataWatermark(
+        clicks.toDF().select(col("user_id"),
+          col("ts").as("rts"), col("event_id").as("click_id")), "rts"),
+      lookback = "30 minutes")
+    val query = joined.writeStream
+      .format("memory").queryName("loj_out").outputMode("append").start()
+    try {
+      clicks.addData(Event(101L, ts(0), 1L, "click", 1.0))
+      purchases.addData(
+        Event(1L, ts(20), 1L, "purchase", 5.0),  // matched by click 101
+        Event(2L, ts(21), 2L, "purchase", 7.0))  // user 2: NO click
+      query.processAllAvailable()
+      // the matched row emits immediately; the unmatched one is held
+      // until the watermark proves no click can still arrive
+      clicks.addData(Event(199L, ts(600), 9L, "click", 1.0)) // advance wm
+      purchases.addData(Event(9L, ts(600), 9L, "purchase", 1.0))
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val rows = spark.table("loj_out").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("click_id")))
+        .toMap
+      assert(rows(1L).contains(101L), s"matched row wrong: $rows")
+      assert(rows.contains(2L) && rows(2L).isEmpty,
+        s"unmatched purchase must emit with null click after watermark: $rows")
+    } finally query.stop()
+  }
+
   test("stream-static enrichment broadcasts the dimension; unmatched rows survive") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
