@@ -4602,6 +4602,67 @@ object LlmQueries {
              |     JOIN ic cb ON cb.i = pc.item_b, nb
              |ORDER BY item_a, item_b""".stripMargin)),
 
+    // Max drawdown per user: running peak (one ordered window per user)
+    // minus current value, maxed in the same pass — the risk metric
+    // behind equity-curve monitoring; integer cents, deterministic
+    // (ts, event_id) order.
+    Q("event_max_drawdown", "EVENT",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, d, "events").select(col("user_id"),
+          col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("peak", max(col("cents")).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("peak") - col("cents")).as("max_drawdown_cents"),
+            max(col("peak")).as("peak_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |pk AS (SELECT user_id, cents,
+             |         max(cents) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                          ROWS UNBOUNDED PRECEDING) AS peak
+             |       FROM ev)
+             |SELECT user_id, CAST(max(peak - cents) AS BIGINT) AS max_drawdown_cents,
+             |  CAST(max(peak) AS BIGINT) AS peak_cents
+             |FROM pk GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Longest consecutive-day activity streak per user — the classic
+    // gaps-and-islands shape: island key = active-day-number minus its
+    // per-user rank (constant within a run of consecutive days), longest
+    // streak = the largest island. One distinct + one window + two
+    // aggregates, all keyed on the user.
+    Q("event_streaks", "EVENT",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days.withColumn("island", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("len")).as("n_active_days"),
+            max(col("len")).as("longest_streak"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+             |         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+             |       FROM events),
+             |isl AS (SELECT user_id, day,
+             |          day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+             |        FROM days),
+             |runs AS (SELECT user_id, island, count(*) AS len
+             |         FROM isl GROUP BY 1, 2)
+             |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             |  CAST(max(len) AS BIGINT) AS longest_streak
+             |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // OHLC candles + VWAP per (event_type, hour): open/close are
     // struct-argmin/argmax in the SAME single hash aggregate as
     // high/low/volume — no window sort over the event stream, one
