@@ -4602,6 +4602,105 @@ object LlmQueries {
              |     JOIN ic cb ON cb.i = pc.item_b, nb
              |ORDER BY item_a, item_b""".stripMargin)),
 
+    // ANALYZE-shape table statistics: per-column null count, exact NDV,
+    // min/max — the CBO inputs — for four lineitem columns in ONE
+    // aggregation pass (multi-distinct folds via the Expand rewrite;
+    // numerics read out as integer cents so min/max strings are
+    // engine-proof). Row-per-column report like the DQ suite.
+    Q("profile_table_stats", "LLM",
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+        val one = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
+          countDistinct(col("l_orderkey")).as("d1"),
+          min(col("l_orderkey")).cast("string").as("mn1"),
+          max(col("l_orderkey")).cast("string").as("mx1"),
+          sum(when(col("qty_c").isNull, 1L).otherwise(0L)).as("nn2"),
+          countDistinct(col("qty_c")).as("d2"),
+          min(col("qty_c")).cast("string").as("mn2"),
+          max(col("qty_c")).cast("string").as("mx2"),
+          sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn3"),
+          countDistinct(col("l_returnflag")).as("d3"),
+          min(col("l_returnflag")).as("mn3"), max(col("l_returnflag")).as("mx3"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn4"),
+          countDistinct(col("l_shipdate")).as("d4"),
+          min(col("l_shipdate")).cast("string").as("mn4"),
+          max(col("l_shipdate")).cast("string").as("mx4"))
+        val rows = Seq(("l_orderkey", "1"), ("l_quantity_cents", "2"),
+          ("l_returnflag", "3"), ("l_shipdate", "4")).map { case (nm, i) =>
+          struct(lit(nm).as("column_name"), col("n").as("n_rows"),
+            col(s"nn$i").as("n_nulls"), col(s"d$i").as("ndv"),
+            col(s"mn$i").as("min_str"), col(s"mx$i").as("max_str"))
+        }
+        one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+          .orderBy("column_name")
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+             |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             |         l_returnflag, l_shipdate FROM lineitem),
+             |one AS (SELECT count(*) AS n,
+             |  sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+             |  count(DISTINCT l_orderkey) AS d1,
+             |  CAST(min(l_orderkey) AS VARCHAR) AS mn1, CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+             |  sum(CASE WHEN qty_c IS NULL THEN 1 ELSE 0 END) AS nn2,
+             |  count(DISTINCT qty_c) AS d2,
+             |  CAST(min(qty_c) AS VARCHAR) AS mn2, CAST(max(qty_c) AS VARCHAR) AS mx2,
+             |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn3,
+             |  count(DISTINCT l_returnflag) AS d3,
+             |  min(l_returnflag) AS mn3, max(l_returnflag) AS mx3,
+             |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nn4,
+             |  count(DISTINCT l_shipdate) AS d4,
+             |  CAST(min(l_shipdate) AS VARCHAR) AS mn4, CAST(max(l_shipdate) AS VARCHAR) AS mx4
+             |  FROM li)
+             |SELECT column_name, CAST(n AS BIGINT) AS n_rows,
+             |  CAST(n_nulls AS BIGINT) AS n_nulls, CAST(ndv AS BIGINT) AS ndv,
+             |  min_str, max_str
+             |FROM (
+             |  SELECT 'l_orderkey' AS column_name, n, nn1 AS n_nulls, d1 AS ndv, mn1 AS min_str, mx1 AS max_str FROM one
+             |  UNION ALL SELECT 'l_quantity_cents', n, nn2, d2, mn2, mx2 FROM one
+             |  UNION ALL SELECT 'l_returnflag', n, nn3, d3, mn3, mx3 FROM one
+             |  UNION ALL SELECT 'l_shipdate', n, nn4, d4, mn4, mx4 FROM one)
+             |ORDER BY column_name""".stripMargin)),
+
+    // Item-item cosine (item-based collaborative filtering, Sarwar et
+    // al. 2001): cosine of binary user-incidence vectors = c_ab /
+    // sqrt(c_a*c_b), read directly off the assoc-rules counts — the
+    // recommendation readout rides the SAME pinned pair machinery.
+    // Integer milli with the engines' shared floor-sqrt discipline.
+    Q("rec_item_cosine", "EVENT",
+      (s, d) => {
+        val items = Tables(s, d, "events").select(
+          col("user_id"),
+          concat(col("event_type"), lit("#"),
+            expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 25")
+              .cast("string")).as("item"))
+        graft.operators.Associations.rules(items, "user_id", "item",
+            minPairCount = 20)
+          .withColumn("cosine_milli", expr(
+            """cast(c_ab as bigint) * 1000
+              | div cast(floor(sqrt(cast(c_a as double) * cast(c_b as double))) as bigint)""".stripMargin))
+          .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+            col("c_b"), col("cosine_milli"))
+          .orderBy("item_a", "item_b")
+      },
+      Some("""WITH it AS (SELECT DISTINCT user_id AS k,
+             |         event_type || '#' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS VARCHAR) AS i
+             |       FROM events),
+             |itn AS (SELECT * FROM it WHERE i IS NOT NULL),
+             |ic AS (SELECT i, count(*) AS c FROM itn GROUP BY 1),
+             |pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS c_ab
+             |       FROM itn a JOIN itn b ON a.k = b.k AND a.i <> b.i
+             |       GROUP BY 1, 2 HAVING count(*) >= 20)
+             |SELECT item_a, item_b, CAST(c_ab AS BIGINT) AS c_ab,
+             |  CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+             |  CAST(c_ab * 1000 // CAST(floor(sqrt(CAST(ca.c AS DOUBLE) * cb.c)) AS BIGINT) AS BIGINT)
+             |    AS cosine_milli
+             |FROM pc JOIN ic ca ON ca.i = pc.item_a
+             |     JOIN ic cb ON cb.i = pc.item_b
+             |ORDER BY item_a, item_b""".stripMargin)),
+
     // Max drawdown per user: running peak (one ordered window per user)
     // minus current value, maxed in the same pass — the risk metric
     // behind equity-curve monitoring; integer cents, deterministic
