@@ -1200,6 +1200,32 @@ object RelationalQueries {
              |WHERE o_orderkey % 50 = 0
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Full-outer join with engineered unmatched rows on BOTH sides
+    // (even-key customers vs the order book of %3 customers): the one
+    // outer-join shape the battery lacked. Null-side handling is the
+    // point — keys coalesce, the aggregate treats absent sides as 0.
+    Q("j_full_outer", "J",
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = Tables(s, d, "orders")
+          .filter(col("o_custkey") % 3 === 0)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+             |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+             |      WHERE o_custkey % 3 = 0 GROUP BY 1)
+             |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+             |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+             |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     Q("j_semi", "J",
       (s, d) => Tables(s, d, "customer")
         .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
