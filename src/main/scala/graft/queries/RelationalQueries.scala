@@ -1544,6 +1544,55 @@ object RelationalQueries {
     // Array-function battery: sort/distinct/contains/position/slice/set ops
     // over arrays — all scalar (per-row), encoded to comparator-safe
     // strings in the final projection.
+    // Struct surface: build, field access, nested comparison-based
+    // argmax (struct ordering is the engine's tuple ordering), struct →
+    // JSON text. Struct min/max is the argmin/argmax workhorse the
+    // whole battery leans on — surfaced here explicitly.
+    Q("fn_struct", "FN",
+      (s, d) => Tables(s, d, "orders")
+        .select(col("o_custkey"),
+          struct(round(col("o_totalprice") * 100).cast("long").as("price_c"),
+            col("o_orderkey").as("ok")).as("st"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("st")).as("best"), count(lit(1)).as("n"))
+        .select(col("o_custkey"), col("best.price_c").as("best_price_c"),
+          col("best.ok").as("best_orderkey"), col("n"),
+          concat(lit("{\"p\":"), col("best.price_c").cast("string"),
+            lit(",\"k\":"), col("best.ok").cast("string"), lit("}")).as("js"))
+        .orderBy("o_custkey"),
+      Some("""WITH st AS (SELECT o_custkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS p, o_orderkey AS k,
+             |         row_number() OVER (PARTITION BY o_custkey
+             |           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+             |                    o_orderkey DESC) AS rn,
+             |         count(*) OVER (PARTITION BY o_custkey) AS n
+             |       FROM orders)
+             |SELECT o_custkey, p AS best_price_c, k AS best_orderkey,
+             |  CAST(n AS BIGINT) AS n,
+             |  '{"p":' || CAST(p AS VARCHAR) || ',"k":' || CAST(k AS VARCHAR) || '}' AS js
+             |FROM st WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Bitwise surface: shifts, and/or/xor, popcount — the primitives
+    // under the SimHash/bitmap/Bloom family, surfaced as columns.
+    Q("fn_bitwise", "FN",
+      (s, d) => Tables(s, d, "part")
+        .select(col("p_partkey"),
+          expr("shiftleft(p_partkey, 3)").as("shl3"),
+          expr("shiftright(p_partkey, 2)").as("shr2"),
+          expr("p_partkey & 255").as("lo8"),
+          expr("p_partkey | 4096").as("or4k"),
+          expr("p_partkey ^ 21845").as("xorpat"),
+          expr("cast(bit_count(p_partkey) as int)").as("pop"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  CAST(p_partkey << 3 AS BIGINT) AS shl3,
+             |  CAST(p_partkey >> 2 AS BIGINT) AS shr2,
+             |  CAST(p_partkey & 255 AS BIGINT) AS lo8,
+             |  CAST(p_partkey | 4096 AS BIGINT) AS or4k,
+             |  CAST(xor(p_partkey, 21845) AS BIGINT) AS xorpat,
+             |  CAST(bit_count(p_partkey) AS INTEGER) AS pop
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     Q("fn_array", "FN",
       (s, d) => {
         val words = split(col("p_name"), " ")
