@@ -1544,6 +1544,18 @@ object RelationalQueries {
     // Array-function battery: sort/distinct/contains/position/slice/set ops
     // over arrays — all scalar (per-row), encoded to comparator-safe
     // strings in the final projection.
+    // LIKE-prefix pushdown evidence: a 'xxx%' predicate reaches the
+    // parquet scan as StringStartsWith (PlanSpec asserts it), so row
+    // groups whose min/max string range excludes the prefix are skipped
+    // at the reader — the string analogue of the numeric range scan.
+    Q("q7_like_prefix", "Q",
+      (s, d) => Tables(s, d, "part")
+        .filter(col("p_name").startsWith("alm"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name LIKE 'alm%' ORDER BY p_partkey""".stripMargin)),
+
     // Struct surface: build, field access, nested comparison-based
     // argmax (struct ordering is the engine's tuple ordering), struct →
     // JSON text. Struct min/max is the argmin/argmax workhorse the

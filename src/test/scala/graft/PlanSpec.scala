@@ -654,6 +654,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("LIKE prefix pushes StringStartsWith into the parquet scan") {
+    val p = plan("q7_like_prefix")
+    assert(p.contains("StartsWith"), s"expected pushed StartsWith filter:\n$p")
+    assert(!p.contains("p_retailprice")) // column pruning holds too
+  }
+
   test("assoc-rules pair stage keeps the explicit repartition pin (AQE cannot coalesce it)") {
     // the r9 scale gate measured a 53x serialization when AQE coalesced
     // the byte-tiny baskets exchange under the pair fan-out; the plan
