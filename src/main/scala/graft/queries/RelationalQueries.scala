@@ -1544,6 +1544,58 @@ object RelationalQueries {
     // Array-function battery: sort/distinct/contains/position/slice/set ops
     // over arrays — all scalar (per-row), encoded to comparator-safe
     // strings in the final projection.
+    // FILTER-clause aggregate surface: per-group conditional aggregates
+    // without CASE pyramids — identical SQL text runs on both engines.
+    Q("agg_filter_clause", "A",
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag,
+                |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+                |  count(*) FILTER (WHERE l_discount = 0) AS n_full_price,
+                |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                |       FILTER (WHERE l_tax = 0) AS BIGINT) AS untaxed_cents
+                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+             |  count(*) FILTER (WHERE l_discount = 0) AS n_full_price,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |       FILTER (WHERE l_tax = 0) AS BIGINT) AS untaxed_cents
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Cumulative distinct count per user over time — exact running NDV
+    // without quadratic state: a first-occurrence flag (row_number = 1
+    // per (user, item)) summed cumulatively. Two windows, both keyed on
+    // the high-cardinality user.
+    Q("w11_cumulative_distinct", "W",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables(s, d, "events")
+          .filter(col("user_id") < 30)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val wf = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts", "event_id")
+        val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("first_seen",
+            when(row_number().over(wf) === 1, 1L).otherwise(0L))
+          .withColumn("n_distinct_types_so_far", sum(col("first_seen")).over(wc))
+          .select(col("user_id"), col("event_id"), col("n_distinct_types_so_far"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type
+             |       FROM events WHERE user_id < 30),
+             |fs AS (SELECT user_id, t, event_id,
+             |         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+             |                                      ORDER BY t, event_id) = 1
+             |              THEN 1 ELSE 0 END AS first_seen
+             |       FROM ev)
+             |SELECT user_id, event_id,
+             |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY t, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS n_distinct_types_so_far
+             |FROM fs ORDER BY user_id, event_id""".stripMargin)),
+
     // LIKE-prefix pushdown evidence: a 'xxx%' predicate reaches the
     // parquet scan as StringStartsWith (PlanSpec asserts it), so row
     // groups whose min/max string range excludes the prefix are skipped
