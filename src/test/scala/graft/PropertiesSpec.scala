@@ -455,4 +455,29 @@ class PropertiesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
     assert(merged == expect)
   }
+
+  test("interval overlap join equals the theta join and is bucket-size invariant") {
+    import graft.operators.IntervalJoin
+    // deterministic pseudo-random intervals: starts/lengths from a hash
+    val a = (0L until 80L).map(i =>
+      (s"a$i", (i * 7919) % 5000, (i * 7919) % 5000 + (i * 104729) % 900))
+      .toDF("id", "s", "e")
+    val b = (0L until 60L).map(i =>
+      (s"b$i", (i * 6271) % 5000, (i * 6271) % 5000 + (i * 31) % 1200))
+      .toDF("id", "s", "e")
+    def run(bucket: Long) =
+      IntervalJoin.overlapJoin(a, b, "id", "s", "e", "id", "s", "e", bucket)
+        .select("a_id", "b_id", "overlap_s")
+        .collect().map(_.toSeq).toSet
+    val naive = a.select(col("id").as("a_id"), col("s").as("a_s"), col("e").as("a_e"))
+      .crossJoin(b.select(col("id").as("b_id"), col("s").as("b_s"), col("e").as("b_e")))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("a_id"), col("b_id"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_s"))
+      .collect().map(_.toSeq).toSet
+    val r100 = run(100L)
+    assert(r100 == naive, "bucketized join diverged from the theta join")
+    // the bucket width is a PERFORMANCE knob, never a semantics knob
+    assert(run(1L) == r100 && run(10000L) == r100)
+  }
 }
