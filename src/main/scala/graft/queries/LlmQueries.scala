@@ -2473,6 +2473,61 @@ object LlmQueries {
               |    (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT) AS p_micro
               |FROM mgs ORDER BY doc_id""".stripMargin)),
 
+    // Classifier evaluation: confusion matrix + precision/recall/F1
+    // (integer milli) of the trained quality model against its labels at
+    // the p >= 0.5 operating point — ONE conditional-sum aggregate over
+    // the scored corpus; the standard eval artifact a training pipeline
+    // gates promotion on.
+    Q("text_classifier_eval", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val labels = docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
+          numFeatures = 64)
+        val w = graft.llm.Classifier.logisticTrain(feats, labels,
+          rounds = 2, lrMilli = 500L, xCol = "weight")
+        graft.llm.Classifier.logisticScore(feats, w, xCol = "weight")
+          .join(labels, "doc_id")
+          .withColumn("pred", when(col("p_micro") >= 500000L, 1L).otherwise(0L))
+          .agg(
+            sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+          .withColumn("precision_milli",
+            expr("CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 1000 div (tp + fp) END"))
+          .withColumn("recall_milli",
+            expr("CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 1000 div (tp + fn) END"))
+          .withColumn("f1_milli", expr(
+            """CASE WHEN 2 * tp + fp + fn = 0 THEN 0L
+              |ELSE 2 * tp * 1000 div (2 * tp + fp + fn) END""".stripMargin))
+      },
+      Some(s"""$logitTrainCte,
+              |mgs AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+              |        FROM feat f JOIN w2 w USING (feature_idx) GROUP BY 1),
+              |sc AS (SELECT m.doc_id,
+              |         CASE WHEN round(1000000.0 /
+              |           (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) >= 500000
+              |           THEN 1 ELSE 0 END AS pred,
+              |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+              |       FROM mgs m JOIN documents d USING (doc_id)),
+              |cm AS (SELECT
+              |  sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+              |  sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+              |  sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+              |  sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+              |  FROM sc)
+              |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+              |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+              |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS BIGINT)
+              |    AS precision_milli,
+              |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS BIGINT)
+              |    AS recall_milli,
+              |  CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+              |       ELSE 2 * tp * 1000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_milli
+              |FROM cm""".stripMargin)),
+
     // BM25 lexical retrieval (k1=1.2, b=0.75, integer-exact micro scores):
     // three probe queries ride a broadcast into the corpus posting table —
     // postings of non-query terms never shuffle — then one (query, doc)
