@@ -1785,6 +1785,36 @@ object LlmQueries {
              |FROM tf JOIN dfreq USING (term) CROSS JOIN n
              |ORDER BY doc_id, term""".stripMargin)),
 
+    // Keyword extraction readout: per-document top-3 terms by TF-IDF
+    // (the RAKE-class signal) — one window over the tfidf table keyed on
+    // the high-cardinality doc id, deterministic (score desc, term) tie.
+    Q("text_keywords_tfidf", "LLM",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))
+        TextAnalysis.tfIdf(Tables(s, d, "documents")
+            .filter(col("doc_id") < 100), "doc_id", "text")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+             |toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM docs),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+             |sc AS (SELECT doc_id, term,
+             |         round(tf * ln(CAST(n_docs AS DOUBLE) / df_count), 6) AS tfidf
+             |       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, tfidf,
+             |        CAST(row_number() OVER (PARTITION BY doc_id
+             |                                ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+             |      FROM sc)
+             |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
     // Unigram log-probability ("perplexity proxy") quality scoring.
     Q("text_unigram_logprob", "LLM",
       (s, d) => TextAnalysis.unigramLogProbScores(Tables(s, d, "documents"), "doc_id", "text")
@@ -4755,6 +4785,87 @@ object LlmQueries {
              |FROM pc JOIN ic ca ON ca.i = pc.item_a
              |     JOIN ic cb ON cb.i = pc.item_b
              |ORDER BY item_a, item_b""".stripMargin)),
+
+    // Theil-Sen robust trend (median of pairwise slopes — breakdown
+    // point 29%, vs OLS's 0): the scale story is AGGREGATE FIRST — the
+    // corpus collapses to one row per day (bounded spine), and only the
+    // ~spine^2/2 metadata pairs are enumerated. Sign-safe truncating
+    // milli slopes; lower median (value at rank (n+1)/2) so the readout
+    // is integer-exact on both engines.
+    Q("event_theilsen_trend", "EVENT",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, d, "events")
+          .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val a = daily.select(col("day").as("d1"), col("n").as("n1"))
+        val b = daily.select(col("day").as("d2"), col("n").as("n2"))
+        val slopes = a.join(b, col("d1") < col("d2"))
+          .select(expr(
+            """CASE WHEN n2 - n1 < 0 THEN -((n1 - n2) * 1000 div (d2 - d1))
+              |ELSE (n2 - n1) * 1000 div (d2 - d1) END""".stripMargin)
+            .as("slope_milli"))
+        val w = Window.orderBy("slope_milli") // bounded: spine^2/2 rows
+        slopes
+          .withColumn("rn", row_number().over(w))
+          .crossJoin(broadcast(slopes.agg(count(lit(1)).as("n_pairs"))))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .select(col("n_pairs"), col("slope_milli").as("trend_milli_per_day"))
+      },
+      Some("""WITH daily AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+             |         count(*) AS n FROM events GROUP BY 1),
+             |sl AS (SELECT CASE WHEN b.n - a.n < 0
+             |           THEN -((a.n - b.n) * 1000 // (b.day - a.day))
+             |           ELSE (b.n - a.n) * 1000 // (b.day - a.day) END AS slope_milli
+             |       FROM daily a JOIN daily b ON a.day < b.day),
+             |r AS (SELECT slope_milli, row_number() OVER (ORDER BY slope_milli) AS rn,
+             |        count(*) OVER () AS n_pairs FROM sl)
+             |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+             |  CAST(slope_milli AS BIGINT) AS trend_milli_per_day
+             |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin)),
+
+    // Median imputation (the fill-missing cleaning primitive): nulls are
+    // planted deterministically, the per-group LOWER median (value at
+    // rank (n+1)/2 of the non-null rows — integer-exact on both engines,
+    // unlike interpolating median()) fills them, and the report proves
+    // it: per group, missing count, the median used, and the imputed sum.
+    Q("clean_impute_median", "A",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            when((col("l_orderkey") + col("l_linenumber")) % 7 === 0, lit(null))
+              .otherwise(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("qty_c")
+        val med = li.filter(col("qty_c").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            Window.partitionBy("l_returnflag")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("l_returnflag"), col("qty_c").as("median_c"))
+        li.join(med, "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("qty_c").isNull, 1L).otherwise(0L)).as("n_missing"),
+            max(col("median_c")).as("median_c"),
+            sum(coalesce(col("qty_c"), col("median_c"))).as("sum_imputed_c"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag, CASE WHEN (l_orderkey + l_linenumber) % 7 = 0
+             |           THEN NULL ELSE CAST(round(l_quantity * 100) AS BIGINT) END AS qty_c
+             |       FROM lineitem),
+             |nn AS (SELECT l_returnflag, qty_c,
+             |         row_number() OVER (PARTITION BY l_returnflag ORDER BY qty_c) AS rn,
+             |         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+             |       FROM li WHERE qty_c IS NOT NULL),
+             |med AS (SELECT l_returnflag, qty_c AS median_c FROM nn
+             |        WHERE rn = (cnt + 1) // 2)
+             |SELECT li.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN li.qty_c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+             |  CAST(max(median_c) AS BIGINT) AS median_c,
+             |  CAST(sum(coalesce(li.qty_c, median_c)) AS BIGINT) AS sum_imputed_c
+             |FROM li JOIN med USING (l_returnflag)
+             |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin)),
 
     // Max drawdown per user: running peak (one ordered window per user)
     // minus current value, maxed in the same pass — the risk metric
