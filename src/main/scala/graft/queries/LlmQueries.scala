@@ -2690,6 +2690,68 @@ object LlmQueries {
     // src0, 25% of src1, 10% of everything else, decided by id hash alone
     // (content- and partitioning-independent, replay-stable). Broadcast
     // rate lookup + one filtered scan, no shuffle of the corpus.
+    // Fused training-mix builder (pipeline v3 — the r9 composition):
+    // quality gate -> exact-dup collapse -> Neyman allocation of a
+    // 50-doc budget across sources (variance of doc length) -> the
+    // allocated count drawn per source by deterministic hash rank. One
+    // program, four operator families, replayed end-to-end by the
+    // oracle. Every stage is the engine's standing primitive; the
+    // composition is the product a data-mixing team actually ships.
+    Q("llm_corpus_pipeline_v3", "LLM",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val gated = Tables(s, d, "documents")
+          .filter(col("lang").isin("en", "de") && length(col("text")) >= 50)
+        val deduped = gated
+          .withColumn("__h", md5(col("text")))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("__h").orderBy("doc_id")))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("source"),
+            length(col("text")).cast("long").as("len"))
+        val alloc = Sampling.neymanAllocation(deduped, "source", "len", n = 50)
+          .select(col("stratum").as("source"), col("n_alloc"))
+        val wPick = Window.partitionBy("source")
+          .orderBy(graft.functions.ColumnFns.md5Long(
+            col("doc_id").cast("string")), col("doc_id"))
+        deduped.join(alloc, "source")
+          .withColumn("pick_rank", row_number().over(wPick))
+          .filter(col("pick_rank") <= col("n_alloc"))
+          .select(col("source"), col("pick_rank"), col("doc_id"), col("len"))
+          .orderBy("source", "pick_rank")
+      },
+      Some("""WITH gated AS (SELECT doc_id, source, text FROM documents
+             |       WHERE lang IN ('en', 'de') AND length(text) >= 50),
+             |dd AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+             |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |       FROM gated),
+             |ded AS (SELECT doc_id, source, len FROM dd WHERE rn = 1),
+             |st AS (SELECT source, count(*) AS n_pop,
+             |         sum(CAST(len AS HUGEINT)) AS s2,
+             |         sum(CAST(len AS HUGEINT) * len) AS q FROM ded GROUP BY 1),
+             |w AS (SELECT source, n_pop,
+             |        CAST(floor(sqrt(CAST(n_pop * q - s2 * s2 AS DOUBLE))) AS BIGINT) AS aw
+             |      FROM st),
+             |t AS (SELECT sum(aw) AS tw, sum(n_pop) AS np FROM w),
+             |b AS (SELECT source, n_pop, aw,
+             |        CASE WHEN tw = 0 THEN 50 * n_pop // np ELSE 50 * aw // tw END AS base,
+             |        CASE WHEN tw = 0 THEN 50 * n_pop - (50 * n_pop // np) * np
+             |             ELSE 50 * aw - (50 * aw // tw) * tw END AS rem
+             |      FROM w, t),
+             |e AS (SELECT 50 - sum(base) AS extra FROM b),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS srk FROM b),
+             |al AS (SELECT source,
+             |         base + CASE WHEN srk <= extra THEN 1 ELSE 0 END AS n_alloc
+             |       FROM rk, e),
+             |pick AS (SELECT d.source, d.doc_id, d.len,
+             |           CAST(row_number() OVER (PARTITION BY d.source
+             |             ORDER BY CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+             |                      d.doc_id) AS INTEGER) AS pick_rank,
+             |           a.n_alloc
+             |         FROM ded d JOIN al a USING (source))
+             |SELECT source, pick_rank, doc_id, len FROM pick
+             |WHERE pick_rank <= n_alloc ORDER BY source, pick_rank""".stripMargin)),
+
     // Neyman-allocation sample sizing: a 100-sample budget split across
     // market segments proportionally to N_h*sigma_h (exact integer
     // sqrt(N*Sum(x^2) - Sum(x)^2) weights), fractional seats by largest
