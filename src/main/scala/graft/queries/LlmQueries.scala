@@ -4848,6 +4848,45 @@ object LlmQueries {
              |     JOIN ic cb ON cb.i = pc.item_b
              |ORDER BY item_a, item_b""".stripMargin)),
 
+    // Exact weighted median per group (lower: smallest value whose
+    // cumulative weight reaches half the total): values pre-aggregate
+    // to one row per (group, value) FIRST — the cumulative window runs
+    // over the collapsed value spine, not the corpus rows.
+    Q("agg_weighted_median", "A",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables(s, d, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"))
+        val collapsed = li.groupBy(col("l_returnflag"), col("price_c"))
+          .agg(sum(col("qty_c")).as("w"))
+        val wc = Window.partitionBy("l_returnflag").orderBy("price_c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("l_returnflag")
+        collapsed
+          .withColumn("cw", sum(col("w")).over(wc))
+          .withColumn("tw", sum(col("w")).over(wt))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("price_c")).as("weighted_median_c"),
+            max(col("tw")).as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem),
+             |cl AS (SELECT l_returnflag, price_c, sum(qty_c) AS w
+             |       FROM li GROUP BY 1, 2),
+             |cum AS (SELECT l_returnflag, price_c,
+             |          sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+             |                       ROWS UNBOUNDED PRECEDING) AS cw,
+             |          sum(w) OVER (PARTITION BY l_returnflag) AS tw
+             |        FROM cl)
+             |SELECT l_returnflag, CAST(min(price_c) AS BIGINT) AS weighted_median_c,
+             |  CAST(max(tw) AS BIGINT) AS total_weight
+             |FROM cum WHERE cw * 2 >= tw
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Theil-Sen robust trend (median of pairwise slopes — breakdown
     // point 29%, vs OLS's 0): the scale story is AGGREGATE FIRST — the
     // corpus collapses to one row per day (bounded spine), and only the
