@@ -1933,6 +1933,59 @@ object RefQueries {
     // answers with pre-correction numbers while untouched buckets share
     // physical files. Oracle recomputes both versions' stats from the
     // base table.
+    // K13: incremental maintenance of a JOIN view (delta-join IVM):
+    // the materialized orders⋈customers view updates under BOTH fact
+    // inserts and dimension upserts WITHOUT a full re-join —
+    // Δ(A⋈B) = ΔA⋈B' ∪ (A⋈ΔB), applied as a bucket-granular upsert
+    // keyed on the fact PK (a dimension change rewrites exactly the
+    // fact rows that join it). The oracle is the full recompute: the
+    // incremental path must be indistinguishable from it.
+    Q("k13_ivm_join", "K",
+      (s, d) => {
+        import graft.eth.Versioned
+        val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/v"
+        val orders = Tables(s, d, "orders")
+        val cust = Tables(s, d, "customer")
+        val a0 = orders.filter(col("o_orderkey") <= 1000)
+          .select(col("o_orderkey"), expr("o_orderkey div 500").as("bkt"),
+            col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        val dA = orders.filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 1200)
+          .select(col("o_orderkey"), expr("o_orderkey div 500").as("bkt"),
+            col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        val b0 = cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val dB = cust.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+          .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey"), lit("VIP").as("segment")))
+        // v1: initial view = A0 ⋈ B0
+        Versioned.commit(a0.join(b0, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("bkt"), col("o_custkey"), col("price_c"),
+            col("segment")), dir, Seq("o_orderkey"), "bkt")
+        // incremental batch: B' = ΔB wins over B0 on collision
+        val b1 = dB.unionByName(
+          b0.join(dB.select(col("c_custkey")), Seq("c_custkey"), "left_anti"))
+        val d1 = dA.join(b1, col("o_custkey") === col("c_custkey"))
+        val d2 = a0.join(dB, col("o_custkey") === col("c_custkey"))
+        Versioned.commit(d1.unionByName(d2)
+          .select(col("o_orderkey"), col("bkt"), col("o_custkey"), col("price_c"),
+            col("segment")), dir, Seq("o_orderkey"), "bkt")
+        Versioned.readAt(s, dir)
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
+          .orderBy("segment")
+      },
+      Some("""WITH a AS (SELECT o_orderkey, o_custkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+             |       FROM orders WHERE o_orderkey <= 1200),
+             |b AS (SELECT c_custkey,
+             |         CASE WHEN c_custkey % 10 = 0 THEN 'VIP' ELSE c_mktsegment END AS segment
+             |       FROM customer)
+             |SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(price_c) AS BIGINT) AS sum_price_c
+             |FROM a JOIN b ON o_custkey = c_custkey
+             |GROUP BY segment ORDER BY segment""".stripMargin)),
+
     // K12: exactly-once streaming commits — commitTxn records the batch's
     // txn id at the manifest commit point; replaying the SAME txn id (a
     // restarted stream re-running a batch whose commit already landed)
