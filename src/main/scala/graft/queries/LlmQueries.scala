@@ -6441,6 +6441,36 @@ object LlmQueries {
              |  CAST(exact_intersect AS BIGINT) AS exact_intersect
              |FROM th, cm, ex""".stripMargin)),
 
+    // Per-key KMV distinct estimates (the GROUP BY form of the theta
+    // sketch, built by the native bottom-k TypedImperativeAggregate in
+    // ONE map-side-combined pass): distinct users per event type, exact
+    // distinct riding along as the audit.
+    Q("sketch_kmv_per_key", "SKETCH",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"), col("user_id").cast("string").as("uk"))
+        graft.operators.Sketches.kmvDistinctPerKey(ev, "event_type", "uk", k = 64)
+          .join(ev.groupBy(col("event_type"))
+            .agg(countDistinct(col("uk")).as("exact_distinct")), "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+             |       FROM events),
+             |rk AS (SELECT event_type, hv,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+             |ag AS (SELECT event_type, count(*) AS n_kept, max(hv) AS kth
+             |       FROM rk WHERE rn <= 64 GROUP BY 1),
+             |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+             |       FROM events GROUP BY 1)
+             |SELECT event_type, CAST(64 AS INTEGER) AS k,
+             |  CAST(n_kept AS BIGINT) AS n_kept, kth AS kth_min_hash,
+             |  CAST(CASE WHEN n_kept < 64 THEN n_kept
+             |       ELSE (CAST(n_kept AS HUGEINT) - 1) * 1152921504606846976 // kth
+             |       END AS BIGINT) AS est_distinct,
+             |  CAST(exact_distinct AS BIGINT) AS exact_distinct
+             |FROM ag JOIN ex USING (event_type) ORDER BY event_type""".stripMargin)),
+
     // Sliding-window distinct via MERGEABLE per-hour KMV sketches: the
     // corpus is hashed ONCE into one bottom-64 per hour; every 6-hour
     // window is answered by the union algebra (bottom-k of a union of
