@@ -131,20 +131,26 @@ object LlmQueries {
        |sym AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
        |          SELECT src AS a, dst AS b, w FROM ew
        |          UNION ALL SELECT dst, src, w FROM ew) GROUP BY 1, 2),
-       |n AS (SELECT DISTINCT a AS node FROM sym),
-       |l0 AS (SELECT node, node AS label FROM n),
-       |v1 AS (SELECT s.a, l0.label, sum(s.w) AS sw FROM sym s
-       |       JOIN l0 ON s.b = l0.node GROUP BY 1, 2),
-       |w1 AS (SELECT a, label, row_number() OVER
-       |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v1),
-       |l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
-       |       FROM n LEFT JOIN w1 ON w1.a = n.node AND w1.rn = 1),
-       |v2 AS (SELECT s.a, l1.label, sum(s.w) AS sw FROM sym s
-       |       JOIN l1 ON s.b = l1.node GROUP BY 1, 2),
-       |w2 AS (SELECT a, label, row_number() OVER
-       |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v2),
-       |l2 AS (SELECT n.node, coalesce(w2.label, n.node) AS label
-       |       FROM n LEFT JOIN w2 ON w2.a = n.node AND w2.rn = 1)""".stripMargin
+       |$lpaChainCte""".stripMargin
+
+  /** The LPA rounds alone (needs `sym(a, b, w)` in scope) — shared by
+    * [[lpaLabelsCte]] and the joint LPA+Louvain CTE so the two can never
+    * desynchronize. */
+  private lazy val lpaChainCte =
+    """n AS (SELECT DISTINCT a AS node FROM sym),
+      |l0 AS (SELECT node, node AS label FROM n),
+      |v1 AS (SELECT s.a, l0.label, sum(s.w) AS sw FROM sym s
+      |       JOIN l0 ON s.b = l0.node GROUP BY 1, 2),
+      |w1 AS (SELECT a, label, row_number() OVER
+      |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v1),
+      |l1 AS (SELECT n.node, coalesce(w1.label, n.node) AS label
+      |       FROM n LEFT JOIN w1 ON w1.a = n.node AND w1.rn = 1),
+      |v2 AS (SELECT s.a, l1.label, sum(s.w) AS sw FROM sym s
+      |       JOIN l1 ON s.b = l1.node GROUP BY 1, 2),
+      |w2 AS (SELECT a, label, row_number() OVER
+      |         (PARTITION BY a ORDER BY sw DESC, label ASC) AS rn FROM v2),
+      |l2 AS (SELECT n.node, coalesce(w2.label, n.node) AS label
+      |       FROM n LEFT JOIN w2 ON w2.a = n.node AND w2.rn = 1)""".stripMargin
 
   /** DuckDB twin of `Graph.louvainMove(rounds = 2, weighted)` over
     * [[backboneEdges]]: `g2(node, label)`. Replays both synchronous
@@ -189,6 +195,26 @@ object LlmQueries {
        |${round(1)},
        |${round(2)}""".stripMargin
   }
+
+  /** Joint LPA (`l2`) + Louvain (`g2`) labels over the SAME backbone,
+    * plus the NMI cell/marginal/entropy tables — the agreement-metric
+    * oracle. Built from the same chains the individual label oracles
+    * use, so all three can never disagree on what the partitions ARE. */
+  private lazy val lpaLouvainJointCte =
+    s"""$louvainLabelsCte,
+       |$lpaChainCte,
+       |jj AS (SELECT l2.node, l2.label AS lx, g2.label AS ly
+       |       FROM l2 JOIN g2 USING (node)),
+       |nn AS (SELECT count(*) AS n FROM jj),
+       |nij AS (SELECT lx, ly, count(*) AS nij FROM jj GROUP BY 1, 2),
+       |nix AS (SELECT lx, count(*) AS ni FROM jj GROUP BY 1),
+       |njy AS (SELECT ly, count(*) AS nj FROM jj GROUP BY 1),
+       |mi AS (SELECT sum(nij * CAST(round(ln(CAST(n * nij AS DOUBLE) / (ni * nj)) * 1000000) AS BIGINT)) AS mi_u
+       |       FROM nij JOIN nix USING (lx) JOIN njy USING (ly), nn),
+       |hx AS (SELECT sum(ni * CAST(round(-ln(CAST(ni AS DOUBLE) / n) * 1000000) AS BIGINT)) AS hx_u
+       |       FROM nix, nn),
+       |hy AS (SELECT sum(nj * CAST(round(-ln(CAST(nj AS DOUBLE) / n) * 1000000) AS BIGINT)) AS hy_u
+       |       FROM njy, nn)""".stripMargin
 
   /** DuckDB twin of `Classifier.logisticTrain(rounds = 2, lr = 0.5)` over
     * the 64-dim hashed features of `documents` with y = (lang = 'en'):
@@ -5196,6 +5222,54 @@ object LlmQueries {
              |             - length(regexp_replace(text, '[^ ]', '', 'g'))) * 1000 // length(text)
              |       END AS BIGINT) AS other_milli
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Normalized mutual information between the LPA and Louvain
+    // partitions — the standard agreement metric for clustering
+    // comparisons: MI and entropies as integer sums of per-cell
+    // micro-quantized ln terms (each term ONE double division of exact
+    // integers — the engines' shared discipline), NMI = MI/√(Hx·Hy) in
+    // milli. Joint counts are one (label, label) aggregate; everything
+    // after is label-universe-sized metadata.
+    Q("graph_partition_nmi", "GRAPH",
+      (s, d) => {
+        val ew = backboneEdges(s, d)
+        val x = graft.operators.Graph.labelPropagation(
+          ew, rounds = 2, weightCol = Some("w"))
+          .select(col("node"), col("label").as("lx"))
+        val y = graft.operators.Graph.louvainMove(
+          ew, rounds = 2, weightCol = Some("w"))
+          .select(col("node"), col("label").as("ly"))
+        val j = x.join(y, "node").localCheckpoint(true)
+        val nij = j.groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("nij"))
+        val ni = j.groupBy(col("lx")).agg(count(lit(1)).as("ni"))
+        val nj = j.groupBy(col("ly")).agg(count(lit(1)).as("nj"))
+        val n1 = j.agg(count(lit(1)).as("n"))
+        val mi = nij.join(ni, "lx").join(nj, "ly").crossJoin(broadcast(n1))
+          .select((col("nij") * round(log(
+            expr("cast(n * nij as double) / cast(ni * nj as double)"))
+            * 1000000).cast("long")).as("t"))
+          .agg(sum(col("t")).as("mi_u"))
+        def ent(m: org.apache.spark.sql.DataFrame, c: String) =
+          m.crossJoin(broadcast(n1))
+            .select((col(c) * round(-log(
+              expr(s"cast($c as double) / cast(n as double)"))
+              * 1000000).cast("long")).as("t"))
+            .agg(sum(col("t")))
+        mi.crossJoin(broadcast(ent(ni, "ni").select(col("sum(t)").as("hx_u"))))
+          .crossJoin(broadcast(ent(nj, "nj").select(col("sum(t)").as("hy_u"))))
+          .crossJoin(broadcast(n1))
+          .select(col("n").as("n_nodes"), col("mi_u"), col("hx_u"), col("hy_u"),
+            expr("""CASE WHEN hx_u = 0 OR hy_u = 0 THEN 0L
+                   |ELSE mi_u * 1000 div cast(floor(sqrt(cast(hx_u as double) * cast(hy_u as double))) as bigint)
+                   |END""".stripMargin).as("nmi_milli"))
+      },
+      Some(s"""$lpaLouvainJointCte
+              |SELECT CAST(n AS BIGINT) AS n_nodes, CAST(mi_u AS BIGINT) AS mi_u,
+              |  CAST(hx_u AS BIGINT) AS hx_u, CAST(hy_u AS BIGINT) AS hy_u,
+              |  CAST(CASE WHEN hx_u = 0 OR hy_u = 0 THEN 0
+              |       ELSE mi_u * 1000 // CAST(floor(sqrt(CAST(hx_u AS DOUBLE) * hy_u)) AS BIGINT)
+              |       END AS BIGINT) AS nmi_milli
+              |FROM mi, hx, hy, nn""".stripMargin)),
 
     // Per-community conductance over the SAME 2-round LPA labels as
     // graph_modularity: cut / min(vol, total - vol) — modularity says
