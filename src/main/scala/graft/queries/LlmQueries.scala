@@ -2597,6 +2597,41 @@ object LlmQueries {
               |       ELSE 2 * tp * 1000 // (2 * tp + fp + fn) END AS BIGINT) AS f1_milli
               |FROM cm""".stripMargin)),
 
+    // Calibration bins (the reliability diagram behind "is p=0.8 really
+    // 80%?"): trained scores decile-binned, each bin reporting mean
+    // predicted vs actual positive rate in milli — one aggregate over
+    // the scored corpus, 10 metadata rows out.
+    Q("text_calibration_bins", "LLM",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val labels = docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
+          numFeatures = 64)
+        val w = graft.llm.Classifier.logisticTrain(feats, labels,
+          rounds = 2, lrMilli = 500L, xCol = "weight")
+        graft.llm.Classifier.logisticScore(feats, w, xCol = "weight")
+          .join(labels, "doc_id")
+          .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            expr("sum(p_micro) div (count(1) * 1000)").as("mean_pred_milli"),
+            expr("sum(y) * 1000 div count(1)").as("actual_rate_milli"))
+          .orderBy("bin")
+      },
+      Some(s"""$logitTrainCte,
+              |mgs AS (SELECT f.doc_id, sum(f.x * w.w) AS m
+              |        FROM feat f JOIN w2 w USING (feature_idx) GROUP BY 1),
+              |sc AS (SELECT m.doc_id,
+              |         CAST(round(1000000.0 /
+              |           (1.0 + exp(-(CAST(m AS DOUBLE) / 1000000.0)))) AS BIGINT) AS p,
+              |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+              |       FROM mgs m JOIN documents d USING (doc_id))
+              |SELECT least(p // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(p) // (count(*) * 1000) AS BIGINT) AS mean_pred_milli,
+              |  CAST(sum(y) * 1000 // count(*) AS BIGINT) AS actual_rate_milli
+              |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin)),
+
     // BM25 lexical retrieval (k1=1.2, b=0.75, integer-exact micro scores):
     // three probe queries ride a broadcast into the corpus posting table —
     // postings of non-query terms never shuffle — then one (query, doc)
