@@ -5162,6 +5162,31 @@ object LlmQueries {
              |FROM rk GROUP BY event_type, hr
              |ORDER BY event_type, hr""".stripMargin)),
 
+    // Grid-cell spatial radius join: probes explode into their 3x3 cell
+    // neighborhood (cell width = radius, so coverage is provable), the
+    // corpus shuffles ONCE on the packed cell key, and the exact integer
+    // dx^2+dy^2 <= r^2 verifies each candidate — never probes x corpus,
+    // which is what the oracle pays.
+    Q("j_spatial_cells", "J",
+      (s, d) => {
+        val pts = s.range(0, 2000).selectExpr("id",
+          "(id * 2654435761L) % 10000L AS x", "(id * 104729L) % 10000L AS y")
+        graft.operators.SpatialJoin.radiusJoin(
+            pts.filter(col("id") >= 10), pts.filter(col("id") < 10),
+            "id", "x", "y", radius = 300L)
+          .orderBy("probe_id", "point_id")
+      },
+      Some("""WITH pts AS (SELECT id, (id * 2654435761) % 10000 AS x,
+             |         (id * 104729) % 10000 AS y
+             |       FROM (SELECT unnest(range(0, 2000)) AS id)),
+             |q AS (SELECT id AS probe_id, x AS qx, y AS qy FROM pts WHERE id < 10),
+             |c AS (SELECT id AS point_id, x AS px, y AS py FROM pts WHERE id >= 10)
+             |SELECT probe_id, point_id,
+             |  CAST((px - qx) * (px - qx) + (py - qy) * (py - qy) AS BIGINT) AS dist2
+             |FROM q, c
+             |WHERE (px - qx) * (px - qx) + (py - qy) * (py - qy) <= 90000
+             |ORDER BY probe_id, point_id""".stripMargin)),
+
     // Interval x interval OVERLAP join, bucketized: per-(user, day)
     // activity spans vs synthetic 90-minute windows anchored at every
     // 4th hour. Each interval explodes into its covered hour buckets

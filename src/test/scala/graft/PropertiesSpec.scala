@@ -456,6 +456,27 @@ class PropertiesSpec extends SparkSpec {
     assert(merged == expect)
   }
 
+  test("spatial radius join equals the quadratic scan, including cell-boundary pairs") {
+    import graft.operators.SpatialJoin
+    val pts = (0L until 300L).map(i =>
+      (i, (i * 7919) % 2000, (i * 104729) % 2000)).toDF("id", "x", "y")
+    val probes = (0L until 8L).map(i =>
+      (1000L + i, i * 250, 1999L - i * 250)).toDF("id", "x", "y")
+    val viaCells = SpatialJoin.radiusJoin(pts, probes, "id", "x", "y", 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = probes.select(col("id").as("probe_id"),
+        col("x").as("qx"), col("y").as("qy"))
+      .crossJoin(pts.select(col("id").as("point_id"),
+        col("x").as("px"), col("y").as("py")))
+      .withColumn("dist2", (col("px") - col("qx")) * (col("px") - col("qx"))
+        + (col("py") - col("qy")) * (col("py") - col("qy")))
+      .filter(col("dist2") <= 150L * 150L)
+      .select("probe_id", "point_id", "dist2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaCells == naive, s"cell join diverged: ${viaCells.size} vs ${naive.size}")
+    assert(naive.nonEmpty)
+  }
+
   test("interval overlap join equals the theta join and is bucket-size invariant") {
     import graft.operators.IntervalJoin
     // deterministic pseudo-random intervals: starts/lengths from a hash
