@@ -5055,6 +5055,92 @@ object LlmQueries {
              |FROM li JOIN med USING (l_returnflag)
              |GROUP BY li.l_returnflag ORDER BY li.l_returnflag""".stripMargin)),
 
+    // Session entry/exit analytics: per 10-minute session, the first and
+    // last event type (struct-argmin/argmax on (ts, event_id) inside the
+    // session aggregate — no extra window), rolled up to the classic
+    // product-analytics readout: per entry type, sessions, bounce rate
+    // (single-event sessions) and the top exit mix ridden as counts.
+    Q("event_entry_exit", "EVENT",
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "10 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            min(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("entry_type"),
+            max(struct(col("ts"), col("event_id"), col("event_type")))
+              .getField("event_type").as("exit_type"))
+          .groupBy(col("entry_type"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+            sum(when(col("exit_type") === col("entry_type"), 1L).otherwise(0L))
+              .as("n_same_exit"))
+          .withColumn("bounce_milli", expr("n_bounce * 1000 div n_sessions"))
+          .orderBy("entry_type")
+      },
+      Some("""WITH dd AS (SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+             |              THEN 1 ELSE 0 END AS brk
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |ss AS (SELECT user_id, ts, event_id, event_type,
+             |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                        ROWS UNBOUNDED PRECEDING) AS sid
+             |       FROM dd),
+             |ses AS (SELECT user_id, sid, count(*) AS n_events,
+             |          max(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+             |          max(CASE WHEN rl = 1 THEN event_type END) AS exit_type
+             |        FROM (SELECT *,
+             |                row_number() OVER (PARTITION BY user_id, sid
+             |                                   ORDER BY ts, event_id) AS rf,
+             |                row_number() OVER (PARTITION BY user_id, sid
+             |                                   ORDER BY ts DESC, event_id DESC) AS rl
+             |              FROM ss)
+             |        GROUP BY 1, 2)
+             |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+             |  CAST(sum(CASE WHEN exit_type = entry_type THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_same_exit,
+             |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+             |    AS bounce_milli
+             |FROM ses GROUP BY entry_type ORDER BY entry_type""".stripMargin)),
+
+    // Functional-dependency profiling (schema discovery / DQ): does
+    // A determine B? Violations = LHS groups seeing >1 distinct RHS —
+    // one aggregate per FD, metadata-sized readout. orders' PK->attr
+    // holds by construction; lineitem's orderkey->shipdate fails
+    // (lines of one order ship on different days) — both statuses shown.
+    Q("dq_functional_dependency", "A",
+      (s, d) => {
+        def fd(df: org.apache.spark.sql.DataFrame, name: String,
+               lhs: String, rhs: String) =
+          df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("__d"))
+            .agg(count(lit(1)).as("n_lhs"),
+              sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"))
+            .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+              when(col("n_violating") === 0, lit("holds"))
+                .otherwise(lit("violated")).as("status"))
+        fd(Tables(s, d, "orders"), "o_orderkey->o_custkey",
+            "o_orderkey", "o_custkey")
+          .unionByName(fd(Tables(s, d, "lineitem"), "l_orderkey->l_shipdate",
+            "l_orderkey", "l_shipdate"))
+          .orderBy("fd")
+      },
+      Some("""WITH f1 AS (SELECT 'o_orderkey->o_custkey' AS fd,
+             |         CAST(count(*) AS BIGINT) AS n_lhs,
+             |         CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+             |       FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS d
+             |             FROM orders GROUP BY 1)),
+             |f2 AS (SELECT 'l_orderkey->l_shipdate',
+             |         CAST(count(*) AS BIGINT),
+             |         CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |       FROM (SELECT l_orderkey, count(DISTINCT l_shipdate) AS d
+             |             FROM lineitem GROUP BY 1))
+             |SELECT fd, n_lhs, n_violating,
+             |  CASE WHEN n_violating = 0 THEN 'holds' ELSE 'violated' END AS status
+             |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+             |ORDER BY fd""".stripMargin)),
+
     // Max drawdown per user: running peak (one ordered window per user)
     // minus current value, maxed in the same pass — the risk metric
     // behind equity-curve monitoring; integer cents, deterministic
