@@ -667,6 +667,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("spatial radius join: equi-join on the cell key, no cartesian product") {
+    val p = plan("j_spatial_cells")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must meet in cells, not pairwise:\n$p")
+  }
+
+  test("triad census: closure probes are broadcast joins on the packed long key") {
+    val p = plan("graph_triad_motifs")
+    assert(p.contains("BroadcastHashJoin"),
+      s"closure probes must broadcast the edge-key set:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+  }
+
   test("LIKE prefix pushes StringStartsWith into the parquet scan") {
     val p = plan("q7_like_prefix")
     assert(p.contains("StartsWith"), s"expected pushed StartsWith filter:\n$p")
