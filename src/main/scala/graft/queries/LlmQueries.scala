@@ -1824,6 +1824,40 @@ object LlmQueries {
              |FROM tf JOIN dfreq USING (term) CROSS JOIN n
              |ORDER BY doc_id, term""".stripMargin)),
 
+    // N-gram novelty (dataset-curation signal: how much of a document is
+    // FIRST SAID here vs repeated from earlier corpus ids): per doc, the
+    // share of its distinct bigrams whose minimum owning doc id is
+    // itself. One bigram aggregate for ownership, one join back — the
+    // memorization/boilerplate complement to the repetition score.
+    Q("text_ngram_novelty", "LLM",
+      (s, d) => {
+        val db = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            shingles(tokens(col("text")), 2))).as("bg"))
+        val owner = db.groupBy(col("bg")).agg(min(col("doc_id")).as("first_doc"))
+        db.join(owner, "bg")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_milli", expr("n_novel * 1000 div n_bigrams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_distinct(
+             |         CASE WHEN len(t) >= 2
+             |           THEN list_transform(range(0, len(t) - 1),
+             |                  i -> array_to_string(t[(i+1):(i+2)], ' '))
+             |           ELSE [array_to_string(t, ' ')] END)) AS b
+             |       FROM tk),
+             |own AS (SELECT b, min(doc_id) AS first_doc FROM bg GROUP BY 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+             |    AS novelty_milli
+             |FROM bg JOIN own USING (b)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Keyword extraction readout: per-document top-3 terms by TF-IDF
     // (the RAKE-class signal) — one window over the tfidf table keyed on
     // the high-cardinality doc id, deterministic (score desc, term) tie.
