@@ -181,7 +181,7 @@ object Bench {
           post._3 - pre._3, post._4 - pre._4, post._5 - pre._5,
           totals.maxTaskMs.get)
       }
-      firstPass match {
+      val res = firstPass match {
         // a failed FIRST pass is the query's verdict: a broken query must
         // never look like a fast one
         case Left(err) => errors(name) = err; name -> -1.0
@@ -193,6 +193,13 @@ object Bench {
           case Left(_) => t1
         })
       }
+      // absorb pass-2 task-end events BEFORE the next query's pre-snapshot:
+      // without this drain, stragglers from this query's second timing pass
+      // land inside the next query's (pre, post) window and inflate its
+      // byte/task deltas (the metrics bracket only covers pass 1 by design,
+      // so pass-2 events must be flushed out of band)
+      drainListener()
+      res
     }
     val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + v }
       .mkString("{", ",", "}")

@@ -22,12 +22,22 @@ object Verify {
     // Local-iteration filter: GRAFT_ONLY=q1,q2 runs a subset. The driver
     // never sets it, so the gate always runs the full inventory.
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Per-query Spark output schema (name:catalogType, decimal width/scale
+    // included) — tools/check.py compares these type-strictly against the
+    // DuckDB oracle's DESCRIBE so an engine-output type change whose oracle
+    // cast lands in a different commit fails LOCALLY (the r9 sample_pps
+    // lesson: value-hash compares see Decimal(5) != int(5) even when the
+    // name-level schema check passes).
+    val schemas = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema.fields
+          .map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,6 +57,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spark_schemas.json"), schemaJson)
     spark.stop()
   }
 }

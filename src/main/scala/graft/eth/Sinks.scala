@@ -187,7 +187,21 @@ object Sinks {
         .withColumn("__op", lit("U")).withColumn("__seq", lit(Long.MinValue))
         .withColumn("__pri", lit(0)))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col("__op") =!= "D")
+      // (pk, seq) uniqueness is ENFORCED, not assumed: duplicate-seq change
+      // rows would make the row_number winner arbitrary (worst case a U and
+      // a D at the same offset — the PK's survival would be nondeterministic).
+      // The window order (__pri desc, __seq desc) makes equal (pk, seq)
+      // change rows ADJACENT, so one lead() over the window already in hand
+      // detects every duplicate with zero extra exchange. The check rides
+      // as the FIRST filter conjunct so it is evaluated for every row
+      // (&& short-circuits left-to-right) — CdcSpec locks the raise.
+      .withColumn("__dup_err", when(
+        col("__pri") === 1 && lead(col("__pri"), 1).over(w) === 1 &&
+          lead(col("__seq"), 1).over(w) === col("__seq"),
+        raise_error(concat(lit("applyCdc: duplicate (pk, seq) in changeset"),
+          lit(" at seq="), col("__seq").cast("string"))).cast("boolean")))
+      .filter(coalesce(col("__dup_err"), lit(true)) &&
+        col("__rn") === 1 && col("__op") =!= "D")
       .select(dataCols.map(col): _*)
   }
 

@@ -292,7 +292,16 @@ object Versioned {
       else Some(spark.read.option("mergeSchema", "true")
         .parquet(fs: _*).drop("__pv"))
     (read(oldFiles), read(newFiles)) match {
-      case (None, None) => spark.emptyDataFrame
+      case (None, None) =>
+        // no bucket changed: return an EMPTY frame with the documented
+        // shape (change_type + the table's columns at toV) so callers
+        // that reference columns (orderBy("change_type"), selects) get
+        // zero rows, not an AnalysisException from a schemaless frame
+        val base = readAt(spark, dir, toV)
+        val fields = org.apache.spark.sql.types.StructField(
+          "change_type", org.apache.spark.sql.types.StringType) +: base.schema.fields.toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(fields))
       case (None, Some(nw)) =>
         nw.select(lit("insert").as("change_type") +: nw.columns.toIndexedSeq.map(col): _*)
       case (Some(od), None) =>

@@ -88,9 +88,13 @@ object Similarity {
     * clear deliberately so the code is non-negative in every engine
     * (a set sign bit would overflow DuckDB's BIGINT re-sum). */
   private[graft] def binaryCode(vecCol: String): Column =
-    expr(s"aggregate(sequence(0, least(size($vecCol), 63) - 1), 0L, " +
+    // empty-vector guard: sequence(0, -1) generates a DESCENDING [0, -1]
+    // and element_at(vec, 0) then throws under ANSI — a zero-length
+    // embedding must code to 0L (all sign bits clear), not crash the scan
+    expr(s"IF(size($vecCol) <= 0, 0L, " +
+      s"aggregate(sequence(0, least(size($vecCol), 63) - 1), 0L, " +
       s"(acc, i) -> acc + IF(cast(element_at($vecCol, i + 1) as double) > 0D, " +
-      "shiftleft(1L, cast(i as int)), 0L))")
+      "shiftleft(1L, cast(i as int)), 0L)))")
 
   /** Binary quantization + Hamming rerank — the memory-bound ANN scale
     * path (Indyk/Charikar sign hashing; the shape RaBitQ/binary-embedding

@@ -30,19 +30,30 @@ object SpatialJoin {
                  radius: Long): DataFrame = {
     require(radius >= 1, s"radius must be >= 1, got $radius")
     val K = 1L << 31
-    def cell(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      (x / radius).cast("long") * K + (y / radius).cast("long")
+    // Domain enforcement (not just documentation): coordinates must sit in
+    // [0, 2^31) so (a) the packed (cx*K + cy) key is collision-free —
+    // cy < 2^31 by construction once y < 2^31 and radius >= 1 — and
+    // (b) dist2 = dx²+dy² < 2^63 never wraps Long. Violations raise at
+    // scan time instead of silently admitting/dropping boundary pairs.
+    // Cell ids use SQL `div` (exact integer division) — the previous
+    // double `/` lost exactness past 2^53.
+    def checked(c: org.apache.spark.sql.Column, name: String) =
+      when(c >= 0L && c < K, c).otherwise(raise_error(concat(
+        lit(s"radiusJoin: $name outside [0, 2^31): "), c.cast("string"))).cast("long"))
     val corpus = points.select(col(idCol).as("point_id"),
-        col(xCol).cast("long").as("px"), col(yCol).cast("long").as("py"))
-      .withColumn("__cell", cell(col("px"), col("py")))
+        checked(col(xCol).cast("long"), xCol).as("px"),
+        checked(col(yCol).cast("long"), yCol).as("py"))
+      .withColumn("__cell",
+        expr(s"(px div ${radius}L) * ${K}L + (py div ${radius}L)"))
     val probed = probes.select(col(idCol).as("probe_id"),
-        col(xCol).cast("long").as("qx"), col(yCol).cast("long").as("qy"))
+        checked(col(xCol).cast("long"), xCol).as("qx"),
+        checked(col(yCol).cast("long"), yCol).as("qy"))
       .withColumn("__d", explode(expr(
         "array(-1L, 0L, 1L)")))
       .withColumn("__e", explode(expr("array(-1L, 0L, 1L)")))
       .withColumn("__cell",
-        ((col("qx") / radius).cast("long") + col("__d")) * K
-          + (col("qy") / radius).cast("long") + col("__e"))
+        (expr(s"qx div ${radius}L") + col("__d")) * K
+          + expr(s"qy div ${radius}L") + col("__e"))
       .drop("__d", "__e")
     probed.join(corpus, "__cell")
       .withColumn("dist2",

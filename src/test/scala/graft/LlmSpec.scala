@@ -244,6 +244,16 @@ class LlmSpec extends SparkSpec {
     val h = Similarity.binaryRerankTopK(cands, queries, k = 1, coarseK = 10)
       .collect()(0)
     assert(h.getAs[Long]("neighbor_id") == 10L && h.getAs[Int]("hamming") == 0)
+    // zero-length embedding: codes to 0L (all sign bits clear) instead of
+    // tripping ANSI element_at on the descending sequence(0, -1)
+    val empty = Seq((9L, Array.empty[Float])).toDF("vec_id", "embedding")
+      .select(graft.llm.Similarity.binaryCode("embedding").as("c")).collect()
+    assert(empty(0).getLong(0) == 0L)
+    val mixed = cands.union(Seq((99L, Array.empty[Float])).toDF("vec_id", "embedding"))
+    val rr2 = Similarity.binaryRerankTopK(mixed, queries, k = 2, coarseK = 10)
+      .select("query_id", "neighbor_id", "rnk", "score")
+      .orderBy("rnk").collect().map(_.toSeq)
+    assert(rr2.toSeq == brute.toSeq) // empty vector never crashes nor wins
   }
 
   test("LSH: identical vectors land in the same bucket; topK finds the twin") {

@@ -477,6 +477,29 @@ class PropertiesSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("spatial radius join enforces the [0, 2^31) coordinate domain at scan time") {
+    import graft.operators.SpatialJoin
+    val good = Seq((1L, 10L, 10L)).toDF("id", "x", "y")
+    // negative coordinate: packed-cell key would collide across rows
+    val neg = Seq((2L, -5L, 10L)).toDF("id", "x", "y")
+    val e1 = intercept[Exception] {
+      SpatialJoin.radiusJoin(neg, good, "id", "x", "y", 100L).collect()
+    }
+    assert(e1.getMessage.contains("outside [0, 2^31)"), e1.getMessage)
+    // >= 2^31: dist2 squares could wrap Long — must raise, not silently
+    // admit/drop boundary pairs
+    val huge = Seq((3L, (1L << 31) + 7L, 10L)).toDF("id", "x", "y")
+    val e2 = intercept[Exception] {
+      SpatialJoin.radiusJoin(good, huge, "id", "x", "y", 100L).collect()
+    }
+    assert(e2.getMessage.contains("outside [0, 2^31)"), e2.getMessage)
+    // boundary-legal max coordinate still joins exactly
+    val m = (1L << 31) - 1L
+    val maxPts = Seq((4L, m, m)).toDF("id", "x", "y")
+    val got = SpatialJoin.radiusJoin(maxPts, maxPts, "id", "x", "y", 3L).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("dist2") == 0L)
+  }
+
   test("interval overlap join equals the theta join and is bucket-size invariant") {
     import graft.operators.IntervalJoin
     // deterministic pseudo-random intervals: starts/lengths from a hash

@@ -505,6 +505,32 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("applyCdc enforces distinct (pk, seq): duplicate offsets raise instead of picking an arbitrary winner") {
+    import graft.eth.Sinks
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    // the dangerous case: a U and a D at the SAME (pk, seq) — whether the
+    // PK survives would be whatever row_number happened to order first
+    val dupUD = Seq((1L, 99L, "U", 5L), (1L, 0L, "D", 5L))
+      .toDF("id", "v", "op", "seq")
+    val e = intercept[Exception] {
+      Sinks.applyCdc(base, dupUD, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("duplicate (pk, seq)"), e.getMessage)
+    // a duplicate at a NON-winning offset is still a contract violation
+    val dupLow = Seq((1L, 7L, "U", 1L), (1L, 8L, "U", 1L), (1L, 9L, "U", 2L))
+      .toDF("id", "v", "op", "seq")
+    val e2 = intercept[Exception] {
+      Sinks.applyCdc(base, dupLow, Seq("id")).collect()
+    }
+    assert(e2.getMessage.contains("duplicate (pk, seq)"), e2.getMessage)
+    // distinct offsets (and equal seqs on DIFFERENT pks) stay legal
+    val ok = Seq((1L, 99L, "U", 5L), (2L, 0L, "D", 5L), (1L, 100L, "U", 6L))
+      .toDF("id", "v", "op", "seq")
+    val got = Sinks.applyCdc(base, ok, Seq("id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 100L))
+  }
+
   test("upsert crash injection: in-flight task files stay invisible; retried batch heals to the clean state") {
     import graft.eth.Sinks
     import org.apache.spark.sql.functions.col
@@ -635,5 +661,19 @@ class SinksSpec extends SparkSpec {
     assert(Versioned.readAt(spark, dir, 3L).filter(col("bkt") === 2L).count() == 0)
     val d23 = Versioned.diff(spark, dir, 2L, 3L, Seq("id")).collect()
     assert(d23.forall(_.getAs[String]("change_type") == "delete") && d23.length == 10)
+    // no-change diff: a TYPED empty frame (change_type + table columns),
+    // so callers can orderBy / select without an AnalysisException
+    Versioned.commit(Seq((1L, 0L, 999L)).toDF("id", "bkt", "v"), dir, Seq("id"), "bkt")
+    val v = Versioned.latestVersion(dir)
+    Versioned.commit(Seq((1L, 0L, 999L)).toDF("id", "bkt", "v"), dir, Seq("id"), "bkt")
+    // the idempotent re-commit rewrites bucket 0's file list, so diff sees
+    // a changed bucket with identical rows → zero classified changes but
+    // the documented (change_type-first) shape; the metadata-only
+    // no-bucket-changed arm gets the same typed-empty contract (covered
+    // by the rename-commit diff test below)
+    val same = Versioned.diff(spark, dir, v, v + 1, Seq("id"))
+      .orderBy("change_type")
+    assert(same.columns.take(1).toSeq == Seq("change_type"))
+    assert(same.count() == 0L)
   }
 }

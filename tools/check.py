@@ -4,7 +4,7 @@ dumps against the DuckDB oracle and diff (rows / schema-ish / values).
 
 Usage: python3 tools/check.py <verify_out_dir> [sf_dir]
 """
-import duckdb, json, sys, math, glob, os, threading
+import duckdb, json, sys, math, glob, os, re, threading
 
 out = sys.argv[1] if len(sys.argv) > 1 else '/tmp/verify_out'
 sf = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.01'
@@ -27,6 +27,23 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+
+# ---- strict type-level schema compare (the r9 sample_pps lesson) ----
+# Both sides are typed BY DUCKDB (DESCRIBE on the engine's parquet vs
+# DESCRIBE on the oracle SQL), then normalized to the Python-type class
+# the driver's value hash actually sees: all int widths hash identically,
+# FLOAT/DOUBLE both arrive as Python float, but DECIMAL(p,s) vs BIGINT is
+# Decimal vs int — a hash mismatch even when values are equal. Decimal
+# width/scale is kept exact (Decimal('5') and Decimal('5.0') repr-differ).
+def norm_type(t):
+    t = re.sub(r'\s+WITH TIME ZONE', '', t)
+    t = re.sub(r'\bTIMESTAMP(_NS|_MS|_S)?\b', 'TIMESTAMP', t)
+    t = re.sub(r'\b(U?TINYINT|U?SMALLINT|U?INTEGER|U?BIGINT|HUGEINT|INT128)\b', 'INT', t)
+    t = re.sub(r'\b(FLOAT|REAL|DOUBLE)\b', 'FLOAT', t)
+    return t
+
+def schema_of(query):
+    return {r[0]: norm_type(r[1]) for r in con.execute(f'DESCRIBE {query}').fetchall()}
 
 def canon(v):
     if isinstance(v, float):
@@ -57,6 +74,22 @@ for name in sorted(oracle):
     pq_dir = f'{out}/{name}'
     if not glob.glob(f'{pq_dir}/*.parquet'):
         print(f'FAIL {name}: no parquet output')
+        n_fail += 1; fails.append(name)
+        continue
+    # type-level gate first (DESCRIBE only plans, never executes — safe
+    # even for the deliberately-quadratic oracles)
+    try:
+        eng_schema = schema_of(f"SELECT * FROM '{pq_dir}/*.parquet'")
+        ora_schema = schema_of(f'({sql})')
+    except Exception as e:
+        print(f'FAIL {name}: describe error: {str(e).splitlines()[0][:160]}')
+        n_fail += 1; fails.append(name)
+        continue
+    if eng_schema != ora_schema:
+        drift = {k: (eng_schema.get(k), ora_schema.get(k))
+                 for k in set(eng_schema) | set(ora_schema)
+                 if eng_schema.get(k) != ora_schema.get(k)}
+        print(f'FAIL {name}: SCHEMA-DRIFT (engine, oracle): {drift}')
         n_fail += 1; fails.append(name)
         continue
     timer = None
