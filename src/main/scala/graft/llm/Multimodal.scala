@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side design is real — schema, partition-preserving
   * `mapPartitions`, batch-shaped processing — and the decode stage now
-  * splits by format: UNCOMPRESSED formats (24-bit BMP, binary PPM) are
-  * decoded FOR REAL by the pure-JVM codecs at the bottom of this file
-  * ([[encodeBmp]]/[[decodeBmp]]/[[decodePpm]] → [[imageStats]],
-  * oracle-checked value-exactly); compressed formats (JPEG/PNG/video)
-  * still take the [[decodeStub]] fallback because this container has no
-  * codec libraries — swapping in libjpeg/ffmpeg changes only that
-  * function body, not the plan shape.
+  * splits by format: 24-bit BMP, binary PPM, AND non-interlaced 8-bit
+  * truecolor PNG (zlib via the public JDK) are decoded FOR REAL by the
+  * pure-JVM codecs at the bottom of this file
+  * ([[encodeBmp]]/[[decodeBmp]]/[[decodePpm]]/[[decodePng]] →
+  * [[imageStats]], oracle-checked value-exactly); formats needing
+  * external codec libraries (JPEG/video) still take the [[decodeStub]]
+  * fallback — swapping in libjpeg/ffmpeg changes only that function
+  * body, not the plan shape.
   */
 object Multimodal {
 
@@ -137,9 +138,10 @@ object Multimodal {
   // pixel order, bottom-up rows, 4-byte row padding) and decodeBmp
   // parses arbitrary conformant payloads back (including top-down
   // negative-height files), so the decode stage of the pipeline runs a
-  // real parse over real bytes. Compressed formats (JPEG/PNG/ffmpeg)
-  // still take the documented [[decodeStub]] fallback — that swap needs
-  // codec libraries this container does not have.
+  // real parse over real bytes. PNG (compressed, zlib through the
+  // public JDK Inflater) decodes for real too — see the PNG section
+  // below. Formats needing external codec libraries (JPEG/ffmpeg)
+  // still take the documented [[decodeStub]] fallback.
   // ------------------------------------------------------------------
 
   /** Decoded image statistics: exact per-channel pixel sums (integer —
@@ -315,7 +317,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload)).collect {
+        decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload))
+          .orElse(decodePngGray(r.payload)).collect {
           case (w, h, gray) if w >= winW && h >= winH =>
             var sum = 0L
             var y = 0
@@ -361,7 +364,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload)).toSeq.collect {
+        decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload))
+          .orElse(decodePngGray(r.payload)).toSeq.collect {
           case (w, h, gray) if w >= winW && h >= winH =>
             for {
               by <- 0 until winH / bh
@@ -454,7 +458,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeBmp(r.payload).orElse(decodePpm(r.payload)).map {
+        decodeBmp(r.payload).orElse(decodePpm(r.payload))
+          .orElse(decodePng(r.payload)).map {
           case (w, h, sums) =>
             ImageStats(r.media_id, w, h, 3, sums(0), sums(1), sums(2),
               w.toLong * h)
@@ -462,6 +467,205 @@ object Multimodal {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // PNG (RFC 2083 subset): a REAL pure-JDK codec for non-interlaced
+  // 8-bit truecolor images — zlib via java.util.zip (public JDK), real
+  // CRC-checked chunks, the FULL five-filter suite (None/Sub/Up/
+  // Average/Paeth) on both encode and decode. This is the compressed
+  // sibling of the BMP/PPM path: the same magic-byte dispatch, the
+  // same Option fallback for non-conformant payloads.
+  // ------------------------------------------------------------------
+
+  private val pngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** The PNG Paeth predictor (RFC 2083 §6.6): closest of left/up/up-left
+    * to the linear estimate a+b−c, ties broken left, up, up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Write a non-interlaced 8-bit truecolor PNG. Scanline `y` gets
+    * filter type `y % 5` — the rotation DELIBERATELY emits every filter
+    * the spec defines, so round-tripping through [[decodePng]] proves
+    * the whole defilter suite, not just the inverse of one encoder
+    * habit. Chunks: IHDR, one IDAT (zlib, default level), IEND. */
+  def encodePng(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // zeros above row 0, per spec
+    var y = 0; var o = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        cur(3 * x) = r & 0xff; cur(3 * x + 1) = g & 0xff; cur(3 * x + 2) = b & 0xff
+        x += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = prev(i)
+        val c = if (i >= 3) prev(i - 3) else 0
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) >> 1)
+          case _ => cur(i) - paeth(a, b, c)
+        }
+        raw(o) = (v & 0xff).toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val z = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    pngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  private def beInt(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  /** Parse a non-interlaced 8-bit truecolor PNG to row-major RGB bytes.
+    * Real decoding: chunk walk with CRC verification, ancillary chunks
+    * skipped, multiple IDATs concatenated, zlib inflate, and the full
+    * five-filter reconstruction. None for anything non-conformant
+    * (wrong magic/depth/color type, interlaced, bad CRC, truncated
+    * stream) — callers fall back, same contract as [[decodeBmp]]. */
+  private def decodePngRgb(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload.length < 8 + 25) return None
+    var i = 0
+    while (i < 8) { if (payload(i) != pngMagic(i)) return None; i += 1 }
+    var pos = 8
+    var width = 0; var height = 0; var seenIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (pos + 12 > payload.length) return None
+      val len = beInt(payload, pos)
+      if (len < 0 || pos + 12 + len > payload.length) return None
+      val tag = new String(payload, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, pos + 4, 4 + len)
+      if (crc.getValue.toInt != beInt(payload, pos + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13 || seenIhdr) return None
+          width = beInt(payload, pos + 8); height = beInt(payload, pos + 12)
+          val bitDepth = payload(pos + 16); val colorType = payload(pos + 17)
+          val compression = payload(pos + 18); val filterMethod = payload(pos + 19)
+          val interlace = payload(pos + 20)
+          if (bitDepth != 8 || colorType != 2 || compression != 0 ||
+            filterMethod != 0 || interlace != 0) return None
+          if (width <= 0 || height <= 0) return None
+        case "IDAT" => if (!seenIhdr) return None else idat.write(payload, pos + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk: skip
+      }
+      if (tag == "IHDR") seenIhdr = true
+      pos += 12 + len
+    }
+    if (!seenIhdr) return None
+    val stride = width * 3
+    val rawLen = (stride + 1).toLong * height
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val out = new Array[Int](stride * height)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var k = 0
+      while (k < stride) {
+        val v = raw(y * (stride + 1) + 1 + k) & 0xff
+        val a = if (k >= 3) out(y * stride + k - 3) else 0
+        val b = if (y > 0) out((y - 1) * stride + k) else 0
+        val c = if (y > 0 && k >= 3) out((y - 1) * stride + k - 3) else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + ((a + b) >> 1)
+          case _ => v + paeth(a, b, c)
+        }
+        out(y * stride + k) = rec & 0xff
+        k += 1
+      }
+      y += 1
+    }
+    Some((width, height, out))
+  }
+
+  /** Parse a PNG: (width, height, [rSum, gSum, bSum]) — the decodeBmp
+    * shape, so the stats pipeline treats PNG/BMP/PPM uniformly. */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Array[Long])] =
+    decodePngRgb(payload).map { case (w, h, px) =>
+      var rSum = 0L; var gSum = 0L; var bSum = 0L
+      var i = 0
+      while (i < w * h) {
+        rSum += px(3 * i); gSum += px(3 * i + 1); bSum += px(3 * i + 2)
+        i += 1
+      }
+      (w, h, Array(rSum, gSum, bSum))
+    }
+
+  /** Parse a PNG to grayscale (row-major, top-down like the file):
+    * gray = (r+g+b)/3 truncating — the decodeBmpGray shape for aHash
+    * / pooling parity across formats. */
+  def decodePngGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePngRgb(payload).map { case (w, h, px) =>
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        gray(i) = (px(3 * i) + px(3 * i + 1) + px(3 * i + 2)) / 3
+        i += 1
+      }
+      (w, h, gray)
+    }
 
   // ------------------------------------------------------------------
   // AUDIO: a REAL pure-JVM WAV (RIFF / 16-bit mono PCM) codec — same

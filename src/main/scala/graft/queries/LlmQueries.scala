@@ -679,9 +679,16 @@ object LlmQueries {
     // makes candidate generation quadratic), then the SAME star-collapse
     // pipeline runs: the flood collapses to one representative before
     // banding, each copy contributes exactly one star edge, and the
-    // quadratic pair set never exists in the plan. The ORACLE computes the
-    // naive quadratic expansion (fine at oracle scale) — component
-    // equality proves the linear path answers the quadratic question.
+    // quadratic pair set never exists in the plan. The ORACLE uses the
+    // same algebraic identity — byte-identical texts have identical
+    // shingle sets, hence identical signatures, hence pairwise J = 1 —
+    // so it scores DISTINCT texts once (rep = group-min doc_id), runs the
+    // recursive closure over rep-level edges only, and expands: a doc's
+    // component is its rep's component (the full-graph min is the min
+    // rep, because each rep IS its group's min). Node set = members of
+    // size>=2 groups ∪ docs whose rep has a rep-level edge — exactly the
+    // naive quadratic's edge-endpoint set. This keeps the oracle replay
+    // output-sized (the r9 sf1 gate timed out on the naive form).
     Q("dedup_components_hot", "LLM",
       (s, d) => {
         val hot = Tables(s, d, "documents").select(col("doc_id"),
@@ -693,11 +700,14 @@ object LlmQueries {
           .orderBy("node")
       },
       Some(s"""${minhashSigCte
-                .replace("FROM documents", "FROM hotdocs")
+                .replace("FROM documents", "FROM repdocs")
                 .replaceFirst("WITH ", "WITH RECURSIVE hotdocs AS (SELECT doc_id,\n" +
                   "  CASE WHEN doc_id % 10 < 3\n" +
                   "       THEN 'mirror boilerplate page shared across the whole corpus again and again'\n" +
-                  "       ELSE text END AS text FROM documents),\n")},
+                  "       ELSE text END AS text FROM documents),\n" +
+                  "dd AS (SELECT text, min(doc_id) AS rep FROM hotdocs GROUP BY text),\n" +
+                  "grp AS (SELECT h.doc_id, r.rep FROM hotdocs h JOIN dd r USING (text)),\n" +
+                  "repdocs AS (SELECT rep AS doc_id, text FROM dd),\n")},
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
               |         FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_key = b2.band_key
               |         WHERE a.doc_id < b2.doc_id),
@@ -709,10 +719,16 @@ object LlmQueries {
               |e AS (SELECT id_a AS a, id_b AS b FROM edges UNION SELECT id_b, id_a FROM edges),
               |reach(a, b) AS (SELECT a, b FROM e
               |                UNION
-              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
-              |SELECT n AS node, CAST(min(m) AS BIGINT) AS component FROM (
-              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach)
-              |GROUP BY n ORDER BY node""".stripMargin)),
+              |                SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+              |repcomp AS (SELECT n AS rep, CAST(min(m) AS BIGINT) AS component FROM (
+              |  SELECT a AS n, a AS m FROM e UNION ALL SELECT a, b FROM reach) GROUP BY n),
+              |gsz AS (SELECT rep, count(*) AS sz FROM grp GROUP BY rep)
+              |SELECT g.doc_id AS node,
+              |       coalesce(rc.component, CAST(g.rep AS BIGINT)) AS component
+              |FROM grp g LEFT JOIN repcomp rc ON rc.rep = g.rep
+              |JOIN gsz z ON z.rep = g.rep
+              |WHERE rc.rep IS NOT NULL OR z.sz >= 2
+              |ORDER BY node""".stripMargin)),
 
     // Quality-aware survivor selection: per near-dup component keep the
     // HIGHEST-quality member (longest doc, id tie-break) — the SemDeDup
@@ -953,30 +969,47 @@ object LlmQueries {
 
     // EXACT all-pairs Jaccard by prefix filtering (SSJoin / Bayardo
     // AllPairs): candidates share a rarest-first prefix shingle — zero
-    // false negatives by theorem, so the oracle is the EXHAUSTIVE pair
+    // false negatives by theorem, so the oracle is the exhaustive pair
     // scan and must match row-for-row. The engine side generates
     // candidates from the shortest posting lists in the corpus and
-    // verifies each candidate once; the oracle pays |docs|² — exactly the
-    // asymmetry that makes this the exact-dedup scale path.
+    // verifies each candidate once. The oracle's exhaustive scan runs
+    // over DISTINCT texts only (identical texts ⇒ identical shingle sets
+    // ⇒ J = 1 and identical cross scores — an algebraic identity, not an
+    // approximation) and expands group-internal pairs (all J = 1000) and
+    // qualifying cross pairs output-sized at the end, so the replay stays
+    // feasible on the 10×-tiled scale fixtures where the naive |docs|²
+    // form timed out.
     Q("dedup_jaccard_prefix", "LLM",
       (s, d) => Dedup.prefixFilterJaccardPairs(Tables(s, d, "documents"),
           "doc_id", "text", shingleLen = 3, thresholdMilli = 800)
         .orderBy("id_a", "id_b"),
-      Some("""WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      Some("""WITH dd AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY text),
+             |grp AS (SELECT d.doc_id, r.rep FROM documents d JOIN dd r USING (text)),
+             |tk AS (SELECT rep AS doc_id, str_split(text, ' ') AS t FROM dd),
              |ds AS (SELECT doc_id,
              |        list_distinct(CASE WHEN len(t) >= 3
              |          THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
              |          ELSE [array_to_string(t, ' ')] END) AS sh
              |      FROM tk),
-             |sc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |sc AS (SELECT a.doc_id AS ra, b.doc_id AS rb,
              |         CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_intersect,
              |         CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union
-             |       FROM ds a JOIN ds b ON a.doc_id < b.doc_id)
+             |       FROM ds a JOIN ds b ON a.doc_id < b.doc_id),
+             |hits AS (SELECT ra, rb, n_intersect, n_union FROM sc
+             |         WHERE (CAST(n_intersect AS BIGINT) * 1000) // n_union >= 800),
+             |cross_pairs AS (SELECT least(ga.doc_id, gb.doc_id) AS id_a,
+             |         greatest(ga.doc_id, gb.doc_id) AS id_b, h.n_intersect, h.n_union
+             |       FROM hits h JOIN grp ga ON ga.rep = h.ra
+             |                   JOIN grp gb ON gb.rep = h.rb),
+             |self_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(s.sh) AS INTEGER) AS n_intersect,
+             |         CAST(len(s.sh) AS INTEGER) AS n_union
+             |       FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+             |       JOIN ds s ON s.doc_id = a.rep),
+             |allp AS (SELECT * FROM cross_pairs UNION ALL SELECT * FROM self_pairs)
              |SELECT id_a, id_b, n_intersect, n_union,
              |       CAST((CAST(n_intersect AS BIGINT) * 1000) // n_union AS BIGINT) AS jacc_milli
-             |FROM sc
-             |WHERE (CAST(n_intersect AS BIGINT) * 1000) // n_union >= 800
-             |ORDER BY id_a, id_b""".stripMargin)),
+             |FROM allp ORDER BY id_a, id_b""".stripMargin)),
 
     // N-gram Jaccard over MinHash-LSH band buckets — the exhaustive scale
     // path. Shape (Dedup.lshJaccardScoredPairs): exact-dup floods are
@@ -2091,6 +2124,80 @@ object LlmQueries {
             (((x * 7 + y * 13 + m) % 256).toInt,
               ((x * 3 + y * 5) % 256).toInt,
               ((x + y * 2 + m * 11) % 256).toInt)), "image/bmp")
+        }
+        Multimodal.aHash(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(8)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(6)) AS y FROM xs),
+             |g AS (SELECT id, w, h, x, y,
+             |        ((x * 7 + y * 13 + id) % 256 + (x * 3 + y * 5) % 256
+             |         + (x + y * 2 + id * 11) % 256) // 3 AS gray
+             |      FROM pix),
+             |mn AS (SELECT id, sum(gray) // 48 AS mean FROM g GROUP BY 1),
+             |hb AS (SELECT g.id, g.w, g.h,
+             |         sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS ahash,
+             |         sum(CASE WHEN gray > mean THEN 1 ELSE 0 END) AS n_set
+             |       FROM g JOIN mn USING (id) GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(ahash AS BIGINT) AS ahash,
+             |  CAST(n_set AS BIGINT) AS n_set
+             |FROM hb ORDER BY media_id""".stripMargin)),
+
+    // PNG REAL decode: the same contract as multimodal_decode_bmp but
+    // through a COMPRESSED container — encodePng writes spec-conformant
+    // non-interlaced 8-bit truecolor files (zlib IDAT, CRC-checked
+    // chunks, and a per-row rotation through ALL FIVE scanline filters:
+    // None/Sub/Up/Average/Paeth), decodePng inflates and runs the full
+    // defilter reconstruction, and the oracle replays the pixel algebra
+    // arithmetically. Green here means a real compressed image format
+    // round-trips byte→pixels in-engine with values proven cross-engine.
+    Q("multimodal_decode_png", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodePng(w, h, (x, y) =>
+            (((x * 11 + y * 3 + m) % 256).toInt,
+              ((x * 5 + y * 7 + m * 2) % 256).toInt,
+              ((x * 2 + y + m * 13) % 256).toInt)), "image/png")
+        }
+        Multimodal.imageStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 9 + id % 6 AS w, 7 + id % 5 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+             |sums AS (SELECT id, w, h,
+             |           sum((x * 11 + y * 3 + id) % 256) AS r_sum,
+             |           sum((x * 5 + y * 7 + id * 2) % 256) AS g_sum,
+             |           sum((x * 2 + y + id * 13) % 256) AS b_sum
+             |         FROM pix GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
+             |FROM sums ORDER BY media_id""".stripMargin)),
+
+    // Cross-format parity: the SAME pixel formulas as multimodal_ahash,
+    // carried through the PNG container instead of BMP, must produce the
+    // IDENTICAL fingerprint board (the oracle is byte-for-byte the same
+    // SQL) — the hash depends on pixels, never on the container. This is
+    // the image-dedup guarantee a mixed-format corpus needs at 100 TB:
+    // re-encoding a mirror site's images can't hide them from aHash.
+    Q("multimodal_ahash_png", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodePng(w, h, (x, y) =>
+            (((x * 7 + y * 13 + m) % 256).toInt,
+              ((x * 3 + y * 5) % 256).toInt,
+              ((x + y * 2 + m * 11) % 256).toInt)), "image/png")
         }
         Multimodal.aHash(media).toDF().orderBy("media_id")
       },

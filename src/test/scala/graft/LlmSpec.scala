@@ -680,6 +680,50 @@ class LlmSpec extends SparkSpec {
     assert(out(2L).width == 4 && out(2L).height == 2)
   }
 
+  test("multimodal PNG codec: round-trip exercises all five filters; conformance rejects") {
+    // height 11 → rows filtered None,Sub,Up,Average,Paeth,None,... — every
+    // defilter arm runs on real data
+    val px = (x: Int, y: Int) => ((x * 10 + y) % 256, (255 - x * 3) % 256, (x * y + 7) % 256)
+    val png = Multimodal.encodePng(9, 11, px)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a))
+    val Some((w, h, sums)) = Multimodal.decodePng(png)
+    assert(w == 9 && h == 11)
+    val expect = for (x <- 0 until 9; y <- 0 until 11) yield px(x, y)
+    assert(sums(0) == expect.map(_._1).sum.toLong)
+    assert(sums(1) == expect.map(_._2).sum.toLong)
+    assert(sums(2) == expect.map(_._3).sum.toLong)
+    // grayscale path: exact pixel-by-pixel reconstruction, top-down
+    val Some((gw, gh, gray)) = Multimodal.decodePngGray(png)
+    assert(gw == 9 && gh == 11)
+    for (x <- 0 until 9; y <- 0 until 11) {
+      val (r, g, b) = px(x, y)
+      assert(gray(y * 9 + x) == (r + g + b) / 3, s"pixel ($x,$y)")
+    }
+    // conformance: junk, truncation, and a flipped payload byte (CRC) reject
+    assert(Multimodal.decodePng("definitely not a png".getBytes).isEmpty)
+    assert(Multimodal.decodePng(png.take(30)).isEmpty)
+    val corrupt = png.clone()
+    corrupt(50) = (corrupt(50) ^ 0x5a).toByte // inside IDAT payload
+    assert(Multimodal.decodePng(corrupt).isEmpty, "CRC mismatch must reject")
+    // 1x1 edge case
+    val tiny = Multimodal.encodePng(1, 1, (_, _) => (200, 100, 50))
+    assert(Multimodal.decodePng(tiny).contains((1, 1, Array(200L, 100L, 50L))) ||
+      Multimodal.decodePng(tiny).exists(t => t._3.toSeq == Seq(200L, 100L, 50L)))
+  }
+
+  test("aHash is container-independent: PNG and BMP of the same pixels agree") {
+    val px = (x: Int, y: Int) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y * 2) % 256)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, Multimodal.encodeBmp(8, 6, px), "image/bmp"),
+      Multimodal.MediaRecord(2L, Multimodal.encodePng(8, 6, px), "image/png")).toDS()
+    val hashes = Multimodal.aHash(media).collect().map(r => r.media_id -> r.ahash).toMap
+    assert(hashes(1L) == hashes(2L), s"container leaked into the hash: $hashes")
+    // and imageStats dispatch keeps PNG alongside BMP/PPM
+    val stats = Multimodal.imageStats(media).collect().map(s => s.media_id -> s).toMap
+    assert(stats(1L).r_sum == stats(2L).r_sum && stats(1L).n_pixels == 48L)
+  }
+
   test("multimodal: empty payloads decode to zero features, not a crash") {
     val (w, h, c, f) = Multimodal.decodeStub(Array.empty[Byte])
     assert(f.toSeq == Seq.fill(8)(0.0f) && c == 3 && w == 16 && h == 16)
