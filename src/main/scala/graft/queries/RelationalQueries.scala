@@ -832,16 +832,31 @@ object RelationalQueries {
               |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
               |   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
 
-    // TPC-H Q21 shape: suppliers who kept orders waiting — one EXISTS
-    // (another supplier in the same order) and one NOT EXISTS (another
-    // supplier ALSO late) become a left-semi and a left-anti join against
-    // the same fact, both on the order key with a supplier inequality.
+    // TPC-H Q21 shape: suppliers who kept orders waiting. The textbook
+    // plan turns the EXISTS (another supplier in the same order) and
+    // NOT EXISTS (another supplier ALSO late) into a left-semi and a
+    // left-anti self-join of the fact — two fact-sized shuffles whose
+    // bytes the r9 sf1 gate measured ballooning 132× on the tiled
+    // fixture (the probe sides crossed the broadcast threshold and
+    // flipped to full shuffle joins). The decorrelation-to-aggregate
+    // rewrite used here is strictly better at scale: per-order DISTINCT
+    // supplier counts replace both quantifiers (EXISTS other supplier ⟺
+    // n_supp ≥ 2; NOT EXISTS other LATE supplier ⟺ n_late_supp = 1,
+    // since the probe row itself is late), so the fact is shuffled once
+    // as map-side-deduped (orderkey, suppkey) pairs and every
+    // subsequent join keys on l_orderkey — order-sized, AQE-coalesced —
+    // instead of re-shuffling lineitem twice. The late-line multiplicity
+    // the original counts per supplier survives as sum(n_lines).
     // This schema has no receipt/commit dates; "late" is
     // l_shipdate > o_orderdate + 60 days.
     Q("tpch_q21_waiting", "TPCH",
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        // distinct suppliers per order over ALL lineitem: two-phase
+        // (partial distinct map-side), one orderkey-keyed exchange
+        val nSupp = li.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
         val late = li
           .join(Tables(s, d, "orders")
               .filter(col("o_orderstatus") === "F")
@@ -849,19 +864,22 @@ object RelationalQueries {
             col("l_orderkey") === col("o_orderkey"))
           .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
           .select(col("l_orderkey"), col("l_suppkey"))
-        val others = li.select(col("l_orderkey").as("x_orderkey"),
-          col("l_suppkey").as("x_suppkey"))
-        val lateOthers = late.select(col("l_orderkey").as("y_orderkey"),
-          col("l_suppkey").as("y_suppkey"))
-        late
-          .join(others, col("l_orderkey") === col("x_orderkey")
-            && col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-          .join(lateOthers, col("l_orderkey") === col("y_orderkey")
-            && col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+        // one row per late (order, supplier) with its line multiplicity;
+        // the orderkey window then counts DISTINCT late suppliers per
+        // order without ever re-joining the fact
+        val latePairs = late.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(count(lit(1)).as("n_lines"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+        latePairs
+          .withColumn("n_late_supp", count(lit(1)).over(wOrd))
+          .filter(col("n_late_supp") === 1)
+          .join(nSupp.filter(col("n_supp") >= 2).select(col("l_orderkey")),
+            "l_orderkey")
           .join(broadcast(Tables(s, d, "supplier")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_lines")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)
       },

@@ -706,6 +706,19 @@ class PlanSpec extends SparkSpec {
       s"probe must sit BELOW the join in the plan tree:\n$p")
   }
 
+  test("q21: quantifiers are per-order aggregates, never fact-sized semi/anti self-joins") {
+    // the r9 sf1 gate measured the semi/anti self-join form ballooning to
+    // a 132x shuffle-byte ratio once the probe sides outgrew broadcast;
+    // the decorrelated form (countDistinct per order + one orderkey
+    // window) must never reintroduce a semi or anti join of lineitem
+    // against itself
+    val p = plan("tpch_q21_waiting")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"q21 regressed to quantifier self-joins:\n$p")
+    assert(p.contains("partial_count") || p.split("HashAggregate").length > 2,
+      s"per-order supplier counts must partial-aggregate map-side:\n$p")
+  }
+
   test("binary rerank: the coarse ranking window carries codes, not float vectors") {
     val p = Registry.queries("ann_binary_rerank")(spark, dir)
       .queryExecution.optimizedPlan
