@@ -70,22 +70,147 @@ object Versioned {
 
   /** One manifest line per file action; hand-rolled JSON (paths and longs
     * only — no escaping hazards beyond quotes, which file paths here
-    * cannot contain; `txn` ids are restricted to [A-Za-z0-9._-]). */
+    * cannot contain; `txn` ids are restricted to [A-Za-z0-9._-]; schema
+    * actions restrict column names to the same alphabet). */
   private def writeManifest(dir: String, version: Long,
                             adds: Seq[(String, Long)],
                             removes: Seq[String],
-                            txnId: Option[String] = None): Unit = {
+                            txnId: Option[String] = None,
+                            schemaAction: Option[String] = None): Unit = {
     Files.createDirectories(versionsDir(dir))
     val txnLine = txnId.map(t => s""""txn": "$t",\n""").getOrElse("")
+    val schemaLine = schemaAction.map(a => s""""schema_action": $a,\n""").getOrElse("")
     val json =
       s"""{"version": $version,
-         |$txnLine"add": [${adds.map { case (f, b) => s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}],
+         |$txnLine$schemaLine"add": [${adds.map { case (f, b) => s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}],
          |"remove": [${removes.map(f => s""""$f"""").mkString(", ")}]}""".stripMargin
     val tmp = versionsDir(dir).resolve(s".$version.json.tmp")
     Files.writeString(tmp, json)
     // rename-into-place: the commit point
     Files.move(tmp, versionsDir(dir).resolve(s"$version.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ------------------------------------------------------------------
+  // Logical column mapping (Delta-style): data files are IMMUTABLE, so
+  // rename/drop never rewrite a byte — the PHYSICAL column name in every
+  // file (past and future) stays the name the column was born with, and
+  // manifests carry metadata-only schema actions that readers fold into
+  // a physical→logical mapping as of their version. Time travel to a
+  // pre-action version folds fewer actions and sees the old shape.
+  // ------------------------------------------------------------------
+
+  private val colNameRe = "[A-Za-z0-9._-]+"
+  private val renameRe =
+    """"schema_action": \{"op": "rename", "from": "([^"]+)", "to": "([^"]+)"\}""".r
+  private val dropRe = """"schema_action": \{"op": "drop", "col": "([^"]+)"\}""".r
+
+  /** The fold of all schema actions up to a version: which physical
+    * columns now surface under which logical name, and which are gone. */
+  private[eth] case class SchemaState(renames: Map[String, String],
+                                      dropped: Set[String]) {
+    def logicalOf(physical: String): String = renames.getOrElse(physical, physical)
+    def physicalOf(logical: String): String =
+      renames.collectFirst { case (p, l) if l == logical => p }.getOrElse(logical)
+    def isIdentity: Boolean = renames.isEmpty && dropped.isEmpty
+  }
+
+  private def foldAction(st: SchemaState, action: (String, String, String)): SchemaState =
+    action match {
+      case ("rename", from, to) =>
+        val p = st.physicalOf(from)
+        if (p == to) SchemaState(st.renames - p, st.dropped)
+        else SchemaState(st.renames + (p -> to), st.dropped)
+      case ("drop", c, _) =>
+        val p = st.physicalOf(c)
+        SchemaState(st.renames - p, st.dropped + p)
+      case (op, _, _) => sys.error(s"unknown schema action '$op'")
+    }
+
+  private def actionsIn(txt: String): Seq[(String, String, String)] =
+    (renameRe.findAllMatchIn(txt).map(m => ("rename", m.group(1), m.group(2))) ++
+      dropRe.findAllMatchIn(txt).map(m => ("drop", m.group(1), ""))).toSeq
+
+  /** Schema state as of `asOf` (0 = identity). Replays from the nearest
+    * checkpoint — checkpoints snapshot the CUMULATIVE action list, so
+    * vacuuming manifests below a checkpoint loses no rename/drop. */
+  private[eth] def schemaState(dir: String, asOf: Long): SchemaState = {
+    if (asOf <= 0) return SchemaState(Map.empty, Set.empty)
+    val cp = checkpointAtOrBefore(dir, asOf)
+    var st = SchemaState(Map.empty, Set.empty)
+    if (cp != 0L) {
+      val txt = Files.readString(versionsDir(dir).resolve(s"$cp.checkpoint.json"))
+      actionsIn(txt).foreach(a => st = foldAction(st, a))
+    }
+    var v = cp + 1
+    while (v <= asOf) {
+      val mf = versionsDir(dir).resolve(s"$v.json")
+      if (Files.exists(mf)) actionsIn(Files.readString(mf)).foreach(a => st = foldAction(st, a))
+      v += 1
+    }
+    st
+  }
+
+  /** Project a physically-named frame to its logical shape as of a
+    * state: dropped physicals vanish, renamed physicals surface under
+    * their current logical name. */
+  private def toLogical(st: SchemaState, df: DataFrame): DataFrame =
+    if (st.isIdentity) df
+    else df.select(df.columns.toIndexedSeq
+      .filterNot(st.dropped.contains)
+      .map(c => col(c).as(st.logicalOf(c))): _*)
+
+  /** Rename a physically-named frame's columns FROM logical names the
+    * caller used TO the physical names files carry. */
+  private def toPhysical(st: SchemaState, df: DataFrame): DataFrame =
+    if (st.isIdentity) df
+    else df.columns.foldLeft(df) { (d, c) =>
+      val p = st.physicalOf(c)
+      if (p == c) d else d.withColumnRenamed(c, p)
+    }
+
+  /** Metadata-only commit: logically rename a column. No data file is
+    * touched — new AND old files keep the physical name; readers at or
+    * after the returned version see `to`, time travel before it sees
+    * `from`. `to` must not collide with a live logical column (enforced
+    * against the mapping; callers own not colliding with a physical
+    * data column the mapping has never touched). */
+  def renameColumn(dir: String, from: String, to: String): Long = {
+    require(from != to, s"rename to self: $from")
+    require(from.matches(colNameRe) && to.matches(colNameRe),
+      s"column names must match $colNameRe")
+    val ndir = norm(dir)
+    val prev = latestVersion(ndir)
+    require(prev >= 1, "renameColumn needs an existing table")
+    val st = schemaState(ndir, prev)
+    require(!st.dropped.contains(st.physicalOf(from)),
+      s"cannot rename dropped column '$from'")
+    require(!st.renames.values.exists(_ == to),
+      s"logical name '$to' is already mapped")
+    writeManifest(ndir, prev + 1, Seq.empty, Seq.empty,
+      schemaAction = Some(s"""{"op": "rename", "from": "$from", "to": "$to"}"""))
+    prev + 1
+  }
+
+  /** Metadata-only commit: logically drop a column. Files keep the bytes
+    * (time travel still reads them); readers at or after the returned
+    * version never see the column. The dropped PHYSICAL name (the
+    * column's storage name — its original name, through any renames) is
+    * RETIRED: committing a column under it is rejected (no physical id
+    * indirection in this reduced log, so reuse would resurrect old
+    * bytes). Re-adding the dropped LOGICAL name is allowed — it becomes
+    * a fresh physical column. */
+  def dropColumn(dir: String, colName: String): Long = {
+    require(colName.matches(colNameRe), s"column names must match $colNameRe")
+    val ndir = norm(dir)
+    val prev = latestVersion(ndir)
+    require(prev >= 1, "dropColumn needs an existing table")
+    val st = schemaState(ndir, prev)
+    require(!st.dropped.contains(st.physicalOf(colName)),
+      s"column '$colName' is already dropped")
+    writeManifest(ndir, prev + 1, Seq.empty, Seq.empty,
+      schemaAction = Some(s"""{"op": "drop", "col": "$colName"}"""))
+    prev + 1
   }
 
   private def parseManifest(dir: String, version: Long): (Seq[(String, Long)], Seq[String]) = {
@@ -146,11 +271,22 @@ object Versioned {
     active.toSeq.sortBy(_._1)
   }
 
-  /** Snapshot version `v`'s full active set so replay can start there. */
+  /** Snapshot version `v`'s full active set — plus the CUMULATIVE schema
+    * action list, so manifest truncation below the checkpoint cannot
+    * lose a rename/drop — so replay can start there. */
   def checkpoint(dir: String, v: Long): Unit = {
     val files = activeFiles(dir, v)
-    val json = s"""{"checkpoint": $v, "active": [${files.map { case (f, b) =>
-      s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}]}"""
+    val st = schemaState(dir, v)
+    // re-emit the folded state as a minimal action list (renames as-is,
+    // drops by physical name — folding them again reproduces the state)
+    val actions =
+      st.renames.toSeq.sortBy(_._1).map { case (p, l) =>
+        s"""{"schema_action": {"op": "rename", "from": "$p", "to": "$l"}}""" } ++
+      st.dropped.toSeq.sorted.map(p =>
+        s"""{"schema_action": {"op": "drop", "col": "$p"}}""")
+    val json = s"""{"checkpoint": $v, "schema": [${actions.mkString(", ")}],
+      |"active": [${files.map { case (f, b) =>
+      s"""{"file": "$f", "bucket": $b}""" }.mkString(", ")}]}""".stripMargin
     val tmp = versionsDir(dir).resolve(s".$v.checkpoint.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, versionsDir(dir).resolve(s"$v.checkpoint.json"),
@@ -207,13 +343,17 @@ object Versioned {
     * untouched bucket still carried by reference) widens to the union
     * schema with nulls for the missing column, while time travel to a
     * pre-evolution version — whose active set is all-old files — yields
-    * exactly the old schema. */
+    * exactly the old schema. Rename/drop evolution is LOGICAL (no file
+    * rewrite): the schema state as of `asOf` projects physical file
+    * columns to their logical names and hides dropped ones — time travel
+    * before the action sees the pre-action shape. */
   def readAt(spark: SparkSession, dir: String, asOf: Long = -1L): DataFrame = {
     val v = if (asOf == -1L) latestVersion(dir) else asOf
     if (v == 0L) return spark.emptyDataFrame
     val files = activeFiles(dir, v).map(_._1)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(files: _*).drop("__pv")
+    else toLogical(schemaState(dir, v),
+      spark.read.option("mergeSchema", "true").parquet(files: _*).drop("__pv"))
   }
 
   /** The version a transaction id was committed as, None if never.
@@ -287,10 +427,14 @@ object Versioned {
       .filter(b => from.get(b) != to.get(b)).toSeq.sorted
     val oldFiles = changed.flatMap(b => from.getOrElse(b, Nil))
     val newFiles = changed.flatMap(b => to.getOrElse(b, Nil))
+    // both sides surface in toV's LOGICAL schema (rename/drop mapping):
+    // the diff answers "what changed, as the table reads today(=toV)" —
+    // a column dropped by toV is invisible on the old side too
+    val stTo = schemaState(dir, toV)
     def read(fs: Seq[String]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(fs: _*).drop("__pv"))
+      else Some(toLogical(stTo, spark.read.option("mergeSchema", "true")
+        .parquet(fs: _*).drop("__pv")))
     (read(oldFiles), read(newFiles)) match {
       case (None, None) =>
         // no bucket changed: return an EMPTY frame with the documented
@@ -353,6 +497,29 @@ object Versioned {
     val spark = df.sparkSession
     val ndir = norm(dir)
     val prev = latestVersion(ndir)
+    // column mapping: callers speak LOGICAL names; files speak physical.
+    // Translate the batch (and the pk/bucket designators) to physical so
+    // every file the table ever writes stays name-uniform, and reject a
+    // column that would resurrect a dropped physical's bytes.
+    val st0 = schemaState(ndir, prev)
+    df.columns.foreach { c =>
+      require(!st0.dropped.contains(st0.physicalOf(c)),
+        s"Versioned.commit: column '$c' was dropped — dropped physical " +
+          "names are retired; re-add it under a new name")
+    }
+    val dfP = toPhysical(st0, df)
+    val pkColsP = pkCols.map(st0.physicalOf)
+    val bucketColP = st0.physicalOf(bucketCol)
+    commitPhysical(dfP, spark, ndir, prev, pkColsP, bucketColP,
+      deleteWhere, txnId, st0)
+  }
+
+  private def commitPhysical(df: DataFrame,
+                             spark: SparkSession, ndir: String, prev: Long,
+                             pkCols: Seq[String], bucketCol: String,
+                             deleteWhere: Option[Column],
+                             txnId: Option[String],
+                             st: SchemaState): Long = {
     val v = prev + 1
     val touchedRows = df.select(col(bucketCol).cast("long")).distinct().collect()
     require(!touchedRows.exists(_.isNullAt(0)),
@@ -364,7 +531,7 @@ object Versioned {
     val merged =
       if (prev == 0) df
       else {
-        val curFiles = activeFiles(dir, prev)
+        val curFiles = activeFiles(ndir, prev)
           .filter(fb => touchedSet.contains(fb._2)).map(_._1)
         if (curFiles.isEmpty) df
         else {
@@ -391,8 +558,13 @@ object Versioned {
 
     // MERGE delete arm: applied to the merged content of the touched
     // buckets, so a PK that is both upserted and delete-matched dies
-    // (delete wins — it is evaluated on the post-merge image)
-    val finalDf = deleteWhere.map(c => merged.filter(!c)).getOrElse(merged)
+    // (delete wins — it is evaluated on the post-merge image). The
+    // predicate references LOGICAL names (caller vocabulary), so it is
+    // evaluated on the logical projection and the survivors translate
+    // back to physical for the write.
+    val finalDf = deleteWhere
+      .map(c => toPhysical(st, toLogical(st, merged).filter(!c)))
+      .getOrElse(merged)
 
     // one job: every touched bucket's full new content, one file per
     // bucket dir (repartition by the partition column pins 1:1)
@@ -421,8 +593,8 @@ object Versioned {
     }
     val removes =
       if (prev == 0) Seq.empty[String]
-      else activeFiles(dir, prev).filter(fb => touchedSet.contains(fb._2)).map(_._1)
-    writeManifest(dir, v, adds, removes, txnId)
+      else activeFiles(ndir, prev).filter(fb => touchedSet.contains(fb._2)).map(_._1)
+    writeManifest(ndir, v, adds, removes, txnId)
     v
   }
 }

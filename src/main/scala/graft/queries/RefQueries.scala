@@ -2077,6 +2077,62 @@ object RefQueries {
              |WHERE change_type IS NOT NULL
              |ORDER BY change_type, o_orderkey""".stripMargin)),
 
+    // K11b: rename/drop schema evolution as METADATA-ONLY commits
+    // (logical column mapping — the Delta column-mapping shape): v1 =
+    // base with (price_c, flag), v2 = rename price_c→amount_c (zero data
+    // files written), v3 = an upsert THROUGH the rename (caller speaks
+    // the new logical name; physical files keep the original), v4 = drop
+    // flag (bytes stay, readers stop seeing it). Each era is read back
+    // at its version: the value sums prove the mapping routes data
+    // correctly and the column sets prove time travel sees each era's
+    // shape. The oracle replays the arithmetic and the expected shapes.
+    Q("k11_schema_evolution", "K",
+      (s, d) => {
+        import graft.eth.Versioned
+        val dir = java.nio.file.Files.createTempDirectory("graft_evoq").toString + "/t"
+        val base = Tables(s, d, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            expr("o_orderkey div 500").as("bkt"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"),
+            (col("o_orderkey") % 2 === 0).as("flag"))
+        Versioned.commit(base, dir, Seq("o_orderkey"), "bkt")   // v1
+        Versioned.renameColumn(dir, "price_c", "amount_c")      // v2
+        val upd = Versioned.readAt(s, dir)
+          .filter(col("o_orderkey") <= 300)
+          .withColumn("amount_c", col("amount_c") + 900L)
+        Versioned.commit(upd, dir, Seq("o_orderkey"), "bkt")    // v3
+        Versioned.dropColumn(dir, "flag")                       // v4
+        def era(v: Long, valueCol: String) = {
+          val r = Versioned.readAt(s, dir, v)
+          r.agg(count(lit(1)).as("n_rows"), sum(col(valueCol)).as("sum_cents"))
+            .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+              lit(r.columns.length.toLong).as("n_cols"),
+              lit(r.columns.contains("flag")).as("has_flag"),
+              lit(r.columns.contains("amount_c")).as("has_amount"))
+        }
+        era(1L, "price_c").unionAll(era(3L, "amount_c"))
+          .unionAll(era(4L, "amount_c")).orderBy("version")
+      },
+      Some("""WITH base AS (SELECT o_orderkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS p
+             |       FROM orders WHERE o_orderkey <= 2000),
+             |s1 AS (SELECT count(*) AS n, sum(p) AS s FROM base),
+             |s3 AS (SELECT count(*) AS n,
+             |         sum(CASE WHEN o_orderkey <= 300 THEN p + 900 ELSE p END) AS s
+             |       FROM base)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS version, CAST(n AS BIGINT) AS n_rows,
+             |    CAST(s AS BIGINT) AS sum_cents, CAST(4 AS BIGINT) AS n_cols,
+             |    true AS has_flag, false AS has_amount FROM s1
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), CAST(n AS BIGINT), CAST(s AS BIGINT),
+             |    CAST(4 AS BIGINT), true, true FROM s3
+             |  UNION ALL
+             |  SELECT CAST(4 AS BIGINT), CAST(n AS BIGINT), CAST(s AS BIGINT),
+             |    CAST(3 AS BIGINT), false, true FROM s3)
+             |ORDER BY version""".stripMargin)),
+
     Q("k9_time_travel", "K",
       (s, d) => {
         import graft.eth.Versioned

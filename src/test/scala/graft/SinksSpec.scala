@@ -676,4 +676,70 @@ class SinksSpec extends SparkSpec {
     assert(same.columns.take(1).toSeq == Seq("change_type"))
     assert(same.count() == 0L)
   }
+
+  test("versioned rename/drop: metadata-only logical mapping, time travel sees each era, vacuum keeps it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/t"
+    // v1: 2 buckets of 5, columns (id, bkt, v)
+    Versioned.commit((0L until 10L).map(i => (i, i / 5, i * 2)).toDF("id", "bkt", "v"),
+      dir, Seq("id"), "bkt")
+    // v2: RENAME v -> val2 — metadata only, zero data files written
+    val v2 = Versioned.renameColumn(dir, "v", "val2")
+    assert(v2 == 2L)
+    assert(!new java.io.File(s"$dir/data/v2").exists(), "rename must not write data")
+    assert(Versioned.readAt(spark, dir).columns.toSeq == Seq("id", "bkt", "val2"))
+    assert(Versioned.readAt(spark, dir, 1L).columns.toSeq == Seq("id", "bkt", "v"),
+      "time travel below the rename must see the old name")
+    // the pure metadata-only diff arm: typed empty in toV's shape
+    val d12 = Versioned.diff(spark, dir, 1L, 2L, Seq("id")).orderBy("change_type")
+    assert(d12.columns.toSeq == Seq("change_type", "id", "bkt", "val2"))
+    assert(d12.count() == 0L)
+    // v3: commit THROUGH the rename (caller speaks logical names);
+    // physical files keep the original name, values land correctly
+    Versioned.commit(Seq((3L, 0L, 999L)).toDF("id", "bkt", "val2"),
+      dir, Seq("id"), "bkt")
+    val at3 = Versioned.readAt(spark, dir, 3L)
+    assert(at3.filter(col("id") === 3L).select("val2").as[Long].head() == 999L)
+    assert(at3.count() == 10L)
+    assert(Versioned.readAt(spark, dir, 1L)
+      .filter(col("id") === 3L).select("v").as[Long].head() == 6L,
+      "old version must keep the old value under the old name")
+    // deleteWhere speaks logical names through the mapping too
+    Versioned.commit(Seq((4L, 0L, 0L)).toDF("id", "bkt", "val2"),
+      dir, Seq("id"), "bkt", deleteWhere = Some(col("val2") === 0L))
+    assert(Versioned.readAt(spark, dir).filter(col("id") === 4L).count() == 0L)
+    // diff across the rename surfaces toV's logical name
+    val d23 = Versioned.diff(spark, dir, 2L, 3L, Seq("id")).collect()
+    assert(d23.map(r => (r.getAs[String]("change_type"), r.getAs[Long]("id"),
+      r.getAs[Long]("val2"))).toSeq == Seq(("update", 3L, 999L)))
+    // v5: DROP val2 — column gone at the head, visible in the past
+    val v5 = Versioned.dropColumn(dir, "val2")
+    assert(Versioned.readAt(spark, dir).columns.toSeq == Seq("id", "bkt"))
+    assert(Versioned.readAt(spark, dir, v5 - 1).columns.contains("val2"))
+    // re-using the RETIRED PHYSICAL name ("v" — val2's storage name) is
+    // rejected: old files still carry those bytes and a physical-name
+    // collision would resurrect them. Re-adding the logical name "val2"
+    // would be fine (fresh physical column, no collision).
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((9L, 1L, 1L)).toDF("id", "bkt", "v"),
+        dir, Seq("id"), "bkt")
+    }
+    assert(e.getMessage.contains("dropped"), e.getMessage)
+    // ...but adding a FRESH column name works (add-column evolution)
+    Versioned.commit(Seq((9L, 1L, 123L)).toDF("id", "bkt", "w"),
+      dir, Seq("id"), "bkt")
+    assert(Versioned.readAt(spark, dir).columns.toSeq == Seq("id", "bkt", "w"))
+    // vacuum to the drop version: the checkpoint must carry the
+    // cumulative mapping so truncated manifests lose no schema action
+    Versioned.vacuum(dir, v5)
+    assert(Versioned.readAt(spark, dir).columns.toSeq == Seq("id", "bkt", "w"))
+    assert(Versioned.readAt(spark, dir, v5).columns.toSeq == Seq("id", "bkt"))
+    // rename chains fold: w -> w2 after the vacuum still reads cleanly
+    Versioned.renameColumn(dir, "w", "w2")
+    assert(Versioned.readAt(spark, dir).columns.toSeq == Seq("id", "bkt", "w2"))
+    assert(Versioned.readAt(spark, dir)
+      .filter(col("id") === 9L).select("w2").as[Long].head() == 123L)
+  }
 }
