@@ -574,6 +574,136 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  // shared by the crash-injection fixtures: nuke a sink directory the
+  // way a crash between two foreachBatch writes leaves it (first write
+  // landed, second never started)
+  private def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private def injectCheckpointCrash(cp: String, batch: Long = 0L): Unit = {
+    // the SINK writes landed (or partially landed) but the CHECKPOINT
+    // commit never did -> the restart re-runs the batch
+    assert(new java.io.File(s"$cp/commits/$batch").delete(),
+      "fixture rot: checkpoint commit file not where expected")
+    new java.io.File(s"$cp/commits/.$batch.crc").delete()
+  }
+
+  test("maintainBandIndexAndFlag crash injection: died between index upsert and flags write; replay heals both") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_bcrash").toString
+    def start() = StreamingOps.maintainBandIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    val q1 = start()
+    try {
+      input.addData(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (10L, "the quick brown fox jumps over the lazy dog"), // same-batch dup
+        (1L, "completely different words appear in this one here"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def snap(dir: String) = spark.read.parquet(dir).collect().map(_.toString).toSet
+    val idxClean = snap(s"$root/index"); val flagClean = snap(s"$root/flags")
+    assert(flagClean.nonEmpty, "fixture rot: expected same-batch dup flags")
+    // crash window: the INDEX upsert landed, the process died before the
+    // FLAGS write and before the checkpoint commit
+    rmTree(s"$root/flags")
+    injectCheckpointCrash(s"$root/ckpt")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(s"$root/index") == idxClean,
+      "replayed batch changed the index (upsert must be idempotent)")
+    assert(snap(s"$root/flags") == flagClean, "flags not healed by replay")
+    // pk uniqueness survived the double apply
+    assert(spark.read.parquet(s"$root/index").groupBy("doc_id", "band")
+      .count().filter(col("count") > 1).count() == 0L)
+    // and the stream keeps moving after recovery
+    val q3 = start()
+    try {
+      input.addData((20L, "twin documents arriving together in one batch yes"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(spark.read.parquet(s"$root/index")
+      .select("doc_id").distinct().count() == 4L)
+  }
+
+  test("maintainImageIndexAndFlag crash injection: flags written but checkpoint commit lost; replay is a clean overwrite") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_icrash").toString
+    def img(seed: Int) = Multimodal.encodeBmp(8, 6, (x, y) =>
+      ((x * 11 + seed) % 200, (y * 17 + seed * 3) % 200, (x + y) * 7 % 200))
+    def start() = StreamingOps.maintainImageIndexAndFlag(
+      input.toDF().toDF("media_id", "payload", "mime"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    val q1 = start()
+    try {
+      input.addData((0L, img(1), "image/bmp"), (10L, img(1), "image/bmp"),
+        (1L, img(90), "image/bmp"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def snap(dir: String) = spark.read.parquet(dir).collect().map(_.toString).toSet
+    val idxClean = snap(s"$root/index"); val flagClean = snap(s"$root/flags")
+    assert(flagClean.exists(_.contains("10")), "fixture rot: twin pair expected")
+    // crash window: BOTH sink writes landed, only the checkpoint commit
+    // vanished — the batch replays over its own output
+    injectCheckpointCrash(s"$root/ckpt")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(s"$root/index") == idxClean, "image index replay not idempotent")
+    assert(snap(s"$root/flags") == flagClean, "flags replay not idempotent")
+    assert(spark.read.parquet(s"$root/index").groupBy("media_id", "band")
+      .count().filter(col("count") > 1).count() == 0L)
+  }
+
+  test("maintainScd2 crash injection: log upserted but dim rebuild lost; replay reconstructs the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp, Long)]
+    val root = java.nio.file.Files.createTempDirectory("graft_scrash").toString
+    def start() = StreamingOps.maintainScd2(
+      input.toDF().toDF("user_id", "event_type", "ts", "event_id"),
+      s"$root/log", s"$root/dim", s"$root/ckpt")
+    val q1 = start()
+    try {
+      input.addData((1L, "a", ts(1), 1L), (1L, "b", ts(3), 2L), (2L, "x", ts(1), 3L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def snap(dir: String) = spark.read.parquet(dir).collect().map(_.toString).toSet
+    val logClean = snap(s"$root/log"); val dimClean = snap(s"$root/dim")
+    // crash window: the LOG upsert landed, the process died before the
+    // DIM rebuild write and before the checkpoint commit
+    rmTree(s"$root/dim")
+    injectCheckpointCrash(s"$root/ckpt")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(s"$root/log") == logClean, "log replay not idempotent")
+    assert(snap(s"$root/dim") == dimClean, "dim not reconstructed by replay")
+    // the healed dim equals a from-scratch batch build of the log
+    val want = graft.operators.Scd2.buildIntervals(
+        spark.read.parquet(s"$root/log"), "user_id", "event_type", "ts", "event_id")
+      .collect().map(_.toString).toSet
+    val got = spark.read.parquet(s"$root/dim")
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "version", "is_current")
+      .collect().map(_.toString).toSet
+    assert(got == want)
+    // progress after recovery: a later batch extends the dimension
+    val q3 = start()
+    try { input.addData((3L, "z", ts(2), 4L)); q3.processAllAvailable() }
+    finally q3.stop()
+    assert(spark.read.parquet(s"$root/dim")
+      .filter(col("user_id") === 3L).count() == 1L)
+  }
+
   test("maintainVersioned: a restart replaying a committed batch is a no-op (txn marker)") {
     import graft.eth.Versioned
     implicit val sqlCtx = spark.sqlContext
