@@ -336,10 +336,29 @@ object Graph {
       .groupBy(col("node"))
       .agg(sum(col("w") * col("iw")).as("n_paths"),
         count(lit(1)).as("n_mids")) // ew is collapsed: one row per (mid, node)
+    // The distinct-source leg genuinely expands s0×node pairs through
+    // each mid — no factorization computes an EXACT distinct count
+    // without seeing every pair. Two scale guards make the expansion
+    // affordable (both measured by the r10 sf10 gate):
+    //   1. repartition(n, mid): the collapsed edge table feeding the
+    //      join is byte-tiny, so bytes-based AQE would coalesce the
+    //      mid exchange and serialize the fan-out (the assoc_rules
+    //      lesson) — 286 s single task on 100× data without the pin.
+    //   2. block-bitmap aggregation instead of distinct-then-count:
+    //      a plain distinct on the pair stream buffers every (s0, node)
+    //      key in the partial hash map — 54 GB of spill at sf10. Keying
+    //      by (node, s0 >> 6) with a bit_or of single-bit words lets
+    //      map-side combine actually COMBINE (OR is idempotent — the
+    //      cross-mid duplicate pairs merge in place), and
+    //      Σ bit_count(word) per node is the exact distinct count.
+    val nPart = edges.sparkSession.sparkContext.defaultParallelism
     val srcAgg = ew.select(col("src").as("s0"), col("dst").as("mid"))
+      .repartition(nPart, col("mid"))
       .join(ew.select(col("src").as("mid"), col("dst").as("node")), "mid")
-      .select(col("s0"), col("node")).distinct()
-      .groupBy(col("node")).agg(count(lit(1)).as("n_sources"))
+      .groupBy(col("node"), expr("s0 >> 6").as("__blk"))
+      .agg(expr("bit_or(shiftleft(1L, cast(s0 & 63 AS INT)))").as("__word"))
+      .groupBy(col("node"))
+      .agg(sum(expr("bit_count(__word)")).as("n_sources"))
     pathAgg.join(srcAgg, "node")
       .select(col("node"), col("n_paths"), col("n_sources"), col("n_mids"))
   }

@@ -719,6 +719,17 @@ class PlanSpec extends SparkSpec {
       s"per-order supplier counts must partial-aggregate map-side:\n$p")
   }
 
+  test("two-hop: fan-out exchange pinned and sources counted via block bitmaps, never a pair distinct") {
+    // r10 sf10 gate: the unpinned form serialized (286 s single task)
+    // and the pair-level distinct spilled 54 GB; the fix is the
+    // repartition pin + (node, s0>>6) bit_or words with Σ bit_count
+    val p = plan("graph_two_hop")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"two-hop lost its pinned fan-out repartition:\n$p")
+    assert(p.contains("bit_or") && p.contains("bit_count"),
+      s"two-hop n_sources regressed to a pair-buffering distinct:\n$p")
+  }
+
   test("binary rerank: the coarse ranking window carries codes, not float vectors") {
     val p = Registry.queries("ann_binary_rerank")(spark, dir)
       .queryExecution.optimizedPlan
