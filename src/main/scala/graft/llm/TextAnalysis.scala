@@ -515,6 +515,81 @@ object TextAnalysis {
     df.select(col(idCol),
       rollingFingerprint(tokens(col(textCol))).as("fingerprint"))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm): hash every `shingleLen`-token gram (the 30-bit md5 base
+    * the MinHash family shares), slide a `window`-hash window, select
+    * each window's MINIMUM hash — rightmost position on ties — and
+    * dedupe the selections. The local-fingerprinting guarantee: any
+    * shared token run of length ≥ window + shingleLen − 1 contributes at
+    * least one SHARED fingerprint, and nothing shorter than shingleLen
+    * is ever matched — the contract partial-overlap detection needs
+    * (license boilerplate, quoted spans, plagiarism) at a stored density
+    * of ~2/(window+1) of the gram count.
+    *
+    * Plan shape: the tie rule is encoded ARITHMETICALLY — key =
+    * hash·2^20 + (2^20−1−pos) makes one numeric `min` over a row frame
+    * pick (min hash, max pos) — so selection is a codegen'd window
+    * primitive, never a UDF. Documents partition the window: bounded
+    * groups, one exchange, no one-task sort. Token position must fit
+    * 2^20 (million-token docs; widen the shift above that). Documents
+    * with fewer than `window` grams yield no fingerprints (the spec
+    * algorithm; they are shorter than the detectable-run floor anyway).
+    * Output: one row per selected (id, fp_hash, fp_pos). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, window: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val P = 1L << 20
+    val grams = docs.select(col(idCol),
+        posexplode(shingles(tokens(col(textCol)), shingleLen)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"),
+        (Dedup.minhashBase(col("gram")) * P +
+          (lit(P - 1) - col("pos"))).as("__key"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    grams
+      .withColumn("__sel", min(col("__key")).over(byDoc.rowsBetween(0, window - 1)))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .filter(col("pos") <= col("__n") - window) // full windows only
+      .select(col(idCol), col("__sel")).distinct()
+      .select(col(idCol),
+        expr(s"__sel div ${P}L").as("fp_hash"),
+        (lit(P - 1) - pmod(col("__sel"), lit(P))).as("fp_pos"))
+  }
+
+  /** Partial-overlap candidate pairs from winnowing fingerprints — the
+    * corpus-scale MOSS join. Flood-safe by the two standard guards:
+    * byte-identical texts collapse to one min-id representative BEFORE
+    * fingerprinting (identical texts share every fingerprint — pairing
+    * them is answer-sized information the caller already has from
+    * [[Dedup.exact]]), and fingerprints appearing in more than `maxDf`
+    * representatives are dropped (MOSS's boilerplate rule: a gram every
+    * document contains identifies nothing and would alone pay df²
+    * pairs). Remaining posting lists pair within fingerprint, and a
+    * pair qualifies at `n_shared ≥ minShared` distinct shared hashes.
+    * One exchange on the fingerprint, pair fan-out bounded by maxDf per
+    * posting, aggregate on the (id_a, id_b) pair — never |docs|². */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, window: Int = 4,
+                         minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val reps = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    val posts = winnowFingerprints(reps, idCol, textCol, shingleLen, window)
+      .select(col(idCol), col("fp_hash")).distinct()
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp_hash"))
+    val kept = posts.withColumn("__df", count(lit(1)).over(byFp))
+      .filter(col("__df") <= maxDf)
+      .select(col(idCol), col("fp_hash"))
+    kept.select(col("fp_hash"), col(idCol).as("id_a"))
+      .join(kept.select(col("fp_hash"), col(idCol).as("id_b")), "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One BPE merge-selection step (Sennrich et al. 2016) as a relational
     * program: the top-k adjacent character pairs by corpus frequency —
     * the statistic the tokenizer-training inner loop maximizes. The

@@ -1999,6 +1999,73 @@ object LlmQueries {
              |       (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprints (Schleimer–Wilkerson–Aiken / MOSS): every
+    // 3-gram hashes to the shared 30-bit md5 base, a 4-hash window keeps
+    // its minimum (rightmost on ties, encoded arithmetically so ONE
+    // numeric window-min decides both), selections dedupe. Guarantee:
+    // shared token runs >= window+k-1 = 6 share a fingerprint. The
+    // oracle replays the identical key algebra over DuckDB lists.
+    Q("text_winnow_fingerprints", "LLM",
+      (s, d) => TextAnalysis.winnowFingerprints(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "fp_pos"),
+      Some("""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id,
+             |         CASE WHEN len(t) >= 3
+             |              THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
+             |              ELSE [array_to_string(t, ' ')] END AS s
+             |       FROM toks),
+             |keys AS (SELECT doc_id,
+             |           list_transform(range(0, len(s)),
+             |             i -> (CAST('0x' || substring(md5(s[i+1]), 1, 15) AS BIGINT) % 1073741824)
+             |                  * 1048576 + (1048575 - i)) AS ks
+             |         FROM sh),
+             |sel AS (SELECT doc_id,
+             |          list_distinct(list_transform(range(0, len(ks) - 3),
+             |            j -> list_min(ks[(j+1):(j+4)]))) AS fps
+             |        FROM keys WHERE len(ks) >= 4),
+             |f AS (SELECT doc_id, unnest(fps) AS k FROM sel)
+             |SELECT doc_id, k // 1048576 AS fp_hash,
+             |       CAST(1048575 - (k % 1048576) AS BIGINT) AS fp_pos
+             |FROM f ORDER BY doc_id, fp_pos""".stripMargin)),
+
+    // Partial-overlap candidate pairs over the winnowing fingerprints —
+    // the corpus-scale MOSS join: exact-dup texts collapse to min-id
+    // reps BEFORE fingerprinting, fingerprints in more than maxDf reps
+    // drop (the boilerplate rule that bounds every posting's pair
+    // fan-out), posting lists pair within fingerprint, and a pair
+    // qualifies at n_shared >= 2 distinct shared hashes. The oracle
+    // replays collapse + df cap + pairing exhaustively over the reps.
+    Q("dedup_winnow_overlap", "LLM",
+      (s, d) => TextAnalysis.winnowOverlapPairs(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      Some("""WITH dd AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text),
+             |toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM dd),
+             |sh AS (SELECT doc_id,
+             |         CASE WHEN len(t) >= 3
+             |              THEN list_transform(range(0, len(t) - 2), i -> array_to_string(t[(i+1):(i+3)], ' '))
+             |              ELSE [array_to_string(t, ' ')] END AS s
+             |       FROM toks),
+             |keys AS (SELECT doc_id,
+             |           list_transform(range(0, len(s)),
+             |             i -> (CAST('0x' || substring(md5(s[i+1]), 1, 15) AS BIGINT) % 1073741824)
+             |                  * 1048576 + (1048575 - i)) AS ks
+             |         FROM sh),
+             |sel AS (SELECT doc_id,
+             |          list_distinct(list_transform(range(0, len(ks) - 3),
+             |            j -> list_min(ks[(j+1):(j+4)]))) AS fps
+             |        FROM keys WHERE len(ks) >= 4),
+             |posts AS (SELECT DISTINCT doc_id, unnest(fps) // 1048576 AS fp FROM sel),
+             |kept AS (SELECT doc_id, fp FROM posts
+             |         QUALIFY count(*) OVER (PARTITION BY fp) <= 50),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |          FROM kept a JOIN kept b
+             |            ON a.fp = b.fp AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, count(*) AS n_shared
+             |FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Multimodal: opaque binary payload + typed metadata (column-only path).
     // Pattern scrub (PII-redaction plumbing): an email rule (exercises the
     // zero-match path on this corpus) then a denylist-term rule, counts +

@@ -32,6 +32,46 @@ class LlmSpec extends SparkSpec {
     assert(Sampling.groupAwareSplit(empty, "doc_id", noComp).count() == 0)
   }
 
+  test("winnowing: shared runs >= w+k-1 share a fingerprint; short docs yield none; density holds") {
+    import graft.llm.TextAnalysis
+    val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
+    val docs = Seq(
+      (1L, s"one two $sharedRun three four five six seven"),
+      (2L, s"nine ten eleven twelve $sharedRun thirteen"),
+      (3L, "completely unrelated words everywhere in this document body"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("fp_hash"), r.getAs[Long]("fp_pos")))
+    def hashesOf(id: Long) = fps.filter(_._1 == id).map(_._2).toSet
+    // the guarantee: docs 1 and 2 share the 6-token run -> >= 1 shared hash
+    assert((hashesOf(1L) intersect hashesOf(2L)).nonEmpty,
+      "shared run of w+k-1 tokens must share a fingerprint")
+    // doc 4 has 2 tokens -> 1 whole-doc shingle < window grams -> none
+    assert(hashesOf(4L).isEmpty)
+    // selection positions are in-range gram positions
+    assert(fps.forall(f => f._3 >= 0))
+    // density: selections <= gram count, >= gramCount/(window) lower bound-ish
+    val g1 = 13 - 3 + 1 // doc 1 grams
+    assert(hashesOf(1L).size <= g1)
+    // overlap pairs: 1-2 qualify at minShared=1; unrelated doc 3 pairs with nobody
+    val pairs = TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+        minShared = 1, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"overlapping docs must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // the boilerplate df-cap: with maxDf = 1 every fingerprint shared by
+    // two docs is dropped, so no pair survives
+    assert(TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 1).count() == 0L)
+    // exact-dup copies collapse to the rep before pairing (flood-safe)
+    val flood = docs.union(Seq((10L, s"one two $sharedRun three four five six seven"))
+      .toDF("doc_id", "text"))
+    val fp2 = TextAnalysis.winnowOverlapPairs(flood, "doc_id", "text",
+        minShared = 1, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fp2 == pairs, "byte-identical copy must not add pairs (rep collapse)")
+  }
+
   test("exact dedup: one survivor per distinct content, dup_count correct") {
     val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(out.length == 4)
