@@ -719,6 +719,14 @@ class PlanSpec extends SparkSpec {
       s"per-order supplier counts must partial-aggregate map-side:\n$p")
   }
 
+  test("winnow overlap: pairs meet on the fingerprint equi-key, never a cartesian; selection is a window min") {
+    val p = plan("dedup_winnow_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnow pairing must meet on fp_hash:\n$p")
+    val pf = plan("text_winnow_fingerprints")
+    assert(pf.contains("Window"), s"winnow selection must be a window min:\n$pf")
+  }
+
   test("two-hop: fan-out exchange pinned and sources counted via block bitmaps, never a pair distinct") {
     // r10 sf10 gate: the unpinned form serialized (286 s single task)
     // and the pair-level distinct spilled 54 GB; the fix is the
