@@ -196,6 +196,17 @@ object LlmQueries {
        |${round(2)}""".stripMargin
   }
 
+  /** Force every plain CTE in an oracle to MATERIALIZED. DuckDB inlines
+    * a CTE once per reference, so an oracle whose final tables reference
+    * a multi-round chain several times re-expands the whole chain
+    * EXPONENTIALLY — the joint NMI oracle below went from >15 min and
+    * ~100 GB (OOM-killed the sf1 gate) to 1.2 s with the hint. Purely an
+    * evaluation fence: values are unchanged by definition. Recursive
+    * CTEs (`name(cols) AS (`) don't match the pattern and stay inline,
+    * as required. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   /** Joint LPA (`l2`) + Louvain (`g2`) labels over the SAME backbone,
     * plus the NMI cell/marginal/entropy tables — the agreement-metric
     * oracle. Built from the same chains the individual label oracles
@@ -5617,13 +5628,14 @@ object LlmQueries {
                    |ELSE mi_u * 1000 div cast(floor(sqrt(cast(hx_u as double) * cast(hy_u as double))) as bigint)
                    |END""".stripMargin).as("nmi_milli"))
       },
-      Some(s"""$lpaLouvainJointCte
-              |SELECT CAST(n AS BIGINT) AS n_nodes, CAST(mi_u AS BIGINT) AS mi_u,
-              |  CAST(hx_u AS BIGINT) AS hx_u, CAST(hy_u AS BIGINT) AS hy_u,
-              |  CAST(CASE WHEN hx_u = 0 OR hy_u = 0 THEN 0
-              |       ELSE mi_u * 1000 // CAST(floor(sqrt(CAST(hx_u AS DOUBLE) * hy_u)) AS BIGINT)
-              |       END AS BIGINT) AS nmi_milli
-              |FROM mi, hx, hy, nn""".stripMargin)),
+      Some(materializeCtes(
+        s"""$lpaLouvainJointCte
+           |SELECT CAST(n AS BIGINT) AS n_nodes, CAST(mi_u AS BIGINT) AS mi_u,
+           |  CAST(hx_u AS BIGINT) AS hx_u, CAST(hy_u AS BIGINT) AS hy_u,
+           |  CAST(CASE WHEN hx_u = 0 OR hy_u = 0 THEN 0
+           |       ELSE mi_u * 1000 // CAST(floor(sqrt(CAST(hx_u AS DOUBLE) * hy_u)) AS BIGINT)
+           |       END AS BIGINT) AS nmi_milli
+           |FROM mi, hx, hy, nn""".stripMargin))),
 
     // Per-community conductance over the SAME 2-round LPA labels as
     // graph_modularity: cut / min(vol, total - vol) — modularity says

@@ -17,6 +17,12 @@ skip = set(x for x in os.environ.get('CHECK_SKIP', '').split(',') if x)
 timeout_s = float(os.environ.get('CHECK_TIMEOUT_S', '0') or 0)
 
 con = duckdb.connect()
+# bound the replay's memory so a heavy oracle at the scale fixtures
+# spills to disk instead of drawing the OOM killer (which silently
+# kills the whole gate mid-board); override with CHECK_MEM_GB
+mem_gb = os.environ.get('CHECK_MEM_GB', '48')
+con.execute(f"SET memory_limit='{mem_gb}GB'")
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     # sf1-scale tables are DIRECTORIES of part files (Spark needs >1 file
