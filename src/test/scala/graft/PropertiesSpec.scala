@@ -456,6 +456,47 @@ class PropertiesSpec extends SparkSpec {
     assert(merged == expect)
   }
 
+  test("winnowing equals the literal SWA algorithm on random corpora (ties included)") {
+    // independent in-memory reference: the paper's algorithm verbatim —
+    // k-gram md5-base hashes, per-window min with RIGHTMOST tie, dedupe.
+    // A tiny vocabulary forces repeated grams, so the tie rule is
+    // genuinely exercised (equal hashes inside one window).
+    def md5_30(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16) % 1073741824L
+    }
+    def ref(tokens: Seq[String], k: Int = 3, w: Int = 4): Set[(Long, Long)] = {
+      val grams =
+        if (tokens.length >= k) tokens.sliding(k).map(_.mkString(" ")).toVector
+        else Vector(tokens.mkString(" "))
+      val hs = grams.map(md5_30)
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).map { j =>
+        val (h, i) = (j until j + w).map(i => (hs(i), i)).minBy(t => (t._1, -t._2))
+        (h, i.toLong)
+      }.toSet
+    }
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 300).map { i =>
+      val n = rnd.nextInt(31) // 0..30 tokens
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val got = graft.llm.TextAnalysis.winnowFingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getAs[Long]("fp_hash"), r.getAs[Long]("fp_pos"))).toSet
+      }
+    docs.foreach { case (id, text) =>
+      val want = ref(if (text.isEmpty) Seq("") else text.split(" ").toSeq)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id ('$text'): got ${got.getOrElse(id, Set.empty)} want $want")
+    }
+  }
+
   test("spatial radius join equals the quadratic scan, including cell-boundary pairs") {
     import graft.operators.SpatialJoin
     val pts = (0L until 300L).map(i =>
