@@ -569,6 +569,7 @@ object Multimodal {
     while (i < 8) { if (payload(i) != pngMagic(i)) return None; i += 1 }
     var pos = 8
     var width = 0; var height = 0; var seenIhdr = false
+    var bpp = 3 // bytes per pixel: 3 (truecolor) or 1 (grayscale)
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -586,8 +587,9 @@ object Multimodal {
           val bitDepth = payload(pos + 16); val colorType = payload(pos + 17)
           val compression = payload(pos + 18); val filterMethod = payload(pos + 19)
           val interlace = payload(pos + 20)
-          if (bitDepth != 8 || colorType != 2 || compression != 0 ||
-            filterMethod != 0 || interlace != 0) return None
+          if (bitDepth != 8 || (colorType != 2 && colorType != 0) ||
+            compression != 0 || filterMethod != 0 || interlace != 0) return None
+          bpp = if (colorType == 2) 3 else 1
           if (width <= 0 || height <= 0) return None
         case "IDAT" => if (!seenIhdr) return None else idat.write(payload, pos + 8, len)
         case "IEND" => done = true
@@ -597,7 +599,7 @@ object Multimodal {
       pos += 12 + len
     }
     if (!seenIhdr) return None
-    val stride = width * 3
+    val stride = width * bpp
     val rawLen = (stride + 1).toLong * height
     if (rawLen > Int.MaxValue - 8) return None
     val raw = new Array[Byte](rawLen.toInt)
@@ -622,9 +624,9 @@ object Multimodal {
       var k = 0
       while (k < stride) {
         val v = raw(y * (stride + 1) + 1 + k) & 0xff
-        val a = if (k >= 3) out(y * stride + k - 3) else 0
+        val a = if (k >= bpp) out(y * stride + k - bpp) else 0
         val b = if (y > 0) out((y - 1) * stride + k) else 0
-        val c = if (y > 0 && k >= 3) out((y - 1) * stride + k - 3) else 0
+        val c = if (y > 0 && k >= bpp) out((y - 1) * stride + k - bpp) else 0
         val rec = ft match {
           case 0 => v
           case 1 => v + a
@@ -637,7 +639,74 @@ object Multimodal {
       }
       y += 1
     }
-    Some((width, height, out))
+    if (bpp == 3) Some((width, height, out))
+    else { // grayscale surfaces through the RGB interface by replication
+      val rgb = new Array[Int](width * height * 3)
+      var i2 = 0
+      while (i2 < width * height) {
+        rgb(3 * i2) = out(i2); rgb(3 * i2 + 1) = out(i2); rgb(3 * i2 + 2) = out(i2)
+        i2 += 1
+      }
+      Some((width, height, rgb))
+    }
+  }
+
+  /** Write a non-interlaced 8-bit GRAYSCALE PNG (color type 0,
+    * 1 byte/pixel) — the bpp=1 sibling of [[encodePng]], same per-row
+    * filter rotation so round-trips prove the defilter suite at the
+    * other byte width too. `pixel(x, y)` returns the gray value mod 256. */
+  def encodePngGray(width: Int, height: Int,
+                    pixel: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
+    val raw = new Array[Byte]((width + 1) * height)
+    val cur = new Array[Int](width)
+    val prev = new Array[Int](width)
+    var y = 0; var o = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { cur(x) = pixel(x, y) & 0xff; x += 1 }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < width) {
+        val a = if (i >= 1) cur(i - 1) else 0
+        val b = prev(i)
+        val c = if (i >= 1) prev(i - 1) else 0
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) >> 1)
+          case _ => cur(i) - paeth(a, b, c)
+        }
+        raw(o) = (v & 0xff).toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val z = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    pngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** Parse a PNG: (width, height, [rSum, gSum, bSum]) — the decodeBmp

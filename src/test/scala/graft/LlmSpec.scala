@@ -752,6 +752,29 @@ class LlmSpec extends SparkSpec {
       Multimodal.decodePng(tiny).exists(t => t._3.toSeq == Seq(200L, 100L, 50L)))
   }
 
+  test("multimodal PNG grayscale (color type 0): bpp=1 defilter round-trips; surfaces as replicated RGB") {
+    val px = (x: Int, y: Int) => (x * 13 + y * 7) % 256
+    val png = Multimodal.encodePngGray(7, 11, px) // 11 rows -> all 5 filters
+    val Some((w, h, sums)) = Multimodal.decodePng(png)
+    assert(w == 7 && h == 11)
+    val expect = (for (x <- 0 until 7; y <- 0 until 11) yield px(x, y)).sum.toLong
+    assert(sums(0) == expect && sums(1) == expect && sums(2) == expect,
+      "grayscale must replicate into all three channels")
+    val Some((_, _, gray)) = Multimodal.decodePngGray(png)
+    for (x <- 0 until 7; y <- 0 until 11)
+      assert(gray(y * 7 + x) == px(x, y), s"pixel ($x,$y)")
+    // a grayscale PNG and a truecolor PNG of the same gray image hash equal
+    val rgbPng = Multimodal.encodePng(8, 6, (x, y) => {
+      val g = (x * 3 + y * 5) % 256; (g, g, g)
+    })
+    val grayPng = Multimodal.encodePngGray(8, 6, (x, y) => (x * 3 + y * 5) % 256)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, rgbPng, "image/png"),
+      Multimodal.MediaRecord(2L, grayPng, "image/png")).toDS()
+    val hs = Multimodal.aHash(media).collect().map(r => r.media_id -> r.ahash).toMap
+    assert(hs(1L) == hs(2L))
+  }
+
   test("aHash is container-independent: PNG and BMP of the same pixels agree") {
     val px = (x: Int, y: Int) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y * 2) % 256)
     val media = Seq(
