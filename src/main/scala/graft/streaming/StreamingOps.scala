@@ -191,6 +191,65 @@ object StreamingOps {
     * surface loudly — only the very first batch (no index yet) skips the
     * pre-existence check, by writing before flagging.
     */
+  /** Streaming PARTIAL-OVERLAP ingest — [[maintainBandIndexAndFlag]]'s
+    * loop over winnowing fingerprints instead of MinHash bands: per
+    * micro-batch, winnow the batch ([[graft.llm.TextAnalysis
+    * .winnowFingerprints]] — shared token runs ≥ w+k−1 share a
+    * fingerprint), fold the (id, fp_hash) postings into a hash-bucketed
+    * index (idempotent pk upsert, replay rewrites the same rows), then
+    * flag batch docs sharing ≥ `minShared` fingerprints with ANY indexed
+    * doc. Upsert-before-flag keeps same-batch overlaps visible both
+    * ways. The MOSS boilerplate rule rides the flag read: fingerprints
+    * whose pruned-index posting exceeds `maxDf` are dropped before
+    * pairing, so a license-header fingerprint every doc carries can
+    * never pay df² pair work at flag time. Index IO prunes to the
+    * batch's touched key buckets on both the upsert and the flag read. */
+  def maintainWinnowIndexAndFlag(docs: DataFrame, indexDir: String,
+                                 flagsDir: String, checkpointDir: String,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text",
+                                 minShared: Int = 2, maxDf: Int = 50,
+                                 keyBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fps = graft.llm.TextAnalysis.winnowFingerprints(
+            batch.toDF(), idCol, textCol)
+          .select(col(idCol), col("fp_hash")).distinct()
+          .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
+            col("fp_hash").cast("string")), lit(keyBuckets.toLong)))
+        val touched = fps.select(col("kb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        val flags =
+          if (touched.isEmpty) {
+            // every batch doc was shorter than the winnow window: the
+            // batch indexes nothing and can overlap nothing — write the
+            // empty (typed) flags so replay stays shape-consistent
+            fps.limit(0).select(col(idCol),
+              col(idCol).as("matched_id"), lit(0L).as("n_shared"))
+          } else {
+            graft.eth.Sinks.upsertBucketedParquet(fps, indexDir,
+              pkCols = Seq(idCol, "fp_hash"), bucketCol = "kb",
+              sortCols = Seq("fp_hash", idCol), newBuckets = Some(touched))
+            val wFp = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("fp_hash"))
+            val idx = spark.read.parquet(indexDir)
+              .filter(col("kb").isin(touched: _*)) // partition-pruned read
+              .withColumn("__df", count(lit(1)).over(wFp))
+              .filter(col("__df") <= maxDf) // MOSS boilerplate rule
+              .select(col("fp_hash"), col(idCol).as("matched_id"))
+            fps.join(idx, "fp_hash")
+              .filter(col(idCol) =!= col("matched_id"))
+              .groupBy(col(idCol), col("matched_id"))
+              .agg(count(lit(1)).as("n_shared"))
+              .filter(col("n_shared") >= minShared)
+          }
+        flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   def maintainBandIndexAndFlag(docs: DataFrame, indexDir: String,
                                flagsDir: String, checkpointDir: String,
                                idCol: String = "doc_id",

@@ -635,6 +635,45 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").distinct().count() == 4L)
   }
 
+  test("maintainWinnowIndexAndFlag: cross-batch and same-batch partial overlaps flag; short docs index nothing; crash replay heals") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_winix").toString
+    val run = "alpha beta gamma delta epsilon zeta eta theta" // 8 shared tokens
+    def start() = StreamingOps.maintainWinnowIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/flags", s"$root/ckpt", minShared = 1)
+    val q1 = start()
+    try {
+      input.addData(
+        (1L, s"one two $run three four five six seven eight nine"),
+        (2L, "totally unrelated content with none of those words here at all"))
+      q1.processAllAvailable()
+      input.addData(
+        (10L, s"prefix words then $run and a different tail entirely"), // overlaps 1
+        (20L, s"twin of the overlap $run right here in this batch"),   // overlaps 1 AND 10
+        (30L, "tiny")) // sub-window: indexes nothing
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id"))).toSet
+    val pairs = flagPairs()
+    assert(pairs.contains((10L, 1L)), s"cross-batch overlap must flag: $pairs")
+    assert(pairs.contains((20L, 10L)) && pairs.contains((10L, 20L)) ||
+      pairs.contains((20L, 1L)), s"same-batch overlap must flag: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 30L || p._2 == 30L))
+    val idxSnap = spark.read.parquet(s"$root/index").collect().map(_.toString).toSet
+    // crash injection: checkpoint commit of batch 1 lost; replay overwrites
+    assert(new java.io.File(s"$root/ckpt/commits/1").delete())
+    new java.io.File(s"$root/ckpt/commits/.1.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$root/index").collect().map(_.toString).toSet == idxSnap,
+      "replay must be idempotent on the winnow index")
+    assert(flagPairs() == pairs, "replay must rewrite the same flags")
+  }
+
   test("maintainImageIndexAndFlag crash injection: flags written but checkpoint commit lost; replay is a clean overwrite") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.Multimodal
