@@ -99,6 +99,14 @@ object ColumnFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       ShinglesExpr(org.apache.spark.sql.GraftColumnBridge.expression(toks), k))
 
+  /** Unicode NFC canonical composition ([[NfcNormalizeExpr]]) — run this
+    * BEFORE any hash-based operator: byte-level hashing treats composed
+    * and decomposed forms of the same text as different documents.
+    * Cross-engine equal to DuckDB's `nfc_normalize`. */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Morton (Z-order) interleave of two non-negative int columns' low
     * `bits` bits: bit i of x lands at position 2i, bit i of y at 2i+1.
     * Sorting/clustering a sink by the Z-code gives multi-dimensional scan

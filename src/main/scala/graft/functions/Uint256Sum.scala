@@ -99,6 +99,10 @@ object GraftFunctions {
       "graft_cosine",
       (children: Seq[Expression]) => CosineSimExpr(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head),
+      "built-in")
   }
 }
 
@@ -124,6 +128,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine"),
       CosineSimExpr.info,
       (children: Seq[Expression]) => CosineSimExpr(children(0), children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      NfcNormalizeExpr.info,
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
     ext.injectOptimizerRule(_ => graft.plans.BucketPredicateInference())
   }
 }

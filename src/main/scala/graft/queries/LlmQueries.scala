@@ -2010,6 +2010,55 @@ object LlmQueries {
              |       (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Unicode NFC normalization — the step every hash-based operator
+    // needs FIRST: composed (U+00E9) and decomposed (e + U+0301) forms
+    // of the same text hash differently, so un-normalized duplicates
+    // evade MinHash/SimHash/winnowing entirely. The corpus is synthesized
+    // in-engine with all the canonical-equivalence shapes (combining
+    // marks, precomposed, singleton compat points like ANGSTROM SIGN,
+    // multi-mark canonical reordering o+0302+0323 → U+1ED9), normalized
+    // by the codegen'd JDK Normalizer expression, and compared against
+    // DuckDB's utf8proc nfc_normalize building the IDENTICAL strings via
+    // chr() — two independent Unicode implementations must agree
+    // codepoint-for-codepoint.
+    Q("text_nfc_normalize", "LLM",
+      (s, d) => {
+        import s.implicits._
+        // explicit escapes — literal glyphs would be editor-normalization
+        // hazards (decomposed and precomposed forms render identically)
+        val pieces = Array(
+          "e\u0301",       // decomposed e + COMBINING ACUTE -> U+00E9
+          "\u00E9",        // already-NFC precomposed
+          "A\u030A",       // A + COMBINING RING -> U+00C5
+          "\u212B",        // ANGSTROM SIGN (singleton) -> U+00C5
+          "o\u0302\u0323", // canonical reorder + compose -> U+1ED9
+          "ok")            // plain ASCII: untouched
+        val df = s.range(0, 240)
+          .map(m => (m, "w" + m + " " + pieces((m % 6).toInt) + " t" + (m % 7)))
+          .toDF("id", "text")
+        val n = graft.functions.ColumnFns.nfc(col("text"))
+        df.select(col("id"), n.as("text_nfc"),
+            (col("text") =!= n).as("changed"),
+            length(col("text")).cast("long").as("n_before"),
+            length(n).cast("long").as("n_after"))
+          .orderBy("id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 240)) AS id),
+             |raw AS (SELECT id, 'w' || id || ' ' ||
+             |          CASE id % 6
+             |            WHEN 0 THEN 'e' || chr(769)
+             |            WHEN 1 THEN chr(233)
+             |            WHEN 2 THEN 'A' || chr(778)
+             |            WHEN 3 THEN chr(8491)
+             |            WHEN 4 THEN 'o' || chr(770) || chr(803)
+             |            ELSE 'ok' END || ' t' || (id % 7) AS s
+             |        FROM m)
+             |SELECT id, nfc_normalize(s) AS text_nfc,
+             |  s <> nfc_normalize(s) AS changed,
+             |  CAST(length(s) AS BIGINT) AS n_before,
+             |  CAST(length(nfc_normalize(s)) AS BIGINT) AS n_after
+             |FROM raw ORDER BY id""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer–Wilkerson–Aiken / MOSS): every
     // 3-gram hashes to the shared 30-bit md5 base, a 4-hash window keeps
     // its minimum (rightmost on ties, encoded arithmetically so ONE

@@ -32,6 +32,39 @@ class LlmSpec extends SparkSpec {
     assert(Sampling.groupAwareSplit(empty, "doc_id", noComp).count() == 0)
   }
 
+  test("NFC/NFKC: canonical twins unify, NFKC folds compatibility forms, both idempotent") {
+    import graft.functions.{ColumnFns, NfcNormalizeExpr}
+    import org.apache.spark.unsafe.types.UTF8String
+    val decomposed = "caf" + "e\u0301"  // e + COMBINING ACUTE
+    val precomposed = "caf\u00E9"
+    assert(decomposed != precomposed)    // different BYTES, same text
+    val rows = Seq((1L, decomposed), (2L, precomposed)).toDF("id", "text")
+      .select(col("id"), ColumnFns.nfc(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == rows(2L), "canonical twins must unify under NFC")
+    assert(rows(1L) == precomposed)
+    // NFC does NOT fold compatibility forms; NFKC does (ligature fi, fullwidth)
+    def nfc(s: String) = NfcNormalizeExpr.nfc(UTF8String.fromString(s)).toString
+    def nfkc(s: String) = NfcNormalizeExpr.nfkc(UTF8String.fromString(s)).toString
+    assert(nfc("\uFB01le") == "\uFB01le") // ligature fi survives NFC
+    assert(nfkc("\uFB01le") == "file")     // ...and folds under NFKC
+    assert(nfkc("\uFF01") == "!")          // fullwidth exclamation
+    // idempotence + already-normalized inputs return the SAME object
+    val u = UTF8String.fromString("plain ascii")
+    assert(NfcNormalizeExpr.nfc(u) eq u)
+    assert(nfc(nfc(decomposed)) == nfc(decomposed))
+    assert(nfkc(nfkc("\uFB01\uFF01")) == nfkc("\uFB01\uFF01"))
+    // the dedup consequence: byte hashes differ pre-NFC, unify post-NFC
+    val h1 = graft.llm.Dedup.exact(Seq((1L, decomposed), (2L, precomposed))
+      .toDF("doc_id", "text"), "doc_id", "text")
+    assert(h1.count() == 2, "un-normalized twins look distinct to exact dedup")
+    val h2 = graft.llm.Dedup.exact(Seq((1L, decomposed), (2L, precomposed))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), ColumnFns.nfc(col("text")).as("text")),
+      "doc_id", "text")
+    assert(h2.count() == 1, "NFC must unify them before hashing")
+  }
+
   test("winnowing: shared runs >= w+k-1 share a fingerprint; short docs yield none; density holds") {
     import graft.llm.TextAnalysis
     val sharedRun = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1
