@@ -107,6 +107,14 @@ object ColumnFns {
     org.apache.spark.sql.GraftColumnBridge.column(
       NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
 
+  /** Unicode NFKC compatibility composition — NFC plus ligature/width/
+    * fraction folding (ﬁ→fi, ！→!, ½→1⁄2); the aggressive normalization
+    * retrieval pipelines apply before tokenization. */
+  def nfkc(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      NfcNormalizeExpr(org.apache.spark.sql.GraftColumnBridge.expression(c),
+        compat = true))
+
   /** Morton (Z-order) interleave of two non-negative int columns' low
     * `bits` bits: bit i of x lands at position 2i, bit i of y at 2i+1.
     * Sorting/clustering a sink by the Z-code gives multi-dimensional scan

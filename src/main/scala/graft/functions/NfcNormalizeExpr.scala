@@ -21,27 +21,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * cheap quick-check pass that avoids allocating anything for them.
   * Cross-engine contract: equals DuckDB's `nfc_normalize(x)` (utf8proc)
   * — both implement the same Unicode canonical composition, which is
-  * what keeps the oracle row value-exact. SQL name `graft_nfc` (via
-  * [[GraftFunctions.register]] or `GraftExtensions`). NFKC
-  * (compatibility) normalization is [[NfcNormalizeExpr.nfkc]] on the
-  * JVM side — DuckDB exposes no NFKC, so operators using it are
-  * spec-verified rather than oracle-verified.
+  * what keeps the oracle row value-exact. SQL names `graft_nfc` /
+  * `graft_nfkc` (`compat = true` folds ligature/width/fraction
+  * presentation forms on top of canonical composition). DuckDB exposes
+  * no NFKC function, so the NFKC query's oracle is a hand-derived
+  * literal table from the Unicode decomposition data (the multimodal
+  * pixel-literal pattern) rather than an independent computation.
   */
-case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+case class NfcNormalizeExpr(child: Expression, compat: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
+
+  private def fn = if (compat) "nfkc" else "nfc"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_nfc requires a string input, got ${other.simpleString}")
+      s"graft_$fn requires a string input, got ${other.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    NfcNormalizeExpr.nfc(input.asInstanceOf[UTF8String])
+    if (compat) NfcNormalizeExpr.nfkc(input.asInstanceOf[UTF8String])
+    else NfcNormalizeExpr.nfc(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalizeExpr.nfc($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalizeExpr.$fn($c)")
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
     copy(child = newChild)
@@ -50,6 +55,8 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 object NfcNormalizeExpr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[NfcNormalizeExpr].getName, "graft_nfc")
+  val infoNfkc: ExpressionInfo = new ExpressionInfo(
+    classOf[NfcNormalizeExpr].getName, "graft_nfkc")
 
   /** NFC-normalize; returns the INPUT object untouched when the string is
     * already normalized (the dominant case — no allocation, no copy). */

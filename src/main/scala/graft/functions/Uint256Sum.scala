@@ -103,6 +103,10 @@ object GraftFunctions {
       "graft_nfc",
       (children: Seq[Expression]) => NfcNormalizeExpr(children.head),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfkc",
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head, compat = true),
+      "built-in")
   }
 }
 
@@ -132,6 +136,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
       NfcNormalizeExpr.info,
       (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfkc"),
+      NfcNormalizeExpr.infoNfkc,
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head, compat = true)))
     ext.injectOptimizerRule(_ => graft.plans.BucketPredicateInference())
   }
 }

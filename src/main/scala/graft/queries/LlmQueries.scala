@@ -2059,6 +2059,40 @@ object LlmQueries {
              |  CAST(length(nfc_normalize(s)) AS BIGINT) AS n_after
              |FROM raw ORDER BY id""".stripMargin)),
 
+    // NFKC compatibility folding — ligatures, fullwidth forms, vulgar
+    // fractions, superscripts collapse to their plain equivalents (the
+    // aggressive pre-tokenization normalization retrieval pipelines
+    // use). DuckDB has no NFKC function, so the oracle is a literal
+    // table hand-derived from the Unicode decomposition data (the same
+    // pattern as the multimodal pixel-literal oracles): the JDK's
+    // folding must reproduce the published tables codepoint-for-
+    // codepoint, lengths included.
+    Q("text_nfkc_fold", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val pieces = Array(
+          "\uFB01le",    // LATIN SMALL LIGATURE FI + "le" -> "file"
+          "\uFF01",      // FULLWIDTH EXCLAMATION MARK     -> "!"
+          "\u00BD",      // VULGAR FRACTION ONE HALF       -> 1 + U+2044 + 2
+          "2\u2075",     // "2" + SUPERSCRIPT FIVE         -> "25"
+          "\u212B",      // ANGSTROM SIGN                  -> U+00C5
+          "caf\u00E9")   // already NFKC: untouched
+        s.range(0, 6).map(i => (i, pieces(i.toInt))).toDF("id", "raw")
+          .select(col("id"),
+            graft.functions.ColumnFns.nfkc(col("raw")).as("folded"),
+            length(graft.functions.ColumnFns.nfkc(col("raw")))
+              .cast("long").as("n_after"))
+          .orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'file',                CAST(4 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), '!',                   CAST(1 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), '1' || chr(8260) || '2', CAST(3 AS BIGINT)),
+             |  (CAST(3 AS BIGINT), '25',                  CAST(2 AS BIGINT)),
+             |  (CAST(4 AS BIGINT), chr(197),              CAST(1 AS BIGINT)),
+             |  (CAST(5 AS BIGINT), 'caf' || chr(233),     CAST(4 AS BIGINT))
+             |) AS t(id, folded, n_after) ORDER BY id""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer–Wilkerson–Aiken / MOSS): every
     // 3-gram hashes to the shared 30-bit md5 base, a 4-hash window keeps
     // its minimum (rightmost on ties, encoded arithmetically so ONE
