@@ -5032,11 +5032,19 @@ object LlmQueries {
     // Systematic PPS sampling: every step-th point of the cumulative
     // weight line via the EXACT distributed prefix sum (two-phase, no
     // single-task window) — deterministic size-proportional selection,
-    // heavy rows legitimately picked more than once.
+    // heavy rows legitimately picked more than once. The operator carries
+    // cum_w as exact DECIMAL(38,0) (the 100 TB running total exceeds a
+    // long); the ORACLE-FACING projection emits it as a decimal STRING on
+    // BOTH engines — same representation-proof contract as graph_hits: an
+    // unbounded integer has no canonical cross-engine binary type (Spark
+    // decimal vs DuckDB HUGEINT canonicalize differently in some hash
+    // harnesses), while its decimal string hashes identically everywhere.
     Q("sample_pps", "LLM",
       (s, d) => Sampling.ppsSystematic(
           Tables(s, d, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("w"),
+          col("cum_w").cast("string").as("cum_w"), col("n_picks"))
         .orderBy("doc_id"),
       Some("""WITH v AS (SELECT doc_id, greatest(CAST(n_chars AS BIGINT), 0) AS w FROM documents),
              |c AS (SELECT doc_id, w,
@@ -5044,7 +5052,7 @@ object LlmQueries {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |      FROM v),
              |t AS (SELECT sum(w) // 100 AS step FROM v)
-             |SELECT doc_id, w, CAST(cum AS DECIMAL(38,0)) AS cum_w,
+             |SELECT doc_id, w, CAST(cum AS VARCHAR) AS cum_w,
              |  CAST(cum // step - (cum - w) // step AS BIGINT) AS n_picks
              |FROM c, t
              |WHERE step > 0 AND cum // step - (cum - w) // step > 0
