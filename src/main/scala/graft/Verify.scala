@@ -23,11 +23,11 @@ object Verify {
     // never sets it, so the gate always runs the full inventory.
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // Per-query Spark output schema (name:catalogType, decimal width/scale
-    // included) — tools/check.py compares these type-strictly against the
-    // DuckDB oracle's DESCRIBE so an engine-output type change whose oracle
-    // cast lands in a different commit fails LOCALLY (the r9 sample_pps
-    // lesson: value-hash compares see Decimal(5) != int(5) even when the
-    // name-level schema check passes).
+    // included) — tools/check.py reads this file and diffs each SPARK
+    // logical type against the DuckDB oracle's DESCRIBE (scalars only,
+    // normalized into one type space). This catches engine types the
+    // parquet round-trip erases (TIMESTAMP_NTZ nuances, a decimal narrowed
+    // on write) that the parquet-DESCRIBE gate can't see.
     val schemas = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

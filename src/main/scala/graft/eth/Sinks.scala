@@ -192,16 +192,19 @@ object Sinks {
       // a D at the same offset — the PK's survival would be nondeterministic).
       // The window order (__pri desc, __seq desc) makes equal (pk, seq)
       // change rows ADJACENT, so one lead() over the window already in hand
-      // detects every duplicate with zero extra exchange. The check rides
-      // as the FIRST filter conjunct so it is evaluated for every row
-      // (&& short-circuits left-to-right) — CdcSpec locks the raise.
-      .withColumn("__dup_err", when(
+      // detects every duplicate with zero extra exchange. The raise rides
+      // inside ONE CaseWhen filter predicate — `when` semantics gate the
+      // raising branch on the dup condition alone, so no Catalyst conjunct
+      // reordering (which is NOT guaranteed stable across versions) can
+      // evaluate the keep-condition first and drop the raising row before
+      // the check runs — CdcSpec locks the raise.
+      .withColumn("__dup",
         col("__pri") === 1 && lead(col("__pri"), 1).over(w) === 1 &&
-          lead(col("__seq"), 1).over(w) === col("__seq"),
-        raise_error(concat(lit("applyCdc: duplicate (pk, seq) in changeset"),
-          lit(" at seq="), col("__seq").cast("string"))).cast("boolean")))
-      .filter(coalesce(col("__dup_err"), lit(true)) &&
-        col("__rn") === 1 && col("__op") =!= "D")
+          lead(col("__seq"), 1).over(w) === col("__seq"))
+      .filter(when(col("__dup"),
+          raise_error(concat(lit("applyCdc: duplicate (pk, seq) in changeset"),
+            lit(" at seq="), col("__seq").cast("string"))).cast("boolean"))
+        .otherwise(col("__rn") === 1 && col("__op") =!= "D"))
       .select(dataCols.map(col): _*)
   }
 

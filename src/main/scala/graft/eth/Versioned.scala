@@ -133,14 +133,29 @@ object Versioned {
 
   /** Schema state as of `asOf` (0 = identity). Replays from the nearest
     * checkpoint — checkpoints snapshot the CUMULATIVE action list, so
-    * vacuuming manifests below a checkpoint loses no rename/drop. */
+    * vacuuming manifests below a checkpoint loses no rename/drop.
+    *
+    * Checkpoint actions are applied LITERALLY, never through
+    * [[foldAction]]: a checkpoint's rename/drop list is the already-folded
+    * state keyed by PHYSICAL names, while foldAction resolves its `from`/
+    * `col` operands via physicalOf as user-level logical names. Refolding
+    * a physical-keyed snapshot that way is not a fixpoint when a rename
+    * target reuses another column's physical name — e.g. state {a→b, b→c}
+    * refolds to {a→c} (columns silently mislabeled), and {renames {p→x},
+    * dropped {x}} refolds to {dropped {p}} (the dropped column's bytes
+    * resurrect and the live column vanishes) — and every vacuum()
+    * checkpoints, so a routine vacuum would corrupt all subsequent reads. */
   private[eth] def schemaState(dir: String, asOf: Long): SchemaState = {
     if (asOf <= 0) return SchemaState(Map.empty, Set.empty)
     val cp = checkpointAtOrBefore(dir, asOf)
     var st = SchemaState(Map.empty, Set.empty)
     if (cp != 0L) {
       val txt = Files.readString(versionsDir(dir).resolve(s"$cp.checkpoint.json"))
-      actionsIn(txt).foreach(a => st = foldAction(st, a))
+      actionsIn(txt).foreach {
+        case ("rename", p, l) => st = SchemaState(st.renames + (p -> l), st.dropped)
+        case ("drop", p, _)   => st = SchemaState(st.renames, st.dropped + p)
+        case (op, _, _)       => sys.error(s"unknown schema action '$op'")
+      }
     }
     var v = cp + 1
     while (v <= asOf) {
@@ -198,8 +213,11 @@ object Versioned {
     * column's storage name — its original name, through any renames) is
     * RETIRED: committing a column under it is rejected (no physical id
     * indirection in this reduced log, so reuse would resurrect old
-    * bytes). Re-adding the dropped LOGICAL name is allowed — it becomes
-    * a fresh physical column. */
+    * bytes). Re-adding the dropped LOGICAL name therefore works only
+    * when the column had been renamed at some point (its logical name
+    * differs from its retired physical name — the re-add becomes a
+    * fresh physical column); dropping a never-renamed column retires
+    * its name outright, and a re-add must pick a new name. */
   def dropColumn(dir: String, colName: String): Long = {
     require(colName.matches(colNameRe), s"column names must match $colNameRe")
     val ndir = norm(dir)

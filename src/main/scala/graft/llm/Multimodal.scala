@@ -641,6 +641,10 @@ object Multimodal {
     }
     if (bpp == 3) Some((width, height, out))
     else { // grayscale surfaces through the RGB interface by replication
+      // the rawLen guard above only bounds (width+1)*height (bpp=1), so a
+      // conformant huge grayscale PNG can still overflow the ×3 expansion
+      // — decline it like any other unrepresentable payload, don't throw
+      if (width.toLong * height * 3 > Int.MaxValue - 8) return None
       val rgb = new Array[Int](width * height * 3)
       var i2 = 0
       while (i2 < width * height) {

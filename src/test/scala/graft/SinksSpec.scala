@@ -742,4 +742,58 @@ class SinksSpec extends SparkSpec {
     assert(Versioned.readAt(spark, dir)
       .filter(col("id") === 9L).select("w2").as[Long].head() == 123L)
   }
+
+  test("versioned checkpoint: physical-keyed snapshot actions survive refold (rename-chain + rename-onto-dropped)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.eth.Versioned
+    // Both sequences are legal API use; the checkpoint (written by every
+    // vacuum) snapshots the folded state keyed by PHYSICAL names. Reading
+    // it back through the user-level fold would chain the resolutions and
+    // silently mislabel / resurrect columns — the reader must apply
+    // checkpoint actions literally.
+    // (a) rename-chain across columns: b→c then a→b gives {a→b, b→c};
+    //     the broken refold collapsed it to {a→c} (a surfaces as c,
+    //     physical b resurfaces under its own name — values swapped).
+    val dirA = java.nio.file.Files.createTempDirectory("graft_cp_chain").toString + "/t"
+    Versioned.commit((0L until 6L).map(i => (i, i % 2, i * 10, i * 100))
+      .toDF("id", "bkt", "a", "b"), dirA, Seq("id"), "bkt")
+    Versioned.renameColumn(dirA, "b", "c")
+    val vA = Versioned.renameColumn(dirA, "a", "b")
+    def checkA(): Unit = {
+      val head = Versioned.readAt(spark, dirA)
+      assert(head.columns.toSeq == Seq("id", "bkt", "b", "c"))
+      val r = head.filter(col("id") === 3L)
+        .select("b", "c").as[(Long, Long)].head()
+      assert(r == ((30L, 300L)),
+        s"physical a must surface as b (30) and physical b as c (300), got $r")
+    }
+    checkA()
+    Versioned.vacuum(dirA, vA) // writes the checkpoint; refold must be a fixpoint
+    checkA()
+    // a second vacuum re-checkpoints FROM the checkpointed state — the
+    // double-refold is where a non-fixpoint compounds
+    Versioned.vacuum(dirA, vA)
+    checkA()
+
+    // (b) drop-then-rename-onto-the-dropped-name: drop x, rename p→x gives
+    //     {renames {p→x}, dropped {x}}; the broken refold gave
+    //     {dropped {p}} — dropped bytes resurrect, the live column vanishes.
+    val dirB = java.nio.file.Files.createTempDirectory("graft_cp_drop").toString + "/t"
+    Versioned.commit((0L until 6L).map(i => (i, i % 2, i + 1000, i + 2000))
+      .toDF("id", "bkt", "p", "x"), dirB, Seq("id"), "bkt")
+    Versioned.dropColumn(dirB, "x")
+    val vB = Versioned.renameColumn(dirB, "p", "x")
+    def checkB(): Unit = {
+      val head = Versioned.readAt(spark, dirB)
+      assert(head.columns.toSeq == Seq("id", "bkt", "x"))
+      assert(head.filter(col("id") === 3L).select("x").as[Long].head() == 1003L,
+        "x must carry physical p's values; 2003 means the dropped bytes resurrected")
+    }
+    checkB()
+    Versioned.vacuum(dirB, vB)
+    checkB()
+    Versioned.vacuum(dirB, vB)
+    checkB()
+  }
 }

@@ -51,6 +51,59 @@ def norm_type(t):
 def schema_of(query):
     return {r[0]: norm_type(r[1]) for r in con.execute(f'DESCRIBE {query}').fetchall()}
 
+# ---- Spark-side logical-type gate (consumes Verify's spark_schemas.json) ----
+# The parquet DESCRIBE above sees what the FILE carries; this sees what the
+# SPARK plan declared — catching engine types the parquet round-trip erases
+# (e.g. TIMESTAMP vs TIMESTAMP_NTZ nuances, or a decimal narrowed on write).
+# Complex types (array/map/struct) render too differently to diff textually
+# and are skipped per-column; scalars map into the same norm space.
+def norm_spark_type(t):
+    t = t.strip().upper()
+    if t.startswith(('ARRAY<', 'MAP<', 'STRUCT<')):
+        return None  # not comparable textually
+    t = re.sub(r'\bTIMESTAMP_NTZ\b', 'TIMESTAMP', t)
+    t = re.sub(r'\b(TINYINT|SMALLINT|INT|BIGINT)\b', 'INT', t)
+    t = re.sub(r'\b(FLOAT|REAL|DOUBLE)\b', 'FLOAT', t)
+    t = re.sub(r'\bSTRING\b', 'VARCHAR', t)
+    t = re.sub(r'\bBINARY\b', 'BLOB', t)
+    return t
+
+spark_schemas = {}
+try:
+    spark_schemas = json.load(open(f'{out}/spark_schemas.json'))
+except Exception:
+    pass  # older Verify output; the parquet-DESCRIBE gate still runs
+
+def split_fields(s):
+    """Split 'a:BIGINT,b:DECIMAL(38,0),c:ARRAY<INT>' on TOP-LEVEL commas
+    only (commas inside (), <> belong to the type)."""
+    fields, depth, cur = [], 0, []
+    for ch in s:
+        if ch in '(<':
+            depth += 1
+        elif ch in ')>':
+            depth -= 1
+        if ch == ',' and depth == 0:
+            fields.append(''.join(cur)); cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append(''.join(cur))
+    return [f.split(':', 1) for f in fields if ':' in f]
+
+def spark_schema_drift(name, ora_schema):
+    """Columns whose Spark logical type disagrees with the oracle's."""
+    if name not in spark_schemas:
+        return {}
+    drift = {}
+    for col_name, spark_t in split_fields(spark_schemas[name]):
+        st = norm_spark_type(spark_t)
+        ot = ora_schema.get(col_name)
+        if st is not None and ot is not None and not ot.startswith(('STRUCT', '[')) \
+                and '[]' not in ot and st != ot:
+            drift[col_name] = (st, ot)
+    return drift
+
 def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -96,6 +149,11 @@ for name in sorted(oracle):
                  for k in set(eng_schema) | set(ora_schema)
                  if eng_schema.get(k) != ora_schema.get(k)}
         print(f'FAIL {name}: SCHEMA-DRIFT (engine, oracle): {drift}')
+        n_fail += 1; fails.append(name)
+        continue
+    sdrift = spark_schema_drift(name, ora_schema)
+    if sdrift:
+        print(f'FAIL {name}: SPARK-TYPE-DRIFT (spark, oracle): {sdrift}')
         n_fail += 1; fails.append(name)
         continue
     timer = None
