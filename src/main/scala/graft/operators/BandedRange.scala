@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe value-RANGE frame counting: `count(*) OVER (PARTITION BY g
+  * ORDER BY v RANGE BETWEEN W PRECEDING AND CURRENT ROW)` without the
+  * window — Spark plans that window as one task per distinct `g`, which
+  * for a low-cardinality group key (5 order priorities) means five tasks
+  * each sorting ~N/5 of the corpus. The banded equi-join form below keeps
+  * every stage keyed on corpus-cardinality keys.
+  *
+  * Shape (integer `v`, inclusive window `[v − W, v]`):
+  *
+  *   1. distinct-value compression: one hash aggregate to
+  *      (g, v) → cnt. All rows sharing (g, v) share the answer, so
+  *      everything downstream is sized by DISTINCT values, not rows.
+  *   2. band bucketing with width exactly W: floor((v−W)/W) = floor(v/W) − 1,
+  *      so every in-window peer value lives in the value's own bucket or
+  *      the one below — a fan-out of exactly 2 probes per distinct value.
+  *   3. probe equi-join on (g, bucket) + the residual BETWEEN filter, then
+  *      re-aggregate per (g, v). Per-probe match width is ≤ W + 1 distinct
+  *      integer values by construction — bounded work per value, no
+  *      range-join quadratic blowup, no skewed exchange.
+  *   4. broadcast-free add-back: join the per-(g, v) counts onto the rows
+  *      (corpus-cardinality key, balanced shuffle or AQE-picked strategy).
+  *
+  * At 100 TB the distinct-value table grows sub-linearly (bounded by the
+  * value domain), and every join key above has corpus-scale cardinality —
+  * the plan has no single-task stage to hit. */
+object BandedRange {
+
+  /** Append `outCol` = the number of rows in the same `groupCols` group
+    * whose integer `valueCol` lies in `[valueCol − w, valueCol]`
+    * (inclusive — the RANGE BETWEEN w PRECEDING AND CURRENT ROW frame
+    * under a count aggregate). `w` must be positive. */
+  def peersWithin(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  w: Long, outCol: String): DataFrame = {
+    require(w > 0, s"window width must be positive, got $w")
+    val gCols = groupCols.map(col)
+    // exact integer FLOOR division (subtract the non-negative pmod first,
+    // then truncating `div` on the exact multiple) — `floor(v / w)` would
+    // route through double division and drift above 2^53, and bare `div`
+    // truncates toward zero, breaking the bucket invariant for negatives
+    val bucket = expr(s"(__br_v - pmod(__br_v, ${w}L)) div ${w}L")
+    // 1. distinct-value compression
+    val vals = df.groupBy(gCols :+ col(valueCol).cast("long").as("__br_v"): _*)
+      .agg(count(lit(1)).as("__br_cnt"))
+    // 2.+3. two bucket probes per distinct value, residual range filter,
+    // per-value re-aggregation (map-side combinable: key is (g, v))
+    val probes = vals.select(gCols :+ col("__br_v").as("__br_tv") :+
+        explode(array(bucket - 1, bucket)).as("__br_b"): _*)
+    val sources = vals.select(gCols :+ col("__br_v").as("__br_sv") :+
+      col("__br_cnt") :+ bucket.as("__br_b"): _*)
+    val counts = probes.join(sources, groupCols :+ "__br_b")
+      .filter(col("__br_sv").between(col("__br_tv") - w, col("__br_tv")))
+      .groupBy(gCols :+ col("__br_tv"): _*)
+      .agg(sum(col("__br_cnt")).cast("long").as(outCol))
+    // 4. add-back on the corpus-cardinality (g, v) key
+    df.withColumn("__br_tv", col(valueCol).cast("long"))
+      .join(counts, groupCols :+ "__br_tv")
+      .drop("__br_tv")
+  }
+}

@@ -65,6 +65,79 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
 
+  /** Grouped form of [[globalRowNumber]]: exact 1-based row number WITHIN
+    * each group under the total order `orderCols` — the scale-safe
+    * replacement for `row_number().over(Window.partitionBy(lowCardCol)
+    * .orderBy(...))` when the partition key has FAR fewer distinct values
+    * than the cluster has cores (e.g. 5 order priorities): Spark plans
+    * that as one task per key, each sorting ~N/5 of the corpus — the same
+    * 100-TB cliff as the global window, five times over.
+    *
+    * Same two-phase shape, group-aware: range-shuffle on (group, order)
+    * so every partition holds a contiguous slice of ONE OR MORE groups'
+    * total orders; per-(pid, group) local row numbers (balanced concurrent
+    * sorts); per-(pid, group) counts → per-group running offsets over the
+    * pid axis (the offsets table is ≤ nParts + Σ|groups| rows — each
+    * partition spans a contiguous group range, so it meets at most
+    * (its groups) keys); broadcast add-back on (pid, group).
+    *
+    * Contract: intended for group cardinality ≪ parallelism (the offsets
+    * ride a broadcast). High-cardinality groups don't need this — the
+    * plain partitioned window is already balanced there. */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[Column], rnCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRowNumber needs group columns" +
+      " (use globalRowNumber for the ungrouped form)")
+    require(orderCols.nonEmpty, "groupedRowNumber needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
+      .withColumn("__gg_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("__gg_lrn", row_number()
+      .over(Window.partitionBy(col("__gg_pid") +: gCols: _*).orderBy(orderCols: _*))
+      .cast("long"))
+    // ≤ nParts + #groups rows (contiguous group ranges per partition);
+    // the running sum below is per-GROUP over the pid axis — both
+    // dimensions bounded, never a corpus-sized window
+    val offsets = ranged.groupBy(col("__gg_pid") +: gCols: _*)
+      .agg(count(lit(1)).as("__gg_cnt"))
+      .withColumn("__gg_off", coalesce(
+        sum(col("__gg_cnt")).over(Window.partitionBy(gCols: _*)
+          .orderBy(col("__gg_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gg_pid") +: gCols :+ col("__gg_off"): _*)
+    local.join(broadcast(offsets), "__gg_pid" +: groupCols)
+      .withColumn(rnCol, col("__gg_off") + col("__gg_lrn"))
+      .drop("__gg_pid", "__gg_lrn", "__gg_off")
+  }
+
+  /** Tie-aware `rank` / `dense_rank` within groups, from the grouped
+    * two-phase row number — never a per-group single-task sort:
+    *
+    *   - `rank`  = min row number over the row's PEER set (rows equal on
+    *     `peerCols` within the group) — exactly SQL rank's "1 + rows
+    *     strictly before".
+    *   - `dense_rank` = the peer set's own row number in peer-set order —
+    *     a second (much smaller) grouped ranking over the distinct-peer
+    *     table.
+    *
+    * `orderCols` must be `peerCols` with sort direction plus a unique
+    * tiebreak (any total order consistent with the peer order gives the
+    * same tie-aware ranks). Adds `rankCol`/`denseRankCol`; the peer
+    * aggregation and add-back join key on (group, peer) — corpus-
+    * cardinality keys, balanced shuffles. */
+  def groupedRankDense(df: DataFrame, groupCols: Seq[String],
+                       peerCols: Seq[String], orderCols: Seq[Column],
+                       rankCol: String, denseRankCol: String): DataFrame = {
+    val rn = groupedRowNumber(df, groupCols, orderCols, "__gr_rn")
+    val peers = rn.groupBy((groupCols ++ peerCols).map(col): _*)
+      .agg(min(col("__gr_rn")).as(rankCol))
+    val dense = groupedRowNumber(peers, groupCols,
+        Seq(col(rankCol)), denseRankCol)
+    rn.join(dense, groupCols ++ peerCols).drop("__gr_rn")
+  }
+
   /** Append `cumCol` = the exact inclusive prefix sum of `valueCol` under
     * the total order `orderCols` — [[globalRowNumber]]'s two-phase shape
     * with sums in place of counts: range-shuffle, per-slice running sums

@@ -79,18 +79,19 @@ object RelationalQueries {
              |FROM events ORDER BY v DESC NULLS LAST, event_id LIMIT 100""".stripMargin)),
 
     // Value-based RANGE window frame (not ROWS): peers within 5 price units
-    // — the frame kind rows-frames cannot express.
+    // — the frame kind rows-frames cannot express. Partitioned by
+    // o_orderpriority (5 values), so the window form is one task per
+    // priority; a count-over-RANGE-frame is exactly a banded range-count
+    // (distinct-value compression + 2-bucket equi-join probes, ≤ W+1
+    // matches per probe), which keeps every stage on corpus-cardinality
+    // keys — see operators/BandedRange.scala.
     Q("w7_range_frame", "W",
-      (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(cents(col("o_totalprice")))
-          .rangeBetween(-500L, 0L)
-        Tables(s, d, "orders")
-          .select(col("o_orderkey"), col("o_orderpriority"),
-            cents(col("o_totalprice")).as("price_c"),
-            count(lit(1)).over(w).as("peers_within_5"))
-          .orderBy("o_orderkey")
-      },
+      (s, d) => graft.operators.BandedRange.peersWithin(
+          Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              cents(col("o_totalprice")).as("price_c")),
+          Seq("o_orderpriority"), "price_c", w = 500L, "peers_within_5")
+        .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_orderpriority,
              |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
              |       count(*) OVER (PARTITION BY o_orderpriority
@@ -333,15 +334,28 @@ object RelationalQueries {
              |       TRUE AS approx_within_tol
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Analytic windows over ratios: percent_rank + cume_dist.
+    // Analytic windows over ratios: percent_rank + cume_dist. Partitioned
+    // by o_orderpriority (5 values) with a TOTAL order (o_orderkey breaks
+    // ties), so rank == row_number and the last peer is the row itself:
+    // pr = (rn−1)/(n−1), cd = rn/n — rank arithmetic on the grouped
+    // two-phase row number + a 5-row count broadcast, identical doubles
+    // to the window form (same IEEE divisions), no one-task-per-priority
+    // sort at 100 TB.
     Q("w6_percent_rank", "W",
       (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables(s, d, "orders")
+        val rn = graft.operators.GlobalRank.groupedRowNumber(
+          Tables(s, d, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice"), col("o_orderkey")), "__rn")
+        val counts = Tables(s, d, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("__n"))
+        rn.join(broadcast(counts), Seq("o_orderpriority"))
           .select(col("o_orderkey"), col("o_orderpriority"),
-            round(percent_rank().over(w), 6).as("pr"),
-            round(cume_dist().over(w), 6).as("cd"))
+            when(col("__n") > 1,
+              round((col("__rn") - 1).cast("double") / (col("__n") - 1).cast("double"), 6))
+              .otherwise(lit(0.0)).as("pr"),
+            round(col("__rn").cast("double") / col("__n").cast("double"), 6).as("cd"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderpriority,
@@ -1063,33 +1077,58 @@ object RelationalQueries {
              |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY user_id, event_id""".stripMargin)),
 
-    // rank / dense_rank.
+    // rank / dense_rank — partitioned by o_orderpriority (5 distinct
+    // values), so the window form would plan ONE TASK per priority, each
+    // sorting ~N/5 of the corpus at 100 TB. The grouped two-phase ranking
+    // (range-shuffle on (group, order), balanced per-slice sorts, peer-set
+    // min-rn arithmetic) produces the identical tie-aware ranks with every
+    // stage keyed on corpus-cardinality keys. PlanSpec locks the shape.
     Q("w3_rank_dense", "W",
-      (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc)
-        Tables(s, d, "orders")
-          .select(col("o_orderpriority"), col("o_orderkey"),
-            rank().over(w).cast("long").as("rnk"),
-            dense_rank().over(w).cast("long").as("drnk"))
-          .orderBy("o_orderpriority", "rnk", "o_orderkey")
-      },
+      (s, d) => graft.operators.GlobalRank.groupedRankDense(
+          Tables(s, d, "orders")
+            .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+          groupCols = Seq("o_orderpriority"),
+          peerCols = Seq("o_totalprice"),
+          orderCols = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          rankCol = "rnk", denseRankCol = "drnk")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("rnk"), col("drnk"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey"),
       Some("""SELECT o_orderpriority, o_orderkey, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
              |FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
              |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin)),
 
-    // ntile + moving (frame-bounded) window sum.
+    // ntile + moving (frame-bounded) window sum. The quartile partitions
+    // by o_orderpriority (5 values — the one-task-per-key cliff); ntile is
+    // PURE RANK ALGEBRA (ties don't matter, remainder rows go to the first
+    // buckets), so it derives from the grouped two-phase row number + a
+    // 5-row group-count broadcast. The per-customer moving sum keeps its
+    // window — o_custkey is corpus-cardinality, already balanced.
     Q("w4_ntile_moving", "W",
       (s, d) => {
-        val wp = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         val wm = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(-2, Window.currentRow)
-        Tables(s, d, "orders")
+        val moving = Tables(s, d, "orders")
           .select(col("o_orderpriority"), col("o_orderkey"),
-            ntile(4).over(wp).cast("long").as("quartile"),
+            col("o_totalprice"),
             sum(cents(col("o_totalprice"))).over(wm).as("moving_cents"))
+        val rn = graft.operators.GlobalRank.groupedRowNumber(moving,
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "__rn")
+        val counts = Tables(s, d, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("__n"))
+        // SQL ntile(k): base = n div k rows per bucket, the n mod k
+        // remainder buckets (the FIRST ones) take one extra row
+        rn.join(broadcast(counts), Seq("o_orderpriority"))
+          .withColumn("quartile",
+            expr("""CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+                   |     THEN (__rn - 1) div (__n div 4 + 1) + 1
+                   |     ELSE (__n % 4) + (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+                   |          div (__n div 4) + 1 END""".stripMargin)
+              .cast("long"))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("quartile"), col("moving_cents"))
           .orderBy("o_orderpriority", "o_orderkey")
       },
       Some("""SELECT o_orderpriority, o_orderkey,

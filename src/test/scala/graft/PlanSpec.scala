@@ -610,6 +610,45 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("low-cardinality window family: no one-task-per-priority sort over corpus input") {
+    // w3/w4/w6/w7 partition(ed) by o_orderpriority — 5 distinct values, so
+    // a corpus-input window is 5 tasks each sorting ~N/5 rows at 100 TB.
+    // After the grouped two-phase rewrite the ONLY legal window touching
+    // o_orderpriority is the per-(pid, group) offsets running sum, whose
+    // input is an aggregate (≤ nParts + #groups rows); w7 is the banded
+    // range-count and must carry no window at all.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("w3_rank_dense", "w4_ntile_moving", "w6_percent_rank").foreach { name =>
+        val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
+        val windows = p.collect { case w: WindowExec => w }
+        assert(windows.exists(_.partitionSpec.exists(
+          _.references.exists(_.name.startsWith("__gg_pid")))),
+          s"$name: expected the two-phase grouped ranking (pid-partitioned window)")
+        windows.filter { w =>
+          val names = w.partitionSpec.flatMap(_.references.map(_.name))
+          // pid-co-partitioned windows are the balanced local ranking;
+          // anything else touching the 5-value key must sit over an
+          // aggregate (the dimension-sized offsets table)
+          names.exists(_ == "o_orderpriority") &&
+            !names.exists(_.startsWith("__gg_pid"))
+        }.foreach { w =>
+          assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+            s"$name: window partitioned by 5-value o_orderpriority over " +
+              s"non-aggregated (corpus-sized) input:\n$w")
+        }
+      }
+      val w7 = Registry.queries("w7_range_frame")(spark, dir)
+        .queryExecution.executedPlan
+      assert(w7.collect { case w: WindowExec => w }.isEmpty,
+        s"w7_range_frame must be the banded equi-join form, not a window:\n$w7")
+      assert(w7.toString.contains("__br_b"),
+        "w7_range_frame must probe the band buckets")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("power iteration: direction rides broadcasts, corpus never shuffle-joins") {
     val p = plan("emb_pca_power")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

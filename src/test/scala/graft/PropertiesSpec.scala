@@ -422,6 +422,50 @@ class PropertiesSpec extends SparkSpec {
     assert(ranked(df.repartition(17)) == expect) // physical layout must not matter
   }
 
+  test("groupedRowNumber/groupedRankDense equal the window forms for arbitrary data and partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties within few groups: the skew shape the operator exists for
+    val df = (1 to 2000).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 37 % 23).toLong)).toDF("id", "g", "v")
+    def rn(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.GlobalRank.groupedRowNumber(d, Seq("g"),
+          Seq(col("v"), col("id")), "rn")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    val expectRn = df.withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g")).orderBy(col("v"), col("id"))).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+    assert(rn(df) == expectRn)
+    assert(rn(df.repartition(17)) == expectRn) // physical layout must not matter
+    def rd(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      graft.operators.GlobalRank.groupedRankDense(d, Seq("g"), Seq("v"),
+          Seq(col("v").desc, col("id")), "rnk", "drnk")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("rnk"), r.getAs[Long]("drnk")))).toMap
+    val wd = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val expectRd = df.withColumn("rnk", rank().over(wd).cast("long"))
+      .withColumn("drnk", dense_rank().over(wd).cast("long"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rnk"), r.getAs[Long]("drnk")))).toMap
+    assert(rd(df) == expectRd)
+    assert(rd(df.repartition(17)) == expectRd)
+  }
+
+  test("BandedRange.peersWithin equals the RANGE-frame window count, negatives and boundaries included") {
+    import org.apache.spark.sql.expressions.Window
+    // values straddle 0 and land exactly on bucket boundaries (multiples
+    // of w) — the floor-division edge the bucket math must get right
+    val df = (1 to 1500).map(i =>
+      (i.toLong, s"g${i % 3}", ((i * 41 % 97) - 48) * 25L)).toDF("id", "g", "v")
+    def banded(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.BandedRange.peersWithin(d, Seq("g"), "v", w = 100L, "n")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    val expect = df.withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("g")).orderBy(col("v")).rangeBetween(-100L, 0L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
+    assert(banded(df) == expect)
+    assert(banded(df.repartition(13)) == expect)
+  }
+
   test("globalPrefixSum equals the single-task cumulative sum under any partitioning") {
     // negative weights included: the decimal accumulators must carry sign
     val df = (1 to 2000).map(i => (i.toLong, ((i * 37 % 23) - 5).toLong))
