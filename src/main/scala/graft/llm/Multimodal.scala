@@ -569,7 +569,9 @@ object Multimodal {
     while (i < 8) { if (payload(i) != pngMagic(i)) return None; i += 1 }
     var pos = 8
     var width = 0; var height = 0; var seenIhdr = false
-    var bpp = 3 // bytes per pixel: 3 (truecolor) or 1 (grayscale)
+    var colorType = 2
+    var bpp = 3 // bytes per pixel: 3 (truecolor) or 1 (grayscale/indexed)
+    var palette: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -584,13 +586,19 @@ object Multimodal {
         case "IHDR" =>
           if (len != 13 || seenIhdr) return None
           width = beInt(payload, pos + 8); height = beInt(payload, pos + 12)
-          val bitDepth = payload(pos + 16); val colorType = payload(pos + 17)
+          val bitDepth = payload(pos + 16); colorType = payload(pos + 17)
           val compression = payload(pos + 18); val filterMethod = payload(pos + 19)
           val interlace = payload(pos + 20)
-          if (bitDepth != 8 || (colorType != 2 && colorType != 0) ||
+          if (bitDepth != 8 ||
+            (colorType != 2 && colorType != 0 && colorType != 3) ||
             compression != 0 || filterMethod != 0 || interlace != 0) return None
           bpp = if (colorType == 2) 3 else 1
           if (width <= 0 || height <= 0) return None
+        case "PLTE" =>
+          // indexed-color lookup table: 1..256 RGB triples, before IDAT
+          if (!seenIhdr || palette != null || idat.size() > 0) return None
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(payload, pos + 8, pos + 8 + len)
         case "IDAT" => if (!seenIhdr) return None else idat.write(payload, pos + 8, len)
         case "IEND" => done = true
         case _ => // ancillary chunk: skip
@@ -599,6 +607,7 @@ object Multimodal {
       pos += 12 + len
     }
     if (!seenIhdr) return None
+    if (colorType == 3 && palette == null) return None // PLTE is mandatory
     val stride = width * bpp
     val rawLen = (stride + 1).toLong * height
     if (rawLen > Int.MaxValue - 8) return None
@@ -640,16 +649,29 @@ object Multimodal {
       y += 1
     }
     if (bpp == 3) Some((width, height, out))
-    else { // grayscale surfaces through the RGB interface by replication
+    else {
       // the rawLen guard above only bounds (width+1)*height (bpp=1), so a
-      // conformant huge grayscale PNG can still overflow the ×3 expansion
-      // — decline it like any other unrepresentable payload, don't throw
+      // conformant huge grayscale/indexed PNG can still overflow the ×3
+      // expansion — decline it like any other unrepresentable payload
       if (width.toLong * height * 3 > Int.MaxValue - 8) return None
       val rgb = new Array[Int](width * height * 3)
-      var i2 = 0
-      while (i2 < width * height) {
-        rgb(3 * i2) = out(i2); rgb(3 * i2 + 1) = out(i2); rgb(3 * i2 + 2) = out(i2)
-        i2 += 1
+      if (colorType == 3) { // indexed: defiltered bytes are PLTE indices
+        val nEntries = palette.length / 3
+        var i2 = 0
+        while (i2 < width * height) {
+          val idx = out(i2)
+          if (idx >= nEntries) return None // out-of-palette index: invalid
+          rgb(3 * i2) = palette(3 * idx) & 0xff
+          rgb(3 * i2 + 1) = palette(3 * idx + 1) & 0xff
+          rgb(3 * i2 + 2) = palette(3 * idx + 2) & 0xff
+          i2 += 1
+        }
+      } else { // grayscale surfaces through the RGB interface by replication
+        var i2 = 0
+        while (i2 < width * height) {
+          rgb(3 * i2) = out(i2); rgb(3 * i2 + 1) = out(i2); rgb(3 * i2 + 2) = out(i2)
+          i2 += 1
+        }
       }
       Some((width, height, rgb))
     }
@@ -711,6 +733,80 @@ object Multimodal {
       .array()
     pngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
       chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Write a non-interlaced 8-bit INDEXED-COLOR PNG (color type 3 — the
+    * most common web PNG flavor): a PLTE chunk of `nEntries` RGB triples
+    * from `palColor(e)`, one index byte per pixel from `index(x, y)`,
+    * same per-row filter rotation as the other encoders so round trips
+    * prove the defilter suite over index bytes too. */
+  def encodePngPalette(width: Int, height: Int, nEntries: Int,
+                       palColor: Int => (Int, Int, Int),
+                       index: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
+    require(nEntries >= 1 && nEntries <= 256, s"PLTE takes 1..256 entries, got $nEntries")
+    val raw = new Array[Byte]((width + 1) * height)
+    val cur = new Array[Int](width)
+    val prev = new Array[Int](width)
+    var y = 0; var o = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val e = index(x, y)
+        require(e >= 0 && e < nEntries, s"index $e outside palette of $nEntries")
+        cur(x) = e; x += 1
+      }
+      val ft = y % 5
+      raw(o) = ft.toByte; o += 1
+      var i = 0
+      while (i < width) {
+        val a = if (i >= 1) cur(i - 1) else 0
+        val b = prev(i)
+        val c = if (i >= 1) prev(i - 1) else 0
+        val v = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) >> 1)
+          case _ => cur(i) - paeth(a, b, c)
+        }
+        raw(o) = (v & 0xff).toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val z = new java.io.ByteArrayOutputStream()
+    try {
+      defl.setInput(raw); defl.finish()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    } finally defl.end()
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(3.toByte) // bit depth 8, color type 3: indexed
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val plte = new Array[Byte](nEntries * 3)
+    var e = 0
+    while (e < nEntries) {
+      val (r, g, b) = palColor(e)
+      plte(3 * e) = (r & 0xff).toByte
+      plte(3 * e + 1) = (g & 0xff).toByte
+      plte(3 * e + 2) = (b & 0xff).toByte
+      e += 1
+    }
+    pngMagic ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
   }
 
   /** Parse a PNG: (width, height, [rSum, gSum, bSum]) — the decodeBmp

@@ -2343,6 +2343,41 @@ object LlmQueries {
              |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
              |FROM sums ORDER BY media_id""".stripMargin)),
 
+    // Indexed-color PNG (color type 3 — the most common web PNG flavor):
+    // the decoder walks PLTE, defilters INDEX bytes through all five
+    // scanline filters, and resolves each index through the palette; the
+    // oracle replays the palette algebra arithmetically (index formula →
+    // palette formula → channel sums). Green proves the palette path on
+    // real compressed bytes, same contract as multimodal_decode_png.
+    Q("multimodal_decode_png_palette", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodePngPalette(w, h,
+            nEntries = 64,
+            palColor = e => ((e * 5 + 7) % 256, (e * 11 + 3) % 256, (e * 17 + 29) % 256),
+            index = (x, y) => (x * 7 + y * 13 + m.toInt) % 64), "image/png")
+        }
+        Multimodal.imageStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 9 + id % 6 AS w, 7 + id % 5 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+             |idx AS (SELECT id, w, h, (x * 7 + y * 13 + id) % 64 AS e FROM pix),
+             |sums AS (SELECT id, w, h,
+             |           sum((e * 5 + 7) % 256) AS r_sum,
+             |           sum((e * 11 + 3) % 256) AS g_sum,
+             |           sum((e * 17 + 29) % 256) AS b_sum
+             |         FROM idx GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
+             |FROM sums ORDER BY media_id""".stripMargin)),
+
     // Cross-format parity: the SAME pixel formulas as multimodal_ahash,
     // carried through the PNG container instead of BMP, must produce the
     // IDENTICAL fingerprint board (the oracle is byte-for-byte the same

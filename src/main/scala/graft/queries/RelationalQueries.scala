@@ -338,9 +338,13 @@ object RelationalQueries {
     // by o_orderpriority (5 values) with a TOTAL order (o_orderkey breaks
     // ties), so rank == row_number and the last peer is the row itself:
     // pr = (rn−1)/(n−1), cd = rn/n — rank arithmetic on the grouped
-    // two-phase row number + a 5-row count broadcast, identical doubles
-    // to the window form (same IEEE divisions), no one-task-per-priority
-    // sort at 100 TB.
+    // two-phase row number + a 5-row count broadcast, no one-task-per-
+    // priority sort at 100 TB. Emitted in integer MICRO units (floor of
+    // ratio·10^6): the sf10 gate caught round(double, 6) disagreeing
+    // between engines ~1200/15M times (DuckDB rounds via the x·10^6
+    // double product, Spark via the exact decimal view of the double;
+    // at n≈3M per group the ratio grid hits .5-millionth boundaries) —
+    // integer division is bit-deterministic at every scale.
     Q("w6_percent_rank", "W",
       (s, d) => {
         val rn = graft.operators.GlobalRank.groupedRowNumber(
@@ -353,17 +357,21 @@ object RelationalQueries {
         rn.join(broadcast(counts), Seq("o_orderpriority"))
           .select(col("o_orderkey"), col("o_orderpriority"),
             when(col("__n") > 1,
-              round((col("__rn") - 1).cast("double") / (col("__n") - 1).cast("double"), 6))
-              .otherwise(lit(0.0)).as("pr"),
-            round(col("__rn").cast("double") / col("__n").cast("double"), 6).as("cd"))
+              expr("(__rn - 1) * 1000000 div (__n - 1)")).otherwise(lit(0L))
+              .as("pr_micro"),
+            expr("__rn * 1000000 div __n").as("cd_micro"))
           .orderBy("o_orderkey")
       },
-      Some("""SELECT o_orderkey, o_orderpriority,
-             |       round(percent_rank() OVER w, 6) AS pr,
-             |       round(cume_dist() OVER w, 6) AS cd
-             |FROM orders
-             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-             |ORDER BY o_orderkey""".stripMargin)),
+      Some("""WITH r AS (SELECT o_orderkey, o_orderpriority,
+             |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+             |  CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+             |FROM orders)
+             |SELECT o_orderkey, o_orderpriority,
+             |       CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+             |            ELSE 0 END AS BIGINT) AS pr_micro,
+             |       CAST(rn * 1000000 // n AS BIGINT) AS cd_micro
+             |FROM r ORDER BY o_orderkey""".stripMargin)),
 
     // TPC-H Q10 shape: returned-item reporting — 4-way join (two broadcast
     // dims), grouped revenue, top-k customers.
@@ -1533,6 +1541,65 @@ object RelationalQueries {
         .orderBy("c_nationkey"),
       Some("""SELECT c_nationkey, '0x' || max(substring(md5(c_name), 1, 24)) AS max_wei_hex
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // uint256 BEYOND Decimal(38), proven end-to-end (SURVEY §1.2/§7.4
+    // ceiling): 42-digit values flow through the reference's hex-string
+    // contract — format ("0x" + 64 hex chars) → bucketed sink → pruned
+    // range scan → exact Uint256Sum — and the 46-digit total (> 2^127,
+    // wider than HUGEINT) is verified EXACTLY. Neither engine has a
+    // numeric for these, so the fixture is built to be string-checkable:
+    // each logical value hi·10^30 + lo (hi 12 digits, lo < 10^9) is laid
+    // down as its decimal-digit PARTS — digit d at position j becomes d
+    // copies of the 32-byte constant 10^(30+j) (BigInteger at plan build:
+    // 12 driver-side literals, zero per-row bignum) plus one lo row —
+    // so the aggregate's BigInteger path does the real >38-digit
+    // accumulation, while the oracle composes the expected decimal string
+    // as str(Σhi) || lpad(str(Σlo), 30, '0') (exact: Σlo < 10^30).
+    Q("agg_uint256_e2e", "A",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val path = java.nio.file.Files.createTempDirectory("graft_u256")
+          .toString + "/wei"
+        val base = s.range(20000).select(
+          col("id").as("block_id"),
+          expr("id div 1000").as("block_id_group"),
+          (lit(100000000000L) + col("id") * 37L).as("hi"),
+          (col("id") * col("id") % 1000000000L).as("lo"))
+        def p10hex(k: Int): String = {
+          val h = java.math.BigInteger.TEN.pow(k).toString(16)
+          ("0" * (64 - h.length)) + h
+        }
+        val digitArrays = (0 until 12).map { j =>
+          array_repeat(lit(p10hex(30 + j)),
+            expr(s"CAST((hi div ${"1" + "0" * j}L) % 10 AS INT)"))
+        }
+        val hiRows = base.select(col("block_id"), col("block_id_group"),
+          explode(flatten(array(digitArrays: _*))).as("value_hex"))
+        val loRows = base.select(col("block_id"), col("block_id_group"),
+          lower(lpad(hex(col("lo")), 64, "0")).as("value_hex"))
+        val formatted = hiRows.unionByName(loRows)
+          .select(col("block_id"), col("block_id_group"),
+            concat(lit("0x"), col("value_hex")).as("value_hex"))
+        graft.eth.Sinks.writeBucketedParquet(formatted, path,
+          "block_id_group", Seq("block_id"))
+        graft.eth.Sinks.readBlockRange(s, path, 0, 9999)
+          .agg(expr("graft_uint256_sum(unhex(substring(value_hex, 3)))")
+              .as("total_wei"),
+            count(lit(1)).cast("long").as("n_parts"))
+      },
+      Some("""WITH src AS (
+             |  SELECT i AS id, 100000000000 + i * 37 AS hi,
+             |         (i * i) % 1000000000 AS lo
+             |  FROM generate_series(0, 19999) t(i) WHERE i <= 9999),
+             |s AS (SELECT sum(CAST(hi AS HUGEINT)) AS sh,
+             |        sum(CAST(lo AS HUGEINT)) AS sl,
+             |        sum(list_sum(list_transform(range(0, 12),
+             |          j -> (hi // CAST(10 ** j AS BIGINT)) % 10)))
+             |          + count(*) AS np
+             |      FROM src)
+             |SELECT CAST(sh AS VARCHAR) || lpad(CAST(sl AS VARCHAR), 30, '0') AS total_wei,
+             |       CAST(np AS BIGINT) AS n_parts
+             |FROM s""".stripMargin)),
 
     // Salted two-phase aggregation (skew mitigation): result identical to a
     // plain groupBy sum — the oracle is the plain form.

@@ -279,6 +279,45 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming EXACT-dup ingest — the [[maintainBandIndexAndFlag]] loop
+    * with the content-hash identity in place of MinHash bands: per
+    * micro-batch, hash each doc's text to a 64-bit content key, fold the
+    * (id, content_key) postings into a hash-bucketed index (idempotent pk
+    * upsert — an at-least-once replay rewrites the same rows), then flag
+    * batch docs whose content key is already carried by ANY OTHER indexed
+    * doc, writing match edges to a per-batch overwrite dir
+    * (replay-idempotent). Upsert-before-flag keeps same-batch copies
+    * visible to each other. Index IO prunes to the batch's touched key
+    * buckets on both the upsert and the flag read — per-batch cost ∝
+    * batch, never corpus. */
+  def maintainExactDupIndexAndFlag(docs: DataFrame, indexDir: String,
+                                   flagsDir: String, checkpointDir: String,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text",
+                                   keyBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val keyed = batch.toDF().select(col(idCol),
+            graft.functions.ColumnFns.md5Long(col(textCol)).as("content_key"))
+          .withColumn("kb", pmod(col("content_key"), lit(keyBuckets.toLong)))
+        val touched = keyed.select(col("kb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        graft.eth.Sinks.upsertBucketedParquet(keyed, indexDir,
+          pkCols = Seq(idCol), bucketCol = "kb",
+          sortCols = Seq("content_key", idCol), newBuckets = Some(touched))
+        val idx = spark.read.parquet(indexDir)
+          .filter(col("kb").isin(touched: _*)) // partition-pruned flag read
+          .select(col("content_key"), col(idCol).as("matched_id"))
+        keyed.join(idx, "content_key")
+          .filter(col(idCol) =!= col("matched_id"))
+          .select(col(idCol), col("content_key"), col("matched_id"))
+          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming image-dedup ingest — [[maintainBandIndexAndFlag]]'s loop
     * with the REAL image path: per micro-batch, decode the BMP payloads
     * to 48-bit aHash fingerprints ([[graft.llm.Multimodal.aHash]]), fold

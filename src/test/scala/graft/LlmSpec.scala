@@ -808,6 +808,44 @@ class LlmSpec extends SparkSpec {
     assert(hs(1L) == hs(2L))
   }
 
+  test("multimodal PNG indexed (color type 3): PLTE resolution round-trips; malformed palettes reject") {
+    val pal = (e: Int) => ((e * 3 + 1) % 256, (e * 7 + 2) % 256, (e * 11 + 5) % 256)
+    val idx = (x: Int, y: Int) => (x * 5 + y * 9) % 16
+    val png = Multimodal.encodePngPalette(7, 11, 16, pal, idx) // all 5 filters
+    val Some((w, h, sums)) = Multimodal.decodePng(png)
+    assert(w == 7 && h == 11)
+    val expect = for (x <- 0 until 7; y <- 0 until 11) yield pal(idx(x, y))
+    assert(sums(0) == expect.map(_._1).sum.toLong)
+    assert(sums(1) == expect.map(_._2).sum.toLong)
+    assert(sums(2) == expect.map(_._3).sum.toLong)
+    // an indexed PNG and the truecolor PNG of the SAME image decode equal
+    val rgbTwin = Multimodal.encodePng(7, 11, (x, y) => pal(idx(x, y)))
+    assert(Multimodal.decodePng(rgbTwin).map(_._3.toSeq) == Some(sums.toSeq))
+    // out-of-palette index must reject, not crash or wrap: palette of 8
+    // entries but index bytes up to 15
+    val narrow = Multimodal.encodePngPalette(4, 4, 16, pal, (x, y) => 8 + (x + y) % 8)
+    // rebuild with a truncated PLTE by re-encoding at nEntries=8 via raw
+    // byte surgery: swap the 16-entry PLTE (48 bytes) for an 8-entry one
+    val plteStart = narrow.indexOfSlice("PLTE".getBytes("US-ASCII")) - 4
+    assert(plteStart > 0)
+    val before = narrow.take(plteStart)
+    val after = narrow.drop(plteStart + 12 + 48) // len+tag+48 data+crc
+    val plteData = (0 until 8).flatMap { e =>
+      val (r, g, b) = pal(e); Seq(r.toByte, g.toByte, b.toByte)
+    }.toArray
+    val lenBytes = java.nio.ByteBuffer.allocate(4).putInt(24).array()
+    val crc = new java.util.zip.CRC32()
+    crc.update("PLTE".getBytes("US-ASCII")); crc.update(plteData)
+    val crcBytes = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    val truncated = before ++ lenBytes ++ "PLTE".getBytes("US-ASCII") ++
+      plteData ++ crcBytes ++ after
+    assert(Multimodal.decodePng(truncated).isEmpty,
+      "indices beyond the palette must reject")
+    // missing PLTE entirely must reject
+    val noPlte = before ++ after
+    assert(Multimodal.decodePng(noPlte).isEmpty, "color type 3 without PLTE must reject")
+  }
+
   test("aHash is container-independent: PNG and BMP of the same pixels agree") {
     val px = (x: Int, y: Int) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y * 2) % 256)
     val media = Seq(

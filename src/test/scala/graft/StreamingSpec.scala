@@ -635,6 +635,92 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").distinct().count() == 4L)
   }
 
+  test("maintainExactDupIndexAndFlag crash injection: index upserted, flags and checkpoint lost; replay heals, no partial-batch visibility") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_ecrash").toString
+    def start() = StreamingOps.maintainExactDupIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    val q1 = start()
+    try {
+      input.addData(
+        (0L, "byte identical payload"),
+        (10L, "byte identical payload"), // same-batch exact copy
+        (1L, "something else entirely"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def snap(dir: String) = spark.read.parquet(dir).collect().map(_.toString).toSet
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id"))).toSet
+    val idxClean = snap(s"$root/index"); val flagClean = flagPairs()
+    assert(flagClean == Set((0L, 10L), (10L, 0L)),
+      s"same-batch exact copies must flag both ways: $flagClean")
+    // crash window: the INDEX upsert landed, the process died before the
+    // FLAGS write and before the checkpoint commit — the classic
+    // kill-between-sink-and-checkpoint gap
+    rmTree(s"$root/flags")
+    injectCheckpointCrash(s"$root/ckpt")
+    // no partial-batch visibility: the flags dir is simply absent — a
+    // reader sees the PREVIOUS complete state, never half a batch
+    assert(!new java.io.File(s"$root/flags").exists())
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(s"$root/index") == idxClean,
+      "replayed batch changed the index (pk upsert must be idempotent)")
+    assert(flagPairs() == flagClean, "flags not healed by replay")
+    assert(spark.read.parquet(s"$root/index").groupBy("doc_id")
+      .count().filter(col("count") > 1).count() == 0L,
+      "pk uniqueness must survive the double apply")
+    // the stream keeps moving after recovery: a cross-batch exact copy
+    // of doc 1 flags against the healed index
+    val q3 = start()
+    try {
+      input.addData((20L, "something else entirely"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(flagPairs().contains((20L, 1L)),
+      s"cross-batch exact copy must flag after recovery: ${flagPairs()}")
+  }
+
+  test("maintainRelations crash injection: partials upserted, checkpoint commit lost; replay overwrites its own batch, totals stay exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String, Long, Int, Boolean)]
+    val root = java.nio.file.Files.createTempDirectory("graft_rcrash").toString
+    def start() = StreamingOps.maintainRelations(
+      input.toDF().toDF("from_address", "to_address", "value", "block_number", "ok"),
+      s"$root/table", s"$root/ckpt")
+    def readRel() = graft.eth.Relations.readRelations(spark, s"$root/table")
+      .orderBy("from_address", "to_address").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_txs"),
+        r.getDecimal(3).toPlainString)).toSeq
+    val q1 = start()
+    try {
+      input.addData(("a", "b", 100L, 5, true), ("a", "c", 9L, 6, true))
+      q1.processAllAvailable()
+      input.addData(("a", "b", 50L, 12, true)) // batch 1: same pair accretes
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val clean = readRel()
+    assert(clean == Seq(("a", "b", 2L, "150"), ("a", "c", 1L, "9")))
+    // crash window: batch 1's partial row landed in the table but the
+    // checkpoint commit never did — the restart re-runs batch 1; its
+    // pk includes batch_lo, so the replay OVERWRITES its own partial
+    // instead of double-counting (foreachBatch batchIds are stable)
+    injectCheckpointCrash(s"$root/ckpt", batch = 1L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readRel() == clean,
+      "replayed batch double-counted its partials (IVM replay must overwrite)")
+    // the maintainer keeps accreting after recovery
+    val q3 = start()
+    try {
+      input.addData(("a", "b", 7L, 20, false)) // failed tx: counts, no wei
+      q3.processAllAvailable()
+    } finally q3.stop()
+    assert(readRel() == Seq(("a", "b", 3L, "150"), ("a", "c", 1L, "9")))
+  }
+
   test("maintainWinnowIndexAndFlag: cross-batch and same-batch partial overlaps flag; short docs index nothing; crash replay heals") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
