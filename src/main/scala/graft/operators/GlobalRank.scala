@@ -106,10 +106,18 @@ object GlobalRank {
         sum(col("__gg_cnt")).over(Window.partitionBy(gCols: _*)
           .orderBy(col("__gg_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__gg_pid") +: gCols :+ col("__gg_off"): _*)
-    local.join(broadcast(offsets), "__gg_pid" +: groupCols)
+      .select(col("__gg_pid").as("__gg_pid2") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gg_g$i") } :+
+        col("__gg_off"): _*)
+    // NULL-SAFE add-back: a plain equi-join would silently DROP every row
+    // whose group key is null (null ≠ null) — the ranks for the null
+    // group are as real as any other's
+    val cond = (col("__gg_pid") === col("__gg_pid2")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__gg_g$i") }
+    local.join(broadcast(offsets), cond.reduce(_ && _))
       .withColumn(rnCol, col("__gg_off") + col("__gg_lrn"))
-      .drop("__gg_pid", "__gg_lrn", "__gg_off")
+      .drop("__gg_pid" +: "__gg_pid2" +: "__gg_lrn" +: "__gg_off" +:
+        groupCols.indices.map(i => s"__gg_g$i"): _*)
   }
 
   /** Tie-aware `rank` / `dense_rank` within groups, from the grouped
@@ -133,9 +141,17 @@ object GlobalRank {
     val rn = groupedRowNumber(df, groupCols, orderCols, "__gr_rn")
     val peers = rn.groupBy((groupCols ++ peerCols).map(col): _*)
       .agg(min(col("__gr_rn")).as(rankCol))
+    val keys = groupCols ++ peerCols
     val dense = groupedRowNumber(peers, groupCols,
         Seq(col(rankCol)), denseRankCol)
-    rn.join(dense, groupCols ++ peerCols).drop("__gr_rn")
+      .select(keys.zipWithIndex.map { case (c, i) => col(c).as(s"__gr_k$i") } :+
+        col(rankCol) :+ col(denseRankCol): _*)
+    // NULL-SAFE add-back (groupBy treats null as a key; a plain equi-join
+    // would drop every row whose group or peer value is null)
+    val cond = keys.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__gr_k$i") }.reduce(_ && _)
+    rn.join(dense, cond)
+      .drop("__gr_rn" +: keys.indices.map(i => s"__gr_k$i"): _*)
   }
 
   /** Append `cumCol` = the exact inclusive prefix sum of `valueCol` under

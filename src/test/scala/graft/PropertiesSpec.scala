@@ -424,9 +424,12 @@ class PropertiesSpec extends SparkSpec {
 
   test("groupedRowNumber/groupedRankDense equal the window forms for arbitrary data and partitionings") {
     import org.apache.spark.sql.expressions.Window
-    // heavy ties within few groups: the skew shape the operator exists for
+    // heavy ties within few groups (the skew shape the operator exists
+    // for), plus a NULL group: the add-back joins must be null-safe or
+    // every null-group row silently vanishes
     val df = (1 to 2000).map(i =>
-      (i.toLong, s"g${i % 3}", (i * 37 % 23).toLong)).toDF("id", "g", "v")
+      (i.toLong, if (i % 5 == 0) null else s"g${i % 3}", (i * 37 % 23).toLong))
+      .toDF("id", "g", "v")
     def rn(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       graft.operators.GlobalRank.groupedRowNumber(d, Seq("g"),
           Seq(col("v"), col("id")), "rn")
@@ -450,12 +453,18 @@ class PropertiesSpec extends SparkSpec {
     assert(rd(df.repartition(17)) == expectRd)
   }
 
-  test("BandedRange.peersWithin equals the RANGE-frame window count, negatives and boundaries included") {
+  test("BandedRange.peersWithin equals the RANGE-frame window count, negatives, boundaries, and nulls included") {
     import org.apache.spark.sql.expressions.Window
     // values straddle 0 and land exactly on bucket boundaries (multiples
-    // of w) — the floor-division edge the bucket math must get right
-    val df = (1 to 1500).map(i =>
-      (i.toLong, s"g${i % 3}", ((i * 41 % 97) - 48) * 25L)).toDF("id", "g", "v")
+    // of w) — the floor-division edge the bucket math must get right;
+    // null VALUES must be peers of each other (the SQL frame semantics)
+    // and a null GROUP key must be an ordinary group, not dropped
+    val df = (1 to 1500).map { i =>
+      val g = if (i % 7 == 0) null else s"g${i % 3}"
+      val v = if (i % 11 == 0) null
+              else java.lang.Long.valueOf(((i * 41 % 97) - 48) * 25L)
+      (i.toLong, g, v)
+    }.toDF("id", "g", "v")
     def banded(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       graft.operators.BandedRange.peersWithin(d, Seq("g"), "v", w = 100L, "n")
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
@@ -464,6 +473,7 @@ class PropertiesSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
     assert(banded(df) == expect)
     assert(banded(df.repartition(13)) == expect)
+    assert(banded(df).size == 1500, "no row may be dropped (nulls included)")
   }
 
   test("globalPrefixSum equals the single-task cumulative sum under any partitioning") {
