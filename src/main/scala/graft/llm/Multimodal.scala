@@ -311,6 +311,38 @@ object Multimodal {
     * boundary as [[imageStats]] — map-only, no shuffle. */
   case class ImageHash(media_id: Long, width: Int, height: Int,
                        ahash: Long, n_set: Long)
+
+  /** The aHash window math on a row-major gray plane: threshold the
+    * top-left `winW`×`winH` window against its truncating-integer mean,
+    * pack row-major into (hash, n_set). Shared by the image and video
+    * paths so a frame hashes exactly like the equivalent still. */
+  private def grayWindowHash(w: Int, gray: Array[Int],
+                             winW: Int, winH: Int): (Long, Long) = {
+    var sum = 0L
+    var y = 0
+    while (y < winH) {
+      var x = 0
+      while (x < winW) { sum += gray(y * w + x); x += 1 }
+      y += 1
+    }
+    val mean = sum / (winW * winH)
+    var hash = 0L
+    var nSet = 0L
+    y = 0
+    while (y < winH) {
+      var x = 0
+      while (x < winW) {
+        if (gray(y * w + x) > mean) {
+          hash |= 1L << (y * winW + x)
+          nSet += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hash, nSet)
+  }
+
   def aHash(media: Dataset[MediaRecord], winW: Int = 8,
             winH: Int = 6): Dataset[ImageHash] = {
     require(winW * winH <= 62, "hash window must fit a positive long")
@@ -320,28 +352,7 @@ object Multimodal {
         decodeBmpGray(r.payload).orElse(decodePpmGray(r.payload))
           .orElse(decodePngGray(r.payload)).collect {
           case (w, h, gray) if w >= winW && h >= winH =>
-            var sum = 0L
-            var y = 0
-            while (y < winH) {
-              var x = 0
-              while (x < winW) { sum += gray(y * w + x); x += 1 }
-              y += 1
-            }
-            val mean = sum / (winW * winH)
-            var hash = 0L
-            var nSet = 0L
-            y = 0
-            while (y < winH) {
-              var x = 0
-              while (x < winW) {
-                if (gray(y * w + x) > mean) {
-                  hash |= 1L << (y * winW + x)
-                  nSet += 1
-                }
-                x += 1
-              }
-              y += 1
-            }
+            val (hash, nSet) = grayWindowHash(w, gray, winW, winH)
             ImageHash(r.media_id, w, h, hash, nSet)
         }
       }
@@ -835,6 +846,134 @@ object Multimodal {
       }
       (w, h, gray)
     }
+
+  // ------------------------------------------------------------------
+  // VIDEO: a REAL pure-JVM Y4M (YUV4MPEG2) codec — the uncompressed
+  // video container (plain-text header + FRAME-delimited raw planes;
+  // what ffmpeg/mjpegtools pipe between stages), here in its Cmono
+  // flavor (one 8-bit Y plane per frame). Same contract as the image
+  // and WAV paths: an uncompressed real container parses for real over
+  // real bytes; compressed video (H.264/VP9/AV1) would take the
+  // decodeStub fallback until a codec library is linked. On top of the
+  // codec sit the two ops a training-data video pipeline needs first:
+  // FRAME SAMPLING (every k-th frame → the image feature path — each
+  // sampled frame aHashes exactly like the equivalent still, so video
+  // frames join the same banded-Hamming dedup index as images) and
+  // SHOT-BOUNDARY detection (consecutive-frame hash distance).
+  // ------------------------------------------------------------------
+
+  /** Write a YUV4MPEG2 Cmono stream: `nFrames` frames of
+    * `pixel(frame)(x, y)` gray values (mod 256). Spec-shaped header
+    * (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono`) and a `FRAME` marker per
+    * frame — readable by any y4m consumer. */
+  def encodeY4m(width: Int, height: Int, nFrames: Int,
+                pixel: Int => (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"need positive dims/frames, got $width x $height x $nFrames")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$width H$height F25:1 Ip A1:1 Cmono\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var f = 0
+    while (f < nFrames) {
+      out.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val px = pixel(f)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { out.write(px(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse a YUV4MPEG2 Cmono stream, keeping every `every`-th frame
+    * (frame 0 always kept): (width, height, n_frames_total,
+    * sampled (frame_idx, gray plane)). None for anything non-conformant
+    * (wrong magic, missing W/H, a colorspace other than mono, truncated
+    * frame data) — same fall-back contract as the image codecs. FRAME
+    * markers may carry parameters (spec-legal); they are skipped. */
+  def decodeY4mFrames(payload: Array[Byte], every: Int = 1)
+      : Option[(Int, Int, Int, Seq[(Int, Array[Int])])] = {
+    if (every < 1) return None
+    val magic = "YUV4MPEG2".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < magic.length) return None
+    var i = 0
+    while (i < magic.length) { if (payload(i) != magic(i)) return None; i += 1 }
+    var nl = i
+    while (nl < payload.length && payload(nl) != '\n') nl += 1
+    if (nl >= payload.length) return None
+    val header = new String(payload, 0, nl,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    var width = -1; var height = -1; var mono = false
+    header.split(' ').drop(1).foreach { tok =>
+      if (tok.nonEmpty) tok.charAt(0) match {
+        case 'W' => width = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => height = tok.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => mono = tok.drop(1) == "mono"
+        case _ => // frame rate / interlace / aspect: irrelevant to pixels
+      }
+    }
+    if (width <= 0 || height <= 0 || !mono) return None
+    if (width.toLong * height > Int.MaxValue - 8) return None
+    val frameLen = width * height
+    val frameTag = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var pos = nl + 1
+    var idx = 0
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    while (pos < payload.length) {
+      var j = 0
+      while (j < frameTag.length) {
+        if (pos + j >= payload.length || payload(pos + j) != frameTag(j)) return None
+        j += 1
+      }
+      pos += frameTag.length
+      while (pos < payload.length && payload(pos) != '\n') pos += 1 // params
+      if (pos >= payload.length) return None
+      pos += 1
+      if (pos + frameLen > payload.length) return None // truncated plane
+      if (idx % every == 0) {
+        val gray = new Array[Int](frameLen)
+        var k = 0
+        while (k < frameLen) { gray(k) = payload(pos + k) & 0xff; k += 1 }
+        sampled += ((idx, gray))
+      }
+      pos += frameLen
+      idx += 1
+    }
+    if (idx == 0) None else Some((width, height, idx, sampled.toSeq))
+  }
+
+  /** One sampled video frame's perceptual hash: the SAME windowed aHash
+    * as the still-image path ([[aHash]]), so frames and stills share one
+    * dedup index. */
+  case class VideoFrameHash(media_id: Long, n_frames: Int, frame_idx: Int,
+                            ahash: Long, n_set: Long)
+
+  /** Frame-sample + fingerprint: decode the y4m payload, keep every
+    * `every`-th frame, aHash each kept frame. Map-only (the codec runs
+    * inside `mapPartitions`, no shuffle); frames smaller than the hash
+    * window drop, same contract as [[aHash]]. Shot-boundary detection
+    * is a lag over this output partitioned by media_id — a
+    * corpus-cardinality key, so the window is balanced at any scale. */
+  def videoFrameHashes(media: Dataset[MediaRecord], every: Int = 1,
+                       winW: Int = 8, winH: Int = 6): Dataset[VideoFrameHash] = {
+    require(winW * winH <= 62, "hash window must fit a positive long")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeY4mFrames(r.payload, every).toSeq.flatMap {
+          case (w, h, nFrames, frames) if w >= winW && h >= winH =>
+            frames.map { case (idx, gray) =>
+              val (hash, nSet) = grayWindowHash(w, gray, winW, winH)
+              VideoFrameHash(r.media_id, nFrames, idx, hash, nSet)
+            }
+          case _ => Seq.empty
+        }
+      }
+    }
+  }
 
   // ------------------------------------------------------------------
   // AUDIO: a REAL pure-JVM WAV (RIFF / 16-bit mono PCM) codec — same

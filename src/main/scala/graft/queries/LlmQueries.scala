@@ -2343,6 +2343,94 @@ object LlmQueries {
              |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
              |FROM sums ORDER BY media_id""".stripMargin)),
 
+    // REAL video container: Y4M (YUV4MPEG2, Cmono) frame sampling — every
+    // 2nd frame decoded from real container bytes and aHashed with the
+    // SAME windowed hash as the still-image path (frames and stills share
+    // one dedup index). The oracle replays the generator algebra per
+    // sampled frame, mirroring the multimodal_ahash SQL with a frame axis.
+    Q("multimodal_video_framesample", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          val nf = 5 + (m % 6).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeY4m(w, h, nf,
+            f => (x, y) => (x * 7 + y * 13 + m.toInt + f * 31) % 256),
+            "video/x-yuv4mpeg")
+        }
+        Multimodal.videoFrameHashes(media, every = 2).toDF()
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |v AS (SELECT id, 5 + id % 6 AS nf FROM m),
+             |fr AS (SELECT id, nf, unnest(range(0, nf, 2)) AS f FROM v),
+             |xs AS (SELECT id, nf, f, unnest(range(8)) AS x FROM fr),
+             |pix AS (SELECT id, nf, f, x, unnest(range(6)) AS y FROM xs),
+             |g AS (SELECT id, nf, f, x, y,
+             |        (x * 7 + y * 13 + id + f * 31) % 256 AS gray FROM pix),
+             |mn AS (SELECT id, f, sum(gray) // 48 AS mean FROM g GROUP BY 1, 2),
+             |hb AS (SELECT g.id, g.nf, g.f,
+             |         sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS ahash,
+             |         sum(CASE WHEN gray > mean THEN 1 ELSE 0 END) AS n_set
+             |       FROM g JOIN mn USING (id, f) GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(f AS INTEGER) AS frame_idx, CAST(ahash AS BIGINT) AS ahash,
+             |  CAST(n_set AS BIGINT) AS n_set
+             |FROM hb ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // Shot-boundary detection over the decoded frame stream: scenes are
+    // 4-frame runs whose GRADIENT STRUCTURE changes at f div 4 (a uniform
+    // brightness shift would be invisible — aHash thresholds against the
+    // window mean, so it is brightness-invariant by design; a real cut
+    // changes spatial structure, which is what the generator models).
+    // Boundaries are consecutive frames with nonzero hash distance. The
+    // lag window partitions by media_id — corpus-cardinality, so the
+    // plan stays balanced at any library size. Oracle replays frame
+    // hashes + lag + xor/bit_count arithmetically.
+    Q("multimodal_video_shots", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val w = 8 + (m % 5).toInt
+          val h = 6 + (m % 4).toInt
+          val nf = 8 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeY4m(w, h, nf,
+            f => (x, y) => (x * (3 + ((f / 4) % 5) * 2)
+              + y * (7 + ((f / 4) % 3) * 4) + m.toInt) % 256),
+            "video/x-yuv4mpeg")
+        }
+        val wm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        Multimodal.videoFrameHashes(media, every = 1).toDF()
+          .withColumn("prev", lag(col("ahash"), 1).over(wm))
+          .filter(col("prev").isNotNull)
+          .withColumn("hamming", expr("bit_count(ahash ^ prev)").cast("long"))
+          .filter(col("hamming") > 0)
+          .select(col("media_id"), col("frame_idx"), col("hamming"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |v AS (SELECT id, 8 + id % 5 AS nf FROM m),
+             |fr AS (SELECT id, nf, unnest(range(nf)) AS f FROM v),
+             |xs AS (SELECT id, f, unnest(range(8)) AS x FROM fr),
+             |pix AS (SELECT id, f, x, unnest(range(6)) AS y FROM xs),
+             |g AS (SELECT id, f, x, y,
+             |        (x * (3 + ((f // 4) % 5) * 2)
+             |         + y * (7 + ((f // 4) % 3) * 4) + id) % 256 AS gray FROM pix),
+             |mn AS (SELECT id, f, sum(gray) // 48 AS mean FROM g GROUP BY 1, 2),
+             |hb AS (SELECT g.id, g.f,
+             |         CAST(sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS ahash
+             |       FROM g JOIN mn USING (id, f) GROUP BY 1, 2),
+             |lg AS (SELECT id, f, ahash,
+             |         lag(ahash) OVER (PARTITION BY id ORDER BY f) AS prev FROM hb)
+             |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(bit_count(xor(ahash, prev)) AS BIGINT) AS hamming
+             |FROM lg WHERE prev IS NOT NULL AND bit_count(xor(ahash, prev)) > 0
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // Indexed-color PNG (color type 3 — the most common web PNG flavor):
     // the decoder walks PLTE, defilters INDEX bytes through all five
     // scanline filters, and resolves each index through the palette; the

@@ -846,6 +846,41 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodePng(noPlte).isEmpty, "color type 3 without PLTE must reject")
   }
 
+  test("multimodal Y4M video: round-trip, every-k sampling, frame/still hash parity, conformance rejects") {
+    import graft.llm.Multimodal
+    val px = (f: Int) => (x: Int, y: Int) => (x * 9 + y * 4 + f * 17) % 256
+    val y4m = Multimodal.encodeY4m(9, 7, 10, px)
+    // header is spec-shaped ASCII
+    assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2")
+    // full decode: every frame, exact pixels
+    val Some((w, h, nf, all)) = Multimodal.decodeY4mFrames(y4m, every = 1)
+    assert(w == 9 && h == 7 && nf == 10 && all.map(_._1) == (0 until 10))
+    for ((f, gray) <- all; x <- 0 until 9; y <- 0 until 7)
+      assert(gray(y * 9 + x) == px(f)(x, y), s"frame $f pixel ($x,$y)")
+    // every-3 sampling keeps frames 0,3,6,9 and still reports nf=10
+    val Some((_, _, nf3, s3)) = Multimodal.decodeY4mFrames(y4m, every = 3)
+    assert(nf3 == 10 && s3.map(_._1) == Seq(0, 3, 6, 9))
+    // frame/still parity: a video frame hashes exactly like the same
+    // image through the still path (shared window math)
+    val still = Multimodal.encodePngGray(9, 7, px(4))
+    val stillHash = Multimodal.aHash(Seq(
+      Multimodal.MediaRecord(1L, still, "image/png")).toDS())
+      .collect().head.ahash
+    val frameHash = Multimodal.videoFrameHashes(Seq(
+      Multimodal.MediaRecord(1L, y4m, "video/x-yuv4mpeg")).toDS(), every = 1)
+      .collect().find(_.frame_idx == 4).get.ahash
+    assert(frameHash == stillHash, "frame 4 must hash like its still twin")
+    // conformance: junk, truncated plane, non-mono colorspace all reject
+    assert(Multimodal.decodeY4mFrames("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeY4mFrames(y4m.dropRight(5)).isEmpty,
+      "truncated final plane must reject")
+    val c420 = new String(y4m.takeWhile(_ != '\n'), "US-ASCII")
+      .replace("Cmono", "C420") .getBytes("US-ASCII") ++ y4m.dropWhile(_ != '\n')
+    assert(Multimodal.decodeY4mFrames(c420).isEmpty,
+      "non-mono colorspace must take the fallback, not misparse")
+    assert(Multimodal.decodeY4mFrames(y4m, every = 0).isEmpty)
+  }
+
   test("aHash is container-independent: PNG and BMP of the same pixels agree") {
     val px = (x: Int, y: Int) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y * 2) % 256)
     val media = Seq(
