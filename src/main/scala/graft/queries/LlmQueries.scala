@@ -5970,7 +5970,11 @@ object LlmQueries {
           .select(col("m"), col("n_comm"), col("sum_e_in"),
             col("q_num"), col("q_den"), col("q_milli"))
       },
-      Some(s"""$louvainLabelsCte,
+      // materializeCtes: g2 (the 2-round Louvain chain) is referenced 3×
+      // below (ein ×2, dcm) — un-materialized, DuckDB re-inlines the
+      // whole chain per reference (the NMI lesson; this oracle ran 154 s
+      // at sf1 and was the board's only timeout under load)
+      Some(materializeCtes(s"""$louvainLabelsCte,
               |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
               |        FROM ew WHERE src <> dst),
               |dg AS (SELECT node, count(*) AS deg FROM
@@ -5998,7 +6002,7 @@ object LlmQueries {
               |  CAST(CASE WHEN q_den IS NULL OR q_den = 0 THEN 0
               |       WHEN q_num < 0 THEN -((-q_num) * 1000 // q_den)
               |       ELSE q_num * 1000 // q_den END AS BIGINT) AS q_milli
-              |FROM agg""".stripMargin)),
+              |FROM agg""".stripMargin))),
 
     // Pivot-sampled harmonic centrality (Boldi–Vigna 2014 axioms;
     // Eppstein–Wang sampling): Σ 1e6 div d(p,v) over the 4 highest-degree
