@@ -154,6 +154,47 @@ object GlobalRank {
       .drop("__gr_rn" +: keys.indices.map(i => s"__gr_k$i"): _*)
   }
 
+  /** Grouped form of [[globalPrefixSum]]: exact inclusive prefix sum of
+    * `valueCol` WITHIN each group under the total order `orderCols` —
+    * the scale-safe replacement for `sum().over(Window.partitionBy(
+    * lowCardCol).orderBy(...))` when the partition key has far fewer
+    * distinct values than the cluster has cores. Same two-phase shape as
+    * [[groupedRowNumber]] with DECIMAL(38,0) sums in place of counts;
+    * the add-back join is null-safe for the same reason. */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[Column], valueCol: String,
+                       cumCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedPrefixSum needs group columns" +
+      " (use globalPrefixSum for the ungrouped form)")
+    require(orderCols.nonEmpty, "groupedPrefixSum needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
+      .withColumn("__gs_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("__gs_lcs",
+      sum(col(valueCol).cast("decimal(38,0)"))
+        .over(Window.partitionBy(col("__gs_pid") +: gCols: _*)
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val offsets = ranged.groupBy(col("__gs_pid") +: gCols: _*)
+      .agg(sum(col(valueCol).cast("decimal(38,0)")).as("__gs_tot"))
+      .withColumn("__gs_off", coalesce(
+        sum(col("__gs_tot")).over(Window.partitionBy(gCols: _*)
+          .orderBy(col("__gs_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast("decimal(38,0)")))
+      .select(col("__gs_pid").as("__gs_pid2") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gs_g$i") } :+
+        col("__gs_off"): _*)
+    val cond = (col("__gs_pid") === col("__gs_pid2")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__gs_g$i") }
+    local.join(broadcast(offsets), cond.reduce(_ && _))
+      .withColumn(cumCol, col("__gs_off") + col("__gs_lcs"))
+      .drop("__gs_pid" +: "__gs_pid2" +: "__gs_lcs" +: "__gs_off" +:
+        groupCols.indices.map(i => s"__gs_g$i"): _*)
+  }
+
   /** Append `cumCol` = the exact inclusive prefix sum of `valueCol` under
     * the total order `orderCols` — [[globalRowNumber]]'s two-phase shape
     * with sums in place of counts: range-shuffle, per-slice running sums

@@ -1812,22 +1812,30 @@ object LlmQueries {
              |                ELSE len(str_split(cleaned, ' ')) END) AS BIGINT) AS tok_out
              |FROM fin GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Curriculum tiers: quality-quartile bucketing PER SOURCE (ntile
-    // windows partitioned by the domain, never one global ordering — the
-    // realistic per-domain curriculum AND the scale-safe shape: a global
-    // ntile funnels the corpus through one task). Rounded-once scores
-    // order identically in both engines; doc_id breaks ties.
+    // Curriculum tiers: quality-quartile bucketing PER SOURCE. A ntile
+    // window partitioned by `source` would be one task per source (20
+    // distinct values) over the whole corpus — the same cliff as the w3
+    // family; ntile is pure rank algebra, so it rides the grouped
+    // two-phase row number + a 20-row count broadcast instead
+    // (remainder rows go to the first buckets, SQL ntile semantics).
+    // Rounded-once scores order identically in both engines; doc_id
+    // breaks ties.
     Q("curriculum_tiers", "LLM",
       (s, d) => {
         val toks = graft.functions.ColumnFns.tokens(col("text"))
         val score = round(TextAnalysis.stopwordHits(toks).cast("double")
           / size(toks).cast("double"), 6)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"))
-          .orderBy(col("score").desc, col("doc_id"))
-        Tables(s, d, "documents")
+        val scored = Tables(s, d, "documents")
           .select(col("doc_id"), col("source"), score.as("score"))
-          .withColumn("tier", ntile(4).over(w).cast("long"))
+        val rn = graft.operators.GlobalRank.groupedRowNumber(scored,
+          Seq("source"), Seq(col("score").desc, col("doc_id")), "__rn")
+        val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        rn.join(broadcast(counts), Seq("source"))
+          .withColumn("tier",
+            expr("""CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+                   |     THEN (__rn - 1) div (__n div 4 + 1) + 1
+                   |     ELSE (__n % 4) + (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+                   |          div (__n div 4) + 1 END""".stripMargin).cast("long"))
           .groupBy(col("source"), col("tier"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("score")).as("min_score"), max(col("score")).as("max_score"))
@@ -3210,11 +3218,14 @@ object LlmQueries {
             length(col("text")).cast("long").as("len"))
         val alloc = Sampling.neymanAllocation(deduped, "source", "len", n = 50)
           .select(col("stratum").as("source"), col("n_alloc"))
-        val wPick = Window.partitionBy("source")
-          .orderBy(graft.functions.ColumnFns.md5Long(
-            col("doc_id").cast("string")), col("doc_id"))
-        deduped.join(alloc, "source")
-          .withColumn("pick_rank", row_number().over(wPick))
+        // the per-source hash-rank draw rides the grouped two-phase row
+        // number — a window partitioned by the 20-value source over the
+        // deduped corpus would be one task per source at 100 TB
+        graft.operators.GlobalRank.groupedRowNumber(
+            deduped.join(broadcast(alloc), "source"), Seq("source"),
+            Seq(graft.functions.ColumnFns.md5Long(col("doc_id").cast("string")),
+              col("doc_id")), "__pick")
+          .withColumn("pick_rank", col("__pick").cast("int"))
           .filter(col("pick_rank") <= col("n_alloc"))
           .select(col("source"), col("pick_rank"), col("doc_id"), col("len"))
           .orderBy("source", "pick_rank")
@@ -5374,18 +5385,21 @@ object LlmQueries {
     // over the collapsed value spine, not the corpus rows.
     Q("agg_weighted_median", "A",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val li = Tables(s, d, "lineitem").select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("price_c"),
           round(col("l_quantity") * 100).cast("long").as("qty_c"))
         val collapsed = li.groupBy(col("l_returnflag"), col("price_c"))
           .agg(sum(col("qty_c")).as("w"))
-        val wc = Window.partitionBy("l_returnflag").orderBy("price_c")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wt = Window.partitionBy("l_returnflag")
-        collapsed
-          .withColumn("cw", sum(col("w")).over(wc))
-          .withColumn("tw", sum(col("w")).over(wt))
+        // the collapsed table is distinct-price-sized — bounded by the
+        // price DOMAIN, not the corpus, but that domain is millions of
+        // cents values, so a running sum partitioned by the 3-value
+        // l_returnflag would still sort ~domain/3 rows in one task; the
+        // grouped two-phase prefix sum keeps it balanced
+        val cum = graft.operators.GlobalRank.groupedPrefixSum(collapsed,
+          Seq("l_returnflag"), Seq(col("price_c")), "w", "cw")
+        val tot = collapsed.groupBy(col("l_returnflag"))
+          .agg(sum(col("w")).as("tw"))
+        cum.join(broadcast(tot), Seq("l_returnflag"))
           .filter(col("cw") * 2 >= col("tw"))
           .groupBy(col("l_returnflag"))
           .agg(min(col("price_c")).as("weighted_median_c"),
@@ -5450,6 +5464,13 @@ object LlmQueries {
     // rank (n+1)/2 of the non-null rows — integer-exact on both engines,
     // unlike interpolating median()) fills them, and the report proves
     // it: per group, missing count, the median used, and the imputed sum.
+    // The median rides DISTINCT-VALUE COMPRESSION, not a corpus window:
+    // row_number over (l_returnflag | qty_c) would be one task per flag
+    // (3 values) sorting ~N/3 rows at 100 TB, while the distinct quantity
+    // domain is bounded (cents of 1..50 ⇒ ≤ ~5 k values) — one map-side-
+    // combined count aggregate, then a dimension-sized running-count
+    // window; the lower median is the smallest value whose cumulative
+    // count reaches (n+1) div 2.
     Q("clean_impute_median", "A",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -5457,13 +5478,17 @@ object LlmQueries {
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             when((col("l_orderkey") + col("l_linenumber")) % 7 === 0, lit(null))
               .otherwise(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
-        val w = Window.partitionBy("l_returnflag").orderBy("qty_c")
         val med = li.filter(col("qty_c").isNotNull)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("cnt", count(lit(1)).over(
+          .groupBy(col("l_returnflag"), col("qty_c"))
+          .agg(count(lit(1)).as("c")) // domain-bounded: ≤ distinct quantities
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy("l_returnflag").orderBy("qty_c")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("tot", sum(col("c")).over(
             Window.partitionBy("l_returnflag")))
-          .filter(col("rn") === expr("(cnt + 1) div 2"))
-          .select(col("l_returnflag"), col("qty_c").as("median_c"))
+          .filter(col("cum") >= expr("(tot + 1) div 2"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("qty_c")).as("median_c"))
         li.join(med, "l_returnflag")
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),

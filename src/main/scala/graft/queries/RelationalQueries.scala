@@ -149,28 +149,64 @@ object RelationalQueries {
     // function deterministic.
     Q("w10_dist_functions", "W",
       (s, d) => {
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("v_c"), col("event_id"))
-        val wFull = w.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-        Tables(s, d, "events")
-          .select(col("event_type"), col("event_id"),
-            cents(col("value")).as("v_c"))
+        // event_type has ~5 values over the full corpus — the same
+        // one-task-per-key cliff as w3/w4/w6. The total order is
+        // (v_c, event_id), so every distribution function is rank
+        // algebra on the row number, and the row number decomposes as
+        // cum-count-of-smaller-values (distinct-value compression: a
+        // dimension-sized window over the (type, v_c) aggregate) plus
+        // the within-(type, v_c) position (a window on a
+        // corpus-cardinality key — balanced at any scale):
+        //   cume_dist = rn/n (peers are single rows under a total
+        //   order), emitted in integer micro units (the w6 sf10
+        //   lesson: round(double, 6) splits engines on dense grids);
+        //   ntile    = remainder-bucket rank algebra;
+        //   nth_value(3) over the full frame = the value at rank 3 —
+        //   smallest v_c whose cumulative count reaches 3, null when
+        //   the group has fewer rows.
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"), col("event_id"), cents(col("value")).as("v_c"))
+        val vals = ev.groupBy(col("event_type"), col("v_c"))
+          .agg(count(lit(1)).as("__c"))
+        val cum = vals.withColumn("__cum_before",
+          coalesce(sum(col("__c")).over(
+            Window.partitionBy("event_type").orderBy("v_c")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val within = ev.withColumn("__pos", row_number().over(
+          Window.partitionBy(col("event_type"), col("v_c"))
+            .orderBy(col("event_id"))).cast("long"))
+        val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
+        val third = cum.filter(col("__cum_before") + col("__c") >= 3)
+          .groupBy(col("event_type")).agg(min(col("v_c")).as("third_lowest"))
+        within.join(cum, Seq("event_type", "v_c"))
+          .withColumn("__rn", col("__cum_before") + col("__pos"))
+          .join(broadcast(counts), Seq("event_type"))
+          .join(broadcast(third), Seq("event_type"), "left")
           .select(col("event_type"), col("event_id"), col("v_c"),
-            round(cume_dist().over(w), 6).as("cd"),
-            ntile(4).over(w).as("quartile"),
-            nth_value(col("v_c"), 3).over(wFull).as("third_lowest"))
+            expr("__rn * 1000000 div __n").as("cd_micro"),
+            expr("""CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
+                   |     THEN (__rn - 1) div (__n div 4 + 1) + 1
+                   |     ELSE (__n % 4) + (__rn - (__n % 4) * (__n div 4 + 1) - 1)
+                   |          div (__n div 4) + 1 END""".stripMargin)
+              .cast("int").as("quartile"),
+            col("third_lowest"))
           .orderBy("event_type", "v_c", "event_id")
       },
-      Some("""SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v_c,
-             |  round(cume_dist() OVER w, 6) AS cd,
-             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-             |  nth_value(CAST(round(value * 100) AS BIGINT), 3) OVER
-             |    (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT), event_id
-             |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_lowest
-             |FROM events
-             |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
-             |ORDER BY event_type, v_c, event_id""".stripMargin)),
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |            CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+             |r AS (SELECT event_type, event_id, v_c,
+             |        CAST(row_number() OVER w AS BIGINT) AS rn,
+             |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             |        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             |        nth_value(v_c, 3) OVER
+             |          (PARTITION BY event_type ORDER BY v_c, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |          AS third_lowest
+             |      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY v_c, event_id))
+             |SELECT event_type, event_id, v_c,
+             |  CAST(rn * 1000000 // n AS BIGINT) AS cd_micro,
+             |  quartile, third_lowest
+             |FROM r ORDER BY event_type, v_c, event_id""".stripMargin)),
 
     // Skyline / Pareto frontier (Börzsönyi 2001): cheapest line items with
     // the deepest discounts — minimize price, maximize discount (negated).

@@ -610,36 +610,65 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("low-cardinality window family: no one-task-per-priority sort over corpus input") {
-    // w3/w4/w6/w7 partition(ed) by o_orderpriority — 5 distinct values, so
-    // a corpus-input window is 5 tasks each sorting ~N/5 rows at 100 TB.
-    // After the grouped two-phase rewrite the ONLY legal window touching
-    // o_orderpriority is the per-(pid, group) offsets running sum, whose
-    // input is an aggregate (≤ nParts + #groups rows); w7 is the banded
-    // range-count and must carry no window at all.
+  test("low-cardinality window keys never sort corpus input in one task per key") {
+    // These queries partition window work by a key with 3–20 distinct
+    // values (o_orderpriority 5, l_returnflag 3, documents.source 20,
+    // event_type ~5) — the window form is one task per key, each sorting
+    // ~N/k of the corpus at 100 TB. After the de-skew rewrites, a window
+    // whose partition spec touches the low-card key must either be
+    // CO-PARTITIONED on a second column (the two-phase local ranking's
+    // pid, or a corpus-cardinality value column) or sit over an
+    // aggregate (the dimension-sized offsets / distinct-value tables);
+    // w7 is the banded range-count and must carry no window at all.
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Seq("w3_rank_dense", "w4_ntile_moving", "w6_percent_rank").foreach { name =>
+      val lowCardLocks = Seq(
+        "w3_rank_dense" -> "o_orderpriority",
+        "w4_ntile_moving" -> "o_orderpriority",
+        "w6_percent_rank" -> "o_orderpriority",
+        "clean_impute_median" -> "l_returnflag",
+        "agg_weighted_median" -> "l_returnflag",
+        "curriculum_tiers" -> "source",
+        "llm_corpus_pipeline_v3" -> "source",
+        "w10_dist_functions" -> "event_type")
+      // an aggregate below the window proves dimension-sized input; a
+      // ReusedExchange counts when its ORIGIN exchange sits over one
+      // (exchange reuse hides the aggregate subtree from this branch)
+      def aggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty ||
+          p.collect {
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+          }.exists(r => aggBelow(r.child))
+      lowCardLocks.foreach { case (name, key) =>
         val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
-        val windows = p.collect { case w: WindowExec => w }
-        assert(windows.exists(_.partitionSpec.exists(
-          _.references.exists(_.name.startsWith("__gg_pid")))),
-          s"$name: expected the two-phase grouped ranking (pid-partitioned window)")
-        windows.filter { w =>
+        p.collect { case w: WindowExec => w }.filter { w =>
           val names = w.partitionSpec.flatMap(_.references.map(_.name))
-          // pid-co-partitioned windows are the balanced local ranking;
-          // anything else touching the 5-value key must sit over an
-          // aggregate (the dimension-sized offsets table)
-          names.exists(_ == "o_orderpriority") &&
-            !names.exists(_.startsWith("__gg_pid"))
+          // a second partition column (pid or a value column) makes the
+          // window key corpus-cardinality — co-partitioned, balanced
+          names.exists(_ == key) && names.toSet.size == 1
         }.foreach { w =>
-          assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
-            s"$name: window partitioned by 5-value o_orderpriority over " +
-              s"non-aggregated (corpus-sized) input:\n$w")
+          assert(aggBelow(w),
+            s"$name: window partitioned by low-cardinality '$key' alone " +
+              s"over non-aggregated (corpus-sized) input:\n$w")
         }
       }
+      // the rank-algebra rewrites must actually BE two-phase, not merely
+      // aggregate-fronted
+      Seq("w3_rank_dense", "w4_ntile_moving", "w6_percent_rank",
+        "curriculum_tiers", "llm_corpus_pipeline_v3").foreach { name =>
+        val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
+        assert(p.collect { case w: WindowExec => w }.exists(
+          _.partitionSpec.exists(_.references.exists(
+            _.name.startsWith("__gg_pid")))),
+          s"$name: expected the two-phase grouped ranking (pid-partitioned window)")
+      }
+      assert(Registry.queries("agg_weighted_median")(spark, dir)
+        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+        .exists(_.partitionSpec.exists(_.references.exists(
+          _.name.startsWith("__gs_pid")))),
+        "agg_weighted_median: expected the two-phase grouped prefix sum")
       val w7 = Registry.queries("w7_range_frame")(spark, dir)
         .queryExecution.executedPlan
       assert(w7.collect { case w: WindowExec => w }.isEmpty,

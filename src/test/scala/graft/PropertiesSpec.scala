@@ -476,6 +476,24 @@ class PropertiesSpec extends SparkSpec {
     assert(banded(df).size == 1500, "no row may be dropped (nulls included)")
   }
 
+  test("groupedPrefixSum equals the partitioned running sum, null groups and negative weights included") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 2000).map(i =>
+      (i.toLong, if (i % 5 == 0) null else s"g${i % 3}", ((i * 37 % 23) - 5).toLong))
+      .toDF("id", "g", "w")
+    def cum(d: org.apache.spark.sql.DataFrame): Map[Long, BigDecimal] =
+      graft.operators.GlobalRank.groupedPrefixSum(d, Seq("g"),
+          Seq(col("id")), "w", "cw")
+        .collect().map(r => r.getAs[Long]("id") ->
+          BigDecimal(r.getAs[java.math.BigDecimal]("cw"))).toMap
+    val expect = df.withColumn("cw", sum(col("w")).over(
+        Window.partitionBy(col("g")).orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .collect().map(r => r.getAs[Long]("id") -> BigDecimal(r.getAs[Long]("cw"))).toMap
+    assert(cum(df) == expect)
+    assert(cum(df.repartition(17)) == expect)
+  }
+
   test("globalPrefixSum equals the single-task cumulative sum under any partitioning") {
     // negative weights included: the decimal accumulators must carry sign
     val df = (1 to 2000).map(i => (i.toLong, ((i * 37 % 23) - 5).toLong))
