@@ -161,23 +161,26 @@ object Sampling {
     * all ranks from `row_number` over the (value, id) total order — no
     * float quantiles, engines agree exactly.
     *
-    * Scale note: the within-stratum windows shuffle once on the stratum
-    * key; the global side rides
-    * [[graft.operators.GlobalRank.globalRowNumber]] (two-phase
-    * range-partitioned exact ranks — never a single-task global window),
-    * so the exact form itself is the 100-TB plan. The mergeable
+    * Scale note: BOTH rank sides are two-phase — within-stratum ranks
+    * ride [[graft.operators.GlobalRank.groupedRowNumber]] (strata are
+    * low-cardinality sources/domains, so a stratum-partitioned window
+    * would be one task per stratum) and the global side rides
+    * [[graft.operators.GlobalRank.globalRowNumber]] — never a
+    * single-task window on either axis. The mergeable
     * [[graft.operators.Sketches.logHistogram]] read-out remains the
     * cheaper approximate twin (same join shape) when ±1-rank slack is
     * acceptable. */
   def quantileNormalize(df: DataFrame, idCol: String, valueCol: String,
                         strataCol: String): DataFrame = {
     val v = df.select(col(idCol), col(strataCol), col(valueCol).cast("long").as("v"))
-    val byStratum = Window.partitionBy(col(strataCol))
-      .orderBy(col("v"), col(idCol))
-    val ranked = v
-      .withColumn("__r", row_number().over(byStratum).cast("long"))
-      .withColumn("__ns", count(lit(1)).over(Window.partitionBy(col(strataCol)))
-        .cast("long"))
+    // within-stratum exact ranks via the GROUPED two-phase ranking — a
+    // window partitioned by the stratum key would be one task per
+    // stratum (strata are low-cardinality by definition here: sources /
+    // domains), each sorting ~N/|strata| of the corpus at 100 TB
+    val ranked = graft.operators.GlobalRank.groupedRowNumber(v,
+        Seq(strataCol), Seq(col("v"), col(idCol)), "__r")
+      .join(broadcast(v.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))),
+        Seq(strataCol))
     val globalRanked = graft.operators.GlobalRank.globalRowNumber(
         v.select(col("v"), col(idCol)), Seq(col("v"), col(idCol)), "__gr")
       .select(col("__gr"), col("v").as("norm_value"))

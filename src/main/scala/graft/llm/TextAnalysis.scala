@@ -100,7 +100,7 @@ object TextAnalysis {
     * language) — explode + two-level aggregation + ranking window, the
     * standard corpus-profiling shape. */
   def topNgrams(df: DataFrame, groupCol: String, textCol: String,
-                n: Int = 3, k: Int = 5): DataFrame = {
+                n: Int = 3, k: Int = 5, salts: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // tokenize behind a projection boundary: inside the shingle HOF the
     // lambda then slices an array *attribute*. Inlining `split` instead
@@ -110,8 +110,23 @@ object TextAnalysis {
       .select(col(groupCol), explode(shingles(col("__toks"), n)).as("ngram"))
       .groupBy(col(groupCol), col("ngram"))
       .agg(count(lit(1)).as("n"))
+    // Two-phase top-k: the (group, ngram) count table is aggregate-sized
+    // but still has millions of ngrams PER GROUP at corpus scale, and
+    // groups are low-cardinality (languages/domains) — ranking it with a
+    // group-partitioned window would sort each group's ngrams in ONE
+    // task. Instead: a salt-local top-k first (window keyed on
+    // (group, salt) — `salts`·|groups| balanced partitions; the global
+    // top-k is a subset of the union of salt-local top-ks because each
+    // ngram lives in exactly one salt), then the EXACT top-k over the
+    // ≤ |groups|·salts·k candidates — dimension-sized by construction.
+    val salted = counts.withColumn("__salt",
+      pmod(graft.functions.ColumnFns.md5Long(col("ngram")), lit(salts.toLong)))
+    val localTop = salted.withColumn("__lr", row_number().over(
+        Window.partitionBy(col(groupCol), col("__salt"))
+          .orderBy(col("n").desc, col("ngram"))))
+      .filter(col("__lr") <= k)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("n").desc, col("ngram"))
-    counts.withColumn("rnk", row_number().over(w))
+    localTop.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col(groupCol), col("rnk"), col("ngram"), col("n"))
   }

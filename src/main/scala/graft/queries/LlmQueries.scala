@@ -5489,7 +5489,11 @@ object LlmQueries {
           .filter(col("cum") >= expr("(tot + 1) div 2"))
           .groupBy(col("l_returnflag"))
           .agg(min(col("qty_c")).as("median_c"))
-        li.join(med, "l_returnflag")
+        // med is one row per flag (3) but its size ESTIMATE runs through
+        // the window subtree and outgrows the auto-broadcast threshold at
+        // sf1 — the un-hinted plan shuffled the whole corpus for a 3-row
+        // join (measured 711x bytes at the decade gate); pin it
+        li.join(broadcast(med), "l_returnflag")
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             sum(when(col("qty_c").isNull, 1L).otherwise(0L)).as("n_missing"),

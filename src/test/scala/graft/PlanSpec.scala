@@ -632,6 +632,7 @@ class PlanSpec extends SparkSpec {
         "agg_weighted_median" -> "l_returnflag",
         "curriculum_tiers" -> "source",
         "llm_corpus_pipeline_v3" -> "source",
+        "sample_quantile_norm" -> "source",
         "w10_dist_functions" -> "event_type")
       // an aggregate below the window proves dimension-sized input; a
       // ReusedExchange counts when its ORIGIN exchange sits over one
@@ -657,13 +658,28 @@ class PlanSpec extends SparkSpec {
       // the rank-algebra rewrites must actually BE two-phase, not merely
       // aggregate-fronted
       Seq("w3_rank_dense", "w4_ntile_moving", "w6_percent_rank",
-        "curriculum_tiers", "llm_corpus_pipeline_v3").foreach { name =>
+        "curriculum_tiers", "llm_corpus_pipeline_v3",
+        "sample_quantile_norm").foreach { name =>
         val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
         assert(p.collect { case w: WindowExec => w }.exists(
           _.partitionSpec.exists(_.references.exists(
             _.name.startsWith("__gg_pid")))),
           s"$name: expected the two-phase grouped ranking (pid-partitioned window)")
       }
+      // clean_impute_median: the 3-row medians meet the corpus by
+      // BROADCAST — the un-hinted size estimate ran through the window
+      // subtree and shuffled the whole corpus at sf1 (711x bytes)
+      assert(Registry.queries("clean_impute_median")(spark, dir)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "clean_impute_median: medians must broadcast onto the corpus")
+      // text_ngram_freq: the per-language ranking must run the salted
+      // local top-k first (the (lang, __salt) window) — the final k-row
+      // ranking then sees only the bounded candidate set
+      assert(Registry.queries("text_ngram_freq")(spark, dir)
+        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+        .exists(_.partitionSpec.exists(_.references.exists(
+          _.name.startsWith("__salt")))),
+        "text_ngram_freq: expected the salt-local top-k pre-filter")
       assert(Registry.queries("agg_weighted_median")(spark, dir)
         .queryExecution.executedPlan.collect { case w: WindowExec => w }
         .exists(_.partitionSpec.exists(_.references.exists(

@@ -494,6 +494,32 @@ class PropertiesSpec extends SparkSpec {
     assert(cum(df.repartition(17)) == expect)
   }
 
+  test("salted two-phase topNgrams equals the naive group-window ranking") {
+    import org.apache.spark.sql.expressions.Window
+    // many colliding ngrams across few groups; salts=3 forces heavy
+    // cross-salt competition so the subset property genuinely carries
+    val words = Array("a", "b", "c", "d", "e", "f", "g")
+    val df = (1 to 400).map { i =>
+      val txt = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+        .mkString(" ")
+      (i.toLong, txt, s"g${i % 2}")
+    }.toDF("doc_id", "text", "grp")
+    val fast = graft.llm.TextAnalysis.topNgrams(df, "grp", "text", n = 2, k = 4,
+        salts = 3)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rnk"),
+        r.getString(2), r.getAs[Long]("n"))).toSet
+    val counts = df
+      .select(col("grp"), graft.functions.ColumnFns.tokens(col("text")).as("t"))
+      .select(col("grp"), explode(graft.functions.ColumnFns.shingles(col("t"), 2)).as("ngram"))
+      .groupBy("grp", "ngram").agg(count(lit(1)).as("n"))
+    val naive = counts.withColumn("rnk", row_number().over(
+        Window.partitionBy("grp").orderBy(col("n").desc, col("ngram"))))
+      .filter(col("rnk") <= 4)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("rnk"),
+        r.getString(1), r.getAs[Long]("n"))).toSet
+    assert(fast == naive)
+  }
+
   test("globalPrefixSum equals the single-task cumulative sum under any partitioning") {
     // negative weights included: the decimal accumulators must carry sign
     val df = (1 to 2000).map(i => (i.toLong, ((i * 37 % 23) - 5).toLong))
