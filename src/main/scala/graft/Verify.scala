@@ -26,8 +26,9 @@ object Verify {
     // included) — tools/check.py reads this file and diffs each SPARK
     // logical type against the DuckDB oracle's DESCRIBE (scalars only,
     // normalized into one type space). This catches engine types the
-    // parquet round-trip erases (TIMESTAMP_NTZ nuances, a decimal narrowed
-    // on write) that the parquet-DESCRIBE gate can't see.
+    // parquet round-trip erases (a decimal narrowed on write, a long that
+    // became an int); timestamp FLAVORS (ltz/ntz) normalize together by
+    // construction — DuckDB's oracle DESCRIBE has no NTZ notion.
     val schemas = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -499,33 +499,29 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Write a non-interlaced 8-bit truecolor PNG. Scanline `y` gets
-    * filter type `y % 5` — the rotation DELIBERATELY emits every filter
-    * the spec defines, so round-tripping through [[decodePng]] proves
-    * the whole defilter suite, not just the inverse of one encoder
-    * habit. Chunks: IHDR, one IDAT (zlib, default level), IEND. */
-  def encodePng(width: Int, height: Int,
-                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
-    val stride = width * 3
+  /** Shared encoder core, part 1: filter a `bpp`-byte-per-pixel plane
+    * row by row with the `y % 5` filter rotation (the rotation
+    * DELIBERATELY emits every filter the spec defines, so round-tripping
+    * through [[decodePng]] proves the whole defilter suite, not just the
+    * inverse of one encoder habit). `sample(x, y, channel)` supplies the
+    * byte at channel `c < bpp`. */
+  private def pngFilterPlane(width: Int, height: Int, bpp: Int,
+                             sample: (Int, Int, Int) => Int): Array[Byte] = {
+    val stride = width * bpp
     val raw = new Array[Byte]((stride + 1) * height)
     val cur = new Array[Int](stride)
     val prev = new Array[Int](stride) // zeros above row 0, per spec
     var y = 0; var o = 0
     while (y < height) {
-      var x = 0
-      while (x < width) {
-        val (r, g, b) = pixel(x, y)
-        cur(3 * x) = r & 0xff; cur(3 * x + 1) = g & 0xff; cur(3 * x + 2) = b & 0xff
-        x += 1
-      }
+      var i = 0
+      while (i < stride) { cur(i) = sample(i / bpp, y, i % bpp) & 0xff; i += 1 }
       val ft = y % 5
       raw(o) = ft.toByte; o += 1
-      var i = 0
+      i = 0
       while (i < stride) {
-        val a = if (i >= 3) cur(i - 3) else 0
+        val a = if (i >= bpp) cur(i - bpp) else 0
         val b = prev(i)
-        val c = if (i >= 3) prev(i - 3) else 0
+        val c = if (i >= bpp) prev(i - bpp) else 0
         val v = ft match {
           case 0 => cur(i)
           case 1 => cur(i) - a
@@ -539,6 +535,24 @@ object Multimodal {
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
+    raw
+  }
+
+  /** Shared encoder core, part 2: one length+tag+data+CRC chunk. */
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+    out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Shared encoder core, part 3: assemble the file — magic, IHDR for
+    * `colorType`, any extra chunks (PLTE), one zlib IDAT, IEND. */
+  private def pngAssemble(width: Int, height: Int, colorType: Byte,
+                          extraChunks: Seq[(String, Array[Byte])],
+                          raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     val z = new java.io.ByteArrayOutputStream()
     try {
@@ -546,22 +560,27 @@ object Multimodal {
       val buf = new Array[Byte](8192)
       while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
     } finally defl.end()
-    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
-      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
-      out.putInt(crc.getValue.toInt)
-      out.array()
-    }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
-      .put(8.toByte)  // bit depth
-      .put(2.toByte)  // color type: truecolor RGB
+      .put(8.toByte).put(colorType)
       .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
       .array()
-    pngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    pngMagic ++ pngChunk("IHDR", ihdr) ++
+      extraChunks.flatMap { case (t, d) => pngChunk(t, d) } ++
+      pngChunk("IDAT", z.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Write a non-interlaced 8-bit truecolor PNG (color type 2).
+    * Chunks: IHDR, one IDAT (zlib, default level), IEND. */
+  def encodePng(width: Int, height: Int,
+                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
+    val raw = pngFilterPlane(width, height, 3, (x, y, c) => {
+      val (r, g, b) = pixel(x, y)
+      if (c == 0) r else if (c == 1) g else b
+    })
+    pngAssemble(width, height, colorType = 2, Seq.empty, raw)
   }
 
   private def beInt(p: Array[Byte], off: Int): Int =
@@ -619,9 +638,15 @@ object Multimodal {
     }
     if (!seenIhdr) return None
     if (colorType == 3 && palette == null) return None // PLTE is mandatory
-    val stride = width * bpp
+    // LONG stride math first: width * bpp wraps Int for a conformant
+    // truecolor IHDR with width > 715 M, and a wrapped-negative stride
+    // would slip past the size guard and crash the allocation instead of
+    // taking the documented None fallback
+    val strideL = width.toLong * bpp
+    if ((strideL + 1) * height > Int.MaxValue - 8 ||
+      strideL * height > Int.MaxValue - 8) return None
+    val stride = strideL.toInt
     val rawLen = (stride + 1).toLong * height
-    if (rawLen > Int.MaxValue - 8) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -695,55 +720,8 @@ object Multimodal {
   def encodePngGray(width: Int, height: Int,
                     pixel: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"need positive dims, got $width x $height")
-    val raw = new Array[Byte]((width + 1) * height)
-    val cur = new Array[Int](width)
-    val prev = new Array[Int](width)
-    var y = 0; var o = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { cur(x) = pixel(x, y) & 0xff; x += 1 }
-      val ft = y % 5
-      raw(o) = ft.toByte; o += 1
-      var i = 0
-      while (i < width) {
-        val a = if (i >= 1) cur(i - 1) else 0
-        val b = prev(i)
-        val c = if (i >= 1) prev(i - 1) else 0
-        val v = ft match {
-          case 0 => cur(i)
-          case 1 => cur(i) - a
-          case 2 => cur(i) - b
-          case 3 => cur(i) - ((a + b) >> 1)
-          case _ => cur(i) - paeth(a, b, c)
-        }
-        raw(o) = (v & 0xff).toByte; o += 1
-        i += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, width)
-      y += 1
-    }
-    val defl = new java.util.zip.Deflater()
-    val z = new java.io.ByteArrayOutputStream()
-    try {
-      defl.setInput(raw); defl.finish()
-      val buf = new Array[Byte](8192)
-      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
-    } finally defl.end()
-    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(12 + data.length)
-      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
-      out.putInt(crc.getValue.toInt)
-      out.array()
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(width).putInt(height)
-      .put(8.toByte).put(0.toByte) // bit depth 8, color type 0: grayscale
-      .put(0.toByte).put(0.toByte).put(0.toByte)
-      .array()
-    pngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    pngAssemble(width, height, colorType = 0, Seq.empty,
+      pngFilterPlane(width, height, 1, (x, y, _) => pixel(x, y)))
   }
 
   /** Write a non-interlaced 8-bit INDEXED-COLOR PNG (color type 3 — the
@@ -756,57 +734,6 @@ object Multimodal {
                        index: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0, s"need positive dims, got $width x $height")
     require(nEntries >= 1 && nEntries <= 256, s"PLTE takes 1..256 entries, got $nEntries")
-    val raw = new Array[Byte]((width + 1) * height)
-    val cur = new Array[Int](width)
-    val prev = new Array[Int](width)
-    var y = 0; var o = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val e = index(x, y)
-        require(e >= 0 && e < nEntries, s"index $e outside palette of $nEntries")
-        cur(x) = e; x += 1
-      }
-      val ft = y % 5
-      raw(o) = ft.toByte; o += 1
-      var i = 0
-      while (i < width) {
-        val a = if (i >= 1) cur(i - 1) else 0
-        val b = prev(i)
-        val c = if (i >= 1) prev(i - 1) else 0
-        val v = ft match {
-          case 0 => cur(i)
-          case 1 => cur(i) - a
-          case 2 => cur(i) - b
-          case 3 => cur(i) - ((a + b) >> 1)
-          case _ => cur(i) - paeth(a, b, c)
-        }
-        raw(o) = (v & 0xff).toByte; o += 1
-        i += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, width)
-      y += 1
-    }
-    val defl = new java.util.zip.Deflater()
-    val z = new java.io.ByteArrayOutputStream()
-    try {
-      defl.setInput(raw); defl.finish()
-      val buf = new Array[Byte](8192)
-      while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
-    } finally defl.end()
-    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(12 + data.length)
-      out.putInt(data.length).put(tag.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
-      out.putInt(crc.getValue.toInt)
-      out.array()
-    }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(width).putInt(height)
-      .put(8.toByte).put(3.toByte) // bit depth 8, color type 3: indexed
-      .put(0.toByte).put(0.toByte).put(0.toByte)
-      .array()
     val plte = new Array[Byte](nEntries * 3)
     var e = 0
     while (e < nEntries) {
@@ -816,8 +743,12 @@ object Multimodal {
       plte(3 * e + 2) = (b & 0xff).toByte
       e += 1
     }
-    pngMagic ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
-      chunk("IDAT", z.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val raw = pngFilterPlane(width, height, 1, (x, y, _) => {
+      val i = index(x, y)
+      require(i >= 0 && i < nEntries, s"index $i outside palette of $nEntries")
+      i
+    })
+    pngAssemble(width, height, colorType = 3, Seq("PLTE" -> plte), raw)
   }
 
   /** Parse a PNG: (width, height, [rSum, gSum, bSum]) — the decodeBmp
@@ -932,7 +863,9 @@ object Multimodal {
       while (pos < payload.length && payload(pos) != '\n') pos += 1 // params
       if (pos >= payload.length) return None
       pos += 1
-      if (pos + frameLen > payload.length) return None // truncated plane
+      // LONG compare: pos + frameLen can wrap Int for multi-GB payloads,
+      // letting a truncated final plane through to an out-of-bounds read
+      if (pos.toLong + frameLen > payload.length) return None // truncated plane
       if (idx % every == 0) {
         val gray = new Array[Int](frameLen)
         var k = 0

@@ -177,16 +177,25 @@ object Sampling {
     // window partitioned by the stratum key would be one task per
     // stratum (strata are low-cardinality by definition here: sources /
     // domains), each sorting ~N/|strata| of the corpus at 100 TB
+    // NULL-SAFE stratum count join (a null stratum is an ordinary
+    // partition to the window form this replaces, and groupedRowNumber
+    // ranks it — a plain equi-join would silently drop those rows)
+    val ns = v.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))
+      .select(col(strataCol).as("__qn_s"), col("__ns"))
     val ranked = graft.operators.GlobalRank.groupedRowNumber(v,
         Seq(strataCol), Seq(col("v"), col(idCol)), "__r")
-      .join(broadcast(v.groupBy(col(strataCol)).agg(count(lit(1)).as("__ns"))),
-        Seq(strataCol))
+      .join(broadcast(ns), col(strataCol) <=> col("__qn_s"))
+      .drop("__qn_s")
     val globalRanked = graft.operators.GlobalRank.globalRowNumber(
         v.select(col("v"), col(idCol)), Seq(col("v"), col(idCol)), "__gr")
       .select(col("__gr"), col("v").as("norm_value"))
     val n = v.agg(count(lit(1)).as("__n"))
     ranked.crossJoin(broadcast(n))
-      .withColumn("__gr", expr("(__r * __n + __ns - 1) div __ns"))
+      // DECIMAL(38,0) product: __r·__n is rows² — at 10^10 corpus rows a
+      // long multiply wraps past 2^63 and the mapped rank goes garbage;
+      // the quotient itself is ≤ N and fits a long again
+      .withColumn("__gr", expr(
+        "cast((cast(__r as decimal(38,0)) * __n + __ns - 1) div __ns as bigint)"))
       .join(globalRanked, "__gr")
       .select(col(idCol), col(strataCol), col("v").as("value"),
         col("norm_value"))

@@ -178,7 +178,14 @@ object RelationalQueries {
         val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__n"))
         val third = cum.filter(col("__cum_before") + col("__c") >= 3)
           .groupBy(col("event_type")).agg(min(col("v_c")).as("third_lowest"))
-        within.join(cum, Seq("event_type", "v_c"))
+        // NULL-SAFE spine join: a null v_c is an ordinary window-order
+        // class (groupBy keyed it; an equi-join would drop those rows
+        // while the oracle's window ranks them)
+        val spine = cum.select(col("event_type").as("__et"),
+          col("v_c").as("__vc"), col("__cum_before"))
+        within.join(spine,
+            col("event_type") <=> col("__et") && col("v_c") <=> col("__vc"))
+          .drop("__et", "__vc")
           .withColumn("__rn", col("__cum_before") + col("__pos"))
           .join(broadcast(counts), Seq("event_type"))
           .join(broadcast(third), Seq("event_type"), "left")
@@ -1594,30 +1601,42 @@ object RelationalQueries {
     Q("agg_uint256_e2e", "A",
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
-        val path = java.nio.file.Files.createTempDirectory("graft_u256")
-          .toString + "/wei"
-        val base = s.range(20000).select(
-          col("id").as("block_id"),
-          expr("id div 1000").as("block_id_group"),
-          (lit(100000000000L) + col("id") * 37L).as("hi"),
-          (col("id") * col("id") % 1000000000L).as("lo"))
-        def p10hex(k: Int): String = {
-          val h = java.math.BigInteger.TEN.pow(k).toString(16)
-          ("0" * (64 - h.length)) + h
+        // fixture memo: the sink write is part of the CONTRACT under test
+        // but must run once per host, not once per DataFrame CONSTRUCTION
+        // — schema-only consumers (RegistrySpec's lint, PlanSpec) build
+        // every registered frame, and an eager write per build would cost
+        // a multi-stage job each time and leak a temp dir per call. The
+        // content is a pure function of the constants below, so a
+        // completed marker makes re-use sound.
+        val root = new java.io.File(
+          System.getProperty("java.io.tmpdir"), "graft_u256_fixture_v1")
+        val path = new java.io.File(root, "wei").toString
+        val marker = new java.io.File(root, "_complete")
+        if (!marker.exists()) {
+          val base = s.range(20000).select(
+            col("id").as("block_id"),
+            expr("id div 1000").as("block_id_group"),
+            (lit(100000000000L) + col("id") * 37L).as("hi"),
+            (col("id") * col("id") % 1000000000L).as("lo"))
+          def p10hex(k: Int): String = {
+            val h = java.math.BigInteger.TEN.pow(k).toString(16)
+            ("0" * (64 - h.length)) + h
+          }
+          val digitArrays = (0 until 12).map { j =>
+            array_repeat(lit(p10hex(30 + j)),
+              expr(s"CAST((hi div ${"1" + "0" * j}L) % 10 AS INT)"))
+          }
+          val hiRows = base.select(col("block_id"), col("block_id_group"),
+            explode(flatten(array(digitArrays: _*))).as("value_hex"))
+          val loRows = base.select(col("block_id"), col("block_id_group"),
+            lower(lpad(hex(col("lo")), 64, "0")).as("value_hex"))
+          val formatted = hiRows.unionByName(loRows)
+            .select(col("block_id"), col("block_id_group"),
+              concat(lit("0x"), col("value_hex")).as("value_hex"))
+          graft.eth.Sinks.writeBucketedParquet(formatted, path,
+            "block_id_group", Seq("block_id"))
+          marker.createNewFile()
         }
-        val digitArrays = (0 until 12).map { j =>
-          array_repeat(lit(p10hex(30 + j)),
-            expr(s"CAST((hi div ${"1" + "0" * j}L) % 10 AS INT)"))
-        }
-        val hiRows = base.select(col("block_id"), col("block_id_group"),
-          explode(flatten(array(digitArrays: _*))).as("value_hex"))
-        val loRows = base.select(col("block_id"), col("block_id_group"),
-          lower(lpad(hex(col("lo")), 64, "0")).as("value_hex"))
-        val formatted = hiRows.unionByName(loRows)
-          .select(col("block_id"), col("block_id_group"),
-            concat(lit("0x"), col("value_hex")).as("value_hex"))
-        graft.eth.Sinks.writeBucketedParquet(formatted, path,
-          "block_id_group", Seq("block_id"))
         graft.eth.Sinks.readBlockRange(s, path, 0, 9999)
           .agg(expr("graft_uint256_sum(unhex(substring(value_hex, 3)))")
               .as("total_wei"),

@@ -54,9 +54,13 @@ def schema_of(query):
 # ---- Spark-side logical-type gate (consumes Verify's spark_schemas.json) ----
 # The parquet DESCRIBE above sees what the FILE carries; this sees what the
 # SPARK plan declared — catching engine types the parquet round-trip erases
-# (e.g. TIMESTAMP vs TIMESTAMP_NTZ nuances, or a decimal narrowed on write).
-# Complex types (array/map/struct) render too differently to diff textually
-# and are skipped per-column; scalars map into the same norm space.
+# (e.g. a decimal narrowed on write, a long that became an int). NOT caught
+# by construction: TIMESTAMP vs TIMESTAMP_NTZ drift — both sides normalize
+# timestamp flavors into one class because DuckDB's DESCRIBE of the oracle
+# has no NTZ notion, so a strict compare would red-flag every legitimate
+# timestamp query. Complex types (array/map/struct) render too differently
+# to diff textually and are skipped per-column; scalars map into the same
+# norm space.
 def norm_spark_type(t):
     t = t.strip().upper()
     if t.startswith(('ARRAY<', 'MAP<', 'STRUCT<')):
