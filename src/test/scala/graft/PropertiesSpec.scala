@@ -494,6 +494,18 @@ class PropertiesSpec extends SparkSpec {
     assert(cum(df.repartition(17)) == expect)
   }
 
+  test("grouped ranking family: empty inputs yield empty (typed) outputs") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "g", "v")
+    assert(graft.operators.GlobalRank.groupedRowNumber(empty, Seq("g"),
+      Seq(col("v"), col("id")), "rn").count() == 0)
+    assert(graft.operators.GlobalRank.groupedRankDense(empty, Seq("g"),
+      Seq("v"), Seq(col("v"), col("id")), "rnk", "drnk").count() == 0)
+    assert(graft.operators.GlobalRank.groupedPrefixSum(empty, Seq("g"),
+      Seq(col("id")), "v", "cw").count() == 0)
+    assert(graft.operators.BandedRange.peersWithin(empty, Seq("g"), "v",
+      w = 10L, "n").count() == 0)
+  }
+
   test("salted two-phase topNgrams equals the naive group-window ranking") {
     import org.apache.spark.sql.expressions.Window
     // many colliding ngrams across few groups; salts=3 forces heavy
