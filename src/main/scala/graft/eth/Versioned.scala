@@ -295,8 +295,11 @@ object Versioned {
   def checkpoint(dir: String, v: Long): Unit = {
     val files = activeFiles(dir, v)
     val st = schemaState(dir, v)
-    // re-emit the folded state as a minimal action list (renames as-is,
-    // drops by physical name — folding them again reproduces the state)
+    // re-emit the folded state as a minimal action list keyed by PHYSICAL
+    // column name. This is already-folded state, NOT a replayable log:
+    // the reader must apply these actions literally (see the schemaState
+    // doc) — re-folding a rename chain a→b→c collapsed to a→c through
+    // the fold logic again is not a fixpoint and corrupts the mapping.
     val actions =
       st.renames.toSeq.sortBy(_._1).map { case (p, l) =>
         s"""{"schema_action": {"op": "rename", "from": "$p", "to": "$l"}}""" } ++

@@ -643,8 +643,12 @@ object Multimodal {
     // would slip past the size guard and crash the allocation instead of
     // taking the documented None fallback
     val strideL = width.toLong * bpp
-    if ((strideL + 1) * height > Int.MaxValue - 8 ||
-      strideL * height > Int.MaxValue - 8) return None
+    // Division form: the product (strideL + 1) * height itself overflows
+    // Long when width and height are both near 2^31 (≈1.4e19 > 2^63-1),
+    // wrapping negative and slipping past a multiplication-based guard.
+    // height ≥ 1 is guaranteed above, so the division is safe; the
+    // (strideL + 1) bound subsumes the strideL * height one.
+    if (strideL + 1 > (Int.MaxValue - 8).toLong / height) return None
     val stride = strideL.toInt
     val rawLen = (stride + 1).toLong * height
     val raw = new Array[Byte](rawLen.toInt)

@@ -1829,8 +1829,13 @@ object LlmQueries {
           .select(col("doc_id"), col("source"), score.as("score"))
         val rn = graft.operators.GlobalRank.groupedRowNumber(scored,
           Seq("source"), Seq(col("score").desc, col("doc_id")), "__rn")
+        // NULL-SAFE count add-back (the quantileNormalize pattern): a
+        // null source is an ordinary partition to the window form this
+        // replaces, and groupedRowNumber ranks it — a plain equi-join
+        // would silently drop those rows
         val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-        rn.join(broadcast(counts), Seq("source"))
+          .select(col("source").as("__ct_s"), col("__n"))
+        rn.join(broadcast(counts), col("source") <=> col("__ct_s")).drop("__ct_s")
           .withColumn("tier",
             expr("""CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
                    |     THEN (__rn - 1) div (__n div 4 + 1) + 1

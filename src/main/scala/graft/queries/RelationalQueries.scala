@@ -395,9 +395,15 @@ object RelationalQueries {
             .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
           Seq("o_orderpriority"),
           Seq(col("o_totalprice"), col("o_orderkey")), "__rn")
+        // NULL-SAFE count add-back (quantileNormalize pattern): a null
+        // group key is an ordinary window partition; a plain equi-join
+        // would drop its ranked rows (latent here — o_orderpriority is
+        // non-null in the generated data — but kept consistent)
         val counts = Tables(s, d, "orders").groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("__n"))
-        rn.join(broadcast(counts), Seq("o_orderpriority"))
+          .select(col("o_orderpriority").as("__ct_p"), col("__n"))
+        rn.join(broadcast(counts), col("o_orderpriority") <=> col("__ct_p"))
+          .drop("__ct_p")
           .select(col("o_orderkey"), col("o_orderpriority"),
             when(col("__n") > 1,
               expr("(__rn - 1) * 1000000 div (__n - 1)")).otherwise(lit(0L))
@@ -1167,11 +1173,14 @@ object RelationalQueries {
         val rn = graft.operators.GlobalRank.groupedRowNumber(moving,
           Seq("o_orderpriority"),
           Seq(col("o_totalprice").desc, col("o_orderkey")), "__rn")
+        // NULL-SAFE count add-back (quantileNormalize pattern) — see w6
         val counts = Tables(s, d, "orders").groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("__n"))
+          .select(col("o_orderpriority").as("__ct_p"), col("__n"))
         // SQL ntile(k): base = n div k rows per bucket, the n mod k
         // remainder buckets (the FIRST ones) take one extra row
-        rn.join(broadcast(counts), Seq("o_orderpriority"))
+        rn.join(broadcast(counts), col("o_orderpriority") <=> col("__ct_p"))
+          .drop("__ct_p")
           .withColumn("quartile",
             expr("""CASE WHEN __rn <= (__n % 4) * (__n div 4 + 1)
                    |     THEN (__rn - 1) div (__n div 4 + 1) + 1

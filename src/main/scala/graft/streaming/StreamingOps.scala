@@ -289,7 +289,17 @@ object StreamingOps {
     * (replay-idempotent). Upsert-before-flag keeps same-batch copies
     * visible to each other. Index IO prunes to the batch's touched key
     * buckets on both the upsert and the flag read — per-batch cost ∝
-    * batch, never corpus. */
+    * batch, never corpus.
+    *
+    * ASSUMES APPEND-ONLY / IMMUTABLE DOCS (same contract as
+    * [[maintainBandIndexAndFlag]] and [[maintainWinnowIndexAndFlag]]):
+    * the index is bucketed by `content_key` — derived from the TEXT —
+    * because the flag read must prune to the batch's content buckets to
+    * stay ∝ batch. Re-ingesting an existing `doc_id` with CHANGED text
+    * lands in a different bucket, and the bucket-pruned upsert never
+    * removes the stale (doc_id, old content_key) row; replays of the
+    * SAME text are idempotent. Mutable corpora need a pk→key side map
+    * to widen `touched` with the old buckets before the upsert. */
   def maintainExactDupIndexAndFlag(docs: DataFrame, indexDir: String,
                                    flagsDir: String, checkpointDir: String,
                                    idCol: String = "doc_id",
