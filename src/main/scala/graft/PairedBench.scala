@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Paired A/B benchmark — the box-factor killer (VERDICT r11 task 5).
+  *
+  * The per-round driver bench runs each query once per JVM; same-commit
+  * reruns drift ±10% ("box factor"), which every round burned analysis
+  * distinguishing from real regressions. This harness measures plan
+  * DELTAS the statistically honest way: both variants of a query run
+  * INTERLEAVED in one JVM session (A B A B …, `rounds` times each after
+  * one untimed warm-up of each), and the report is per-variant MEDIANS
+  * plus spread — JIT state, page cache, and GC pressure hit both
+  * variants equally, so the delta isolates the plan change.
+  *
+  * Usage: `graft.PairedBench [sfDir]` — runs every pair in [[variants]]
+  * and prints one JSON line per pair:
+  * `{"pair":"…","a_median":s,"b_median":s,"a_spread":r,"b_spread":r,"delta_pct":d}`
+  * (spread = (max−min)/median over the timed rounds).
+  *
+  * The `B` sides replicate the r11 plan shapes that round 12 replaced
+  * (two-pass groupedRankDense, prefix-sum + second corpus aggregate) —
+  * kept HERE, not in the operators, purely as measurement baselines.
+  */
+object PairedBench {
+
+  private def time(f: () => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    // build ONCE then execute: the grouped-ranking operators run their
+    // eager localCheckpoint during DataFrame construction, so building
+    // twice would double-charge the materialization
+    f().foreach(_ => ()) // execute fully, no driver collect
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** r11 groupedRankDense: two grouped two-phase rankings + corpus
+    * groupBy + join-back (the shape replaced by the single-pass stitch). */
+  private def rankDenseTwoPass(df: DataFrame, groupCols: Seq[String],
+                               peerCols: Seq[String], orderCols: Seq[Column],
+                               rankCol: String, denseRankCol: String): DataFrame = {
+    import graft.operators.GlobalRank.groupedRowNumber
+    val rn = groupedRowNumber(df, groupCols, orderCols, "__gr_rn")
+    val peers = rn.groupBy((groupCols ++ peerCols).map(col): _*)
+      .agg(min(col("__gr_rn")).as(rankCol))
+    val keys = groupCols ++ peerCols
+    val dense = groupedRowNumber(peers, groupCols, Seq(col(rankCol)), denseRankCol)
+      .select(keys.zipWithIndex.map { case (c, i) => col(c).as(s"__gr_k$i") } :+
+        col(rankCol) :+ col(denseRankCol): _*)
+    val cond = keys.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__gr_k$i") }.reduce(_ && _)
+    rn.join(dense, cond)
+      .drop("__gr_rn" +: keys.indices.map(i => s"__gr_k$i"): _*)
+  }
+
+  def variants(spark: SparkSession, d: String): Seq[(String, () => DataFrame, () => DataFrame)] = {
+    def orders = queries.Tables(spark, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    def liCollapsed = {
+      val li = queries.Tables(spark, d, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      li.groupBy(col("l_returnflag"), col("price_c")).agg(sum(col("qty_c")).as("w"))
+    }
+    def perUser = queries.Tables(spark, d, "events").groupBy(col("user_id"))
+      .agg(sum(greatest(round(col("value") * 1000000).cast("long"), lit(0L))).as("v"))
+    Seq(
+      ("w3_rank_dense",
+        () => graft.operators.GlobalRank.groupedRankDense(orders,
+          Seq("o_orderpriority"), Seq("o_totalprice"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk", "drnk"),
+        () => rankDenseTwoPass(orders,
+          Seq("o_orderpriority"), Seq("o_totalprice"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk", "drnk")),
+      ("agg_weighted_median",
+        () => {
+          val cum = graft.operators.GlobalRank.groupedPrefixSumWithTotal(
+            liCollapsed, Seq("l_returnflag"), Seq(col("price_c")), "w", "cw", "tw")
+          cum.filter(col("cw") * 2 >= col("tw"))
+            .groupBy(col("l_returnflag"))
+            .agg(min(col("price_c")).as("weighted_median_c"),
+              max(col("tw")).cast("long").as("total_weight"))
+        },
+        () => {
+          val collapsed = liCollapsed
+          val cum = graft.operators.GlobalRank.groupedPrefixSum(collapsed,
+            Seq("l_returnflag"), Seq(col("price_c")), "w", "cw")
+          val tot = collapsed.groupBy(col("l_returnflag")).agg(sum(col("w")).as("tw"))
+          cum.join(broadcast(tot), Seq("l_returnflag"))
+            .filter(col("cw") * 2 >= col("tw"))
+            .groupBy(col("l_returnflag"))
+            .agg(min(col("price_c")).as("weighted_median_c"),
+              max(col("tw")).as("total_weight"))
+        }),
+      ("event_pareto_curve",
+        () => {
+          val cum = graft.operators.GlobalRank.globalRowNumberAndPrefixSum(
+            perUser, Seq(col("v").desc, col("user_id")), "v",
+            "rnk", "cum_v", "__n", "__tv")
+          cum.filter(expr(
+            "array_contains(transform(sequence(1, 9), dd -> (dd * __n + 9) div 10), rnk)"))
+            .withColumn("share_milli", expr(
+              "CASE WHEN __tv = 0 THEN cast(0 as bigint) ELSE cast((cum_v * 1000) div __tv as bigint) END"))
+            .select(col("rnk").as("rank_at"), col("share_milli"))
+        },
+        () => {
+          val pu = perUser
+          val ranked = graft.operators.GlobalRank.globalRowNumber(
+            pu, Seq(col("v").desc, col("user_id")), "rnk")
+          val cum = graft.operators.GlobalRank.globalPrefixSum(
+            ranked, Seq(col("v").desc, col("user_id")), "v", "cum_v")
+          val tot = pu.agg(count(lit(1)).as("__n"),
+            sum(col("v").cast("decimal(38,0)")).as("__tv"))
+          cum.crossJoin(broadcast(tot))
+            .filter(expr(
+              "array_contains(transform(sequence(1, 9), dd -> (dd * __n + 9) div 10), rnk)"))
+            .withColumn("share_milli", expr(
+              "CASE WHEN __tv = 0 THEN cast(0 as bigint) ELSE cast((cum_v * 1000) div __tv as bigint) END"))
+            .select(col("rnk").as("rank_at"), col("share_milli"))
+        }))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val rounds = sys.env.getOrElse("GRAFT_AB_ROUNDS", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-paired-bench")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.log.level", "ERROR")
+      .getOrCreate()
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // the grouped-ranking operators localCheckpoint eagerly; without this
+    // the checkpoint blocks of every prior round stay pinned in the block
+    // manager and GC pressure turns later rounds into outliers
+    def drop(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    for ((name, a, b) <- variants(spark, sfDir)
+         if only.forall(_.contains(name))) {
+      // three untimed warm-ups each: the raw series showed JIT still
+      // warming through round ~4 when only one warm-up ran
+      (1 to 3).foreach { _ => time(a); drop(); time(b); drop() }
+      val (as, bs) = (1 to rounds).map { _ =>
+        val ta = time(a); drop(); val tb = time(b); drop(); (ta, tb)
+      }.unzip
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      // trimmed spread: drop the single best and worst round before the
+      // (max-min)/median ratio — a lone GC/compaction stall (observed:
+      // one ~3x outlier per 7-round series, all other rounds within a few
+      // percent) would otherwise swamp the stability readout the medians
+      // already ignore
+      def spread(xs: Seq[Double]) = {
+        val t = if (xs.size >= 5) xs.sorted.drop(1).dropRight(1) else xs.sorted
+        (t.max - t.min) / median(xs)
+      }
+      val (ma, mb) = (median(as), median(bs))
+      if (sys.env.contains("GRAFT_AB_RAW"))
+        System.err.println(s"$name a=${as.map(x => f"$x%.2f").mkString(",")} b=${bs.map(x => f"$x%.2f").mkString(",")}")
+      println(f"""{"pair":"$name","sf_dir":"$sfDir","rounds":$rounds,""" +
+        f""""a_median":$ma%.3f,"b_median":$mb%.3f,""" +
+        f""""a_spread":${spread(as)}%.3f,"b_spread":${spread(bs)}%.3f,""" +
+        f""""delta_pct":${(ma - mb) / mb * 100}%.1f}""")
+    }
+    spark.stop()
+  }
+}

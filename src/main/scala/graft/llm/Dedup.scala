@@ -409,16 +409,20 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sa")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
-        uni.as("n_union"),
-        round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"))
+        uni.as("n_union"))
+      // exact integer micro-units (truncating div of non-negative
+      // BIGINTs, identical on both engines) — a round(double, 6) here
+      // is the w6 cross-engine divergence class (SCALE_r11.md §1)
+      .withColumn("jaccard_micro",
+        expr("cast(n_intersect as bigint) * 1000000 div n_union"))
     val intra = intraPairs(members)
       .join(sh.select(col(idCol).as("__rep"), size(col("sh")).as("__n")), "__rep")
       .select(col("id_a"), col("id_b"), col("__n").as("n_intersect"),
-        col("__n").as("n_union"), lit(1.0).as("jaccard"))
+        col("__n").as("n_union"), lit(1000000L).as("jaccard_micro"))
     val cross = memberPairs(repPairs, members)
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"),
-        col("n_intersect"), col("n_union"), col("jaccard"))
+        col("n_intersect"), col("n_union"), col("jaccard_micro"))
     intra.union(cross)
   }
 
@@ -498,19 +502,20 @@ object Dedup {
       .filter(size(recs) > 1)
       .select(col("bucket"), explode(orderedPairs(recs)).as("__p"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
-        round(cos, 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        Similarity.microScore(cos).as("cosine_micro"))
+      .filter(col("cosine_micro") >= lit(math.round(threshold * 1e6)))
     // identical-copy pairs score the representative's self-cosine through
     // the SAME kernel — ~1.0 for real vectors, NaN for the 0-vector (which
     // then fails the threshold exactly as the raw pair would)
     val intra = intraPairs(members)
       .join(reps.select(col(idCol).as("__rep"),
-        round(Similarity.cosine(col(vecCol), col(vecCol)), 6).as("cosine")), "__rep")
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+        Similarity.microScore(Similarity.cosine(col(vecCol), col(vecCol)))
+          .as("cosine_micro")), "__rep")
+      .filter(col("cosine_micro") >= lit(math.round(threshold * 1e6)))
+      .select(col("id_a"), col("id_b"), col("cosine_micro"))
     val cross = memberPairs(repPairs, members)
       .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine_micro"))
     intra.union(cross)
   }
 
@@ -552,9 +557,12 @@ object Dedup {
       .select(explode(orderedPairs(recs)).as("__p"), col("n_bucket_dropped"))
       .select(col("__p.a.id").as("id_a"), col("__p.b.id").as("id_b"),
         inter.as("n_intersect"), uni.as("n_union"),
-        round(inter.cast("double") / uni.cast("double"), 6).as("jaccard"),
         col("n_bucket_dropped"))
-      .filter(col("jaccard") >= minJaccard)
+      .withColumn("jaccard_micro",
+        expr("cast(n_intersect as bigint) * 1000000 div n_union"))
+      .select(col("id_a"), col("id_b"), col("n_intersect"), col("n_union"),
+        col("jaccard_micro"), col("n_bucket_dropped"))
+      .filter(col("jaccard_micro") >= lit(math.round(minJaccard * 1e6)))
   }
 
   /** Blocked fuzzy self-join with edit-distance verification — the entity-
@@ -831,7 +839,8 @@ object Dedup {
     // qualifying OTHER-class representative
     val q = a.join(b, Seq("centroid_id"))
       .filter(col("__ida") < col("__idb"))
-      .filter(round(Similarity.cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .filter(Similarity.microScore(Similarity.cosine(col("__va"), col("__vb")))
+        >= lit(math.round(threshold * 1e6)))
       .select(col("__ida"), col("__idb"))
     val otherMin = q.select(col("__ida").as("__src"), col("__idb").as("__rep"))
       .union(q.select(col("__idb").as("__src"), col("__ida").as("__rep")))
@@ -840,7 +849,8 @@ object Dedup {
     // through the same kernel (NaN for the 0-vector fails the threshold
     // exactly as the raw identical pair would)
     val selfQ = when(
-      round(Similarity.cosine(col(vecCol), col(vecCol)), 6) >= threshold,
+      Similarity.microScore(Similarity.cosine(col(vecCol), col(vecCol)))
+        >= lit(math.round(threshold * 1e6)),
       col(idCol))
     val bound = assigned
       .select(col(idCol).as("__rep"), col("centroid_id"), selfQ.as("__sq"))

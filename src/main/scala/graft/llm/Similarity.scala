@@ -31,6 +31,18 @@ object Similarity {
   /** Native dot product (see [[graft.functions.DotProductExpr]]). */
   private def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
+  /** Deterministic integer micro-units for a double score: `round(x·10⁶)`
+    * as BIGINT. Both engines compute the double product x·10⁶
+    * bit-identically BEFORE the scale-0 round, so the `round(double, 6)`
+    * divergence class (Spark rounds the exact decimal view of the double,
+    * DuckDB rounds the double product x·10⁶ — they split on .5-millionth
+    * boundaries; the sf10 gate caught w6 disagreeing on 1,209 of 15 M
+    * rows, SCALE_r11.md §1) cannot occur: a scale-0 round of the SAME
+    * double is half-away-from-zero on both engines. NaN casts to 0 and
+    * so fails any positive threshold, same as the NaN comparison did. */
+  private[llm] def microScore(x: Column): Column =
+    round(x * lit(1e6)).cast("long")
+
   /** Exact top-k: score every candidate against every query (queries side
     * must be small — it is broadcast), rank per query.
     * Plan shape: BroadcastNestedLoopJoin(candidates, broadcast(queries)) →
@@ -42,13 +54,13 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score"))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"), col("score_micro"))
   }
 
   /** Hard-negative mining for contrastive training (the batch-mining
@@ -71,14 +83,14 @@ object Similarity {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"),
       col(labelCol).as(s"neg_$labelCol"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col(s"neg_$labelCol") =!= col("__ql"))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col(s"neg_$labelCol"),
-        col("rnk"), col("score"))
+        col("rnk"), col("score_micro"))
   }
 
   /** Sign-bit binary code: the leading min(dim, 63) components packed
@@ -125,13 +137,13 @@ object Similarity {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__q"))
     val cv = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val wS = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     pruned.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
       .withColumn("rnk", row_number().over(wS))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("hamming"),
-        col("rnk"), col("score"))
+        col("rnk"), col("score_micro"))
   }
 
   /** JVM twin of [[graft.functions.ColumnFns.md5Long]]: first 15 hex chars of
@@ -314,13 +326,13 @@ object Similarity {
     val ca = ivfAssignHier(candidates, centroids, numCoarse, idCol, vecCol)
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = ca.join(broadcast(qa), Seq("centroid_id"))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("centroid_id"),
-        col("rnk"), col("score"))
+        col("rnk"), col("score_micro"))
   }
 
   /** IVF top-k: queries probe their `nprobe` nearest centroid cells;
@@ -337,12 +349,12 @@ object Similarity {
     val ca = ivfAssign(candidates, centroids, idCol, vecCol)
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = ca.join(broadcast(qa), Seq("centroid_id"))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("centroid_id"), col("rnk"), col("score"))
+      .select(col("query_id"), col("neighbor_id"), col("centroid_id"), col("rnk"), col("score_micro"))
   }
 
   /** Exact mean of milli-unit sums in integer MICRO-units:
@@ -604,18 +616,18 @@ object Similarity {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"),
       slice(col(vecCol), 1, dims).as("__cp"))
     val w1 = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_coarse").desc, col("neighbor_id"))
+      .orderBy(col("score_coarse_micro").desc, col("neighbor_id"))
     val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
-      .withColumn("score_coarse", round(dot(col("__qp"), col("__cp")), 6))
+      .withColumn("score_coarse_micro", microScore(dot(col("__qp"), col("__cp"))))
       .withColumn("__r1", row_number().over(w1))
       .filter(col("__r1") <= shortlist)
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
       .withColumn("rnk", row_number().over(w2))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        col("score"), col("score_coarse"))
+        col("score_micro"), col("score_coarse_micro"))
   }
 
   /** Product-quantization code assignment (Jégou et al. 2011, "Product
@@ -674,10 +686,10 @@ object Similarity {
     val svv = dot(col("__sv"), col("__sv"))
     val scored = transform(col("__cands"), x =>
       struct(x.getField("i").as("i"),
-        round(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
-          + x.getField("vv"), 6).as("d")))
+        microScore(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
+          + x.getField("vv")).as("d")))
     val best = aggregate(scored,
-      struct(lit(null).cast(idType).as("i"), lit(Double.PositiveInfinity).as("d")),
+      struct(lit(null).cast(idType).as("i"), lit(Long.MaxValue).as("d")),
       (acc, x) =>
         when(acc.getField("i").isNull
             || x.getField("d") < acc.getField("d")
@@ -689,7 +701,7 @@ object Similarity {
       .withColumn("__svv", svv)
       .withColumn("__best", best)
       .select(col(idCol), col("subspace"), col("__best.i").as("code"),
-        round(col("__best.d") * 1e6).cast("long").as("dist_micro"))
+        col("__best.d").as("dist_micro"))
   }
 
   /** PQ asymmetric-distance search (the ADC of Jégou et al. 2011): score
@@ -769,10 +781,10 @@ object Similarity {
       .agg(collect_list(col("__cand")).as("__cands"))
     val scored = transform(col("__cands"), x =>
       struct(x.getField("i").as("i"),
-        round(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
-          + x.getField("vv"), 6).as("d")))
+        microScore(col("__svv") - lit(2d) * dot(col("__sv"), x.getField("v"))
+          + x.getField("vv")).as("d")))
     val best = aggregate(scored,
-      struct(lit(null).cast(codeType).as("i"), lit(Double.PositiveInfinity).as("d")),
+      struct(lit(null).cast(codeType).as("i"), lit(Long.MaxValue).as("d")),
       (acc, x) =>
         when(acc.getField("i").isNull
             || x.getField("d") < acc.getField("d")
@@ -856,13 +868,13 @@ object Similarity {
     val cb = lshBuckets(candidates, dim, numPlanes)
       .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("score"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"), col("score_micro"))
   }
 
   /** Residual vectors for two-level quantization (the IVF+PQ coupling of
@@ -944,14 +956,14 @@ object Similarity {
     val cb = lshBuckets(candidates, dim, numPlanes)
       .select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
     val scored = cb.join(broadcast(probes), Seq("bucket"))
-      .withColumn("score", round(dot(col("__q"), col("__c")), 6))
+      .withColumn("score_micro", microScore(dot(col("__q"), col("__c"))))
     val win = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
+      .orderBy(col("score_micro").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(win))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rnk"),
-        col("score"))
+        col("score_micro"))
   }
 
   /** Radius (range) search: ALL corpus vectors within cosine >= `radius`
@@ -1166,8 +1178,8 @@ object Similarity {
     corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__c"))
       .crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("__q"), col("__c")), 6))
-      .filter(col("cosine") >= radius)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("cosine_micro", microScore(cosine(col("__q"), col("__c"))))
+      .filter(col("cosine_micro") >= lit(math.round(radius * 1e6)))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_micro"))
   }
 }

@@ -45,8 +45,11 @@ object TextAnalysis {
       nChars.as("n_chars_c"),
       nTokens.as("n_tokens"),
       nPunct.as("n_punct"),
-      round(nChars.cast("double") / nTokens.cast("double"), 6).as("chars_per_token"),
-      round(stopwordHits(toks).cast("double") / nTokens.cast("double"), 6).as("stopword_ratio"))
+      (nChars.cast("long") * lit(1000000L))
+        .as("__cpm"), (stopwordHits(toks).cast("long") * lit(1000000L)).as("__spm"))
+      .withColumn("chars_per_token_micro", expr("__cpm div n_tokens"))
+      .withColumn("stopword_ratio_micro", expr("__spm div n_tokens"))
+      .drop("__cpm", "__spm")
   }
 
   /** Model-based quality scoring (the fastText-classifier shape, Joulin
@@ -201,8 +204,8 @@ object TextAnalysis {
     tf.join(dfreq, "term")
       .join(broadcast(nDocs))
       .select(col(idCol), col("term"), col("tf"), col("df_count"),
-        round(col("tf") * log(col("__n_docs").cast("double") / col("df_count").cast("double")), 6)
-          .as("tfidf"))
+        round(col("tf") * log(col("__n_docs").cast("double") / col("df_count").cast("double"))
+          * lit(1e6)).cast("long").as("tfidf_micro"))
   }
 
   /** Feature hashing (the "hashing trick", Weinberger et al. 2009): map
@@ -380,8 +383,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__lp")).as("logprob_u"))
       .select(col(idCol), col("n_tokens"), col("logprob_u"),
-        round(col("logprob_u").cast("double") / (col("n_tokens") * 1000000), 6)
-          .as("avg_logprob"))
+        round(col("logprob_u").cast("double") / col("n_tokens"))
+          .cast("long").as("avg_logprob_micro"))
   }
 
   /** Interpolated bigram log-probability scoring — the next step up from
@@ -443,8 +446,8 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("logprob_bi"))
       .select(col(idCol), col("n_bigrams"), col("logprob_bi"),
-        round(col("logprob_bi").cast("double") / (col("n_bigrams") * 1000000), 6)
-          .as("avg_logprob_bi"))
+        round(col("logprob_bi").cast("double") / col("n_bigrams"))
+          .cast("long").as("avg_logprob_bi_micro"))
   }
 
   /** Interpolated Kneser-Ney bigram log-probability scorer — the

@@ -120,38 +120,121 @@ object GlobalRank {
         groupCols.indices.map(i => s"__gg_g$i"): _*)
   }
 
-  /** Tie-aware `rank` / `dense_rank` within groups, from the grouped
-    * two-phase row number — never a per-group single-task sort:
+  /** Tie-aware `rank` / `dense_rank` within groups in ONE two-phase pass —
+    * never a per-group single-task sort, and (since r12) never a second
+    * ranged materialization either:
     *
     *   - `rank`  = min row number over the row's PEER set (rows equal on
     *     `peerCols` within the group) — exactly SQL rank's "1 + rows
     *     strictly before".
-    *   - `dense_rank` = the peer set's own row number in peer-set order —
-    *     a second (much smaller) grouped ranking over the distinct-peer
-    *     table.
+    *   - `dense_rank` = the peer set's 1-based index in peer-set order.
     *
-    * `orderCols` must be `peerCols` with sort direction plus a unique
-    * tiebreak (any total order consistent with the peer order gives the
-    * same tie-aware ranks). Adds `rankCol`/`denseRankCol`; the peer
-    * aggregation and add-back join key on (group, peer) — corpus-
-    * cardinality keys, balanced shuffles. */
+    * `orderCols` must START with the peer sort (one entry per element of
+    * `peerCols`, direction included) followed by a unique tiebreak, so the
+    * order is total and consistent with the peer order.
+    *
+    * Shape: one range shuffle on (group ++ orderCols); per-(pid, group)
+    * windows compute the local row number, local rank (rank() over the
+    * peer-order prefix — equal peers tie) and local dense rank IN THE
+    * SAME sort, pinned by a single `localCheckpoint(true)` AFTER the
+    * windows (both consumers need the local ranks — pinning upstream
+    * would run the window pass twice); a dimension-sized offsets table
+    * (≤ nParts + Σ|groups| rows) carries per-slice row and distinct-peer
+    * counts plus the boundary stitching for peer sets that SPAN slice
+    * boundaries:
+    *
+    *   - `cont(p)`  — slice p's first peer equals slice p−1's last peer
+    *     (null-safe struct compare): that peer set was already counted, so
+    *     the dense offset subtracts one per continuation, and the rank of
+    *     that set's rows is NOT off(p)+1 but the rank where the run began.
+    *   - `cand(p)`  — off(p) + local start of p's LAST peer, valid only if
+    *     that peer actually starts inside p (local start > 1, or p is not
+    *     itself a continuation). The run-begin rank for a continued first
+    *     peer is the latest valid candidate among earlier slices
+    *     (`last(..., ignoreNulls)` over the pid axis — slices interior to
+    *     a multi-slice peer run are single-peer continuations and emit no
+    *     candidate, so the stitch is exact across any run length).
+    *
+    * Adds `rankCol`/`denseRankCol`; the only corpus-sized ops are the one
+    * range exchange and the broadcast add-back on (pid, group). */
+  /** The LOCAL phase of [[groupedRankDense]] as a pure (un-materialized)
+    * plan: range shuffle + per-(pid, group) windows. Package-private so
+    * PlanSpec can lock the pid-partitioned window shape — the operator
+    * itself checkpoints this result, which hides the interior plan from
+    * the final executedPlan. */
+  private[graft] def groupedRankDenseLocal(df: DataFrame,
+                                           groupCols: Seq[String],
+                                           peerCols: Seq[String],
+                                           orderCols: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRankDense needs group columns")
+    require(peerCols.nonEmpty, "groupedRankDense needs peer columns")
+    require(orderCols.size > peerCols.size,
+      "orderCols must be the peer sort plus a unique tiebreak")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    val peerOrder = orderCols.take(peerCols.size)
+    val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
+      .withColumn("__gd_pid", spark_partition_id())
+    val wFull = Window.partitionBy(col("__gd_pid") +: gCols: _*)
+      .orderBy(orderCols: _*)
+    // peer-order prefix of the same sort: rank() ties equal peers (= local
+    // peer-set start), dense_rank() numbers local peer sets — both ride
+    // the wFull exchange and sort (prefix-compatible ordering)
+    val wPeer = Window.partitionBy(col("__gd_pid") +: gCols: _*)
+      .orderBy(peerOrder: _*)
+    ranged
+      .withColumn("__gd_lrn", row_number().over(wFull).cast("long"))
+      .withColumn("__gd_lrank", rank().over(wPeer).cast("long"))
+      .withColumn("__gd_ldr", dense_rank().over(wPeer).cast("long"))
+  }
+
   def groupedRankDense(df: DataFrame, groupCols: Seq[String],
                        peerCols: Seq[String], orderCols: Seq[Column],
                        rankCol: String, denseRankCol: String): DataFrame = {
-    val rn = groupedRowNumber(df, groupCols, orderCols, "__gr_rn")
-    val peers = rn.groupBy((groupCols ++ peerCols).map(col): _*)
-      .agg(min(col("__gr_rn")).as(rankCol))
-    val keys = groupCols ++ peerCols
-    val dense = groupedRowNumber(peers, groupCols,
-        Seq(col(rankCol)), denseRankCol)
-      .select(keys.zipWithIndex.map { case (c, i) => col(c).as(s"__gr_k$i") } :+
-        col(rankCol) :+ col(denseRankCol): _*)
-    // NULL-SAFE add-back (groupBy treats null as a key; a plain equi-join
-    // would drop every row whose group or peer value is null)
-    val cond = keys.zipWithIndex
-      .map { case (c, i) => col(c) <=> col(s"__gr_k$i") }.reduce(_ && _)
-    rn.join(dense, cond)
-      .drop("__gr_rn" +: keys.indices.map(i => s"__gr_k$i"): _*)
+    val gCols = groupCols.map(col)
+    val pCols = peerCols.map(col)
+    // checkpoint AFTER the windows: both consumers (offsets aggregate and
+    // the add-back join) need the local ranks, so pinning upstream would
+    // run the window pass twice
+    val local = groupedRankDenseLocal(df, groupCols, peerCols, orderCols)
+      .localCheckpoint(true)
+    val peerStruct = struct(pCols: _*)
+    val offsets0 = local.groupBy(col("__gd_pid") +: gCols: _*)
+      .agg(count(lit(1)).as("__gd_cnt"),
+        max(col("__gd_ldr")).as("__gd_dcnt"),
+        min_by(peerStruct, col("__gd_lrn")).as("__gd_fp"),
+        max_by(peerStruct, col("__gd_lrn")).as("__gd_lp"),
+        max_by(col("__gd_lrank"), col("__gd_lrn")).as("__gd_lstart"))
+    val wg = Window.partitionBy(gCols: _*).orderBy(col("__gd_pid"))
+    val wgPrev = wg.rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = offsets0
+      .withColumn("__gd_off", coalesce(sum(col("__gd_cnt")).over(wgPrev), lit(0L)))
+      // first slice of a group: lag is null, <=> against a non-null
+      // struct is false — exactly "no continuation"
+      .withColumn("__gd_cont", col("__gd_fp") <=> lag(col("__gd_lp"), 1).over(wg))
+      .withColumn("__gd_doff",
+        coalesce(sum(col("__gd_dcnt")).over(wgPrev), lit(0L))
+          - sum(col("__gd_cont").cast("long"))
+            .over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__gd_cand",
+        when(col("__gd_lstart") > 1 || !col("__gd_cont"),
+          col("__gd_off") + col("__gd_lstart")))
+      .withColumn("__gd_brank", last(col("__gd_cand"), ignoreNulls = true).over(wgPrev))
+      .select(col("__gd_pid").as("__gd_pid2") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gd_g$i") } :+
+        col("__gd_off") :+ col("__gd_cont") :+ col("__gd_doff") :+
+        col("__gd_brank"): _*)
+    // NULL-SAFE add-back (a plain equi-join would drop null group keys)
+    val cond = (col("__gd_pid") === col("__gd_pid2")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__gd_g$i") }
+    local.join(broadcast(offsets), cond.reduce(_ && _))
+      .withColumn(rankCol,
+        when(col("__gd_lrank") === 1 && col("__gd_cont"), col("__gd_brank"))
+          .otherwise(col("__gd_off") + col("__gd_lrank")))
+      .withColumn(denseRankCol, col("__gd_doff") + col("__gd_ldr"))
+      .drop("__gd_pid" +: "__gd_pid2" +: "__gd_lrn" +: "__gd_lrank" +:
+        "__gd_ldr" +: "__gd_off" +: "__gd_cont" +: "__gd_doff" +:
+        "__gd_brank" +: groupCols.indices.map(i => s"__gd_g$i"): _*)
   }
 
   /** Grouped form of [[globalPrefixSum]]: exact inclusive prefix sum of
@@ -225,5 +308,90 @@ object GlobalRank {
     local.join(broadcast(offsets), Seq("__gp_pid"))
       .withColumn(cumCol, col("__gp_off") + col("__gp_lcs"))
       .drop("__gp_pid", "__gp_lcs", "__gp_off")
+  }
+
+  /** [[globalRowNumber]] + [[globalPrefixSum]] + the grand totals in ONE
+    * ranged materialization: callers that need the rank AND the running
+    * sum under the same total order (Pareto/concentration curves, PPS
+    * designs) previously paid two range shuffles and two checkpoints over
+    * identical data, plus a third corpus aggregate for the totals. Here
+    * one checkpoint feeds a single window pass (row_number and the
+    * running sum share the sort), and the totals fall out of the
+    * dimension-sized offsets table for free (an unbounded frame over
+    * ≤ numShufflePartitions rows) — appended to every row as `nCol`
+    * (BIGINT row count) and `totCol` (DECIMAL(38,0) value total). */
+  def globalRowNumberAndPrefixSum(df: DataFrame, orderCols: Seq[Column],
+                                  valueCol: String, rnCol: String,
+                                  cumCol: String, nCol: String,
+                                  totCol: String): DataFrame = {
+    require(orderCols.nonEmpty,
+      "globalRowNumberAndPrefixSum needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts, orderCols: _*)
+      .withColumn("__gb_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__gb_pid")).orderBy(orderCols: _*)
+    val local = ranged
+      .withColumn("__gb_lrn", row_number().over(w).cast("long"))
+      .withColumn("__gb_lcs", sum(col(valueCol).cast("decimal(38,0)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val wo = Window.orderBy(col("__gb_pid"))
+    val woPrev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val woAll = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged.groupBy(col("__gb_pid"))
+      .agg(count(lit(1)).as("__gb_cnt"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__gb_tot"))
+      .withColumn("__gb_offn", coalesce(sum(col("__gb_cnt")).over(woPrev), lit(0L)))
+      .withColumn("__gb_offv", coalesce(sum(col("__gb_tot")).over(woPrev),
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn(nCol, sum(col("__gb_cnt")).over(woAll))
+      .withColumn(totCol, sum(col("__gb_tot")).over(woAll))
+      .select(col("__gb_pid"), col("__gb_offn"), col("__gb_offv"),
+        col(nCol), col(totCol))
+    local.join(broadcast(offsets), Seq("__gb_pid"))
+      .withColumn(rnCol, col("__gb_offn") + col("__gb_lrn"))
+      .withColumn(cumCol, col("__gb_offv") + col("__gb_lcs"))
+      .drop("__gb_pid", "__gb_lrn", "__gb_lcs", "__gb_offn", "__gb_offv")
+  }
+
+  /** [[groupedPrefixSum]] that ALSO appends each group's total as
+    * `totCol` (DECIMAL(38,0)) — the per-group total is one more
+    * unbounded-frame sum over the dimension-sized offsets table, so
+    * callers that need "running sum vs group total" (weighted medians,
+    * quantile read-outs) no longer re-aggregate the corpus (or the
+    * collapsed spine) a second time. */
+  def groupedPrefixSumWithTotal(df: DataFrame, groupCols: Seq[String],
+                                orderCols: Seq[Column], valueCol: String,
+                                cumCol: String, totCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedPrefixSumWithTotal needs group columns")
+    require(orderCols.nonEmpty,
+      "groupedPrefixSumWithTotal needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
+      .withColumn("__gs_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("__gs_lcs",
+      sum(col(valueCol).cast("decimal(38,0)"))
+        .over(Window.partitionBy(col("__gs_pid") +: gCols: _*)
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val wg = Window.partitionBy(gCols: _*).orderBy(col("__gs_pid"))
+    val offsets = ranged.groupBy(col("__gs_pid") +: gCols: _*)
+      .agg(sum(col(valueCol).cast("decimal(38,0)")).as("__gs_tot"))
+      .withColumn("__gs_off", coalesce(
+        sum(col("__gs_tot")).over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn(totCol, sum(col("__gs_tot"))
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__gs_pid").as("__gs_pid2") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__gs_g$i") } :+
+        col("__gs_off") :+ col(totCol): _*)
+    val cond = (col("__gs_pid") === col("__gs_pid2")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__gs_g$i") }
+    local.join(broadcast(offsets), cond.reduce(_ && _))
+      .withColumn(cumCol, col("__gs_off") + col("__gs_lcs"))
+      .drop("__gs_pid" +: "__gs_pid2" +: "__gs_lcs" +: "__gs_off" +:
+        groupCols.indices.map(i => s"__gs_g$i"): _*)
   }
 }

@@ -920,8 +920,8 @@ object LlmQueries {
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_intersect,
              |       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS INTEGER) AS n_union,
-             |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |             / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard,
+             |       CAST(CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+             |            // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_micro,
              |       a.n_bucket_dropped
              |FROM k a JOIN k b ON a.source = b.source AND a.lang = b.lang
              |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin)),
@@ -1044,8 +1044,8 @@ object LlmQueries {
               |SELECT id_a, id_b,
               |       CAST(len(list_intersect(x.dsh, y.dsh)) AS INTEGER) AS n_intersect,
               |       CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS INTEGER) AS n_union,
-              |       round(CAST(len(list_intersect(x.dsh, y.dsh)) AS DOUBLE)
-              |             / CAST(len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh)) AS DOUBLE), 6) AS jaccard
+              |       CAST(CAST(len(list_intersect(x.dsh, y.dsh)) AS BIGINT) * 1000000
+              |            // (len(x.dsh) + len(y.dsh) - len(list_intersect(x.dsh, y.dsh))) AS BIGINT) AS jaccard_micro
               |FROM cand JOIN ds x ON x.doc_id = id_a JOIN ds y ON y.doc_id = id_b
               |ORDER BY id_a, id_b""".stripMargin)),
 
@@ -1084,11 +1084,11 @@ object LlmQueries {
       },
       Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
               |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
-              |sc AS (SELECT query_id, neighbor_id, round($dotSql, 6) AS score FROM q, c),
-              |r AS (SELECT query_id, neighbor_id, score,
-              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |sc AS (SELECT query_id, neighbor_id, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro FROM q, c),
+              |r AS (SELECT query_id, neighbor_id, score_micro,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM sc)
-              |SELECT query_id, neighbor_id, rnk, score FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+              |SELECT query_id, neighbor_id, rnk, score_micro FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
     // Binary-quantized ANN with exact rerank: corpus vectors pack to
     // 63-bit sign codes (256x compression), the coarse pass ranks by
@@ -1114,13 +1114,13 @@ object LlmQueries {
               |        qe, ce, row_number() OVER (PARTITION BY query_id
               |                                   ORDER BY bit_count(xor(qc, cc)), neighbor_id) AS cr
               |      FROM q, c),
-              |sc AS (SELECT query_id, neighbor_id, hamming, round($dotSql, 6) AS score
+              |sc AS (SELECT query_id, neighbor_id, hamming, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
               |       FROM h WHERE cr <= 20),
-              |r AS (SELECT query_id, neighbor_id, hamming, score,
+              |r AS (SELECT query_id, neighbor_id, hamming, score_micro,
               |        CAST(row_number() OVER (PARTITION BY query_id
-              |                                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |                                ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM sc)
-              |SELECT query_id, neighbor_id, hamming, rnk, score
+              |SELECT query_id, neighbor_id, hamming, rnk, score_micro
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // Hard-negative mining (the contrastive-training batch-mining step):
@@ -1143,16 +1143,16 @@ object LlmQueries {
               |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, lang AS neg_lang
               |      FROM e WHERE vec_id >= 5),
               |sc AS (SELECT query_id, neighbor_id, neg_lang,
-              |         round($dotSql, 6) AS score
+              |         CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
               |       FROM q, c WHERE neg_lang <> ql),
-              |r AS (SELECT query_id, neighbor_id, neg_lang, score,
+              |r AS (SELECT query_id, neighbor_id, neg_lang, score_micro,
               |        CAST(row_number() OVER (PARTITION BY query_id
-              |                                ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |                                ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM sc)
-              |SELECT query_id, neighbor_id, neg_lang, rnk, score
+              |SELECT query_id, neighbor_id, neg_lang, rnk, score_micro
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
-    // LSH-bucketed ANN: the scale path — score only same-bucket pairs.
+    // LSH-bucketed ANN: the scale path — score_micro only same-bucket pairs.
     Q("ann_lsh", "LLM",
       (s, d) => {
         val e = Tables(s, d, "embeddings")
@@ -1163,12 +1163,12 @@ object LlmQueries {
       Some(s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
               |q AS (SELECT bucket, vec_id AS query_id, embedding AS qe FROM b WHERE vec_id < 5),
               |c AS (SELECT bucket, vec_id AS neighbor_id, embedding AS ce FROM b WHERE vec_id >= 5),
-              |sc AS (SELECT q.query_id, c.neighbor_id, q.bucket, round($dotSql, 6) AS score
+              |sc AS (SELECT q.query_id, c.neighbor_id, q.bucket, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
               |       FROM q JOIN c ON q.bucket = c.bucket),
-              |r AS (SELECT query_id, neighbor_id, bucket, score,
-              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |r AS (SELECT query_id, neighbor_id, bucket, score_micro,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM sc)
-              |SELECT query_id, neighbor_id, bucket, rnk, score FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+              |SELECT query_id, neighbor_id, bucket, rnk, score_micro FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // Multi-probe LSH ANN (Lv et al. 2007): each query also probes the two
     // buckets reached by flipping its smallest-|margin| sign bits — recall
@@ -1199,13 +1199,13 @@ object LlmQueries {
               |           UNION ALL
               |           SELECT qr.query_id, xor(q.bucket, CAST(2**qr.p AS BIGINT))
               |           FROM qr JOIN q USING (query_id) WHERE qr.rn <= 2),
-              |sc AS (SELECT q.query_id, c.neighbor_id, c.bucket, round($dotSql, 6) AS score
+              |sc AS (SELECT q.query_id, c.neighbor_id, c.bucket, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
               |       FROM probes pr JOIN q ON q.query_id = pr.query_id
               |            JOIN c ON c.bucket = pr.bucket),
-              |r AS (SELECT query_id, neighbor_id, bucket, score,
-              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |r AS (SELECT query_id, neighbor_id, bucket, score_micro,
+              |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM sc)
-              |SELECT query_id, neighbor_id, bucket, rnk, score FROM r
+              |SELECT query_id, neighbor_id, bucket, rnk, score_micro FROM r
               |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // ANN quality audit: recall@10 of the LSH tier against the brute-force
@@ -1225,27 +1225,27 @@ object LlmQueries {
           .groupBy(col("query_id"))
           .agg(count(col("__hit")).as("n_hit"))
           .select(col("query_id"), col("n_hit"),
-            round(col("n_hit") / 10.0, 6).as("recall"))
+            (col("n_hit") * lit(100000L)).as("recall_micro"))
           .orderBy("query_id")
       },
       Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
               |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
-              |sc AS (SELECT query_id, neighbor_id, round($dotSql, 6) AS score FROM q, c),
+              |sc AS (SELECT query_id, neighbor_id, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro FROM q, c),
               |bf AS (SELECT query_id, neighbor_id FROM (
               |         SELECT query_id, neighbor_id,
-              |                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |                row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk
               |         FROM sc) WHERE rnk <= 10),
               |bk AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
               |lq AS (SELECT bucket, vec_id AS query_id, embedding AS qe FROM bk WHERE vec_id < 5),
               |lc AS (SELECT bucket, vec_id AS neighbor_id, embedding AS ce FROM bk WHERE vec_id >= 5),
-              |lsc AS (SELECT lq.query_id, lc.neighbor_id, round($dotSql, 6) AS score
+              |lsc AS (SELECT lq.query_id, lc.neighbor_id, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
               |        FROM lq JOIN lc ON lq.bucket = lc.bucket),
               |lsh AS (SELECT query_id, neighbor_id FROM (
               |          SELECT query_id, neighbor_id,
-              |                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+              |                 row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk
               |          FROM lsc) WHERE rnk <= 10)
               |SELECT bf.query_id, count(lsh.neighbor_id) AS n_hit,
-              |       round(count(lsh.neighbor_id) / 10.0, 6) AS recall
+              |       CAST(count(lsh.neighbor_id) * 100000 AS BIGINT) AS recall_micro
               |FROM bf LEFT JOIN lsh
               |  ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -1260,12 +1260,12 @@ object LlmQueries {
           s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
         s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
            |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           |       round(${dot("a.embedding", "b2.embedding")}
-           |             / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})), 6) AS cosine
+           |       CAST(round(${dot("a.embedding", "b2.embedding")}
+           |             / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})) * 1000000) AS BIGINT) AS cosine_micro
            |FROM b a JOIN b b2 ON a.bucket = b2.bucket
            |WHERE a.vec_id < b2.vec_id
-           |  AND round(${dot("a.embedding", "b2.embedding")}
-           |            / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})), 6) >= 0.1
+           |  AND CAST(round(${dot("a.embedding", "b2.embedding")}
+           |            / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})) * 1000000) AS BIGINT) >= 100000
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
@@ -1295,12 +1295,12 @@ object LlmQueries {
            |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
            |         FROM embeddings v, cent c WHERE v.vec_id >= 21) WHERE rn = 1),
            |sc AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, qa.cid AS centroid_id,
-           |              round(${dot("qa.embedding", "ca.embedding")}, 6) AS score
+           |              CAST(round((${dot("qa.embedding", "ca.embedding")}) * 1000000) AS BIGINT) AS score_micro
            |       FROM qa JOIN ca ON qa.cid = ca.cid),
-           |r AS (SELECT query_id, neighbor_id, centroid_id, score,
-           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+           |r AS (SELECT query_id, neighbor_id, centroid_id, score_micro,
+           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
            |      FROM sc)
-           |SELECT query_id, neighbor_id, centroid_id, rnk, score FROM r WHERE rnk <= 5
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score_micro FROM r WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
@@ -1331,12 +1331,12 @@ object LlmQueries {
            |                                   ORDER BY ${dot("v.embedding", "c.cv")} DESC, c.cid) AS rn
            |         FROM embeddings v, cent c WHERE v.vec_id >= 21) WHERE rn = 1),
            |sc AS (SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, ca.cid AS centroid_id,
-           |              round(${dot("qa.embedding", "ca.embedding")}, 6) AS score
+           |              CAST(round((${dot("qa.embedding", "ca.embedding")}) * 1000000) AS BIGINT) AS score_micro
            |       FROM qa JOIN ca ON qa.cid = ca.cid),
-           |r AS (SELECT query_id, neighbor_id, centroid_id, score,
-           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+           |r AS (SELECT query_id, neighbor_id, centroid_id, score_micro,
+           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
            |      FROM sc)
-           |SELECT query_id, neighbor_id, centroid_id, rnk, score FROM r WHERE rnk <= 5
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score_micro FROM r WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
@@ -1412,12 +1412,12 @@ object LlmQueries {
            |qa AS (SELECT vec_id AS query_id, embedding AS qe, cid FROM fa WHERE vec_id BETWEEN 16 AND 20),
            |ca AS (SELECT vec_id AS neighbor_id, embedding AS ce, cid FROM fa WHERE vec_id >= 21),
            |sc AS (SELECT qa.query_id, ca.neighbor_id, qa.cid AS centroid_id,
-           |              round(${dot("qa.qe", "ca.ce")}, 6) AS score
+           |              CAST(round((${dot("qa.qe", "ca.ce")}) * 1000000) AS BIGINT) AS score_micro
            |       FROM qa JOIN ca ON qa.cid = ca.cid),
-           |r AS (SELECT query_id, neighbor_id, centroid_id, score,
-           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+           |r AS (SELECT query_id, neighbor_id, centroid_id, score_micro,
+           |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
            |      FROM sc)
-           |SELECT query_id, neighbor_id, centroid_id, rnk, score FROM r WHERE rnk <= 5
+           |SELECT query_id, neighbor_id, centroid_id, rnk, score_micro FROM r WHERE rnk <= 5
            |ORDER BY query_id, rnk""".stripMargin
       }),
 
@@ -1677,10 +1677,10 @@ object LlmQueries {
              |  CAST(length(text) AS INTEGER) AS n_chars_c,
              |  CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens,
              |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct,
-             |  round(CAST(length(text) AS DOUBLE) / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS chars_per_token,
-             |  round(CAST(len(list_filter(str_split(text, ' '),
-             |          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             |        / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+             |  CAST(CAST(length(text) AS BIGINT) * 1000000 // len(str_split(text, ' ')) AS BIGINT) AS chars_per_token_micro,
+             |  CAST(CAST(len(list_filter(str_split(text, ' '),
+             |          t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+             |       * 1000000 // len(str_split(text, ' ')) AS BIGINT) AS stopword_ratio_micro
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // The training-data pipeline composed end to end in ONE query plan:
@@ -1823,12 +1823,16 @@ object LlmQueries {
     Q("curriculum_tiers", "LLM",
       (s, d) => {
         val toks = graft.functions.ColumnFns.tokens(col("text"))
-        val score = round(TextAnalysis.stopwordHits(toks).cast("double")
-          / size(toks).cast("double"), 6)
+        // exact integer micro-units (hits·10⁶ div n — both ints), not a
+        // round(double, 6) ratio: the w6 divergence class (SCALE_r11.md §1)
         val scored = Tables(s, d, "documents")
-          .select(col("doc_id"), col("source"), score.as("score"))
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.stopwordHits(toks).cast("long").as("__h"),
+            size(toks).cast("long").as("__nt"))
+          .withColumn("score_micro", expr("__h * 1000000 div __nt"))
+          .drop("__h", "__nt")
         val rn = graft.operators.GlobalRank.groupedRowNumber(scored,
-          Seq("source"), Seq(col("score").desc, col("doc_id")), "__rn")
+          Seq("source"), Seq(col("score_micro").desc, col("doc_id")), "__rn")
         // NULL-SAFE count add-back (the quantileNormalize pattern): a
         // null source is an ordinary partition to the window form this
         // replaces, and groupedRowNumber ranks it — a plain equi-join
@@ -1843,19 +1847,20 @@ object LlmQueries {
                    |          div (__n div 4) + 1 END""".stripMargin).cast("long"))
           .groupBy(col("source"), col("tier"))
           .agg(count(lit(1)).as("n_docs"),
-            min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+            min(col("score_micro")).as("min_score_micro"),
+            max(col("score_micro")).as("max_score_micro"))
           .orderBy("source", "tier")
       },
       Some("""WITH sc AS (SELECT doc_id, source,
-             |         round(CAST(len(list_filter(str_split(text, ' '),
-             |                 t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-             |               / CAST(len(str_split(text, ' ')) AS DOUBLE), 6) AS score
+             |         CAST(CAST(len(list_filter(str_split(text, ' '),
+             |                 t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+             |              * 1000000 // len(str_split(text, ' ')) AS BIGINT) AS score_micro
              |       FROM documents),
-             |t AS (SELECT source, score,
-             |        CAST(ntile(4) OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS tier
+             |t AS (SELECT source, score_micro,
+             |        CAST(ntile(4) OVER (PARTITION BY source ORDER BY score_micro DESC, doc_id) AS BIGINT) AS tier
              |      FROM sc)
              |SELECT source, tier, count(*) AS n_docs,
-             |       min(score) AS min_score, max(score) AS max_score
+             |       min(score_micro) AS min_score_micro, max(score_micro) AS max_score_micro
              |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // Token counting: whitespace + BPE-ish pre-tokenizer regex.
@@ -1877,7 +1882,7 @@ object LlmQueries {
              |dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1),
              |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
              |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df_count AS BIGINT) AS df_count,
-             |       round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df_count AS DOUBLE)), 6) AS tfidf
+             |       CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df_count AS DOUBLE)) * 1000000) AS BIGINT) AS tfidf_micro
              |FROM tf JOIN dfreq USING (term) CROSS JOIN n
              |ORDER BY doc_id, term""".stripMargin)),
 
@@ -1922,12 +1927,12 @@ object LlmQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("doc_id")
-          .orderBy(col("tfidf").desc, col("term"))
+          .orderBy(col("tfidf_micro").desc, col("term"))
         TextAnalysis.tfIdf(Tables(s, d, "documents")
             .filter(col("doc_id") < 100), "doc_id", "text")
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
-          .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+          .select(col("doc_id"), col("rnk"), col("term"), col("tfidf_micro"))
           .orderBy("doc_id", "rnk")
       },
       Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
@@ -1936,13 +1941,13 @@ object LlmQueries {
              |dfreq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY 1),
              |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
              |sc AS (SELECT doc_id, term,
-             |         round(tf * ln(CAST(n_docs AS DOUBLE) / df_count), 6) AS tfidf
+             |         CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df_count) * 1000000) AS BIGINT) AS tfidf_micro
              |       FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-             |r AS (SELECT doc_id, term, tfidf,
+             |r AS (SELECT doc_id, term, tfidf_micro,
              |        CAST(row_number() OVER (PARTITION BY doc_id
-             |                                ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+             |                                ORDER BY tfidf_micro DESC, term) AS INTEGER) AS rnk
              |      FROM sc)
-             |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+             |SELECT doc_id, rnk, term, tfidf_micro FROM r WHERE rnk <= 3
              |ORDER BY doc_id, rnk""".stripMargin)),
 
     // Unigram log-probability ("perplexity proxy") quality scoring.
@@ -1955,7 +1960,7 @@ object LlmQueries {
              |p AS (SELECT term, CAST(round(ln(CAST(tf AS DOUBLE) / total) * 1000000) AS BIGINT) AS lp
              |      FROM c CROSS JOIN t)
              |SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS logprob_u,
-             |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob
+             |       CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS avg_logprob_micro
              |FROM toks JOIN p USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Per-document lexical diversity (type-token ratio + hapax share):
@@ -2895,8 +2900,8 @@ object LlmQueries {
         .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
         .select(col("doc_id"), size(col("sh")).as("n_shingles"),
           size(array_distinct(col("sh"))).as("n_distinct"))
-        .withColumn("rep_ratio",
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"), 6))
+        .withColumn("rep_ratio_micro",
+          expr("(cast(n_shingles as bigint) - n_distinct) * 1000000 div n_shingles"))
         .orderBy("doc_id"),
       Some("""WITH sh AS (SELECT doc_id,
              |         CASE WHEN len(str_split(text, ' ')) >= 3
@@ -2906,7 +2911,7 @@ object LlmQueries {
              |       FROM documents)
              |SELECT doc_id, CAST(len(s) AS INTEGER) AS n_shingles,
              |       CAST(len(list_distinct(s)) AS INTEGER) AS n_distinct,
-             |       round(1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s), 6) AS rep_ratio
+             |       CAST((CAST(len(s) AS BIGINT) - len(list_distinct(s))) * 1000000 // len(s) AS BIGINT) AS rep_ratio_micro
              |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination (Dolma/C4-style): flag training documents
@@ -3728,18 +3733,18 @@ object LlmQueries {
       Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
               |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
               |sc AS (SELECT query_id, neighbor_id, qe, ce,
-              |         round(list_sum(list_transform(range(1, 17),
-              |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))), 6) AS score_coarse
+              |         CAST(round(list_sum(list_transform(range(1, 17),
+              |           i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) * 1000000) AS BIGINT) AS score_coarse_micro
               |       FROM q, c),
               |s1 AS (SELECT *, row_number() OVER (PARTITION BY query_id
-              |                   ORDER BY score_coarse DESC, neighbor_id) AS r1 FROM sc),
-              |s2 AS (SELECT query_id, neighbor_id, score_coarse, round($dotSql, 6) AS score
+              |                   ORDER BY score_coarse_micro DESC, neighbor_id) AS r1 FROM sc),
+              |s2 AS (SELECT query_id, neighbor_id, score_coarse_micro, CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
               |       FROM s1 WHERE r1 <= 20),
-              |r AS (SELECT query_id, neighbor_id, score, score_coarse,
+              |r AS (SELECT query_id, neighbor_id, score_micro, score_coarse_micro,
               |        CAST(row_number() OVER (PARTITION BY query_id
-              |               ORDER BY score DESC, neighbor_id) AS INTEGER) AS rnk
+              |               ORDER BY score_micro DESC, neighbor_id) AS INTEGER) AS rnk
               |      FROM s2)
-              |SELECT query_id, neighbor_id, rnk, score, score_coarse
+              |SELECT query_id, neighbor_id, rnk, score_micro, score_coarse_micro
               |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // SCD2 dimension build from the event log: collapse each user's
@@ -4782,13 +4787,13 @@ object LlmQueries {
           .groupBy(col("user_id"))
           .agg(sum(greatest(round(col("value") * 1000000).cast("long"),
             lit(0L))).as("v"))
-        val ranked = graft.operators.GlobalRank.globalRowNumber(
-          perUser, Seq(col("v").desc, col("user_id")), "rnk")
-        val cum = graft.operators.GlobalRank.globalPrefixSum(
-          ranked, Seq(col("v").desc, col("user_id")), "v", "cum_v")
-        val tot = perUser.agg(count(lit(1)).as("__n"),
-          sum(col("v").cast("decimal(38,0)")).as("__tv"))
-        cum.crossJoin(broadcast(tot))
+        // one ranged materialization: rank, running sum, and the grand
+        // totals all ride the same checkpoint + offsets broadcast (the
+        // old form paid two range shuffles plus a third corpus aggregate)
+        val cum = graft.operators.GlobalRank.globalRowNumberAndPrefixSum(
+          perUser, Seq(col("v").desc, col("user_id")), "v",
+          "rnk", "cum_v", "__n", "__tv")
+        cum
           .filter(expr("array_contains(transform(sequence(1, 9), dd -> (dd * __n + 9) div 10), rnk)"))
           .withColumn("share_milli", expr(
             "CASE WHEN __tv = 0 THEN cast(0 as bigint) ELSE cast((cum_v * 1000) div __tv as bigint) END"))
@@ -5400,15 +5405,15 @@ object LlmQueries {
         // cents values, so a running sum partitioned by the 3-value
         // l_returnflag would still sort ~domain/3 rows in one task; the
         // grouped two-phase prefix sum keeps it balanced
-        val cum = graft.operators.GlobalRank.groupedPrefixSum(collapsed,
-          Seq("l_returnflag"), Seq(col("price_c")), "w", "cw")
-        val tot = collapsed.groupBy(col("l_returnflag"))
-          .agg(sum(col("w")).as("tw"))
-        cum.join(broadcast(tot), Seq("l_returnflag"))
-          .filter(col("cw") * 2 >= col("tw"))
+        // one pass over the spine: the per-group total rides the same
+        // dimension-sized offsets broadcast as the running sum — the old
+        // form re-aggregated the corpus a second time just for `tw`
+        val cum = graft.operators.GlobalRank.groupedPrefixSumWithTotal(
+          collapsed, Seq("l_returnflag"), Seq(col("price_c")), "w", "cw", "tw")
+        cum.filter(col("cw") * 2 >= col("tw"))
           .groupBy(col("l_returnflag"))
           .agg(min(col("price_c")).as("weighted_median_c"),
-            max(col("tw")).as("total_weight"))
+            max(col("tw")).cast("long").as("total_weight"))
           .orderBy("l_returnflag")
       },
       Some("""WITH li AS (SELECT l_returnflag,
@@ -6592,7 +6597,7 @@ object LlmQueries {
            |codes AS (SELECT vec_id AS neighbor_id, subspace, code FROM (
            |            SELECT v.vec_id, v.subspace, c.code,
            |                   row_number() OVER (PARTITION BY v.vec_id, v.subspace
-           |                     ORDER BY round(${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}, 6), c.code) AS rn
+           |                     ORDER BY CAST(round((${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}) * 1000000) AS BIGINT), c.code) AS rn
            |            FROM v JOIN c ON v.subspace = c.subspace) WHERE rn = 1),
            |q AS (SELECT vec_id AS query_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS qs
            |      FROM embeddings, sub s WHERE vec_id BETWEEN 16 AND 20),
@@ -6626,7 +6631,7 @@ object LlmQueries {
         bf.join(pq, Seq("query_id", "neighbor_id"), "left")
           .groupBy(col("query_id")).agg(count(col("__hit")).as("n_hit"))
           .select(col("query_id"), col("n_hit"),
-            round(col("n_hit") / 5.0, 6).as("recall"))
+            (col("n_hit") * lit(200000L)).as("recall_micro"))
           .orderBy("query_id")
       },
       Some {
@@ -6636,9 +6641,9 @@ object LlmQueries {
            |c64 AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id >= 21),
            |bf AS (SELECT query_id, neighbor_id FROM (
            |         SELECT query_id, neighbor_id,
-           |                row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+           |                row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, neighbor_id) AS rnk
            |         FROM (SELECT q64.query_id, c64.neighbor_id,
-           |                      round(list_sum(list_transform(range(1, 65), i -> CAST(q64.qe[i] AS DOUBLE) * CAST(c64.ce[i] AS DOUBLE))), 6) AS score
+           |                      CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(q64.qe[i] AS DOUBLE) * CAST(c64.ce[i] AS DOUBLE))) * 1000000) AS BIGINT) AS score_micro
            |               FROM q64, c64)) WHERE rnk <= 5),
            |sub AS (SELECT CAST(s AS BIGINT) AS s FROM (SELECT unnest(range(0, 8)) AS s)),
            |v AS (SELECT vec_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS sv
@@ -6648,7 +6653,7 @@ object LlmQueries {
            |codes AS (SELECT vec_id AS neighbor_id, subspace, code FROM (
            |            SELECT v.vec_id, v.subspace, c.code,
            |                   row_number() OVER (PARTITION BY v.vec_id, v.subspace
-           |                     ORDER BY round(${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}, 6), c.code) AS rn
+           |                     ORDER BY CAST(round((${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}) * 1000000) AS BIGINT), c.code) AS rn
            |            FROM v JOIN c ON v.subspace = c.subspace) WHERE rn = 1),
            |qp AS (SELECT vec_id AS query_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS qs
            |       FROM embeddings, sub s WHERE vec_id BETWEEN 16 AND 20),
@@ -6664,7 +6669,7 @@ object LlmQueries {
            |                  ORDER BY score_micro DESC, neighbor_id) AS rnk
            |         FROM psc) WHERE rnk <= 5)
            |SELECT bf.query_id, count(pq.neighbor_id) AS n_hit,
-           |       round(count(pq.neighbor_id) / 5.0, 6) AS recall
+           |       CAST(count(pq.neighbor_id) * 200000 AS BIGINT) AS recall_micro
            |FROM bf LEFT JOIN pq
            |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
            |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -6710,7 +6715,7 @@ object LlmQueries {
            |codes AS (SELECT vec_id AS neighbor_id, subspace, code FROM (
            |            SELECT v.vec_id, v.subspace, c.code,
            |                   row_number() OVER (PARTITION BY v.vec_id, v.subspace
-           |                     ORDER BY round(${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}, 6), c.code) AS rn
+           |                     ORDER BY CAST(round((${dot8("v.sv", "v.sv")} - 2 * ${dot8("v.sv", "c.cs")} + ${dot8("c.cs", "c.cs")}) * 1000000) AS BIGINT), c.code) AS rn
            |            FROM v JOIN c ON v.subspace = c.subspace) WHERE rn = 1),
            |q AS (SELECT vec_id AS query_id, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS qs
            |      FROM embeddings, sub s WHERE vec_id BETWEEN 16 AND 20),
@@ -6764,8 +6769,8 @@ object LlmQueries {
            |                                  ORDER BY ${dot("va.embedding", "fc.cv")} DESC, fc.cid) AS rn
            |        FROM va JOIN fc ON va.gid = fc.gid) WHERE rn = 1),
            |drp AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
-           |        WHERE round(${dot("x.embedding", "y.embedding")} /
-           |                (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})), 6) >= 0.3)
+           |        WHERE CAST(round(${dot("x.embedding", "y.embedding")} /
+           |                (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) * 1000000) AS BIGINT) >= 300000)
            |SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS kept
            |FROM a LEFT JOIN drp d ON a.vec_id = d.vec_id ORDER BY a.vec_id""".stripMargin
       }),
@@ -6869,11 +6874,11 @@ object LlmQueries {
            |c AS (SELECT vec_id AS code, s.s AS subspace, embedding[(s.s*8+1):(s.s*8+8)] AS cs
            |      FROM embeddings, sub s WHERE vec_id < 16),
            |sc AS (SELECT v.vec_id, v.subspace, c.code,
-           |         round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6) AS d2,
+           |         CAST(round((${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}) * 1000000) AS BIGINT) AS d2,
            |         row_number() OVER (PARTITION BY v.vec_id, v.subspace
-           |                            ORDER BY round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6), c.code) AS rn
+           |                            ORDER BY CAST(round((${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}) * 1000000) AS BIGINT), c.code) AS rn
            |       FROM v JOIN c ON v.subspace = c.subspace)
-           |SELECT vec_id, subspace, code, CAST(round(d2 * 1000000) AS BIGINT) AS dist_micro
+           |SELECT vec_id, subspace, code, d2 AS dist_micro
            |FROM sc WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
       }),
 
@@ -6952,16 +6957,16 @@ object LlmQueries {
            |         FROM resid, sub s WHERE vec_id >= 28),
            |rawd AS (SELECT subspace, sum(d_micro) AS raw_dist_micro FROM (
            |           SELECT v.vec_id, v.subspace,
-           |             CAST(round(round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6) * 1000000) AS BIGINT) AS d_micro,
+           |             CAST(round((${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}) * 1000000) AS BIGINT) AS d_micro,
            |             row_number() OVER (PARTITION BY v.vec_id, v.subspace
-           |               ORDER BY round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6), c.code) AS rn
+           |               ORDER BY CAST(round((${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}) * 1000000) AS BIGINT), c.code) AS rn
            |           FROM rawv v JOIN cs c ON v.subspace = c.subspace)
            |         WHERE rn = 1 GROUP BY 1),
            |resd AS (SELECT subspace, sum(d_micro) AS res_dist_micro FROM (
            |           SELECT v.vec_id, v.subspace,
-           |             CAST(round(round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6) * 1000000) AS BIGINT) AS d_micro,
+           |             CAST(round((${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}) * 1000000) AS BIGINT) AS d_micro,
            |             row_number() OVER (PARTITION BY v.vec_id, v.subspace
-           |               ORDER BY round(${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}, 6), c.code) AS rn
+           |               ORDER BY CAST(round((${dot("v.sv", "v.sv")} - 2 * ${dot("v.sv", "c.cs")} + ${dot("c.cs", "c.cs")}) * 1000000) AS BIGINT), c.code) AS rn
            |           FROM resv v JOIN cs_res c ON v.subspace = c.subspace)
            |         WHERE rn = 1 GROUP BY 1)
            |SELECT rawd.subspace, CAST(raw_dist_micro AS BIGINT) AS raw_dist_micro,
@@ -7326,7 +7331,7 @@ object LlmQueries {
              |                  / CAST(1000 * cnt1 * n AS DOUBLE)) * 1000000) AS BIGINT) AS lp
              |  FROM cb JOIN cx USING (w1) JOIN cu USING (w2) CROSS JOIN nn)
              |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS logprob_bi,
-             |       round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000), 6) AS avg_logprob_bi
+             |       CAST(round(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS avg_logprob_bi_micro
              |FROM big JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Train/val n-gram coverage: what fraction of each val doc's bigrams
@@ -7451,14 +7456,14 @@ object LlmQueries {
       Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 6),
              |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)
              |SELECT query_id, neighbor_id,
-             |       round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |       CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
              |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-             |                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 6) AS cosine
+             |                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) * 1000000) AS BIGINT) AS cosine_micro
              |FROM c CROSS JOIN q
              |WHERE query_id <> neighbor_id
-             |  AND round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |  AND CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
              |            / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-             |               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))), 6) >= 0.1
+             |               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) * 1000000) AS BIGINT) >= 100000
              |ORDER BY query_id, neighbor_id""".stripMargin)),
 
     // BPE encode with a fixed merge table: corpus token frequencies under

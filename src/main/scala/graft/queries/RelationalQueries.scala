@@ -369,11 +369,15 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
           percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx"))
-        .select(col("l_returnflag"), round(col("exact_p90"), 4).as("exact_p90"),
+        // integer 1e-4 units: both engines round the SAME double product
+        // at scale 0 (round(double, 4) is the w6 divergence class)
+        .select(col("l_returnflag"),
+          round(col("exact_p90") * 1e4).cast("long").as("exact_p90_e4"),
           (abs(col("approx") - col("exact_p90")) / col("exact_p90") <= 0.02)
             .as("approx_within_tol"))
         .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+      Some("""SELECT l_returnflag,
+             |       CAST(round(quantile_cont(l_extendedprice, 0.9) * 10000) AS BIGINT) AS exact_p90_e4,
              |       TRUE AS approx_within_tol
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -597,14 +601,17 @@ object RelationalQueries {
             .otherwise(0L)).as("promo_cp"),
           sum(revenueCp).as("total_cp"))
         .select(col("promo_cp"), col("total_cp"),
-          round(col("promo_cp") * 100.0 / col("total_cp"), 6).as("promo_pct")),
+          // integer micro-units: both engines round the SAME double product
+          // at scale 0 (round(double, 6) is the w6 divergence class)
+          round(col("promo_cp") * 100.0 / col("total_cp") * 1e6).cast("long")
+            .as("promo_pct_micro")),
       Some(s"""WITH a AS (SELECT
               |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revenueCpSql ELSE 0 END) AS BIGINT) AS promo_cp,
               |  CAST(sum($revenueCpSql) AS BIGINT) AS total_cp
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
               |SELECT promo_cp, total_cp,
-              |       round(promo_cp * 100.0 / total_cp, 6) AS promo_pct FROM a""".stripMargin)),
+              |       CAST(round(promo_cp * 100.0 / total_cp * 1000000) AS BIGINT) AS promo_pct_micro FROM a""".stripMargin)),
 
     // TPC-H Q18 shape: large-volume customers — HAVING over a fact
     // aggregate (map-side partials carry the load), then joins up the
@@ -696,14 +703,15 @@ object RelationalQueries {
               .as("nation_cp"),
             sum(revenueCp).as("total_cp"))
           .select(col("o_year"), col("nation_cp"), col("total_cp"),
-            round(col("nation_cp") / col("total_cp"), 6).as("mkt_share"))
+            round(col("nation_cp") / col("total_cp") * 1e6).cast("long")
+              .as("mkt_share_micro"))
           .orderBy("o_year")
       },
       Some(s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
               |       CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $revenueCpSql ELSE 0 END) AS BIGINT) AS nation_cp,
               |       CAST(sum($revenueCpSql) AS BIGINT) AS total_cp,
-              |       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $revenueCpSql ELSE 0 END) AS BIGINT)
-              |             / CAST(sum($revenueCpSql) AS BIGINT), 6) AS mkt_share
+              |       CAST(round(CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN $revenueCpSql ELSE 0 END) AS BIGINT)
+              |             / CAST(sum($revenueCpSql) AS BIGINT) * 1000000) AS BIGINT) AS mkt_share_micro
               |FROM lineitem
               |  JOIN orders ON l_orderkey = o_orderkey
               |  JOIN supplier ON l_suppkey = s_suppkey
@@ -1462,21 +1470,22 @@ object RelationalQueries {
 
     // Statistical moments per group: sample stddev/variance and the
     // bivariate corr/covar pair — identical sample definitions in both
-    // engines; round(6) absorbs merge-order double noise (values are O(1)
-    // to O(10^2), so 1e-6 is ~8 orders above the accumulation error).
+    // engines; micro-unit quantization absorbs merge-order double noise
+    // (values are O(1) to O(10^2), so 1e-6 is ~8 orders above the
+    // accumulation error) without the round(double, 6) divergence class.
     Q("agg_stats_moments", "A",
       (s, d) => Tables(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
-          round(var_samp(col("l_quantity")), 6).as("var_qty"),
-          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
-          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .agg(round(stddev_samp(col("l_quantity")) * 1e6).cast("long").as("sd_qty_micro"),
+          round(var_samp(col("l_quantity")) * 1e6).cast("long").as("var_qty_micro"),
+          round(corr(col("l_quantity"), col("l_discount")) * 1e6).cast("long").as("corr_qd_micro"),
+          round(covar_samp(col("l_quantity"), col("l_discount")) * 1e6).cast("long").as("cov_qd_micro"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |       round(stddev_samp(l_quantity), 6) AS sd_qty,
-             |       round(var_samp(l_quantity), 6) AS var_qty,
-             |       round(corr(l_quantity, l_discount), 6) AS corr_qd,
-             |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+             |       CAST(round(stddev_samp(l_quantity) * 1000000) AS BIGINT) AS sd_qty_micro,
+             |       CAST(round(var_samp(l_quantity) * 1000000) AS BIGINT) AS var_qty_micro,
+             |       CAST(round(corr(l_quantity, l_discount) * 1000000) AS BIGINT) AS corr_qd_micro,
+             |       CAST(round(covar_samp(l_quantity, l_discount) * 1000000) AS BIGINT) AS cov_qd_micro
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Correlated scalar subquery through the SQL front end.

@@ -195,9 +195,9 @@ class LlmSpec extends SparkSpec {
 
   test("ngram jaccard pairs: identity = 1.0, within-bucket only") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("bucket"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
-    assert(out((0L, 1L)) == 1.0)
-    assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_micro"))).toMap
+    assert(out((0L, 1L)) == 1000000L)
+    assert(out((0L, 2L)) > 500000L && out((0L, 2L)) < 1000000L)
     assert(!out.keySet.exists { case (a, b) => b == 4L || a == 4L }) // other bucket never pairs
   }
 
@@ -237,10 +237,10 @@ class LlmSpec extends SparkSpec {
     val cands = vecs.filter($"vec_id" >= 11)
     val queries = vecs.filter($"vec_id" === 0)
     val full = Similarity.ivfTopK(cands, queries, cents, k = 2, nprobe = 2)
-      .select("query_id", "neighbor_id", "rnk", "score")
+      .select("query_id", "neighbor_id", "rnk", "score_micro")
       .orderBy("query_id", "rnk").collect().map(_.toSeq)
     val brute = Similarity.bruteForceTopK(cands, queries, k = 2)
-      .select("query_id", "neighbor_id", "rnk", "score")
+      .select("query_id", "neighbor_id", "rnk", "score_micro")
       .orderBy("query_id", "rnk").collect().map(_.toSeq)
     assert(full.toSeq == brute.toSeq)
     // nprobe=1 searches a subset of cells: results are a subset of full-probe
@@ -307,10 +307,10 @@ class LlmSpec extends SparkSpec {
     val cands = vecs.filter($"vec_id" >= 10)
     val queries = vecs.filter($"vec_id" === 0)
     val rr = Similarity.binaryRerankTopK(cands, queries, k = 2, coarseK = 10)
-      .select("query_id", "neighbor_id", "rnk", "score")
+      .select("query_id", "neighbor_id", "rnk", "score_micro")
       .orderBy("rnk").collect().map(_.toSeq)
     val brute = Similarity.bruteForceTopK(cands, queries, k = 2)
-      .select("query_id", "neighbor_id", "rnk", "score")
+      .select("query_id", "neighbor_id", "rnk", "score_micro")
       .orderBy("rnk").collect().map(_.toSeq)
     assert(rr.toSeq == brute.toSeq)
     // the identical twin is Hamming-0 from the query
@@ -324,7 +324,7 @@ class LlmSpec extends SparkSpec {
     assert(empty(0).getLong(0) == 0L)
     val mixed = cands.union(Seq((99L, Array.empty[Float])).toDF("vec_id", "embedding"))
     val rr2 = Similarity.binaryRerankTopK(mixed, queries, k = 2, coarseK = 10)
-      .select("query_id", "neighbor_id", "rnk", "score")
+      .select("query_id", "neighbor_id", "rnk", "score_micro")
       .orderBy("rnk").collect().map(_.toSeq)
     assert(rr2.toSeq == brute.toSeq) // empty vector never crashes nor wins
   }
@@ -628,8 +628,8 @@ class LlmSpec extends SparkSpec {
   test("embedding-cosine near-dup: identical vectors pair at cosine 1.0, bucketed") {
     val out = Dedup.embeddingNearDupPairs(vecs, dim = 3, threshold = 0.9,
       numPlanes = 4).collect()
-    val pairs = out.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cosine"))).toMap
-    assert(pairs.contains((0L, 10L)) && pairs((0L, 10L)) == 1.0)
+    val pairs = out.map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("cosine_micro"))).toMap
+    assert(pairs.contains((0L, 10L)) && pairs((0L, 10L)) == 1000000L)
     assert(!pairs.keySet.exists { case (a, b) => b == 12L }) // opposite vector: other bucket or below threshold
   }
 
@@ -651,7 +651,7 @@ class LlmSpec extends SparkSpec {
     assert(lid(0).getString(1) == "en" && lid(1).getString(1) == "other")
     val q = TextAnalysis.qualityMetrics(df, "doc_id", "text").orderBy("doc_id").collect()
     assert(q(0).getAs[Int]("n_tokens") == 6)
-    assert(math.abs(q(0).getAs[Double]("stopword_ratio") - 0.333333) < 1e-6)
+    assert(q(0).getAs[Long]("stopword_ratio_micro") == 333333L)
   }
 
   test("stratified sampling: per-stratum rates, deterministic, partition-independent") {

@@ -177,10 +177,10 @@ class OperatorsSpec extends SparkSpec {
     val out = TextAnalysis.tfIdf(docs, "doc_id", "text").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r).toMap
     // "common" appears in all 3 docs -> idf = ln(3/3) = 0
-    assert(out((0L, "common")).getAs[Double]("tfidf") == 0.0)
+    assert(out((0L, "common")).getAs[Long]("tfidf_micro") == 0L)
     // "alpha" (df=1) outweighs "beta" (df=2)
-    assert(out((0L, "alpha")).getAs[Double]("tfidf") >
-      out((1L, "beta")).getAs[Double]("tfidf"))
+    assert(out((0L, "alpha")).getAs[Long]("tfidf_micro") >
+      out((1L, "beta")).getAs[Long]("tfidf_micro"))
     assert(out((2L, "gamma")).getAs[Long]("df_count") == 1L)
   }
 
@@ -955,9 +955,9 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect()
     val brute = Similarity.bruteForceTopK(c, q, 3)
       .orderBy("query_id", "rnk").collect()
-    assert(funnel.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-      .toSeq == brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
-    assert(funnel.forall(r => r.getDouble(3) == r.getDouble(4)))
+    assert(funnel.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSeq == brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq)
+    assert(funnel.forall(r => r.getLong(3) == r.getLong(4)))
   }
 
   test("band join equals the nested-loop truth: boundaries inclusive, negatives, nulls dropped, no BNLJ in the plan") {

@@ -657,7 +657,7 @@ class PlanSpec extends SparkSpec {
       }
       // the rank-algebra rewrites must actually BE two-phase, not merely
       // aggregate-fronted
-      Seq("w3_rank_dense", "w4_ntile_moving", "w6_percent_rank",
+      Seq("w4_ntile_moving", "w6_percent_rank",
         "curriculum_tiers", "llm_corpus_pipeline_v3",
         "sample_quantile_norm").foreach { name =>
         val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
@@ -666,6 +666,26 @@ class PlanSpec extends SparkSpec {
             _.name.startsWith("__gg_pid")))),
           s"$name: expected the two-phase grouped ranking (pid-partitioned window)")
       }
+      // w3's single-pass groupedRankDense (r12) checkpoints AFTER the
+      // local windows, so the pid-partitioned window is interior to the
+      // materialized checkpoint and invisible in the query's executedPlan.
+      // Lock it on the operator's exposed local phase instead, with w3's
+      // exact shape parameters; the query-side evidence is the stitched
+      // local-rank columns surviving into the checkpointed LogicalRDD.
+      import org.apache.spark.sql.functions.{col => c}
+      val w3Local = graft.operators.GlobalRank.groupedRankDenseLocal(
+        graft.queries.Tables(spark, dir, "orders")
+          .select(c("o_orderpriority"), c("o_orderkey"), c("o_totalprice")),
+        Seq("o_orderpriority"), Seq("o_totalprice"),
+        Seq(c("o_totalprice").desc, c("o_orderkey")))
+        .queryExecution.executedPlan
+      assert(w3Local.collect { case w: WindowExec => w }.exists(
+        _.partitionSpec.exists(_.references.exists(
+          _.name.startsWith("__gd_pid")))),
+        "groupedRankDense local phase: expected the pid-partitioned window")
+      assert(Registry.queries("w3_rank_dense")(spark, dir)
+        .queryExecution.executedPlan.toString.contains("__gd_lrank"),
+        "w3_rank_dense: expected the single-pass rank/dense stitch columns")
       // clean_impute_median: the 3-row medians meet the corpus by
       // BROADCAST — the un-hinted size estimate ran through the window
       // subtree and shuffled the whole corpus at sf1 (711x bytes)

@@ -502,8 +502,49 @@ class PropertiesSpec extends SparkSpec {
       Seq("v"), Seq(col("v"), col("id")), "rnk", "drnk").count() == 0)
     assert(graft.operators.GlobalRank.groupedPrefixSum(empty, Seq("g"),
       Seq(col("id")), "v", "cw").count() == 0)
+    assert(graft.operators.GlobalRank.groupedPrefixSumWithTotal(empty, Seq("g"),
+      Seq(col("id")), "v", "cw", "tw").count() == 0)
+    assert(graft.operators.GlobalRank.globalRowNumberAndPrefixSum(empty,
+      Seq(col("id")), "v", "rn", "cw", "n", "tv").count() == 0)
     assert(graft.operators.BandedRange.peersWithin(empty, Seq("g"), "v",
       w = 10L, "n").count() == 0)
+  }
+
+  test("fused rank+prefix-sum helpers equal their window forms, totals included") {
+    import org.apache.spark.sql.expressions.Window
+    // same adversarial shape as the grouped tests: heavy ties, few groups,
+    // one null group, negative weights
+    val df = (1 to 2000).map(i =>
+      (i.toLong, if (i % 5 == 0) null else s"g${i % 3}", ((i * 37 % 23) - 5).toLong))
+      .toDF("id", "g", "w")
+    // grouped prefix sum with total
+    val got = graft.operators.GlobalRank.groupedPrefixSumWithTotal(
+        df.repartition(17), Seq("g"), Seq(col("id")), "w", "cw", "tw")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((BigDecimal(r.getAs[java.math.BigDecimal]("cw")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("tw"))))).toMap
+    val expect = df
+      .withColumn("cw", sum(col("w")).over(Window.partitionBy(col("g"))
+        .orderBy(col("id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("g"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((BigDecimal(r.getAs[Long]("cw")), BigDecimal(r.getAs[Long]("tw"))))).toMap
+    assert(got == expect)
+    // global fused rank + prefix sum + grand totals
+    val gotG = graft.operators.GlobalRank.globalRowNumberAndPrefixSum(
+        df.repartition(13), Seq(col("w"), col("id")), "w", "rn", "cw", "n", "tv")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rn"), BigDecimal(r.getAs[java.math.BigDecimal]("cw")),
+          r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("tv"))))).toMap
+    val w = Window.orderBy(col("w"), col("id"))
+    val expectG = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cw", sum(col("w")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(df.agg(count(lit(1)).as("n"), sum(col("w")).as("tv")))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rn"), BigDecimal(r.getAs[Long]("cw")),
+          r.getAs[Long]("n"), BigDecimal(r.getAs[Long]("tv"))))).toMap
+    assert(gotG == expectG)
   }
 
   test("salted two-phase topNgrams equals the naive group-window ranking") {
