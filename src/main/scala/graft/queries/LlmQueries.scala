@@ -2596,6 +2596,115 @@ object LlmQueries {
              |WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // REAL baseline-JPEG decode (huffman + IDCT + fixed-point YCbCr<->RGB,
+    // Multimodal.decodeJpeg): color payloads whose channels are CONSTANT
+    // per 8x8 block, so the DCT path round-trips bit-exactly (AC = 0,
+    // DC quant 1) and the oracle replays the exact integer color
+    // conversions in SQL — same analytic-oracle contract as
+    // multimodal_decode_png. Fixed-point floor semantics match: JVM
+    // arithmetic >> 16 == DuckDB // 65536, negatives included.
+    Q("multimodal_decode_jpeg", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeJpeg(w, h, (x, y) =>
+            (((m * 13 + (x / 8) * 57 + (y / 8) * 23) % 256).toInt,
+              ((m * 7 + (x / 8) * 31 + (y / 8) * 11) % 256).toInt,
+              ((m * 11 + (x / 8) * 17 + (y / 8) * 29) % 256).toInt)), "image/jpeg")
+        }
+        Multimodal.imageStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 9 + id % 6 AS w, 7 + id % 5 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+             |src AS (SELECT id, w, h,
+             |          (id * 13 + (x // 8) * 57 + (y // 8) * 23) % 256 AS r0,
+             |          (id * 7 + (x // 8) * 31 + (y // 8) * 11) % 256 AS g0,
+             |          (id * 11 + (x // 8) * 17 + (y // 8) * 29) % 256 AS b0
+             |        FROM pix),
+             |ycc AS (SELECT id, w, h,
+             |          LEAST(255, GREATEST(0, (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536)) AS yy,
+             |          LEAST(255, GREATEST(0, 128 + (-11059 * r0 - 21709 * g0 + 32768 * b0 + 32768 + 16777216) // 65536 - 256)) AS cb,
+             |          LEAST(255, GREATEST(0, 128 + (32768 * r0 - 27439 * g0 - 5329 * b0 + 32768 + 16777216) // 65536 - 256)) AS cr
+             |        FROM src),
+             |rgb AS (SELECT id, w, h,
+             |          LEAST(255, GREATEST(0, yy + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+             |          LEAST(255, GREATEST(0, yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256))) AS g,
+             |          LEAST(255, GREATEST(0, yy + (116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+             |        FROM ycc),
+             |sums AS (SELECT id, w, h, sum(r) AS r_sum, sum(g) AS g_sum,
+             |           sum(b) AS b_sum FROM rgb GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
+             |FROM sums ORDER BY media_id""".stripMargin)),
+
+    // Cross-format near-dup with JPEG in the mix: ids 0..99 are BMPs of
+    // 8x8 gray tiles, ids 100..199 the SAME tile patterns as real
+    // grayscale baseline JPEGs (gray payloads round-trip the codec pair
+    // bit-exactly), every 10th JPEG with one tile flipped. The aHash
+    // window samples at stride 8 — one sample per JPEG block — so the
+    // 48-bit hash sees real inter-block structure: unflipped JPEGs
+    // collapse into their BMP sibling's rep (exact cross-format dup) and
+    // flipped ones surface as Hamming-1 banded pairs. Tile values are
+    // bimodal (40/216) so the one-tile mean shift (~±4) flips no other
+    // bit.
+    Q("multimodal_near_dup_jpeg", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val i = m.toInt
+          val base = if (i < 100) i else i - 100
+          val w = 64 + (base % 3) * 8
+          val h = 48 + (base % 2) * 8
+          def tile(bx: Int, by: Int): Int = {
+            val bit = ((base.toLong * 2654435761L + bx * 40503L + by * 655L) / 16) % 2
+            val v = if (bit == 0) 40 else 216
+            if (i >= 100 && i % 10 == 0 && bx == 0 && by == 0) 256 - v else v
+          }
+          if (i < 100)
+            Multimodal.MediaRecord(m, Multimodal.encodeBmp(w, h,
+              (x, y) => { val v = tile(x / 8, y / 8); (v, v, v) }), "image/bmp")
+          else
+            Multimodal.MediaRecord(m, Multimodal.encodeJpegGray(w, h,
+              (x, y) => tile(x / 8, y / 8)), "image/jpeg")
+        }
+        val reps = Multimodal.aHash(media, winW = 8, winH = 6,
+            strideX = 8, strideY = 8).toDF()
+          .groupBy(col("ahash")).agg(min(col("media_id")).as("rep_id"))
+        Dedup.sigBandPairs(reps, "rep_id", "ahash",
+            bits = 48, bands = 6, maxHamming = 5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |b AS (SELECT id, CASE WHEN id < 100 THEN id ELSE id - 100 END AS base FROM m),
+             |xs AS (SELECT id, base, unnest(range(8)) AS x FROM b),
+             |pix AS (SELECT id, base, x, unnest(range(6)) AS y FROM xs),
+             |g0 AS (SELECT id, x, y,
+             |         CASE WHEN ((base * 2654435761 + x * 40503 + y * 655) // 16) % 2 = 0
+             |              THEN 40 ELSE 216 END AS v
+             |       FROM pix),
+             |g AS (SELECT id, x, y,
+             |        CASE WHEN id >= 100 AND id % 10 = 0 AND x = 0 AND y = 0
+             |             THEN 256 - v ELSE v END AS gray
+             |      FROM g0),
+             |mn AS (SELECT id, sum(gray) // 48 AS mean FROM g GROUP BY 1),
+             |hb AS (SELECT g.id,
+             |         sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS ahash
+             |       FROM g JOIN mn USING (id) GROUP BY 1),
+             |reps AS (SELECT CAST(min(id) AS BIGINT) AS rep_id, CAST(ahash AS BIGINT) AS ahash
+             |         FROM hb GROUP BY ahash)
+             |SELECT a.rep_id AS id_a, b.rep_id AS id_b,
+             |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+             |FROM reps a JOIN reps b ON a.rep_id < b.rep_id
+             |WHERE bit_count(xor(a.ahash, b.ahash)) <= 5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // AUDIO battery over a REAL pure-JVM WAV/PCM codec (RIFF chunk walk,
     // 16-bit mono). Same contract as the BMP/PPM image path: the media
     // is generated deterministically in-engine, encoded to real WAV

@@ -785,6 +785,64 @@ class LlmSpec extends SparkSpec {
       Multimodal.decodePng(tiny).exists(t => t._3.toSeq == Seq(200L, 100L, 50L)))
   }
 
+  test("multimodal JPEG codec: block-constant round-trips bit-exactly; ImageIO agrees; conformance rejects") {
+    import Multimodal._
+    // block-constant color: the DCT path is exact (AC = 0, DC quant 1),
+    // so the decode equals the chained integer color conversions
+    def blockRgb(m: Int)(x: Int, y: Int): (Int, Int, Int) = {
+      val (bx, by) = (x / 8, y / 8)
+      ((m * 13 + bx * 57 + by * 23) % 256,
+        (m * 7 + bx * 31 + by * 11) % 256,
+        (m * 11 + bx * 17 + by * 29) % 256)
+    }
+    for (m <- Seq(0, 3, 17, 125, 199)) {
+      val w = 9 + m % 6; val h = 7 + m % 5
+      val Some((dw, dh, rgb)) = decodeJpegRgb(encodeJpeg(w, h, blockRgb(m))): @unchecked
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r0, g0, b0) = blockRgb(m)(x, y)
+        val yv = jpegRgbToY(r0, g0, b0)
+        val cb = jpegRgbToCb(r0, g0, b0); val cr = jpegRgbToCr(r0, g0, b0)
+        val p = rgb(y * w + x)
+        assert(((p >> 16) & 0xff) == jpegYccToR(yv, cr)
+          && ((p >> 8) & 0xff) == jpegYccToG(yv, cb, cr)
+          && (p & 0xff) == jpegYccToB(yv, cb), s"m=$m pixel ($x,$y)")
+      }
+    }
+    // grayscale block tiles reconstruct the SOURCE exactly (gray maps to
+    // (v, 128, 128) with zero chroma error — the cross-format dup basis)
+    def tile(x: Int, y: Int): Int =
+      if (((x / 8) * 3 + (y / 8) * 5) % 2 == 0) 40 else 216
+    val Some((_, _, gray)) = decodeJpegGray(encodeJpegGray(64, 48, tile)): @unchecked
+    for (y <- 0 until 48; x <- 0 until 64)
+      assert(gray(y * 64 + x) == tile(x, y), s"gray pixel ($x,$y)")
+    // independent-decoder cross-check on a NON-constant image: the JDK's
+    // own ImageIO must agree within 2/channel (different IDCT rounding)
+    def px(x: Int, y: Int) = ((x * 11 + y * 3) % 256, (x * 5 + y * 7) % 256, (x * 2 + y * 13) % 256)
+    val jb = encodeJpeg(40, 24, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+    val Some((_, _, mine)) = decodeJpegRgb(jb): @unchecked
+    for (y <- 0 until 24; x <- 0 until 40; sh <- Seq(16, 8, 0)) {
+      val d = math.abs(((img.getRGB(x, y) >> sh) & 0xff) - ((mine(y * 40 + x) >> sh) & 0xff))
+      assert(d <= 2, s"ImageIO delta $d at ($x,$y) channel shift $sh")
+    }
+    // conformance: junk, truncation, wrong magic, progressive reject
+    assert(decodeJpegRgb(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    assert(decodeJpegRgb(jb.take(jb.length / 2)).isEmpty)
+    assert(decodeJpegRgb(encodePng(9, 7, (x, y) => (x, y, x + y))).isEmpty)
+    val progressive = jb.clone()
+    // rewrite the SOF0 marker (FF C0) to SOF2 (progressive): must reject
+    val sof = progressive.indices.find(i => (progressive(i) & 0xff) == 0xff
+      && i + 1 < progressive.length && (progressive(i + 1) & 0xff) == 0xc0).get
+    progressive(sof + 1) = 0xc2.toByte
+    assert(decodeJpegRgb(progressive).isEmpty, "progressive must reject")
+    // dispatch: imageStats and aHash accept JPEG payloads alongside BMP/PNG
+    val media = Seq(
+      MediaRecord(1L, encodeJpeg(9, 7, blockRgb(1)), "image/jpeg"),
+      MediaRecord(2L, "not an image".getBytes, "text/plain")).toDS()
+    assert(imageStats(media).collect().map(_.media_id).toSeq == Seq(1L))
+  }
+
   test("multimodal PNG grayscale (color type 0): bpp=1 defilter round-trips; surfaces as replicated RGB") {
     val px = (x: Int, y: Int) => (x * 13 + y * 7) % 256
     val png = Multimodal.encodePngGray(7, 11, px) // 11 rows -> all 5 filters
