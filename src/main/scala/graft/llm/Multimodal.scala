@@ -1427,6 +1427,119 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Write a baseline JFIF file at 4:2:0 — the dominant web flavor: luma
+    * at full resolution (sampling 2x2), chroma averaged over 2x2 pixel
+    * quads at quarter resolution. MCU = 4 Y blocks + Cb + Cr. A pixel
+    * function whose CHROMA is constant per 16x16 MCU (the analytic
+    * fixtures) survives the downsample/upsample round trip exactly;
+    * [[decodeJpegRgb]] upsamples by sample replication. */
+  def encodeJpeg420(width: Int, height: Int,
+                    pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
+    def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+      val (r0, g0, b0) = pixel(math.min(x, width - 1), math.min(y, height - 1))
+      (((r0 % 256) + 256) % 256, ((g0 % 256) + 256) % 256, ((b0 % 256) + 256) % 256)
+    }
+    def yAt(x: Int, y: Int): Int = {
+      val (r, g, b) = rgbAt(x, y); jpegRgbToY(r, g, b)
+    }
+    def chromaAt(cx: Int, cy: Int, cb: Boolean): Int = {
+      // average the 2x2 pixel quad (edge-replicated), round half up
+      var sum = 0
+      var dy = 0
+      while (dy < 2) {
+        var dx = 0
+        while (dx < 2) {
+          val (r, g, b) = rgbAt(cx * 2 + dx, cy * 2 + dy)
+          sum += (if (cb) jpegRgbToCb(r, g, b) else jpegRgbToCr(r, g, b))
+          dx += 1
+        }
+        dy += 1
+      }
+      (sum + 2) / 4
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8)
+    marker(0xe0); u16(16)
+    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    marker(0xdb); u16(2 + 65)
+    out.write(0x00)
+    for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
+    marker(0xc0); u16(8 + 9)
+    out.write(8); u16(height); u16(width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y at 2x2
+    out.write(2); out.write(0x11); out.write(0)
+    out.write(3); out.write(0x11); out.write(0)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | id)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
+    dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
+    dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
+    dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
+    marker(0xda); u16(12)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    val dcLuma = jpegCodes(jpegDcLumaBits, jpegDcLumaVals)
+    val acLuma = jpegCodes(jpegAcLumaBits, jpegAcLumaVals)
+    val dcChroma = jpegCodes(jpegDcChromaBits, jpegDcChromaVals)
+    val acChroma = jpegCodes(jpegAcChromaBits, jpegAcChromaVals)
+    val bw = new JpegBitWriter(out)
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    val dcPred = new Array[Int](3)
+    val block = new Array[Double](64)
+    val zz = new Array[Int](64)
+    def emit(c: Int, sample: (Int, Int) => Int, ox: Int, oy: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) { block(yy * 8 + xx) = sample(ox + xx, oy + yy) - 128.0; xx += 1 }
+        yy += 1
+      }
+      val coefs = jpegFdct(block)
+      var k = 0
+      while (k < 64) {
+        val nat = jpegZigzag(k)
+        zz(k) = math.round(coefs(nat) / jpegQuant(nat)).toInt
+        k += 1
+      }
+      dcPred(c) = jpegEncodeBlock(bw, zz, dcPred(c),
+        if (c == 0) dcLuma else dcChroma, if (c == 0) acLuma else acChroma)
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var vb = 0
+        while (vb < 2) {
+          var hb = 0
+          while (hb < 2) {
+            emit(0, yAt, mx * 16 + hb * 8, my * 16 + vb * 8)
+            hb += 1
+          }
+          vb += 1
+        }
+        emit(1, chromaAt(_, _, cb = true), mx * 8, my * 8)
+        emit(2, chromaAt(_, _, cb = false), mx * 8, my * 8)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Canonical Huffman decode table: maxLen-bit index -> (symbol, len).
     * Built per DHT; lookup peeks 16 bits and consumes `len`. */
   private final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
@@ -1504,6 +1617,7 @@ object Multimodal {
     var width = 0; var height = 0; var nComp = 0
     val compQ = new Array[Int](3); val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
+    val compH = new Array[Int](3); val compV = new Array[Int](3)
     var restartInterval = 0
     var pos = 2
     def u16(at: Int): Int = ((payload(at) & 0xff) << 8) | (payload(at + 1) & 0xff)
@@ -1554,10 +1668,17 @@ object Multimodal {
           if (len != 8 + 3 * nComp) return None
           for (c <- 0 until nComp) {
             val hv = payload(seg + 7 + 3 * c) & 0xff
-            if (hv != 0x11) return None // 4:4:4 / no subsampling only
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            // luma may subsample the chroma (4:4:4 / 4:2:2 / 4:4:0 /
+            // 4:2:0 — the web's dominant flavors); chroma itself and
+            // grayscale stay 1x1
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return None
+            if (c > 0 && hv != 0x11) return None
             compQ(c) = payload(seg + 8 + 3 * c) & 0xff
             if (compQ(c) > 3) return None
           }
+          if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
           return None // extended/progressive/lossless/arithmetic
@@ -1580,7 +1701,7 @@ object Multimodal {
             Array.tabulate(nComp)(c => quant(compQ(c))),
             Array.tabulate(nComp)(c => dcTabs(compDc(c))),
             Array.tabulate(nComp)(c => acTabs(compAc(c))),
-            restartInterval)
+            compH.take(nComp), compV.take(nComp), restartInterval)
         case _ => // APPn / COM / others: skip
       }
       pos = segEnd
@@ -1593,16 +1714,21 @@ object Multimodal {
                              quant: Array[Array[Int]],
                              dcTabs: Array[JpegHuffTable],
                              acTabs: Array[JpegHuffTable],
+                             compH: Array[Int], compV: Array[Int],
                              restartInterval: Int): Option[(Int, Int, Array[Int])] = {
-    val bxN = (width + 7) / 8
-    val byN = (height + 7) / 8
-    // decoded component planes at padded size
-    val planes = Array.fill(nComp)(new Array[Int](bxN * 8 * byN * 8))
+    val hMax = compH.max; val vMax = compV.max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // per-component planes at that component's sampled (padded) size
+    val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
     val in = new JpegBitReader(payload, start)
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
     var mcu = 0
-    val nMcu = bxN * byN
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         // expect RSTn: align, consume the marker, reset predictors
@@ -1614,63 +1740,76 @@ object Multimodal {
         in.atMarker = false
         java.util.Arrays.fill(dcPred, 0)
       }
-      val bx = mcu % bxN
-      val by = mcu / bxN
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
       var c = 0
       while (c < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        val s = dcTabs(c).decode(in)
-        if (s < 0 || s > 11) return None
-        val dv = if (s == 0) 0 else in.receive(s)
-        if (dv == Int.MinValue) return None
-        dcPred(c) += jpegExtend(dv, s)
-        coef(0) = dcPred(c) * quant(c)(0)
-        var k = 1
-        while (k < 64) {
-          val rs = acTabs(c).decode(in)
-          if (rs < 0) return None
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            val av = in.receive(size)
-            if (av == Int.MinValue) return None
-            val nat = jpegZigzag(k)
-            coef(nat) = jpegExtend(av, size) * quant(c)(nat)
-            k += 1
+        var vb = 0
+        while (vb < compV(c)) {
+          var hb = 0
+          while (hb < compH(c)) {
+            java.util.Arrays.fill(coef, 0)
+            val s = dcTabs(c).decode(in)
+            if (s < 0 || s > 11) return None
+            val dv = if (s == 0) 0 else in.receive(s)
+            if (dv == Int.MinValue) return None
+            dcPred(c) += jpegExtend(dv, s)
+            coef(0) = dcPred(c) * quant(c)(0)
+            var k = 1
+            while (k < 64) {
+              val rs = acTabs(c).decode(in)
+              if (rs < 0) return None
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += run
+                if (k > 63) return None
+                val av = in.receive(size)
+                if (av == Int.MinValue) return None
+                val nat = jpegZigzag(k)
+                coef(nat) = jpegExtend(av, size) * quant(c)(nat)
+                k += 1
+              }
+            }
+            val px = jpegIdct(coef)
+            val ox = (mx * compH(c) + hb) * 8
+            val oy = (my * compV(c) + vb) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val v = math.round(px(yy * 8 + xx)).toInt + 128
+                planes(c)((oy + yy) * planeW(c) + ox + xx) = jpegClamp(v)
+                xx += 1
+              }
+              yy += 1
+            }
+            hb += 1
           }
-        }
-        val px = jpegIdct(coef)
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            val v = math.round(px(yy * 8 + xx)).toInt + 128
-            planes(c)((by * 8 + yy) * (bxN * 8) + bx * 8 + xx) = jpegClamp(v)
-            xx += 1
-          }
-          yy += 1
+          vb += 1
         }
         c += 1
       }
       mcu += 1
     }
-    // crop + color convert
+    // crop + upsample (sample replication: chroma sample (x·h_c/hMax,
+    // y·v_c/vMax)) + color convert
     val rgb = new Array[Int](width * height)
-    val stride = bxN * 8
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val i = y * stride + x
         val (r, g, b) =
-          if (nComp == 1) { val v = planes(0)(i); (v, v, v) }
+          if (nComp == 1) { val v = planes(0)(y * planeW(0) + x); (v, v, v) }
           else {
-            val yv = planes(0)(i); val cb = planes(1)(i); val cr = planes(2)(i)
+            val yv = planes(0)(y * planeW(0) + x)
+            val cbx = x * compH(1) / hMax; val cby = y * compV(1) / vMax
+            val crx = x * compH(2) / hMax; val cry = y * compV(2) / vMax
+            val cb = planes(1)(cby * planeW(1) + cbx)
+            val cr = planes(2)(cry * planeW(2) + crx)
             (jpegYccToR(yv, cr), jpegYccToG(yv, cb, cr), jpegYccToB(yv, cb))
           }
         rgb(y * width + x) = (r << 16) | (g << 8) | b

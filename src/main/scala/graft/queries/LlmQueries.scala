@@ -2643,6 +2643,53 @@ object LlmQueries {
              |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
              |FROM sums ORDER BY media_id""".stripMargin)),
 
+    // 4:2:0 chroma subsampling — the dominant web JPEG flavor: luma at
+    // full resolution (sampling 2x2), chroma quarter-resolution, MCU =
+    // 4 Y blocks + Cb + Cr, decoder upsamples by replication. Fixture
+    // channels are CONSTANT per 16x16 MCU, so the downsample average,
+    // the DCT path, and the replication upsample are all exact and the
+    // oracle replays the same integer conversion chain at MCU
+    // granularity.
+    Q("multimodal_decode_jpeg420", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 18 + (m % 8).toInt
+          val h = 17 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeJpeg420(w, h, (x, y) =>
+            (((m * 13 + (x / 16) * 57 + (y / 16) * 23) % 256).toInt,
+              ((m * 7 + (x / 16) * 31 + (y / 16) * 11) % 256).toInt,
+              ((m * 11 + (x / 16) * 17 + (y / 16) * 29) % 256).toInt)), "image/jpeg")
+        }
+        Multimodal.imageStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 18 + id % 8 AS w, 17 + id % 5 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+             |src AS (SELECT id, w, h,
+             |          (id * 13 + (x // 16) * 57 + (y // 16) * 23) % 256 AS r0,
+             |          (id * 7 + (x // 16) * 31 + (y // 16) * 11) % 256 AS g0,
+             |          (id * 11 + (x // 16) * 17 + (y // 16) * 29) % 256 AS b0
+             |        FROM pix),
+             |ycc AS (SELECT id, w, h,
+             |          LEAST(255, GREATEST(0, (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536)) AS yy,
+             |          LEAST(255, GREATEST(0, 128 + (-11059 * r0 - 21709 * g0 + 32768 * b0 + 32768 + 16777216) // 65536 - 256)) AS cb,
+             |          LEAST(255, GREATEST(0, 128 + (32768 * r0 - 27439 * g0 - 5329 * b0 + 32768 + 16777216) // 65536 - 256)) AS cr
+             |        FROM src),
+             |rgb AS (SELECT id, w, h,
+             |          LEAST(255, GREATEST(0, yy + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+             |          LEAST(255, GREATEST(0, yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256))) AS g,
+             |          LEAST(255, GREATEST(0, yy + (116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+             |        FROM ycc),
+             |sums AS (SELECT id, w, h, sum(r) AS r_sum, sum(g) AS g_sum,
+             |           sum(b) AS b_sum FROM rgb GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
+             |FROM sums ORDER BY media_id""".stripMargin)),
+
     // Cross-format near-dup with JPEG in the mix: ids 0..99 are BMPs of
     // 8x8 gray tiles, ids 100..199 the SAME tile patterns as real
     // grayscale baseline JPEGs (gray payloads round-trip the codec pair

@@ -826,6 +826,33 @@ class LlmSpec extends SparkSpec {
       val d = math.abs(((img.getRGB(x, y) >> sh) & 0xff) - ((mine(y * 40 + x) >> sh) & 0xff))
       assert(d <= 2, s"ImageIO delta $d at ($x,$y) channel shift $sh")
     }
+    // 4:2:0: MCU-constant channels survive downsample + replication
+    // upsample exactly; sampling factors beyond 2x2 luma reject
+    def mcuRgb(x: Int, y: Int): (Int, Int, Int) =
+      ((17 + (x / 16) * 57 + (y / 16) * 23) % 256,
+        (29 + (x / 16) * 31 + (y / 16) * 11) % 256,
+        (41 + (x / 16) * 17 + (y / 16) * 29) % 256)
+    val Some((w4, h4, rgb4)) = decodeJpegRgb(encodeJpeg420(34, 19, mcuRgb)): @unchecked
+    assert(w4 == 34 && h4 == 19)
+    for (y <- 0 until 19; x <- 0 until 34) {
+      val (r0, g0, b0) = mcuRgb(x, y)
+      val yv = jpegRgbToY(r0, g0, b0)
+      val cb = jpegRgbToCb(r0, g0, b0); val cr = jpegRgbToCr(r0, g0, b0)
+      val p = rgb4(y * 34 + x)
+      assert(((p >> 16) & 0xff) == jpegYccToR(yv, cr)
+        && ((p >> 8) & 0xff) == jpegYccToG(yv, cb, cr)
+        && (p & 0xff) == jpegYccToB(yv, cb), s"420 pixel ($x,$y)")
+    }
+    // ImageIO on the same 4:2:0 bytes: libjpeg uses FANCY (interpolating)
+    // chroma upsampling vs this decoder's spec-legal replication, so MCU
+    // boundaries may differ by the chroma step — bounded, not unbounded
+    val jb420 = encodeJpeg420(34, 19, mcuRgb)
+    val img420 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb420))
+    val Some((_, _, mine420)) = decodeJpegRgb(jb420): @unchecked
+    for (y <- 0 until 19; x <- 0 until 34; sh <- Seq(16, 8, 0)) {
+      val d = math.abs(((img420.getRGB(x, y) >> sh) & 0xff) - ((mine420(y * 34 + x) >> sh) & 0xff))
+      assert(d <= 16, s"420 ImageIO delta $d at ($x,$y)")
+    }
     // conformance: junk, truncation, wrong magic, progressive reject
     assert(decodeJpegRgb(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
     assert(decodeJpegRgb(jb.take(jb.length / 2)).isEmpty)
