@@ -73,7 +73,10 @@ object PairedBench {
         () => rankDenseTwoPass(orders,
           Seq("o_orderpriority"), Seq("o_totalprice"),
           Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk", "drnk")),
-      ("agg_weighted_median",
+      ("agg_weighted_median_forms",
+        () => graft.operators.GlobalRank.groupedWeightedMedianLower(
+          liCollapsed, Seq("l_returnflag"), "price_c", "w",
+          "weighted_median_c", "total_weight"),
         () => {
           val cum = graft.operators.GlobalRank.groupedPrefixSumWithTotal(
             liCollapsed, Seq("l_returnflag"), Seq(col("price_c")), "w", "cw", "tw")
@@ -81,7 +84,11 @@ object PairedBench {
             .groupBy(col("l_returnflag"))
             .agg(min(col("price_c")).as("weighted_median_c"),
               max(col("tw")).cast("long").as("total_weight"))
-        },
+        }),
+      ("agg_weighted_median",
+        () => graft.operators.GlobalRank.groupedWeightedMedianLower(
+          liCollapsed, Seq("l_returnflag"), "price_c", "w",
+          "weighted_median_c", "total_weight"),
         () => {
           val collapsed = liCollapsed
           val cum = graft.operators.GlobalRank.groupedPrefixSum(collapsed,

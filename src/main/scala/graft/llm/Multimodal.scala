@@ -142,8 +142,9 @@ object Multimodal {
   // negative-height files), so the decode stage of the pipeline runs a
   // real parse over real bytes. PNG (compressed, zlib through the
   // public JDK Inflater) decodes for real too — see the PNG section
-  // below. Formats needing external codec libraries (JPEG/ffmpeg)
-  // still take the documented [[decodeStub]] fallback.
+  // below, and baseline JPEG (4:4:4 and subsampled 4:2:0/4:2:2) in the
+  // JPEG section. Only progressive JPEG and compressed video still take
+  // the documented [[decodeStub]] fallback.
   // ------------------------------------------------------------------
 
   /** Decoded image statistics: exact per-channel pixel sums (integer —

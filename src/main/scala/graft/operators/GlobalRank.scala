@@ -354,6 +354,59 @@ object GlobalRank {
       .drop("__gb_pid", "__gb_lrn", "__gb_lcs", "__gb_offn", "__gb_offv")
   }
 
+  /** Exact LOWER weighted median per group — the smallest `orderCol`
+    * value whose running weight reaches half the group total — WITHOUT
+    * materializing a full prefix sum: per-(pid, group) weight totals
+    * (dimension-sized) locate the single CROSSING SLICE per group, and
+    * only that slice's rows pay a running-sum window (1/nParts of the
+    * input, balanced). The full-prefix-sum form computes a window over
+    * every row and joins the totals back onto all of them just to read
+    * ONE row per group — this shape does the dimension-sized planning
+    * first and touches the data once more only where the answer lives.
+    * Returns one row per group: (groupCols*, medianCol = min crossing
+    * `orderCol`, totalCol = the group's total weight as BIGINT).
+    * Weights must be non-negative (the running weight must be
+    * monotone for "first crossing" to be the median). */
+  def groupedWeightedMedianLower(df: DataFrame, groupCols: Seq[String],
+                                 orderCol: String, weightCol: String,
+                                 medianCol: String,
+                                 totalCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedWeightedMedianLower needs group columns")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    val ranged = df.repartitionByRange(nParts, gCols :+ col(orderCol): _*)
+      .withColumn("__wm_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wg = Window.partitionBy(gCols: _*).orderBy(col("__wm_pid"))
+    // dimension-sized planning: per-slice totals, running offsets, group
+    // totals, then THE one slice per group where 2·cum first reaches tw
+    val offsets = ranged.groupBy(col("__wm_pid") +: gCols: _*)
+      .agg(sum(col(weightCol).cast("decimal(38,0)")).as("__wm_t"))
+      .withColumn("__wm_off", coalesce(
+        sum(col("__wm_t")).over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L).cast("decimal(38,0)")))
+      .withColumn("__wm_tw", sum(col("__wm_t"))
+        .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("__wm_off") * 2 < col("__wm_tw")
+        && (col("__wm_off") + col("__wm_t")) * 2 >= col("__wm_tw"))
+      .select(col("__wm_pid").as("__wm_pid2") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__wm_g$i") } :+
+        col("__wm_off") :+ col("__wm_tw"): _*)
+    // touch ONLY the crossing slices: local running sum, first crossing row
+    val cond = (col("__wm_pid") === col("__wm_pid2")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__wm_g$i") }
+    ranged.join(broadcast(offsets), cond.reduce(_ && _))
+      .withColumn("__wm_cum", col("__wm_off")
+        + sum(col(weightCol).cast("decimal(38,0)"))
+          .over(Window.partitionBy(col("__wm_pid") +: gCols: _*)
+            .orderBy(col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__wm_cum") * 2 >= col("__wm_tw"))
+      .groupBy(gCols: _*)
+      .agg(min(col(orderCol)).as(medianCol),
+        max(col("__wm_tw")).cast("long").as(totalCol))
+  }
+
   /** [[groupedPrefixSum]] that ALSO appends each group's total as
     * `totCol` (DECIMAL(38,0)) — the per-group total is one more
     * unbounded-frame sum over the dimension-sized offsets table, so

@@ -5561,15 +5561,14 @@ object LlmQueries {
         // cents values, so a running sum partitioned by the 3-value
         // l_returnflag would still sort ~domain/3 rows in one task; the
         // grouped two-phase prefix sum keeps it balanced
-        // one pass over the spine: the per-group total rides the same
-        // dimension-sized offsets broadcast as the running sum — the old
-        // form re-aggregated the corpus a second time just for `tw`
-        val cum = graft.operators.GlobalRank.groupedPrefixSumWithTotal(
-          collapsed, Seq("l_returnflag"), Seq(col("price_c")), "w", "cw", "tw")
-        cum.filter(col("cw") * 2 >= col("tw"))
-          .groupBy(col("l_returnflag"))
-          .agg(min(col("price_c")).as("weighted_median_c"),
-            max(col("tw")).cast("long").as("total_weight"))
+        // crossing-slice selection, not a full prefix sum: per-slice
+        // weight totals (dimension-sized) locate the ONE slice per group
+        // where the running weight reaches half the total, and only that
+        // slice's rows pay a window — the single-quantile readout never
+        // materializes cumulative weights over the whole spine
+        graft.operators.GlobalRank.groupedWeightedMedianLower(collapsed,
+            Seq("l_returnflag"), "price_c", "w",
+            "weighted_median_c", "total_weight")
           .orderBy("l_returnflag")
       },
       Some("""WITH li AS (SELECT l_returnflag,

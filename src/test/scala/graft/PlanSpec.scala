@@ -700,11 +700,14 @@ class PlanSpec extends SparkSpec {
         .exists(_.partitionSpec.exists(_.references.exists(
           _.name.startsWith("__salt")))),
         "text_ngram_freq: expected the salt-local top-k pre-filter")
+      // r12: weighted median is the crossing-slice form — the only
+      // data-touching window is the local running sum over the ONE
+      // crossing slice per group, partitioned by (__wm_pid, group)
       assert(Registry.queries("agg_weighted_median")(spark, dir)
         .queryExecution.executedPlan.collect { case w: WindowExec => w }
         .exists(_.partitionSpec.exists(_.references.exists(
-          _.name.startsWith("__gs_pid")))),
-        "agg_weighted_median: expected the two-phase grouped prefix sum")
+          _.name.startsWith("__wm_pid")))),
+        "agg_weighted_median: expected the crossing-slice weighted median")
       val w7 = Registry.queries("w7_range_frame")(spark, dir)
         .queryExecution.executedPlan
       assert(w7.collect { case w: WindowExec => w }.isEmpty,

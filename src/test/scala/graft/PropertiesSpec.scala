@@ -510,6 +510,34 @@ class PropertiesSpec extends SparkSpec {
       w = 10L, "n").count() == 0)
   }
 
+  test("groupedWeightedMedianLower equals the window-form weighted median") {
+    import org.apache.spark.sql.expressions.Window
+    // unique (group, value) spine with a null group, heavy value ties
+    // pre-collapsed away (the operator contract), skewed weights
+    val df = (1 to 2000).map(i =>
+      (if (i % 5 == 0) null else s"g${i % 3}", i.toLong, ((i * 37 % 23) + 1).toLong))
+      .toDF("g", "v", "w").groupBy("g", "v").agg(sum(col("w")).as("w"))
+    val got = graft.operators.GlobalRank.groupedWeightedMedianLower(
+        df.repartition(17), Seq("g"), "v", "w", "med", "tot")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("tot")))).toMap
+    val expect = df
+      .withColumn("cw", sum(col("w")).over(Window.partitionBy(col("g"))
+        .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tw", sum(col("w")).over(Window.partitionBy(col("g"))))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("med"), max(col("tw")).as("tot"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("tot")))).toMap
+    assert(got == expect)
+    assert(got.contains(None), "the null group must survive")
+    // empty input
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "v", "w")
+    assert(graft.operators.GlobalRank.groupedWeightedMedianLower(empty,
+      Seq("g"), "v", "w", "m", "t").count() == 0)
+  }
+
   test("fused rank+prefix-sum helpers equal their window forms, totals included") {
     import org.apache.spark.sql.expressions.Window
     // same adversarial shape as the grouped tests: heavy ties, few groups,
