@@ -3278,6 +3278,123 @@ object LlmQueries {
              |       CAST(score_micro AS BIGINT) AS score_micro, rnk
              |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009
+    // — the standard lexical+semantic blend of production RAG): BM25
+    // top-20 and exact embedding top-20 per query, fused as
+    // Σ 10⁶ div (60 + rank) over the lists that retrieved the doc, final
+    // top-10. All-integer fusion (exact on both engines); the final
+    // ranking window sees only the ≤40 fused candidates per query, and
+    // each leg keeps its own scale shape (BM25's vocabulary join, the
+    // ANN broadcast scan).
+    Q("text_hybrid_rrf", "LLM",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val probes = Seq(
+          (1, "spark join shuffle window"),
+          (2, "customer order line value"),
+          (3, "vector hash merge nosuchterm")).toDF("query_id", "query_text")
+        val lex = TextAnalysis.bm25Search(Tables(s, d, "documents"), probes, k = 20)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("doc_id"), col("rnk").cast("long").as("lex_rnk"))
+        val e = Tables(s, d, "embeddings")
+        val sem = Similarity.bruteForceTopK(e.filter(col("vec_id") >= 5),
+            e.filter(col("vec_id").between(1, 3)), 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rnk").cast("long").as("sem_rnk"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+        lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000 div (60 + lex_rnk)"), lit(0L))
+              + coalesce(expr("1000000 div (60 + sem_rnk)"), lit(0L)))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("query_id"), col("doc_id"), col("lex_rnk"),
+            col("sem_rnk"), col("rrf_micro"), col("rnk"))
+          .orderBy("query_id", "rnk")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+              |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |stats AS (SELECT count(*) AS n_docs, sum(dl) * 1000 // count(*) AS avgdl_milli FROM dl),
+              |q(query_id, query_text) AS (VALUES
+              |  (1, 'spark join shuffle window'),
+              |  (2, 'customer order line value'),
+              |  (3, 'vector hash merge nosuchterm')),
+              |qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+              |idf AS (SELECT term,
+              |          CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6) AS BIGINT) AS idf_micro,
+              |          avgdl_milli
+              |        FROM dfq, stats),
+              |sc AS (SELECT qt.query_id, tf.doc_id,
+              |         idf.idf_micro * tf.tf * 2200
+              |           // (tf.tf * 1000
+              |              + (1200 * (250 + (750 * dl.dl * 1000) // idf.avgdl_milli)) // 1000)
+              |           AS s_micro
+              |       FROM tf JOIN qt USING (term) JOIN idf USING (term)
+              |            JOIN dl USING (doc_id)),
+              |lag_ AS (SELECT query_id, doc_id, sum(s_micro) AS score_micro FROM sc GROUP BY 1, 2),
+              |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+              |          CAST(rnk AS BIGINT) AS lex_rnk FROM (
+              |          SELECT query_id, doc_id, score_micro,
+              |            row_number() OVER (PARTITION BY query_id
+              |              ORDER BY score_micro DESC, doc_id) AS rnk
+              |          FROM lag_) WHERE rnk <= 20),
+              |qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              |       WHERE vec_id BETWEEN 1 AND 3),
+              |cv AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+              |ssc AS (SELECT query_id, doc_id,
+              |          CAST(round(($dotSql) * 1000000) AS BIGINT) AS score_micro
+              |        FROM qv, cv),
+              |sem AS (SELECT query_id, doc_id, CAST(rnk AS BIGINT) AS sem_rnk FROM (
+              |          SELECT query_id, doc_id, score_micro,
+              |            row_number() OVER (PARTITION BY query_id
+              |              ORDER BY score_micro DESC, doc_id) AS rnk
+              |          FROM ssc) WHERE rnk <= 20),
+              |fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+              |            coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+              |            lex.lex_rnk, sem.sem_rnk,
+              |            coalesce(1000000 // (60 + lex.lex_rnk), 0)
+              |              + coalesce(1000000 // (60 + sem.sem_rnk), 0) AS rrf_micro
+              |          FROM lex FULL OUTER JOIN sem
+              |            ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id),
+              |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              |        ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rnk FROM fused)
+              |SELECT query_id, doc_id, lex_rnk, sem_rnk, rrf_micro, rnk
+              |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Semantic decontamination (the embedding-space complement of the
+    // n-gram decontaminate pair): flag TRAINING documents whose embedding
+    // clears a cosine radius of ANY benchmark vector — paraphrased eval
+    // leakage that exact n-grams miss. Pure composition: the benchmark
+    // side rides [[Similarity.rangeSearch]]'s broadcast (small by
+    // construction), the corpus is one map-only scan, and the per-doc
+    // readout is a high-cardinality-key aggregate.
+    Q("text_decontaminate_semantic", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        Similarity.rangeSearch(e.filter(col("vec_id") >= 20),
+            e.filter(col("vec_id") < 20), radius = 0.15)
+          .groupBy(col("neighbor_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_benchmark_hits"),
+            max(col("cosine_micro")).as("max_cosine_micro"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 20),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+             |               / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+             |                  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) * 1000000) AS BIGINT) AS cm
+             |       FROM c CROSS JOIN q WHERE query_id <> doc_id)
+             |SELECT doc_id, count(*) AS n_benchmark_hits,
+             |       CAST(max(cm) AS BIGINT) AS max_cosine_micro
+             |FROM sc WHERE cm >= 150000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("text_decontaminate", "LLM",
       (s, d) => {
         val docs = Tables(s, d, "documents")
