@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * distinguishing from real regressions. This harness measures plan
   * DELTAS the statistically honest way: both variants of a query run
   * INTERLEAVED in one JVM session (A B A B …, `rounds` times each after
-  * one untimed warm-up of each), and the report is per-variant MEDIANS
+  * THREE untimed warm-ups of each — JIT was still warming through round
+  * ~4 with a single warm-up), and the report is per-variant MEDIANS
   * plus spread — JIT state, page cache, and GC pressure hit both
   * variants equally, so the delta isolates the plan change.
   *

@@ -362,8 +362,8 @@ object Multimodal {
           // window span an image region wider than 8 px — e.g. one
           // sample per 8x8 JPEG block, so block-quantized payloads
           // still hash on real inter-block structure
-          case (w, h, gray) if w > (winW - 1) * strideX
-              && h > (winH - 1) * strideY =>
+          case (w, h, gray) if w.toLong > (winW - 1).toLong * strideX
+              && h.toLong > (winH - 1).toLong * strideY =>
             val (hash, nSet) = grayWindowHash(w, gray, winW, winH,
               strideX, strideY)
             ImageHash(r.media_id, w, h, hash, nSet)
@@ -1238,6 +1238,12 @@ object Multimodal {
     s
   }
 
+  /** cos((2a+1)·b·π/16) for a, b in 0..7 — the only trig the DCTs need,
+    * precomputed once (the direct-evaluation loops would otherwise pay
+    * 8192 math.cos calls per block on the decode hot path). */
+  private val jpegCosTab: Array[Array[Double]] =
+    Array.tabulate(8, 8)((a, b) => math.cos((2 * a + 1) * b * math.Pi / 16))
+
   /** Forward 8x8 DCT (T.81 A.3.3), direct double evaluation. */
   private def jpegFdct(s: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
@@ -1252,9 +1258,7 @@ object Multimodal {
         while (y < 8) {
           var x = 0
           while (x < 8) {
-            acc += s(y * 8 + x) *
-              math.cos((2 * x + 1) * v * math.Pi / 16) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
+            acc += s(y * 8 + x) * jpegCosTab(x)(v) * jpegCosTab(y)(u)
             x += 1
           }
           y += 1
@@ -1281,9 +1285,7 @@ object Multimodal {
           while (v < 8) {
             val cu = if (u == 0) 0.7071067811865476 else 1.0
             val cv = if (v == 0) 0.7071067811865476 else 1.0
-            acc += cu * cv * c(u * 8 + v) *
-              math.cos((2 * x + 1) * v * math.Pi / 16) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
+            acc += cu * cv * c(u * 8 + v) * jpegCosTab(x)(v) * jpegCosTab(y)(u)
             v += 1
           }
           u += 1
@@ -1343,89 +1345,121 @@ object Multimodal {
     encodeJpegPlanes(width, height, 1,
       (x, y) => Array(((gray(x, y) % 256) + 256) % 256))
 
+  /** Shared encoder core: JFIF header emission (SOI/APP0/DQT/SOF0 with
+    * per-component sampling factors/DHTs/SOS) plus the per-block
+    * FDCT -> quantize -> Huffman emit — ONE definition for the 4:4:4 and
+    * 4:2:0 writers, which previously duplicated ~50 lines each (a DQT or
+    * DHT change had to land twice or the two encoders silently
+    * diverged). */
+  private final class JpegEncoder(width: Int, height: Int, nComp: Int,
+                                  sampling: Array[Int]) {
+    private val out = new java.io.ByteArrayOutputStream()
+    private def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    private def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    locally {
+      marker(0xd8) // SOI
+      marker(0xe0); u16(16) // APP0 JFIF
+      out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
+      out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+      marker(0xdb); u16(2 + 65) // DQT, table 0, 8-bit
+      out.write(0x00)
+      for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
+      marker(0xc0); u16(8 + 3 * nComp) // SOF0
+      out.write(8); u16(height); u16(width); out.write(nComp)
+      for (c <- 0 until nComp) { out.write(c + 1); out.write(sampling(c)); out.write(0) }
+      def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+        marker(0xc4); u16(2 + 1 + 16 + vals.length)
+        out.write((cls << 4) | id)
+        bits.foreach(out.write)
+        vals.foreach(out.write)
+      }
+      dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
+      dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
+      if (nComp == 3) {
+        dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
+        dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
+      }
+      marker(0xda); u16(6 + 2 * nComp) // SOS
+      out.write(nComp)
+      for (c <- 0 until nComp) {
+        out.write(c + 1)
+        out.write(if (c == 0) 0x00 else 0x11)
+      }
+      out.write(0); out.write(63); out.write(0)
+    }
+    private val dcLuma = jpegCodes(jpegDcLumaBits, jpegDcLumaVals)
+    private val acLuma = jpegCodes(jpegAcLumaBits, jpegAcLumaVals)
+    private val dcChroma = jpegCodes(jpegDcChromaBits, jpegDcChromaVals)
+    private val acChroma = jpegCodes(jpegAcChromaBits, jpegAcChromaVals)
+    private val bw = new JpegBitWriter(out)
+    private val dcPred = new Array[Int](nComp)
+    private val block = new Array[Double](64)
+    private val zz = new Array[Int](64)
+    /** FDCT + quantize + emit one 8x8 block of component `c`, sampled at
+      * origin (ox, oy) via `sample`. */
+    def emitBlock(c: Int, sample: (Int, Int) => Int, ox: Int, oy: Int): Unit = {
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          block(yy * 8 + xx) = sample(ox + xx, oy + yy) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      val coef = jpegFdct(block)
+      var k = 0
+      while (k < 64) {
+        val nat = jpegZigzag(k)
+        zz(k) = math.round(coef(nat) / jpegQuant(nat)).toInt
+        k += 1
+      }
+      dcPred(c) = jpegEncodeBlock(bw, zz, dcPred(c),
+        if (c == 0) dcLuma else dcChroma, if (c == 0) acLuma else acChroma)
+    }
+    def finish(): Array[Byte] = {
+      bw.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+  }
+
   private def encodeJpegPlanes(width: Int, height: Int, nComp: Int,
                                samples: (Int, Int) => Array[Int]): Array[Byte] = {
     require(width > 0 && height > 0, s"need positive dims, got $width x $height")
     require(nComp == 1 || nComp == 3, s"1 or 3 components, got $nComp")
-    val out = new java.io.ByteArrayOutputStream()
-    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    marker(0xe0); u16(16) // APP0 JFIF
-    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
-    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
-    marker(0xdb); u16(2 + 65) // DQT, table 0, 8-bit
-    out.write(0x00)
-    for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
-    marker(0xc0); u16(8 + 3 * nComp) // SOF0
-    out.write(8); u16(height); u16(width); out.write(nComp)
-    for (c <- 0 until nComp) { out.write(c + 1); out.write(0x11); out.write(0) }
-    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length)
-      out.write((cls << 4) | id)
-      bits.foreach(out.write)
-      vals.foreach(out.write)
-    }
-    dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
-    dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
-    if (nComp == 3) {
-      dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
-      dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
-    }
-    marker(0xda); u16(6 + 2 * nComp) // SOS
-    out.write(nComp)
-    for (c <- 0 until nComp) {
-      out.write(c + 1)
-      out.write(if (c == 0) 0x00 else 0x11)
-    }
-    out.write(0); out.write(63); out.write(0)
-    // entropy-coded data: MCU = one block per component (all factors 1)
-    val dcLuma = jpegCodes(jpegDcLumaBits, jpegDcLumaVals)
-    val acLuma = jpegCodes(jpegAcLumaBits, jpegAcLumaVals)
-    val dcChroma = jpegCodes(jpegDcChromaBits, jpegDcChromaVals)
-    val acChroma = jpegCodes(jpegAcChromaBits, jpegAcChromaVals)
-    val bw = new JpegBitWriter(out)
+    val enc = new JpegEncoder(width, height, nComp,
+      Array.fill(nComp)(0x11)) // 4:4:4 — every factor 1
     val bxN = (width + 7) / 8
     val byN = (height + 7) / 8
-    val dcPred = new Array[Int](nComp)
-    val block = new Array[Double](64)
-    val zz = new Array[Int](64)
+    // every component reads the SAME 64 pixel positions per MCU — fetch
+    // each position's full sample vector ONCE (the per-component fetch
+    // recomputed all three color conversions 3x and allocated an array
+    // per read)
+    val cache = new Array[Array[Int]](64)
     var by = 0
     while (by < byN) {
       var bx = 0
       while (bx < bxN) {
+        var i = 0
+        while (i < 64) {
+          // edge replication pad
+          val sx = math.min(bx * 8 + i % 8, width - 1)
+          val sy = math.min(by * 8 + i / 8, height - 1)
+          cache(i) = samples(sx, sy)
+          i += 1
+        }
         var c = 0
         while (c < nComp) {
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              // edge replication pad
-              val sx = math.min(bx * 8 + xx, width - 1)
-              val sy = math.min(by * 8 + yy, height - 1)
-              block(yy * 8 + xx) = samples(sx, sy)(c) - 128.0
-              xx += 1
-            }
-            yy += 1
-          }
-          val coef = jpegFdct(block)
-          var k = 0
-          while (k < 64) {
-            val nat = jpegZigzag(k)
-            zz(k) = math.round(coef(nat) / jpegQuant(nat)).toInt
-            k += 1
-          }
-          dcPred(c) = jpegEncodeBlock(bw, zz, dcPred(c),
-            if (c == 0) dcLuma else dcChroma, if (c == 0) acLuma else acChroma)
+          enc.emitBlock(c, (x, y) => cache((y - by * 8) * 8 + (x - bx * 8))(c),
+            bx * 8, by * 8)
           c += 1
         }
         bx += 1
       }
       by += 1
     }
-    bw.flush()
-    marker(0xd9) // EOI
-    out.toByteArray
+    enc.finish()
   }
 
   /** Write a baseline JFIF file at 4:2:0 — the dominant web flavor: luma
@@ -1459,64 +1493,10 @@ object Multimodal {
       }
       (sum + 2) / 4
     }
-    val out = new java.io.ByteArrayOutputStream()
-    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8)
-    marker(0xe0); u16(16)
-    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
-    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
-    marker(0xdb); u16(2 + 65)
-    out.write(0x00)
-    for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
-    marker(0xc0); u16(8 + 9)
-    out.write(8); u16(height); u16(width); out.write(3)
-    out.write(1); out.write(0x22); out.write(0) // Y at 2x2
-    out.write(2); out.write(0x11); out.write(0)
-    out.write(3); out.write(0x11); out.write(0)
-    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length)
-      out.write((cls << 4) | id)
-      bits.foreach(out.write)
-      vals.foreach(out.write)
-    }
-    dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
-    dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
-    dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
-    dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
-    marker(0xda); u16(12)
-    out.write(3)
-    out.write(1); out.write(0x00)
-    out.write(2); out.write(0x11)
-    out.write(3); out.write(0x11)
-    out.write(0); out.write(63); out.write(0)
-    val dcLuma = jpegCodes(jpegDcLumaBits, jpegDcLumaVals)
-    val acLuma = jpegCodes(jpegAcLumaBits, jpegAcLumaVals)
-    val dcChroma = jpegCodes(jpegDcChromaBits, jpegDcChromaVals)
-    val acChroma = jpegCodes(jpegAcChromaBits, jpegAcChromaVals)
-    val bw = new JpegBitWriter(out)
+    val enc = new JpegEncoder(width, height, 3,
+      Array(0x22, 0x11, 0x11)) // Y at 2x2, chroma 1x1
     val mcusX = (width + 15) / 16
     val mcusY = (height + 15) / 16
-    val dcPred = new Array[Int](3)
-    val block = new Array[Double](64)
-    val zz = new Array[Int](64)
-    def emit(c: Int, sample: (Int, Int) => Int, ox: Int, oy: Int): Unit = {
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) { block(yy * 8 + xx) = sample(ox + xx, oy + yy) - 128.0; xx += 1 }
-        yy += 1
-      }
-      val coefs = jpegFdct(block)
-      var k = 0
-      while (k < 64) {
-        val nat = jpegZigzag(k)
-        zz(k) = math.round(coefs(nat) / jpegQuant(nat)).toInt
-        k += 1
-      }
-      dcPred(c) = jpegEncodeBlock(bw, zz, dcPred(c),
-        if (c == 0) dcLuma else dcChroma, if (c == 0) acLuma else acChroma)
-    }
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -1525,20 +1505,18 @@ object Multimodal {
         while (vb < 2) {
           var hb = 0
           while (hb < 2) {
-            emit(0, yAt, mx * 16 + hb * 8, my * 16 + vb * 8)
+            enc.emitBlock(0, yAt, mx * 16 + hb * 8, my * 16 + vb * 8)
             hb += 1
           }
           vb += 1
         }
-        emit(1, chromaAt(_, _, cb = true), mx * 8, my * 8)
-        emit(2, chromaAt(_, _, cb = false), mx * 8, my * 8)
+        enc.emitBlock(1, chromaAt(_, _, cb = true), mx * 8, my * 8)
+        enc.emitBlock(2, chromaAt(_, _, cb = false), mx * 8, my * 8)
         mx += 1
       }
       my += 1
     }
-    bw.flush()
-    marker(0xd9)
-    out.toByteArray
+    enc.finish()
   }
 
   /** Canonical Huffman decode table: maxLen-bit index -> (symbol, len).
@@ -1665,6 +1643,14 @@ object Multimodal {
           height = u16(seg + 1); width = u16(seg + 3)
           nComp = payload(seg + 5) & 0xff
           if (width <= 0 || height <= 0) return None
+          // allocation guard (the PNG stride-guard discipline): a
+          // ~150-byte payload can declare 65535x65535 — plane and RGB
+          // buffer sizes would wrap Int (NegativeArraySizeException
+          // inside mapPartitions kills the task) or force multi-GB
+          // allocations before any entropy data is validated. 2^26
+          // pixels (64 Mpx) is far above any fixture and keeps every
+          // buffer size comfortably inside Int.
+          if (width.toLong * height > (1L << 26)) return None
           if (nComp != 1 && nComp != 3) return None
           if (len != 8 + 3 * nComp) return None
           for (c <- 0 until nComp) {
@@ -1755,6 +1741,11 @@ object Multimodal {
             val dv = if (s == 0) 0 else in.receive(s)
             if (dv == Int.MinValue) return None
             dcPred(c) += jpegExtend(dv, s)
+            // a conformant 8-bit baseline stream keeps |quantized DC| <=
+            // ~2047; a crafted stream of max positive diffs would walk
+            // dcPred into Int-overflowing dequant products and surface
+            // garbage sums as a SUCCESSFUL decode — reject instead
+            if (dcPred(c) < -(1 << 14) || dcPred(c) > (1 << 14)) return None
             coef(0) = dcPred(c) * quant(c)(0)
             var k = 1
             while (k < 64) {

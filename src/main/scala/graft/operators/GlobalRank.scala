@@ -366,7 +366,8 @@ object GlobalRank {
     * Returns one row per group: (groupCols*, medianCol = min crossing
     * `orderCol`, totalCol = the group's total weight as BIGINT).
     * Weights must be non-negative (the running weight must be
-    * monotone for "first crossing" to be the median). */
+    * monotone for "first crossing" to be the median); an all-zero
+    * group yields (min value, 0), matching the window form. */
   def groupedWeightedMedianLower(df: DataFrame, groupCols: Seq[String],
                                  orderCol: String, weightCol: String,
                                  medianCol: String,
@@ -387,7 +388,13 @@ object GlobalRank {
         lit(0L).cast("decimal(38,0)")))
       .withColumn("__wm_tw", sum(col("__wm_t"))
         .over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("__wm_off") * 2 < col("__wm_tw")
+      // <= on the left edge: a group whose total weight is ZERO (legal
+      // under the non-negative contract) has every slice at off = tw = 0
+      // and must still surface (min value, 0) exactly like the window
+      // form — a strict < would silently drop it. For tw > 0 the <=
+      // admits at most one extra boundary slice whose rows all sit at or
+      // past the crossing; min() still reads the true first crossing.
+      .filter(col("__wm_off") * 2 <= col("__wm_tw")
         && (col("__wm_off") + col("__wm_t")) * 2 >= col("__wm_tw"))
       .select(col("__wm_pid").as("__wm_pid2") +:
         groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__wm_g$i") } :+

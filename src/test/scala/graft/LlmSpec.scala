@@ -863,6 +863,22 @@ class LlmSpec extends SparkSpec {
       && i + 1 < progressive.length && (progressive(i + 1) & 0xff) == 0xc0).get
     progressive(sof + 1) = 0xc2.toByte
     assert(decodeJpegRgb(progressive).isEmpty, "progressive must reject")
+    // allocation/overflow guards: a crafted SOF0 declaring 65503x65503
+    // must return None (plane sizes would wrap Int and crash the task),
+    // not allocate; same discipline as the PNG stride guard
+    val huge = jb.clone()
+    val sofAt = huge.indices.find(i => (huge(i) & 0xff) == 0xff
+      && i + 1 < huge.length && (huge(i + 1) & 0xff) == 0xc0).get
+    // SOF0 payload: len(2) precision(1) height(2) width(2) ...
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xdf.toByte // height 65503
+    huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xdf.toByte // width 65503
+    assert(decodeJpegRgb(huge).isEmpty, "oversized SOF dims must reject")
+    // oversized aHash strides must SKIP records (Long-math guard), not
+    // wrap Int and index out of bounds
+    val strideMedia = Seq(
+      MediaRecord(7L, encodeJpegGray(64, 48, (x, y) => (x + y) % 256), "image/jpeg")).toDS()
+    assert(aHash(strideMedia, winW = 8, winH = 6,
+      strideX = 500000000, strideY = 500000000).collect().isEmpty)
     // dispatch: imageStats and aHash accept JPEG payloads alongside BMP/PNG
     val media = Seq(
       MediaRecord(1L, encodeJpeg(9, 7, blockRgb(1)), "image/jpeg"),

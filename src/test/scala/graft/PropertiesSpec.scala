@@ -513,10 +513,13 @@ class PropertiesSpec extends SparkSpec {
   test("groupedWeightedMedianLower equals the window-form weighted median") {
     import org.apache.spark.sql.expressions.Window
     // unique (group, value) spine with a null group, heavy value ties
-    // pre-collapsed away (the operator contract), skewed weights
+    // pre-collapsed away (the operator contract), skewed weights, and
+    // one ALL-ZERO-weight group (must yield (min value, 0), not vanish)
     val df = (1 to 2000).map(i =>
-      (if (i % 5 == 0) null else s"g${i % 3}", i.toLong, ((i * 37 % 23) + 1).toLong))
+      (if (i % 5 == 0) null else s"g${i % 3}", i.toLong,
+        if (i % 5 != 0 && i % 3 == 0) 0L else ((i * 37 % 23) + 1).toLong))
       .toDF("g", "v", "w").groupBy("g", "v").agg(sum(col("w")).as("w"))
+      .union(Seq(("gzero", 1L, 0L), ("gzero", 2L, 0L)).toDF("g", "v", "w"))
     val got = graft.operators.GlobalRank.groupedWeightedMedianLower(
         df.repartition(17), Seq("g"), "v", "w", "med", "tot")
       .collect().map(r => Option(r.getString(0)) ->
@@ -532,6 +535,7 @@ class PropertiesSpec extends SparkSpec {
         ((r.getAs[Long]("med"), r.getAs[Long]("tot")))).toMap
     assert(got == expect)
     assert(got.contains(None), "the null group must survive")
+    assert(got(Some("gzero")) == ((1L, 0L)), "zero-weight group must survive")
     // empty input
     val empty = Seq.empty[(String, Long, Long)].toDF("g", "v", "w")
     assert(graft.operators.GlobalRank.groupedWeightedMedianLower(empty,
