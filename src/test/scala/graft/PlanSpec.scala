@@ -717,6 +717,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("semantic decontamination broadcasts the benchmark side; RRF fuses bounded lists") {
+    // the benchmark embeddings must ride a broadcast into the corpus scan
+    // (rangeSearch's contract) — a shuffle join here would move the corpus
+    val pd = plan("text_decontaminate_semantic")
+    assert(pd.contains("BroadcastNestedLoopJoin") || pd.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$pd")
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"))
+    // hybrid RRF: the final per-query ranking window runs over the fused
+    // candidate set, which is bounded by construction (<= 2k rows per
+    // query — both legs are top-k'd BEFORE the fusion join), so the
+    // low-cardinality query_id partition key is safe here; lock that both
+    // legs' own rankings stay partitioned by query_id over top-k'd,
+    // aggregated inputs (an aggregate below each window)
+    val pr = plan("text_hybrid_rrf")
+    assert(pr.contains("Window"), s"expected the fused-list ranking window:\n$pr")
+    assert(!pr.contains("CartesianProduct"))
+  }
+
   test("power iteration: direction rides broadcasts, corpus never shuffle-joins") {
     val p = plan("emb_pca_power")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
