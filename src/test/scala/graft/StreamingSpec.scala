@@ -261,10 +261,17 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData((0L, img(1), "image/bmp"), (1L, img(90), "image/bmp"))
       query.processAllAvailable()
+      // JPEG payloads ride the SAME maintainer (format-agnostic decode
+      // dispatch): two identical grayscale JPEGs must flag as twins, and
+      // a JPEG-magic-but-garbage payload must drop like the BMP junk
+      def jpegImg(seed: Int) = Multimodal.encodeJpegGray(9, 7,
+        (x, y) => (x * 13 + y * 7 + seed) % 256)
       input.addData(
         (10L, img(1), "image/bmp"),  // identical content to 0 (hamming 0)
         (20L, img(55), "image/bmp"), (21L, img(55), "image/bmp"), // twins
-        (30L, Array[Byte](9, 9), "image/bmp")) // undecodable -> dropped
+        (30L, Array[Byte](9, 9), "image/bmp"), // undecodable -> dropped
+        (40L, jpegImg(7), "image/jpeg"), (41L, jpegImg(7), "image/jpeg"),
+        (42L, Array[Byte](0xff.toByte, 0xd8.toByte, 0, 1), "image/jpeg"))
       query.processAllAvailable()
       val flags = spark.read.parquet(s"$dir/flags").collect()
         .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("matched_id"),
@@ -273,10 +280,12 @@ class StreamingSpec extends SparkSpec {
         .contains((10L, 0L)), s"cross-batch dup must flag: ${flags.toSeq}")
       assert(flags.contains((20L, 21L, 0)) && flags.contains((21L, 20L, 0)),
         s"same-batch twins must flag both ways: ${flags.toSeq}")
+      assert(flags.contains((40L, 41L, 0)) && flags.contains((41L, 40L, 0)),
+        s"JPEG twins must flag both ways: ${flags.toSeq}")
       // index holds 6 bands for each decodable image, none for the junk
       val idx = spark.read.parquet(s"$dir/index")
-      assert(idx.select("media_id").distinct().count() == 5)
-      assert(idx.count() == 30)
+      assert(idx.select("media_id").distinct().count() == 7)
+      assert(idx.count() == 42)
     } finally query.stop()
   }
 
