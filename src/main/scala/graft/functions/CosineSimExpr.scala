@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   * (equivalence locked by DotProductSpec). Null if the arrays differ in
   * length or any element is null. Zero-norm inputs keep raw IEEE
   * semantics (0/0 → NaN) where the composed form would die under ANSI's
-  * DIVIDE_BY_ZERO — strictly more tolerant, and a NaN never passes a
-  * `>= threshold` filter, so degenerate vectors drop out instead of
-  * killing the job.
+  * DIVIDE_BY_ZERO — strictly more tolerant. NOTE: Spark ORDERS NaN as
+  * greater than any numeric, so a raw `NaN >= threshold` comparison is
+  * TRUE — which is why every consumer normalizes through
+  * [[graft.llm.Similarity.microScore]] (NaN → 0 micro-units via nanvl)
+  * before thresholding or ranking; degenerate vectors then score 0 and
+  * drop out deterministically on both engines.
   *
   * SQL name `graft_cosine` (register via [[GraftFunctions.register]] or
   * the `GraftExtensions` session extension).

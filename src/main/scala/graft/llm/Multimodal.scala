@@ -1647,10 +1647,17 @@ object Multimodal {
           // ~150-byte payload can declare 65535x65535 — plane and RGB
           // buffer sizes would wrap Int (NegativeArraySizeException
           // inside mapPartitions kills the task) or force multi-GB
-          // allocations before any entropy data is validated. 2^26
-          // pixels (64 Mpx) is far above any fixture and keeps every
-          // buffer size comfortably inside Int.
-          if (width.toLong * height > (1L << 26)) return None
+          // allocations before any entropy data is validated. 2^24
+          // pixels (16 Mpx ≈ 4096x4096, a full-size photo) is far above
+          // any fixture, keeps every buffer size comfortably inside
+          // Int, and bounds the worst-case transient plane+RGB
+          // allocation to ~130 MB per record (the r12 guard's 2^26 cap
+          // still allowed ~0.5-1 GB per crafted record — enough for a
+          // partition of them to OOM an executor even though every
+          // decode eventually returns None). A cheap entropy-length
+          // plausibility check at SOS (below) rejects tiny crafted
+          // payloads before ANY plane is allocated.
+          if (width.toLong * height > (1L << 24)) return None
           if (nComp != 1 && nComp != 3) return None
           if (len != 8 + 3 * nComp) return None
           for (c <- 0 until nComp) {
@@ -1684,6 +1691,19 @@ object Multimodal {
           for (c <- 0 until nComp)
             if (quant(compQ(c)) == null || dcTabs(compDc(c)) == null ||
               acTabs(compAc(c)) == null) return None
+          // entropy-length plausibility (r12 ADVICE): every coded block
+          // costs AT LEAST 2 bits (a 1-bit DC code + a 1-bit AC EOB —
+          // the degenerate-table floor), so a payload with fewer than
+          // nBlocks/4 bytes after SOS cannot encode the declared
+          // geometry. Rejects a ~200-byte payload declaring 4096x4096
+          // (which needs >=196 KB) BEFORE the planes are allocated.
+          val hMax = compH.take(nComp).max
+          val vMax = compV.take(nComp).max
+          val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+          val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          val blocksPerMcu = (0 until nComp).map(c => compH(c) * compV(c)).sum
+          val minEntropyBytes = mcusX.toLong * mcusY * blocksPerMcu * 2 / 8
+          if ((payload.length - segEnd).toLong < minEntropyBytes) return None
           return jpegDecodeScan(payload, segEnd, width, height, nComp,
             Array.tabulate(nComp)(c => quant(compQ(c))),
             Array.tabulate(nComp)(c => dcTabs(compDc(c))),

@@ -38,10 +38,22 @@ object Similarity {
     * DuckDB rounds the double product x·10⁶ — they split on .5-millionth
     * boundaries; the sf10 gate caught w6 disagreeing on 1,209 of 15 M
     * rows, SCALE_r11.md §1) cannot occur: a scale-0 round of the SAME
-    * double is half-away-from-zero on both engines. NaN casts to 0 and
-    * so fails any positive threshold, same as the NaN comparison did. */
+    * double is half-away-from-zero on both engines.
+    *
+    * NaN (a zero-norm vector's 0/0 cosine) is normalized to 0 EXPLICITLY
+    * with `nanvl` BEFORE the cast, because the engines disagree on the
+    * raw forms: Spark's cast(NaN AS LONG) silently yields 0 while
+    * DuckDB's CAST(round(NaN*1e6) AS BIGINT) raises a hard Conversion
+    * Error — and under the pre-micro `round(x, 6)` comparisons both
+    * engines treated NaN as GREATER than any threshold (ordered-last
+    * semantics), so degenerate vectors PASSED. The contract is now: NaN
+    * score ≡ 0 micro-units on both engines — fails any positive
+    * threshold, ranks at the bottom, never crashes the oracle. Oracles
+    * over NaN-capable expressions (norm divisions) mirror this with
+    * `CASE WHEN isnan(x) THEN 0 ELSE CAST(round(x*1e6) AS BIGINT) END`;
+    * pinned by `ann_zero_vector_contract`. */
   private[llm] def microScore(x: Column): Column =
-    round(x * lit(1e6)).cast("long")
+    round(nanvl(x, lit(0d)) * lit(1e6)).cast("long")
 
   /** Exact top-k: score every candidate against every query (queries side
     * must be small — it is broadcast), rank per query.

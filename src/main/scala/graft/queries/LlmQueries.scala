@@ -13,6 +13,27 @@ import graft.streaming.StreamingOps
   */
 object LlmQueries {
 
+  /** DuckDB twin of `microScore(cosine(x, y))` — the one NaN-CAPABLE
+    * score shape (cosine = dot / (|x||y|): a zero-norm vector gives 0/0).
+    * The Scala side normalizes via `round(nanvl(cos, 0)*1e6)::long`; the
+    * SQL twin must guard TWO DuckDB divergences, measured against the
+    * gate's DuckDB 1.0.0: (a) float division by zero yields NULL, not
+    * IEEE NaN — so `0/0` would silently DROP the row through the
+    * threshold filter where Spark keeps it at 0; (b) a NaN that does
+    * reach CAST(round(NaN*1e6) AS BIGINT) raises a hard Conversion
+    * Error. Hence: zero denominator → 0 explicitly, isnan → 0 (NaN
+    * input elements), else the plain micro cast. Genuine NULLs (null
+    * embedding) stay NULL through every branch on both engines. Takes
+    * the three dot-product strings so the denominator test and the
+    * division share one definition. Pinned by
+    * `ann_zero_vector_contract`; plain dot products of finite floats
+    * cannot produce NaN and keep the unguarded form. */
+  private def cosineMicroSql(dxy: String, dxx: String, dyy: String): String = {
+    val cos = s"($dxy) / (sqrt($dxx) * sqrt($dyy))"
+    s"CASE WHEN ($dxx) * ($dyy) = 0 OR isnan($cos) THEN 0 " +
+      s"ELSE CAST(round($cos * 1000000) AS BIGINT) END"
+  }
+
   /** Shared DuckDB CTEs: word 3-shingles and the 8-hash MinHash signature
     * (4 bands x 2 rows), mirroring [[graft.llm.Dedup.minhashSignatureFromBases]]
     * exactly: ONE 30-bit md5-derived base per shingle, then affine
@@ -1258,14 +1279,14 @@ object LlmQueries {
       Some {
         def dot(x: String, y: String) =
           s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        def cosMicro(x: String, y: String) =
+          cosineMicroSql(dot(x, y), dot(x, x), dot(y, y))
         s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
            |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-           |       CAST(round(${dot("a.embedding", "b2.embedding")}
-           |             / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})) * 1000000) AS BIGINT) AS cosine_micro
+           |       ${cosMicro("a.embedding", "b2.embedding")} AS cosine_micro
            |FROM b a JOIN b b2 ON a.bucket = b2.bucket
            |WHERE a.vec_id < b2.vec_id
-           |  AND CAST(round(${dot("a.embedding", "b2.embedding")}
-           |            / (sqrt(${dot("a.embedding", "a.embedding")}) * sqrt(${dot("b2.embedding", "b2.embedding")})) * 1000000) AS BIGINT) >= 100000
+           |  AND ${cosMicro("a.embedding", "b2.embedding")} >= 100000
            |ORDER BY id_a, id_b""".stripMargin
       }),
 
@@ -3383,17 +3404,20 @@ object LlmQueries {
             max(col("cosine_micro")).as("max_cosine_micro"))
           .orderBy("doc_id")
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
-             |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 20),
-             |sc AS (SELECT doc_id,
-             |         CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-             |               / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-             |                  * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) * 1000000) AS BIGINT) AS cm
-             |       FROM c CROSS JOIN q WHERE query_id <> doc_id)
-             |SELECT doc_id, count(*) AS n_benchmark_hits,
-             |       CAST(max(cm) AS BIGINT) AS max_cosine_micro
-             |FROM sc WHERE cm >= 150000
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        val cosMicro = cosineMicroSql(dot("qe", "ce"), dot("qe", "qe"), dot("ce", "ce"))
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+           |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings WHERE vec_id >= 20),
+           |sc AS (SELECT doc_id,
+           |         $cosMicro AS cm
+           |       FROM c CROSS JOIN q WHERE query_id <> doc_id)
+           |SELECT doc_id, count(*) AS n_benchmark_hits,
+           |       CAST(max(cm) AS BIGINT) AS max_cosine_micro
+           |FROM sc WHERE cm >= 150000
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     Q("text_decontaminate", "LLM",
       (s, d) => {
@@ -7041,8 +7065,8 @@ object LlmQueries {
            |                                  ORDER BY ${dot("va.embedding", "fc.cv")} DESC, fc.cid) AS rn
            |        FROM va JOIN fc ON va.gid = fc.gid) WHERE rn = 1),
            |drp AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
-           |        WHERE CAST(round(${dot("x.embedding", "y.embedding")} /
-           |                (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) * 1000000) AS BIGINT) >= 300000)
+           |        WHERE ${cosineMicroSql(dot("x.embedding", "y.embedding"),
+                      dot("x.embedding", "x.embedding"), dot("y.embedding", "y.embedding"))} >= 300000)
            |SELECT a.vec_id, a.cid AS centroid_id, d.vec_id IS NULL AS kept
            |FROM a LEFT JOIN drp d ON a.vec_id = d.vec_id ORDER BY a.vec_id""".stripMargin
       }),
@@ -7717,6 +7741,42 @@ object LlmQueries {
              |SELECT doc_id, n_bigrams, nll_micro
              |FROM g, thr WHERE nll_micro <= p ORDER BY doc_id""".stripMargin)),
 
+    // Zero-vector (NaN) contract pin: a degenerate all-zero embedding is
+    // UNIONED into a small corpus and scored with NO effective radius
+    // (-1.0 keeps every cosine), so the NaN→0 normalization is a VISIBLE
+    // VALUE both engines must hash-agree on — Spark via microScore's
+    // nanvl, DuckDB via the CASE WHEN isnan(...) THEN 0 twin. Pins the
+    // r12 ADVICE finding: without the guards, Spark's cast(NaN AS LONG)=0
+    // silently disagreed with DuckDB's hard Conversion Error, and raw
+    // NaN >= threshold was TRUE on both engines (NaN orders last).
+    Q("ann_zero_vector_contract", "LLM",
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+        val zero = s.range(1).select(lit(-1L).as("vec_id"),
+          array_repeat(lit(0f), 64).as("embedding"))
+        val corpus = e.filter(col("vec_id") < 9)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(zero)
+        Similarity.rangeSearch(corpus, e.filter(col("vec_id") === 0),
+            radius = -1.0)
+          .orderBy("neighbor_id")
+      },
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        val cosMicro = cosineMicroSql(dot("qe", "ce"), dot("qe", "qe"), dot("ce", "ce"))
+        s"""WITH c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings WHERE vec_id < 9
+           |           UNION ALL
+           |           SELECT CAST(-1 AS BIGINT) AS neighbor_id,
+           |                  list_transform(range(0, 64), i -> CAST(0.0 AS FLOAT)) AS ce),
+           |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT query_id, neighbor_id, $cosMicro AS cosine_micro
+           |FROM c CROSS JOIN q
+           |WHERE query_id <> neighbor_id
+           |  AND $cosMicro >= -1000000
+           |ORDER BY neighbor_id""".stripMargin
+      }),
+
     // Radius search: every corpus vector within cosine >= 0.1 of each of
     // 6 probe vectors — broadcast probes, one map-only corpus scan.
     Q("ann_range_search", "LLM",
@@ -7725,18 +7785,19 @@ object LlmQueries {
         Similarity.rangeSearch(e, e.filter(col("vec_id") < 6), radius = 0.1)
           .orderBy("query_id", "neighbor_id")
       },
-      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 6),
-             |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)
-             |SELECT query_id, neighbor_id,
-             |       CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-             |             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-             |                * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) * 1000000) AS BIGINT) AS cosine_micro
-             |FROM c CROSS JOIN q
-             |WHERE query_id <> neighbor_id
-             |  AND CAST(round(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-             |            / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-             |               * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))) * 1000000) AS BIGINT) >= 100000
-             |ORDER BY query_id, neighbor_id""".stripMargin)),
+      Some {
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+        val cosMicro = cosineMicroSql(dot("qe", "ce"), dot("qe", "qe"), dot("ce", "ce"))
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 6),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings)
+           |SELECT query_id, neighbor_id,
+           |       $cosMicro AS cosine_micro
+           |FROM c CROSS JOIN q
+           |WHERE query_id <> neighbor_id
+           |  AND $cosMicro >= 100000
+           |ORDER BY query_id, neighbor_id""".stripMargin
+      }),
 
     // BPE encode with a fixed merge table: corpus token frequencies under
     // the learned subword vocabulary (the inference half of the trainer).

@@ -1359,8 +1359,29 @@ object RelationalQueries {
       Some("""SELECT c_custkey, c_name FROM customer
              |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin)),
 
-    // Left-anti join (NOT EXISTS).
+    // Left-anti join (NOT EXISTS). The right side is restricted to a key
+    // subset (custkey % 3 = 0) so the probe returns the customers that
+    // subset MISSES — a non-empty result whose VALUES the oracle hash
+    // checks, not just emptiness (r12 verdict: a 0-row green proves only
+    // that both engines dropped everything).
     Q("j_anti", "J",
+      (s, d) => Tables(s, d, "customer")
+        .join(Tables(s, d, "orders").filter(col("o_custkey") % 3 === 0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey % 3 = 0 AND o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Empty twin: anti-join against ALL orders. The generator gives every
+    // customer at least one order, so an empty result IS the contract here
+    // — referential completeness of the customer→orders relationship (the
+    // same NOT EXISTS shape eth_audit_referential uses on the chain
+    // tables). Asserted as emptiness on purpose; the value-bearing probe
+    // above is j_anti.
+    Q("j_anti_empty", "J",
       (s, d) => Tables(s, d, "customer")
         .join(Tables(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
@@ -1421,8 +1442,26 @@ object RelationalQueries {
       Some("""SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
              |INTERSECT SELECT CAST(c_custkey AS BIGINT) AS k FROM customer ORDER BY k""".stripMargin)),
 
-    // EXCEPT set op.
+    // EXCEPT set op over OVERLAPPING-BUT-UNEQUAL key sets (even custkeys
+    // minus multiples of 3): survivors are keys ≡ 2 or 4 (mod 6) — a
+    // non-empty, value-hashed result (r12 verdict: the previous full-set
+    // form was empty on both engines and proved only emptiness).
     Q("set_except", "SET",
+      (s, d) => Tables(s, d, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").cast("bigint").as("k"))
+        .except(Tables(s, d, "orders")
+          .filter(col("o_custkey") % 3 === 0)
+          .select(col("o_custkey").cast("bigint").as("k")))
+        .orderBy("k"),
+      Some("""SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey % 2 = 0
+             |EXCEPT SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_custkey % 3 = 0
+             |ORDER BY k""".stripMargin)),
+
+    // Empty twin: customer keys minus ALL order keys. Empty BY CONTRACT —
+    // every customer key appears in orders (same completeness invariant as
+    // j_anti_empty), so EXCEPT must erase the whole left side.
+    Q("set_except_empty", "SET",
       (s, d) => Tables(s, d, "customer").select(col("c_custkey").cast("bigint").as("k"))
         .except(Tables(s, d, "orders").select(col("o_custkey").cast("bigint").as("k")))
         .orderBy("k"),
@@ -1797,13 +1836,16 @@ object RelationalQueries {
     // parquet scan as StringStartsWith (PlanSpec asserts it), so row
     // groups whose min/max string range excludes the prefix are skipped
     // at the reader — the string analogue of the numeric range scan.
+    // 'sma%' matches the generator's "small ..." names (~270 rows at
+    // sf0.01) so the probe hash-checks surviving VALUES; the pushdown
+    // lock in PlanSpec is prefix-agnostic.
     Q("q7_like_prefix", "Q",
       (s, d) => Tables(s, d, "part")
-        .filter(col("p_name").startsWith("alm"))
+        .filter(col("p_name").startsWith("sma"))
         .select(col("p_partkey"), col("p_name"))
         .orderBy("p_partkey"),
       Some("""SELECT p_partkey, p_name FROM part
-             |WHERE p_name LIKE 'alm%' ORDER BY p_partkey""".stripMargin)),
+             |WHERE p_name LIKE 'sma%' ORDER BY p_partkey""".stripMargin)),
 
     // Struct surface: build, field access, nested comparison-based
     // argmax (struct ordering is the engine's tuple ordering), struct →

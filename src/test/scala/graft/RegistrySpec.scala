@@ -30,6 +30,16 @@ class RegistrySpec extends SparkSpec {
       s"INDEX.md says ${m.get.group(1)} queries; registry has ${Registry.all.size}")
   }
 
+  test("README.md's stated query count matches the registry") {
+    // r12 ADVICE: README said 386 while the registry had 388 — the same
+    // drift class INDEX.md already lints for, so README gets the lint too.
+    val rd = scala.io.Source.fromFile("README.md", "UTF-8").mkString
+    val m = """\((\d+) oracle-checked queries""".r.findFirstMatchIn(rd)
+    assert(m.nonEmpty, "README.md must state '(N oracle-checked queries'")
+    assert(m.get.group(1).toInt == Registry.all.size,
+      s"README.md says ${m.get.group(1)} queries; registry has ${Registry.all.size}")
+  }
+
   // Outputs that legitimately KEEP a wide decimal column, each with the
   // reason the driver's value hash still agrees: none today — every
   // unbounded-integer output (graph_hits scores, sample_pps cum_w, the
