@@ -291,15 +291,23 @@ object StreamingOps {
     * buckets on both the upsert and the flag read — per-batch cost ∝
     * batch, never corpus.
     *
-    * ASSUMES APPEND-ONLY / IMMUTABLE DOCS (same contract as
-    * [[maintainBandIndexAndFlag]] and [[maintainWinnowIndexAndFlag]]):
-    * the index is bucketed by `content_key` — derived from the TEXT —
-    * because the flag read must prune to the batch's content buckets to
-    * stay ∝ batch. Re-ingesting an existing `doc_id` with CHANGED text
-    * lands in a different bucket, and the bucket-pruned upsert never
-    * removes the stale (doc_id, old content_key) row; replays of the
-    * SAME text are idempotent. Mutable corpora need a pk→key side map
-    * to widen `touched` with the old buckets before the upsert. */
+    * MUTABLE-CORPUS SAFE (r13; the band/winnow maintainers keep the
+    * append-only contract): the index is bucketed by `content_key` —
+    * derived from the TEXT — so re-ingesting an existing `doc_id` with
+    * CHANGED text lands in a different bucket, and a purely
+    * content-bucket-pruned upsert would never see the stale (doc_id,
+    * old content_key) row. A pk→key SIDE MAP (`<indexDir>_pk`, bucketed
+    * by a hash of the doc id) records each doc's CURRENT key: per batch,
+    * the map is read pruned to the batch's PK buckets, re-keyed docs
+    * contribute their OLD content buckets to `touched`, and the same
+    * pk-collision merge that makes replays idempotent then erases the
+    * stale rows. Two bounded extras per batch (both ∝ batch, never
+    * corpus): the pruned map read, and — for old buckets receiving no
+    * new rows — a survivor probe, because dynamic partition overwrite
+    * cannot rewrite a partition the merged output has ZERO rows for
+    * (those bucket dirs are deleted explicitly). Crash-replay safe in
+    * every gap: index-before-map means a replay re-widens `touched`
+    * from the not-yet-updated map and re-applies an idempotent merge. */
   def maintainExactDupIndexAndFlag(docs: DataFrame, indexDir: String,
                                    flagsDir: String, checkpointDir: String,
                                    idCol: String = "doc_id",
@@ -309,16 +317,62 @@ object StreamingOps {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val pkMapDir = s"${indexDir}_pk"
         val keyed = batch.toDF().select(col(idCol),
             graft.functions.ColumnFns.md5Long(col(textCol)).as("content_key"))
           .withColumn("kb", pmod(col("content_key"), lit(keyBuckets.toLong)))
-        val touched = keyed.select(col("kb")).distinct()
+          .withColumn("pkb", pmod(graft.functions.ColumnFns.md5Long(
+            col(idCol).cast("string")), lit(keyBuckets.toLong)))
+          .localCheckpoint(true) // ≤ batch rows; read 4x below
+        // bounded metadata: ≤ keyBuckets longs each
+        val newTouched = keyed.select(col("kb")).distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
-        graft.eth.Sinks.upsertBucketedParquet(keyed, indexDir,
+        val touchedPk = keyed.select(col("pkb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        // re-keyed docs: batch ids whose stored content_key differs —
+        // their old buckets must join `touched` so the merge erases the
+        // stale rows. Map read prunes to the batch's pk buckets.
+        val hPath = new org.apache.hadoop.fs.Path(pkMapDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val oldBuckets: IndexedSeq[Long] =
+          if (!fs.exists(hPath)) IndexedSeq.empty
+          else spark.read.parquet(pkMapDir)
+            .filter(col("pkb").isin(touchedPk: _*))
+            .select(col(idCol), col("content_key").as("__old_key"),
+              col("kb").as("__old_kb"))
+            .join(broadcast(keyed.select(col(idCol), col("content_key"))), Seq(idCol))
+            .filter(col("__old_key") =!= col("content_key"))
+            .select(col("__old_kb")).distinct()
+            .collect().map(_.getLong(0)).toIndexedSeq
+        val touched = (newTouched ++ oldBuckets).distinct
+        // zero-survivor edge: an old bucket receiving NO new rows whose
+        // every stored row is re-keyed this batch ends the merge with 0
+        // rows — dynamic overwrite skips empty partitions, so find those
+        // buckets now and delete their dirs after the upsert.
+        val oldOnly = oldBuckets.filterNot(newTouched.toSet)
+        val emptiedBuckets: Seq[Long] =
+          if (oldOnly.isEmpty) Seq.empty
+          else {
+            val surviving = spark.read.parquet(indexDir)
+              .filter(col("kb").isin(oldOnly: _*))
+              .join(broadcast(keyed.select(col(idCol))), Seq(idCol), "left_anti")
+              .select(col("kb")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            oldOnly.filterNot(surviving)
+          }
+        graft.eth.Sinks.upsertBucketedParquet(keyed.drop("pkb"), indexDir,
           pkCols = Seq(idCol), bucketCol = "kb",
           sortCols = Seq("content_key", idCol), newBuckets = Some(touched))
+        emptiedBuckets.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/kb=$b"), true)
+        }
+        // side map AFTER the index (the crash-replay ordering above)
+        graft.eth.Sinks.upsertBucketedParquet(keyed.select(col(idCol),
+            col("content_key"), col("kb"), col("pkb")), pkMapDir,
+          pkCols = Seq(idCol), bucketCol = "pkb",
+          sortCols = Seq(idCol), newBuckets = Some(touchedPk))
         val idx = spark.read.parquet(indexDir)
-          .filter(col("kb").isin(touched: _*)) // partition-pruned flag read
+          .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
           .select(col("content_key"), col(idCol).as("matched_id"))
         keyed.join(idx, "content_key")
           .filter(col(idCol) =!= col("matched_id"))

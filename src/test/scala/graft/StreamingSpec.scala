@@ -692,6 +692,58 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch exact copy must flag after recovery: ${flagPairs()}")
   }
 
+  test("maintainExactDupIndexAndFlag mutable corpus: re-ingest with changed text erases the stale key; no ghost flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_emut").toString
+    def start() = StreamingOps.maintainExactDupIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id"))).toSet
+    val q1 = start()
+    try {
+      input.addData((1L, "original text of document one"),
+        (2L, "a second unrelated document"))
+      q1.processAllAvailable()
+      // doc 1 is EDITED: its content_key moves to a different bucket;
+      // the pk side map must route the old bucket into the upsert so
+      // the stale (1, old_key) row is erased
+      input.addData((1L, "document one after an edit"))
+      q1.processAllAvailable()
+      // a new doc carrying doc 1's OLD content must NOT flag (the old
+      // key is dead); one carrying its CURRENT content must flag
+      input.addData((30L, "original text of document one"),
+        (40L, "document one after an edit"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val idx = spark.read.parquet(s"$root/index")
+    // pk uniqueness: ONE row per doc, the edited doc carries only its
+    // current key (the stale row is the whole bug)
+    assert(idx.groupBy("doc_id").count().filter(col("count") > 1).count() == 0L,
+      "stale (doc_id, old content_key) row survived the re-ingest")
+    val doc1Keys = idx.filter(col("doc_id") === 1L)
+      .select("content_key").collect().map(_.getLong(0)).toSeq
+    val editedKey = spark.range(1).select(graft.functions.ColumnFns
+      .md5Long(lit("document one after an edit"))).collect()(0).getLong(0)
+    assert(doc1Keys == Seq(editedKey), s"doc 1 must carry ONLY the edited key: $doc1Keys")
+    assert(!flagPairs().contains((30L, 1L)),
+      s"ghost flag against doc 1's DEAD content: ${flagPairs()}")
+    assert(flagPairs().contains((40L, 1L)),
+      s"current-content match must still flag: ${flagPairs()}")
+    // side map tracks the current key
+    assert(spark.read.parquet(s"$root/index_pk").filter(col("doc_id") === 1L)
+      .select("content_key").collect().map(_.getLong(0)).toSeq == Seq(editedKey))
+    // replay idempotence still holds WITH the side map in the loop
+    def snap(dir: String) = spark.read.parquet(dir).collect().map(_.toString).toSet
+    val idxClean = snap(s"$root/index"); val mapClean = snap(s"$root/index_pk")
+    injectCheckpointCrash(s"$root/ckpt")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(snap(s"$root/index") == idxClean, "replay changed the index")
+    assert(snap(s"$root/index_pk") == mapClean, "replay changed the side map")
+  }
+
   test("maintainRelations crash injection: partials upserted, checkpoint commit lost; replay overwrites its own batch, totals stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, Long, Int, Boolean)]
