@@ -12,12 +12,13 @@ import org.apache.spark.sql.functions._
   * truecolor PNG (zlib via the public JDK) are decoded FOR REAL by the
   * pure-JVM codecs at the bottom of this file
   * ([[encodeBmp]]/[[decodeBmp]]/[[decodePpm]]/[[decodePng]] →
-  * [[imageStats]], oracle-checked value-exactly), and baseline JPEG
-  * decodes for real too ([[decodeJpeg]] — huffman + IDCT + fixed-point
-  * YCbCr→RGB, cross-checked against javax.imageio). Formats still
-  * needing external codec libraries (progressive JPEG, compressed
-  * video) take the [[decodeStub]] fallback — swapping in libjpeg-turbo/
-  * ffmpeg changes only that function body, not the plan shape.
+  * [[imageStats]], oracle-checked value-exactly), and JPEG decodes for
+  * real too ([[decodeJpeg]] — baseline SOF0 AND progressive SOF2:
+  * huffman + IDCT + fixed-point YCbCr→RGB, cross-checked against
+  * javax.imageio in both directions). The one format still needing an
+  * external codec library (compressed video) takes the [[decodeStub]]
+  * fallback — swapping in ffmpeg changes only that function body, not
+  * the plan shape.
   */
 object Multimodal {
 
@@ -142,9 +143,9 @@ object Multimodal {
   // negative-height files), so the decode stage of the pipeline runs a
   // real parse over real bytes. PNG (compressed, zlib through the
   // public JDK Inflater) decodes for real too — see the PNG section
-  // below, and baseline JPEG (4:4:4 and subsampled 4:2:0/4:2:2) in the
-  // JPEG section. Only progressive JPEG and compressed video still take
-  // the documented [[decodeStub]] fallback.
+  // below, and JPEG (baseline 4:4:4/4:2:0/4:2:2 AND progressive SOF2)
+  // in the JPEG section. Only compressed video still takes the
+  // documented [[decodeStub]] fallback.
   // ------------------------------------------------------------------
 
   /** Decoded image statistics: exact per-channel pixel sums (integer —
@@ -1105,16 +1106,19 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
-  // JPEG (ITU-T T.81 baseline subset): a REAL pure-JVM codec — the one
-  // format a production multimodal corpus hits constantly, previously
-  // the last decodeStub fallback. Encoder: JFIF, 8-bit, 4:4:4 (no
-  // chroma subsampling), standard Annex K Huffman tables, quant = 1
-  // for DC / 2 for AC (near-lossless; DC of a block-CONSTANT component
-  // round-trips bit-exactly — the property the analytic oracles use).
-  // Decoder: baseline sequential SOF0 only, 1 or 3 components, all
-  // sampling factors 1, single scan, DRI/RSTn and 0xFF00 byte stuffing
-  // handled; progressive/arithmetic/subsampled/16-bit-quant payloads
-  // return None (the same Option fallback contract as BMP/PPM/PNG).
+  // JPEG (ITU-T T.81): a REAL pure-JVM codec — the one format a
+  // production multimodal corpus hits constantly, previously the last
+  // decodeStub fallback. Encoders: JFIF, 8-bit, 4:4:4 baseline
+  // ([[encodeJpeg]]), 4:2:0 baseline ([[encodeJpeg420]]), and
+  // progressive 4:4:4 ([[encodeJpegProgressive]]); standard Annex K
+  // Huffman tables, quant = 1 for DC / 2 for AC (near-lossless; DC of a
+  // block-CONSTANT component round-trips bit-exactly — the property the
+  // analytic oracles use). Decoder: baseline sequential SOF0 AND
+  // progressive SOF2 (full Annex G: DC/AC first + refinement scans,
+  // EOB runs, interleaved and non-interleaved), 1 or 3 components,
+  // luma subsampling up to 2x2, DRI/RSTn and 0xFF00 byte stuffing
+  // handled; arithmetic/lossless/extended/16-bit-quant payloads return
+  // None (the same Option fallback contract as BMP/PPM/PNG).
   // Color conversion is integer fixed-point on BOTH directions so the
   // DuckDB oracles replicate it with exact integer arithmetic
   // (floor-shift >> 16 on the JVM == // 65536 in SQL, negatives
@@ -1519,6 +1523,156 @@ object Multimodal {
     enc.finish()
   }
 
+  /** Write a PROGRESSIVE (SOF2) JFIF file at 4:4:4 — same pixel contract,
+    * quant tables, and Annex-K Huffman tables as [[encodeJpeg]], so the
+    * decoded image is BIT-IDENTICAL to the baseline encoding of the same
+    * pixels (the coefficients are identical; only their transmission
+    * order differs). Scan script exercises every Annex-G scan type the
+    * decoder supports from first principles: an interleaved DC-first
+    * scan at Al=1, per-component spectral-selection AC scans (luma split
+    * 1-5 / 6-63, chroma full-band) at Al=0, and a DC refinement scan
+    * restoring the dropped DC bit. (AC successive approximation — EOBn
+    * runs and correction bits — is exercised in tests via ImageIO's
+    * progressive WRITER, whose IJG default script uses it.) */
+  def encodeJpegProgressive(width: Int, height: Int,
+                            pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"need positive dims, got $width x $height")
+    val bxN = (width + 7) / 8
+    val byN = (height + 7) / 8
+    val nB = bxN * byN
+    // quantized zigzag coefficients for every block of every component
+    val zz = Array.ofDim[Int](3, nB, 64)
+    val block = new Array[Double](64)
+    var b = 0
+    while (b < nB) {
+      val bx = b % bxN; val by = b / bxN
+      var c = 0
+      while (c < 3) {
+        var i = 0
+        while (i < 64) {
+          val sx = math.min(bx * 8 + i % 8, width - 1)
+          val sy = math.min(by * 8 + i / 8, height - 1)
+          val (r0, g0, b0) = pixel(sx, sy)
+          val (r, g, bl) = (((r0 % 256) + 256) % 256, ((g0 % 256) + 256) % 256,
+            ((b0 % 256) + 256) % 256)
+          block(i) = (c match {
+            case 0 => jpegRgbToY(r, g, bl)
+            case 1 => jpegRgbToCb(r, g, bl)
+            case _ => jpegRgbToCr(r, g, bl)
+          }) - 128.0
+          i += 1
+        }
+        val coef = jpegFdct(block)
+        var k = 0
+        while (k < 64) {
+          val natK = jpegZigzag(k)
+          zz(c)(b)(k) = math.round(coef(natK) / jpegQuant(natK)).toInt
+          k += 1
+        }
+        c += 1
+      }
+      b += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    marker(0xdb); u16(2 + 65); out.write(0x00) // DQT table 0, 8-bit
+    for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
+    marker(0xc2); u16(8 + 9) // SOF2
+    out.write(8); u16(height); u16(width); out.write(3)
+    for (c <- 0 until 3) { out.write(c + 1); out.write(0x11); out.write(0) }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | id); bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
+    dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
+    dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
+    dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
+    val dcLuma = jpegCodes(jpegDcLumaBits, jpegDcLumaVals)
+    val acLuma = jpegCodes(jpegAcLumaBits, jpegAcLumaVals)
+    val dcChroma = jpegCodes(jpegDcChromaBits, jpegDcChromaVals)
+    val acChroma = jpegCodes(jpegAcChromaBits, jpegAcChromaVals)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); u16(6 + 2 * comps.length)
+      out.write(comps.length)
+      comps.foreach { c =>
+        out.write(c + 1)
+        out.write(if (c == 0) 0x00 else 0x11)
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+    // scan 1: DC first, interleaved, Al=1 (point-transformed diffs)
+    sos(Seq(0, 1, 2), 0, 0, 0, 1)
+    locally {
+      val bw = new JpegBitWriter(out)
+      val pred = new Array[Int](3)
+      var blk = 0
+      while (blk < nB) {
+        var c = 0
+        while (c < 3) {
+          val v = zz(c)(blk)(0) >> 1 // DC point transform: arithmetic shift
+          val diff = v - pred(c); pred(c) = v
+          val s = jpegCategory(diff)
+          val (code, clen) = (if (c == 0) dcLuma else dcChroma)(s)
+          bw.put(code, clen)
+          if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          c += 1
+        }
+        blk += 1
+      }
+      bw.flush()
+    }
+    // AC spectral-selection scans, Al=0 (exact coefficients)
+    def acScan(c: Int, ss: Int, se: Int): Unit = {
+      sos(Seq(c), ss, se, 0, 0)
+      val bw = new JpegBitWriter(out)
+      val ac = if (c == 0) acLuma else acChroma
+      var blk = 0
+      while (blk < nB) {
+        val z = zz(c)(blk)
+        var k = ss; var run = 0
+        while (k <= se) {
+          if (z(k) == 0) run += 1
+          else {
+            while (run >= 16) { val (zc, zl) = ac(0xf0); bw.put(zc, zl); run -= 16 }
+            val s = jpegCategory(z(k))
+            val (code, clen) = ac((run << 4) | s)
+            bw.put(code, clen)
+            bw.put(if (z(k) < 0) z(k) + (1 << s) - 1 else z(k), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = ac(0x00); bw.put(ec, el) } // EOB
+        blk += 1
+      }
+      bw.flush()
+    }
+    acScan(0, 1, 5)
+    acScan(1, 1, 63)
+    acScan(2, 1, 63)
+    acScan(0, 6, 63)
+    // DC refinement: the Al=1 bit, raw (no Huffman), interleaved
+    sos(Seq(0, 1, 2), 0, 0, 1, 0)
+    locally {
+      val bw = new JpegBitWriter(out)
+      var blk = 0
+      while (blk < nB) {
+        var c = 0
+        while (c < 3) { bw.put(zz(c)(blk)(0) & 1, 1); c += 1 }
+        blk += 1
+      }
+      bw.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Canonical Huffman decode table: maxLen-bit index -> (symbol, len).
     * Built per DHT; lookup peeks 16 bits and consumes `len`. */
   private final class JpegHuffTable(bits: Array[Int], vals: Array[Int]) {
@@ -1583,10 +1737,15 @@ object Multimodal {
   private def jpegExtend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline JFIF payload to full row-major packed RGB
-    * (0xRRGGBB ints). None for anything outside the supported subset
-    * (wrong magic, progressive/arithmetic coding, subsampled chroma,
-    * 16-bit quant tables, multi-scan, truncated or malformed streams). */
+  /** Decode a JFIF payload — baseline (SOF0) or progressive (SOF2) — to
+    * full row-major packed RGB (0xRRGGBB ints). None for anything
+    * outside the supported subset (wrong magic, extended/lossless/
+    * arithmetic coding, subsampled progressive chroma beyond the shared
+    * 1-2 luma factors, 16-bit quant tables, truncated or malformed
+    * streams). Progressive decodes the full T.81 Annex G Huffman
+    * procedure: DC first + DC refinement, AC first with EOB runs, AC
+    * refinement with correction bits, interleaved and non-interleaved
+    * scans, DHT/DRI between scans, RSTn inside scans. */
   private[graft] def decodeJpegRgb(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
       (payload(1) & 0xff) != 0xd8) return None
@@ -1597,14 +1756,32 @@ object Multimodal {
     val compQ = new Array[Int](3); val compDc = new Array[Int](3)
     val compAc = new Array[Int](3)
     val compH = new Array[Int](3); val compV = new Array[Int](3)
+    val compId = new Array[Int](3)
     var restartInterval = 0
     var pos = 2
     def u16(at: Int): Int = ((payload(at) & 0xff) << 8) | (payload(at + 1) & 0xff)
     var sofSeen = false
-    while (pos + 4 <= payload.length) {
+    var progressive = false
+    // progressive coefficient state (allocated at the first SOS):
+    // per-component ZIGZAG-order coefficients, 64 per block, over the
+    // MCU-padded block grid; scans accumulate into these and the image
+    // reconstructs once at EOI
+    var coefs: Array[Array[Int]] = null
+    var blocksWpad: Array[Int] = null; var blocksHpad: Array[Int] = null
+    var nbW: Array[Int] = null; var nbH: Array[Int] = null
+    var mcusX = 0; var mcusY = 0; var hMax = 0; var vMax = 0
+    var scansSeen = 0
+    var scanEnd = -1 // set by a progressive SOS: resume AFTER entropy data
+    while (pos + 2 <= payload.length) {
       if ((payload(pos) & 0xff) != 0xff) return None
       val m = payload(pos + 1) & 0xff
-      if (m == 0xd9) return None // EOI before SOS
+      if (m == 0xd9) { // EOI: progressive completion point; premature otherwise
+        return if (progressive && scansSeen > 0)
+          jpegFinishProgressive(width, height, nComp, coefs, quant, compQ,
+            blocksWpad, blocksHpad, compH, compV, hMax, vMax)
+        else None
+      }
+      if (pos + 4 > payload.length) return None
       val len = u16(pos + 2)
       if (len < 2 || pos + 2 + len > payload.length) return None
       val seg = pos + 4
@@ -1636,9 +1813,10 @@ object Multimodal {
             if (cls == 0) dcTabs(id) = tab else acTabs(id) = tab
             p += 17 + n
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           if (sofSeen || len < 8) return None
           sofSeen = true
+          progressive = m == 0xc2
           if ((payload(seg) & 0xff) != 8) return None
           height = u16(seg + 1); width = u16(seg + 3)
           nComp = payload(seg + 5) & 0xff
@@ -1669,17 +1847,18 @@ object Multimodal {
             if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
               return None
             if (c > 0 && hv != 0x11) return None
+            compId(c) = payload(seg + 6 + 3 * c) & 0xff
             compQ(c) = payload(seg + 8 + 3 * c) & 0xff
             if (compQ(c) > 3) return None
           }
           if (nComp == 1 && (compH(0) != 1 || compV(0) != 1)) return None
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
              0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended/progressive/lossless/arithmetic
+          return None // extended/lossless/arithmetic
         case 0xdd => // DRI
           if (len != 4) return None
           restartInterval = u16(seg)
-        case 0xda => // SOS: decode and return
+        case 0xda if !progressive => // baseline SOS: decode and return
           if (!sofSeen) return None
           val ns = payload(seg) & 0xff
           if (ns != nComp || len != 6 + 2 * ns) return None
@@ -1697,21 +1876,90 @@ object Multimodal {
           // nBlocks/4 bytes after SOS cannot encode the declared
           // geometry. Rejects a ~200-byte payload declaring 4096x4096
           // (which needs >=196 KB) BEFORE the planes are allocated.
-          val hMax = compH.take(nComp).max
-          val vMax = compV.take(nComp).max
-          val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-          val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+          val bHMax = compH.take(nComp).max
+          val bVMax = compV.take(nComp).max
+          val bMcusX = (width + 8 * bHMax - 1) / (8 * bHMax)
+          val bMcusY = (height + 8 * bVMax - 1) / (8 * bVMax)
           val blocksPerMcu = (0 until nComp).map(c => compH(c) * compV(c)).sum
-          val minEntropyBytes = mcusX.toLong * mcusY * blocksPerMcu * 2 / 8
+          val minEntropyBytes = bMcusX.toLong * bMcusY * blocksPerMcu * 2 / 8
           if ((payload.length - segEnd).toLong < minEntropyBytes) return None
           return jpegDecodeScan(payload, segEnd, width, height, nComp,
             Array.tabulate(nComp)(c => quant(compQ(c))),
             Array.tabulate(nComp)(c => dcTabs(compDc(c))),
             Array.tabulate(nComp)(c => acTabs(compAc(c))),
             compH.take(nComp), compV.take(nComp), restartInterval)
+        case 0xda => // progressive SOS: fold this scan into coefs, continue
+          if (!sofSeen) return None
+          val ns = payload(seg) & 0xff
+          if (ns < 1 || ns > nComp || len != 6 + 2 * ns) return None
+          val scanComp = new Array[Int](ns)
+          for (i <- 0 until ns) {
+            val cs = payload(seg + 1 + 2 * i) & 0xff
+            var ci = -1
+            var c = 0
+            while (c < nComp) { if (compId(c) == cs) ci = c; c += 1 }
+            if (ci < 0) return None
+            scanComp(i) = ci
+            val tabs = payload(seg + 2 + 2 * i) & 0xff
+            compDc(ci) = tabs >> 4; compAc(ci) = tabs & 0x0f
+            if (compDc(ci) > 3 || compAc(ci) > 3) return None
+          }
+          val ss = payload(seg + 1 + 2 * ns) & 0xff
+          val se = payload(seg + 2 + 2 * ns) & 0xff
+          val ahal = payload(seg + 3 + 2 * ns) & 0xff
+          val ah = ahal >> 4; val al = ahal & 0x0f
+          // scan-header validity (T.81 Annex G): a DC scan has Ss=Se=0
+          // and may interleave; an AC scan covers ONE component with
+          // 1 <= Ss <= Se <= 63; refinement lowers Al by exactly one
+          if (ss == 0 && se != 0) return None
+          if (ss > 0 && (se < ss || se > 63 || ns != 1)) return None
+          if (al > 13 || (ah != 0 && ah != al + 1)) return None
+          if (coefs == null) {
+            // first scan must carry DC (G.1.1.1.1) — also where the
+            // coefficient state is sized
+            if (ss != 0 || ah != 0) return None
+            hMax = compH.take(nComp).max
+            vMax = compV.take(nComp).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            blocksWpad = Array.tabulate(nComp)(c => mcusX * compH(c))
+            blocksHpad = Array.tabulate(nComp)(c => mcusY * compV(c))
+            nbW = Array.tabulate(nComp)(c =>
+              ((width * compH(c) + hMax - 1) / hMax + 7) / 8)
+            nbH = Array.tabulate(nComp)(c =>
+              ((height * compV(c) + vMax - 1) / vMax + 7) / 8)
+            // plausibility floor for the allocation (the progressive
+            // analogue of the baseline 2-bit rule): the FIRST scan codes
+            // >= 1 bit per block it covers, so a tiny crafted payload
+            // declaring huge dims dies before the ~13 bytes/pixel of
+            // coefficient state exists. Later scans can be legitimately
+            // tiny (one EOB run can cover a whole scan).
+            val scanBlocks =
+              if (ns > 1) scanComp.map(c =>
+                mcusX.toLong * mcusY * compH(c) * compV(c)).sum
+              else nbW(scanComp(0)).toLong * nbH(scanComp(0))
+            if ((payload.length - segEnd).toLong < scanBlocks / 8) return None
+            coefs = Array.tabulate(nComp)(c =>
+              new Array[Int](blocksWpad(c) * blocksHpad(c) * 64))
+          }
+          if (ss == 0 && ah == 0)
+            for (i <- 0 until ns)
+              if (dcTabs(compDc(scanComp(i))) == null) return None
+          // AC scans (first AND refinement) decode Huffman symbols; DC
+          // refinement reads raw bits only
+          if (ss > 0 && acTabs(compAc(scanComp(0))) == null) return None
+          jpegProgressiveScan(payload, segEnd, scanComp, ss, se, ah, al,
+            coefs,
+            Array.tabulate(ns)(i => dcTabs(compDc(scanComp(i)))),
+            if (ss > 0) acTabs(compAc(scanComp(0))) else null,
+            blocksWpad, nbW, nbH, mcusX, mcusY, compH, compV,
+            restartInterval) match {
+            case Some(p) => scansSeen += 1; scanEnd = p
+            case None => return None
+          }
         case _ => // APPn / COM / others: skip
       }
-      pos = segEnd
+      pos = if (scanEnd >= 0) { val p = scanEnd; scanEnd = -1; p } else segEnd
     }
     None
   }
@@ -1807,8 +2055,17 @@ object Multimodal {
       }
       mcu += 1
     }
-    // crop + upsample (sample replication: chroma sample (x·h_c/hMax,
-    // y·v_c/vMax)) + color convert
+    jpegComposeRgb(width, height, nComp, planes, planeW, compH, compV,
+      hMax, vMax)
+  }
+
+  /** Crop + upsample (sample replication: chroma sample (x·h_c/hMax,
+    * y·v_c/vMax)) + fixed-point color conversion — shared by the
+    * baseline single-scan path and the progressive finish. */
+  private def jpegComposeRgb(width: Int, height: Int, nComp: Int,
+                             planes: Array[Array[Int]], planeW: Array[Int],
+                             compH: Array[Int], compV: Array[Int],
+                             hMax: Int, vMax: Int): Option[(Int, Int, Array[Int])] = {
     val rgb = new Array[Int](width * height)
     var y = 0
     while (y < height) {
@@ -1830,6 +2087,267 @@ object Multimodal {
       y += 1
     }
     Some((width, height, rgb))
+  }
+
+  /** Decode ONE progressive scan's entropy segment into the zigzag-order
+    * coefficient state (T.81 Annex G.2; bit-level procedures match
+    * libjpeg's jdphuff semantics, the de-facto conformance reference):
+    *   - DC first (Ss=0, Ah=0): baseline DC diff coding, value << Al.
+    *   - DC refinement (Ah>0): one raw bit per block, OR'd at bit Al
+    *     (two's complement makes the OR correct for negatives).
+    *   - AC first (Ss>0, Ah=0): (run,size) coding over [Ss,Se] with EOBn
+    *     run codes (size=0, run<15 → EOB run of 2^run + ext bits blocks).
+    *   - AC refinement: correction bits for nonzero-history coefficients,
+    *     ±(1<<Al) insertions for newly nonzero ones, EOB-run tail logic.
+    * DC scans may interleave components in MCU order; AC scans cover one
+    * component's own (non-padded) block grid row-major. RSTn resets DC
+    * predictors AND the EOB run. Returns the payload offset of the next
+    * marker after the scan, or None on any malformed construct. */
+  private def jpegProgressiveScan(payload: Array[Byte], start: Int,
+                                  scanComp: Array[Int], ss: Int, se: Int,
+                                  ah: Int, al: Int,
+                                  coefs: Array[Array[Int]],
+                                  dcT: Array[JpegHuffTable],
+                                  acT: JpegHuffTable,
+                                  blocksWpad: Array[Int],
+                                  nbW: Array[Int], nbH: Array[Int],
+                                  mcusX: Int, mcusY: Int,
+                                  compH: Array[Int], compV: Array[Int],
+                                  restartInterval: Int): Option[Int] = {
+    val in = new JpegBitReader(payload, start)
+    val dcPred = new Array[Int](scanComp.length)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+
+    def restart(unit: Int): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        in.align()
+        if (in.pos + 2 > payload.length ||
+          (payload(in.pos) & 0xff) != 0xff ||
+          (payload(in.pos + 1) & 0xf8) != 0xd0) return false
+        in.pos += 2
+        in.atMarker = false
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    def dcFirst(ci: Int, si: Int, off: Int): Boolean = {
+      val s = dcT(si).decode(in)
+      if (s < 0 || s > 11) return false
+      val dv = if (s == 0) 0 else in.receive(s)
+      if (dv == Int.MinValue) return false
+      dcPred(si) += jpegExtend(dv, s)
+      if (dcPred(si) < -(1 << 14) || dcPred(si) > (1 << 14)) return false
+      val v = dcPred(si) << al // |dcPred| <= 2^14, al <= 13: no Int wrap
+      if (v < -(1 << 14) || v > (1 << 14)) return false // dequant stays small
+      coefs(ci)(off) = v
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      val b = in.bit()
+      if (b < 0) return false
+      if (b == 1) coefs(ci)(off) |= p1
+      true
+    }
+    def acFirst(ci: Int, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val cz = coefs(ci)
+      var k = ss
+      while (k <= se) {
+        val rs = acT.decode(in)
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r < 15) { // EOBn: run of 2^r (+ext) blocks incl. this one
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val eb = in.receive(r)
+              if (eb == Int.MinValue) return false
+              eobrun += eb
+            }
+            return true
+          }
+          k += 16 // ZRL
+        } else {
+          if (s > 10) return false // 8-bit precision AC magnitude cap
+          k += r
+          if (k > se) return false
+          val av = in.receive(s)
+          if (av == Int.MinValue) return false
+          val v = jpegExtend(av, s) << al // |ext| < 2^10, al <= 13: no wrap
+          // conformant 8-bit coefficients stay near 2^10; the cap keeps a
+          // crafted (s, Al) pair from overflowing the dequant product
+          if (v < -(1 << 14) || v > (1 << 14)) return false
+          cz(off + k) = v
+          k += 1
+        }
+      }
+      true
+    }
+    def acRefine(ci: Int, off: Int): Boolean = {
+      val cz = coefs(ci)
+      var k = ss
+      def correct(idx: Int): Boolean = {
+        val b = in.bit()
+        if (b < 0) return false
+        if (b == 1 && (cz(idx) & p1) == 0)
+          cz(idx) += (if (cz(idx) >= 0) p1 else m1)
+        true
+      }
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = acT.decode(in)
+          if (rs < 0) return false
+          var r = rs >> 4; val s = rs & 15
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) return false // refinement inserts ±1 only
+            val b = in.bit()
+            if (b < 0) return false
+            newVal = if (b == 1) p1 else m1
+          } else if (r != 15) { // EOBn; rest of block via the tail below
+            eobrun = 1 << r
+            if (r > 0) {
+              val eb = in.receive(r)
+              if (eb == Int.MinValue) return false
+              eobrun += eb
+            }
+            atEob = true
+          } // else ZRL: skip 16 zero-history positions, corrections en route
+          if (!atEob) {
+            var placed = false
+            var scanning = true
+            while (k <= se && scanning) {
+              if (cz(off + k) != 0) {
+                if (!correct(off + k)) return false
+                k += 1
+              } else if (r == 0) { scanning = false; placed = true }
+              else { r -= 1; k += 1 }
+            }
+            if (placed) {
+              if (newVal != 0) cz(off + k) = newVal
+              k += 1
+            } else if (newVal != 0) return false // no spot inside [Ss,Se]
+          }
+        }
+      }
+      if (eobrun > 0) { // EOB-run tail: corrections through the block end
+        while (k <= se) {
+          if (cz(off + k) != 0 && !correct(off + k)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    if (scanComp.length > 1) { // interleaved DC scan, MCU order
+      var mcu = 0
+      val nMcu = mcusX * mcusY
+      while (mcu < nMcu) {
+        if (!restart(mcu)) return None
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var i = 0
+        while (i < scanComp.length) {
+          val ci = scanComp(i)
+          var vb = 0
+          while (vb < compV(ci)) {
+            var hb = 0
+            while (hb < compH(ci)) {
+              val off = ((my * compV(ci) + vb) * blocksWpad(ci) +
+                mx * compH(ci) + hb) * 64
+              val ok = if (ah == 0) dcFirst(ci, i, off) else dcRefine(ci, off)
+              if (!ok) return None
+              hb += 1
+            }
+            vb += 1
+          }
+          i += 1
+        }
+        mcu += 1
+      }
+    } else { // single component: its own block grid, row-major
+      val ci = scanComp(0)
+      val w = nbW(ci)
+      var b = 0
+      val nB = w * nbH(ci)
+      while (b < nB) {
+        if (!restart(b)) return None
+        val off = ((b / w) * blocksWpad(ci) + b % w) * 64
+        val ok =
+          if (ss == 0) { if (ah == 0) dcFirst(ci, 0, off) else dcRefine(ci, off) }
+          else { if (ah == 0) acFirst(ci, off) else acRefine(ci, off) }
+        if (!ok) return None
+        b += 1
+      }
+    }
+    // advance to the next marker: skip pad bits, 0xFF00 stuffing, stray
+    // RSTn, and 0xFF fill bytes
+    var p = in.pos
+    while (p + 1 < payload.length && !((payload(p) & 0xff) == 0xff &&
+      (payload(p + 1) & 0xff) != 0x00 && (payload(p + 1) & 0xff) != 0xff &&
+      (payload(p + 1) & 0xf8) != 0xd0)) p += 1
+    if (p + 1 >= payload.length) None else Some(p)
+  }
+
+  /** Progressive completion at EOI: dequantize the accumulated zigzag
+    * coefficients, inverse-DCT every (padded-grid) block, then the shared
+    * crop/upsample/color tail. */
+  private def jpegFinishProgressive(width: Int, height: Int, nComp: Int,
+                                    coefs: Array[Array[Int]],
+                                    quant: Array[Array[Int]],
+                                    compQ: Array[Int],
+                                    blocksWpad: Array[Int],
+                                    blocksHpad: Array[Int],
+                                    compH: Array[Int], compV: Array[Int],
+                                    hMax: Int, vMax: Int): Option[(Int, Int, Array[Int])] = {
+    var c = 0
+    while (c < nComp) {
+      if (quant(compQ(c)) == null) return None
+      c += 1
+    }
+    val planeW = Array.tabulate(nComp)(c => blocksWpad(c) * 8)
+    val planes = Array.tabulate(nComp)(c =>
+      new Array[Int](planeW(c) * blocksHpad(c) * 8))
+    val nat = new Array[Int](64)
+    c = 0
+    while (c < nComp) {
+      val q = quant(compQ(c))
+      val cz = coefs(c)
+      val bw = blocksWpad(c)
+      var b = 0
+      val nB = bw * blocksHpad(c)
+      while (b < nB) {
+        val off = b * 64
+        java.util.Arrays.fill(nat, 0)
+        var k = 0
+        while (k < 64) {
+          val v = cz(off + k)
+          if (v != 0) { val n = jpegZigzag(k); nat(n) = v * q(n) }
+          k += 1
+        }
+        val px = jpegIdct(nat)
+        val ox = (b % bw) * 8; val oy = (b / bw) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            planes(c)((oy + yy) * planeW(c) + ox + xx) =
+              jpegClamp(math.round(px(yy * 8 + xx)).toInt + 128)
+            xx += 1
+          }
+          yy += 1
+        }
+        b += 1
+      }
+      c += 1
+    }
+    jpegComposeRgb(width, height, nComp, planes, planeW, compH, compV,
+      hMax, vMax)
   }
 
   /** Per-channel pixel sums of a baseline JPEG (the [[imageStats]]

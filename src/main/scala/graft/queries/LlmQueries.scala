@@ -2664,6 +2664,53 @@ object LlmQueries {
              |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
              |FROM sums ORDER BY media_id""".stripMargin)),
 
+    // PROGRESSIVE (SOF2) decode — the second web JPEG flavor, previously
+    // the decodeStub fallback: same block-constant analytic contract as
+    // multimodal_decode_jpeg (the progressive encoder transmits identical
+    // coefficients across five Annex-G scans — interleaved DC-first at
+    // Al=1, spectral-selection AC, DC refinement — so the decoded pixels
+    // are bit-identical to baseline and the oracle replays the same
+    // integer color chain).
+    Q("multimodal_decode_jpeg_prog", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 200).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeJpegProgressive(w, h, (x, y) =>
+            (((m * 13 + (x / 8) * 57 + (y / 8) * 23) % 256).toInt,
+              ((m * 7 + (x / 8) * 31 + (y / 8) * 11) % 256).toInt,
+              ((m * 11 + (x / 8) * 17 + (y / 8) * 29) % 256).toInt)), "image/jpeg")
+        }
+        Multimodal.imageStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 200)) AS id),
+             |dims AS (SELECT id, 9 + id % 6 AS w, 7 + id % 5 AS h FROM m),
+             |xs AS (SELECT id, w, h, unnest(range(w)) AS x FROM dims),
+             |pix AS (SELECT id, w, h, x, unnest(range(h)) AS y FROM xs),
+             |src AS (SELECT id, w, h,
+             |          (id * 13 + (x // 8) * 57 + (y // 8) * 23) % 256 AS r0,
+             |          (id * 7 + (x // 8) * 31 + (y // 8) * 11) % 256 AS g0,
+             |          (id * 11 + (x // 8) * 17 + (y // 8) * 29) % 256 AS b0
+             |        FROM pix),
+             |ycc AS (SELECT id, w, h,
+             |          LEAST(255, GREATEST(0, (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536)) AS yy,
+             |          LEAST(255, GREATEST(0, 128 + (-11059 * r0 - 21709 * g0 + 32768 * b0 + 32768 + 16777216) // 65536 - 256)) AS cb,
+             |          LEAST(255, GREATEST(0, 128 + (32768 * r0 - 27439 * g0 - 5329 * b0 + 32768 + 16777216) // 65536 - 256)) AS cr
+             |        FROM src),
+             |rgb AS (SELECT id, w, h,
+             |          LEAST(255, GREATEST(0, yy + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+             |          LEAST(255, GREATEST(0, yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256))) AS g,
+             |          LEAST(255, GREATEST(0, yy + (116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+             |        FROM ycc),
+             |sums AS (SELECT id, w, h, sum(r) AS r_sum, sum(g) AS g_sum,
+             |           sum(b) AS b_sum FROM rgb GROUP BY 1, 2, 3)
+             |SELECT id AS media_id, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+             |  CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,
+             |  CAST(b_sum AS BIGINT) AS b_sum, CAST(w * h AS BIGINT) AS n_pixels
+             |FROM sums ORDER BY media_id""".stripMargin)),
+
     // 4:2:0 chroma subsampling — the dominant web JPEG flavor: luma at
     // full resolution (sampling 2x2), chroma quarter-resolution, MCU =
     // 4 Y blocks + Cb + Cr, decoder upsamples by replication. Fixture

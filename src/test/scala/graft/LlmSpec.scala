@@ -858,11 +858,15 @@ class LlmSpec extends SparkSpec {
     assert(decodeJpegRgb(jb.take(jb.length / 2)).isEmpty)
     assert(decodeJpegRgb(encodePng(9, 7, (x, y) => (x, y, x + y))).isEmpty)
     val progressive = jb.clone()
-    // rewrite the SOF0 marker (FF C0) to SOF2 (progressive): must reject
+    // rewrite the SOF0 marker (FF C0) to SOF2 while keeping the BASELINE
+    // scan header (Ss=0, Se=63): malformed progressive (a DC scan must
+    // have Se=0) — the decoder now SUPPORTS SOF2 but must still reject
+    // this inconsistent hybrid
     val sof = progressive.indices.find(i => (progressive(i) & 0xff) == 0xff
       && i + 1 < progressive.length && (progressive(i + 1) & 0xff) == 0xc0).get
     progressive(sof + 1) = 0xc2.toByte
-    assert(decodeJpegRgb(progressive).isEmpty, "progressive must reject")
+    assert(decodeJpegRgb(progressive).isEmpty,
+      "SOF2 with a baseline-style scan header must reject")
     // allocation/overflow guards: a crafted SOF0 declaring 65503x65503
     // must return None (plane sizes would wrap Int and crash the task),
     // not allocate; same discipline as the PNG stride guard
@@ -894,6 +898,91 @@ class LlmSpec extends SparkSpec {
       MediaRecord(1L, encodeJpeg(9, 7, blockRgb(1)), "image/jpeg"),
       MediaRecord(2L, "not an image".getBytes, "text/plain")).toDS()
     assert(imageStats(media).collect().map(_.media_id).toSeq == Seq(1L))
+  }
+
+  test("multimodal progressive JPEG: decode equals baseline bit-exactly; ImageIO agrees both directions") {
+    import Multimodal._
+    // the progressive encoder transmits the SAME quantized coefficients
+    // as the baseline encoder (quant 1/2, Annex-K tables), just across
+    // five scans (interleaved DC-first at Al=1, spectral-selection AC,
+    // DC refinement) — so the decodes must be BIT-IDENTICAL on any input
+    def px(x: Int, y: Int) =
+      ((x * 11 + y * 3) % 256, (x * 5 + y * 7) % 256, (x * 2 + y * 13) % 256)
+    for ((w, h) <- Seq((40, 24), (9, 7), (8, 8), (1, 1), (17, 33))) {
+      val prog = decodeJpegRgb(encodeJpegProgressive(w, h, px))
+      val base = decodeJpegRgb(encodeJpeg(w, h, px))
+      assert(prog.nonEmpty && base.nonEmpty, s"decode failed at ${w}x$h")
+      assert(prog.get._3.toSeq == base.get._3.toSeq,
+        s"progressive != baseline pixels at ${w}x$h")
+    }
+    // the JDK's ImageIO must accept OUR progressive stream and agree
+    // within 2/channel (independent decoder, different IDCT rounding) —
+    // proves the emitted scan script is conformant, not just self-read
+    val pj = encodeJpegProgressive(40, 24, px)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pj))
+    assert(img != null, "ImageIO rejected our progressive stream")
+    val Some((_, _, mine)) = decodeJpegRgb(pj): @unchecked
+    for (y <- 0 until 24; x <- 0 until 40; sh <- Seq(16, 8, 0)) {
+      val d = math.abs(((img.getRGB(x, y) >> sh) & 0xff) -
+        ((mine(y * 40 + x) >> sh) & 0xff))
+      assert(d <= 2, s"ImageIO delta $d at ($x,$y) shift $sh")
+    }
+    // reverse direction: an ImageIO-WRITTEN progressive JPEG (the IJG
+    // default scan script — EOBn runs, AC successive approximation with
+    // correction bits, none of which our encoder emits) must decode and
+    // agree with ImageIO's own read of the same bytes
+    // smooth wrap-free gradients: the %256 sawtooth puts 250-step chroma
+    // edges at wrap points, where fancy-vs-replication upsampling alone
+    // diverges by ~30 — that would test the upsampler choice, not the
+    // progressive entropy decode this fixture is for
+    val src = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48) {
+      val (r, g, b) = (40 + x * 2 + y, 220 - x * 2 - y * 2, 90 + x - y)
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), params)
+    writer.dispose()
+    val ijg = bos.toByteArray
+    // fixture sanity: the bytes really are progressive (SOF2 present)
+    assert(ijg.indices.exists(i => (ijg(i) & 0xff) == 0xff &&
+      i + 1 < ijg.length && (ijg(i + 1) & 0xff) == 0xc2),
+      "ImageIO did not emit SOF2 — progressive fixture rot")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ijg))
+    val decoded = decodeJpegRgb(ijg)
+    assert(decoded.nonEmpty, "our decoder rejected ImageIO's progressive stream")
+    val Some((dw, dh, ours)) = decoded: @unchecked
+    assert(dw == 48 && dh == 32)
+    // the IJG writer defaults to 4:2:0 chroma, where libjpeg's FANCY
+    // (interpolating) upsampling vs our spec-legal replication differs
+    // by the chroma step at block boundaries — same ≤16 bound as the
+    // baseline 4:2:0 cross-check (observed max delta: 3)
+    for (y <- 0 until 32; x <- 0 until 48; sh <- Seq(16, 8, 0)) {
+      val d = math.abs(((ref.getRGB(x, y) >> sh) & 0xff) -
+        ((ours(y * 48 + x) >> sh) & 0xff))
+      assert(d <= 16, s"IJG-progressive delta $d at ($x,$y) shift $sh")
+    }
+    // block-constant payloads reconstruct the analytic color chain
+    // exactly through the progressive path (the oracle-query contract)
+    def blockRgb(x: Int, y: Int): (Int, Int, Int) =
+      ((13 + (x / 8) * 57 + (y / 8) * 23) % 256,
+        (7 + (x / 8) * 31 + (y / 8) * 11) % 256,
+        (11 + (x / 8) * 17 + (y / 8) * 29) % 256)
+    val Some((_, _, bc)) = decodeJpegRgb(encodeJpegProgressive(13, 11, blockRgb)): @unchecked
+    for (y <- 0 until 11; x <- 0 until 13) {
+      val (r0, g0, b0) = blockRgb(x, y)
+      val yv = jpegRgbToY(r0, g0, b0)
+      val cb = jpegRgbToCb(r0, g0, b0); val cr = jpegRgbToCr(r0, g0, b0)
+      val p = bc(y * 13 + x)
+      assert(((p >> 16) & 0xff) == jpegYccToR(yv, cr)
+        && ((p >> 8) & 0xff) == jpegYccToG(yv, cb, cr)
+        && (p & 0xff) == jpegYccToB(yv, cb), s"block-constant pixel ($x,$y)")
+    }
   }
 
   test("multimodal PNG grayscale (color type 0): bpp=1 defilter round-trips; surfaces as replicated RGB") {
