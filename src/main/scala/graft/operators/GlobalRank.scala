@@ -375,9 +375,16 @@ object GlobalRank {
     require(groupCols.nonEmpty, "groupedWeightedMedianLower needs group columns")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val gCols = groupCols.map(col)
-    val ranged = df.repartitionByRange(nParts, gCols :+ col(orderCol): _*)
+    // checkpoint the INPUT, not the exchange output: repartitionByRange
+    // SAMPLES its child to pick range bounds, so an un-pinned input plan
+    // (typically a corpus-sized collapse) would execute twice — once for
+    // the sample pass, once for the real exchange (measured 2.2 s → 1.5 s
+    // on agg_weighted_median at sf0.1, PairedBench r13). The two
+    // downstream reads of `ranged` (offsets aggregate, crossing-slice
+    // join) dedup through ReusedExchange, so no second pin is needed.
+    val ranged = df.localCheckpoint(true)
+      .repartitionByRange(nParts, gCols :+ col(orderCol): _*)
       .withColumn("__wm_pid", spark_partition_id())
-      .localCheckpoint(true)
     val wg = Window.partitionBy(gCols: _*).orderBy(col("__wm_pid"))
     // dimension-sized planning: per-slice totals, running offsets, group
     // totals, then THE one slice per group where 2·cum first reaches tw
