@@ -66,7 +66,24 @@ object PairedBench {
     }
     def perUser = queries.Tables(spark, d, "events").groupBy(col("user_id"))
       .agg(sum(greatest(round(col("value") * 1000000).cast("long"), lit(0L))).as("v"))
+    def eventsProj = queries.Tables(spark, d, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
     Seq(
+      // r13: the transition-edge lag — grouped two-phase (A) vs the
+      // plain 5-partition event_type window (B, the r12 shape). Read =
+      // the weighted-edge aggregate every graph consumer starts from.
+      ("transition_lag",
+        () => graft.operators.GlobalRank.groupedLag(eventsProj,
+            Seq("event_type"), Seq(col("ts"), col("event_id")), "user_id", "src")
+          .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+          .select(col("src"), col("user_id").as("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")),
+        () => eventsProj
+          .withColumn("src", lag(col("user_id"), 1).over(Window
+            .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+          .select(col("src"), col("user_id").as("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))),
       ("w3_rank_dense",
         () => graft.operators.GlobalRank.groupedRankDense(orders,
           Seq("o_orderpriority"), Seq("o_totalprice"),

@@ -354,6 +354,64 @@ object GlobalRank {
       .drop("__gb_pid", "__gb_lrn", "__gb_lcs", "__gb_offn", "__gb_offv")
   }
 
+  /** Grouped two-phase lag(1) of `valueCol` under the ASCENDING total
+    * order `orderCols` — the scale-safe replacement for
+    * `lag(v).over(Window.partitionBy(lowCardCol).orderBy(...))` when the
+    * partition key has far fewer distinct values than the cluster has
+    * cores (the transition-edge builder partitions 150M+ events by FIVE
+    * event types: five tasks each sorting corpus/5 rows, at any scale —
+    * the r12 graph-family max-task was this window, measured 4.4 s at
+    * sf10 even under the cheapest consumer).
+    *
+    * Shape: range-shuffle on (group, order) + pin; per-(pid, group)
+    * local lag (balanced concurrent sorts); each slice's FIRST row per
+    * group takes its predecessor from the previous slice's LAST value of
+    * the same group — a dimension-sized (≤ nParts·|groups present|)
+    * boundary table broadcast back. Rows are patched by local
+    * row_number() == 1, not by null-coalescing, so genuinely-null stored
+    * values never alias a missing predecessor. `orderCols` must be
+    * ASCENDING and total (unique tiebreak column), because the boundary
+    * table reads each slice's last row with max_by over the order
+    * struct. */
+  def groupedLag(df: DataFrame, groupCols: Seq[String],
+                 orderCols: Seq[Column], valueCol: String,
+                 lagCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupedLag needs group columns")
+    require(orderCols.nonEmpty, "groupedLag needs at least one order column")
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gCols = groupCols.map(col)
+    // eager pin, house style (see globalRowNumber): the local window and
+    // the boundary aggregate must see the SAME slice boundaries, and the
+    // pin also keeps the range sample pass from re-running the upstream
+    // plan. Measured both ways at sf10 (PairedBench r13): the pinned
+    // form is faster (12.4 vs 14.0 s on graph_betweenness) because the
+    // checkpoint read outruns a second parquet scan + dedup.
+    val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
+      .withColumn("__lg_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__lg_pid") +: gCols: _*)
+      .orderBy(orderCols: _*)
+    val local = ranged
+      .withColumn("__lg_rn", row_number().over(w))
+      .withColumn(lagCol, lag(col(valueCol), 1).over(w))
+    // dimension-sized: one row per (slice, group) present, then the
+    // previous slice's last value per group along the pid axis
+    val bounds = ranged.groupBy(col("__lg_pid") +: gCols: _*)
+      .agg(max_by(col(valueCol), struct(orderCols: _*)).as("__lg_lastv"))
+      .withColumn("__lg_prev", lag(col("__lg_lastv"), 1)
+        .over(Window.partitionBy(gCols: _*).orderBy(col("__lg_pid"))))
+      .select(col("__lg_pid").as("__lg_pid2") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"__lg_g$i") } :+
+        col("__lg_prev"): _*)
+    val cond = (col("__lg_pid") === col("__lg_pid2")) +:
+      groupCols.zipWithIndex.map { case (c, i) => col(c) <=> col(s"__lg_g$i") }
+    local.join(broadcast(bounds), cond.reduce(_ && _), "left")
+      .withColumn(lagCol,
+        when(col("__lg_rn") === 1, col("__lg_prev")).otherwise(col(lagCol)))
+      .drop("__lg_pid" +: "__lg_pid2" +: "__lg_rn" +: "__lg_prev" +:
+        groupCols.indices.map(i => s"__lg_g$i"): _*)
+  }
+
   /** Exact LOWER weighted median per group — the smallest `orderCol`
     * value whose running weight reaches half the group total — WITHOUT
     * materializing a full prefix sum: per-(pid, group) weight totals

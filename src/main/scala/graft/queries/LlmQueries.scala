@@ -67,15 +67,20 @@ object LlmQueries {
     * "A sends to B" shape as a chain address graph — an address
     * dictionary would plug in here at 100 TB. */
   private def transitionEdges(s: org.apache.spark.sql.SparkSession,
-                              d: String): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    Tables(s, d, "events")
-      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
-      .withColumn("src", lag(col("user_id"), 1).over(w))
+                              d: String): org.apache.spark.sql.DataFrame =
+    // grouped two-phase lag, NOT lag().over(partitionBy(event_type)): the
+    // event-type domain is 5 values, so the plain window is five tasks
+    // each sorting corpus/5 rows AT ANY SCALE — the r12 graph-family
+    // max-task (SCALE_r12 flagged 14.6 s at sf10) was this window, shared
+    // by every transition-graph consumer. The two-phase form range-slices
+    // (event_type, ts, event_id) across all cores and stitches slice
+    // boundaries from a dimension-sized last-value table.
+    graft.operators.GlobalRank.groupedLag(
+        Tables(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"), col("user_id")),
+        Seq("event_type"), Seq(col("ts"), col("event_id")), "user_id", "src")
       .filter(col("src").isNotNull && col("src") =!= col("user_id"))
       .select(col("src"), col("user_id").as("dst"))
-  }
 
   /** DuckDB twin of [[transitionEdges]], collapsed to weighted edges
     * (`ew(src, dst, w)`). */
@@ -91,15 +96,14 @@ object LlmQueries {
     * event's ts) — the edge list for TIME-RESPECTING path motifs, where
     * hop order matters and collapsing to weights would erase it. */
   private def transitionEdgesTs(s: org.apache.spark.sql.SparkSession,
-                                d: String): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    Tables(s, d, "events")
-      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
-      .withColumn("src", lag(col("user_id"), 1).over(w))
+                                d: String): org.apache.spark.sql.DataFrame =
+    // same two-phase lag as [[transitionEdges]] (see rationale there)
+    graft.operators.GlobalRank.groupedLag(
+        Tables(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"), col("user_id")),
+        Seq("event_type"), Seq(col("ts"), col("event_id")), "user_id", "src")
       .filter(col("src").isNotNull && col("src") =!= col("user_id"))
       .select(col("src"), col("user_id").as("dst"), col("ts"))
-  }
 
   /** DuckDB twin of [[transitionEdgesTs]]: `et(src, dst, t)`. */
   private val transitionEdgesTsCte =

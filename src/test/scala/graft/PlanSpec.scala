@@ -630,6 +630,10 @@ class PlanSpec extends SparkSpec {
         "w6_percent_rank" -> "o_orderpriority",
         "clean_impute_median" -> "l_returnflag",
         "agg_weighted_median" -> "l_returnflag",
+        // r13: the transition-edge lag moved to GlobalRank.groupedLag —
+        // the 5-value event_type window was the graph family's sf10
+        // max-task; degree_dist is the representative consumer
+        "graph_degree_dist" -> "event_type",
         "curriculum_tiers" -> "source",
         "llm_corpus_pipeline_v3" -> "source",
         "sample_quantile_norm" -> "source",

@@ -542,6 +542,32 @@ class PropertiesSpec extends SparkSpec {
       Seq("g"), "v", "w", "m", "t").count() == 0)
   }
 
+  test("groupedLag equals the window-form lag, including null values and slice boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    // few groups (the low-cardinality shape the helper exists for), many
+    // rows per group so every slice boundary stitches, NULL values mixed
+    // in (a null predecessor must come through as null, never re-pulled
+    // from an earlier slice), and a null group
+    val df = (1 to 5000).map(i =>
+      (if (i % 11 == 0) null else s"t${i % 3}", i.toLong,
+        if (i % 7 == 0) null else java.lang.Long.valueOf((i * 13 % 97).toLong)))
+      .toDF("g", "ord", "v")
+    val got = graft.operators.GlobalRank.groupedLag(
+        df.repartition(23), Seq("g"), Seq(col("ord")), "v", "prev")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Long]("prev"))).toMap
+    val expect = df
+      .withColumn("prev", lag(col("v"), 1).over(
+        Window.partitionBy(col("g")).orderBy(col("ord"))))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Long]("prev"))).toMap
+    assert(got == expect)
+    // empty input
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "ord", "v")
+    assert(graft.operators.GlobalRank.groupedLag(empty, Seq("g"),
+      Seq(col("ord")), "v", "prev").count() == 0)
+  }
+
   test("fused rank+prefix-sum helpers equal their window forms, totals included") {
     import org.apache.spark.sql.expressions.Window
     // same adversarial shape as the grouped tests: heavy ties, few groups,
