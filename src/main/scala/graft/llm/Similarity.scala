@@ -51,7 +51,12 @@ object Similarity {
     * threshold, ranks at the bottom, never crashes the oracle. Oracles
     * over NaN-capable expressions (norm divisions) mirror this with
     * `CASE WHEN isnan(x) THEN 0 ELSE CAST(round(x*1e6) AS BIGINT) END`;
-    * pinned by `ann_zero_vector_contract`. */
+    * pinned by `ann_zero_vector_contract`. NOTE for DISTANCE callers
+    * (pqAssign / ADC): 0 is the BEST distance, so a NaN distance would
+    * rank first — but a finite-vector PQ distance (sums of squares)
+    * cannot be NaN; only NaN ELEMENTS produce one, and those are
+    * corrupt upstream data to filter at ingest, not a codepath to
+    * bias. */
   private[llm] def microScore(x: Column): Column =
     round(nanvl(x, lit(0d)) * lit(1e6)).cast("long")
 
