@@ -259,17 +259,64 @@ object StreamingOps {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // MUTABLE-CORPUS SAFE (r13, same machinery as
+        // [[maintainExactDupIndexAndFlag]]): every doc always carries
+        // exactly the same band ids, so the (idCol, band) pk of a
+        // re-ingested doc ALWAYS collides with its stale rows once the
+        // old buckets join `touched` — the pk→band-key side map
+        // (`<indexDir>_pk`) supplies them. (The winnow maintainer keeps
+        // the append-only contract: a changed text can DROP fingerprints
+        // whose (doc, fp_hash) pks then collide with nothing.)
+        val pkMapDir = s"${indexDir}_pk"
         val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))), lit(keyBuckets.toLong)))
-        // bounded metadata: ≤ keyBuckets longs, reused by upsert AND flag
-        val touched = bands.select(col("kb")).distinct()
+          .withColumn("pkb", pmod(graft.functions.ColumnFns.md5Long(
+            col(idCol).cast("string")), lit(keyBuckets.toLong)))
+          .localCheckpoint(true) // ≤ 4·batch rows; read 4x below
+        // bounded metadata: ≤ keyBuckets longs each
+        val newTouched = bands.select(col("kb")).distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
-        graft.eth.Sinks.upsertBucketedParquet(bands, indexDir,
+        val touchedPk = bands.select(col("pkb")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        val hPath = new org.apache.hadoop.fs.Path(pkMapDir)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val oldBuckets: IndexedSeq[Long] =
+          if (!fs.exists(hPath)) IndexedSeq.empty
+          else spark.read.parquet(pkMapDir)
+            .filter(col("pkb").isin(touchedPk: _*))
+            .select(col(idCol), col("band"), col("band_key").as("__old_bk"),
+              col("kb").as("__old_kb"))
+            .join(broadcast(bands.select(col(idCol), col("band"), col("band_key"))),
+              Seq(idCol, "band"))
+            .filter(col("__old_bk") =!= col("band_key"))
+            .select(col("__old_kb")).distinct()
+            .collect().map(_.getLong(0)).toIndexedSeq
+        val touched = (newTouched ++ oldBuckets).distinct
+        val oldOnly = oldBuckets.filterNot(newTouched.toSet)
+        val emptiedBuckets: Seq[Long] =
+          if (oldOnly.isEmpty) Seq.empty
+          else {
+            val surviving = spark.read.parquet(indexDir)
+              .filter(col("kb").isin(oldOnly: _*))
+              .join(broadcast(bands.select(col(idCol), col("band"))),
+                Seq(idCol, "band"), "left_anti")
+              .select(col("kb")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            oldOnly.filterNot(surviving)
+          }
+        graft.eth.Sinks.upsertBucketedParquet(bands.drop("pkb"), indexDir,
           pkCols = Seq(idCol, "band"), bucketCol = "kb",
           sortCols = Seq("band_key", idCol), newBuckets = Some(touched))
+        emptiedBuckets.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/kb=$b"), true)
+        }
+        graft.eth.Sinks.upsertBucketedParquet(bands.select(col(idCol),
+            col("band"), col("band_key"), col("kb"), col("pkb")), pkMapDir,
+          pkCols = Seq(idCol, "band"), bucketCol = "pkb",
+          sortCols = Seq(idCol, "band"), newBuckets = Some(touchedPk))
         val idx = spark.read.parquet(indexDir)
-          .filter(col("kb").isin(touched: _*)) // partition-pruned flag read
+          .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
           .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
         bands.join(idx, Seq("band", "band_key"))
           .filter(col(idCol) =!= col("matched_id"))
@@ -291,8 +338,9 @@ object StreamingOps {
     * buckets on both the upsert and the flag read — per-batch cost ∝
     * batch, never corpus.
     *
-    * MUTABLE-CORPUS SAFE (r13; the band/winnow maintainers keep the
-    * append-only contract): the index is bucketed by `content_key` —
+    * MUTABLE-CORPUS SAFE (r13; the band maintainer gets the same
+    * machinery; only the winnow maintainer keeps the append-only
+    * contract): the index is bucketed by `content_key` —
     * derived from the TEXT — so re-ingesting an existing `doc_id` with
     * CHANGED text lands in a different bucket, and a purely
     * content-bucket-pruned upsert would never see the stale (doc_id,

@@ -744,6 +744,44 @@ class StreamingSpec extends SparkSpec {
     assert(snap(s"$root/index_pk") == mapClean, "replay changed the side map")
   }
 
+  test("maintainBandIndexAndFlag mutable corpus: re-ingest with changed text replaces all four band keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_bmut").toString
+    def start() = StreamingOps.maintainBandIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "completely rewritten content that shares no shingles at all"
+    val q1 = start()
+    try {
+      input.addData((1L, textA), (2L, "some other unrelated document text here"))
+      q1.processAllAvailable()
+      input.addData((1L, textB)) // doc 1 edited: all 4 band keys move
+      q1.processAllAvailable()
+      // a new doc with doc 1's OLD text must not band-flag against doc 1
+      input.addData((30L, textA), (40L, textB))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.groupBy("doc_id", "band").count().filter(col("count") > 1)
+      .count() == 0L, "stale (doc_id, band) rows survived the re-ingest")
+    assert(idx.filter(col("doc_id") === 1L).count() == 4L)
+    // doc 1's stored band keys equal a fresh signature of the EDITED text
+    val fresh = graft.llm.Dedup.minhashBands(
+      Seq((1L, textB)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("band", "band_key").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val stored = idx.filter(col("doc_id") === 1L)
+      .select("band", "band_key").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(stored == fresh, s"doc 1 must carry ONLY the edited keys: $stored vs $fresh")
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id"))).toSet
+    assert(!flagPairs().contains((30L, 1L)),
+      s"ghost band flag against doc 1's DEAD text: ${flagPairs()}")
+    assert(flagPairs().contains((40L, 1L)),
+      s"current-text band match must still flag: ${flagPairs()}")
+  }
+
   test("maintainRelations crash injection: partials upserted, checkpoint commit lost; replay overwrites its own batch, totals stay exact") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, String, Long, Int, Boolean)]
