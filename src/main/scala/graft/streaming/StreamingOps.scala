@@ -204,6 +204,122 @@ object StreamingOps {
     * pairing, so a license-header fingerprint every doc carries can
     * never pay df² pair work at flag time. Index IO prunes to the
     * batch's touched key buckets on both the upsert and the flag read. */
+  /** One micro-batch of MUTABLE-CORPUS index maintenance — the shared
+    * engine of the exact/band/winnow/image maintainers (r13). Inputs:
+    * `rows` = the batch's CURRENT index rows, already carrying the
+    * content-derived partition bucket `kb`; `batchIds` = the distinct
+    * re-ingested ids from the RAW batch — passed separately because an
+    * id whose new row set is EMPTY (a doc shrunk below the winnow
+    * window, an image re-ingested as an undecodable payload) must still
+    * erase its old rows. Returns the batch's content buckets for the
+    * caller's partition-pruned flag read.
+    *
+    * Why a side map: the index is bucketed by CONTENT-derived keys so
+    * the flag read can prune to the batch's buckets (cost ∝ batch,
+    * never corpus) — but then a re-ingest with changed content lands in
+    * different buckets and a purely content-pruned upsert would never
+    * see the stale rows. The map (`<indexDir>_pk`, one (id, kb) row per
+    * bucket an id's rows live in, bucketed by an ID hash so one doc =
+    * one partition) supplies the old buckets; the index upsert then
+    * runs over new ∪ old buckets with `dropOldWhere(id ∈ batch)`, which
+    * replaces every old row of a batch id WHOLESALE — correct whatever
+    * the new row shape (changed keys, fewer rows, none). Buckets whose
+    * merge ends EMPTY are deleted explicitly (dynamic partition
+    * overwrite cannot rewrite a partition the output has no rows for);
+    * the map is maintained the same way. Crash-replay safe in every
+    * gap: the index is updated BEFORE the map, so a replay re-widens
+    * `touched` from the not-yet-updated map and re-applies an
+    * idempotent replace; bucket-dir deletes are idempotent.
+    *
+    * Driver-side metadata per batch: bucket lists (≤ keyBuckets longs
+    * each) and the batch id list (∝ batch — the same boundedness class
+    * as the per-batch flags write; Catalyst compiles the membership
+    * test to an InSet). */
+  private def upsertMutableIndex(rows: DataFrame, batchIds: DataFrame,
+                                 idCol: String, pkCols: Seq[String],
+                                 sortCols: Seq[String], indexDir: String,
+                                 keyBuckets: Int): IndexedSeq[Long] = {
+    val spark = rows.sparkSession
+    val pkMapDir = s"${indexDir}_pk"
+    def pkb(c: org.apache.spark.sql.Column) =
+      pmod(graft.functions.ColumnFns.md5Long(c.cast("string")),
+        lit(keyBuckets.toLong))
+    val pinned = rows.withColumn("pkb", pkb(col(idCol)))
+      .localCheckpoint(true) // ≤ batch-rows; read 4x below
+    val ids = batchIds.select(col(idCol)).distinct()
+      .withColumn("pkb", pkb(col(idCol)))
+      .localCheckpoint(true)
+    val idList = ids.select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
+    val dropPred = col(idCol).isin(idList: _*)
+    // bounded metadata: ≤ keyBuckets longs each
+    val newTouched = pinned.select(col("kb")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val touchedPk = ids.select(col("pkb")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val hPath = new org.apache.hadoop.fs.Path(pkMapDir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def del(dir: String, bucketCol: String, b: Long): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$bucketCol=$b"), true)
+    // a sink whose every write was EMPTY holds only _SUCCESS — reading
+    // it would fail schema inference, so gate reads on bucket dirs
+    def hasBuckets(dir: String, bucketCol: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith(s"$bucketCol="))
+    }
+    // ALL old buckets of batch ids (changed or not — a replay rewrites
+    // its own rows identically; map read prunes to the batch's pk buckets)
+    val oldBuckets: IndexedSeq[Long] =
+      if (!hasBuckets(pkMapDir, "pkb")) IndexedSeq.empty
+      else spark.read.parquet(pkMapDir)
+        .filter(col("pkb").isin(touchedPk: _*))
+        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
+        // partition columns read back from disk infer as INT — cast
+        .select(col("kb").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toIndexedSeq
+    val touched = (newTouched ++ oldBuckets).distinct
+    // zero-survivor edge, index side: old buckets receiving NO new rows
+    // whose every stored row belongs to a batch id end the merge empty
+    val oldOnly = oldBuckets.filterNot(newTouched.toSet)
+    val emptied: Seq[Long] =
+      if (oldOnly.isEmpty || !hasBuckets(indexDir, "kb")) Seq.empty
+      else {
+        val surviving = spark.read.parquet(indexDir)
+          .filter(col("kb").isin(oldOnly: _*))
+          .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+          .select(col("kb").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        oldOnly.filterNot(surviving)
+      }
+    graft.eth.Sinks.upsertBucketedParquet(pinned.drop("pkb"), indexDir,
+      pkCols = pkCols, bucketCol = "kb", sortCols = sortCols,
+      newBuckets = Some(touched), dropOldWhere = Some(dropPred))
+    emptied.foreach(del(indexDir, "kb", _))
+    // side map AFTER the index (the crash-replay ordering above): one
+    // (id, kb) row per bucket the id now lives in, replaced wholesale
+    val mapRows = pinned.select(col(idCol), col("kb"), col("pkb")).distinct()
+    graft.eth.Sinks.upsertBucketedParquet(mapRows, pkMapDir,
+      pkCols = Seq(idCol, "kb"), bucketCol = "pkb",
+      sortCols = Seq(idCol), newBuckets = Some(touchedPk),
+      dropOldWhere = Some(dropPred))
+    // zero-survivor edge, map side: a pk bucket whose every id was
+    // re-ingested with an EMPTY new row set gets no new map rows
+    if (hasBuckets(pkMapDir, "pkb")) {
+      val newPkb = mapRows.select(col("pkb")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val pkbNoNew = touchedPk.filterNot(newPkb)
+      if (pkbNoNew.nonEmpty) {
+        val surviving = spark.read.parquet(pkMapDir)
+          .filter(col("pkb").isin(pkbNoNew: _*))
+          .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+          .select(col("pkb").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        pkbNoNew.filterNot(surviving).foreach(del(pkMapDir, "pkb", _))
+      }
+    }
+    newTouched
+  }
+
   def maintainWinnowIndexAndFlag(docs: DataFrame, indexDir: String,
                                  flagsDir: String, checkpointDir: String,
                                  idCol: String = "doc_id",
@@ -214,28 +330,33 @@ object StreamingOps {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // MUTABLE-CORPUS SAFE (r13): a changed text can DROP fingerprints
+        // whose (doc, fp_hash) pks then collide with nothing — exactly
+        // the wholesale-replace case [[upsertMutableIndex]] exists for
+        // (a doc that shrinks below the winnow window erases its rows
+        // entirely: `batchIds` comes from the RAW batch, not from fps).
         val fps = graft.llm.TextAnalysis.winnowFingerprints(
             batch.toDF(), idCol, textCol)
           .select(col(idCol), col("fp_hash")).distinct()
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             col("fp_hash").cast("string")), lit(keyBuckets.toLong)))
-        val touched = fps.select(col("kb")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
+        val newTouched = upsertMutableIndex(fps,
+          batch.toDF().select(col(idCol)), idCol,
+          pkCols = Seq(idCol, "fp_hash"), sortCols = Seq("fp_hash", idCol),
+          indexDir, keyBuckets)
         val flags =
-          if (touched.isEmpty) {
+          if (newTouched.isEmpty) {
             // every batch doc was shorter than the winnow window: the
-            // batch indexes nothing and can overlap nothing — write the
-            // empty (typed) flags so replay stays shape-consistent
+            // batch indexes nothing and can overlap nothing (any STALE
+            // rows of these docs were just erased) — write the empty
+            // (typed) flags so replay stays shape-consistent
             fps.limit(0).select(col(idCol),
               col(idCol).as("matched_id"), lit(0L).as("n_shared"))
           } else {
-            graft.eth.Sinks.upsertBucketedParquet(fps, indexDir,
-              pkCols = Seq(idCol, "fp_hash"), bucketCol = "kb",
-              sortCols = Seq("fp_hash", idCol), newBuckets = Some(touched))
             val wFp = org.apache.spark.sql.expressions.Window
               .partitionBy(col("fp_hash"))
             val idx = spark.read.parquet(indexDir)
-              .filter(col("kb").isin(touched: _*)) // partition-pruned read
+              .filter(col("kb").isin(newTouched: _*)) // partition-pruned read
               .withColumn("__df", count(lit(1)).over(wFp))
               .filter(col("__df") <= maxDf) // MOSS boilerplate rule
               .select(col("fp_hash"), col(idCol).as("matched_id"))
@@ -259,62 +380,16 @@ object StreamingOps {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // MUTABLE-CORPUS SAFE (r13, same machinery as
-        // [[maintainExactDupIndexAndFlag]]): every doc always carries
-        // exactly the same band ids, so the (idCol, band) pk of a
-        // re-ingested doc ALWAYS collides with its stale rows once the
-        // old buckets join `touched` — the pk→band-key side map
-        // (`<indexDir>_pk`) supplies them. (The winnow maintainer keeps
-        // the append-only contract: a changed text can DROP fingerprints
-        // whose (doc, fp_hash) pks then collide with nothing.)
-        val pkMapDir = s"${indexDir}_pk"
+        // MUTABLE-CORPUS SAFE (r13): [[upsertMutableIndex]] replaces a
+        // re-ingested doc's band rows wholesale via the pk→bucket side
+        // map, whatever the new band keys.
         val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))), lit(keyBuckets.toLong)))
-          .withColumn("pkb", pmod(graft.functions.ColumnFns.md5Long(
-            col(idCol).cast("string")), lit(keyBuckets.toLong)))
-          .localCheckpoint(true) // ≤ 4·batch rows; read 4x below
-        // bounded metadata: ≤ keyBuckets longs each
-        val newTouched = bands.select(col("kb")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        val touchedPk = bands.select(col("pkb")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        val hPath = new org.apache.hadoop.fs.Path(pkMapDir)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val oldBuckets: IndexedSeq[Long] =
-          if (!fs.exists(hPath)) IndexedSeq.empty
-          else spark.read.parquet(pkMapDir)
-            .filter(col("pkb").isin(touchedPk: _*))
-            .select(col(idCol), col("band"), col("band_key").as("__old_bk"),
-              col("kb").as("__old_kb"))
-            .join(broadcast(bands.select(col(idCol), col("band"), col("band_key"))),
-              Seq(idCol, "band"))
-            .filter(col("__old_bk") =!= col("band_key"))
-            .select(col("__old_kb")).distinct()
-            .collect().map(_.getLong(0)).toIndexedSeq
-        val touched = (newTouched ++ oldBuckets).distinct
-        val oldOnly = oldBuckets.filterNot(newTouched.toSet)
-        val emptiedBuckets: Seq[Long] =
-          if (oldOnly.isEmpty) Seq.empty
-          else {
-            val surviving = spark.read.parquet(indexDir)
-              .filter(col("kb").isin(oldOnly: _*))
-              .join(broadcast(bands.select(col(idCol), col("band"))),
-                Seq(idCol, "band"), "left_anti")
-              .select(col("kb")).distinct()
-              .collect().map(_.getLong(0)).toSet
-            oldOnly.filterNot(surviving)
-          }
-        graft.eth.Sinks.upsertBucketedParquet(bands.drop("pkb"), indexDir,
-          pkCols = Seq(idCol, "band"), bucketCol = "kb",
-          sortCols = Seq("band_key", idCol), newBuckets = Some(touched))
-        emptiedBuckets.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/kb=$b"), true)
-        }
-        graft.eth.Sinks.upsertBucketedParquet(bands.select(col(idCol),
-            col("band"), col("band_key"), col("kb"), col("pkb")), pkMapDir,
-          pkCols = Seq(idCol, "band"), bucketCol = "pkb",
-          sortCols = Seq(idCol, "band"), newBuckets = Some(touchedPk))
+        val newTouched = upsertMutableIndex(bands,
+          batch.toDF().select(col(idCol)), idCol,
+          pkCols = Seq(idCol, "band"), sortCols = Seq("band_key", idCol),
+          indexDir, keyBuckets)
         val idx = spark.read.parquet(indexDir)
           .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
           .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
@@ -338,24 +413,14 @@ object StreamingOps {
     * buckets on both the upsert and the flag read — per-batch cost ∝
     * batch, never corpus.
     *
-    * MUTABLE-CORPUS SAFE (r13; the band maintainer gets the same
-    * machinery; only the winnow maintainer keeps the append-only
-    * contract): the index is bucketed by `content_key` —
-    * derived from the TEXT — so re-ingesting an existing `doc_id` with
-    * CHANGED text lands in a different bucket, and a purely
-    * content-bucket-pruned upsert would never see the stale (doc_id,
-    * old content_key) row. A pk→key SIDE MAP (`<indexDir>_pk`, bucketed
-    * by a hash of the doc id) records each doc's CURRENT key: per batch,
-    * the map is read pruned to the batch's PK buckets, re-keyed docs
-    * contribute their OLD content buckets to `touched`, and the same
-    * pk-collision merge that makes replays idempotent then erases the
-    * stale rows. Two bounded extras per batch (both ∝ batch, never
-    * corpus): the pruned map read, and — for old buckets receiving no
-    * new rows — a survivor probe, because dynamic partition overwrite
-    * cannot rewrite a partition the merged output has ZERO rows for
-    * (those bucket dirs are deleted explicitly). Crash-replay safe in
-    * every gap: index-before-map means a replay re-widens `touched`
-    * from the not-yet-updated map and re-applies an idempotent merge. */
+    * MUTABLE-CORPUS SAFE (r13, like ALL FOUR index maintainers — exact,
+    * band, winnow, image — via [[upsertMutableIndex]]): the index is
+    * bucketed by `content_key` — derived from the TEXT — so re-ingesting
+    * an existing `doc_id` with CHANGED text lands in a different bucket,
+    * and a purely content-bucket-pruned upsert would never see the stale
+    * (doc_id, old content_key) row; the shared pk→bucket side map
+    * supplies the old buckets and the wholesale id-replace erases them
+    * (full mechanics + crash-replay analysis on the helper). */
   def maintainExactDupIndexAndFlag(docs: DataFrame, indexDir: String,
                                    flagsDir: String, checkpointDir: String,
                                    idCol: String = "doc_id",
@@ -365,60 +430,13 @@ object StreamingOps {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val pkMapDir = s"${indexDir}_pk"
         val keyed = batch.toDF().select(col(idCol),
             graft.functions.ColumnFns.md5Long(col(textCol)).as("content_key"))
           .withColumn("kb", pmod(col("content_key"), lit(keyBuckets.toLong)))
-          .withColumn("pkb", pmod(graft.functions.ColumnFns.md5Long(
-            col(idCol).cast("string")), lit(keyBuckets.toLong)))
-          .localCheckpoint(true) // ≤ batch rows; read 4x below
-        // bounded metadata: ≤ keyBuckets longs each
-        val newTouched = keyed.select(col("kb")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        val touchedPk = keyed.select(col("pkb")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        // re-keyed docs: batch ids whose stored content_key differs —
-        // their old buckets must join `touched` so the merge erases the
-        // stale rows. Map read prunes to the batch's pk buckets.
-        val hPath = new org.apache.hadoop.fs.Path(pkMapDir)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val oldBuckets: IndexedSeq[Long] =
-          if (!fs.exists(hPath)) IndexedSeq.empty
-          else spark.read.parquet(pkMapDir)
-            .filter(col("pkb").isin(touchedPk: _*))
-            .select(col(idCol), col("content_key").as("__old_key"),
-              col("kb").as("__old_kb"))
-            .join(broadcast(keyed.select(col(idCol), col("content_key"))), Seq(idCol))
-            .filter(col("__old_key") =!= col("content_key"))
-            .select(col("__old_kb")).distinct()
-            .collect().map(_.getLong(0)).toIndexedSeq
-        val touched = (newTouched ++ oldBuckets).distinct
-        // zero-survivor edge: an old bucket receiving NO new rows whose
-        // every stored row is re-keyed this batch ends the merge with 0
-        // rows — dynamic overwrite skips empty partitions, so find those
-        // buckets now and delete their dirs after the upsert.
-        val oldOnly = oldBuckets.filterNot(newTouched.toSet)
-        val emptiedBuckets: Seq[Long] =
-          if (oldOnly.isEmpty) Seq.empty
-          else {
-            val surviving = spark.read.parquet(indexDir)
-              .filter(col("kb").isin(oldOnly: _*))
-              .join(broadcast(keyed.select(col(idCol))), Seq(idCol), "left_anti")
-              .select(col("kb")).distinct()
-              .collect().map(_.getLong(0)).toSet
-            oldOnly.filterNot(surviving)
-          }
-        graft.eth.Sinks.upsertBucketedParquet(keyed.drop("pkb"), indexDir,
-          pkCols = Seq(idCol), bucketCol = "kb",
-          sortCols = Seq("content_key", idCol), newBuckets = Some(touched))
-        emptiedBuckets.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/kb=$b"), true)
-        }
-        // side map AFTER the index (the crash-replay ordering above)
-        graft.eth.Sinks.upsertBucketedParquet(keyed.select(col(idCol),
-            col("content_key"), col("kb"), col("pkb")), pkMapDir,
-          pkCols = Seq(idCol), bucketCol = "pkb",
-          sortCols = Seq(idCol), newBuckets = Some(touchedPk))
+        val newTouched = upsertMutableIndex(keyed,
+          batch.toDF().select(col(idCol)), idCol,
+          pkCols = Seq(idCol), sortCols = Seq("content_key", idCol),
+          indexDir, keyBuckets)
         val idx = spark.read.parquet(indexDir)
           .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
           .select(col("content_key"), col(idCol).as("matched_id"))
@@ -461,23 +479,36 @@ object StreamingOps {
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))),
             lit(keyBuckets.toLong)))
-        val touched = banded.select(col("kb")).distinct()
-          .collect().map(_.getLong(0)).toIndexedSeq
-        graft.eth.Sinks.upsertBucketedParquet(banded, indexDir,
-          pkCols = Seq("media_id", "band"), bucketCol = "kb",
-          sortCols = Seq("band_key", "media_id"), newBuckets = Some(touched))
-        val idx = spark.read.parquet(indexDir)
-          .filter(col("kb").isin(touched: _*))
-          .select(col("band"), col("band_key"),
-            col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
-        banded.join(idx, Seq("band", "band_key"))
-          .filter(col("media_id") =!= col("matched_id"))
-          .withColumn("hamming",
-            bit_count(col("ahash").bitwiseXOR(col("matched_hash"))))
-          .filter(col("hamming") <= maxHamming)
-          .select(col("media_id"), col("matched_id"), col("hamming"))
-          .distinct()
-          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+        // MUTABLE-CORPUS SAFE (r13): batchIds come from the RAW batch —
+        // a media id re-ingested with changed bytes replaces its six
+        // band rows wholesale, and one re-ingested as an UNDECODABLE
+        // payload (which yields no aHash rows at all) erases them.
+        val touched = upsertMutableIndex(banded,
+          batch.toDF().select(col("media_id").cast("long").as("media_id")),
+          "media_id",
+          pkCols = Seq("media_id", "band"), sortCols = Seq("band_key", "media_id"),
+          indexDir, keyBuckets)
+        val flags =
+          if (touched.isEmpty) {
+            // nothing decodable this batch (stale rows of its ids were
+            // still erased): typed empty flags, shape-consistent
+            banded.limit(0)
+              .select(col("media_id"), col("media_id").as("matched_id"),
+                lit(0).cast("int").as("hamming"))
+          } else {
+            val idx = spark.read.parquet(indexDir)
+              .filter(col("kb").isin(touched: _*))
+              .select(col("band"), col("band_key"),
+                col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
+            banded.join(idx, Seq("band", "band_key"))
+              .filter(col("media_id") =!= col("matched_id"))
+              .withColumn("hamming",
+                bit_count(col("ahash").bitwiseXOR(col("matched_hash"))))
+              .filter(col("hamming") <= maxHamming)
+              .select(col("media_id"), col("matched_id"), col("hamming"))
+              .distinct()
+          }
+        flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .start()

@@ -731,9 +731,10 @@ class StreamingSpec extends SparkSpec {
       s"ghost flag against doc 1's DEAD content: ${flagPairs()}")
     assert(flagPairs().contains((40L, 1L)),
       s"current-content match must still flag: ${flagPairs()}")
-    // side map tracks the current key
+    // side map tracks the doc's CURRENT bucket only
     assert(spark.read.parquet(s"$root/index_pk").filter(col("doc_id") === 1L)
-      .select("content_key").collect().map(_.getLong(0)).toSeq == Seq(editedKey))
+      .select("kb").collect().map(_.getLong(0)).toSeq
+      == Seq(((editedKey % 64) + 64) % 64))
     // replay idempotence still holds WITH the side map in the loop
     def snap(dir: String) = spark.read.parquet(dir).collect().map(_.toString).toSet
     val idxClean = snap(s"$root/index"); val mapClean = snap(s"$root/index_pk")
@@ -818,6 +819,91 @@ class StreamingSpec extends SparkSpec {
       q3.processAllAvailable()
     } finally q3.stop()
     assert(readRel() == Seq(("a", "b", 3L, "150"), ("a", "c", 1L, "9")))
+  }
+
+  test("maintainWinnowIndexAndFlag mutable corpus: edits replace the fingerprint SET; shrink-below-window erases it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_wmut").toString
+    val runA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val runB = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    def start() = StreamingOps.maintainWinnowIndexAndFlag(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/flags", s"$root/ckpt", minShared = 1)
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("matched_id"))).toSet
+    val q1 = start()
+    try {
+      input.addData((1L, s"document one starts with $runA and more"),
+        (2L, s"second doc carries $runB entirely different words"))
+      q1.processAllAvailable()
+      // doc 1 EDITED to unrelated content: its old fp rows must die —
+      // this is the set-shrink case pk-collision alone cannot express
+      input.addData((1L, "replaced with some completely new short words body"))
+      q1.processAllAvailable()
+      // a new doc with doc 1's OLD run must not flag against doc 1
+      input.addData((30L, s"another doc reusing $runA in the middle"))
+      q1.processAllAvailable()
+      // doc 2 shrinks BELOW the winnow window: every fp row erased
+      input.addData((2L, "tiny"))
+      q1.processAllAvailable()
+      input.addData((40L, s"reuses $runB which should now be unindexed"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!flagPairs().contains((30L, 1L)),
+      s"ghost winnow flag via doc 1's DEAD fingerprints: ${flagPairs()}")
+    assert(!flagPairs().contains((40L, 2L)),
+      s"ghost winnow flag via doc 2's ERASED fingerprints: ${flagPairs()}")
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.filter(col("doc_id") === 2L).count() == 0L,
+      "doc 2 shrank below the window; its index rows must be gone")
+    // doc 1's stored fps equal a fresh fingerprinting of the edited text
+    val fresh = graft.llm.TextAnalysis.winnowFingerprints(
+      Seq((1L, "replaced with some completely new short words body"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .select("fp_hash").distinct().collect().map(_.getLong(0)).toSet
+    val stored = idx.filter(col("doc_id") === 1L)
+      .select("fp_hash").collect().map(_.getLong(0)).toSet
+    assert(stored == fresh, s"doc 1 must carry ONLY the edited fps")
+  }
+
+  test("maintainImageIndexAndFlag mutable corpus: re-encoded pixels replace the bands; undecodable re-ingest erases them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_imut").toString
+    def bmp(seed: Int) = graft.llm.Multimodal.encodeBmp(16, 12, (x, y) =>
+      (((x * 7 + y * 13 + seed) % 256), ((x * 3 + y * 5 + seed) % 256),
+        ((x + y * 2 + seed * 11) % 256)))
+    def start() = StreamingOps.maintainImageIndexAndFlag(
+      input.toDF().toDF("media_id", "payload", "mime"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("matched_id"))).toSet
+    val q1 = start()
+    try {
+      input.addData((1L, bmp(0), "image/bmp"), (2L, bmp(77), "image/bmp"))
+      q1.processAllAvailable()
+      // media 1 re-ingested with DIFFERENT pixels: its six band rows move
+      input.addData((1L, bmp(200), "image/bmp"))
+      q1.processAllAvailable()
+      // a new image with media 1's OLD pixels must not flag against it
+      input.addData((30L, bmp(0), "image/bmp"))
+      q1.processAllAvailable()
+      // media 2 re-ingested as an UNDECODABLE payload: rows erased
+      input.addData((2L, "not an image at all".getBytes, "image/bmp"))
+      q1.processAllAvailable()
+      input.addData((40L, bmp(77), "image/bmp"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(!flagPairs().contains((30L, 1L)),
+      s"ghost image flag via media 1's DEAD bands: ${flagPairs()}")
+    assert(!flagPairs().contains((40L, 2L)),
+      s"ghost image flag via media 2's ERASED bands: ${flagPairs()}")
+    assert(flagPairs().contains((40L, 30L)) || !flagPairs().contains((40L, 2L)))
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.filter(col("media_id") === 2L).count() == 0L,
+      "media 2 became undecodable; its band rows must be gone")
+    assert(idx.filter(col("media_id") === 1L).count() == 6L)
   }
 
   test("maintainWinnowIndexAndFlag: cross-batch and same-batch partial overlaps flag; short docs index nothing; crash replay heals") {
