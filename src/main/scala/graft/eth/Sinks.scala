@@ -87,12 +87,22 @@ object Sinks {
     *   mini-batch may key partials differently than its original run —
     *   see StreamingOps.maintainCentroids): pass the batch-scope
     *   predicate (e.g. batch_id === current) so the replay REPLACES the
-    *   original batch's rows wholesale instead of merging beside them. */
+    *   original batch's rows wholesale instead of merging beside them.
+    * @param dropOldKeys the DISTRIBUTED form of the same eraser: stored
+    *   overlap rows whose values on this frame's columns MATCH ANY of its
+    *   rows are dropped before the merge (left-anti semi-join — the frame
+    *   is broadcast when small, so the old side never collects to the
+    *   driver the way an `isin` literal would). Used by the
+    *   mutable-corpus index maintainers: pass the batch's id set so a
+    *   re-ingested id's rows are replaced WHOLESALE — correct even when
+    *   the new batch carries FEWER (or zero) rows for that id. Composes
+    *   with dropOldWhere (either match drops). */
   def upsertBucketedParquet(df: DataFrame, path: String, pkCols: Seq[String],
                             bucketCol: String = "block_id_group",
                             sortCols: Seq[String] = Seq("block_id"),
                             newBuckets: Option[Seq[Long]] = None,
-                            dropOldWhere: Option[Column] = None): Unit = {
+                            dropOldWhere: Option[Column] = None,
+                            dropOldKeys: Option[DataFrame] = None): Unit = {
     val spark = df.sparkSession
     val incoming = newBuckets.getOrElse {
       // fallback: derive from the batch (one extra evaluation of df's plan).
@@ -128,9 +138,12 @@ object Sinks {
         else lit(null).cast(df.schema(c).dataType).as(c)
       }.toIndexedSeq: _*)
       // null-safe negation: a null predicate value must KEEP the row
-      val old = dropOldWhere
+      val afterPred = dropOldWhere
         .map(p => aligned.filter(!coalesce(p, lit(false))))
         .getOrElse(aligned)
+      val old = dropOldKeys
+        .map(keys => afterPred.join(broadcast(keys), keys.columns.toSeq, "left_anti"))
+        .getOrElse(afterPred)
       // precedence: incoming rows win over stored rows on PK collision
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pkCols.map(col).toIndexedSeq: _*)

@@ -439,7 +439,12 @@ object GlobalRank {
     // the sample pass, once for the real exchange (measured 2.2 s → 1.5 s
     // on agg_weighted_median at sf0.1, PairedBench r13). The two
     // downstream reads of `ranged` (offsets aggregate, crossing-slice
-    // join) dedup through ReusedExchange, so no second pin is needed.
+    // join) each re-run the exchange over the pinned rows (column
+    // pruning pushes different projections below it, so ReuseExchange
+    // cannot fire); their pids still agree because range-bound sampling
+    // is DETERMINISTIC over the identical pinned key multiset — which is
+    // exactly why the pin must sit BELOW the exchange (PlanSpec locks
+    // that every range exchange here roots on the checkpoint scan).
     val ranged = df.localCheckpoint(true)
       .repartitionByRange(nParts, gCols :+ col(orderCol): _*)
       .withColumn("__wm_pid", spark_partition_id())

@@ -231,10 +231,11 @@ object StreamingOps {
     * `touched` from the not-yet-updated map and re-applies an
     * idempotent replace; bucket-dir deletes are idempotent.
     *
-    * Driver-side metadata per batch: bucket lists (≤ keyBuckets longs
-    * each) and the batch id list (∝ batch — the same boundedness class
-    * as the per-batch flags write; Catalyst compiles the membership
-    * test to an InSet). */
+    * Driver-side metadata per batch: the bucket lists only (≤
+    * keyBuckets longs each) — the batch id set stays DISTRIBUTED (the
+    * wholesale replace is a broadcast anti-join via `dropOldKeys`, never
+    * an `isin` literal, so a multi-million-row catch-up batch cannot
+    * blow the driver). */
   private def upsertMutableIndex(rows: DataFrame, batchIds: DataFrame,
                                  idCol: String, pkCols: Seq[String],
                                  sortCols: Seq[String], indexDir: String,
@@ -249,8 +250,6 @@ object StreamingOps {
     val ids = batchIds.select(col(idCol)).distinct()
       .withColumn("pkb", pkb(col(idCol)))
       .localCheckpoint(true)
-    val idList = ids.select(col(idCol)).collect().map(_.get(0)).toIndexedSeq
-    val dropPred = col(idCol).isin(idList: _*)
     // bounded metadata: ≤ keyBuckets longs each
     val newTouched = pinned.select(col("kb")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
@@ -293,7 +292,7 @@ object StreamingOps {
       }
     graft.eth.Sinks.upsertBucketedParquet(pinned.drop("pkb"), indexDir,
       pkCols = pkCols, bucketCol = "kb", sortCols = sortCols,
-      newBuckets = Some(touched), dropOldWhere = Some(dropPred))
+      newBuckets = Some(touched), dropOldKeys = Some(ids.select(col(idCol))))
     emptied.foreach(del(indexDir, "kb", _))
     // side map AFTER the index (the crash-replay ordering above): one
     // (id, kb) row per bucket the id now lives in, replaced wholesale
@@ -301,7 +300,7 @@ object StreamingOps {
     graft.eth.Sinks.upsertBucketedParquet(mapRows, pkMapDir,
       pkCols = Seq(idCol, "kb"), bucketCol = "pkb",
       sortCols = Seq(idCol), newBuckets = Some(touchedPk),
-      dropOldWhere = Some(dropPred))
+      dropOldKeys = Some(ids.select(col(idCol))))
     // zero-survivor edge, map side: a pk bucket whose every id was
     // re-ingested with an EMPTY new row set gets no new map rows
     if (hasBuckets(pkMapDir, "pkb")) {

@@ -707,11 +707,34 @@ class PlanSpec extends SparkSpec {
       // r12: weighted median is the crossing-slice form — the only
       // data-touching window is the local running sum over the ONE
       // crossing slice per group, partitioned by (__wm_pid, group)
-      assert(Registry.queries("agg_weighted_median")(spark, dir)
-        .queryExecution.executedPlan.collect { case w: WindowExec => w }
+      val wmPlan = Registry.queries("agg_weighted_median")(spark, dir)
+        .queryExecution.executedPlan
+      assert(wmPlan.collect { case w: WindowExec => w }
         .exists(_.partitionSpec.exists(_.references.exists(
           _.name.startsWith("__wm_pid")))),
         "agg_weighted_median: expected the crossing-slice weighted median")
+      // r13: the helper pins its INPUT (not the exchange output); the
+      // offsets aggregate and the crossing-slice join each re-run the
+      // range exchange (column pruning pushes different projections
+      // below it, so ReuseExchange cannot fire), and pid consistency
+      // rests on BOTH exchanges reading the SAME pinned rows with
+      // deterministic range-bound sampling. Lock the precondition: every
+      // range exchange in the plan must sit over the checkpoint scan,
+      // never over a live (re-evaluable) subplan.
+      val rangeExchanges = wmPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+      }
+      assert(rangeExchanges.nonEmpty, s"expected range exchanges:\n$wmPlan")
+      rangeExchanges.foreach { e =>
+        assert(e.child.collectFirst {
+          case r: org.apache.spark.sql.execution.RDDScanExec => r
+        }.nonEmpty,
+          s"agg_weighted_median: a range exchange is not rooted on the " +
+            s"pinned (checkpoint) scan — pid consistency would depend on " +
+            s"a re-evaluable plan:\n$e")
+      }
       val w7 = Registry.queries("w7_range_frame")(spark, dir)
         .queryExecution.executedPlan
       assert(w7.collect { case w: WindowExec => w }.isEmpty,
