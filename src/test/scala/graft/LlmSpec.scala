@@ -967,6 +967,24 @@ class LlmSpec extends SparkSpec {
         ((ours(y * 48 + x) >> sh) & 0xff))
       assert(d <= 16, s"IJG-progressive delta $d at ($x,$y) shift $sh")
     }
+    // conformance: truncated progressive streams (mid-scan AND
+    // missing-EOI) must reject, never return a partial image
+    assert(decodeJpegRgb(pj.take(pj.length / 3)).isEmpty)
+    assert(decodeJpegRgb(pj.take(pj.length - 2)).isEmpty,
+      "progressive without EOI must reject")
+    // a progressive stream whose FIRST scan header claims an AC band
+    // (here: the interleaved 3-component scan rewritten to Ss=Se=1 —
+    // doubly malformed: AC scans are single-component AND must follow
+    // the component's DC per G.1.1.1.1) must reject at the header,
+    // BEFORE the coefficient state is allocated
+    val acFirst = pj.clone()
+    val sosAt = acFirst.indices.find(i => (acFirst(i) & 0xff) == 0xff
+      && i + 1 < acFirst.length && (acFirst(i + 1) & 0xff) == 0xda).get
+    // SOS layout: FF DA len(2) ns(1) [Cs,Td/Ta]x3 Ss Se AhAl
+    acFirst(sosAt + 11) = 1 // Ss
+    acFirst(sosAt + 12) = 1 // Se
+    assert(decodeJpegRgb(acFirst).isEmpty,
+      "AC-banded first scan must reject at the header")
     // block-constant payloads reconstruct the analytic color chain
     // exactly through the progressive path (the oracle-query contract)
     def blockRgb(x: Int, y: Int): (Int, Int, Int) =
