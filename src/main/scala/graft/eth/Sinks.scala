@@ -90,9 +90,11 @@ object Sinks {
     *   original batch's rows wholesale instead of merging beside them.
     * @param dropOldKeys the DISTRIBUTED form of the same eraser: stored
     *   overlap rows whose values on this frame's columns MATCH ANY of its
-    *   rows are dropped before the merge (left-anti semi-join — the frame
-    *   is broadcast when small, so the old side never collects to the
-    *   driver the way an `isin` literal would). Used by the
+    *   rows are dropped before the merge (left-anti join — the PLANNER
+    *   broadcasts a small key frame and falls back to a shuffled
+    *   anti-join for a huge one, so the key set never needs to fit the
+    *   driver the way an `isin` literal or a forced broadcast would).
+    *   Used by the
     *   mutable-corpus index maintainers: pass the batch's id set so a
     *   re-ingested id's rows are replaced WHOLESALE — correct even when
     *   the new batch carries FEWER (or zero) rows for that id. Composes
@@ -142,7 +144,7 @@ object Sinks {
         .map(p => aligned.filter(!coalesce(p, lit(false))))
         .getOrElse(aligned)
       val old = dropOldKeys
-        .map(keys => afterPred.join(broadcast(keys), keys.columns.toSeq, "left_anti"))
+        .map(keys => afterPred.join(keys, keys.columns.toSeq, "left_anti"))
         .getOrElse(afterPred)
       // precedence: incoming rows win over stored rows on PK collision
       val w = org.apache.spark.sql.expressions.Window

@@ -1349,8 +1349,54 @@ object Multimodal {
     encodeJpegPlanes(width, height, 1,
       (x, y) => Array(((gray(x, y) % 256) + 256) % 256))
 
-  /** Shared encoder core: JFIF header emission (SOI/APP0/DQT/SOF0 with
-    * per-component sampling factors/DHTs/SOS) plus the per-block
+  /** JFIF prologue shared by EVERY writer (baseline 4:4:4 / 4:2:0 via
+    * [[JpegEncoder]], progressive via [[encodeJpegProgressive]]):
+    * SOI/APP0/DQT/SOF(`sofMarker`)/DHTs — one definition, so a quant- or
+    * Huffman-table change can never diverge the encoders (the r12 lesson
+    * that created the shared core, extended to the SOF2 writer). */
+  private def jpegWriteJfifPrologue(out: java.io.ByteArrayOutputStream,
+                                    width: Int, height: Int, nComp: Int,
+                                    sampling: Array[Int],
+                                    sofMarker: Int): Unit = {
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); u16(16) // APP0 JFIF
+    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    marker(0xdb); u16(2 + 65) // DQT, table 0, 8-bit
+    out.write(0x00)
+    for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
+    marker(sofMarker); u16(8 + 3 * nComp)
+    out.write(8); u16(height); u16(width); out.write(nComp)
+    for (c <- 0 until nComp) { out.write(c + 1); out.write(sampling(c)); out.write(0) }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | id)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
+    dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
+    if (nComp == 3) {
+      dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
+      dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
+    }
+  }
+
+  /** FDCT + quantize one level-shifted 8x8 block into zigzag order —
+    * the one arithmetic every writer shares. */
+  private def jpegQuantizedZigzag(block: Array[Double], zz: Array[Int]): Unit = {
+    val coef = jpegFdct(block)
+    var k = 0
+    while (k < 64) {
+      val natK = jpegZigzag(k)
+      zz(k) = math.round(coef(natK) / jpegQuant(natK)).toInt
+      k += 1
+    }
+  }
+
+  /** Shared encoder core: JFIF prologue + SOS plus the per-block
     * FDCT -> quantize -> Huffman emit — ONE definition for the 4:4:4 and
     * 4:2:0 writers, which previously duplicated ~50 lines each (a DQT or
     * DHT change had to land twice or the two encoders silently
@@ -1361,29 +1407,8 @@ object Multimodal {
     private def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     private def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     locally {
-      marker(0xd8) // SOI
-      marker(0xe0); u16(16) // APP0 JFIF
-      out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
-      out.write(0); u16(1); u16(1); out.write(0); out.write(0)
-      marker(0xdb); u16(2 + 65) // DQT, table 0, 8-bit
-      out.write(0x00)
-      for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
-      marker(0xc0); u16(8 + 3 * nComp) // SOF0
-      out.write(8); u16(height); u16(width); out.write(nComp)
-      for (c <- 0 until nComp) { out.write(c + 1); out.write(sampling(c)); out.write(0) }
-      def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-        marker(0xc4); u16(2 + 1 + 16 + vals.length)
-        out.write((cls << 4) | id)
-        bits.foreach(out.write)
-        vals.foreach(out.write)
-      }
-      dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
-      dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
-      if (nComp == 3) {
-        dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
-        dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
-      }
-      marker(0xda); u16(6 + 2 * nComp) // SOS
+      jpegWriteJfifPrologue(out, width, height, nComp, sampling, 0xc0)
+      marker(0xda); u16(6 + 2 * nComp) // SOS: baseline single full scan
       out.write(nComp)
       for (c <- 0 until nComp) {
         out.write(c + 1)
@@ -1411,13 +1436,7 @@ object Multimodal {
         }
         yy += 1
       }
-      val coef = jpegFdct(block)
-      var k = 0
-      while (k < 64) {
-        val nat = jpegZigzag(k)
-        zz(k) = math.round(coef(nat) / jpegQuant(nat)).toInt
-        k += 1
-      }
+      jpegQuantizedZigzag(block, zz)
       dcPred(c) = jpegEncodeBlock(bw, zz, dcPred(c),
         if (c == 0) dcLuma else dcChroma, if (c == 0) acLuma else acChroma)
     }
@@ -1562,13 +1581,7 @@ object Multimodal {
           }) - 128.0
           i += 1
         }
-        val coef = jpegFdct(block)
-        var k = 0
-        while (k < 64) {
-          val natK = jpegZigzag(k)
-          zz(c)(b)(k) = math.round(coef(natK) / jpegQuant(natK)).toInt
-          k += 1
-        }
+        jpegQuantizedZigzag(block, zz(c)(b))
         c += 1
       }
       b += 1
@@ -1576,23 +1589,7 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    marker(0xe0); u16(16) // APP0 JFIF
-    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte)); out.write(1); out.write(1)
-    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
-    marker(0xdb); u16(2 + 65); out.write(0x00) // DQT table 0, 8-bit
-    for (k <- 0 until 64) out.write(jpegQuant(jpegZigzag(k)))
-    marker(0xc2); u16(8 + 9) // SOF2
-    out.write(8); u16(height); u16(width); out.write(3)
-    for (c <- 0 until 3) { out.write(c + 1); out.write(0x11); out.write(0) }
-    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length)
-      out.write((cls << 4) | id); bits.foreach(out.write); vals.foreach(out.write)
-    }
-    dht(0, 0, jpegDcLumaBits, jpegDcLumaVals)
-    dht(1, 0, jpegAcLumaBits, jpegAcLumaVals)
-    dht(0, 1, jpegDcChromaBits, jpegDcChromaVals)
-    dht(1, 1, jpegAcChromaBits, jpegAcChromaVals)
+    jpegWriteJfifPrologue(out, width, height, 3, Array.fill(3)(0x11), 0xc2)
     val dcLuma = jpegCodes(jpegDcLumaBits, jpegDcLumaVals)
     val acLuma = jpegCodes(jpegAcLumaBits, jpegAcLumaVals)
     val dcChroma = jpegCodes(jpegDcChromaBits, jpegDcChromaVals)
@@ -1825,17 +1822,20 @@ object Multimodal {
           // ~150-byte payload can declare 65535x65535 — plane and RGB
           // buffer sizes would wrap Int (NegativeArraySizeException
           // inside mapPartitions kills the task) or force multi-GB
-          // allocations before any entropy data is validated. 2^24
-          // pixels (16 Mpx ≈ 4096x4096, a full-size photo) is far above
-          // any fixture, keeps every buffer size comfortably inside
-          // Int, and bounds the worst-case transient plane+RGB
-          // allocation to ~130 MB per record (the r12 guard's 2^26 cap
-          // still allowed ~0.5-1 GB per crafted record — enough for a
-          // partition of them to OOM an executor even though every
-          // decode eventually returns None). A cheap entropy-length
-          // plausibility check at SOS (below) rejects tiny crafted
-          // payloads before ANY plane is allocated.
-          if (width.toLong * height > (1L << 24)) return None
+          // allocations before any entropy data is validated (the r12
+          // 2^26 cap still allowed ~0.5-1 GB per crafted record). The
+          // caps are explicit engineering constants sized for many
+          // concurrent decode tasks per executor, per decode shape:
+          // BASELINE holds byte planes + packed RGB (~7 bytes/px), so
+          // 2^25 px (33.5 Mpx — covers a 20 Mpx DSLR frame) tops out
+          // near ~235 MB transient; PROGRESSIVE must also hold the
+          // accumulated Int coefficients (~4 bytes/px/component), so it
+          // caps at 2^24 px (16.7 Mpx) for a similar ~320 MB high-water
+          // (coefs freed per component at finish). The entropy-length
+          // plausibility floors at SOS reject tiny crafted payloads
+          // before ANY buffer is allocated.
+          if (width.toLong * height > (1L << (if (progressive) 24 else 25)))
+            return None
           if (nComp != 1 && nComp != 3) return None
           if (len != 8 + 3 * nComp) return None
           for (c <- 0 until nComp) {
@@ -1929,16 +1929,19 @@ object Multimodal {
             nbH = Array.tabulate(nComp)(c =>
               ((height * compV(c) + vMax - 1) / vMax + 7) / 8)
             // plausibility floor for the allocation (the progressive
-            // analogue of the baseline 2-bit rule): the FIRST scan codes
-            // >= 1 bit per block it covers, so a tiny crafted payload
-            // declaring huge dims dies before the ~13 bytes/pixel of
-            // coefficient state exists. Later scans can be legitimately
-            // tiny (one EOB run can cover a whole scan).
-            val scanBlocks =
-              if (ns > 1) scanComp.map(c =>
-                mcusX.toLong * mcusY * compH(c) * compV(c)).sum
-              else nbW(scanComp(0)).toLong * nbH(scanComp(0))
-            if ((payload.length - segEnd).toLong < scanBlocks / 8) return None
+            // analogue of the baseline 2-bit rule), sized against the
+            // WHOLE image, not just this scan: the coefficient state is
+            // allocated for every component at once, and any stream
+            // that eventually codes the image spends >= 1 bit per block
+            // per component on DC scans alone (AC scans may be tiny EOB
+            // runs, DC scans cannot) — so requiring the REMAINING
+            // payload to carry totalBlocks/8 bytes bounds the
+            // allocation amplification no matter how the scan script
+            // slices components (a single-component first scan cannot
+            // sneak a 3-component allocation past a per-scan floor).
+            val totalBlocks = (0 until nComp).map(c =>
+              mcusX.toLong * mcusY * compH(c) * compV(c)).sum
+            if ((payload.length - segEnd).toLong < totalBlocks / 8) return None
             coefs = Array.tabulate(nComp)(c =>
               new Array[Int](blocksWpad(c) * blocksHpad(c) * 64))
           }
@@ -1978,7 +1981,9 @@ object Multimodal {
     // per-component planes at that component's sampled (padded) size
     val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
     val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
-    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
+    // BYTE planes (clamped 0-255): at the pixel caps below the decode's
+    // transient footprint is plane-dominated — Int planes would 4x it
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
     val in = new JpegBitReader(payload, start)
     val dcPred = new Array[Int](nComp)
     val coef = new Array[Int](64)
@@ -2042,7 +2047,7 @@ object Multimodal {
               var xx = 0
               while (xx < 8) {
                 val v = math.round(px(yy * 8 + xx)).toInt + 128
-                planes(c)((oy + yy) * planeW(c) + ox + xx) = jpegClamp(v)
+                planes(c)((oy + yy) * planeW(c) + ox + xx) = jpegClamp(v).toByte
                 xx += 1
               }
               yy += 1
@@ -2063,7 +2068,7 @@ object Multimodal {
     * y·v_c/vMax)) + fixed-point color conversion — shared by the
     * baseline single-scan path and the progressive finish. */
   private def jpegComposeRgb(width: Int, height: Int, nComp: Int,
-                             planes: Array[Array[Int]], planeW: Array[Int],
+                             planes: Array[Array[Byte]], planeW: Array[Int],
                              compH: Array[Int], compV: Array[Int],
                              hMax: Int, vMax: Int): Option[(Int, Int, Array[Int])] = {
     val rgb = new Array[Int](width * height)
@@ -2072,13 +2077,13 @@ object Multimodal {
       var x = 0
       while (x < width) {
         val (r, g, b) =
-          if (nComp == 1) { val v = planes(0)(y * planeW(0) + x); (v, v, v) }
+          if (nComp == 1) { val v = planes(0)(y * planeW(0) + x) & 0xff; (v, v, v) }
           else {
-            val yv = planes(0)(y * planeW(0) + x)
+            val yv = planes(0)(y * planeW(0) + x) & 0xff
             val cbx = x * compH(1) / hMax; val cby = y * compV(1) / vMax
             val crx = x * compH(2) / hMax; val cry = y * compV(2) / vMax
-            val cb = planes(1)(cby * planeW(1) + cbx)
-            val cr = planes(2)(cry * planeW(2) + crx)
+            val cb = planes(1)(cby * planeW(1) + cbx) & 0xff
+            val cr = planes(2)(cry * planeW(2) + crx) & 0xff
             (jpegYccToR(yv, cr), jpegYccToG(yv, cb, cr), jpegYccToB(yv, cb))
           }
         rgb(y * width + x) = (r << 16) | (g << 8) | b
@@ -2312,7 +2317,7 @@ object Multimodal {
     }
     val planeW = Array.tabulate(nComp)(c => blocksWpad(c) * 8)
     val planes = Array.tabulate(nComp)(c =>
-      new Array[Int](planeW(c) * blocksHpad(c) * 8))
+      new Array[Byte](planeW(c) * blocksHpad(c) * 8))
     val nat = new Array[Int](64)
     c = 0
     while (c < nComp) {
@@ -2337,13 +2342,15 @@ object Multimodal {
           var xx = 0
           while (xx < 8) {
             planes(c)((oy + yy) * planeW(c) + ox + xx) =
-              jpegClamp(math.round(px(yy * 8 + xx)).toInt + 128)
+              jpegClamp(math.round(px(yy * 8 + xx)).toInt + 128).toByte
             xx += 1
           }
           yy += 1
         }
         b += 1
       }
+      coefs(c) = null // free each component's coefficients as it lands:
+      // the transient high-water is then planes + ONE coef array + rgb
       c += 1
     }
     jpegComposeRgb(width, height, nComp, planes, planeW, compH, compV,

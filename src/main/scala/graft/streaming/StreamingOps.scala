@@ -232,14 +232,19 @@ object StreamingOps {
     * idempotent replace; bucket-dir deletes are idempotent.
     *
     * Driver-side metadata per batch: the bucket lists only (≤
-    * keyBuckets longs each) — the batch id set stays DISTRIBUTED (the
-    * wholesale replace is a broadcast anti-join via `dropOldKeys`, never
-    * an `isin` literal, so a multi-million-row catch-up batch cannot
-    * blow the driver). */
+    * keyBuckets longs each) — the batch id set stays a DataFrame
+    * end-to-end (`dropOldKeys` anti-joins; the PLANNER picks broadcast
+    * when the pinned id set is small and a shuffled anti-join when it
+    * is not, so a multi-million-row catch-up batch never materializes
+    * as a driver-side literal or a forced broadcast). Returns
+    * (content buckets for the flag read, the PINNED batch rows) — the
+    * caller's flag join reads the returned frame instead of re-running
+    * the derivation (shingling / MinHash / image decode) a second
+    * time. */
   private def upsertMutableIndex(rows: DataFrame, batchIds: DataFrame,
                                  idCol: String, pkCols: Seq[String],
                                  sortCols: Seq[String], indexDir: String,
-                                 keyBuckets: Int): IndexedSeq[Long] = {
+                                 keyBuckets: Int): (IndexedSeq[Long], DataFrame) = {
     val spark = rows.sparkSession
     val pkMapDir = s"${indexDir}_pk"
     def pkb(c: org.apache.spark.sql.Column) =
@@ -272,7 +277,7 @@ object StreamingOps {
       if (!hasBuckets(pkMapDir, "pkb")) IndexedSeq.empty
       else spark.read.parquet(pkMapDir)
         .filter(col("pkb").isin(touchedPk: _*))
-        .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_semi")
+        .join(ids.select(col(idCol)), Seq(idCol), "left_semi")
         // partition columns read back from disk infer as INT — cast
         .select(col("kb").cast("long")).distinct()
         .collect().map(_.getLong(0)).toIndexedSeq
@@ -285,7 +290,7 @@ object StreamingOps {
       else {
         val surviving = spark.read.parquet(indexDir)
           .filter(col("kb").isin(oldOnly: _*))
-          .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+          .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
           .select(col("kb").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSet
         oldOnly.filterNot(surviving)
@@ -310,13 +315,13 @@ object StreamingOps {
       if (pkbNoNew.nonEmpty) {
         val surviving = spark.read.parquet(pkMapDir)
           .filter(col("pkb").isin(pkbNoNew: _*))
-          .join(broadcast(ids.select(col(idCol))), Seq(idCol), "left_anti")
+          .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
           .select(col("pkb").cast("long")).distinct()
           .collect().map(_.getLong(0)).toSet
         pkbNoNew.filterNot(surviving).foreach(del(pkMapDir, "pkb", _))
       }
     }
-    newTouched
+    (newTouched, pinned.drop("pkb"))
   }
 
   def maintainWinnowIndexAndFlag(docs: DataFrame, indexDir: String,
@@ -339,7 +344,7 @@ object StreamingOps {
           .select(col(idCol), col("fp_hash")).distinct()
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             col("fp_hash").cast("string")), lit(keyBuckets.toLong)))
-        val newTouched = upsertMutableIndex(fps,
+        val (newTouched, pinnedFps) = upsertMutableIndex(fps,
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol, "fp_hash"), sortCols = Seq("fp_hash", idCol),
           indexDir, keyBuckets)
@@ -359,7 +364,7 @@ object StreamingOps {
               .withColumn("__df", count(lit(1)).over(wFp))
               .filter(col("__df") <= maxDf) // MOSS boilerplate rule
               .select(col("fp_hash"), col(idCol).as("matched_id"))
-            fps.join(idx, "fp_hash")
+            pinnedFps.join(idx, "fp_hash")
               .filter(col(idCol) =!= col("matched_id"))
               .groupBy(col(idCol), col("matched_id"))
               .agg(count(lit(1)).as("n_shared"))
@@ -385,14 +390,14 @@ object StreamingOps {
         val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))), lit(keyBuckets.toLong)))
-        val newTouched = upsertMutableIndex(bands,
+        val (newTouched, pinnedBands) = upsertMutableIndex(bands,
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol, "band"), sortCols = Seq("band_key", idCol),
           indexDir, keyBuckets)
         val idx = spark.read.parquet(indexDir)
           .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
           .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
-        bands.join(idx, Seq("band", "band_key"))
+        pinnedBands.join(idx, Seq("band", "band_key"))
           .filter(col(idCol) =!= col("matched_id"))
           .select(col(idCol), col("band"), col("matched_id"))
           .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
@@ -432,14 +437,14 @@ object StreamingOps {
         val keyed = batch.toDF().select(col(idCol),
             graft.functions.ColumnFns.md5Long(col(textCol)).as("content_key"))
           .withColumn("kb", pmod(col("content_key"), lit(keyBuckets.toLong)))
-        val newTouched = upsertMutableIndex(keyed,
+        val (newTouched, pinnedKeyed) = upsertMutableIndex(keyed,
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol), sortCols = Seq("content_key", idCol),
           indexDir, keyBuckets)
         val idx = spark.read.parquet(indexDir)
           .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
           .select(col("content_key"), col(idCol).as("matched_id"))
-        keyed.join(idx, "content_key")
+        pinnedKeyed.join(idx, "content_key")
           .filter(col(idCol) =!= col("matched_id"))
           .select(col(idCol), col("content_key"), col("matched_id"))
           .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
@@ -482,7 +487,7 @@ object StreamingOps {
         // a media id re-ingested with changed bytes replaces its six
         // band rows wholesale, and one re-ingested as an UNDECODABLE
         // payload (which yields no aHash rows at all) erases them.
-        val touched = upsertMutableIndex(banded,
+        val (touched, pinnedBanded) = upsertMutableIndex(banded,
           batch.toDF().select(col("media_id").cast("long").as("media_id")),
           "media_id",
           pkCols = Seq("media_id", "band"), sortCols = Seq("band_key", "media_id"),
@@ -499,7 +504,7 @@ object StreamingOps {
               .filter(col("kb").isin(touched: _*))
               .select(col("band"), col("band_key"),
                 col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
-            banded.join(idx, Seq("band", "band_key"))
+            pinnedBanded.join(idx, Seq("band", "band_key"))
               .filter(col("media_id") =!= col("matched_id"))
               .withColumn("hamming",
                 bit_count(col("ahash").bitwiseXOR(col("matched_hash"))))

@@ -877,7 +877,8 @@ class LlmSpec extends SparkSpec {
     huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xdf.toByte // height 65503
     huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xdf.toByte // width 65503
     assert(decodeJpegRgb(huge).isEmpty, "oversized SOF dims must reject")
-    // entropy-length plausibility (r13): dims UNDER the 16 Mpx cap but
+    // entropy-length plausibility (r13): dims UNDER the baseline 33 Mpx
+    // cap but
     // with a tiny payload (4000x4000 needs >=187 KB of entropy data at
     // the 2-bits-per-block floor; jb is a few hundred bytes) must reject
     // BEFORE any plane allocation — the r12 guard allowed ~0.5-1 GB of

@@ -734,6 +734,14 @@ class PlanSpec extends SparkSpec {
           s"agg_weighted_median: a range exchange is not rooted on the " +
             s"pinned (checkpoint) scan — pid consistency would depend on " +
             s"a re-evaluable plan:\n$e")
+        // ...and on the checkpoint ONLY: a live file scan anywhere under
+        // the exchange would re-evaluate between the two executions
+        assert(e.child.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }.isEmpty,
+          s"agg_weighted_median: a range exchange mixes the checkpoint " +
+            s"with a live file scan:\n$e")
       }
       val w7 = Registry.queries("w7_range_frame")(spark, dir)
         .queryExecution.executedPlan

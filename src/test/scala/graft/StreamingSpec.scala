@@ -894,12 +894,16 @@ class StreamingSpec extends SparkSpec {
       q1.processAllAvailable()
       input.addData((40L, bmp(77), "image/bmp"))
       q1.processAllAvailable()
+      // positive control: media 1's CURRENT pixels must still flag
+      input.addData((50L, bmp(200), "image/bmp"))
+      q1.processAllAvailable()
     } finally q1.stop()
     assert(!flagPairs().contains((30L, 1L)),
       s"ghost image flag via media 1's DEAD bands: ${flagPairs()}")
     assert(!flagPairs().contains((40L, 2L)),
       s"ghost image flag via media 2's ERASED bands: ${flagPairs()}")
-    assert(flagPairs().contains((40L, 30L)) || !flagPairs().contains((40L, 2L)))
+    assert(flagPairs().contains((50L, 1L)),
+      s"current-pixels image match must still flag: ${flagPairs()}")
     val idx = spark.read.parquet(s"$root/index")
     assert(idx.filter(col("media_id") === 2L).count() == 0L,
       "media 2 became undecodable; its band rows must be gone")
