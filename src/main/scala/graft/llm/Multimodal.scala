@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * [[imageStats]], oracle-checked value-exactly), and JPEG decodes for
   * real too ([[decodeJpeg]] — baseline SOF0 AND progressive SOF2:
   * huffman + IDCT + fixed-point YCbCr→RGB, cross-checked against
-  * javax.imageio in both directions). The one format still needing an
-  * external codec library (compressed video) takes the [[decodeStub]]
-  * fallback — swapping in ffmpeg changes only that function body, not
-  * the plan shape.
+  * javax.imageio in both directions). Video decodes for real in two
+  * containers — uncompressed Y4M and COMPRESSED MJPEG-in-AVI
+  * ([[decodeAviMjpegFrames]], per-frame JFIF through the full JPEG
+  * path). Only inter-frame codecs (H.264/VP9/AV1), which need an
+  * external library by nature, take the [[decodeStub]] fallback —
+  * swapping in ffmpeg changes only that function body, not the plan
+  * shape.
   */
 object Multimodal {
 
@@ -144,7 +147,8 @@ object Multimodal {
   // real parse over real bytes. PNG (compressed, zlib through the
   // public JDK Inflater) decodes for real too — see the PNG section
   // below, and JPEG (baseline 4:4:4/4:2:0/4:2:2 AND progressive SOF2)
-  // in the JPEG section. Only compressed video still takes the
+  // in the JPEG section. Video decodes for real in Y4M and MJPEG-AVI
+  // (see the VIDEO sections); only inter-frame codecs take the
   // documented [[decodeStub]] fallback.
   // ------------------------------------------------------------------
 
@@ -803,9 +807,11 @@ object Multimodal {
   // what ffmpeg/mjpegtools pipe between stages), here in its Cmono
   // flavor (one 8-bit Y plane per frame). Same contract as the image
   // and WAV paths: an uncompressed real container parses for real over
-  // real bytes; compressed video (H.264/VP9/AV1) would take the
-  // decodeStub fallback until a codec library is linked. On top of the
-  // codec sit the two ops a training-data video pipeline needs first:
+  // real bytes. Compressed video decodes for real too — MJPEG-in-AVI,
+  // in its own section below, rides the in-tree JPEG codec; only
+  // inter-frame codecs (H.264/VP9/AV1) would take the decodeStub
+  // fallback until a codec library is linked. On top of the
+  // codecs sit the two ops a training-data video pipeline needs first:
   // FRAME SAMPLING (every k-th frame → the image feature path — each
   // sampled frame aHashes exactly like the equivalent still, so video
   // frames join the same banded-Hamming dedup index as images) and
@@ -903,26 +909,326 @@ object Multimodal {
   case class VideoFrameHash(media_id: Long, n_frames: Int, frame_idx: Int,
                             ahash: Long, n_set: Long)
 
-  /** Frame-sample + fingerprint: decode the y4m payload, keep every
-    * `every`-th frame, aHash each kept frame. Map-only (the codec runs
-    * inside `mapPartitions`, no shuffle); frames smaller than the hash
-    * window drop, same contract as [[aHash]]. Shot-boundary detection
-    * is a lag over this output partitioned by media_id — a
-    * corpus-cardinality key, so the window is balanced at any scale. */
+  /** Container-dispatched frame decode to GRAY planes — the shared entry
+    * for every per-frame video op: Y4M parses its raw luma plane
+    * directly; AVI/MJPEG decodes each sampled JFIF frame through the
+    * full JPEG path and collapses to the SAME (r+g+b)/3 gray convention
+    * as the still-image codecs, so a frame's fingerprint depends on its
+    * pixels, never on its container (the cross-container parity the
+    * image path already guarantees between BMP/PNG/JPEG stills). */
+  private def decodeVideoGrayFrames(payload: Array[Byte], every: Int)
+      : Option[(Int, Int, Int, Seq[(Int, Array[Int])])] =
+    decodeY4mFrames(payload, every).orElse(
+      decodeAviMjpegFrames(payload, every).map { case (w, h, n, frames) =>
+        (w, h, n, frames.map { case (idx, rgb) =>
+          val gray = new Array[Int](rgb.length)
+          var i = 0
+          while (i < gray.length) {
+            gray(i) = (((rgb(i) >> 16) & 0xff) + ((rgb(i) >> 8) & 0xff) +
+              (rgb(i) & 0xff)) / 3
+            i += 1
+          }
+          (idx, gray)
+        })
+      })
+
+  /** Frame-sample + fingerprint: decode the video payload (Y4M or
+    * AVI/MJPEG, container-sniffed), keep every `every`-th frame, aHash
+    * each kept frame. Map-only (the codec runs inside `mapPartitions`,
+    * no shuffle); frames smaller than the strided hash window drop, same
+    * contract as [[aHash]]. `strideX`/`strideY` sample the window at
+    * pixel (x·sx, y·sy) exactly like the still path — one sample per
+    * 8x8 block (stride 8) is how block-quantized MJPEG frames hash on
+    * real inter-block structure. Shot-boundary detection is a lag over
+    * this output partitioned by media_id — a corpus-cardinality key, so
+    * the window is balanced at any scale. */
   def videoFrameHashes(media: Dataset[MediaRecord], every: Int = 1,
-                       winW: Int = 8, winH: Int = 6): Dataset[VideoFrameHash] = {
+                       winW: Int = 8, winH: Int = 6,
+                       strideX: Int = 1, strideY: Int = 1): Dataset[VideoFrameHash] = {
     require(winW * winH <= 62, "hash window must fit a positive long")
+    require(strideX >= 1 && strideY >= 1, "strides must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeY4mFrames(r.payload, every).toSeq.flatMap {
-          case (w, h, nFrames, frames) if w >= winW && h >= winH =>
+        decodeVideoGrayFrames(r.payload, every).toSeq.flatMap {
+          case (w, h, nFrames, frames)
+              if w.toLong > (winW - 1).toLong * strideX
+                && h.toLong > (winH - 1).toLong * strideY =>
             frames.map { case (idx, gray) =>
-              val (hash, nSet) = grayWindowHash(w, gray, winW, winH)
+              val (hash, nSet) = grayWindowHash(w, gray, winW, winH,
+                strideX, strideY)
               VideoFrameHash(r.media_id, nFrames, idx, hash, nSet)
             }
           case _ => Seq.empty
         }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // COMPRESSED VIDEO: MJPEG inside an AVI (RIFF) container — the first
+  // REAL compressed-video path, riding the in-tree baseline JPEG codec
+  // (each '00dc' chunk is a standalone JFIF frame; this is what MJPEG
+  // IS — the format DV cameras, webcams, and ffmpeg's `-c:v mjpeg`
+  // emit). The container layout follows the public Microsoft AVI RIFF
+  // spec ('hdrl' with avih/strh/strf, 'movi' with per-frame chunks,
+  // 'idx1' index, word-aligned chunks with pad bytes). decodeStub now
+  // remains only for inter-frame codecs (H.264/VP9/AV1), which need an
+  // external library by nature.
+  // ------------------------------------------------------------------
+
+  private def fourcc(payload: Array[Byte], at: Int): String =
+    new String(payload, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32le(payload: Array[Byte], at: Int): Long =
+    (payload(at) & 0xffL) | ((payload(at + 1) & 0xffL) << 8) |
+      ((payload(at + 2) & 0xffL) << 16) | ((payload(at + 3) & 0xffL) << 24)
+
+  private def putU32le(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+    out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+  }
+
+  private def putU16le(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
+  /** A RIFF chunk: fourcc + LE size + body (+ pad byte when odd, per
+    * the RIFF word-alignment rule — the size field excludes the pad). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+    out.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(out, body.length.toLong)
+    out.write(body)
+    if ((body.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] = {
+    val withType = new java.io.ByteArrayOutputStream(4 + body.length)
+    withType.write(listType.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    withType.write(body)
+    riffChunk("LIST", withType.toByteArray)
+  }
+
+  /** Write an MJPEG AVI: `nFrames` frames of `pixel(frame)(x, y)` RGB
+    * (taken mod 256), each encoded as a standalone baseline JFIF via
+    * [[encodeJpeg]] and wrapped per the AVI RIFF spec — LIST hdrl
+    * (avih + LIST strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER with
+    * biCompression 'MJPG')), LIST movi ('00dc' chunk per frame), and an
+    * idx1 keyframe index (every MJPEG frame is a keyframe). 25 fps
+    * metadata to match [[encodeY4m]]. */
+  def encodeAviMjpeg(width: Int, height: Int, nFrames: Int,
+                     pixel: Int => (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"need positive dims/frames, got $width x $height x $nFrames")
+    val frames = Array.tabulate(nFrames)(f => encodeJpeg(width, height, pixel(f)))
+    val maxFrame = frames.map(_.length).max
+
+    val avih = new java.io.ByteArrayOutputStream(56)
+    putU32le(avih, 40000L)           // dwMicroSecPerFrame (25 fps)
+    putU32le(avih, 0L)               // dwMaxBytesPerSec
+    putU32le(avih, 0L)               // dwPaddingGranularity
+    putU32le(avih, 0x10L)            // dwFlags: AVIF_HASINDEX
+    putU32le(avih, nFrames.toLong)   // dwTotalFrames
+    putU32le(avih, 0L)               // dwInitialFrames
+    putU32le(avih, 1L)               // dwStreams
+    putU32le(avih, maxFrame.toLong)  // dwSuggestedBufferSize
+    putU32le(avih, width.toLong)
+    putU32le(avih, height.toLong)
+    for (_ <- 0 until 4) putU32le(avih, 0L) // dwReserved
+
+    val strh = new java.io.ByteArrayOutputStream(56)
+    strh.write("vids".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    strh.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(strh, 0L)               // dwFlags
+    putU16le(strh, 0); putU16le(strh, 0) // wPriority, wLanguage
+    putU32le(strh, 0L)               // dwInitialFrames
+    putU32le(strh, 1L)               // dwScale
+    putU32le(strh, 25L)              // dwRate (25/1 fps)
+    putU32le(strh, 0L)               // dwStart
+    putU32le(strh, nFrames.toLong)   // dwLength (in frames)
+    putU32le(strh, maxFrame.toLong)  // dwSuggestedBufferSize
+    putU32le(strh, 0L)               // dwQuality (driver default)
+    putU32le(strh, 0L)               // dwSampleSize (0: one sample = one frame)
+    putU16le(strh, 0); putU16le(strh, 0)           // rcFrame left, top
+    putU16le(strh, width); putU16le(strh, height)  // rcFrame right, bottom
+
+    val strf = new java.io.ByteArrayOutputStream(40) // BITMAPINFOHEADER
+    putU32le(strf, 40L)              // biSize
+    putU32le(strf, width.toLong)     // biWidth
+    putU32le(strf, height.toLong)    // biHeight
+    putU16le(strf, 1); putU16le(strf, 24) // biPlanes, biBitCount
+    strf.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(strf, width.toLong * height * 3) // biSizeImage
+    putU32le(strf, 0L); putU32le(strf, 0L)    // biXPels, biYPels
+    putU32le(strf, 0L); putU32le(strf, 0L)    // biClrUsed, biClrImportant
+
+    val strl = riffList("strl",
+      riffChunk("strh", strh.toByteArray) ++ riffChunk("strf", strf.toByteArray))
+    val hdrl = riffList("hdrl", riffChunk("avih", avih.toByteArray) ++ strl)
+
+    val moviBody = new java.io.ByteArrayOutputStream()
+    // idx1 offsets: from the start of the 'movi' list data (the 'movi'
+    // fourcc itself is offset 0 — the spec's preferred convention)
+    val idx1 = new java.io.ByteArrayOutputStream(16 * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      idx1.write("00dc".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      putU32le(idx1, 0x10L) // AVIIF_KEYFRAME: every MJPEG frame stands alone
+      putU32le(idx1, 4L + moviBody.size()) // +4: past the 'movi' fourcc
+      putU32le(idx1, frames(f).length.toLong)
+      moviBody.write(riffChunk("00dc", frames(f)))
+      f += 1
+    }
+    val movi = riffList("movi", moviBody.toByteArray)
+
+    val form = new java.io.ByteArrayOutputStream()
+    form.write("AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    form.write(hdrl)
+    form.write(movi)
+    form.write(riffChunk("idx1", idx1.toByteArray))
+    val body = form.toByteArray
+    val out = new java.io.ByteArrayOutputStream(8 + body.length)
+    out.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(out, body.length.toLong)
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Decoded sampled pixels across all frames of one payload may not
+    * exceed this (64 Mpx of packed-RGB ints = 256 MB transient) — the
+    * video-side sibling of the per-frame SOF caps: a small hostile
+    * payload full of tiny valid JPEGs cannot amplify into an unbounded
+    * allocation. Callers sampling a long video raise `every` instead. */
+  private val aviMaxSampledPixels = 64L << 20
+
+  /** Parse an MJPEG AVI, keeping every `every`-th video frame (frame 0
+    * always kept): (width, height, n_frames_total, sampled (frame_idx,
+    * packed 0xRRGGBB row-major pixels)). None for anything
+    * non-conformant — wrong RIFF/AVI magic, missing or non-'MJPG' strf,
+    * chunk sizes past the payload, a sampled frame that fails JPEG
+    * decode or disagrees with the strf dimensions, a skipped frame
+    * without an SOI marker, zero video frames, or a sampled-pixel total
+    * past [[aviMaxSampledPixels]]. Unknown chunks (JUNK, odml, vprp …)
+    * and non-video streams are skipped per the RIFF rule that readers
+    * ignore chunks they don't understand; odd-sized chunks carry a pad
+    * byte exactly like the WAV reader. */
+  def decodeAviMjpegFrames(payload: Array[Byte], every: Int = 1)
+      : Option[(Int, Int, Int, Seq[(Int, Array[Int])])] = {
+    if (every < 1) return None
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+      fourcc(payload, 8) != "AVI ") return None
+    val end = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
+    var strfW = -1; var strfH = -1; var strfMjpg = false
+
+    // hdrl walk: find the first 'vids' stream's BITMAPINFOHEADER. Kept
+    // separate from the movi walk so header order never matters.
+    def scanHdrl(from: Int, to: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = fourcc(payload, p)
+        val size = u32le(payload, p + 8 - 4)
+        val dataEnd = p + 8 + size
+        if (size < 0 || dataEnd > to) return
+        if (id == "LIST" && size >= 4) scanHdrl(p + 12, dataEnd.toInt)
+        else if (id == "strf" && size >= 40 && !strfMjpg) {
+          val bi = p + 8
+          if (u32le(payload, bi) >= 40 && fourcc(payload, bi + 16) == "MJPG") {
+            strfW = u32le(payload, bi + 4).toInt
+            strfH = u32le(payload, bi + 8).toInt
+            strfMjpg = true
+          }
+        }
+        p = (dataEnd + (size & 1)).toInt
+      }
+    }
+
+    // Pass 1: locate hdrl and movi, read strf.
+    var moviStart = -1; var moviEnd = -1
+    var p = 12
+    while (p + 8 <= end) {
+      val id = fourcc(payload, p)
+      val size = u32le(payload, p + 4)
+      val dataEnd = p + 8 + size
+      if (dataEnd > end) return None
+      if (id == "LIST" && size >= 4) {
+        val lt = fourcc(payload, p + 8)
+        if (lt == "hdrl") scanHdrl(p + 12, dataEnd.toInt)
+        else if (lt == "movi" && moviStart < 0) {
+          moviStart = p + 12; moviEnd = dataEnd.toInt
+        }
+      }
+      p = (dataEnd + (size & 1)).toInt
+    }
+    if (!strfMjpg || strfW <= 0 || strfH <= 0 || moviStart < 0) return None
+
+    // Pass 2: walk movi chunks; '..dc'/'..db' are video frames.
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
+    var idx = 0
+    var pixelBudget = aviMaxSampledPixels
+    p = moviStart
+    while (p + 8 <= moviEnd) {
+      val id = fourcc(payload, p)
+      val size = u32le(payload, p + 4)
+      val dataEnd = p + 8 + size
+      if (dataEnd > moviEnd) return None
+      val suffix = id.substring(2)
+      if (suffix == "dc" || suffix == "db") {
+        if (idx % every == 0) {
+          val frame = java.util.Arrays.copyOfRange(payload, p + 8, dataEnd.toInt)
+          decodeJpegRgb(frame) match {
+            case Some((w, h, rgb)) if w == strfW && h == strfH =>
+              pixelBudget -= w.toLong * h
+              if (pixelBudget < 0) return None
+              sampled += ((idx, rgb))
+            case _ => return None
+          }
+        } else {
+          // skipped frames still get the structural check the Y4M reader
+          // gives every frame: a video chunk must at least open with SOI
+          if (size < 2 || (payload(p + 8) & 0xff) != 0xff ||
+            (payload(p + 9) & 0xff) != 0xd8) return None
+        }
+        idx += 1
+      }
+      p = (dataEnd + (size & 1)).toInt
+    }
+    if (idx == 0) None else Some((strfW, strfH, idx, sampled.toSeq))
+  }
+
+  /** Per-sampled-frame channel sums — [[imageStats]] with a frame axis,
+    * through either real video container: AVI/MJPEG sums the decoded
+    * RGB; Y4M (mono) reports its luma sum in all three channels (gray
+    * pixels ARE (v,v,v)). Map-only, same decode boundary as every other
+    * codec op. */
+  case class VideoFrameStats(media_id: Long, n_frames: Int, frame_idx: Int,
+                             width: Int, height: Int, r_sum: Long,
+                             g_sum: Long, b_sum: Long)
+
+  def videoFrameStats(media: Dataset[MediaRecord], every: Int = 1): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAviMjpegFrames(r.payload, every).map { case (w, h, n, frames) =>
+          frames.map { case (idx, rgb) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var i = 0
+            while (i < rgb.length) {
+              rs += (rgb(i) >> 16) & 0xff; gs += (rgb(i) >> 8) & 0xff
+              bs += rgb(i) & 0xff
+              i += 1
+            }
+            VideoFrameStats(r.media_id, n, idx, w, h, rs, gs, bs)
+          }
+        }.orElse(decodeY4mFrames(r.payload, every).map { case (w, h, n, frames) =>
+          frames.map { case (idx, gray) =>
+            var s = 0L
+            var i = 0
+            while (i < gray.length) { s += gray(i); i += 1 }
+            VideoFrameStats(r.media_id, n, idx, w, h, s, s, s)
+          }
+        }).getOrElse(Seq.empty)
       }
     }
   }

@@ -2474,6 +2474,113 @@ object LlmQueries {
              |FROM lg WHERE prev IS NOT NULL AND bit_count(xor(ahash, prev)) > 0
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // COMPRESSED video decode — MJPEG inside an AVI (RIFF) container,
+    // each '00dc' chunk a standalone JFIF frame through the full
+    // baseline-JPEG path (huffman + IDCT + fixed-point color chain).
+    // Block-constant per-frame pixels round-trip the DCT bit-exactly, so
+    // the oracle replays the generator algebra through the SAME integer
+    // color conversions as multimodal_decode_jpeg, with a frame axis.
+    // Green means real compressed VIDEO bytes decode in-engine with
+    // values proven cross-engine — the last decodeStub class (inter-frame
+    // codecs excepted, which need an external library by nature).
+    Q("multimodal_decode_video_mjpeg", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          val nf = 5 + (m % 6).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeAviMjpeg(w, h, nf,
+            f => (x, y) =>
+              (((m * 13 + (x / 8) * 57 + (y / 8) * 23 + f * 19) % 256).toInt,
+                ((m * 7 + (x / 8) * 31 + (y / 8) * 11 + f * 5) % 256).toInt,
+                ((m * 11 + (x / 8) * 17 + (y / 8) * 29 + f * 3) % 256).toInt)),
+            "video/x-msvideo")
+        }
+        Multimodal.videoFrameStats(media, every = 2).toDF()
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |v AS (SELECT id, 9 + id % 6 AS w, 7 + id % 5 AS h,
+             |        5 + id % 6 AS nf FROM m),
+             |fr AS (SELECT id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM v),
+             |xs AS (SELECT id, w, h, nf, f, unnest(range(w)) AS x FROM fr),
+             |pix AS (SELECT id, w, h, nf, f, x, unnest(range(h)) AS y FROM xs),
+             |src AS (SELECT id, w, h, nf, f,
+             |          (id * 13 + (x // 8) * 57 + (y // 8) * 23 + f * 19) % 256 AS r0,
+             |          (id * 7 + (x // 8) * 31 + (y // 8) * 11 + f * 5) % 256 AS g0,
+             |          (id * 11 + (x // 8) * 17 + (y // 8) * 29 + f * 3) % 256 AS b0
+             |        FROM pix),
+             |ycc AS (SELECT id, w, h, nf, f,
+             |          LEAST(255, GREATEST(0, (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536)) AS yy,
+             |          LEAST(255, GREATEST(0, 128 + (-11059 * r0 - 21709 * g0 + 32768 * b0 + 32768 + 16777216) // 65536 - 256)) AS cb,
+             |          LEAST(255, GREATEST(0, 128 + (32768 * r0 - 27439 * g0 - 5329 * b0 + 32768 + 16777216) // 65536 - 256)) AS cr
+             |        FROM src),
+             |rgb AS (SELECT id, w, h, nf, f,
+             |          LEAST(255, GREATEST(0, yy + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+             |          LEAST(255, GREATEST(0, yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256))) AS g,
+             |          LEAST(255, GREATEST(0, yy + (116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+             |        FROM ycc),
+             |sums AS (SELECT id, w, h, nf, f, sum(r) AS r_sum, sum(g) AS g_sum,
+             |           sum(b) AS b_sum FROM rgb GROUP BY 1, 2, 3, 4, 5)
+             |SELECT id AS media_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(f AS INTEGER) AS frame_idx, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(r_sum AS BIGINT) AS r_sum,
+             |  CAST(g_sum AS BIGINT) AS g_sum, CAST(b_sum AS BIGINT) AS b_sum
+             |FROM sums ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // Shot-boundary detection over COMPRESSED video: the MJPEG twin of
+    // multimodal_video_shots, through the same videoFrameHashes entry
+    // point (container-sniffed decode). Gray content (r=g=b survives the
+    // integer YCbCr chain exactly) laid out per 8x8 block; stride-8
+    // hashing samples one pixel per block, so the fingerprint reads real
+    // inter-block structure — exactly how block-quantized JPEG stills
+    // hash. Scene structure changes at f div 4; boundaries are
+    // consecutive frames with nonzero hash distance. The oracle replays
+    // block gray -> window threshold -> packed hash -> lag arithmetic.
+    Q("multimodal_video_shots_mjpeg", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val nf = 8 + (m % 5).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeAviMjpeg(64, 48, nf,
+            f => (x, y) => {
+              val v = ((x / 8) * (3 + ((f / 4) % 5) * 2)
+                + (y / 8) * (7 + ((f / 4) % 3) * 4) + m.toInt) % 256
+              (v, v, v)
+            }), "video/x-msvideo")
+        }
+        val wm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        Multimodal.videoFrameHashes(media, every = 1, strideX = 8, strideY = 8)
+          .toDF()
+          .withColumn("prev", lag(col("ahash"), 1).over(wm))
+          .filter(col("prev").isNotNull)
+          .withColumn("hamming", expr("bit_count(ahash ^ prev)").cast("long"))
+          .filter(col("hamming") > 0)
+          .select(col("media_id"), col("frame_idx"), col("hamming"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |v AS (SELECT id, 8 + id % 5 AS nf FROM m),
+             |fr AS (SELECT id, nf, unnest(range(nf)) AS f FROM v),
+             |xs AS (SELECT id, f, unnest(range(8)) AS bx FROM fr),
+             |pix AS (SELECT id, f, bx, unnest(range(6)) AS byy FROM xs),
+             |g AS (SELECT id, f, bx, byy,
+             |        (bx * (3 + ((f // 4) % 5) * 2)
+             |         + byy * (7 + ((f // 4) % 3) * 4) + id) % 256 AS gray FROM pix),
+             |mn AS (SELECT id, f, sum(gray) // 48 AS mean FROM g GROUP BY 1, 2),
+             |hb AS (SELECT g.id, g.f,
+             |         CAST(sum(CASE WHEN gray > mean
+             |             THEN (CAST(1 AS BIGINT) << (byy * 8 + bx)) ELSE 0 END) AS BIGINT) AS ahash
+             |       FROM g JOIN mn USING (id, f) GROUP BY 1, 2),
+             |lg AS (SELECT id, f, ahash,
+             |         lag(ahash) OVER (PARTITION BY id ORDER BY f) AS prev FROM hb)
+             |SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(bit_count(xor(ahash, prev)) AS BIGINT) AS hamming
+             |FROM lg WHERE prev IS NOT NULL AND bit_count(xor(ahash, prev)) > 0
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // Indexed-color PNG (color type 3 — the most common web PNG flavor):
     // the decoder walks PLTE, defilters INDEX bytes through all five
     // scanline filters, and resolves each index through the palette; the

@@ -1100,6 +1100,87 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeY4mFrames(y4m, every = 0).isEmpty)
   }
 
+  test("multimodal AVI/MJPEG video: round-trip, sampling, frame/still parity, conformance rejects") {
+    import graft.llm.Multimodal
+    // block-constant pixels: the JPEG DCT path round-trips them exactly,
+    // so frame pixels must equal the SAME pixel function through the
+    // still JPEG codec (the analytic-oracle contract, frame-axis form)
+    val px = (f: Int) => (x: Int, y: Int) =>
+      (((x / 8) * 57 + (y / 8) * 23 + f * 19) % 256,
+        ((x / 8) * 31 + (y / 8) * 11 + f * 5) % 256,
+        ((x / 8) * 17 + (y / 8) * 29 + f * 3) % 256)
+    val avi = Multimodal.encodeAviMjpeg(20, 13, 10, px)
+    assert(new String(avi.take(4), "US-ASCII") == "RIFF" &&
+      new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val Some((w, h, nf, all)) = Multimodal.decodeAviMjpegFrames(avi, every = 1)
+    assert(w == 20 && h == 13 && nf == 10 && all.map(_._1) == (0 until 10))
+    for ((f, rgb) <- all) {
+      val Some((sw, sh, stillRgb)) =
+        Multimodal.decodeJpegRgb(Multimodal.encodeJpeg(20, 13, px(f)))
+      assert(sw == w && sh == h && java.util.Arrays.equals(rgb, stillRgb),
+        s"frame $f must decode exactly like its still JPEG twin")
+    }
+    // every-3 sampling keeps 0,3,6,9 and still reports nf=10
+    val Some((_, _, nf3, s3)) = Multimodal.decodeAviMjpegFrames(avi, every = 3)
+    assert(nf3 == 10 && s3.map(_._1) == Seq(0, 3, 6, 9))
+    // videoFrameStats sums the decoded channels per sampled frame
+    val stats = Multimodal.videoFrameStats(Seq(
+      Multimodal.MediaRecord(7L, avi, "video/x-msvideo")).toDS(), every = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(stats.map(_.frame_idx).toSeq == Seq(0, 2, 4, 6, 8) &&
+      stats.forall(s => s.n_frames == 10 && s.width == 20 && s.height == 13))
+    val f0 = all.find(_._1 == 0).get._2
+    assert(stats.head.r_sum == f0.map(p => (p >> 16) & 0xff).map(_.toLong).sum)
+    // cross-container hash parity: gray MJPEG frames (r=g=b — the
+    // integer YCbCr chain is exact on gray) hash IDENTICALLY to the
+    // same content through Y4M, at stride 8 (one sample per block)
+    val grayPx = (f: Int) => (x: Int, y: Int) =>
+      ((x / 8) * 5 + (y / 8) * 9 + f * 13) % 256
+    val aviGray = Multimodal.encodeAviMjpeg(64, 48, 6,
+      f => (x, y) => { val v = grayPx(f)(x, y); (v, v, v) })
+    val y4mUp = Multimodal.encodeY4m(8, 6, 6,
+      f => (bx, by) => grayPx(f)(bx * 8, by * 8)) // 1 px per block, stride-1 twin
+    val hAvi = Multimodal.videoFrameHashes(Seq(
+        Multimodal.MediaRecord(1L, aviGray, "video/x-msvideo")).toDS(),
+        strideX = 8, strideY = 8)
+      .collect().map(r => r.frame_idx -> ((r.ahash, r.n_set))).toMap
+    val hY4m = Multimodal.videoFrameHashes(Seq(
+        Multimodal.MediaRecord(2L, y4mUp, "video/x-yuv4mpeg")).toDS())
+      .collect().map(r => r.frame_idx -> ((r.ahash, r.n_set))).toMap
+    assert(hAvi == hY4m && hAvi.size == 6,
+      s"container leaked into the frame hash: $hAvi vs $hY4m")
+    // conformance rejects
+    assert(Multimodal.decodeAviMjpegFrames("RIFFxxxx not avi".getBytes).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames(avi.dropRight(7)).isEmpty,
+      "truncated final chunk must reject")
+    assert(Multimodal.decodeAviMjpegFrames(avi, every = 0).isEmpty)
+    def indexOfTag(hay: Array[Byte], tag: String, from: Int = 0): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (from to hay.length - t.length).find(i => t.indices.forall(j => hay(i + j) == t(j))).getOrElse(-1)
+    }
+    // strf advertising a non-MJPG codec must take the fallback
+    val strfAt = indexOfTag(avi, "strf")
+    val otherCodec = avi.clone()
+    "H264".getBytes("US-ASCII").copyToArray(otherCodec, strfAt + 8 + 16)
+    assert(Multimodal.decodeAviMjpegFrames(otherCodec).isEmpty,
+      "non-MJPG biCompression must reject, not misparse")
+    // strf dims disagreeing with the decoded frames must reject
+    val wrongDims = avi.clone()
+    wrongDims(strfAt + 8 + 4) = 99.toByte // biWidth 20 -> 99
+    assert(Multimodal.decodeAviMjpegFrames(wrongDims).isEmpty)
+    // a corrupted SAMPLED frame (break its SOI) must reject
+    val firstDc = indexOfTag(avi, "00dc", indexOfTag(avi, "movi"))
+    val badFrame = avi.clone()
+    badFrame(firstDc + 8) = 0
+    assert(Multimodal.decodeAviMjpegFrames(badFrame).isEmpty)
+    // a corrupted SKIPPED frame fails the structural SOI check too
+    val secondDc = indexOfTag(avi, "00dc", firstDc + 4)
+    val badSkipped = avi.clone()
+    badSkipped(secondDc + 8) = 0
+    assert(Multimodal.decodeAviMjpegFrames(badSkipped, every = 2).isEmpty,
+      "even unsampled frames get the SOI structural check")
+  }
+
   test("aHash is container-independent: PNG and BMP of the same pixels agree") {
     val px = (x: Int, y: Int) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y * 2) % 256)
     val media = Seq(

@@ -827,6 +827,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("MJPEG video decode is map-only: container walk + JPEG never shuffle") {
+    // videoFrameStats: same mapPartitions decode boundary as the still
+    // path — each AVI's frames decode inside their row's task, so the
+    // only exchange allowed is the final presentation sort.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.queries("multimodal_decode_video_mjpeg")(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = p.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"video decode must not shuffle (1 allowed for the output sort):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("spatial radius join: equi-join on the cell key, no cartesian product") {
     val p = plan("j_spatial_cells")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
