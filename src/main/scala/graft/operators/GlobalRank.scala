@@ -386,6 +386,16 @@ object GlobalRank {
     // plan. Measured both ways at sf10 (PairedBench r13): the pinned
     // form is faster (12.4 vs 14.0 s on graph_betweenness) because the
     // checkpoint read outruns a second parquet scan + dedup.
+    // NOTE (r14 khop profile, SCALE_r14.md §1): the range sampler still
+    // runs the UPSTREAM plan once more than strictly needed (sample pass
+    // + exchange input both execute `df`). Pinning the input below the
+    // exchange as well (the groupedWeightedMedianLower shape) was A/B'd
+    // at sf10 and did NOT win locally — the page cache absorbs the
+    // second scan, while the extra checkpoint pays real materialization
+    // + executor storage. On a cluster whose upstream is cold
+    // object-store IO, revisit: add `df.localCheckpoint(true)` before
+    // the repartitionByRange (pids stay deterministic over the pinned
+    // multiset, so correctness is unaffected).
     val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
       .withColumn("__lg_pid", spark_partition_id())
       .localCheckpoint(true)
