@@ -63,6 +63,28 @@ object Sinks {
       .toSet
   }
 
+  /** Read ONLY the named buckets of a bucketed-parquet sink: the paths
+    * handed to the reader are the touched bucket DIRECTORIES, so the
+    * file-index listing costs O(|buckets|) — never O(total buckets). A
+    * whole-sink `read.parquet(path).filter(bucket isin ...)` prunes the
+    * DATA but still lists every partition dir up front; at the 100 TB
+    * posture (bucket count scales with the corpus so bucket SIZE stays
+    * bounded) that listing dominates small-batch maintenance — measured
+    * at 6,400 buckets it owned the mutable-index maintainers' per-batch
+    * wall (SCALE_r14 §2). `basePath` keeps the partition column in the
+    * schema (it reads back as INT; callers cast, as with the whole-sink
+    * read). Buckets absent on disk are skipped (a replay may name a
+    * bucket the crashed run never wrote); None when nothing exists. */
+  def readBuckets(spark: SparkSession, path: String, bucketCol: String,
+                  buckets: Seq[Long],
+                  mergeSchema: Boolean = false): Option[DataFrame] = {
+    val present = existingBuckets(spark, path, bucketCol)
+    val dirs = buckets.distinct.filter(present).map(b => s"$path/$bucketCol=$b")
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", mergeSchema.toString)
+      .option("basePath", path).parquet(dirs: _*))
+  }
+
   /** Bucket-level upsert: merge the incoming rows with whatever already
     * lives in the *overlapping* buckets, giving incoming rows precedence per
     * primary key (last-write-wins — the actual Cassandra-upsert semantics,
@@ -132,9 +154,11 @@ object Sinks {
       // mergeSchema: an overlap bucket written before a schema evolution may
       // lack columns the batch now carries — read the union schema and
       // null-fill what no file has, so mid-bucket re-ingest survives the
-      // evolution instead of failing to resolve the new column
-      val oldRaw = spark.read.option("mergeSchema", "true").parquet(path)
-        .filter(inOverlap) // partition-pruned to the boundary bucket(s)
+      // evolution instead of failing to resolve the new column. Scoped
+      // read ([[readBuckets]]): only the overlap dirs are listed — the
+      // overlap set came from existingBuckets, so get is total.
+      val oldRaw = readBuckets(spark, path, bucketCol, overlap,
+        mergeSchema = true).get.filter(inOverlap)
       val aligned = oldRaw.select(df.columns.map { c =>
         if (oldRaw.columns.contains(c)) col(c)
         else lit(null).cast(df.schema(c).dataType).as(c)

@@ -264,37 +264,38 @@ object StreamingOps {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def del(dir: String, bucketCol: String, b: Long): Unit =
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$bucketCol=$b"), true)
-    // a sink whose every write was EMPTY holds only _SUCCESS — reading
-    // it would fail schema inference, so gate reads on bucket dirs
-    def hasBuckets(dir: String, bucketCol: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      fs.exists(p) && fs.listStatus(p)
-        .exists(_.getPath.getName.startsWith(s"$bucketCol="))
-    }
+    // Every index/map read below is SCOPED to its named bucket dirs
+    // ([[graft.eth.Sinks.readBuckets]]) — the whole-sink read listed
+    // every partition dir per call, which at corpus-scaled bucket counts
+    // (thousands; bucket SIZE stays bounded) dominated small-batch wall
+    // (SCALE_r14 §2: 47 s → sub-10 s per 5-doc batch at 6,400 buckets).
+    // readBuckets also subsumes the empty-sink guard: None = no buckets.
     // ALL old buckets of batch ids (changed or not — a replay rewrites
     // its own rows identically; map read prunes to the batch's pk buckets)
     val oldBuckets: IndexedSeq[Long] =
-      if (!hasBuckets(pkMapDir, "pkb")) IndexedSeq.empty
-      else spark.read.parquet(pkMapDir)
-        .filter(col("pkb").isin(touchedPk: _*))
-        .join(ids.select(col(idCol)), Seq(idCol), "left_semi")
-        // partition columns read back from disk infer as INT — cast
-        .select(col("kb").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.eth.Sinks.readBuckets(spark, pkMapDir, "pkb", touchedPk)
+        .map(_.join(ids.select(col(idCol)), Seq(idCol), "left_semi")
+          // partition columns read back from disk infer as INT — cast
+          .select(col("kb").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
     val touched = (newTouched ++ oldBuckets).distinct
     // zero-survivor edge, index side: old buckets receiving NO new rows
     // whose every stored row belongs to a batch id end the merge empty
     val oldOnly = oldBuckets.filterNot(newTouched.toSet)
     val emptied: Seq[Long] =
-      if (oldOnly.isEmpty || !hasBuckets(indexDir, "kb")) Seq.empty
-      else {
-        val surviving = spark.read.parquet(indexDir)
-          .filter(col("kb").isin(oldOnly: _*))
-          .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
-          .select(col("kb").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        oldOnly.filterNot(surviving)
-      }
+      if (oldOnly.isEmpty) Seq.empty
+      else graft.eth.Sinks.readBuckets(spark, indexDir, "kb", oldOnly)
+        .map { idx =>
+          val surviving = idx
+            .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+            .select(col("kb").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          oldOnly.filterNot(surviving)
+        }
+        // none of the old-only buckets exist on disk (a replay after a
+        // crash that already deleted them): nothing left to empty
+        .getOrElse(Seq.empty)
     graft.eth.Sinks.upsertBucketedParquet(pinned.drop("pkb"), indexDir,
       pkCols = pkCols, bucketCol = "kb", sortCols = sortCols,
       newBuckets = Some(touched), dropOldKeys = Some(ids.select(col(idCol))))
@@ -308,19 +309,18 @@ object StreamingOps {
       dropOldKeys = Some(ids.select(col(idCol))))
     // zero-survivor edge, map side: a pk bucket whose every id was
     // re-ingested with an EMPTY new row set gets no new map rows
-    if (hasBuckets(pkMapDir, "pkb")) {
-      val newPkb = mapRows.select(col("pkb")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      val pkbNoNew = touchedPk.filterNot(newPkb)
-      if (pkbNoNew.nonEmpty) {
-        val surviving = spark.read.parquet(pkMapDir)
-          .filter(col("pkb").isin(pkbNoNew: _*))
-          .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
-          .select(col("pkb").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        pkbNoNew.filterNot(surviving).foreach(del(pkMapDir, "pkb", _))
-      }
-    }
+    val newPkb = mapRows.select(col("pkb")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val pkbNoNew = touchedPk.filterNot(newPkb)
+    if (pkbNoNew.nonEmpty)
+      graft.eth.Sinks.readBuckets(spark, pkMapDir, "pkb", pkbNoNew)
+        .foreach { m =>
+          val surviving = m
+            .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+            .select(col("pkb").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toSet
+          pkbNoNew.filterNot(surviving).foreach(del(pkMapDir, "pkb", _))
+        }
     (newTouched, pinned.drop("pkb"))
   }
 
@@ -359,8 +359,10 @@ object StreamingOps {
           } else {
             val wFp = org.apache.spark.sql.expressions.Window
               .partitionBy(col("fp_hash"))
-            val idx = spark.read.parquet(indexDir)
-              .filter(col("kb").isin(newTouched: _*)) // partition-pruned read
+            // scoped read: lists ONLY the batch's kb dirs (all just
+            // written by the upsert, so get is total)
+            val idx = graft.eth.Sinks.readBuckets(
+                spark, indexDir, "kb", newTouched).get
               .withColumn("__df", count(lit(1)).over(wFp))
               .filter(col("__df") <= maxDf) // MOSS boilerplate rule
               .select(col("fp_hash"), col(idCol).as("matched_id"))
@@ -394,13 +396,22 @@ object StreamingOps {
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol, "band"), sortCols = Seq("band_key", idCol),
           indexDir, keyBuckets)
-        val idx = spark.read.parquet(indexDir)
-          .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
-          .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
-        pinnedBands.join(idx, Seq("band", "band_key"))
-          .filter(col(idCol) =!= col("matched_id"))
-          .select(col(idCol), col("band"), col("matched_id"))
-          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+        val flags =
+          if (newTouched.isEmpty) {
+            // empty batch: nothing indexed, nothing to flag — typed
+            // empty so replay stays shape-consistent
+            bands.limit(0)
+              .select(col(idCol), col("band"), col(idCol).as("matched_id"))
+          } else {
+            // scoped read: lists ONLY the batch's kb dirs (just written)
+            val idx = graft.eth.Sinks.readBuckets(
+                spark, indexDir, "kb", newTouched).get
+              .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
+            pinnedBands.join(idx, Seq("band", "band_key"))
+              .filter(col(idCol) =!= col("matched_id"))
+              .select(col(idCol), col("band"), col("matched_id"))
+          }
+        flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -441,13 +452,21 @@ object StreamingOps {
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol), sortCols = Seq("content_key", idCol),
           indexDir, keyBuckets)
-        val idx = spark.read.parquet(indexDir)
-          .filter(col("kb").isin(newTouched: _*)) // partition-pruned flag read
-          .select(col("content_key"), col(idCol).as("matched_id"))
-        pinnedKeyed.join(idx, "content_key")
-          .filter(col(idCol) =!= col("matched_id"))
-          .select(col(idCol), col("content_key"), col("matched_id"))
-          .write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+        val flags =
+          if (newTouched.isEmpty) {
+            // empty batch: typed empty flags, shape-consistent on replay
+            keyed.limit(0)
+              .select(col(idCol), col("content_key"), col(idCol).as("matched_id"))
+          } else {
+            // scoped read: lists ONLY the batch's kb dirs (just written)
+            val idx = graft.eth.Sinks.readBuckets(
+                spark, indexDir, "kb", newTouched).get
+              .select(col("content_key"), col(idCol).as("matched_id"))
+            pinnedKeyed.join(idx, "content_key")
+              .filter(col(idCol) =!= col("matched_id"))
+              .select(col(idCol), col("content_key"), col("matched_id"))
+          }
+        flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .start()
@@ -500,8 +519,9 @@ object StreamingOps {
               .select(col("media_id"), col("media_id").as("matched_id"),
                 lit(0).cast("int").as("hamming"))
           } else {
-            val idx = spark.read.parquet(indexDir)
-              .filter(col("kb").isin(touched: _*))
+            // scoped read: lists ONLY the batch's kb dirs (just written)
+            val idx = graft.eth.Sinks.readBuckets(
+                spark, indexDir, "kb", touched).get
               .select(col("band"), col("band_key"),
                 col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
             pinnedBanded.join(idx, Seq("band", "band_key"))

@@ -867,6 +867,25 @@ class StreamingSpec extends SparkSpec {
     assert(stored == fresh, s"doc 1 must carry ONLY the edited fps")
   }
 
+  test("mutable-index mini-soak: mixed edit/erase/restore/add/replay batches end bit-identical to a from-scratch rebuild") {
+    // the spec-sized twin of `graft.streaming.IndexSoak soak` (the 100-
+    // batch run is SCALE_r14 §3 evidence): 13 micro-batches cycle every
+    // mutation class twice, then the maintained index AND the pk side
+    // map must equal a fresh fingerprinting of the final corpus state
+    // row-exactly, with data-file counts flat (no compaction debt).
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val r = graft.streaming.IndexSoak.runSoak(spark, root, nBatches = 13,
+      baseDocs = 120, opDocs = 15)
+    assert(r.idxDiff == 0L,
+      s"maintained index diverged from the rebuild by ${r.idxDiff} rows")
+    assert(r.mapDiff == 0L,
+      s"pk side map diverged from the rebuild by ${r.mapDiff} rows")
+    assert(r.filesEnd <= r.filesMid + 8,
+      s"data-file creep: ${r.filesMid} files mid-soak -> ${r.filesEnd} at end")
+    assert(r.finalIndexRows > 0 && r.finalDocsN >= 120,
+      s"soak must end with a populated index: ${r.finalIndexRows} rows")
+  }
+
   test("maintainImageIndexAndFlag mutable corpus: re-encoded pixels replace the bands; undecodable re-ingest erases them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Byte], String)]

@@ -1,0 +1,114 @@
+#!/usr/bin/env bash
+# Round-close certification — makes "the boards ran on the ship tree" a
+# COMMAND, not prose (VERDICT r13 finding 1: the r13 close claimed
+# docs-only-after-a2431c7 while three later commits touched src/).
+#
+#   tools/close.sh run     certify the CURRENT tree: refuses a dirty
+#                          tree, runs `sbt test` + the full sf0.01 AND
+#                          sf0.1 verify->DuckDB boards, re-checks HEAD
+#                          did not move while the gates ran, and writes
+#                          CLOSE_CERT.json recording the exact hash +
+#                          every result. Nonzero exit on any failure.
+#
+#   tools/close.sh check   verify the standing cert still binds: every
+#                          gate in CLOSE_CERT.json passed AND
+#                          `git diff <certified>..HEAD` is empty over
+#                          src/ build.sbt tools/ — i.e. everything after
+#                          the certified tree is docs-only. This is the
+#                          command a reviewer runs instead of trusting
+#                          the PERF.md close paragraph.
+#
+# The close commit itself (CLOSE_CERT.json + the PERF.md close text)
+# lands AFTER the certified hash and is docs-only by construction —
+# `check` proves exactly that.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+MODE=${1:-run}
+CERT=CLOSE_CERT.json
+
+if [[ "$MODE" == "check" ]]; then
+  [[ -f "$CERT" ]] || { echo "FAIL: no $CERT — run tools/close.sh first"; exit 1; }
+  HEADHASH=$(python3 -c "import json;print(json.load(open('$CERT'))['head'])")
+  python3 - <<'EOF'
+import json, sys
+c = json.load(open('CLOSE_CERT.json'))
+bad = []
+if c['sbt_test']['failed'] != 0 or c['sbt_test']['succeeded'] < 1:
+    bad.append(f"sbt test: {c['sbt_test']}")
+for sf in ('sf0.01', 'sf0.1'):
+    b = c['boards'][sf]
+    if b['fail'] != 0 or b['pass'] < 1:
+        bad.append(f"board {sf}: {b}")
+if bad:
+    print("FAIL: certified gates not green:", "; ".join(bad)); sys.exit(1)
+print(f"cert gates green: tests {c['sbt_test']['succeeded']}/{c['sbt_test']['succeeded']}, "
+      f"sf0.01 {c['boards']['sf0.01']['pass']} pass, sf0.1 {c['boards']['sf0.1']['pass']} pass")
+EOF
+  if ! git cat-file -e "$HEADHASH" 2>/dev/null; then
+    echo "FAIL: certified hash $HEADHASH not in this repo"; exit 1
+  fi
+  DIFF=$(git diff --name-only "$HEADHASH"..HEAD -- src/ build.sbt tools/)
+  if [[ -n "$DIFF" ]]; then
+    echo "FAIL: commits after certified $HEADHASH touch the engine:"; echo "$DIFF"
+    exit 1
+  fi
+  echo "OK: HEAD is docs-only after certified $HEADHASH"
+  exit 0
+fi
+
+[[ "$MODE" == "run" ]] || { echo "usage: tools/close.sh [run|check]"; exit 2; }
+
+if [[ -n "$(git status --porcelain)" ]]; then
+  echo "FAIL: dirty tree — commit first; the certified tree must BE a commit"
+  git status --porcelain
+  exit 1
+fi
+HEAD0=$(git rev-parse HEAD)
+echo "certifying $HEAD0 ..."
+
+echo "== sbt test =="
+sbt -batch test 2>&1 | tee /tmp/close_sbt_test.log | tail -3
+TESTLINE=$(grep -E "Tests: succeeded" /tmp/close_sbt_test.log | tail -1)
+SUCC=$(sed -E 's/.*succeeded ([0-9]+).*/\1/' <<<"$TESTLINE")
+FAILED=$(sed -E 's/.*failed ([0-9]+).*/\1/' <<<"$TESTLINE")
+
+run_board() { # sfdir outdir cpus
+  rm -rf "$2"
+  SPARK_GRAFT_CPUS="$3" SPARK_DRIVER_MEM=48g \
+    sbt -batch "runMain graft.Verify $1 $2" >/dev/null 2>>/tmp/close_verify.err
+  python3 tools/check.py "$2" "$1" | tail -2
+}
+echo "== board sf0.01 =="
+B001=$(run_board /root/testdata/sf0.01 /tmp/close_verify001 16 | tail -1)
+echo "$B001"
+echo "== board sf0.1 =="
+B01=$(run_board /root/testdata/sf0.1 /tmp/close_verify01 32 | tail -1)
+echo "$B01"
+
+HEAD1=$(git rev-parse HEAD)
+if [[ "$HEAD1" != "$HEAD0" || -n "$(git status --porcelain)" ]]; then
+  echo "FAIL: tree moved while gates ran ($HEAD0 -> $HEAD1) — re-run"
+  exit 1
+fi
+
+python3 - "$HEAD0" "$SUCC" "$FAILED" "$B001" "$B01" <<'EOF'
+import json, re, sys, subprocess
+head, succ, failed, b001, b01 = sys.argv[1:6]
+def board(line):
+    m = re.search(r"(\d+) pass / (\d+) fail", line)
+    if not m: raise SystemExit(f"FAIL: unparseable board line: {line!r}")
+    return {"pass": int(m.group(1)), "fail": int(m.group(2))}
+cert = {
+    "head": head,
+    "committed_at": subprocess.check_output(
+        ["git", "show", "-s", "--format=%cI", head]).decode().strip(),
+    "sbt_test": {"succeeded": int(succ), "failed": int(failed)},
+    "boards": {"sf0.01": board(b001), "sf0.1": board(b01)},
+}
+ok = (cert["sbt_test"]["failed"] == 0 and
+      all(b["fail"] == 0 and b["pass"] > 0 for b in cert["boards"].values()))
+json.dump(cert, open("CLOSE_CERT.json", "w"), indent=1)
+print(json.dumps(cert))
+if not ok: raise SystemExit("FAIL: a gate is red — cert written, NOT green")
+print("certified green on", head)
+EOF
