@@ -31,6 +31,35 @@ class SinksSpec extends SparkSpec {
     assert(out.filter(col("block_id") < 1200 && col("base_fee").isNotNull).count() == 0)
   }
 
+  test("readBuckets: scoped listing reads named buckets only, skips absent ones, None on empty sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("sink_scoped").toString + "/t"
+    // nothing on disk: None, never a schema-inference failure
+    assert(Sinks.readBuckets(spark, path, "kb", Seq(0L, 1L)).isEmpty)
+    val df = (0L until 300L).map(i => (i, i % 3, s"v$i")).toDF("id", "kb", "v")
+    Sinks.writeBucketedParquet(df, path, "kb", Seq("id"))
+    // scoped read returns exactly the named buckets' rows, with the
+    // partition column present (basePath) — absent bucket 9 is skipped
+    val got = Sinks.readBuckets(spark, path, "kb", Seq(0L, 2L, 9L)).get
+    assert(got.columns.contains("kb"), "basePath must keep the partition column")
+    assert(got.count() == 200L)
+    assert(got.select(col("kb").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(0L, 2L))
+    // and the listing really is scoped: only the requested dirs appear
+    // in the scan's root paths (never the sink root, whose listing is
+    // what costs O(total buckets) at corpus-scaled bucket counts)
+    val roots = got.queryExecution.analyzed.collect {
+      case org.apache.spark.sql.execution.datasources.LogicalRelationWithTable(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _) =>
+        fs.location.rootPaths.map(_.getName)
+    }.flatten
+    assert(roots.toSet == Set("kb=0", "kb=2"),
+      s"scan roots must be the named bucket dirs, got $roots")
+    // all-absent request: None (replay may name buckets a crash deleted)
+    assert(Sinks.readBuckets(spark, path, "kb", Seq(7L, 9L)).isEmpty)
+  }
+
   test("upsert rejects a batch carrying null buckets (fallback bucket discovery)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, when}
