@@ -1096,6 +1096,111 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Write an INTERLEAVED MJPEG + 16-bit mono PCM AVI — the classic
+    * capture layout (DV/webcam: one '00dc' JFIF frame then its '01wb'
+    * audio slice, per frame). Stream 0 = vids/MJPG, stream 1 = auds
+    * PCM (strf = WAVEFORMATEX: tag 1, mono, 16-bit); avih dwStreams=2;
+    * idx1 covers both streams. `sample(frame)(i)` gives the i-th 16-bit
+    * sample of that frame's audio slice (taken as Short). */
+  def encodeAviMjpegPcm(width: Int, height: Int, nFrames: Int,
+                        pixel: Int => (Int, Int) => (Int, Int, Int),
+                        sampleRate: Int, samplesPerFrame: Int,
+                        sample: Int => Int => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"need positive dims/frames, got $width x $height x $nFrames")
+    require(sampleRate > 0 && samplesPerFrame > 0,
+      s"need positive audio params, got $sampleRate Hz x $samplesPerFrame")
+    val frames = Array.tabulate(nFrames)(f => encodeJpeg(width, height, pixel(f)))
+    val audio = Array.tabulate(nFrames) { f =>
+      val s = sample(f)
+      val b = java.nio.ByteBuffer.allocate(samplesPerFrame * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < samplesPerFrame) { b.putShort(s(i).toShort); i += 1 }
+      b.array()
+    }
+    val maxFrame = frames.map(_.length).max
+
+    val avih = new java.io.ByteArrayOutputStream(56)
+    putU32le(avih, 40000L); putU32le(avih, 0L); putU32le(avih, 0L)
+    putU32le(avih, 0x10L)            // AVIF_HASINDEX
+    putU32le(avih, nFrames.toLong); putU32le(avih, 0L)
+    putU32le(avih, 2L)               // dwStreams: video + audio
+    putU32le(avih, maxFrame.toLong)
+    putU32le(avih, width.toLong); putU32le(avih, height.toLong)
+    for (_ <- 0 until 4) putU32le(avih, 0L)
+
+    val strhV = new java.io.ByteArrayOutputStream(56)
+    strhV.write("vids".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    strhV.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(strhV, 0L); putU16le(strhV, 0); putU16le(strhV, 0)
+    putU32le(strhV, 0L); putU32le(strhV, 1L); putU32le(strhV, 25L)
+    putU32le(strhV, 0L); putU32le(strhV, nFrames.toLong)
+    putU32le(strhV, maxFrame.toLong); putU32le(strhV, 0L); putU32le(strhV, 0L)
+    putU16le(strhV, 0); putU16le(strhV, 0)
+    putU16le(strhV, width); putU16le(strhV, height)
+    val strfV = new java.io.ByteArrayOutputStream(40)
+    putU32le(strfV, 40L); putU32le(strfV, width.toLong); putU32le(strfV, height.toLong)
+    putU16le(strfV, 1); putU16le(strfV, 24)
+    strfV.write("MJPG".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(strfV, width.toLong * height * 3)
+    putU32le(strfV, 0L); putU32le(strfV, 0L); putU32le(strfV, 0L); putU32le(strfV, 0L)
+
+    val strhA = new java.io.ByteArrayOutputStream(56)
+    strhA.write("auds".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(strhA, 0L)              // fccHandler: 0 for PCM
+    putU32le(strhA, 0L); putU16le(strhA, 0); putU16le(strhA, 0)
+    putU32le(strhA, 0L)
+    putU32le(strhA, 1L)              // dwScale
+    putU32le(strhA, sampleRate.toLong) // dwRate (samples/sec)
+    putU32le(strhA, 0L)
+    putU32le(strhA, nFrames.toLong * samplesPerFrame) // dwLength (samples)
+    putU32le(strhA, samplesPerFrame.toLong * 2)
+    putU32le(strhA, 0L)
+    putU32le(strhA, 2L)              // dwSampleSize: bytes per sample
+    putU16le(strhA, 0); putU16le(strhA, 0); putU16le(strhA, 0); putU16le(strhA, 0)
+    val strfA = new java.io.ByteArrayOutputStream(16) // WAVEFORMATEX (PCM core)
+    putU16le(strfA, 1)               // wFormatTag: PCM
+    putU16le(strfA, 1)               // nChannels: mono
+    putU32le(strfA, sampleRate.toLong)
+    putU32le(strfA, sampleRate.toLong * 2) // nAvgBytesPerSec
+    putU16le(strfA, 2)               // nBlockAlign
+    putU16le(strfA, 16)              // wBitsPerSample
+
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih.toByteArray) ++
+        riffList("strl", riffChunk("strh", strhV.toByteArray) ++
+          riffChunk("strf", strfV.toByteArray)) ++
+        riffList("strl", riffChunk("strh", strhA.toByteArray) ++
+          riffChunk("strf", strfA.toByteArray)))
+
+    val moviBody = new java.io.ByteArrayOutputStream()
+    val idx1 = new java.io.ByteArrayOutputStream(32 * nFrames)
+    def idxEntry(id: String, off: Long, len: Int): Unit = {
+      idx1.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      putU32le(idx1, 0x10L); putU32le(idx1, off); putU32le(idx1, len.toLong)
+    }
+    var f = 0
+    while (f < nFrames) {
+      idxEntry("00dc", 4L + moviBody.size(), frames(f).length)
+      moviBody.write(riffChunk("00dc", frames(f)))
+      idxEntry("01wb", 4L + moviBody.size(), audio(f).length)
+      moviBody.write(riffChunk("01wb", audio(f)))
+      f += 1
+    }
+    val form = new java.io.ByteArrayOutputStream()
+    form.write("AVI ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    form.write(hdrl)
+    form.write(riffList("movi", moviBody.toByteArray))
+    form.write(riffChunk("idx1", idx1.toByteArray))
+    val body = form.toByteArray
+    val out = new java.io.ByteArrayOutputStream(8 + body.length)
+    out.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    putU32le(out, body.length.toLong)
+    out.write(body)
+    out.toByteArray
+  }
+
   /** Decoded sampled pixels across all frames of one payload may not
     * exceed this (64 Mpx of packed-RGB ints = 256 MB transient) — the
     * video-side sibling of the per-frame SOF caps: a small hostile
@@ -1114,37 +1219,58 @@ object Multimodal {
     * and non-video streams are skipped per the RIFF rule that readers
     * ignore chunks they don't understand; odd-sized chunks carry a pad
     * byte exactly like the WAV reader. */
-  def decodeAviMjpegFrames(payload: Array[Byte], every: Int = 1)
-      : Option[(Int, Int, Int, Seq[(Int, Array[Int])])] = {
-    if (every < 1) return None
+  /** Parsed AVI container geometry: the hdrl's stream table (stream
+    * number = strl order, per the spec: chunk ids in movi carry that
+    * 2-digit number) plus the movi extent. Video = the first vids
+    * stream whose strf is 'MJPG'; audio = the first auds stream whose
+    * strf is PCM/mono/16-bit. */
+  private case class AviLayout(moviStart: Int, moviEnd: Int,
+                               mjpgStream: Int, w: Int, h: Int,
+                               pcmStream: Int, sampleRate: Int)
+
+  private def parseAviLayout(payload: Array[Byte]): Option[AviLayout] = {
     if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
       fourcc(payload, 8) != "AVI ") return None
     val end = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
-    var strfW = -1; var strfH = -1; var strfMjpg = false
+    var strfW = -1; var strfH = -1; var mjpgStream = -1
+    var pcmStream = -1; var rate = -1
+    var streamNo = -1 // counts strh chunks: the spec's stream numbering
+    var lastType = "" // fccType of the most recent strh
 
-    // hdrl walk: find the first 'vids' stream's BITMAPINFOHEADER. Kept
-    // separate from the movi walk so header order never matters.
     def scanHdrl(from: Int, to: Int): Unit = {
       var p = from
       while (p + 8 <= to) {
         val id = fourcc(payload, p)
-        val size = u32le(payload, p + 8 - 4)
+        val size = u32le(payload, p + 4)
         val dataEnd = p + 8 + size
-        if (size < 0 || dataEnd > to) return
+        if (dataEnd > to) return
         if (id == "LIST" && size >= 4) scanHdrl(p + 12, dataEnd.toInt)
-        else if (id == "strf" && size >= 40 && !strfMjpg) {
+        else if (id == "strh" && size >= 8) {
+          streamNo += 1
+          lastType = fourcc(payload, p + 8)
+        } else if (id == "strf" && lastType == "vids" && size >= 40
+            && mjpgStream < 0) {
           val bi = p + 8
           if (u32le(payload, bi) >= 40 && fourcc(payload, bi + 16) == "MJPG") {
             strfW = u32le(payload, bi + 4).toInt
             strfH = u32le(payload, bi + 8).toInt
-            strfMjpg = true
+            mjpgStream = streamNo
+          }
+        } else if (id == "strf" && lastType == "auds" && size >= 16
+            && pcmStream < 0) {
+          val bi = p + 8
+          val tag = (payload(bi) & 0xff) | ((payload(bi + 1) & 0xff) << 8)
+          val ch = (payload(bi + 2) & 0xff) | ((payload(bi + 3) & 0xff) << 8)
+          val bits = (payload(bi + 14) & 0xff) | ((payload(bi + 15) & 0xff) << 8)
+          if (tag == 1 && ch == 1 && bits == 16) {
+            rate = u32le(payload, bi + 4).toInt
+            if (rate > 0) pcmStream = streamNo
           }
         }
         p = (dataEnd + (size & 1)).toInt
       }
     }
 
-    // Pass 1: locate hdrl and movi, read strf.
     var moviStart = -1; var moviEnd = -1
     var p = 12
     while (p + 8 <= end) {
@@ -1161,24 +1287,35 @@ object Multimodal {
       }
       p = (dataEnd + (size & 1)).toInt
     }
-    if (!strfMjpg || strfW <= 0 || strfH <= 0 || moviStart < 0) return None
+    if (moviStart < 0) None
+    else Some(AviLayout(moviStart, moviEnd, mjpgStream, strfW, strfH,
+      pcmStream, rate))
+  }
 
-    // Pass 2: walk movi chunks; '..dc'/'..db' are video frames.
+  def decodeAviMjpegFrames(payload: Array[Byte], every: Int = 1)
+      : Option[(Int, Int, Int, Seq[(Int, Array[Int])])] = {
+    if (every < 1) return None
+    val lay = parseAviLayout(payload).getOrElse(return None)
+    if (lay.mjpgStream < 0 || lay.w <= 0 || lay.h <= 0) return None
+    val streamId = f"${lay.mjpgStream}%02d"
+
+    // movi walk: only THIS stream's 'NNdc'/'NNdb' chunks are frames —
+    // interleaved audio ('NNwb') and other streams skip per the spec.
     val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Int])]
     var idx = 0
     var pixelBudget = aviMaxSampledPixels
-    p = moviStart
-    while (p + 8 <= moviEnd) {
+    var p = lay.moviStart
+    while (p + 8 <= lay.moviEnd) {
       val id = fourcc(payload, p)
       val size = u32le(payload, p + 4)
       val dataEnd = p + 8 + size
-      if (dataEnd > moviEnd) return None
+      if (dataEnd > lay.moviEnd) return None
       val suffix = id.substring(2)
-      if (suffix == "dc" || suffix == "db") {
+      if (id.startsWith(streamId) && (suffix == "dc" || suffix == "db")) {
         if (idx % every == 0) {
           val frame = java.util.Arrays.copyOfRange(payload, p + 8, dataEnd.toInt)
           decodeJpegRgb(frame) match {
-            case Some((w, h, rgb)) if w == strfW && h == strfH =>
+            case Some((w, h, rgb)) if w == lay.w && h == lay.h =>
               pixelBudget -= w.toLong * h
               if (pixelBudget < 0) return None
               sampled += ((idx, rgb))
@@ -1194,7 +1331,47 @@ object Multimodal {
       }
       p = (dataEnd + (size & 1)).toInt
     }
-    if (idx == 0) None else Some((strfW, strfH, idx, sampled.toSeq))
+    if (idx == 0) None else Some((lay.w, lay.h, idx, sampled.toSeq))
+  }
+
+  /** Extract the PCM audio stream of an AVI: concatenated samples of
+    * the first auds stream's 'NNwb' chunks, in movi order — the same
+    * (sampleRate, samples) contract as [[decodeWavPcm16]], so every
+    * audio op runs on AVI-embedded audio exactly as on a bare WAV.
+    * None without a conformant PCM/mono/16 auds stream, on a truncated
+    * chunk, or past the same total-allocation cap class as the video
+    * side (64 M samples = 128 MB). */
+  def decodeAviPcm(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+    val lay = parseAviLayout(payload).getOrElse(return None)
+    if (lay.pcmStream < 0 || lay.sampleRate <= 0) return None
+    val streamId = f"${lay.pcmStream}%02d"
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var total = 0L
+    var p = lay.moviStart
+    while (p + 8 <= lay.moviEnd) {
+      val id = fourcc(payload, p)
+      val size = u32le(payload, p + 4)
+      val dataEnd = p + 8 + size
+      if (dataEnd > lay.moviEnd) return None
+      if (id.startsWith(streamId) && id.substring(2) == "wb") {
+        if ((size & 1) == 1) return None // 16-bit PCM: odd chunk is malformed
+        chunks += ((p + 8, size.toInt))
+        total += size / 2
+        if (total > (64L << 20)) return None
+      }
+      p = (dataEnd + (size & 1)).toInt
+    }
+    if (total == 0) return None
+    val out = new Array[Short](total.toInt)
+    var o = 0
+    chunks.foreach { case (off, len) =>
+      var i = 0
+      while (i < len) {
+        out(o) = ((payload(off + i) & 0xff) | (payload(off + i + 1) << 8)).toShort
+        i += 2; o += 1
+      }
+    }
+    Some((lay.sampleRate, out))
   }
 
   /** Per-sampled-frame channel sums — [[imageStats]] with a frame axis,
@@ -1333,14 +1510,23 @@ object Multimodal {
     r
   }
 
+  /** Container-dispatched PCM decode — the shared entry for every audio
+    * op: bare WAV or the PCM stream of an interleaved MJPEG+PCM AVI
+    * ([[decodeAviPcm]]), so a fingerprint depends on the SAMPLES, never
+    * the container (the audio twin of the image/video parity
+    * guarantee). */
+  private def decodeAudioPcm(payload: Array[Byte]): Option[(Int, Array[Short])] =
+    decodeWavPcm16(payload).orElse(decodeAviPcm(payload))
+
   /** Per-partition REAL decode → audio statistics. Map-only: the decode
     * and the per-record reduction happen inside one task; nothing
-    * shuffles until the caller aggregates. Non-WAV payloads drop. */
+    * shuffles until the caller aggregates. Payloads in neither PCM
+    * container drop. */
   def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeWavPcm16(r.payload).map { case (rate, s) =>
+        decodeAudioPcm(r.payload).map { case (rate, s) =>
           var peak = 0; var sumSq = 0L; var zc = 0L
           var i = 0
           while (i < s.length) {
@@ -1370,7 +1556,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        decodeWavPcm16(r.payload).toSeq.flatMap { case (_, s) =>
+        decodeAudioPcm(r.payload).toSeq.flatMap { case (_, s) =>
           val nFrames = (s.length + frameLen - 1) / frameLen
           (0 until nFrames).map { f =>
             val lo = f * frameLen

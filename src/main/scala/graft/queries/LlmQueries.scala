@@ -2581,6 +2581,113 @@ object LlmQueries {
              |FROM lg WHERE prev IS NOT NULL AND bit_count(xor(ahash, prev)) > 0
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // PCM audio EMBEDDED in an interleaved MJPEG+PCM AVI (the classic
+    // DV/webcam capture layout: '00dc' JFIF frame then its '01wb' audio
+    // slice): decodeAviPcm demuxes the auds stream by its hdrl-assigned
+    // stream number and concatenates the slices, and every audio op runs
+    // on it exactly as on a bare WAV (audioStats here — the same output
+    // contract as multimodal_wav_stats, proven on container-demuxed
+    // samples). The oracle replays the sample algebra arithmetically.
+    Q("multimodal_decode_avi_audio", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          val nf = 5 + (m % 4).toInt
+          val a = (m % 7).toInt + 3
+          Multimodal.MediaRecord(m, Multimodal.encodeAviMjpegPcm(w, h, nf,
+            f => (x, y) =>
+              (((m * 13 + (x / 8) * 57 + (y / 8) * 23 + f * 19) % 256).toInt,
+                ((m * 7 + (x / 8) * 31 + (y / 8) * 11 + f * 5) % 256).toInt,
+                ((m * 11 + (x / 8) * 17 + (y / 8) * 29 + f * 3) % 256).toInt),
+            sampleRate = 8000, samplesPerFrame = 400,
+            f => i => (((f * 400 + i).toLong * a + m * 17) % 2048 - 1024).toInt),
+            "video/x-msvideo")
+        }
+        Multimodal.audioStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |par AS (SELECT id, (5 + id % 4) * 400 AS n, id % 7 + 3 AS a FROM m),
+             |smp AS (SELECT id, n, a, unnest(range(n)) AS i FROM par),
+             |s AS (SELECT id, n, i, (i * a + id * 17) % 2048 - 1024 AS v FROM smp),
+             |sgn AS (SELECT id, n, i, v,
+             |          lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s),
+             |st AS (SELECT id, any_value(n) AS n, max(abs(v)) AS peak,
+             |         sum(CAST(v AS BIGINT) * v) AS sum_sq,
+             |         sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |             THEN 1 ELSE 0 END) AS zc
+             |       FROM sgn GROUP BY id)
+             |SELECT id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(peak AS INTEGER) AS peak,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms,
+             |  CAST(zc AS BIGINT) AS zero_crossings
+             |FROM st ORDER BY media_id""".stripMargin)),
+
+    // Full A/V demux from ONE payload: frame-0 channel sums (through the
+    // MJPEG stream) joined with the PCM stream's stats — the capability
+    // a mixed-modality ingest needs (one file fans out to image-path AND
+    // audio-path features). Oracle = the frame-0 integer color chain
+    // joined with the sample algebra, both per media.
+    Q("multimodal_avi_demux", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val w = 9 + (m % 6).toInt
+          val h = 7 + (m % 5).toInt
+          val nf = 5 + (m % 4).toInt
+          val a = (m % 7).toInt + 3
+          Multimodal.MediaRecord(m, Multimodal.encodeAviMjpegPcm(w, h, nf,
+            f => (x, y) =>
+              (((m * 13 + (x / 8) * 57 + (y / 8) * 23 + f * 19) % 256).toInt,
+                ((m * 7 + (x / 8) * 31 + (y / 8) * 11 + f * 5) % 256).toInt,
+                ((m * 11 + (x / 8) * 17 + (y / 8) * 29 + f * 3) % 256).toInt),
+            sampleRate = 8000, samplesPerFrame = 400,
+            f => i => (((f * 400 + i).toLong * a + m * 17) % 2048 - 1024).toInt),
+            "video/x-msvideo")
+        }
+        // every > max n_frames keeps exactly frame 0; n_frames still total
+        val v = Multimodal.videoFrameStats(media, every = 1000).toDF()
+          .select(col("media_id"), col("n_frames"), col("width"),
+            col("height"), col("r_sum").as("r_sum0"))
+        val a = Multimodal.audioStats(media).toDF()
+          .select(col("media_id"), col("n_samples"), col("rms"))
+        v.join(a, "media_id").orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |par AS (SELECT id, 9 + id % 6 AS w, 7 + id % 5 AS h,
+             |          5 + id % 4 AS nf, id % 7 + 3 AS a FROM m),
+             |xs AS (SELECT id, w, h, nf, unnest(range(w)) AS x FROM par),
+             |pix AS (SELECT id, w, h, nf, x, unnest(range(h)) AS y FROM xs),
+             |src AS (SELECT id, w, h, nf,
+             |          (id * 13 + (x // 8) * 57 + (y // 8) * 23) % 256 AS r0,
+             |          (id * 7 + (x // 8) * 31 + (y // 8) * 11) % 256 AS g0,
+             |          (id * 11 + (x // 8) * 17 + (y // 8) * 29) % 256 AS b0
+             |        FROM pix),
+             |ycc AS (SELECT id, w, h, nf,
+             |          LEAST(255, GREATEST(0, (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536)) AS yy,
+             |          LEAST(255, GREATEST(0, 128 + (-11059 * r0 - 21709 * g0 + 32768 * b0 + 32768 + 16777216) // 65536 - 256)) AS cb,
+             |          LEAST(255, GREATEST(0, 128 + (32768 * r0 - 27439 * g0 - 5329 * b0 + 32768 + 16777216) // 65536 - 256)) AS cr
+             |        FROM src),
+             |rgb AS (SELECT id, w, h, nf,
+             |          LEAST(255, GREATEST(0, yy + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r
+             |        FROM ycc),
+             |vs AS (SELECT id, any_value(w) AS w, any_value(h) AS h,
+             |         any_value(nf) AS nf, sum(r) AS r_sum0 FROM rgb GROUP BY id),
+             |smp AS (SELECT id, nf * 400 AS n, a,
+             |          unnest(range(nf * 400)) AS i FROM par),
+             |s AS (SELECT id, n, (i * a + id * 17) % 2048 - 1024 AS v FROM smp),
+             |ast AS (SELECT id, any_value(n) AS n,
+             |          sum(CAST(v AS BIGINT) * v) AS sum_sq FROM s GROUP BY id)
+             |SELECT vs.id AS media_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  CAST(r_sum0 AS BIGINT) AS r_sum0,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms
+             |FROM vs JOIN ast ON vs.id = ast.id ORDER BY media_id""".stripMargin)),
+
     // Indexed-color PNG (color type 3 — the most common web PNG flavor):
     // the decoder walks PLTE, defilters INDEX bytes through all five
     // scanline filters, and resolves each index through the palette; the

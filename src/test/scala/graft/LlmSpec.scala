@@ -1181,6 +1181,53 @@ class LlmSpec extends SparkSpec {
       "even unsampled frames get the SOI structural check")
   }
 
+  test("interleaved MJPEG+PCM AVI: both modalities demux from one payload; audio is container-independent") {
+    import graft.llm.Multimodal
+    val px = (f: Int) => (x: Int, y: Int) => {
+      val v = ((x / 8) * 9 + (y / 8) * 5 + f * 7) % 256; (v, v, v)
+    }
+    val gen = (f: Int) => (i: Int) => ((f * 300 + i) * 5 + 31) % 2048 - 1024
+    val avi = Multimodal.encodeAviMjpegPcm(20, 13, 6, px, 8000, 300, gen)
+    // video decodes from the interleaved payload, audio chunks skipped
+    val Some((w, h, nf, frames)) = Multimodal.decodeAviMjpegFrames(avi)
+    assert(w == 20 && h == 13 && nf == 6 && frames.size == 6)
+    // audio demuxes to the exact generator samples, stream-number aware
+    val Some((rate, samples)) = Multimodal.decodeAviPcm(avi)
+    assert(rate == 8000 && samples.length == 1800)
+    for (f <- 0 until 6; i <- 0 until 300)
+      assert(samples(f * 300 + i) == gen(f)(i).toShort, s"sample ($f,$i)")
+    // container independence: the SAME samples through a bare WAV give
+    // identical audioStats and fingerprints (audio twin of aHash parity)
+    val flat = Array.tabulate(1800)(j => gen(j / 300)(j % 300).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, flat)
+    val both = Seq(
+      Multimodal.MediaRecord(1L, avi, "video/x-msvideo"),
+      Multimodal.MediaRecord(2L, wav, "audio/wav")).toDS()
+    val st = Multimodal.audioStats(both).collect()
+      .map(s => s.media_id -> ((s.n_samples, s.peak, s.rms, s.zero_crossings))).toMap
+    assert(st(1L) == st(2L), s"container leaked into audio stats: $st")
+    val fp = Multimodal.audioFingerprint(Multimodal.audioFrames(both, 40), bits = 40)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("fp")).toMap
+    assert(fp(1L) == fp(2L), s"container leaked into the fingerprint: $fp")
+    // a video-only AVI has no auds stream: audio path falls back clean
+    val videoOnly = Multimodal.encodeAviMjpeg(20, 13, 3, px)
+    assert(Multimodal.decodeAviPcm(videoOnly).isEmpty)
+    assert(Multimodal.decodeAviPcm(avi.dropRight(9)).isEmpty, "truncation rejects")
+    // non-PCM strf (patch wFormatTag) rejects audio but not video
+    def indexOfTag(hay: Array[Byte], tag: String, from: Int): Int = {
+      val t = tag.getBytes("US-ASCII")
+      (from to hay.length - t.length).find(i => t.indices.forall(j => hay(i + j) == t(j))).getOrElse(-1)
+    }
+    val strfV = indexOfTag(avi, "strf", 0)
+    val strfA = indexOfTag(avi, "strf", strfV + 4) // second strf = auds
+    val mulaw = avi.clone()
+    mulaw(strfA + 8) = 7 // wFormatTag: mu-law
+    assert(Multimodal.decodeAviPcm(mulaw).isEmpty,
+      "non-PCM audio must take the fallback, not misparse")
+    assert(Multimodal.decodeAviMjpegFrames(mulaw).nonEmpty,
+      "the video stream is independent of a rejected audio stream")
+  }
+
   test("aHash is container-independent: PNG and BMP of the same pixels agree") {
     val px = (x: Int, y: Int) => ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y * 2) % 256)
     val media = Seq(
