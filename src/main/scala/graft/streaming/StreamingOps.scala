@@ -537,6 +537,82 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming VIDEO-FRAME dedup ingest — [[maintainImageIndexAndFlag]]'s
+    * loop lifted to per-frame granularity: each micro-batch's video
+    * payloads (Y4M or MJPEG-AVI — [[graft.llm.Multimodal.videoFrameHashes]]
+    * is container-sniffed) decode to every-`every`-th-frame aHashes,
+    * whose 6 byte-bands fold into a hash-bucketed index keyed
+    * (media_id, frame_idx, band); the batch then flags its frames
+    * against OTHER videos' frames at Hamming ≤ `maxHamming` (within-
+    * video matches are expected — a static scene — and excluded). The
+    * stride pair samples the hash window across the frame exactly like
+    * the still path (stride 8 = one sample per JPEG block, the
+    * MJPEG-correct setting).
+    *
+    * MUTABLE-CORPUS SAFE via [[upsertMutableIndex]], and per-frame
+    * granularity adds a replace case the still index never sees: a
+    * video re-ingested SHORTER (or re-encoded with different content,
+    * or as an undecodable payload) must erase the frame rows past its
+    * new length — `batchIds` comes from the RAW batch, so the wholesale
+    * id-replace drops every old (media_id, *) row regardless of the new
+    * frame count. */
+  def maintainVideoFrameIndexAndFlag(media: DataFrame, indexDir: String,
+                                     flagsDir: String, checkpointDir: String,
+                                     every: Int = 1, maxHamming: Int = 5,
+                                     keyBuckets: Int = 64,
+                                     strideX: Int = 8, strideY: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val hashes = graft.llm.Multimodal.videoFrameHashes(batch.toDF()
+            .select(col("media_id").cast("long").as("media_id"),
+              col("payload"), col("mime").cast("string").as("mime"))
+            .as[graft.llm.Multimodal.MediaRecord],
+          every = every, strideX = strideX, strideY = strideY).toDF()
+        val banded = hashes
+          .select(col("media_id"), col("frame_idx"), col("ahash"),
+            explode(sequence(lit(0), lit(5))).as("band"))
+          .withColumn("band_key",
+            expr("shiftrightunsigned(ahash, band * 8) & 255"))
+          .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
+            concat_ws("|", col("band"), col("band_key"))),
+            lit(keyBuckets.toLong)))
+        val (touched, pinnedBanded) = upsertMutableIndex(banded,
+          batch.toDF().select(col("media_id").cast("long").as("media_id")),
+          "media_id",
+          pkCols = Seq("media_id", "frame_idx", "band"),
+          sortCols = Seq("band_key", "media_id", "frame_idx"),
+          indexDir, keyBuckets)
+        val flags =
+          if (touched.isEmpty) {
+            banded.limit(0)
+              .select(col("media_id"), col("frame_idx"),
+                col("media_id").as("matched_id"),
+                col("frame_idx").as("matched_frame"),
+                lit(0).cast("int").as("hamming"))
+          } else {
+            val idx = graft.eth.Sinks.readBuckets(
+                spark, indexDir, "kb", touched).get
+              .select(col("band"), col("band_key"),
+                col("media_id").as("matched_id"),
+                col("frame_idx").as("matched_frame"),
+                col("ahash").as("matched_hash"))
+            pinnedBanded.join(idx, Seq("band", "band_key"))
+              .filter(col("media_id") =!= col("matched_id")) // cross-video only
+              .withColumn("hamming",
+                bit_count(col("ahash").bitwiseXOR(col("matched_hash"))))
+              .filter(col("hamming") <= maxHamming)
+              .select(col("media_id"), col("frame_idx"),
+                col("matched_id"), col("matched_frame"), col("hamming"))
+              .distinct()
+          }
+        flags.write.mode("overwrite").parquet(s"$flagsDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming maintenance of the address-relations table
     * ([[graft.eth.Relations]]'s contract driven by a stream): each
     * micro-batch of transfer rows (from_address, to_address, value,

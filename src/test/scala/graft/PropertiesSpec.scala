@@ -750,6 +750,40 @@ class PropertiesSpec extends SparkSpec {
     assert(got.length == 1 && got(0).getAs[Long]("dist2") == 0L)
   }
 
+  test("interleaved AVI round-trips both streams for arbitrary geometry (frames = still JPEG twins, samples exact)") {
+    import graft.llm.Multimodal
+    // block-constant pixels round-trip the DCT exactly, so every decoded
+    // frame must be byte-identical to the SAME pixel function through the
+    // still JPEG codec; audio must be the exact generator samples; and
+    // every-k sampling must keep exactly the k-strided frame indices.
+    check("aviRoundTrip", Prop.forAll(
+      Gen.chooseNum(9, 24), Gen.chooseNum(7, 20), Gen.chooseNum(1, 6),
+      Gen.chooseNum(10, 120), Gen.chooseNum(1, 4), Gen.chooseNum(0, 1000)) {
+      (w, h, nf, spf, every, seed) =>
+        val px = (f: Int) => (x: Int, y: Int) =>
+          (((x / 8) * 57 + (y / 8) * 23 + f * 19 + seed) % 256,
+            ((x / 8) * 31 + (y / 8) * 11 + f * 5 + seed * 3) % 256,
+            ((x / 8) * 17 + (y / 8) * 29 + f * 3 + seed * 7) % 256)
+        val gen = (f: Int) => (i: Int) => ((f * spf + i) * 13 + seed * 17) % 2048 - 1024
+        val avi = Multimodal.encodeAviMjpegPcm(w, h, nf, px, 8000, spf, gen)
+        val video = Multimodal.decodeAviMjpegFrames(avi, every)
+        val audio = Multimodal.decodeAviPcm(avi)
+        val videoOk = video.exists { case (dw, dh, dn, frames) =>
+          dw == w && dh == h && dn == nf &&
+            frames.map(_._1) == (0 until nf by every) &&
+            frames.forall { case (f, rgb) =>
+              Multimodal.decodeJpegRgb(Multimodal.encodeJpeg(w, h, px(f)))
+                .exists { case (_, _, still) => java.util.Arrays.equals(rgb, still) }
+            }
+        }
+        val audioOk = audio.exists { case (rate, s) =>
+          rate == 8000 && s.length == nf * spf &&
+            s.indices.forall(j => s(j) == gen(j / spf)(j % spf).toShort)
+        }
+        videoOk && audioOk
+    })
+  }
+
   test("interval overlap join equals the theta join and is bucket-size invariant") {
     import graft.operators.IntervalJoin
     // deterministic pseudo-random intervals: starts/lengths from a hash

@@ -968,6 +968,66 @@ class StreamingSpec extends SparkSpec {
     assert(flagPairs() == pairs, "replay must rewrite the same flags")
   }
 
+  test("maintainVideoFrameIndexAndFlag: cross-video frame matches flag; shorten/re-encode/undecodable erase frame rows wholesale") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.Multimodal
+    val input = MemoryStream[(Long, Array[Byte], String)]
+    val root = java.nio.file.Files.createTempDirectory("graft_vmut").toString
+    // 64x48 gray MJPEG frames, one aHash sample per 8x8 block (stride 8).
+    // Per-scene block values come from a multiplicative mix so distinct
+    // scenes give DECORRELATED hashes (Hamming ~24 of 48) — a plain
+    // gradient family collides: aHash is brightness-invariant and small
+    // coefficient classes repeat across scenes.
+    def avi(scenes: Seq[Int]) = Multimodal.encodeAviMjpegPcm(64, 48, scenes.size,
+      f => (x, y) => {
+        val s = scenes(f)
+        val mix = ((x / 8) * 7349L + (y / 8) * 51721L + 1L) * (s * 2654435761L + 97L)
+        val v = ((mix >>> 13) & 0xffL).toInt
+        (v, v, v)
+      }, 8000, 40, f => i => 0)
+    def start() = StreamingOps.maintainVideoFrameIndexAndFlag(
+      input.toDF().toDF("media_id", "payload", "mime"),
+      s"$root/index", s"$root/flags", s"$root/ckpt")
+    def flagPairs() = spark.read.parquet(s"$root/flags").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Long]("matched_id"), r.getAs[Int]("matched_frame"))).toSet
+    def frameRows(id: Long) = spark.read.parquet(s"$root/index")
+      .filter(col("media_id") === id)
+      .select(col("frame_idx")).distinct().collect().map(_.getInt(0)).toSet
+    val q1 = start()
+    try {
+      // A = scenes 1,2,3,4 ; B = disjoint scenes: no cross flags
+      input.addData((1L, avi(Seq(1, 2, 3, 4)), "video/x-msvideo"),
+        (2L, avi(Seq(11, 12, 13)), "video/x-msvideo"))
+      q1.processAllAvailable()
+      assert(frameRows(1L) == Set(0, 1, 2, 3) && frameRows(2L) == Set(0, 1, 2))
+      assert(!flagPairs().exists(p => p._1 != p._3),
+        s"disjoint videos must not cross-flag: ${flagPairs()}")
+      // C shares A's scene 3 at ITS frame 1: exactly that cross pair flags
+      input.addData((30L, avi(Seq(21, 3, 22)), "video/x-msvideo"))
+      q1.processAllAvailable()
+      assert(flagPairs().contains((30L, 1, 1L, 2)),
+        s"shared scene must flag (C frame 1 = A frame 2): ${flagPairs()}")
+      // A re-ingested SHORTER and re-encoded (scenes 5,6): frames 2,3 erased
+      input.addData((1L, avi(Seq(5, 6)), "video/x-msvideo"))
+      q1.processAllAvailable()
+      assert(frameRows(1L) == Set(0, 1),
+        s"shortened video must erase its tail frame rows: ${frameRows(1L)}")
+      // a new video reusing A's OLD scene 3 must not flag against A
+      input.addData((40L, avi(Seq(3, 31)), "video/x-msvideo"))
+      q1.processAllAvailable()
+      assert(!flagPairs().contains((40L, 0, 1L, 2)),
+        s"ghost frame flag via A's DEAD scene: ${flagPairs()}")
+      // but it DOES flag against C, which still carries scene 3
+      assert(flagPairs().contains((40L, 0, 30L, 1)),
+        s"live shared scene must still flag: ${flagPairs()}")
+      // B re-ingested as an undecodable payload: every row erased
+      input.addData((2L, "not a video".getBytes, "video/x-msvideo"))
+      q1.processAllAvailable()
+      assert(frameRows(2L).isEmpty, "undecodable re-ingest must erase all frames")
+    } finally q1.stop()
+  }
+
   test("maintainImageIndexAndFlag crash injection: flags written but checkpoint commit lost; replay is a clean overwrite") {
     implicit val sqlCtx = spark.sqlContext
     import graft.llm.Multimodal
