@@ -842,6 +842,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("AVI audio decode is map-only: container demux never shuffles") {
+    // audioStats over interleaved A/V payloads: demux + PCM reduction
+    // happen inside the decode task; only the presentation sort exchanges.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.queries("multimodal_decode_avi_audio")(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = p.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"audio demux must not shuffle (1 allowed for the output sort):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("spatial radius join: equi-join on the cell key, no cartesian product") {
     val p = plan("j_spatial_cells")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
