@@ -1019,10 +1019,24 @@ object Multimodal {
     * idx1 keyframe index (every MJPEG frame is a keyframe). 25 fps
     * metadata to match [[encodeY4m]]. */
   def encodeAviMjpeg(width: Int, height: Int, nFrames: Int,
-                     pixel: Int => (Int, Int) => (Int, Int, Int)): Array[Byte] = {
-    require(width > 0 && height > 0 && nFrames > 0,
-      s"need positive dims/frames, got $width x $height x $nFrames")
-    val frames = Array.tabulate(nFrames)(f => encodeJpeg(width, height, pixel(f)))
+                     pixel: Int => (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    aviFromJpegFrames(width, height,
+      Array.tabulate(nFrames)(f => encodeJpeg(width, height, pixel(f))))
+
+  /** [[encodeAviMjpeg]] with 4:2:0-subsampled frames ([[encodeJpeg420]])
+    * — the dominant webcam/capture encoding (quarter-resolution chroma).
+    * The decoder needs no variant: each frame is a standalone JFIF and
+    * [[decodeJpegRgb]] handles the 2x2 luma sampling already. */
+  def encodeAviMjpeg420(width: Int, height: Int, nFrames: Int,
+                        pixel: Int => (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    aviFromJpegFrames(width, height,
+      Array.tabulate(nFrames)(f => encodeJpeg420(width, height, pixel(f))))
+
+  private def aviFromJpegFrames(width: Int, height: Int,
+                                frames: Array[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty,
+      s"need positive dims/frames, got $width x $height x ${frames.length}")
+    val nFrames = frames.length
     val maxFrame = frames.map(_.length).max
 
     val avih = new java.io.ByteArrayOutputStream(56)

@@ -2529,6 +2529,57 @@ object LlmQueries {
              |  CAST(g_sum AS BIGINT) AS g_sum, CAST(b_sum AS BIGINT) AS b_sum
              |FROM sums ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // 4:2:0-subsampled MJPEG video — the dominant webcam/capture flavor
+    // (quarter-resolution chroma): same frame-axis analytic contract as
+    // multimodal_decode_video_mjpeg, with MCU-constant (16x16) fixtures
+    // so the chroma downsample-average, DCT, and replication upsample
+    // are all exact (the multimodal_decode_jpeg420 contract per frame).
+    Q("multimodal_decode_video_mjpeg420", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 60).map { m =>
+          val w = 18 + (m % 8).toInt
+          val h = 17 + (m % 5).toInt
+          val nf = 4 + (m % 3).toInt
+          Multimodal.MediaRecord(m, Multimodal.encodeAviMjpeg420(w, h, nf,
+            f => (x, y) =>
+              (((m * 13 + (x / 16) * 57 + (y / 16) * 23 + f * 19) % 256).toInt,
+                ((m * 7 + (x / 16) * 31 + (y / 16) * 11 + f * 5) % 256).toInt,
+                ((m * 11 + (x / 16) * 17 + (y / 16) * 29 + f * 3) % 256).toInt)),
+            "video/x-msvideo")
+        }
+        Multimodal.videoFrameStats(media, every = 2).toDF()
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 60)) AS id),
+             |v AS (SELECT id, 18 + id % 8 AS w, 17 + id % 5 AS h,
+             |        4 + id % 3 AS nf FROM m),
+             |fr AS (SELECT id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM v),
+             |xs AS (SELECT id, w, h, nf, f, unnest(range(w)) AS x FROM fr),
+             |pix AS (SELECT id, w, h, nf, f, x, unnest(range(h)) AS y FROM xs),
+             |src AS (SELECT id, w, h, nf, f,
+             |          (id * 13 + (x // 16) * 57 + (y // 16) * 23 + f * 19) % 256 AS r0,
+             |          (id * 7 + (x // 16) * 31 + (y // 16) * 11 + f * 5) % 256 AS g0,
+             |          (id * 11 + (x // 16) * 17 + (y // 16) * 29 + f * 3) % 256 AS b0
+             |        FROM pix),
+             |ycc AS (SELECT id, w, h, nf, f,
+             |          LEAST(255, GREATEST(0, (19595 * r0 + 38470 * g0 + 7471 * b0 + 32768) // 65536)) AS yy,
+             |          LEAST(255, GREATEST(0, 128 + (-11059 * r0 - 21709 * g0 + 32768 * b0 + 32768 + 16777216) // 65536 - 256)) AS cb,
+             |          LEAST(255, GREATEST(0, 128 + (32768 * r0 - 27439 * g0 - 5329 * b0 + 32768 + 16777216) // 65536 - 256)) AS cr
+             |        FROM src),
+             |rgb AS (SELECT id, w, h, nf, f,
+             |          LEAST(255, GREATEST(0, yy + (91881 * (cr - 128) + 32768 + 16777216) // 65536 - 256)) AS r,
+             |          LEAST(255, GREATEST(0, yy - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768 + 16777216) // 65536 - 256))) AS g,
+             |          LEAST(255, GREATEST(0, yy + (116130 * (cb - 128) + 32768 + 16777216) // 65536 - 256)) AS b
+             |        FROM ycc),
+             |sums AS (SELECT id, w, h, nf, f, sum(r) AS r_sum, sum(g) AS g_sum,
+             |           sum(b) AS b_sum FROM rgb GROUP BY 1, 2, 3, 4, 5)
+             |SELECT id AS media_id, CAST(nf AS INTEGER) AS n_frames,
+             |  CAST(f AS INTEGER) AS frame_idx, CAST(w AS INTEGER) AS width,
+             |  CAST(h AS INTEGER) AS height, CAST(r_sum AS BIGINT) AS r_sum,
+             |  CAST(g_sum AS BIGINT) AS g_sum, CAST(b_sum AS BIGINT) AS b_sum
+             |FROM sums ORDER BY media_id, frame_idx""".stripMargin)),
+
     // Shot-boundary detection over COMPRESSED video: the MJPEG twin of
     // multimodal_video_shots, through the same videoFrameHashes entry
     // point (container-sniffed decode). Gray content (r=g=b survives the

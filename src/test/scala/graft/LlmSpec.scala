@@ -1149,6 +1149,20 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => r.frame_idx -> ((r.ahash, r.n_set))).toMap
     assert(hAvi == hY4m && hAvi.size == 6,
       s"container leaked into the frame hash: $hAvi vs $hY4m")
+    // 4:2:0 frames (MCU-constant pixels) decode exactly like their
+    // still twins through the SAME container walk — no decoder variant
+    val px420 = (f: Int) => (x: Int, y: Int) =>
+      (((x / 16) * 57 + (y / 16) * 23 + f * 19) % 256,
+        ((x / 16) * 31 + f * 5) % 256, ((y / 16) * 29 + f * 3) % 256)
+    val avi420 = Multimodal.encodeAviMjpeg420(20, 18, 4, px420)
+    val Some((w4, h4, nf4, fr4)) = Multimodal.decodeAviMjpegFrames(avi420)
+    assert(w4 == 20 && h4 == 18 && nf4 == 4)
+    for ((f, rgb) <- fr4) {
+      val Some((_, _, still)) =
+        Multimodal.decodeJpegRgb(Multimodal.encodeJpeg420(20, 18, px420(f)))
+      assert(java.util.Arrays.equals(rgb, still),
+        s"4:2:0 frame $f must decode like its still twin")
+    }
     // conformance rejects
     assert(Multimodal.decodeAviMjpegFrames("RIFFxxxx not avi".getBytes).isEmpty)
     assert(Multimodal.decodeAviMjpegFrames(avi.dropRight(7)).isEmpty,
