@@ -939,12 +939,21 @@ object Multimodal {
     * contract as [[aHash]]. `strideX`/`strideY` sample the window at
     * pixel (x·sx, y·sy) exactly like the still path — one sample per
     * 8x8 block (stride 8) is how block-quantized MJPEG frames hash on
-    * real inter-block structure. Shot-boundary detection is a lag over
-    * this output partitioned by media_id — a corpus-cardinality key, so
-    * the window is balanced at any scale. */
+    * real inter-block structure. Minimum frame size: the strided window
+    * must fit, i.e. w > (winW−1)·strideX and h > (winH−1)·strideY
+    * (57×41 px at the 8/6/8/8 defaults); smaller frames drop — unless
+    * `fallbackStride1` is set, in which case a video whose frames are
+    * below the strided window but at least winW×winH hashes at stride 1
+    * (dense window) so small payloads stay indexable. The fallback is
+    * per-video and deterministic (frame size is constant within a
+    * stream), so maintained indexes built with it are rebuild-stable.
+    * Shot-boundary detection is a lag over this output partitioned by
+    * media_id — a corpus-cardinality key, so the window is balanced at
+    * any scale. */
   def videoFrameHashes(media: Dataset[MediaRecord], every: Int = 1,
                        winW: Int = 8, winH: Int = 6,
-                       strideX: Int = 1, strideY: Int = 1): Dataset[VideoFrameHash] = {
+                       strideX: Int = 1, strideY: Int = 1,
+                       fallbackStride1: Boolean = false): Dataset[VideoFrameHash] = {
     require(winW * winH <= 62, "hash window must fit a positive long")
     require(strideX >= 1 && strideY >= 1, "strides must be positive")
     import media.sparkSession.implicits._
@@ -957,6 +966,12 @@ object Multimodal {
             frames.map { case (idx, gray) =>
               val (hash, nSet) = grayWindowHash(w, gray, winW, winH,
                 strideX, strideY)
+              VideoFrameHash(r.media_id, nFrames, idx, hash, nSet)
+            }
+          case (w, h, nFrames, frames)
+              if fallbackStride1 && w >= winW && h >= winH =>
+            frames.map { case (idx, gray) =>
+              val (hash, nSet) = grayWindowHash(w, gray, winW, winH, 1, 1)
               VideoFrameHash(r.media_id, nFrames, idx, hash, nSet)
             }
           case _ => Seq.empty
@@ -1251,14 +1266,21 @@ object Multimodal {
     var streamNo = -1 // counts strh chunks: the spec's stream numbering
     var lastType = "" // fccType of the most recent strh
 
-    def scanHdrl(from: Int, to: Int): Unit = {
+    // Conformant AVI hdrl nesting is depth ~2 (hdrl > strl); cap the
+    // recursion so a hostile payload of nested 12-byte LIST headers
+    // (~85k levels/MB) degrades to skip-as-unknown-chunk instead of
+    // StackOverflowError — same none-on-nonconformant posture as the
+    // iterative Y4M/WAV/PNG walkers.
+    val maxHdrlDepth = 32
+    def scanHdrl(from: Int, to: Int, depth: Int): Unit = {
       var p = from
       while (p + 8 <= to) {
         val id = fourcc(payload, p)
         val size = u32le(payload, p + 4)
         val dataEnd = p + 8 + size
         if (dataEnd > to) return
-        if (id == "LIST" && size >= 4) scanHdrl(p + 12, dataEnd.toInt)
+        if (id == "LIST" && size >= 4 && depth < maxHdrlDepth)
+          scanHdrl(p + 12, dataEnd.toInt, depth + 1)
         else if (id == "strh" && size >= 8) {
           streamNo += 1
           lastType = fourcc(payload, p + 8)
@@ -1294,7 +1316,7 @@ object Multimodal {
       if (dataEnd > end) return None
       if (id == "LIST" && size >= 4) {
         val lt = fourcc(payload, p + 8)
-        if (lt == "hdrl") scanHdrl(p + 12, dataEnd.toInt)
+        if (lt == "hdrl") scanHdrl(p + 12, dataEnd.toInt, 0)
         else if (lt == "movi" && moviStart < 0) {
           moviStart = p + 12; moviEnd = dataEnd.toInt
         }

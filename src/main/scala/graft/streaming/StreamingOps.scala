@@ -547,7 +547,11 @@ object StreamingOps {
     * video matches are expected — a static scene — and excluded). The
     * stride pair samples the hash window across the frame exactly like
     * the still path (stride 8 = one sample per JPEG block, the
-    * MJPEG-correct setting).
+    * MJPEG-correct setting). Videos whose frames are smaller than the
+    * strided window (≤56×40 px at the defaults) fall back to a dense
+    * stride-1 hash instead of silently dropping from the index
+    * (`fallbackStride1` on the decode call) — the fallback is per-video
+    * deterministic, so the maintained index stays rebuild-equivalent.
     *
     * MUTABLE-CORPUS SAFE via [[upsertMutableIndex]], and per-frame
     * granularity adds a replace case the still index never sees: a
@@ -570,7 +574,8 @@ object StreamingOps {
             .select(col("media_id").cast("long").as("media_id"),
               col("payload"), col("mime").cast("string").as("mime"))
             .as[graft.llm.Multimodal.MediaRecord],
-          every = every, strideX = strideX, strideY = strideY).toDF()
+          every = every, strideX = strideX, strideY = strideY,
+          fallbackStride1 = true).toDF()
         val banded = hashes
           .select(col("media_id"), col("frame_idx"), col("ahash"),
             explode(sequence(lit(0), lit(5))).as("band"))

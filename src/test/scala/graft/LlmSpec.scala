@@ -1195,6 +1195,48 @@ class LlmSpec extends SparkSpec {
       "even unsampled frames get the SOI structural check")
   }
 
+  test("hostile AVI: deeply nested hdrl LISTs reject without StackOverflow; small frames fall back to stride 1") {
+    import graft.llm.Multimodal
+    // ~90k nested 12-byte LIST headers inside hdrl: before the depth
+    // cap this recursed once per level and blew the task stack.
+    val levels = 90000
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + 8 + 4 + levels * 12 + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def four(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    four("RIFF"); bb.putInt(bb.capacity - 8); four("AVI ")
+    // outer LIST hdrl whose body is the whole nested chain
+    four("LIST"); bb.putInt(4 + levels * 12 + 12); four("hdrl")
+    var remaining = levels * 12 + 12
+    for (_ <- 0 until levels) {
+      remaining -= 12
+      four("LIST"); bb.putInt(4 + remaining); four("nest")
+    }
+    four("LIST"); bb.putInt(4); four("nest")
+    val hostile = bb.array()
+    assert(Multimodal.decodeAviMjpegFrames(hostile).isEmpty,
+      "nonconformant nesting must return None, not StackOverflowError")
+
+    // small-frame fallback: 16x12 frames don't fit the 8x6 window at
+    // stride 8 — default drops them, fallbackStride1 hashes them
+    // exactly like an explicit stride-1 call
+    val px = (f: Int) => (x: Int, y: Int) => (x * 11 + y * 7 + f * 29) % 256
+    val tiny = Multimodal.encodeY4m(16, 12, 4, px)
+    val ds = Seq(Multimodal.MediaRecord(5L, tiny, "video/x-yuv4mpeg")).toDS()
+    assert(Multimodal.videoFrameHashes(ds, strideX = 8, strideY = 8)
+      .collect().isEmpty, "without fallback, sub-window frames drop")
+    val fb = Multimodal.videoFrameHashes(ds, strideX = 8, strideY = 8,
+      fallbackStride1 = true).collect().sortBy(_.frame_idx)
+    val s1 = Multimodal.videoFrameHashes(ds).collect().sortBy(_.frame_idx)
+    assert(fb.length == 4 && fb.toSeq == s1.toSeq,
+      "fallback must equal the dense stride-1 hash")
+    // a frame smaller than the window itself (7x5 < 8x6) still drops
+    val sub = Seq(Multimodal.MediaRecord(6L,
+      Multimodal.encodeY4m(7, 5, 2, px), "video/x-yuv4mpeg")).toDS()
+    assert(Multimodal.videoFrameHashes(sub, strideX = 8, strideY = 8,
+      fallbackStride1 = true).collect().isEmpty)
+  }
+
   test("interleaved MJPEG+PCM AVI: both modalities demux from one payload; audio is container-independent") {
     import graft.llm.Multimodal
     val px = (f: Int) => (x: Int, y: Int) => {

@@ -73,9 +73,16 @@ SUCC=$(sed -E 's/.*succeeded ([0-9]+).*/\1/' <<<"$TESTLINE")
 FAILED=$(sed -E 's/.*failed ([0-9]+).*/\1/' <<<"$TESTLINE")
 
 run_board() { # sfdir outdir cpus
+  # set -e is NOT inherited into $(run_board ...) command substitution
+  # (ADVICE r14): check sbt's status explicitly so a Verify crash fails
+  # loudly with its stderr tail instead of feeding check.py an empty dir.
   rm -rf "$2"
-  SPARK_GRAFT_CPUS="$3" SPARK_DRIVER_MEM=48g \
-    sbt -batch "runMain graft.Verify $1 $2" >/dev/null 2>>/tmp/close_verify.err
+  if ! SPARK_GRAFT_CPUS="$3" SPARK_DRIVER_MEM=48g \
+      sbt -batch "runMain graft.Verify $1 $2" >/dev/null 2>>/tmp/close_verify.err; then
+    echo "FAIL: graft.Verify $1 crashed — tail of /tmp/close_verify.err:" >&2
+    tail -20 /tmp/close_verify.err >&2
+    return 1
+  fi
   python3 tools/check.py "$2" "$1" | tail -2
 }
 echo "== board sf0.01 =="
