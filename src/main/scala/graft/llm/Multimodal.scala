@@ -1536,6 +1536,147 @@ object Multimodal {
     Some((rate, out))
   }
 
+  // --- G.711 mu-law (ITU-T G.711, the telephony / real-corpus 8-bit
+  // companding) — the canonical segment/quantization algebra, all
+  // integer, so a DuckDB oracle replays it exactly:
+  //   u = ~code & 0xff
+  //   t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+  //   v = (u & 0x80) != 0 ? 0x84 - t : t - 0x84
+  // Output range ±32124 at 16-bit scale; codes 0x7f and 0xff are the
+  // two zeros (negative zero re-encodes to 0xff — the one non-identity
+  // of the code→linear→code round trip).
+
+  /** Expand one mu-law code (0..255) to a 16-bit linear sample. */
+  def muLawDecode(code: Int): Int = {
+    val u = ~code & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Compress a 16-bit linear sample to its mu-law code: bias, find the
+    * segment (exponent), keep 4 mantissa bits, complement. Left inverse
+    * of [[muLawDecode]] on the decode image (modulo the two zeros). */
+  def muLawEncode(sample: Int): Int = {
+    val neg = sample < 0
+    val mag = math.min(if (neg) -sample.toLong else sample.toLong, 32635L).toInt
+    val v = mag + 0x84 // bias; clamped so v <= 0x7fff and seg <= 7
+    var seg = 0
+    while (v >= (0x100 << seg)) seg += 1 // segment ends at (0x100<<s)-1
+    val uval = (seg << 4) | ((v >> (seg + 3)) & 0x0f)
+    (uval ^ (if (neg) 0x7f else 0xff)) & 0xff
+  }
+
+  /** Parse a WAV into per-channel 16-bit sample arrays — the
+    * channel-aware superset of [[decodeWavPcm16]]. Accepted formats
+    * (WAVEFORMATEX, public Microsoft/IBM spec): PCM 16-bit signed,
+    * PCM 8-bit unsigned (normalized `(v−128)·256`), and mu-law
+    * (wFormatTag 7, 8-bit, G.711 expand) — each at 1..8 interleaved
+    * channels. Everything else (float, 24-bit, A-law, bad block align,
+    * partial final frame, truncation) returns None, same conformance
+    * posture as the rest of the codec layer. The de-mux keeps the
+    * per-channel (rate, samples-per-channel) contract so every channel
+    * runs through the audio battery exactly like a mono WAV. */
+  def decodeWavChannels(payload: Array[Byte]): Option[(Int, Array[Array[Short]])] = {
+    if (payload.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = -1; var fmt = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= payload.length && (fmt < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = b.getInt(off + 4)
+      if (size < 0 || off + 8 + size.toLong > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          fmt = b.getShort(off + 8)
+          channels = b.getShort(off + 10)
+          rate = b.getInt(off + 12)
+          val blockAlign = b.getShort(off + 20)
+          bits = b.getShort(off + 22)
+          val ok = rate > 0 && channels >= 1 && channels <= 8 &&
+            ((fmt == 1 && (bits == 16 || bits == 8)) || (fmt == 7 && bits == 8)) &&
+            blockAlign == channels * (bits / 8)
+          if (!ok) return None
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ => // skip unknown chunk
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (fmt < 0 || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = channels * bytesPerSample
+    if (dataLen % frameBytes != 0) return None // partial final frame
+    val nPerChannel = dataLen / frameBytes
+    val out = Array.fill(channels)(new Array[Short](nPerChannel))
+    var i = 0
+    while (i < nPerChannel) {
+      var c = 0
+      while (c < channels) {
+        val p = dataOff + i * frameBytes + c * bytesPerSample
+        out(c)(i) =
+          if (bits == 16) b.getShort(p)
+          else if (fmt == 7) muLawDecode(payload(p) & 0xff).toShort
+          else (((payload(p) & 0xff) - 128) << 8).toShort // 8-bit PCM
+        c += 1
+      }
+      i += 1
+    }
+    Some((rate, out))
+  }
+
+  /** Shared fixture/sink encoder: RIFF/WAVE header for (fmt, channels,
+    * bits) + the raw interleaved data bytes. */
+  private def encodeWavRaw(sampleRate: Int, fmt: Int, channels: Int,
+                           bits: Int, data: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && channels >= 1, "bad WAV geometry")
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmt.toShort)
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * (bits / 8))
+      .putShort((channels * (bits / 8)).toShort)
+      .putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(data.length)
+    b.put(data)
+    b.array()
+  }
+
+  /** 16-bit PCM WAV at `channels` interleaved channels (L R L R …). */
+  def encodeWavPcm16Multi(sampleRate: Int, channels: Int,
+                          interleaved: Array[Short]): Array[Byte] = {
+    require(interleaved.length % channels == 0, "partial final frame")
+    val data = new Array[Byte](interleaved.length * 2)
+    var i = 0
+    while (i < interleaved.length) {
+      data(i * 2) = (interleaved(i) & 0xff).toByte
+      data(i * 2 + 1) = ((interleaved(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    encodeWavRaw(sampleRate, 1, channels, 16, data)
+  }
+
+  /** 8-bit unsigned PCM WAV (codes 0..255, interleaved). */
+  def encodeWavPcm8(sampleRate: Int, channels: Int,
+                    codes: Array[Byte]): Array[Byte] = {
+    require(codes.length % channels == 0, "partial final frame")
+    encodeWavRaw(sampleRate, 1, channels, 8, codes)
+  }
+
+  /** mu-law WAV (wFormatTag 7, G.711 codes, interleaved). */
+  def encodeWavMulaw(sampleRate: Int, channels: Int,
+                     codes: Array[Byte]): Array[Byte] = {
+    require(codes.length % channels == 0, "partial final frame")
+    encodeWavRaw(sampleRate, 7, channels, 8, codes)
+  }
+
   /** Exact integer floor square root (no float round-trip on the hot
     * path — the value must equal the oracle's for every input). */
   private[llm] def floorSqrt(x: Long): Long = {
@@ -1546,13 +1687,62 @@ object Multimodal {
     r
   }
 
-  /** Container-dispatched PCM decode — the shared entry for every audio
-    * op: bare WAV or the PCM stream of an interleaved MJPEG+PCM AVI
-    * ([[decodeAviPcm]]), so a fingerprint depends on the SAMPLES, never
-    * the container (the audio twin of the image/video parity
-    * guarantee). */
+  /** Container-dispatched PCM decode — the shared entry for every
+    * MONO audio op: bare WAV (any accepted format — 16-bit, 8-bit, or
+    * mu-law flow through the whole battery identically once expanded
+    * to 16-bit linear) or the PCM stream of an interleaved MJPEG+PCM
+    * AVI ([[decodeAviPcm]]), so a fingerprint depends on the SAMPLES,
+    * never the container or the companding (the audio twin of the
+    * image/video parity guarantee). Multi-channel WAVs drop here — the
+    * channel-aware ops ([[audioChannelStats]]) own them. */
   private def decodeAudioPcm(payload: Array[Byte]): Option[(Int, Array[Short])] =
-    decodeWavPcm16(payload).orElse(decodeAviPcm(payload))
+    decodeWavChannels(payload) match {
+      case Some((rate, chs)) if chs.length == 1 => Some((rate, chs(0)))
+      case Some(_) => None
+      case None => decodeAviPcm(payload)
+    }
+
+  /** Per-channel decode stats: [[audioStats]] lifted over the channel
+    * axis — a stereo WAV yields two rows (channel 0 = left per the
+    * interleave order), each computed on that channel's samples alone
+    * under the same (rate, samples-per-channel) contract as mono.
+    * Map-only like every decode op. AVI-embedded PCM (mono by the
+    * [[decodeAviPcm]] gate) reports as channel 0 of 1. */
+  case class AudioChannelStats(media_id: Long, channel: Int, n_channels: Int,
+                               sample_rate: Int, n_samples: Long,
+                               duration_ms: Long, peak: Int, rms: Long,
+                               zero_crossings: Long)
+
+  private def channelStats(s: Array[Short]): (Int, Long, Long) = {
+    var peak = 0; var sumSq = 0L; var zc = 0L
+    var i = 0
+    while (i < s.length) {
+      val v = s(i).toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
+      i += 1
+    }
+    (peak, if (s.length == 0) 0L else floorSqrt(sumSq / s.length), zc)
+  }
+
+  def audioChannelStats(media: Dataset[MediaRecord]): Dataset[AudioChannelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWavChannels(r.payload)
+          .orElse(decodeAviPcm(r.payload).map { case (rate, s) => (rate, Array(s)) })
+          .toSeq.flatMap { case (rate, chs) =>
+            chs.iterator.zipWithIndex.map { case (s, c) =>
+              val (peak, rms, zc) = channelStats(s)
+              AudioChannelStats(r.media_id, c, chs.length, rate, s.length,
+                s.length.toLong * 1000 / rate, peak, rms, zc)
+            }
+          }
+      }
+    }
+  }
 
   /** Per-partition REAL decode → audio statistics. Map-only: the decode
     * and the per-record reduction happen inside one task; nothing
@@ -1563,17 +1753,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         decodeAudioPcm(r.payload).map { case (rate, s) =>
-          var peak = 0; var sumSq = 0L; var zc = 0L
-          var i = 0
-          while (i < s.length) {
-            val v = s(i).toInt
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            sumSq += v.toLong * v
-            if (i > 0 && (s(i - 1) < 0) != (v < 0)) zc += 1
-            i += 1
-          }
-          val rms = if (s.length == 0) 0L else floorSqrt(sumSq / s.length)
+          val (peak, rms, zc) = channelStats(s)
           AudioStats(r.media_id, rate, s.length,
             s.length.toLong * 1000 / rate, peak, rms, zc)
         }

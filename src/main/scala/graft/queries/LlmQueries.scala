@@ -3128,6 +3128,140 @@ object LlmQueries {
              |  CAST(zc AS BIGINT) AS zero_crossings
              |FROM st ORDER BY media_id""".stripMargin)),
 
+    // STEREO 16-bit PCM through the channel-aware decode: interleaved
+    // L/R de-mux to per-channel rows under the same (rate, samples-per-
+    // channel) contract as mono — channel c's stats are computed on its
+    // samples alone (distinct per-channel generator terms prove the
+    // de-mux, not a downmix). Map-only like every decode op.
+    Q("multimodal_wav_stereo_stats", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 120).map { m =>
+          val n = 1500 + (m % 4).toInt * 300
+          val a = (m % 7).toInt + 3
+          val inter = Array.tabulate(2 * n) { j =>
+            val i = j / 2; val c = j % 2
+            (((i.toLong * a + m * 17 + c * 911) % 2048) - 1024).toShort
+          }
+          Multimodal.MediaRecord(m,
+            Multimodal.encodeWavPcm16Multi(8000, 2, inter), "audio/wav")
+        }
+        Multimodal.audioChannelStats(media).toDF()
+          .orderBy("media_id", "channel")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 120)) AS id),
+             |par AS (SELECT id, 1500 + (id % 4) * 300 AS n, id % 7 + 3 AS a FROM m),
+             |ch AS (SELECT id, n, a, unnest(range(2)) AS c FROM par),
+             |smp AS (SELECT id, n, a, c, unnest(range(n)) AS i FROM ch),
+             |s AS (SELECT id, n, c, i,
+             |        (i * a + id * 17 + c * 911) % 2048 - 1024 AS v FROM smp),
+             |sgn AS (SELECT id, n, c, i, v,
+             |          lag(v) OVER (PARTITION BY id, c ORDER BY i) AS pv FROM s),
+             |st AS (SELECT id, c, any_value(n) AS n, max(abs(v)) AS peak,
+             |         sum(CAST(v AS BIGINT) * v) AS sum_sq,
+             |         sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |             THEN 1 ELSE 0 END) AS zc
+             |       FROM sgn GROUP BY id, c)
+             |SELECT id AS media_id, CAST(c AS INTEGER) AS channel,
+             |  CAST(2 AS INTEGER) AS n_channels,
+             |  CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(peak AS INTEGER) AS peak,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms,
+             |  CAST(zc AS BIGINT) AS zero_crossings
+             |FROM st ORDER BY media_id, channel""".stripMargin)),
+
+    // 8-bit unsigned PCM (the other dominant real-corpus flavor): codes
+    // 0..255 normalize to 16-bit linear as (code−128)·256 — exact
+    // integer algebra the oracle replays. The corpus mixes mono and
+    // stereo records through the SAME op to pin the n_channels axis.
+    Q("multimodal_wav_pcm8_stats", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 120).map { m =>
+          val nc = 1 + (m % 2).toInt
+          val n = 1200 + (m % 3).toInt * 400
+          val a = (m % 5).toInt + 2
+          val codes = Array.tabulate(nc * n) { j =>
+            val i = j / nc; val c = j % nc
+            ((i.toLong * a + m * 29 + c * 577) % 256).toByte
+          }
+          Multimodal.MediaRecord(m,
+            Multimodal.encodeWavPcm8(16000, nc, codes), "audio/wav")
+        }
+        Multimodal.audioChannelStats(media).toDF()
+          .orderBy("media_id", "channel")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 120)) AS id),
+             |par AS (SELECT id, 1 + id % 2 AS nc, 1200 + (id % 3) * 400 AS n,
+             |          id % 5 + 2 AS a FROM m),
+             |ch AS (SELECT id, nc, n, a, unnest(range(nc)) AS c FROM par),
+             |smp AS (SELECT id, nc, n, a, c, unnest(range(n)) AS i FROM ch),
+             |s AS (SELECT id, nc, n, c, i,
+             |        ((i * a + id * 29 + c * 577) % 256 - 128) * 256 AS v FROM smp),
+             |sgn AS (SELECT id, nc, n, c, i, v,
+             |          lag(v) OVER (PARTITION BY id, c ORDER BY i) AS pv FROM s),
+             |st AS (SELECT id, c, any_value(nc) AS nc, any_value(n) AS n,
+             |         max(abs(v)) AS peak,
+             |         sum(CAST(v AS BIGINT) * v) AS sum_sq,
+             |         sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |             THEN 1 ELSE 0 END) AS zc
+             |       FROM sgn GROUP BY id, c)
+             |SELECT id AS media_id, CAST(c AS INTEGER) AS channel,
+             |  CAST(nc AS INTEGER) AS n_channels,
+             |  CAST(16000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+             |  CAST(peak AS INTEGER) AS peak,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms,
+             |  CAST(zc AS BIGINT) AS zero_crossings
+             |FROM st ORDER BY media_id, channel""".stripMargin)),
+
+    // G.711 mu-law (telephony companding, wFormatTag 7): the engine
+    // expands codes with the canonical segment algebra
+    //   u = ~code & 0xff;  t = ((u&15)·8 + 132) << ((u&112)>>4)
+    //   v = (u&128) != 0 ? 132−t : t−132
+    // and the oracle replays that algebra bit-for-bit in SQL. Mono, so
+    // the file flows through the EXISTING mono battery (audioStats) —
+    // companded audio is a decode detail, not a separate pipeline.
+    Q("multimodal_wav_mulaw_stats", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 120).map { m =>
+          val n = 1600 + (m % 4).toInt * 200
+          val a = (m % 7).toInt + 2
+          val codes = Array.tabulate(n)(i =>
+            ((i.toLong * a + m * 13) % 256).toByte)
+          Multimodal.MediaRecord(m,
+            Multimodal.encodeWavMulaw(8000, 1, codes), "audio/wav")
+        }
+        Multimodal.audioStats(media).toDF().orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 120)) AS id),
+             |par AS (SELECT id, 1600 + (id % 4) * 200 AS n, id % 7 + 2 AS a FROM m),
+             |smp AS (SELECT id, n, a, unnest(range(n)) AS i FROM par),
+             |cd AS (SELECT id, n, i, xor((i * a + id * 13) % 256, 255) AS u FROM smp),
+             |s AS (SELECT id, n, i,
+             |        CASE WHEN (u & 128) <> 0
+             |          THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16)))
+             |          ELSE (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16))) - 132
+             |        END AS v FROM cd),
+             |sgn AS (SELECT id, n, i, v,
+             |          lag(v) OVER (PARTITION BY id ORDER BY i) AS pv FROM s),
+             |st AS (SELECT id, any_value(n) AS n, max(abs(v)) AS peak,
+             |         sum(CAST(v AS BIGINT) * v) AS sum_sq,
+             |         sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |             THEN 1 ELSE 0 END) AS zc
+             |       FROM sgn GROUP BY id)
+             |SELECT id AS media_id, CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(peak AS INTEGER) AS peak,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms,
+             |  CAST(zc AS BIGINT) AS zero_crossings
+             |FROM st ORDER BY media_id""".stripMargin)),
+
     // Frame energies: the STFT-frame analogue without a transform —
     // fixed 160-sample frames, exact Σs² energy and frame-local zero
     // crossings. Map-only on the engine (frames are emitted from the

@@ -1327,6 +1327,80 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeWavPcm16(stereo).isEmpty) // mono only
   }
 
+  test("multimodal WAV channels: stereo de-mux, 8-bit PCM, mu-law; conformance rejects kept") {
+    import graft.llm.Multimodal
+    // mu-law table sanity: the four landmark codes of the G.711 algebra
+    assert(Multimodal.muLawDecode(0x00) == -32124)
+    assert(Multimodal.muLawDecode(0x80) == 32124)
+    assert(Multimodal.muLawDecode(0x7f) == 0 && Multimodal.muLawDecode(0xff) == 0)
+    // decode∘encode is identity on the decode image for ALL 256 codes
+    // (negative zero 0x7f re-encodes to 0xff; values agree regardless)
+    for (c <- 0 until 256) {
+      val v = Multimodal.muLawDecode(c)
+      assert(Multimodal.muLawDecode(Multimodal.muLawEncode(v)) == v,
+        s"code $c: decode(encode(${v})) must round-trip")
+    }
+    // encode clamps and covers the full 16-bit input range monotonically
+    assert(Multimodal.muLawEncode(32767) == 0x80 && Multimodal.muLawEncode(-32768) == 0x00)
+    assert(Multimodal.muLawEncode(0) == 0xff)
+
+    // stereo PCM16: per-channel arrays come back exactly (L=ch0 first)
+    val left = Array[Short](3, -2, 0, 5)
+    val right = Array[Short](-7, 9, 1, -4)
+    val inter = Array.tabulate[Short](8)(j => if (j % 2 == 0) left(j / 2) else right(j / 2))
+    val stereo = Multimodal.encodeWavPcm16Multi(8000, 2, inter)
+    val Some((r2, chs2)) = Multimodal.decodeWavChannels(stereo)
+    assert(r2 == 8000 && chs2.length == 2 &&
+      chs2(0).toSeq == left.toSeq && chs2(1).toSeq == right.toSeq)
+    // mono PCM16 through the channel decoder equals the legacy mono one
+    val mono = Multimodal.encodeWavPcm16(8000, left)
+    val Some((_, chs1)) = Multimodal.decodeWavChannels(mono)
+    assert(chs1.length == 1 &&
+      chs1(0).toSeq == Multimodal.decodeWavPcm16(mono).get._2.toSeq)
+    // 8-bit PCM normalizes as (code-128)*256
+    val codes8 = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)
+    val Some((_, chs8)) = Multimodal.decodeWavChannels(
+      Multimodal.encodeWavPcm8(16000, 1, codes8))
+    assert(chs8(0).toSeq == Seq[Short](-32768, -256, 0, 32512))
+    // mu-law WAV expands through the table
+    val Some((_, chsMu)) = Multimodal.decodeWavChannels(
+      Multimodal.encodeWavMulaw(8000, 1, Array[Byte](0, 0x7f, 0x80.toByte)))
+    assert(chsMu(0).toSeq == Seq[Short](-32124, 0, 32124))
+    // audioChannelStats: stereo -> two rows, each on its own samples
+    val st = Multimodal.audioChannelStats(Seq(
+      Multimodal.MediaRecord(1L, stereo, "audio/wav")).toDS())
+      .orderBy("channel").collect()
+    assert(st.length == 2 && st(0).channel == 0 && st(0).n_channels == 2)
+    assert(st(0).peak == 5 && st(1).peak == 9)
+    assert(st(0).zero_crossings == 2 && st(1).zero_crossings == 2)
+    // mono mu-law flows through the EXISTING mono battery
+    val muMono = Multimodal.audioStats(Seq(Multimodal.MediaRecord(2L,
+      Multimodal.encodeWavMulaw(8000, 1, Array[Byte](0, 0x80.toByte)),
+      "audio/wav")).toDS()).collect()(0)
+    assert(muMono.peak == 32124 && muMono.zero_crossings == 1)
+    // rejects: float fmt, 24-bit, block-align mismatch, partial frame,
+    // >8 channels — all None, never a misparse
+    def patchShort(w: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val c = w.clone
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(off, v.toShort)
+      c
+    }
+    assert(Multimodal.decodeWavChannels(patchShort(stereo, 20, 3)).isEmpty, "float fmt")
+    assert(Multimodal.decodeWavChannels(patchShort(stereo, 34, 24)).isEmpty, "24-bit")
+    assert(Multimodal.decodeWavChannels(patchShort(stereo, 32, 3)).isEmpty, "block align")
+    assert(Multimodal.decodeWavChannels(patchShort(stereo, 22, 9)).isEmpty, "9 channels")
+    // partial final frame: shrink data to 14 bytes (not /4) with a
+    // consistent RIFF size, so the frame-divisibility check itself fires
+    val partial = java.util.Arrays.copyOf(stereo, stereo.length - 2)
+    java.nio.ByteBuffer.wrap(partial).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, partial.length - 8).putInt(40, 14)
+    assert(Multimodal.decodeWavChannels(partial).isEmpty, "partial frame")
+    // stereo stays OUT of the mono battery (channel ops own it)
+    assert(Multimodal.audioStats(Seq(
+      Multimodal.MediaRecord(3L, stereo, "audio/wav")).toDS()).count() == 0)
+  }
+
   test("multimodal audio: stats/frames/fingerprint match hand-computed integers") {
     val s1 = Array[Short](3, -2, 0, 5, -1)
     val media = Seq(
