@@ -127,6 +127,32 @@ object Sinks {
                             newBuckets: Option[Seq[Long]] = None,
                             dropOldWhere: Option[Column] = None,
                             dropOldKeys: Option[DataFrame] = None): Unit = {
+    upsertBucketedParquetReturning(df, path, pkCols, bucketCol, sortCols,
+      newBuckets, dropOldWhere, dropOldKeys)
+    ()
+  }
+
+  /** [[upsertBucketedParquet]] that also RETURNS what it wrote:
+    * (writtenFrame, writtenBuckets). The frame is exactly the write's
+    * input — checkpoint-backed on both sides (the caller's pinned batch
+    * and the merged-overlap localCheckpoint), so reading it AFTER the
+    * overwrite never touches the replaced files. The bucket list is the
+    * distinct bucket values that actually received rows, captured by an
+    * `observe` on the write action itself — zero extra jobs. Consumers
+    * (the mutable-index maintainers, r15): the flag pass joins against
+    * the returned frame instead of re-listing + re-reading the buckets
+    * it just wrote, and emptied-bucket detection is `touched` minus
+    * `writtenBuckets` instead of a survivor re-scan — together those
+    * re-reads were ~half of the fixed per-batch maintenance cost at
+    * corpus-scaled bucket counts. */
+  def upsertBucketedParquetReturning(df: DataFrame, path: String,
+                                     pkCols: Seq[String],
+                                     bucketCol: String = "block_id_group",
+                                     sortCols: Seq[String] = Seq("block_id"),
+                                     newBuckets: Option[Seq[Long]] = None,
+                                     dropOldWhere: Option[Column] = None,
+                                     dropOldKeys: Option[DataFrame] = None)
+      : (DataFrame, IndexedSeq[Long]) = {
     val spark = df.sparkSession
     val incoming = newBuckets.getOrElse {
       // fallback: derive from the batch (one extra evaluation of df's plan).
@@ -143,9 +169,7 @@ object Sinks {
     }
     val overlap = existingBuckets(spark, path, bucketCol)
       .intersect(incoming.toSet).toIndexedSeq
-    if (overlap.isEmpty) {
-      writeBucketedParquet(df, path, bucketCol, sortCols)
-    } else {
+    val out: DataFrame = if (overlap.isEmpty) df else {
       // null-safe: isin(...) is NULL for a null bucket, which would drop the
       // row from BOTH branches — coalesce routes null-bucket rows through the
       // non-overlap branch (and the fallback path above rejects them before
@@ -182,9 +206,24 @@ object Sinks {
         // break lineage from the files we are about to overwrite; bounded:
         // overlap buckets only
         .localCheckpoint(true)
-      writeBucketedParquet(df.filter(!inOverlap).unionByName(mergedOverlap),
-        path, bucketCol, sortCols)
+      df.filter(!inOverlap).unionByName(mergedOverlap)
     }
+    val obs = org.apache.spark.sql.Observation()
+    writeBucketedParquet(
+      out.observe(obs, collect_set(col(bucketCol).cast("long")).as("__kbs")),
+      path, bucketCol, sortCols)
+    val written = obs.get.get("__kbs") match {
+      case Some(s: scala.collection.Seq[_]) =>
+        s.map(_.asInstanceOf[Long]).toIndexedSeq
+      case _ =>
+        // a zero-row write runs zero tasks, so the CollectMetrics node
+        // never reports and the observation map comes back empty — fall
+        // back to one small job over the checkpoint-backed frame (rare:
+        // only all-erase / empty batches hit this)
+        out.select(col(bucketCol).cast("long")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+    }
+    (out, written)
   }
 
   /** General MERGE semantics over a keyed frame — matched-update /

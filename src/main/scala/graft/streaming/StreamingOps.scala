@@ -244,7 +244,8 @@ object StreamingOps {
   private def upsertMutableIndex(rows: DataFrame, batchIds: DataFrame,
                                  idCol: String, pkCols: Seq[String],
                                  sortCols: Seq[String], indexDir: String,
-                                 keyBuckets: Int): (IndexedSeq[Long], DataFrame) = {
+                                 keyBuckets: Int)
+      : (IndexedSeq[Long], DataFrame, DataFrame) = {
     val spark = rows.sparkSession
     val pkMapDir = s"${indexDir}_pk"
     def pkb(c: org.apache.spark.sql.Column) =
@@ -255,11 +256,16 @@ object StreamingOps {
     val ids = batchIds.select(col(idCol)).distinct()
       .withColumn("pkb", pkb(col(idCol)))
       .localCheckpoint(true)
-    // bounded metadata: ≤ keyBuckets longs each
-    val newTouched = pinned.select(col("kb")).distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val touchedPk = ids.select(col("pkb")).distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
+    // bounded metadata (≤ keyBuckets longs each), ONE job for both
+    // bucket sets (r15: was two collect jobs — the fixed per-batch
+    // constant is scheduler overhead × job count, so fold)
+    val meta = pinned.select(col("kb").cast("long").as("b"), lit(0).as("s"))
+      .unionByName(ids.select(col("pkb").cast("long").as("b"), lit(1).as("s")))
+      .distinct().collect()
+    val newTouched = meta.filter(_.getInt(1) == 0)
+      .map(_.getLong(0)).toIndexedSeq
+    val touchedPk = meta.filter(_.getInt(1) == 1)
+      .map(_.getLong(0)).toIndexedSeq
     val hPath = new org.apache.hadoop.fs.Path(pkMapDir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def del(dir: String, bucketCol: String, b: Long): Unit =
@@ -280,48 +286,39 @@ object StreamingOps {
           .collect().map(_.getLong(0)).toIndexedSeq)
         .getOrElse(IndexedSeq.empty)
     val touched = (newTouched ++ oldBuckets).distinct
-    // zero-survivor edge, index side: old buckets receiving NO new rows
-    // whose every stored row belongs to a batch id end the merge empty
-    val oldOnly = oldBuckets.filterNot(newTouched.toSet)
-    val emptied: Seq[Long] =
-      if (oldOnly.isEmpty) Seq.empty
-      else graft.eth.Sinks.readBuckets(spark, indexDir, "kb", oldOnly)
-        .map { idx =>
-          val surviving = idx
-            .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
-            .select(col("kb").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          oldOnly.filterNot(surviving)
-        }
-        // none of the old-only buckets exist on disk (a replay after a
-        // crash that already deleted them): nothing left to empty
-        .getOrElse(Seq.empty)
-    graft.eth.Sinks.upsertBucketedParquet(pinned.drop("pkb"), indexDir,
-      pkCols = pkCols, bucketCol = "kb", sortCols = sortCols,
-      newBuckets = Some(touched), dropOldKeys = Some(ids.select(col(idCol))))
-    emptied.foreach(del(indexDir, "kb", _))
+    // the upsert returns what it WROTE (checkpoint-backed frame + the
+    // observed bucket list): the flag pass reads the returned frame
+    // instead of re-listing + re-reading the buckets just written, and
+    // the zero-survivor edge (old buckets whose every stored row belongs
+    // to a batch id end the merge EMPTY — dynamic overwrite cannot
+    // rewrite a partition the output has no rows for) is `touched` minus
+    // the written set instead of a survivor re-scan. r15: this replaced
+    // three scoped disk reads + two collects per batch with zero.
+    val (writtenIdx, writtenKb) =
+      graft.eth.Sinks.upsertBucketedParquetReturning(pinned.drop("pkb"),
+        indexDir, pkCols = pkCols, bucketCol = "kb", sortCols = sortCols,
+        newBuckets = Some(touched), dropOldKeys = Some(ids.select(col(idCol))))
+    // newTouched buckets always carry incoming rows, so the difference
+    // is exactly the emptied old-only buckets; deleting a dir a crashed
+    // run already removed is an idempotent no-op
+    touched.filterNot(writtenKb.toSet).foreach(del(indexDir, "kb", _))
     // side map AFTER the index (the crash-replay ordering above): one
     // (id, kb) row per bucket the id now lives in, replaced wholesale
     val mapRows = pinned.select(col(idCol), col("kb"), col("pkb")).distinct()
-    graft.eth.Sinks.upsertBucketedParquet(mapRows, pkMapDir,
-      pkCols = Seq(idCol, "kb"), bucketCol = "pkb",
-      sortCols = Seq(idCol), newBuckets = Some(touchedPk),
-      dropOldKeys = Some(ids.select(col(idCol))))
-    // zero-survivor edge, map side: a pk bucket whose every id was
-    // re-ingested with an EMPTY new row set gets no new map rows
-    val newPkb = mapRows.select(col("pkb")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val pkbNoNew = touchedPk.filterNot(newPkb)
-    if (pkbNoNew.nonEmpty)
-      graft.eth.Sinks.readBuckets(spark, pkMapDir, "pkb", pkbNoNew)
-        .foreach { m =>
-          val surviving = m
-            .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
-            .select(col("pkb").cast("long")).distinct()
-            .collect().map(_.getLong(0)).toSet
-          pkbNoNew.filterNot(surviving).foreach(del(pkMapDir, "pkb", _))
-        }
-    (newTouched, pinned.drop("pkb"))
+    val (_, writtenPkb) =
+      graft.eth.Sinks.upsertBucketedParquetReturning(mapRows, pkMapDir,
+        pkCols = Seq(idCol, "kb"), bucketCol = "pkb",
+        sortCols = Seq(idCol), newBuckets = Some(touchedPk),
+        dropOldKeys = Some(ids.select(col(idCol))))
+    // zero-survivor edge, map side: a pk bucket with neither new map
+    // rows nor surviving old ids wrote nothing — delete its stale dir
+    touchedPk.filterNot(writtenPkb.toSet).foreach(del(pkMapDir, "pkb", _))
+    // post-upsert content of the batch's content buckets — the callers'
+    // flag read, served from memory
+    val flagIdx =
+      if (newTouched.isEmpty) writtenIdx.limit(0)
+      else writtenIdx.filter(col("kb").isin(newTouched: _*))
+    (newTouched, pinned.drop("pkb"), flagIdx)
   }
 
   def maintainWinnowIndexAndFlag(docs: DataFrame, indexDir: String,
@@ -344,7 +341,7 @@ object StreamingOps {
           .select(col(idCol), col("fp_hash")).distinct()
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             col("fp_hash").cast("string")), lit(keyBuckets.toLong)))
-        val (newTouched, pinnedFps) = upsertMutableIndex(fps,
+        val (newTouched, pinnedFps, flagIdx) = upsertMutableIndex(fps,
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol, "fp_hash"), sortCols = Seq("fp_hash", idCol),
           indexDir, keyBuckets)
@@ -359,10 +356,9 @@ object StreamingOps {
           } else {
             val wFp = org.apache.spark.sql.expressions.Window
               .partitionBy(col("fp_hash"))
-            // scoped read: lists ONLY the batch's kb dirs (all just
-            // written by the upsert, so get is total)
-            val idx = graft.eth.Sinks.readBuckets(
-                spark, indexDir, "kb", newTouched).get
+            // the post-upsert bucket content, served from the upsert's
+            // returned frame — no re-listing, no re-read (r15)
+            val idx = flagIdx
               .withColumn("__df", count(lit(1)).over(wFp))
               .filter(col("__df") <= maxDf) // MOSS boilerplate rule
               .select(col("fp_hash"), col(idCol).as("matched_id"))
@@ -392,7 +388,7 @@ object StreamingOps {
         val bands = graft.llm.Dedup.minhashBands(batch.toDF(), idCol, textCol)
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))), lit(keyBuckets.toLong)))
-        val (newTouched, pinnedBands) = upsertMutableIndex(bands,
+        val (newTouched, pinnedBands, flagIdx) = upsertMutableIndex(bands,
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol, "band"), sortCols = Seq("band_key", idCol),
           indexDir, keyBuckets)
@@ -403,9 +399,8 @@ object StreamingOps {
             bands.limit(0)
               .select(col(idCol), col("band"), col(idCol).as("matched_id"))
           } else {
-            // scoped read: lists ONLY the batch's kb dirs (just written)
-            val idx = graft.eth.Sinks.readBuckets(
-                spark, indexDir, "kb", newTouched).get
+            // post-upsert bucket content from the upsert's returned frame
+            val idx = flagIdx
               .select(col("band"), col("band_key"), col(idCol).as("matched_id"))
             pinnedBands.join(idx, Seq("band", "band_key"))
               .filter(col(idCol) =!= col("matched_id"))
@@ -448,7 +443,7 @@ object StreamingOps {
         val keyed = batch.toDF().select(col(idCol),
             graft.functions.ColumnFns.md5Long(col(textCol)).as("content_key"))
           .withColumn("kb", pmod(col("content_key"), lit(keyBuckets.toLong)))
-        val (newTouched, pinnedKeyed) = upsertMutableIndex(keyed,
+        val (newTouched, pinnedKeyed, flagIdx) = upsertMutableIndex(keyed,
           batch.toDF().select(col(idCol)), idCol,
           pkCols = Seq(idCol), sortCols = Seq("content_key", idCol),
           indexDir, keyBuckets)
@@ -458,9 +453,8 @@ object StreamingOps {
             keyed.limit(0)
               .select(col(idCol), col("content_key"), col(idCol).as("matched_id"))
           } else {
-            // scoped read: lists ONLY the batch's kb dirs (just written)
-            val idx = graft.eth.Sinks.readBuckets(
-                spark, indexDir, "kb", newTouched).get
+            // post-upsert bucket content from the upsert's returned frame
+            val idx = flagIdx
               .select(col("content_key"), col(idCol).as("matched_id"))
             pinnedKeyed.join(idx, "content_key")
               .filter(col(idCol) =!= col("matched_id"))
@@ -506,7 +500,7 @@ object StreamingOps {
         // a media id re-ingested with changed bytes replaces its six
         // band rows wholesale, and one re-ingested as an UNDECODABLE
         // payload (which yields no aHash rows at all) erases them.
-        val (touched, pinnedBanded) = upsertMutableIndex(banded,
+        val (touched, pinnedBanded, flagIdx) = upsertMutableIndex(banded,
           batch.toDF().select(col("media_id").cast("long").as("media_id")),
           "media_id",
           pkCols = Seq("media_id", "band"), sortCols = Seq("band_key", "media_id"),
@@ -519,9 +513,8 @@ object StreamingOps {
               .select(col("media_id"), col("media_id").as("matched_id"),
                 lit(0).cast("int").as("hamming"))
           } else {
-            // scoped read: lists ONLY the batch's kb dirs (just written)
-            val idx = graft.eth.Sinks.readBuckets(
-                spark, indexDir, "kb", touched).get
+            // post-upsert bucket content from the upsert's returned frame
+            val idx = flagIdx
               .select(col("band"), col("band_key"),
                 col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
             pinnedBanded.join(idx, Seq("band", "band_key"))
@@ -584,7 +577,7 @@ object StreamingOps {
           .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
             concat_ws("|", col("band"), col("band_key"))),
             lit(keyBuckets.toLong)))
-        val (touched, pinnedBanded) = upsertMutableIndex(banded,
+        val (touched, pinnedBanded, flagIdx) = upsertMutableIndex(banded,
           batch.toDF().select(col("media_id").cast("long").as("media_id")),
           "media_id",
           pkCols = Seq("media_id", "frame_idx", "band"),
@@ -598,8 +591,7 @@ object StreamingOps {
                 col("frame_idx").as("matched_frame"),
                 lit(0).cast("int").as("hamming"))
           } else {
-            val idx = graft.eth.Sinks.readBuckets(
-                spark, indexDir, "kb", touched).get
+            val idx = flagIdx
               .select(col("band"), col("band_key"),
                 col("media_id").as("matched_id"),
                 col("frame_idx").as("matched_frame"),

@@ -886,6 +886,28 @@ class StreamingSpec extends SparkSpec {
       s"soak must end with a populated index: ${r.finalIndexRows} rows")
   }
 
+  test("media mini-soak: image and video-frame maintainers end bit-identical to a from-scratch rebuild") {
+    // the spec-sized twin of `IndexSoak mediaSoak` (the 100-batch runs
+    // are SCALE_r15 evidence): both media maintainers pay REAL
+    // JPEG/AVI decodes per batch through the full mutation schedule —
+    // re-encode, undecodable erase, SHORTER video re-ingest (frame-tail
+    // erase), restore, new media, byte-identical replay — and must end
+    // row-exact vs a fresh hash of the final corpus on BOTH the index
+    // and the pk side map.
+    val imgRoot = java.nio.file.Files.createTempDirectory("graft_msoak_i").toString
+    val ri = graft.streaming.IndexSoak.runMediaSoak(spark, imgRoot,
+      nBatches = 12, video = false, baseMedia = 40, opMedia = 6)
+    assert(ri.idxDiff == 0L && ri.mapDiff == 0L,
+      s"image index diverged: idx ${ri.idxDiff}, map ${ri.mapDiff}")
+    assert(ri.finalIndexRows > 0 && ri.filesEnd <= ri.filesMid + 8)
+    val vidRoot = java.nio.file.Files.createTempDirectory("graft_msoak_v").toString
+    val rv = graft.streaming.IndexSoak.runMediaSoak(spark, vidRoot,
+      nBatches = 12, video = true, baseMedia = 30, opMedia = 5)
+    assert(rv.idxDiff == 0L && rv.mapDiff == 0L,
+      s"video-frame index diverged: idx ${rv.idxDiff}, map ${rv.mapDiff}")
+    assert(rv.finalIndexRows > 0 && rv.filesEnd <= rv.filesMid + 8)
+  }
+
   test("maintainImageIndexAndFlag mutable corpus: re-encoded pixels replace the bands; undecodable re-ingest erases them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Byte], String)]

@@ -98,9 +98,47 @@ if [[ "$HEAD1" != "$HEAD0" || -n "$(git status --porcelain)" ]]; then
   exit 1
 fi
 
-python3 - "$HEAD0" "$SUCC" "$FAILED" "$B001" "$B01" <<'EOF'
+# Box-factor-corrected bench comparison (VERDICT r14 Next #1): run the
+# full bench min-of-2 on THIS tree and compare against the newest driver
+# BENCH_r{N}.json through tools/bench_compare.py, so every close records
+# the corrected per-query picture instead of raw cross-box seconds.
+# Informational (analysis input, not a pass/fail gate); skip with
+# CLOSE_SKIP_BENCH=1 when iterating on docs.
+BENCH_CMP="{}"
+if [[ "${CLOSE_SKIP_BENCH:-0}" != "1" ]]; then
+  echo "== bench (sf0.1, min-of-2) =="
+  for i in 1 2; do
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.Bench" \
+      > "/tmp/close_bench_$i.json" 2>>/tmp/close_verify.err || {
+        echo "FAIL: graft.Bench crashed"; tail -20 /tmp/close_verify.err; exit 1; }
+  done
+  python3 - <<'PYEOF'
+import json
+runs = []
+for i in (1, 2):
+    for line in open(f"/tmp/close_bench_{i}.json"):
+        line = line.replace("[info] ", "").strip()
+        if line.startswith("{") and '"metric"' in line:
+            runs.append(json.loads(line))
+q = {k: min(r["queries"][k] for r in runs if k in r["queries"])
+     for k in runs[0]["queries"]}
+out = dict(runs[-1]); out["queries"] = q; out["value"] = sum(q.values())
+out["min_of"] = len(runs)
+json.dump(out, open("/tmp/close_bench.json", "w"))
+print(f"min-of-{len(runs)} wall {out['value']:.1f} s / {len(q)} queries")
+PYEOF
+  REF_BENCH=$(ls BENCH_r*.json 2>/dev/null | sort -V | tail -1 || true)
+  if [[ -n "$REF_BENCH" ]]; then
+    echo "== bench_compare vs $REF_BENCH (box-factor corrected) =="
+    python3 tools/bench_compare.py "$REF_BENCH" /tmp/close_bench.json
+    BENCH_CMP=$(python3 tools/bench_compare.py "$REF_BENCH" /tmp/close_bench.json --json)
+  fi
+fi
+
+python3 - "$HEAD0" "$SUCC" "$FAILED" "$B001" "$B01" "$BENCH_CMP" <<'EOF'
 import json, re, sys, subprocess
-head, succ, failed, b001, b01 = sys.argv[1:6]
+head, succ, failed, b001, b01, bench_cmp = sys.argv[1:7]
 def board(line):
     m = re.search(r"(\d+) pass / (\d+) fail", line)
     if not m: raise SystemExit(f"FAIL: unparseable board line: {line!r}")
@@ -111,6 +149,7 @@ cert = {
         ["git", "show", "-s", "--format=%cI", head]).decode().strip(),
     "sbt_test": {"succeeded": int(succ), "failed": int(failed)},
     "boards": {"sf0.01": board(b001), "sf0.1": board(b01)},
+    "bench_compare": json.loads(bench_cmp),
 }
 ok = (cert["sbt_test"]["failed"] == 0 and
       all(b["fail"] == 0 and b["pass"] > 0 for b in cert["boards"].values()))
