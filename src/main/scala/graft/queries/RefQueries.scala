@@ -996,6 +996,38 @@ object RefQueries {
              |       CAST(1438269988 + b * 13 AS INTEGER) AS block_timestamp
              |FROM tx ORDER BY block_id, transaction_index""".stripMargin)),
 
+    // The STANDING ingest-path bench row (VERDICT r14 Next #6): the same
+    // reference-parity pipeline at 10x the range (5,000 blocks, ~10k txs,
+    // five bucket partitions), collapsed to a per-bucket aggregate so the
+    // oracle replay stays tiny while the TIMED work is the full
+    // source -> enrich -> format -> bucketed-sink write. Regressions in
+    // any ingest stage move this row in BENCH_r{N}.json like a query
+    // regression; the metrics sidecar carries its bytes (PERF.md r15).
+    Q("eth_pipeline_ingest_5k", "T1",
+      (s, d) => {
+        val sink = java.nio.file.Files.createTempDirectory("graft_pipe5k").toString
+        graft.eth.EthPipeline.ingestRange(s, sink, 0, 4999)
+        s.read.parquet(s"$sink/transaction")
+          .groupBy(col("block_id_group").cast("int").as("block_id_group"))
+          .agg(count(lit(1)).as("n_txs"),
+            sum(col("receipt_gas_used")).cast("long").as("sum_gas"),
+            sum(when(col("receipt_status") === 1, 1L).otherwise(0L))
+              .cast("long").as("n_ok"),
+            min(col("block_id")).cast("long").as("min_block"),
+            max(col("block_id")).cast("long").as("max_block"))
+          .orderBy("block_id_group")
+      },
+      Some("""WITH bt AS (SELECT b, unnest(range(b % 3 + 1)) AS i
+             |            FROM (SELECT unnest(range(0, 5000)) AS b))
+             |SELECT CAST(b // 1000 AS INTEGER) AS block_id_group,
+             |  CAST(count(*) AS BIGINT) AS n_txs,
+             |  CAST(sum(21000 + i) AS BIGINT) AS sum_gas,
+             |  CAST(sum(CASE WHEN (b + i) % 11 <> 0 AND (b + i) % 2 = 1
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+             |  CAST(min(b) AS BIGINT) AS min_block,
+             |  CAST(max(b) AS BIGINT) AS max_block
+             |FROM bt GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Token-transfer decode (the ethereum-etl `extract_token_transfers`
     // shape, ref scripts/eth_cassandra_streaming.py log handling): filter
     // logs on topic0 == the transfer event signature and >= 3 topics, then
