@@ -210,8 +210,13 @@ object IndexSoak {
         (v, v, v)
       })
     else
+      // per-PIXEL gradient with id-dependent slopes: aHash's default
+      // window is the top-left 8x6 pixels at stride 1, so a
+      // block-constant image would hash DEGENERATE (every image, one
+      // hash, six giant buckets — a flood fixture, not a corpus)
       Multimodal.encodeJpeg(64, 48, (x, y) => {
-        val v = (((x / 8) * 31 + (y / 8) * 17 + id * 7 + ver * 131) % 256).toInt
+        val v = ((x * (3 + id % 5) + y * (2 + id % 7) + id * 7 +
+          ver * 131) % 256).toInt
         (v, v, v)
       })
 
@@ -220,9 +225,11 @@ object IndexSoak {
 
   /** Expected index rows for a corpus state — MUST replicate the
     * maintainers' derivations (aHash / videoFrameHashes with the
-    * maintainer defaults, 6 byte-bands, kb = md5(band|band_key)). */
+    * maintainer defaults, 6 byte-bands, and the r15 ID-SHARDED bucket
+    * key kb = md5(band | band_key | md5(id) % idShards) % keyBuckets). */
   def expectedMediaIndex(media: org.apache.spark.sql.Dataset[MediaRecord],
-                         keyBuckets: Int, video: Boolean): DataFrame = {
+                         keyBuckets: Int, video: Boolean,
+                         idShards: Int = 16): DataFrame = {
     val hashes =
       if (video)
         Multimodal.videoFrameHashes(media, every = 1, strideX = 8,
@@ -234,7 +241,9 @@ object IndexSoak {
       .withColumn("band_key",
         expr("shiftrightunsigned(ahash, band * 8) & 255"))
       .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
-        concat_ws("|", col("band"), col("band_key"))),
+        concat_ws("|", col("band"), col("band_key"),
+          pmod(graft.functions.ColumnFns.md5Long(
+            col("media_id").cast("string")), lit(idShards.toLong)))),
         lit(keyBuckets.toLong)))
   }
 

@@ -475,10 +475,26 @@ object StreamingOps {
     * [[graft.llm.Dedup.sigBandPairs]]. Upsert-before-flag keeps
     * same-batch twins visible to each other; undecodable payloads drop
     * at the codec boundary. Index IO prunes to the batch's touched key
-    * buckets on both the upsert and the flag read. */
+    * buckets on both the upsert and the flag read.
+    *
+    * ID-SHARDED bucket key (r15 — the media scale gate's finding): the
+    * raw (band, band_key) domain is only 6 × 256 = 1,536 values, so a
+    * bucket key derived from it alone CAPS the bucket count — bucket
+    * size then grows with the corpus and every small batch merge
+    * rewrites a constant fraction of the whole index (measured: a
+    * 5-video batch merged ~80% of a 20k-video index). The key therefore
+    * folds in an id-hash shard `sb = md5(media_id) % idShards`:
+    * kb = md5(band | band_key | sb) % keyBuckets. The upsert now
+    * touches only the batch ids' OWN shards (O(batch) rewrite at any
+    * corpus — scale idShards ∝ corpus like keyBuckets to keep bucket
+    * size bounded); the flag pass enumerates the batch combos × all
+    * shards (bounded by keyBuckets after the modulus) and reads those
+    * buckets — the inherent Hamming-candidate fetch, now decoupled from
+    * the rewrite path. */
   def maintainImageIndexAndFlag(media: DataFrame, indexDir: String,
                                 flagsDir: String, checkpointDir: String,
-                                maxHamming: Int = 5, keyBuckets: Int = 64)
+                                maxHamming: Int = 5, keyBuckets: Int = 64,
+                                idShards: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -493,14 +509,14 @@ object StreamingOps {
             explode(sequence(lit(0), lit(5))).as("band"))
           .withColumn("band_key",
             expr("shiftrightunsigned(ahash, band * 8) & 255"))
-          .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
-            concat_ws("|", col("band"), col("band_key"))),
-            lit(keyBuckets.toLong)))
+          .withColumn("kb", mediaKb(keyBuckets, idShards,
+            pmod(graft.functions.ColumnFns.md5Long(
+              col("media_id").cast("string")), lit(idShards.toLong))))
         // MUTABLE-CORPUS SAFE (r13): batchIds come from the RAW batch —
         // a media id re-ingested with changed bytes replaces its six
         // band rows wholesale, and one re-ingested as an UNDECODABLE
         // payload (which yields no aHash rows at all) erases them.
-        val (touched, pinnedBanded, flagIdx) = upsertMutableIndex(banded,
+        val (touched, pinnedBanded, _) = upsertMutableIndex(banded,
           batch.toDF().select(col("media_id").cast("long").as("media_id")),
           "media_id",
           pkCols = Seq("media_id", "band"), sortCols = Seq("band_key", "media_id"),
@@ -513,8 +529,10 @@ object StreamingOps {
               .select(col("media_id"), col("media_id").as("matched_id"),
                 lit(0).cast("int").as("hamming"))
           } else {
-            // post-upsert bucket content from the upsert's returned frame
-            val idx = flagIdx
+            // candidate fetch across ALL id shards of the batch's combos
+            // (scoped read; bounded by keyBuckets after the modulus)
+            val idx = mediaCandidates(spark, indexDir, pinnedBanded,
+                keyBuckets, idShards)
               .select(col("band"), col("band_key"),
                 col("media_id").as("matched_id"), col("ahash").as("matched_hash"))
             pinnedBanded.join(idx, Seq("band", "band_key"))
@@ -529,6 +547,32 @@ object StreamingOps {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** The media maintainers' id-sharded bucket key:
+    * md5(band | band_key | sb) % keyBuckets. */
+  private def mediaKb(keyBuckets: Int, idShards: Int,
+                      sb: org.apache.spark.sql.Column) =
+    pmod(graft.functions.ColumnFns.md5Long(
+      concat_ws("|", col("band"), col("band_key"), sb)),
+      lit(keyBuckets.toLong))
+
+  /** Read the full Hamming-candidate posting for a batch: the batch's
+    * distinct (band, band_key) combos × every id shard, collapsed
+    * through the kb modulus (≤ keyBuckets values — one bounded collect),
+    * then a scoped bucket read. Same-batch twins are visible because
+    * the upsert ran first. */
+  private def mediaCandidates(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String,
+                              pinnedBanded: DataFrame, keyBuckets: Int,
+                              idShards: Int): DataFrame = {
+    val candKb = pinnedBanded
+      .select(col("band"), col("band_key")).distinct()
+      .withColumn("__sb", explode(sequence(lit(0), lit(idShards - 1))))
+      .select(mediaKb(keyBuckets, idShards, col("__sb")).as("kb"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    graft.eth.Sinks.readBuckets(spark, indexDir, "kb", candKb)
+      .getOrElse(pinnedBanded.limit(0))
+  }
 
   /** Streaming VIDEO-FRAME dedup ingest — [[maintainImageIndexAndFlag]]'s
     * loop lifted to per-frame granularity: each micro-batch's video
@@ -557,7 +601,8 @@ object StreamingOps {
                                      flagsDir: String, checkpointDir: String,
                                      every: Int = 1, maxHamming: Int = 5,
                                      keyBuckets: Int = 64,
-                                     strideX: Int = 8, strideY: Int = 8)
+                                     strideX: Int = 8, strideY: Int = 8,
+                                     idShards: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -569,15 +614,19 @@ object StreamingOps {
             .as[graft.llm.Multimodal.MediaRecord],
           every = every, strideX = strideX, strideY = strideY,
           fallbackStride1 = true).toDF()
+        // id-sharded kb (see maintainImageIndexAndFlag): the raw
+        // (band, band_key) domain caps at 1,536 values — without the
+        // shard, bucket size grows with the corpus and small-batch
+        // merges rewrite a constant fraction of the index
         val banded = hashes
           .select(col("media_id"), col("frame_idx"), col("ahash"),
             explode(sequence(lit(0), lit(5))).as("band"))
           .withColumn("band_key",
             expr("shiftrightunsigned(ahash, band * 8) & 255"))
-          .withColumn("kb", pmod(graft.functions.ColumnFns.md5Long(
-            concat_ws("|", col("band"), col("band_key"))),
-            lit(keyBuckets.toLong)))
-        val (touched, pinnedBanded, flagIdx) = upsertMutableIndex(banded,
+          .withColumn("kb", mediaKb(keyBuckets, idShards,
+            pmod(graft.functions.ColumnFns.md5Long(
+              col("media_id").cast("string")), lit(idShards.toLong))))
+        val (touched, pinnedBanded, _) = upsertMutableIndex(banded,
           batch.toDF().select(col("media_id").cast("long").as("media_id")),
           "media_id",
           pkCols = Seq("media_id", "frame_idx", "band"),
@@ -591,7 +640,8 @@ object StreamingOps {
                 col("frame_idx").as("matched_frame"),
                 lit(0).cast("int").as("hamming"))
           } else {
-            val idx = flagIdx
+            val idx = mediaCandidates(spark, indexDir, pinnedBanded,
+                keyBuckets, idShards)
               .select(col("band"), col("band_key"),
                 col("media_id").as("matched_id"),
                 col("frame_idx").as("matched_frame"),

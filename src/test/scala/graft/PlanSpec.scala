@@ -856,6 +856,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("channel-aware WAV decode is map-only: de-mux + per-channel stats never shuffle") {
+    // audioChannelStats over stereo payloads: the interleave de-mux and
+    // each channel's stats reduction happen inside the decode task — one
+    // row per (media, channel) leaves it; only the presentation sort
+    // exchanges. Same map-only contract as the mono battery.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Registry.queries("multimodal_wav_stereo_stats")(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = p.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size <= 1,
+        s"channel de-mux must not shuffle (1 allowed for the output sort):\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("spatial radius join: equi-join on the cell key, no cartesian product") {
     val p = plan("j_spatial_cells")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
