@@ -31,6 +31,45 @@ class SinksSpec extends SparkSpec {
     assert(out.filter(col("block_id") < 1200 && col("base_fee").isNotNull).count() == 0)
   }
 
+  test("upsertBucketedParquetReturning: written frame + observed buckets match disk; empty write hits the fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("sink_ret").toString + "/t"
+    // seed buckets 0 and 1
+    val v1 = Seq((1L, 0L, "a"), (2L, 0L, "b"), (10L, 1L, "c"))
+      .toDF("id", "kb", "v")
+    Sinks.writeBucketedParquet(v1, path, "kb", Seq("id"))
+    // upsert rows into bucket 1 while dropOldKeys erases bucket 0's only
+    // ids: the write must produce rows for bucket 1 ONLY — the returned
+    // bucket list is {1}, and bucket 0 (merged empty) is NOT in it, so a
+    // caller's touched-minus-written delete targets exactly bucket 0
+    val batch = Seq((11L, 1L, "d")).toDF("id", "kb", "v")
+    val (written, kbs) = Sinks.upsertBucketedParquetReturning(batch, path,
+      pkCols = Seq("id"), bucketCol = "kb", sortCols = Seq("id"),
+      newBuckets = Some(Seq(0L, 1L)),
+      dropOldKeys = Some(Seq(1L, 2L).toDF("id")))
+    assert(kbs.toSet == Set(1L), s"observed written buckets: $kbs")
+    // the returned frame is exactly what landed in the written buckets
+    val disk = spark.read.parquet(s"$path/kb=1")
+      .select(col("id"), col("v")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val mem = written.filter(col("kb") === 1L)
+      .select(col("id"), col("v")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mem == disk && disk == Set((10L, "c"), (11L, "d")))
+    // bucket 0's dir still exists on disk (dynamic overwrite can't
+    // rewrite an empty partition) — the caller deletes it via the delta;
+    // its stored rows were all dropOldKeys-erased from the MERGE frame
+    assert(written.filter(col("kb") === 0L).count() == 0)
+    // EMPTY write: a batch with zero rows whose dropOldKeys erases the
+    // remaining bucket-1 ids -> zero-task write, observation comes back
+    // empty, the fallback collect must still report no written buckets
+    val empty = batch.limit(0)
+    val (w2, kbs2) = Sinks.upsertBucketedParquetReturning(empty, path,
+      pkCols = Seq("id"), bucketCol = "kb", sortCols = Seq("id"),
+      newBuckets = Some(Seq(1L)),
+      dropOldKeys = Some(Seq(10L, 11L).toDF("id")))
+    assert(kbs2.isEmpty && w2.count() == 0)
+  }
+
   test("readBuckets: scoped listing reads named buckets only, skips absent ones, None on empty sink") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
