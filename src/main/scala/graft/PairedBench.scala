@@ -91,6 +91,22 @@ object PairedBench {
         () => rankDenseTwoPass(orders,
           Seq("o_orderpriority"), Seq("o_totalprice"),
           Seq(col("o_totalprice").desc, col("o_orderkey")), "rnk", "drnk")),
+      // r15: w7's standing disposition pair — the banded range-count (A,
+      // the shipped scale-safe plan) vs the pinned r4 shape (B: Spark's
+      // RANGE window, one task per o_orderpriority). The r14 2x-vs-r4
+      // verdict was settled by full-board measurement (PERF.md r15);
+      // this pair keeps the delta measurable on demand, box-factor-free.
+      ("w7_range_frame",
+        () => graft.operators.BandedRange.peersWithin(
+          orders.select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c")),
+          Seq("o_orderpriority"), "price_c", w = 500L, "peers_within_5",
+          smallInputBytes = 0L), // pin banded: the pair measures the trade
+        () => orders.select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+          .withColumn("peers_within_5", count(lit(1)).over(Window
+            .partitionBy(col("o_orderpriority")).orderBy(col("price_c"))
+            .rangeBetween(-500L, Window.currentRow)))),
       ("agg_weighted_median_forms",
         () => graft.operators.GlobalRank.groupedWeightedMedianLower(
           liCollapsed, Seq("l_returnflag"), "price_c", "w",

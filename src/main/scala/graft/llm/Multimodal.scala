@@ -1566,12 +1566,46 @@ object Multimodal {
     (uval ^ (if (neg) 0x7f else 0xff)) & 0xff
   }
 
+  // --- G.711 A-law (the European-telephony sibling of mu-law; same
+  // segment structure, XOR-0x55 toggle instead of complement, no bias):
+  //   u = code ^ 0x55
+  //   t = (u & 0x0f) << 4;  seg = (u & 0x70) >> 4
+  //   t = seg == 0 ? t + 8 : (t + 0x108) << (seg - 1)
+  //   v = (u & 0x80) != 0 ? t : -t
+  // Output range ±32256 at 16-bit scale; integer algebra, so the
+  // DuckDB oracle replays it exactly.
+
+  /** Expand one A-law code (0..255) to a 16-bit linear sample. */
+  def aLawDecode(code: Int): Int = {
+    val u = (code ^ 0x55) & 0xff
+    val seg = (u & 0x70) >> 4
+    val t =
+      if (seg == 0) ((u & 0x0f) << 4) + 8
+      else (((u & 0x0f) << 4) + 0x108) << (seg - 1)
+    if ((u & 0x80) != 0) t else -t
+  }
+
+  /** Compress a 16-bit linear sample to its A-law code — left inverse
+    * of [[aLawDecode]] on the decode image. */
+  def aLawEncode(sample: Int): Int = {
+    val pos = sample >= 0
+    var mag = math.min(if (pos) sample.toLong else -sample.toLong, 32767L).toInt
+    var seg = 0
+    while (seg < 8 && mag > (0xff << seg | ((1 << seg) - 1))) seg += 1
+    // segment ends: 0xFF, 0x1FF, ... (same ladder as mu-law, no bias)
+    val uval =
+      if (seg >= 8) 0x7f
+      else if (seg == 0) (mag >> 4) & 0x0f
+      else (seg << 4) | ((mag >> (seg + 3)) & 0x0f)
+    (((if (pos) 0x80 else 0) | uval) ^ 0x55) & 0xff
+  }
+
   /** Parse a WAV into per-channel 16-bit sample arrays — the
     * channel-aware superset of [[decodeWavPcm16]]. Accepted formats
     * (WAVEFORMATEX, public Microsoft/IBM spec): PCM 16-bit signed,
-    * PCM 8-bit unsigned (normalized `(v−128)·256`), and mu-law
-    * (wFormatTag 7, 8-bit, G.711 expand) — each at 1..8 interleaved
-    * channels. Everything else (float, 24-bit, A-law, bad block align,
+    * PCM 8-bit unsigned (normalized `(v−128)·256`), mu-law
+    * (wFormatTag 7, 8-bit, G.711 expand), and A-law (wFormatTag 6,
+    * 8-bit) — each at 1..8 interleaved channels. Everything else (float, 24-bit, A-law, bad block align,
     * partial final frame, truncation) returns None, same conformance
     * posture as the rest of the codec layer. The de-mux keeps the
     * per-channel (rate, samples-per-channel) contract so every channel
@@ -1597,7 +1631,8 @@ object Multimodal {
           val blockAlign = b.getShort(off + 20)
           bits = b.getShort(off + 22)
           val ok = rate > 0 && channels >= 1 && channels <= 8 &&
-            ((fmt == 1 && (bits == 16 || bits == 8)) || (fmt == 7 && bits == 8)) &&
+            ((fmt == 1 && (bits == 16 || bits == 8)) ||
+              ((fmt == 6 || fmt == 7) && bits == 8)) &&
             blockAlign == channels * (bits / 8)
           if (!ok) return None
         case "data" =>
@@ -1620,6 +1655,7 @@ object Multimodal {
         out(c)(i) =
           if (bits == 16) b.getShort(p)
           else if (fmt == 7) muLawDecode(payload(p) & 0xff).toShort
+          else if (fmt == 6) aLawDecode(payload(p) & 0xff).toShort
           else (((payload(p) & 0xff) - 128) << 8).toShort // 8-bit PCM
         c += 1
       }
@@ -1675,6 +1711,13 @@ object Multimodal {
                      codes: Array[Byte]): Array[Byte] = {
     require(codes.length % channels == 0, "partial final frame")
     encodeWavRaw(sampleRate, 7, channels, 8, codes)
+  }
+
+  /** A-law WAV (wFormatTag 6, G.711 codes, interleaved). */
+  def encodeWavAlaw(sampleRate: Int, channels: Int,
+                    codes: Array[Byte]): Array[Byte] = {
+    require(codes.length % channels == 0, "partial final frame")
+    encodeWavRaw(sampleRate, 6, channels, 8, codes)
   }
 
   /** Exact integer floor square root (no float round-trip on the hot

@@ -3262,6 +3262,58 @@ object LlmQueries {
              |  CAST(zc AS BIGINT) AS zero_crossings
              |FROM st ORDER BY media_id""".stripMargin)),
 
+    // G.711 A-law (wFormatTag 6 — mu-law's European-telephony sibling:
+    // XOR-0x55 toggle, no bias), STEREO, so one row exercises both the
+    // companding table and the channel de-mux. Engine algebra
+    //   u = code ^ 0x55;  seg = (u & 0x70) >> 4
+    //   t = seg == 0 ? ((u & 15) << 4) + 8 : (((u & 15) << 4) + 0x108) << (seg − 1)
+    //   v = (u & 0x80) != 0 ? t : −t
+    // replayed bit-for-bit by the oracle.
+    Q("multimodal_wav_alaw_stats", "LLM",
+      (s, d) => {
+        import s.implicits._
+        val media = s.range(0, 120).map { m =>
+          val n = 1400 + (m % 3).toInt * 300
+          val a = (m % 5).toInt + 2
+          val codes = Array.tabulate(2 * n) { j =>
+            val i = j / 2; val c = j % 2
+            ((i.toLong * a + m * 19 + c * 433) % 256).toByte
+          }
+          Multimodal.MediaRecord(m,
+            Multimodal.encodeWavAlaw(8000, 2, codes), "audio/wav")
+        }
+        Multimodal.audioChannelStats(media).toDF()
+          .orderBy("media_id", "channel")
+      },
+      Some("""WITH m AS (SELECT unnest(range(0, 120)) AS id),
+             |par AS (SELECT id, 1400 + (id % 3) * 300 AS n, id % 5 + 2 AS a FROM m),
+             |ch AS (SELECT id, n, a, unnest(range(2)) AS c FROM par),
+             |smp AS (SELECT id, n, a, c, unnest(range(n)) AS i FROM ch),
+             |cd AS (SELECT id, n, c, i,
+             |         xor((i * a + id * 19 + c * 433) % 256, 85) AS u FROM smp),
+             |tv AS (SELECT id, n, c, i, u,
+             |         CASE WHEN (u & 112) // 16 = 0 THEN (u & 15) * 16 + 8
+             |              ELSE ((u & 15) * 16 + 264) * (1 << ((u & 112) // 16 - 1))
+             |         END AS t FROM cd),
+             |s AS (SELECT id, n, c, i,
+             |        CASE WHEN (u & 128) <> 0 THEN t ELSE -t END AS v FROM tv),
+             |sgn AS (SELECT id, n, c, i, v,
+             |          lag(v) OVER (PARTITION BY id, c ORDER BY i) AS pv FROM s),
+             |st AS (SELECT id, c, any_value(n) AS n, max(abs(v)) AS peak,
+             |         sum(CAST(v AS BIGINT) * v) AS sum_sq,
+             |         sum(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+             |             THEN 1 ELSE 0 END) AS zc
+             |       FROM sgn GROUP BY id, c)
+             |SELECT id AS media_id, CAST(c AS INTEGER) AS channel,
+             |  CAST(2 AS INTEGER) AS n_channels,
+             |  CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(n AS BIGINT) AS n_samples,
+             |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+             |  CAST(peak AS INTEGER) AS peak,
+             |  CAST(floor(sqrt(sum_sq // n)) AS BIGINT) AS rms,
+             |  CAST(zc AS BIGINT) AS zero_crossings
+             |FROM st ORDER BY media_id, channel""".stripMargin)),
+
     // Frame energies: the STFT-frame analogue without a transform —
     // fixed 160-sample frames, exact Σs² energy and frame-local zero
     // crossings. Map-only on the engine (frames are emitted from the

@@ -1344,6 +1344,19 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.muLawEncode(32767) == 0x80 && Multimodal.muLawEncode(-32768) == 0x00)
     assert(Multimodal.muLawEncode(0) == 0xff)
 
+    // A-law landmark codes (G.711 sibling table: XOR-0x55, no bias)
+    assert(Multimodal.aLawDecode(0x55) == -8 && Multimodal.aLawDecode(0xd5) == 8)
+    assert(Multimodal.aLawDecode(0x2a) == -32256 && Multimodal.aLawDecode(0xaa) == 32256)
+    for (c <- 0 until 256) {
+      val v = Multimodal.aLawDecode(c)
+      assert(Multimodal.aLawDecode(Multimodal.aLawEncode(v)) == v,
+        s"A-law code $c: decode(encode($v)) must round-trip")
+    }
+    // A-law WAV expands through the table (fmt 6)
+    val Some((_, chsAl)) = Multimodal.decodeWavChannels(
+      Multimodal.encodeWavAlaw(8000, 1, Array[Byte](0x55, 0xaa.toByte)))
+    assert(chsAl(0).toSeq == Seq[Short](-8, 32256))
+
     // stereo PCM16: per-channel arrays come back exactly (L=ch0 first)
     val left = Array[Short](3, -2, 0, 5)
     val right = Array[Short](-7, 9, 1, -4)

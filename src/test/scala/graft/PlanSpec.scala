@@ -619,7 +619,8 @@ class PlanSpec extends SparkSpec {
     // CO-PARTITIONED on a second column (the two-phase local ranking's
     // pid, or a corpus-cardinality value column) or sit over an
     // aggregate (the dimension-sized offsets / distinct-value tables);
-    // w7 is the banded range-count and must carry no window at all.
+    // w7 dispatches by input size (r15): native RANGE window below the
+    // bound, the window-free banded range-count above it.
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -743,12 +744,30 @@ class PlanSpec extends SparkSpec {
           s"agg_weighted_median: a range exchange mixes the checkpoint " +
             s"with a live file scan:\n$e")
       }
-      val w7 = Registry.queries("w7_range_frame")(spark, dir)
+      // w7 dispatches on the Catalyst size estimate (r15): at spec
+      // scale it must take the single-exchange native RANGE window —
+      // the optimal small-input plan the banded form is property-tested
+      // against — and the pinned banded branch (smallInputBytes = 0)
+      // must keep its window-free equi-join shape for the 100 TB path.
+      val w7Small = Registry.queries("w7_range_frame")(spark, dir)
         .queryExecution.executedPlan
-      assert(w7.collect { case w: WindowExec => w }.isEmpty,
-        s"w7_range_frame must be the banded equi-join form, not a window:\n$w7")
-      assert(w7.toString.contains("__br_b"),
-        "w7_range_frame must probe the band buckets")
+      assert(w7Small.collect { case w: WindowExec => w }.nonEmpty &&
+        !w7Small.toString.contains("__br_b"),
+        s"w7 below the size bound must take the native RANGE window:\n$w7Small")
+      val w7Banded = {
+        import org.apache.spark.sql.functions.{col => c, expr => e}
+        graft.operators.BandedRange.peersWithin(
+          graft.queries.Tables(spark, dir, "orders")
+            .select(c("o_orderkey"), c("o_orderpriority"),
+              e("cast(round(o_totalprice * 100) as long)").as("price_c")),
+          Seq("o_orderpriority"), "price_c", w = 500L, "peers_within_5",
+          smallInputBytes = 0L)
+          .queryExecution.executedPlan
+      }
+      assert(w7Banded.collect { case w: WindowExec => w }.isEmpty,
+        s"the pinned banded branch must carry no window:\n$w7Banded")
+      assert(w7Banded.toString.contains("__br_b"),
+        "the pinned banded branch must probe the band buckets")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -466,7 +466,10 @@ class PropertiesSpec extends SparkSpec {
       (i.toLong, g, v)
     }.toDF("id", "g", "v")
     def banded(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      graft.operators.BandedRange.peersWithin(d, Seq("g"), "v", w = 100L, "n")
+      // smallInputBytes = 0 pins the banded branch — the point of this
+      // property is banded == window, not the small-input dispatch
+      graft.operators.BandedRange.peersWithin(d, Seq("g"), "v", w = 100L, "n",
+          smallInputBytes = 0L)
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n")).toMap
     val expect = df.withColumn("n", count(lit(1)).over(
         Window.partitionBy(col("g")).orderBy(col("v")).rangeBetween(-100L, 0L)))
@@ -507,7 +510,7 @@ class PropertiesSpec extends SparkSpec {
     assert(graft.operators.GlobalRank.globalRowNumberAndPrefixSum(empty,
       Seq(col("id")), "v", "rn", "cw", "n", "tv").count() == 0)
     assert(graft.operators.BandedRange.peersWithin(empty, Seq("g"), "v",
-      w = 10L, "n").count() == 0)
+      w = 10L, "n", smallInputBytes = 0L).count() == 0)
   }
 
   test("groupedWeightedMedianLower equals the window-form weighted median") {
