@@ -1116,7 +1116,12 @@ object Similarity {
   def kcenterGreedy(df: DataFrame, k: Int, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k-center needs k >= 1")
+    // pinned (r15): every round's broadcast of `chosen` re-embeds the
+    // prior rounds' full d² scans in one lazy plan — O(k²) corpus folds.
+    // With the milli corpus pinned, each round is one fold + top-1 over
+    // the checkpointed rows (same discipline as [[kmeansPpInit]]).
     val m = df.select(col(idCol).as("vid"), milliVec(vecCol).as("__m"))
+      .localCheckpoint(true)
     var chosen = m.orderBy(col("vid")).limit(1)
       .select(col("vid").as("cid"), col("__m").as("__cm"),
         lit(1L).as("round"), lit(0L).as("d2_at_pick"))
@@ -1132,6 +1137,9 @@ object Similarity {
         .limit(1)
         .select(col("vid").as("cid"), col("__m").as("__cm"),
           lit(r.toLong).as("round"), col("__dmin").as("d2_at_pick"))
+      // chosen stays lazy: the rounds' top-1 heaps remain visible in the
+      // final plan (PlanSpec lock), and re-evaluating a prior pick is now
+      // one cheap fold over the checkpointed corpus, not a re-scan
       chosen = chosen.union(next)
     }
     chosen.select(col("round"), col("cid").as(idCol), col("d2_at_pick"))
@@ -1158,7 +1166,15 @@ object Similarity {
   def kmeansPpInit(df: DataFrame, k: Int = 3, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k-means++ needs k >= 1")
+    // r15 (guide §1.2 "the distributed algorithm"): pin the milli corpus
+    // and each round's scored prefix sum. Un-pinned, the rounds compose
+    // one lazy plan in which every broadcast of `chosen` re-embeds all
+    // prior rounds' d² scans — the corpus fold ran O(k²) times in one
+    // job. Pinned, each round is one d²+prefix-sum pass (ΣD² read off
+    // the LAST prefix value: d² >= 0 makes __cum monotone, so
+    // max(__cum) = sum(__d2) exactly — no second pass over `scored`).
     val m = df.select(col(idCol).as("vid"), milliVec(vecCol).as("__m"))
+      .localCheckpoint(true)
     var chosen = m.orderBy(col("vid")).limit(1)
       .select(col("vid").as("cid"), col("__m").as("__cm"),
         lit(1L).as("round"), lit(0L).as("d2_at_pick"))
@@ -1173,7 +1189,8 @@ object Similarity {
         .select(col("vid"), col("__m"), col("__d2"))
       val cum = graft.operators.GlobalRank
         .globalPrefixSum(scored, Seq(col("vid")), "__d2", "__cum")
-      val tot = scored.agg(sum(col("__d2")).as("__tw"))
+        .localCheckpoint(true)
+      val tot = cum.agg(max(col("__cum")).as("__tw"))
       val next = cum.crossJoin(broadcast(tot))
         .withColumn("__p",
           graft.functions.ColumnFns.md5Long(lit(s"kmeanspp:$r")) % col("__tw") + 1L)

@@ -38,13 +38,35 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
+  /** Small-input dispatch bound shared by every two-phase helper here —
+    * the same adaptive pattern (and the same 64 MB default) as
+    * [[BandedRange.peersWithin]] (r15): below this Catalyst
+    * optimized-plan size estimate the helper takes Spark's native window
+    * — one exchange + one sort, the optimal plan while the whole input
+    * fits a handful of tasks, and the exact semantic reference every
+    * two-phase form is property-tested against. Above it the two-phase
+    * forms below run — the plans that survive a low-cardinality group
+    * key (or a global order) at 100 TB. Both branches return identical
+    * rows; pass `smallInputBytes = 0` to pin the two-phase plan (the
+    * scale gates, PairedBench variants and PropertiesSpec do). The check
+    * costs no job: `optimizedPlan.stats` is pure Catalyst estimation. */
+  val SmallInputBytesDefault: Long = 64L << 20
+
+  private def isSmall(df: DataFrame, smallInputBytes: Long): Boolean =
+    smallInputBytes > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(smallInputBytes)
+
   /** Append `rnCol` = the exact 1-based global row number of each row
     * under the total order `orderCols` (callers must include a unique
     * tiebreak column so the order is total — otherwise ties are broken
     * by partition placement). */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
-                      rnCol: String): DataFrame = {
+                      rnCol: String,
+                      smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(orderCols.nonEmpty, "globalRowNumber needs at least one order column")
+    if (isSmall(df, smallInputBytes))
+      return df.withColumn(rnCol,
+        row_number().over(Window.orderBy(orderCols: _*)).cast("long"))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
@@ -85,10 +107,15 @@ object GlobalRank {
     * ride a broadcast). High-cardinality groups don't need this — the
     * plain partitioned window is already balanced there. */
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
-                       orderCols: Seq[Column], rnCol: String): DataFrame = {
+                       orderCols: Seq[Column], rnCol: String,
+                       smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(groupCols.nonEmpty, "groupedRowNumber needs group columns" +
       " (use globalRowNumber for the ungrouped form)")
     require(orderCols.nonEmpty, "groupedRowNumber needs at least one order column")
+    if (isSmall(df, smallInputBytes))
+      return df.withColumn(rnCol, row_number()
+        .over(Window.partitionBy(groupCols.map(col).toIndexedSeq: _*)
+          .orderBy(orderCols: _*)).cast("long"))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val gCols = groupCols.map(col)
     val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
@@ -190,7 +217,19 @@ object GlobalRank {
 
   def groupedRankDense(df: DataFrame, groupCols: Seq[String],
                        peerCols: Seq[String], orderCols: Seq[Column],
-                       rankCol: String, denseRankCol: String): DataFrame = {
+                       rankCol: String, denseRankCol: String,
+                       smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRankDense needs group columns")
+    require(peerCols.nonEmpty, "groupedRankDense needs peer columns")
+    require(orderCols.size > peerCols.size,
+      "orderCols must be the peer sort plus a unique tiebreak")
+    if (isSmall(df, smallInputBytes)) {
+      // rank/dense_rank order by the PEER sort only (ties ARE the peers)
+      val wPeer = Window.partitionBy(groupCols.map(col).toIndexedSeq: _*)
+        .orderBy(orderCols.take(peerCols.size): _*)
+      return df.withColumn(rankCol, rank().over(wPeer).cast("long"))
+        .withColumn(denseRankCol, dense_rank().over(wPeer).cast("long"))
+    }
     val gCols = groupCols.map(col)
     val pCols = peerCols.map(col)
     // checkpoint AFTER the windows: both consumers (offsets aggregate and
@@ -246,10 +285,16 @@ object GlobalRank {
     * the add-back join is null-safe for the same reason. */
   def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[Column], valueCol: String,
-                       cumCol: String): DataFrame = {
+                       cumCol: String,
+                       smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(groupCols.nonEmpty, "groupedPrefixSum needs group columns" +
       " (use globalPrefixSum for the ungrouped form)")
     require(orderCols.nonEmpty, "groupedPrefixSum needs at least one order column")
+    if (isSmall(df, smallInputBytes))
+      return df.withColumn(cumCol, sum(col(valueCol).cast("decimal(38,0)"))
+        .over(Window.partitionBy(groupCols.map(col).toIndexedSeq: _*)
+          .orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val gCols = groupCols.map(col)
     val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)
@@ -288,8 +333,13 @@ object GlobalRank {
     * The primitive behind cumulative-share curves and systematic /
     * PPS sampling ([[graft.llm.Sampling.ppsSystematic]]). */
   def globalPrefixSum(df: DataFrame, orderCols: Seq[Column],
-                      valueCol: String, cumCol: String): DataFrame = {
+                      valueCol: String, cumCol: String,
+                      smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(orderCols.nonEmpty, "globalPrefixSum needs at least one order column")
+    if (isSmall(df, smallInputBytes))
+      return df.withColumn(cumCol, sum(col(valueCol).cast("decimal(38,0)"))
+        .over(Window.orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("__gp_pid", spark_partition_id())
@@ -323,9 +373,22 @@ object GlobalRank {
   def globalRowNumberAndPrefixSum(df: DataFrame, orderCols: Seq[Column],
                                   valueCol: String, rnCol: String,
                                   cumCol: String, nCol: String,
-                                  totCol: String): DataFrame = {
+                                  totCol: String,
+                                  smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(orderCols.nonEmpty,
       "globalRowNumberAndPrefixSum needs at least one order column")
+    if (isSmall(df, smallInputBytes)) {
+      // same column order as the two-phase form: nCol, totCol, rnCol, cumCol
+      val w = Window.orderBy(orderCols: _*)
+      // no orderBy -> default frame = the ENTIRE (single) partition
+      val wAll = Window.partitionBy()
+      return df
+        .withColumn(nCol, count(lit(1)).over(wAll))
+        .withColumn(totCol, sum(col(valueCol).cast("decimal(38,0)")).over(wAll))
+        .withColumn(rnCol, row_number().over(w).cast("long"))
+        .withColumn(cumCol, sum(col(valueCol).cast("decimal(38,0)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    }
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(nParts, orderCols: _*)
       .withColumn("__gb_pid", spark_partition_id())
@@ -375,9 +438,14 @@ object GlobalRank {
     * struct. */
   def groupedLag(df: DataFrame, groupCols: Seq[String],
                  orderCols: Seq[Column], valueCol: String,
-                 lagCol: String): DataFrame = {
+                 lagCol: String,
+                 smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(groupCols.nonEmpty, "groupedLag needs group columns")
     require(orderCols.nonEmpty, "groupedLag needs at least one order column")
+    if (isSmall(df, smallInputBytes))
+      return df.withColumn(lagCol, lag(col(valueCol), 1)
+        .over(Window.partitionBy(groupCols.map(col).toIndexedSeq: _*)
+          .orderBy(orderCols: _*)))
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val gCols = groupCols.map(col)
     // eager pin, house style (see globalRowNumber): the local window and
@@ -502,10 +570,21 @@ object GlobalRank {
     * collapsed spine) a second time. */
   def groupedPrefixSumWithTotal(df: DataFrame, groupCols: Seq[String],
                                 orderCols: Seq[Column], valueCol: String,
-                                cumCol: String, totCol: String): DataFrame = {
+                                cumCol: String, totCol: String,
+                                smallInputBytes: Long = SmallInputBytesDefault): DataFrame = {
     require(groupCols.nonEmpty, "groupedPrefixSumWithTotal needs group columns")
     require(orderCols.nonEmpty,
       "groupedPrefixSumWithTotal needs at least one order column")
+    if (isSmall(df, smallInputBytes)) {
+      // same column order as the two-phase form: totCol, then cumCol;
+      // no orderBy -> default frame = the entire group
+      val wg = Window.partitionBy(groupCols.map(col).toIndexedSeq: _*)
+      return df
+        .withColumn(totCol, sum(col(valueCol).cast("decimal(38,0)")).over(wg))
+        .withColumn(cumCol, sum(col(valueCol).cast("decimal(38,0)"))
+          .over(wg.orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    }
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val gCols = groupCols.map(col)
     val ranged = df.repartitionByRange(nParts, gCols ++ orderCols: _*)

@@ -784,12 +784,23 @@ object Graph {
     * tie-break needs no secondary pass. */
   def labelPropagation(edges: DataFrame, rounds: Int = 2,
                        srcCol: String = "src", dstCol: String = "dst",
-                       weightCol: Option[String] = None): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+                       weightCol: Option[String] = None): DataFrame =
+    labelPropagationSym(
+      symmetrizeWeighted(edges, srcCol, dstCol, weightCol), rounds)
+
+  /** The shared symmetrize-with-summed-weights prologue of
+    * [[labelPropagation]] and [[louvainMove]]: influence flows both ways;
+    * zero or negative collapsed weights carry no votes (same guard as
+    * pagerank). Pinned (eager localCheckpoint) because every caller
+    * iterates over it. Exposed (package-private) so queries that run BOTH
+    * community algorithms over the SAME edge table (the NMI agreement
+    * metric) build it once instead of twice — the two engines' inputs
+    * are identical by construction either way. */
+  private[graft] def symmetrizeWeighted(edges: DataFrame, srcCol: String,
+                                        dstCol: String,
+                                        weightCol: Option[String]): DataFrame = {
     val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    // symmetrize with summed weights: influence flows both ways; zero or
-    // negative collapsed weights carry no votes (same guard as pagerank)
-    val sym = edges
+    edges
       .select(explode(array(
         struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"), w.as("__w")),
         struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"), w.as("__w"))))
@@ -798,6 +809,13 @@ object Graph {
       .groupBy(col("a"), col("b")).agg(sum(col("__w")).as("w"))
       .filter(col("w") > 0)
       .localCheckpoint(true)
+  }
+
+  /** [[labelPropagation]] over a pre-built [[symmetrizeWeighted]] frame
+    * (`sym(a, b, w)`, already pinned). */
+  private[graft] def labelPropagationSym(sym: DataFrame,
+                                         rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val nodes = sym.select(col("a").as("node")).distinct().localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
     var r = 0
@@ -1401,21 +1419,14 @@ object Graph {
     * Returns one row per node: (node, label). */
   def louvainMove(edges: DataFrame, rounds: Int = 2,
                   srcCol: String = "src", dstCol: String = "dst",
-                  weightCol: Option[String] = None): DataFrame = {
+                  weightCol: Option[String] = None): DataFrame =
+    louvainMoveSym(symmetrizeWeighted(edges, srcCol, dstCol, weightCol), rounds)
+
+  /** [[louvainMove]] over a pre-built [[symmetrizeWeighted]] frame
+    * (`sym(a, b, w)`, already pinned): k_i and Σtot read straight off
+    * `sym`, and Σ_i k_i = 2m exactly. */
+  private[graft] def louvainMoveSym(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    // symmetrize with summed weights (same construction as
-    // labelPropagation): k_i and Σtot then read straight off `sym`, and
-    // Σ_i k_i = 2m exactly
-    val sym = edges
-      .select(explode(array(
-        struct(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"), w.as("__w")),
-        struct(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b"), w.as("__w"))))
-        .as("__e"))
-      .select(col("__e.a").as("a"), col("__e.b").as("b"), col("__e.__w").as("__w"))
-      .groupBy(col("a"), col("b")).agg(sum(col("__w")).as("w"))
-      .filter(col("w") > 0)
-      .localCheckpoint(true)
     val deg = sym.groupBy(col("a")).agg(sum(col("w")).as("k"))
       .localCheckpoint(true)
     // 2m as a 1-row broadcast — the only "global" the gain needs

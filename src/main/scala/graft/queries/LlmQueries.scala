@@ -118,7 +118,15 @@ object LlmQueries {
     * weights, keeping only edges observed at least twice. One-off
     * co-occurrences are noise in a behavioral graph; the w >= 2 filter is
     * the standard backbone extraction that leaves real topology (hubs,
-    * triangles, cores) instead of a near-clique. */
+    * triangles, cores) instead of a near-clique.
+    *
+    * NOT pinned here: single-consumer call sites hand it straight to an
+    * operator that pins its own derived frame (sym/und), so a pin here
+    * would only add a redundant materialization. Call sites that fan the
+    * SAME ew into several independent evaluations (seed/pivot selection +
+    * the operator, or two operators sharing topology) pin at the call
+    * site — before r15 each such consumer re-ran this whole lag+aggregate
+    * prologue from the parquet scan. */
   private def backboneEdges(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
     transitionEdges(s, d)
@@ -987,7 +995,10 @@ object LlmQueries {
     Q("dedup_fuzzy_blocked", "LLM",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-          .withColumn("w1", split(col("text"), " ").getItem(0))
+          // first token without materializing the full split array
+          // (identical on empty / leading-space / delimiter-free / null
+          // inputs: both yield "" / "" / whole string / null)
+          .withColumn("w1", substring_index(col("text"), " ", 1))
         Dedup.fuzzyJoinBlocked(docs, "doc_id", "text",
             Seq("lang", "source", "w1"), maxDist = 20, prefixLen = 40)
           .orderBy("id_a", "id_b")
@@ -5000,7 +5011,7 @@ object LlmQueries {
     // both engines, so hop labels match exactly.
     Q("graph_khop_taint", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val nodes = ew.select(col("src").as("node"))
           .union(ew.select(col("dst").as("node"))).distinct()
         graft.operators.Graph.khopReach(ew,
@@ -5098,7 +5109,7 @@ object LlmQueries {
     // distances a hop counter cannot express.
     Q("graph_sssp", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val seeds = ew.agg(min(col("src")).as("node"))
         graft.operators.Graph.sssp(ew, seeds, rounds = 3).orderBy("node")
       },
@@ -5124,7 +5135,7 @@ object LlmQueries {
     // unrolls the same relax rounds keyed on (node, landmark).
     Q("graph_landmark_dist", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val sym = ew.select(col("src"), col("dst"))
           .unionByName(ew.select(col("dst").as("src"), col("src").as("dst")))
         val lms = sym.select(col("src").as("node")).distinct()
@@ -5157,7 +5168,7 @@ object LlmQueries {
     // L linear BFS passes once, then O(L) per query forever.
     Q("graph_landmark_estimate", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val sym = ew.select(col("src"), col("dst"))
           .unionByName(ew.select(col("dst").as("src"), col("src").as("dst")))
         val nodes = sym.select(col("src").as("node")).distinct()
@@ -5255,7 +5266,7 @@ object LlmQueries {
     // stage.
     Q("graph_supergraph", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val labels = graft.operators.Graph.labelPropagation(
           ew, rounds = 2, weightCol = Some("w"))
         graft.operators.Graph.coarsen(ew, labels, weightCol = Some("w"))
@@ -6090,31 +6101,40 @@ object LlmQueries {
              |ORDER BY item_a, item_b""".stripMargin)),
 
     // ANALYZE-shape table statistics: per-column null count, exact NDV,
-    // min/max — the CBO inputs — for four lineitem columns in ONE
-    // aggregation pass (multi-distinct folds via the Expand rewrite;
-    // numerics read out as integer cents so min/max strings are
-    // engine-proof). Row-per-column report like the DQ suite.
+    // min/max — the CBO inputs — for four lineitem columns. TWO keyless
+    // aggregation passes (r15, guide §2.3/§4): the exact-NDV pass keeps
+    // ONLY the countDistincts, so its Expand rewrite carries nothing but
+    // fixed-width long buffers and whole-stage hash-aggregates; the
+    // min/max/null pass holds the string-buffered aggregates that would
+    // otherwise force the whole Expand aggregate sort-based (SortAggregate
+    // over 5x-expanded corpus in one task — the board's slowest query at
+    // 12.5 s / 19 s max task before the split). The two 1-row results
+    // meet by broadcast cross join; numerics read out as integer cents so
+    // min/max strings are engine-proof. Row-per-column report like the
+    // DQ suite.
     Q("profile_table_stats", "LLM",
       (s, d) => {
         val li = Tables(s, d, "lineitem")
           .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
-        val one = li.agg(
+        val ndv = li.agg(
+          countDistinct(col("l_orderkey")).as("d1"),
+          countDistinct(col("qty_c")).as("d2"),
+          countDistinct(col("l_returnflag")).as("d3"),
+          countDistinct(col("l_shipdate")).as("d4"))
+        val mm = li.agg(
           count(lit(1)).as("n"),
           sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
-          countDistinct(col("l_orderkey")).as("d1"),
           min(col("l_orderkey")).cast("string").as("mn1"),
           max(col("l_orderkey")).cast("string").as("mx1"),
           sum(when(col("qty_c").isNull, 1L).otherwise(0L)).as("nn2"),
-          countDistinct(col("qty_c")).as("d2"),
           min(col("qty_c")).cast("string").as("mn2"),
           max(col("qty_c")).cast("string").as("mx2"),
           sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn3"),
-          countDistinct(col("l_returnflag")).as("d3"),
           min(col("l_returnflag")).as("mn3"), max(col("l_returnflag")).as("mx3"),
           sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nn4"),
-          countDistinct(col("l_shipdate")).as("d4"),
           min(col("l_shipdate")).cast("string").as("mn4"),
           max(col("l_shipdate")).cast("string").as("mx4"))
+        val one = ndv.crossJoin(broadcast(mm))
         val rows = Seq(("l_orderkey", "1"), ("l_quantity_cents", "2"),
           ("l_returnflag", "3"), ("l_shipdate", "4")).map { case (nm, i) =>
           struct(lit(nm).as("column_name"), col("n").as("n_rows"),
@@ -6648,12 +6668,15 @@ object LlmQueries {
     // after is label-universe-sized metadata.
     Q("graph_partition_nmi", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
-        val x = graft.operators.Graph.labelPropagation(
-          ew, rounds = 2, weightCol = Some("w"))
+        // ONE symmetrize over ONE backbone evaluation (r15 optimization):
+        // both community algorithms consume the identical sym(a, b, w)
+        // frame, so building it twice paid the transition-lag + backbone
+        // aggregate + symmetrize shuffle twice for bit-identical inputs
+        val sym = graft.operators.Graph.symmetrizeWeighted(
+          backboneEdges(s, d), "src", "dst", Some("w"))
+        val x = graft.operators.Graph.labelPropagationSym(sym, rounds = 2)
           .select(col("node"), col("label").as("lx"))
-        val y = graft.operators.Graph.louvainMove(
-          ew, rounds = 2, weightCol = Some("w"))
+        val y = graft.operators.Graph.louvainMoveSym(sym, rounds = 2)
           .select(col("node"), col("label").as("ly"))
         val j = x.join(y, "node").localCheckpoint(true)
         val nij = j.groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("nij"))
@@ -6694,7 +6717,7 @@ object LlmQueries {
     // leak. Cut edges charged to both sides via a 2-element explode.
     Q("graph_conductance", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val labels = graft.operators.Graph.labelPropagation(
           ew, rounds = 2, weightCol = Some("w"))
         graft.operators.Graph.conductance(ew, labels)
@@ -6736,7 +6759,7 @@ object LlmQueries {
     // bounded audit columns and the milli read-out stay BIGINT.
     Q("graph_modularity", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val labels = graft.operators.Graph.labelPropagation(
           ew, rounds = 2, weightCol = Some("w"))
         graft.operators.Graph.modularity(ew, labels)
@@ -6800,7 +6823,7 @@ object LlmQueries {
     // this number; it should not lose to LPA's).
     Q("graph_louvain_modularity", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val labels = graft.operators.Graph.louvainMove(
           ew, rounds = 2, weightCol = Some("w"))
         graft.operators.Graph.modularity(ew, labels)
@@ -6849,7 +6872,7 @@ object LlmQueries {
     // |pivots|·|V|-bounded state; the oracle unrolls the same hops.
     Q("graph_harmonic", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val und = ew.filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v")).distinct()
@@ -6889,7 +6912,7 @@ object LlmQueries {
     // forensics ranking.
     Q("graph_betweenness", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val und = ew.filter(col("src") =!= col("dst"))
           .select(least(col("src"), col("dst")).as("u"),
             greatest(col("src"), col("dst")).as("v")).distinct()
@@ -6961,7 +6984,8 @@ object LlmQueries {
     // Integer milli ratio, truncating division.
     Q("graph_reciprocity", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d).select(col("src"), col("dst"))
+        val ew = backboneEdges(s, d).localCheckpoint(true)
+          .select(col("src"), col("dst"))
         val rec = ew.join(
           ew.select(col("dst").as("src"), col("src").as("dst")),
           Seq("src", "dst"), "left_semi")
@@ -7030,7 +7054,7 @@ object LlmQueries {
     // cannot hide.
     Q("graph_entity_relations", "GRAPH",
       (s, d) => {
-        val ew = backboneEdges(s, d)
+        val ew = backboneEdges(s, d).localCheckpoint(true)
         val sl = graft.operators.ConnectedComponents.run(
           ew.filter(col("w") >= 4), "src", "dst")
         val nodes = ew.select(col("src").as("node"))

@@ -587,27 +587,56 @@ class PlanSpec extends SparkSpec {
 
   test("exact global ranks never funnel the corpus through one window task") {
     // GlobalRank.globalRowNumber replaced the partition-less
-    // row_number().over(Window.orderBy(...)) in these three plans; the
-    // only legal partition-less WindowExec left is the offsets running
-    // sum, whose input is a per-shuffle-partition aggregate (≤ nParts
-    // rows). AQE off so executedPlan is a concrete traversable tree.
+    // row_number().over(Window.orderBy(...)) in these plans. r15: the
+    // helper dispatches on the Catalyst size estimate — BELOW the bound a
+    // partition-less window over a provably-small input is the intended
+    // optimal branch, so the query-level lock only rejects a bare window
+    // whose input is neither aggregated NOR small. The 100 TB shape is
+    // locked on the pinned operator (smallInputBytes = 0) below. AQE off
+    // so executedPlan is a concrete traversable tree.
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try Seq("event_winsorize", "sample_quantile_norm", "eth_address_ids",
-      "skyline_price_discount", "sample_pps", "event_mad_outliers",
-      "event_pareto_curve")
-      .foreach { name =>
-        val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
-        val bare = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-        bare.foreach { w =>
-          val overAggregate =
-            w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
-          assert(overAggregate,
-            s"$name: partition-less Window over non-aggregated (corpus-sized) input:\n$w")
+    try {
+      Seq("event_winsorize", "sample_quantile_norm", "eth_address_ids",
+        "skyline_price_discount", "sample_pps", "event_mad_outliers",
+        "event_pareto_curve")
+        .foreach { name =>
+          val q = Registry.queries(name)(spark, dir)
+          val p = q.queryExecution.executedPlan
+          val bare = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+          bare.foreach { w =>
+            val overAggregate =
+              w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty
+            // the dispatch bound: a bare window is also legal when its
+            // input's optimized-plan size estimate is under the bound
+            val small = w.child.logicalLink
+              .forall(_.stats.sizeInBytes <=
+                BigInt(graft.operators.GlobalRank.SmallInputBytesDefault))
+            assert(overAggregate || small,
+              s"$name: partition-less Window over non-aggregated, " +
+                s"non-small (corpus-sized) input:\n$w")
+          }
         }
-      }
-    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // the PINNED branch (smallInputBytes = 0) must keep the two-phase
+      // shape: pid-partitioned local window, offsets over an aggregate
+      import org.apache.spark.sql.functions.{col => c}
+      val pinned = graft.operators.GlobalRank.globalRowNumber(
+          graft.queries.Tables(spark, dir, "events")
+            .select(c("event_id"), c("value")),
+          Seq(c("value"), c("event_id")), "__rn", smallInputBytes = 0L)
+        .queryExecution.executedPlan
+      assert(pinned.collect { case w: WindowExec => w }.exists(
+        _.partitionSpec.exists(_.references.exists(
+          _.name.startsWith("__gr_pid")))),
+        "pinned globalRowNumber: expected the two-phase pid-partitioned window")
+      pinned.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(w.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+            s"pinned globalRowNumber: bare window must sit over the " +
+              s"dimension-sized offsets aggregate:\n$w")
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("low-cardinality window keys never sort corpus input in one task per key") {
@@ -625,23 +654,45 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val lowCardLocks = Seq(
-        "w3_rank_dense" -> "o_orderpriority",
-        "w4_ntile_moving" -> "o_orderpriority",
-        "w6_percent_rank" -> "o_orderpriority",
-        "clean_impute_median" -> "l_returnflag",
-        "agg_weighted_median" -> "l_returnflag",
+      // r15: every GlobalRank two-phase helper dispatches on the Catalyst
+      // size estimate (GlobalRank.SmallInputBytesDefault, same pattern and
+      // bound as w7/BandedRange) — at spec scale these queries take the
+      // NATIVE window (one exchange + one sort, the optimal small-input
+      // plan), so the query-level lock asserts the dispatch FIRED (no
+      // two-phase marker columns left in the plan). The 100 TB branch is
+      // locked on the pinned operators (smallInputBytes = 0) below.
+      val dispatchLocks = Seq(
+        "w3_rank_dense", "w4_ntile_moving", "w6_percent_rank",
         // r13: the transition-edge lag moved to GlobalRank.groupedLag —
         // the 5-value event_type window was the graph family's sf10
         // max-task; degree_dist is the representative consumer
-        "graph_degree_dist" -> "event_type",
-        "curriculum_tiers" -> "source",
-        "llm_corpus_pipeline_v3" -> "source",
-        "sample_quantile_norm" -> "source",
+        "graph_degree_dist",
+        "curriculum_tiers", "sample_quantile_norm")
+      dispatchLocks.foreach { name =>
+        val p = Registry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(!p.contains("__gg_pid") && !p.contains("__lg_pid")
+            && !p.contains("__gd_pid"),
+          s"$name: below the size bound the grouped helpers must take the " +
+            s"native window, not the two-phase machinery:\n$p")
+      }
+      // llm_corpus_pipeline_v3's ranking input is a corpus⋈broadcast join
+      // — Catalyst's join size estimate multiplies past the bound, so the
+      // dispatch (correctly, conservatively) keeps the two-phase branch
+      // even at spec scale: unreliable stats must fail toward the plan
+      // that survives 100 TB. Lock that it stays two-phase.
+      assert(Registry.queries("llm_corpus_pipeline_v3")(spark, dir)
+        .queryExecution.executedPlan.toString.contains("__gg_pid"),
+        "llm_corpus_pipeline_v3: expected the retained two-phase ranking " +
+          "(join-inflated stats must not dispatch to the native window)")
+      // aggregate-fronted shapes (no dispatch): a window partitioned by
+      // the low-card key alone must sit over dimension-sized (aggregated)
+      // input. A ReusedExchange counts when its ORIGIN exchange sits over
+      // one (exchange reuse hides the aggregate subtree from this branch).
+      val lowCardLocks = Seq(
+        "clean_impute_median" -> "l_returnflag",
+        "agg_weighted_median" -> "l_returnflag",
         "w10_dist_functions" -> "event_type")
-      // an aggregate below the window proves dimension-sized input; a
-      // ReusedExchange counts when its ORIGIN exchange sits over one
-      // (exchange reuse hides the aggregate subtree from this branch)
       def aggBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.collectFirst { case a: BaseAggregateExec => a }.nonEmpty ||
           p.collect {
@@ -660,24 +711,33 @@ class PlanSpec extends SparkSpec {
               s"over non-aggregated (corpus-sized) input:\n$w")
         }
       }
-      // the rank-algebra rewrites must actually BE two-phase, not merely
-      // aggregate-fronted
-      Seq("w4_ntile_moving", "w6_percent_rank",
-        "curriculum_tiers", "llm_corpus_pipeline_v3",
-        "sample_quantile_norm").foreach { name =>
-        val p = Registry.queries(name)(spark, dir).queryExecution.executedPlan
-        assert(p.collect { case w: WindowExec => w }.exists(
-          _.partitionSpec.exists(_.references.exists(
-            _.name.startsWith("__gg_pid")))),
-          s"$name: expected the two-phase grouped ranking (pid-partitioned window)")
-      }
-      // w3's single-pass groupedRankDense (r12) checkpoints AFTER the
-      // local windows, so the pid-partitioned window is interior to the
-      // materialized checkpoint and invisible in the query's executedPlan.
-      // Lock it on the operator's exposed local phase instead, with w3's
-      // exact shape parameters; the query-side evidence is the stitched
-      // local-rank columns surviving into the checkpointed LogicalRDD.
+      // the PINNED (smallInputBytes = 0) branch of each dispatched helper
+      // must keep the two-phase shape — the plan that survives a
+      // low-cardinality group key at 100 TB. Locked on the operators with
+      // the queries' exact shape parameters (w7Banded pattern below).
       import org.apache.spark.sql.functions.{col => c}
+      val ordersProj = graft.queries.Tables(spark, dir, "orders")
+        .select(c("o_orderkey"), c("o_orderpriority"), c("o_totalprice"))
+      val pinnedRn = graft.operators.GlobalRank.groupedRowNumber(ordersProj,
+          Seq("o_orderpriority"), Seq(c("o_totalprice"), c("o_orderkey")),
+          "__rn", smallInputBytes = 0L)
+        .queryExecution.executedPlan
+      assert(pinnedRn.collect { case w: WindowExec => w }.exists(
+        _.partitionSpec.exists(_.references.exists(
+          _.name.startsWith("__gg_pid")))),
+        "pinned groupedRowNumber: expected the two-phase pid-partitioned window")
+      val pinnedLag = graft.operators.GlobalRank.groupedLag(
+          graft.queries.Tables(spark, dir, "events")
+            .select(c("event_type"), c("ts"), c("event_id"), c("user_id")),
+          Seq("event_type"), Seq(c("ts"), c("event_id")), "user_id", "src",
+          smallInputBytes = 0L)
+        .queryExecution.executedPlan
+      assert(pinnedLag.toString.contains("__lg_pid"),
+        "pinned groupedLag: expected the two-phase slice-stitched shape")
+      // w3's single-pass groupedRankDense checkpoints AFTER the local
+      // windows, so the pid-partitioned window is interior to the
+      // materialized checkpoint — lock it on the operator's exposed local
+      // phase, with w3's exact shape parameters.
       val w3Local = graft.operators.GlobalRank.groupedRankDenseLocal(
         graft.queries.Tables(spark, dir, "orders")
           .select(c("o_orderpriority"), c("o_orderkey"), c("o_totalprice")),
@@ -688,9 +748,6 @@ class PlanSpec extends SparkSpec {
         _.partitionSpec.exists(_.references.exists(
           _.name.startsWith("__gd_pid")))),
         "groupedRankDense local phase: expected the pid-partitioned window")
-      assert(Registry.queries("w3_rank_dense")(spark, dir)
-        .queryExecution.executedPlan.toString.contains("__gd_lrank"),
-        "w3_rank_dense: expected the single-pass rank/dense stitch columns")
       // clean_impute_median: the 3-row medians meet the corpus by
       // BROADCAST — the un-hinted size estimate ran through the window
       // subtree and shuffled the whole corpus at sf1 (711x bytes)

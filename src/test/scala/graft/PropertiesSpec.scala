@@ -412,14 +412,20 @@ class PropertiesSpec extends SparkSpec {
     // and the range-boundary tie colocating both get exercised
     val df = (1 to 2000).map(i => (i.toLong, (i * 37 % 23).toLong))
       .toDF("id", "v")
+    // smallInputBytes = 0 pins the two-phase branch — the point of this
+    // property is two-phase == single-task, not the small-input dispatch
     def ranked(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-      graft.operators.GlobalRank.globalRowNumber(d, Seq(col("v"), col("id")), "rn")
+      graft.operators.GlobalRank.globalRowNumber(d, Seq(col("v"), col("id")), "rn",
+          smallInputBytes = 0L)
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
     val expect = df.collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy { case (id, v) => (v, id) }.zipWithIndex
       .map { case ((id, _), i) => id -> (i + 1L) }.toMap
     assert(ranked(df) == expect)
     assert(ranked(df.repartition(17)) == expect) // physical layout must not matter
+    // the r15 small-input dispatch (default bound) must return the same rows
+    assert(graft.operators.GlobalRank.globalRowNumber(df, Seq(col("v"), col("id")), "rn")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap == expect)
   }
 
   test("groupedRowNumber/groupedRankDense equal the window forms for arbitrary data and partitionings") {
@@ -431,8 +437,10 @@ class PropertiesSpec extends SparkSpec {
       (i.toLong, if (i % 5 == 0) null else s"g${i % 3}", (i * 37 % 23).toLong))
       .toDF("id", "g", "v")
     def rn(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      // smallInputBytes = 0 pins the two-phase branch (the property under
+      // test); the default-dispatch branch is asserted at the end
       graft.operators.GlobalRank.groupedRowNumber(d, Seq("g"),
-          Seq(col("v"), col("id")), "rn")
+          Seq(col("v"), col("id")), "rn", smallInputBytes = 0L)
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
     val expectRn = df.withColumn("rn", row_number()
         .over(Window.partitionBy(col("g")).orderBy(col("v"), col("id"))).cast("long"))
@@ -441,7 +449,7 @@ class PropertiesSpec extends SparkSpec {
     assert(rn(df.repartition(17)) == expectRn) // physical layout must not matter
     def rd(d: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
       graft.operators.GlobalRank.groupedRankDense(d, Seq("g"), Seq("v"),
-          Seq(col("v").desc, col("id")), "rnk", "drnk")
+          Seq(col("v").desc, col("id")), "rnk", "drnk", smallInputBytes = 0L)
         .collect().map(r => r.getAs[Long]("id") ->
           ((r.getAs[Long]("rnk"), r.getAs[Long]("drnk")))).toMap
     val wd = Window.partitionBy(col("g")).orderBy(col("v").desc)
@@ -451,6 +459,15 @@ class PropertiesSpec extends SparkSpec {
         ((r.getAs[Long]("rnk"), r.getAs[Long]("drnk")))).toMap
     assert(rd(df) == expectRd)
     assert(rd(df.repartition(17)) == expectRd)
+    // the r15 small-input dispatch (default bound) must return the same rows
+    assert(graft.operators.GlobalRank.groupedRowNumber(df, Seq("g"),
+        Seq(col("v"), col("id")), "rn")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rn")).toMap
+      == expectRn)
+    assert(graft.operators.GlobalRank.groupedRankDense(df, Seq("g"), Seq("v"),
+        Seq(col("v").desc, col("id")), "rnk", "drnk")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rnk"), r.getAs[Long]("drnk")))).toMap == expectRd)
   }
 
   test("BandedRange.peersWithin equals the RANGE-frame window count, negatives, boundaries, and nulls included") {
@@ -486,7 +503,7 @@ class PropertiesSpec extends SparkSpec {
       .toDF("id", "g", "w")
     def cum(d: org.apache.spark.sql.DataFrame): Map[Long, BigDecimal] =
       graft.operators.GlobalRank.groupedPrefixSum(d, Seq("g"),
-          Seq(col("id")), "w", "cw")
+          Seq(col("id")), "w", "cw", smallInputBytes = 0L)
         .collect().map(r => r.getAs[Long]("id") ->
           BigDecimal(r.getAs[java.math.BigDecimal]("cw"))).toMap
     val expect = df.withColumn("cw", sum(col("w")).over(
@@ -495,6 +512,11 @@ class PropertiesSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> BigDecimal(r.getAs[Long]("cw"))).toMap
     assert(cum(df) == expect)
     assert(cum(df.repartition(17)) == expect)
+    // the r15 small-input dispatch (default bound) must return the same rows
+    assert(graft.operators.GlobalRank.groupedPrefixSum(df, Seq("g"),
+        Seq(col("id")), "w", "cw")
+      .collect().map(r => r.getAs[Long]("id") ->
+        BigDecimal(r.getAs[java.math.BigDecimal]("cw"))).toMap == expect)
   }
 
   test("grouped ranking family: empty inputs yield empty (typed) outputs") {
@@ -555,8 +577,10 @@ class PropertiesSpec extends SparkSpec {
       (if (i % 11 == 0) null else s"t${i % 3}", i.toLong,
         if (i % 7 == 0) null else java.lang.Long.valueOf((i * 13 % 97).toLong)))
       .toDF("g", "ord", "v")
+    // smallInputBytes = 0 pins the two-phase branch (the property under test)
     val got = graft.operators.GlobalRank.groupedLag(
-        df.repartition(23), Seq("g"), Seq(col("ord")), "v", "prev")
+        df.repartition(23), Seq("g"), Seq(col("ord")), "v", "prev",
+        smallInputBytes = 0L)
       .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
         Option(r.getAs[java.lang.Long]("prev"))).toMap
     val expect = df
@@ -565,6 +589,11 @@ class PropertiesSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
         Option(r.getAs[java.lang.Long]("prev"))).toMap
     assert(got == expect)
+    // the r15 small-input dispatch (default bound) must return the same rows
+    assert(graft.operators.GlobalRank.groupedLag(
+        df.repartition(23), Seq("g"), Seq(col("ord")), "v", "prev")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        Option(r.getAs[java.lang.Long]("prev"))).toMap == expect)
     // empty input
     val empty = Seq.empty[(String, Long, Long)].toDF("g", "ord", "v")
     assert(graft.operators.GlobalRank.groupedLag(empty, Seq("g"),
@@ -580,7 +609,8 @@ class PropertiesSpec extends SparkSpec {
       .toDF("id", "g", "w")
     // grouped prefix sum with total
     val got = graft.operators.GlobalRank.groupedPrefixSumWithTotal(
-        df.repartition(17), Seq("g"), Seq(col("id")), "w", "cw", "tw")
+        df.repartition(17), Seq("g"), Seq(col("id")), "w", "cw", "tw",
+        smallInputBytes = 0L)
       .collect().map(r => r.getAs[Long]("id") ->
         ((BigDecimal(r.getAs[java.math.BigDecimal]("cw")),
           BigDecimal(r.getAs[java.math.BigDecimal]("tw"))))).toMap
@@ -593,7 +623,8 @@ class PropertiesSpec extends SparkSpec {
     assert(got == expect)
     // global fused rank + prefix sum + grand totals
     val gotG = graft.operators.GlobalRank.globalRowNumberAndPrefixSum(
-        df.repartition(13), Seq(col("w"), col("id")), "w", "rn", "cw", "n", "tv")
+        df.repartition(13), Seq(col("w"), col("id")), "w", "rn", "cw", "n", "tv",
+        smallInputBytes = 0L)
       .collect().map(r => r.getAs[Long]("id") ->
         ((r.getAs[Long]("rn"), BigDecimal(r.getAs[java.math.BigDecimal]("cw")),
           r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("tv"))))).toMap
@@ -606,6 +637,18 @@ class PropertiesSpec extends SparkSpec {
         ((r.getAs[Long]("rn"), BigDecimal(r.getAs[Long]("cw")),
           r.getAs[Long]("n"), BigDecimal(r.getAs[Long]("tv"))))).toMap
     assert(gotG == expectG)
+    // the r15 small-input dispatch (default bound) must return the same rows
+    assert(graft.operators.GlobalRank.groupedPrefixSumWithTotal(
+        df.repartition(17), Seq("g"), Seq(col("id")), "w", "cw", "tw")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((BigDecimal(r.getAs[java.math.BigDecimal]("cw")),
+          BigDecimal(r.getAs[java.math.BigDecimal]("tw"))))).toMap == expect)
+    assert(graft.operators.GlobalRank.globalRowNumberAndPrefixSum(
+        df.repartition(13), Seq(col("w"), col("id")), "w", "rn", "cw", "n", "tv")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rn"), BigDecimal(r.getAs[java.math.BigDecimal]("cw")),
+          r.getAs[Long]("n"), BigDecimal(r.getAs[java.math.BigDecimal]("tv"))))).toMap
+      == expectG)
   }
 
   test("salted two-phase topNgrams equals the naive group-window ranking") {
@@ -639,7 +682,8 @@ class PropertiesSpec extends SparkSpec {
     val df = (1 to 2000).map(i => (i.toLong, ((i * 37 % 23) - 5).toLong))
       .toDF("id", "w")
     def cum(d: org.apache.spark.sql.DataFrame): Map[Long, BigDecimal] =
-      graft.operators.GlobalRank.globalPrefixSum(d, Seq(col("id")), "w", "cw")
+      graft.operators.GlobalRank.globalPrefixSum(d, Seq(col("id")), "w", "cw",
+          smallInputBytes = 0L)
         .collect()
         .map(r => r.getAs[Long]("id") -> BigDecimal(r.getAs[java.math.BigDecimal]("cw")))
         .toMap
@@ -648,6 +692,11 @@ class PropertiesSpec extends SparkSpec {
       .sortBy(_._1).map { case (id, w) => run += w; id -> BigDecimal(run) }.toMap
     assert(cum(df) == expect)
     assert(cum(df.repartition(17)) == expect) // physical layout must not matter
+    // the r15 small-input dispatch (default bound) must return the same rows
+    assert(graft.operators.GlobalRank.globalPrefixSum(df, Seq(col("id")), "w", "cw")
+      .collect()
+      .map(r => r.getAs[Long]("id") -> BigDecimal(r.getAs[java.math.BigDecimal]("cw")))
+      .toMap == expect)
   }
 
   test("KmvBottomK equals sorted-distinct-take-k for arbitrary long multisets") {
