@@ -517,10 +517,16 @@ object TextAnalysis {
                         pct: Double = 0.5): DataFrame = {
     require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
     val toks = tokens(col(textCol))
+    // pinned: the tokenizer runs ONCE — the threshold pass and the gate
+    // pass both read the fixed-width per-doc scores from the checkpoint
     val m = df.select(col(idCol),
         stopwordHits(toks).cast("long").as("__swh"), size(toks).as("n_tokens"))
       .withColumn("swr_milli", expr("(__swh * 1000) div n_tokens"))
-    val thr = m.agg(expr(s"percentile(swr_milli, $pct)").as("__p"))
+      .localCheckpoint(true)
+    // r15: distributed rank selection (bit-identical to the `percentile`
+    // aggregate, whose merge buffer holds every corpus score in one task)
+    val thr = graft.operators.GlobalRank.exactPercentile(m, Seq.empty,
+      "swr_milli", Seq(col(idCol)), pct, "__p")
     m.crossJoin(broadcast(thr))
       .filter(col("swr_milli") >= col("__p"))
       .select(col(idCol), col("n_tokens"), col("swr_milli"))
@@ -889,9 +895,15 @@ object TextAnalysis {
   def perplexityGate(df: DataFrame, idCol: String, textCol: String,
                      lambdaMilli: Int = 800, pct: Double = 0.5): DataFrame = {
     require(pct > 0 && pct < 1, s"pct must be in (0, 1), got $pct")
+    // pinned: the corpus-LM scoring pass runs ONCE — the threshold pass
+    // and the gate pass both read the fixed-width per-doc scores from
+    // the checkpoint
     val scored = bigramLogProbScores(df, idCol, textCol, lambdaMilli)
       .withColumn("nll_micro", expr("(-logprob_bi) div n_bigrams"))
-    val thr = scored.agg(expr(s"percentile(nll_micro, $pct)").as("__p"))
+      .localCheckpoint(true)
+    // r15: distributed rank selection (see [[globalQualityGate]])
+    val thr = graft.operators.GlobalRank.exactPercentile(scored, Seq.empty,
+      "nll_micro", Seq(col(idCol)), pct, "__p")
     scored.crossJoin(broadcast(thr))
       .filter(col("nll_micro") <= col("__p"))
       .select(col(idCol), col("n_bigrams"), col("nll_micro"))

@@ -364,18 +364,34 @@ object RelationalQueries {
     // engine-specific, so — like agg_approx_distinct — the query emits the
     // exact interpolated p90 plus a "sketch within 2% of exact" flag, and
     // the oracle asserts both.
+    //
+    // r15 (guide §2.5/§5): the exact side is distributed rank selection
+    // (GlobalRank.exactPercentile), not the `percentile` aggregate — that
+    // aggregate collects every group value into one buffer and merges it
+    // in a single task (1.4 s max task at sf0.1; O(group) memory at
+    // 100 TB). Bit-identical read-out (the helper replicates
+    // Percentile.getPercentile's interpolation); the sketch side keeps
+    // its bounded-buffer aggregate.
     Q("agg_approx_percentile", "A",
-      (s, d) => Tables(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("approx"))
-        // integer 1e-4 units: both engines round the SAME double product
-        // at scale 0 (round(double, 4) is the w6 divergence class)
-        .select(col("l_returnflag"),
-          round(col("exact_p90") * 1e4).cast("long").as("exact_p90_e4"),
-          (abs(col("approx") - col("exact_p90")) / col("exact_p90") <= 0.02)
-            .as("approx_within_tol"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+        val exact = graft.operators.GlobalRank.exactPercentile(li,
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq(col("l_orderkey"), col("l_linenumber")), 0.9, "exact_p90")
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("approx"))
+        exact.join(broadcast(approx), Seq("l_returnflag"))
+          // integer 1e-4 units: both engines round the SAME double product
+          // at scale 0 (round(double, 4) is the w6 divergence class)
+          .select(col("l_returnflag"),
+            round(col("exact_p90") * 1e4).cast("long").as("exact_p90_e4"),
+            (abs(col("approx") - col("exact_p90")) / col("exact_p90") <= 0.02)
+              .as("approx_within_tol"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |       CAST(round(quantile_cont(l_extendedprice, 0.9) * 10000) AS BIGINT) AS exact_p90_e4,
              |       TRUE AS approx_within_tol
@@ -1496,12 +1512,16 @@ object RelationalQueries {
              |                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
-    // Exact median (interpolated percentile) per group on integer cents.
+    // Exact median (interpolated percentile) per group on integer cents —
+    // r15: rank selection (GlobalRank.exactPercentile), not the
+    // collect-all-values `percentile` aggregate; bit-identical read-out.
     Q("agg_median", "A",
-      (s, d) => Tables(s, d, "orders")
-        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
-        .groupBy("o_orderpriority")
-        .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+      (s, d) => graft.operators.GlobalRank.exactPercentile(
+          Tables(s, d, "orders")
+            .select(col("o_orderpriority"), col("o_orderkey"),
+              cents(col("o_totalprice")).as("cents")),
+          Seq("o_orderpriority"), "cents", Seq(col("o_orderkey")),
+          0.5, "median_cents")
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
              |       quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents

@@ -470,6 +470,41 @@ class PropertiesSpec extends SparkSpec {
         ((r.getAs[Long]("rnk"), r.getAs[Long]("drnk")))).toMap == expectRd)
   }
 
+  test("exactPercentile equals the percentile aggregate: grouped, global, nulls, ties, both branches") {
+    // duplicate-heavy values (ties), planted nulls (the aggregate skips
+    // them), a null group key (an ordinary group), non-integral and
+    // integral interpolation positions across several pct values
+    val df = (1 to 1999).map { i =>
+      val g = if (i % 13 == 0) null else s"g${i % 4}"
+      val v = if (i % 17 == 0) null
+              else java.lang.Long.valueOf((i * 37 % 53) * 10L)
+      (i.toLong, g, v)
+    }.toDF("id", "g", "v")
+    for (pct <- Seq(0.25, 0.5, 0.9); pin <- Seq(0L, Long.MaxValue)) {
+      val got = graft.operators.GlobalRank.exactPercentile(df, Seq("g"), "v",
+          Seq(col("id")), pct, "p", smallInputBytes = pin)
+        .collect().map(r => Option(r.getAs[String]("g")) ->
+          (if (r.isNullAt(1)) None else Some(r.getAs[Double]("p")))).toMap
+      val want = df.groupBy(col("g"))
+        .agg(expr(s"percentile(v, $pct)").as("p"))
+        .collect().map(r => Option(r.getAs[String]("g")) ->
+          (if (r.isNullAt(1)) None else Some(r.getAs[Double]("p")))).toMap
+      assert(got == want, s"grouped pct=$pct pin=$pin")
+      val gotG = graft.operators.GlobalRank.exactPercentile(df, Seq.empty, "v",
+          Seq(col("id")), pct, "p", smallInputBytes = pin)
+        .collect()(0)
+      val wantG = df.agg(expr(s"percentile(v, $pct)")).collect()(0)
+      assert(gotG.getAs[Double]("p") == wantG.getDouble(0),
+        s"global pct=$pct pin=$pin")
+    }
+    // all-null input: one NULL row, like the aggregate
+    val nulls = Seq((1L, "a"), (2L, "b")).toDF("id", "g")
+      .withColumn("v", lit(null).cast("long"))
+    val r0 = graft.operators.GlobalRank.exactPercentile(nulls, Seq.empty, "v",
+      Seq(col("id")), 0.5, "p").collect()
+    assert(r0.length == 1 && r0(0).isNullAt(0))
+  }
+
   test("BandedRange.peersWithin equals the RANGE-frame window count, negatives, boundaries, and nulls included") {
     import org.apache.spark.sql.expressions.Window
     // values straddle 0 and land exactly on bucket boundaries (multiples
