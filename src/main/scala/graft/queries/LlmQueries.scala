@@ -6671,13 +6671,23 @@ object LlmQueries {
         // ONE symmetrize over ONE backbone evaluation (r15 optimization):
         // both community algorithms consume the identical sym(a, b, w)
         // frame, so building it twice paid the transition-lag + backbone
-        // aggregate + symmetrize shuffle twice for bit-identical inputs
+        // aggregate + symmetrize shuffle twice for bit-identical inputs.
+        // The two detections then run CONCURRENTLY (guide §2.6): their
+        // per-round jobs are frontier-sized and latency-bound, so
+        // overlapping the two independent iteration chains hides one
+        // chain's job latency behind the other's (unlike CPU-saturated
+        // stages, where overlap buys nothing — see the rejected ingest
+        // experiment in OPTIMIZATION_r15.md). Same frames either way.
         val sym = graft.operators.Graph.symmetrizeWeighted(
           backboneEdges(s, d), "src", "dst", Some("w"))
-        val x = graft.operators.Graph.labelPropagationSym(sym, rounds = 2)
-          .select(col("node"), col("label").as("lx"))
-        val y = graft.operators.Graph.louvainMoveSym(sym, rounds = 2)
-          .select(col("node"), col("label").as("ly"))
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fx = Future(graft.operators.Graph.labelPropagationSym(sym, rounds = 2)
+          .select(col("node"), col("label").as("lx")))
+        val fy = Future(graft.operators.Graph.louvainMoveSym(sym, rounds = 2)
+          .select(col("node"), col("label").as("ly")))
+        val x = Await.result(fx, scala.concurrent.duration.Duration.Inf)
+        val y = Await.result(fy, scala.concurrent.duration.Duration.Inf)
         val j = x.join(y, "node").localCheckpoint(true)
         val nij = j.groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("nij"))
         val ni = j.groupBy(col("lx")).agg(count(lit(1)).as("ni"))
