@@ -227,6 +227,17 @@ object Bench {
         System.err.println(s"[bench] metrics write to $path failed: $e")
       }
     }
+    // r15 verdict #9: ALSO persist the identical JSON line to a file
+    // (BENCH_LOCAL.json, overridable) so round-over-round comparison never
+    // again depends on a driver artifact keeping only a truncated stdout
+    // tail (PERF_r15 had prev_bench_ok=false for exactly that reason).
+    // Purely additive evidence: the stdout contract is unchanged.
+    val localOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(localOut),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] local bench write to $localOut failed: $e")
+    }
     spark.stop()
     // printed AFTER spark.stop() so the JSON is the LAST stdout line of the
     // run (build.sbt suppresses sbt's trailing "[success]" line) — robust

@@ -43,23 +43,25 @@ object BandedRange {
     * of Long.MinValue would wrap in the frame-bound subtraction and are
     * outside the contract.
     *
-    * ADAPTIVE DISPATCH (r15): below `smallInputBytes` (Catalyst's
-    * optimized-plan size estimate — no extra job) the operator takes
-    * Spark's native RANGE window: one exchange + one sort, optimal
-    * while the whole input fits comfortably in a handful of tasks, and
-    * the exact semantic reference the banded form is property-tested
-    * against. Above the bound it takes the banded equi-join form below
-    * — the plan that survives a low-cardinality group key at 100 TB
-    * (the window is one task per distinct group). Both branches are
-    * exact and return identical rows; pass `smallInputBytes = 0` to
-    * pin the banded plan (the scale gates and PropertiesSpec do). */
+    * ADAPTIVE DISPATCH (r15, hardened r16): below `smallInputBytes` —
+    * judged by [[GlobalRank.isSmall]]'s trustworthy-upper-bound walk
+    * (leaf-scan bytes with the in-memory expansion factor, pinned
+    * actual block-manager bytes; join-derived inputs fail toward the
+    * banded branch) — the operator takes Spark's native RANGE window:
+    * one exchange + one sort, optimal while the whole input fits
+    * comfortably in a handful of tasks, and the exact semantic
+    * reference the banded form is property-tested against. Above the
+    * bound (or with no trustworthy bound) it takes the banded
+    * equi-join form below — the plan that survives a low-cardinality
+    * group key at 100 TB (the window is one task per distinct group).
+    * Both branches are exact and return identical rows; pass
+    * `smallInputBytes = 0` to pin the banded plan (the scale gates and
+    * PropertiesSpec do). */
   def peersWithin(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   w: Long, outCol: String,
                   smallInputBytes: Long = 64L << 20): DataFrame = {
     require(w > 0, s"window width must be positive, got $w")
-    if (smallInputBytes > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-          BigInt(smallInputBytes)) {
+    if (GlobalRank.isSmall(df, smallInputBytes)) {
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCols.map(col).toIndexedSeq: _*)
         .orderBy(col(valueCol).cast("long"))

@@ -54,37 +54,133 @@ object GlobalRank {
     * block-manager footprint is read instead (driver-side metadata). */
   val SmallInputBytesDefault: Long = 64L << 20
 
-  private def isSmall(df: DataFrame, smallInputBytes: Long): Boolean = {
-    if (smallInputBytes <= 0) return false
-    val plan = df.queryExecution.optimizedPlan
-    // a pinned (localCheckpoint) input carries its PRE-pin Catalyst
-    // estimate, which for join/aggregate-derived frames can be inflated
-    // by orders of magnitude; the checkpoint is materialized, so its
-    // ACTUAL block-manager footprint is available driver-side at no job
-    // cost and beats any estimate (r15: the perplexity gate's per-doc
-    // scores carried a corpus⋈LM-inflated estimate and two-phased a
-    // 2 MB input)
-    // strip size-non-increasing unary nodes (filters, column-pruning
-    // projections) so the pinned frame is found under the usual
-    // `.filter(...).select(...)` decoration; the checkpoint's footprint
-    // stays a valid UPPER bound through them
-    import org.apache.spark.sql.catalyst.expressions.Attribute
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
-    @scala.annotation.tailrec
-    def strip(p: LogicalPlan): LogicalPlan = p match {
-      case f: Filter => strip(f.child)
-      case pr: Project if pr.projectList.forall(_.isInstanceOf[Attribute]) =>
-        strip(pr.child)
-      case other => other
-    }
-    val actual = strip(plan) match {
+  /** Expansion factor applied to a FILE-SCAN leaf estimate: Catalyst's
+    * sizeInBytes for a file relation is the COMPRESSED on-disk byte count,
+    * while the native window branch sorts DECODED in-memory rows —
+    * typically 3-5x larger (parquet encodings + general compression). The
+    * r15 decade gate caught exactly this under-estimate: a sub-bound sf1
+    * scan estimate drove agg_approx_percentile through a ~5 s single-task
+    * native window (6.3x wall per 10x data) one decade before the raw
+    * estimate would have crossed the bound on its own. */
+  private[graft] val ScanExpansionFactor = 4
+  /** Expansion factor applied to a pinned input's block-manager footprint:
+    * spilled blocks are serialized (and object-size accounting differs
+    * from the window sort's working set), so the raw byte count can sit a
+    * small factor below in-memory reality (r15 ADVICE). */
+  private[graft] val PinnedExpansionFactor = 2
+
+  /** Trustworthy UPPER bound on the in-memory bytes of `p`'s output, or
+    * None when no such bound exists — join-derived (output can explode
+    * past any product of the inputs the planner guesses), generator
+    * fan-out, array/map-producing projections, unknown operators. The
+    * r15 dispatch trusted `optimizedPlan.stats.sizeInBytes` for every
+    * non-pinned input; a single UNDER-estimate routes corpus-scale data
+    * through the native partition-less window — the exact single-task
+    * OOM cliff these helpers exist to prevent (r15 verdict #1). This walk
+    * only ever propagates bounds that are provably size-non-increasing
+    * (filter, pruning projection, aggregate, limit, semi/anti join's left
+    * side) or scaled by a structural factor (Expand, fixed-width computed
+    * columns), and FAILS TOWARD None — the caller then keeps the
+    * two-phase branch, which is always correct, merely less optimal for
+    * genuinely small inputs. */
+  private def sizeUpperBound(df: DataFrame,
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[BigInt] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    def bound(p: LogicalPlan): Option[BigInt] = p match {
+      // a pinned (localCheckpoint) input is already materialized: its
+      // ACTUAL block-manager footprint is available driver-side at no job
+      // cost and beats any estimate in BOTH directions (r15: the
+      // perplexity gate's per-doc scores carried a corpus⋈LM-inflated
+      // estimate and two-phased a 2 MB input; conversely a join-derived
+      // frame with a deflated estimate must not ride the native window)
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         df.sparkSession.sparkContext.getRDDStorageInfo
           .find(_.id == lr.rdd.id).filter(_.isCached)
-          .map(i => BigInt(i.memSize + i.diskSize))
+          .map(i => BigInt(i.memSize + i.diskSize) * PinnedExpansionFactor)
+      // driver-local literal data: stats are computed from the actual rows
+      case _: LocalRelation => Some(p.stats.sizeInBytes)
+      case _: Range => Some(p.stats.sizeInBytes)
+      // file-relation leaves: compressed bytes -> in-memory expansion
+      case leaf: LeafNode => Some(leaf.stats.sizeInBytes * ScanExpansionFactor)
+      // size-non-increasing: rows can only shrink, columns unchanged.
+      // NOTE: deliberately NOT taking Catalyst's filter/projection
+      // REDUCTION (selectivity or width-ratio guesses under-estimate —
+      // the retained column can hold 95% of the bytes); the child bound
+      // passes through unreduced, erring toward two-phase.
+      case f: Filter => bound(f.child)
+      case s: Sort => bound(s.child)
+      case l: GlobalLimit => bound(l.child)
+      case l: LocalLimit => bound(l.child)
+      case s: Sample => bound(s.child)
+      case r: RepartitionOperation => bound(r.child)
+      case r: RebalancePartitions => bound(r.child)
+      case d: Deduplicate => bound(d.child)
+      case a: SubqueryAlias => bound(a.child)
+      case h: ResolvedHint => bound(h.child)
+      // aggregation: output rows <= child rows; fixed-width aggregate
+      // values add <= one small column per group and collect_* payloads
+      // are redistributions of child bytes — x2 covers the group keys
+      // riding alongside
+      case a: Aggregate => bound(a.child).map(_ * 2)
+      // projection: row count unchanged. Attribute passthroughs cannot
+      // grow a row; each computed FIXED-WIDTH column adds at most one
+      // row-copy's worth of bytes (8-16 B against a >= 8 B/field child
+      // row), so scale by (1 + k). A computed array/map column has no
+      // static width bound (sequence/split can dwarf the input row) —
+      // no bound, fail toward two-phase.
+      case pr: Project =>
+        val computed = pr.projectList.filter {
+          case _: Attribute => false
+          case Alias(_: Attribute, _) => false
+          case _ => true
+        }
+        if (computed.exists(e => e.dataType.isInstanceOf[ArrayType]
+            || e.dataType.isInstanceOf[MapType])) None
+        else bound(pr.child).map(_ * (1 + computed.size))
+      // window: like a computed projection — adds one column per window
+      // expression over unchanged rows
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        if (w.windowExpressions.exists(e => e.dataType.isInstanceOf[ArrayType]
+            || e.dataType.isInstanceOf[MapType])) None
+        else bound(w.child).map(_ * (1 + w.windowExpressions.size))
+      case e: Expand => bound(e.child).map(_ * math.max(1, e.projections.size))
+      case u: Union =>
+        val bs = u.children.map(bound)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      // semi/anti join output is a subset of the LEFT side; every other
+      // join type can explode past any static bound — EXCEPT a join whose
+      // other side provably holds at most ONE row (a keyless aggregate:
+      // the broadcast-a-scalar-threshold idiom), where output rows equal
+      // the data side's and each row gains at most the 1-row side's
+      // fixed-width columns (x2 covers a full row-copy's worth)
+      case j: Join if j.joinType == LeftSemi || j.joinType == LeftAnti =>
+        bound(j.left)
+      case j: Join =>
+        def fixedWidth(p: LogicalPlan): Boolean = p.output.forall(a =>
+          !a.dataType.isInstanceOf[ArrayType] && !a.dataType.isInstanceOf[MapType])
+        if (j.right.maxRows.contains(1L) && fixedWidth(j.right))
+          bound(j.left).map(_ * 2)
+        else if (j.left.maxRows.contains(1L) && fixedWidth(j.left))
+          bound(j.right).map(_ * 2)
+        else None
       case _ => None
     }
-    actual.getOrElse(plan.stats.sizeInBytes) <= BigInt(smallInputBytes)
+    bound(p)
+  }
+
+  /** Dispatch predicate shared by every two-phase helper here and by
+    * [[BandedRange.peersWithin]]: true only when a TRUSTWORTHY upper
+    * bound on the input's in-memory size exists and sits under
+    * `smallInputBytes` — join-derived or otherwise unboundable inputs
+    * fail toward the two-phase branch (never the single-task native
+    * window). Driver-side metadata only; costs no job. */
+  private[operators] def isSmall(df: DataFrame, smallInputBytes: Long): Boolean = {
+    if (smallInputBytes <= 0) return false
+    sizeUpperBound(df, df.queryExecution.optimizedPlan)
+      .exists(_ <= BigInt(smallInputBytes))
   }
 
   /** Append `rnCol` = the exact 1-based global row number of each row

@@ -828,6 +828,64 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("size dispatch: join-derived inputs keep the two-phase plan even under the byte bound") {
+    // r16 hardening (r15 verdict #1): Catalyst UNDER-estimates must never
+    // route corpus-scale data onto the partition-less native window. An
+    // inner equi-join's output has no trustworthy static size bound (the
+    // fan-out can explode past any estimate), so even when the optimizer's
+    // estimate sits under the bound the dispatch must fail toward the
+    // two-phase branch. Pinning the same frame restores the native branch
+    // through the actual-block-bytes read — the documented remedy.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val left = (1 to 100).map(i => (i.toLong, i * 2L)).toDF("id", "v")
+    val right = (1 to 100).map(i => (i.toLong, i * 3L)).toDF("id", "w")
+    val joined = left.join(right, "id")
+    // precondition: the raw Catalyst estimate IS under the bound — the
+    // r15 dispatch would have routed this onto the native window, so this
+    // asserts the new behavior, not a big-estimate coincidence
+    assert(joined.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(graft.operators.GlobalRank.SmallInputBytesDefault),
+      "test setup: the join's estimate must sit under the dispatch bound")
+    val p = graft.operators.GlobalRank.globalRowNumber(
+        joined, Seq(c("v"), c("id")), "__rn")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("__gr_pid"),
+      s"join-derived input must fail toward the two-phase plan:\n$p")
+    val pinned = graft.operators.GlobalRank.globalRowNumber(
+        joined.localCheckpoint(true), Seq(c("v"), c("id")), "__rn")
+      .queryExecution.executedPlan.toString
+    assert(!pinned.contains("__gr_pid"),
+      s"pinned (actual-bytes) small input must take the native window:\n$pinned")
+  }
+
+  test("size dispatch: scan-derived estimates carry the in-memory expansion factor") {
+    // r15 decade gate: a compressed parquet scan estimate sat under the
+    // bound at sf1 while the decoded rows the native window must sort were
+    // several times larger (agg_approx_percentile, 6.3x wall per decade,
+    // 4.8 s max task). The dispatch bound now compares LEAF file bytes x
+    // ScanExpansionFactor — a bound between raw and expanded bytes must
+    // route two-phase, a bound above the expanded bytes native.
+    import org.apache.spark.sql.functions.{col => c}
+    val ev = graft.queries.Tables(spark, dir, "events")
+      .select(c("event_id"), c("value"))
+    val leafBytes = ev.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    val expanded = leafBytes * graft.operators.GlobalRank.ScanExpansionFactor
+    val below = graft.operators.GlobalRank.globalRowNumber(
+        ev, Seq(c("value"), c("event_id")), "__rn",
+        smallInputBytes = (expanded - 1).toLong)
+      .queryExecution.executedPlan.toString
+    assert(below.contains("__gr_pid"),
+      s"bound under expanded scan bytes must keep two-phase:\n$below")
+    val above = graft.operators.GlobalRank.globalRowNumber(
+        ev, Seq(c("value"), c("event_id")), "__rn",
+        smallInputBytes = (expanded + 1).toLong)
+      .queryExecution.executedPlan.toString
+    assert(!above.contains("__gr_pid"),
+      s"bound above expanded scan bytes must take the native window:\n$above")
+  }
+
   test("semantic decontamination broadcasts the benchmark side; RRF fuses bounded lists") {
     // the benchmark embeddings must ride a broadcast into the corpus scan
     // (rangeSearch's contract) — a shuffle join here would move the corpus
