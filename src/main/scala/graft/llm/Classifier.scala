@@ -44,14 +44,45 @@ object Classifier {
   def logisticTrain(features: DataFrame, labels: DataFrame,
                     rounds: Int = 2, lrMilli: Long = 500L,
                     idCol: String = "doc_id", featCol: String = "feature_idx",
+                    xCol: String = "x", yCol: String = "y"): DataFrame =
+    trainLoop(pinFeatures(features, idCol, featCol, xCol),
+        pinLabels(labels, idCol, yCol), rounds, lrMilli)
+      .select(col("__f").as(featCol), col("__w").as("w_micro"))
+
+  /** Train AND score over ONE pinned feature projection (r16, r15 verdict
+    * #6): the three eval-family queries each passed the same un-pinned
+    * featureHash frame to [[logisticTrain]] (which pins its own copy) and
+    * then to [[logisticScore]] — re-running the tokenize+hash explode over
+    * the corpus a second time per query. Here the projection is
+    * materialized once and feeds both the gradient rounds and the final
+    * scoring pass. Output = [[logisticScore]]'s frame, bit-identical
+    * (same integer arithmetic over the same rows). */
+  def trainAndScore(features: DataFrame, labels: DataFrame,
+                    rounds: Int = 2, lrMilli: Long = 500L,
+                    idCol: String = "doc_id", featCol: String = "feature_idx",
                     xCol: String = "x", yCol: String = "y"): DataFrame = {
+    val feat = pinFeatures(features, idCol, featCol, xCol)
+    val w = trainLoop(feat, pinLabels(labels, idCol, yCol), rounds, lrMilli)
+    scoreProjected(feat, w, idCol)
+  }
+
+  private def pinFeatures(features: DataFrame, idCol: String,
+                          featCol: String, xCol: String): DataFrame =
+    features.select(col(idCol).as("__id"),
+        col(featCol).cast("long").as("__f"), col(xCol).cast("long").as("__x"))
+      .localCheckpoint(true)
+
+  private def pinLabels(labels: DataFrame, idCol: String,
+                        yCol: String): DataFrame =
+    labels.select(col(idCol).as("__id"),
+      col(yCol).cast("long").as("__y")).localCheckpoint(true)
+
+  /** The fixed-round gradient loop over the PINNED projections; returns
+    * the weight vector as (__f, __w) in micro-units. */
+  private def trainLoop(feat: DataFrame, lab: DataFrame,
+                        rounds: Int, lrMilli: Long): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(lrMilli > 0, s"lrMilli must be > 0, got $lrMilli")
-    val feat = features.select(col(idCol).as("__id"),
-      col(featCol).cast("long").as("__f"), col(xCol).cast("long").as("__x"))
-      .localCheckpoint(true)
-    val lab = labels.select(col(idCol).as("__id"),
-      col(yCol).cast("long").as("__y")).localCheckpoint(true)
     // n as a 1-row broadcast — the gradient scale; never collected
     val n = lab.agg(count(lit(1)).as("__n"))
     var w = feat.select(col("__f")).distinct()
@@ -84,7 +115,7 @@ object Classifier {
         .localCheckpoint(true)
       r += 1
     }
-    w.select(col("__f").as(featCol), col("__w").as("w_micro"))
+    w
   }
 
   /** Score examples with a trained weight vector: the exact integer dot
@@ -95,10 +126,16 @@ object Classifier {
   def logisticScore(features: DataFrame, weights: DataFrame,
                     idCol: String = "doc_id", featCol: String = "feature_idx",
                     xCol: String = "x"): DataFrame =
-    features.select(col(idCol).as("__id"),
-        col(featCol).cast("long").as("__f"), col(xCol).cast("long").as("__x"))
-      .join(broadcast(weights.select(col(featCol).as("__f"),
-        col("w_micro").cast("long").as("__w"))), "__f")
+    scoreProjected(
+      features.select(col(idCol).as("__id"),
+        col(featCol).cast("long").as("__f"), col(xCol).cast("long").as("__x")),
+      weights.select(col(featCol).as("__f"),
+        col("w_micro").cast("long").as("__w")),
+      idCol)
+
+  private def scoreProjected(feat: DataFrame, w: DataFrame,
+                             idCol: String): DataFrame =
+    feat.join(broadcast(w.select(col("__f"), col("__w").cast("long").as("__w"))), "__f")
       .groupBy(col("__id"))
       .agg(sum(col("__x") * col("__w")).as("margin_micro"))
       .select(col("__id").as(idCol), col("margin_micro"),

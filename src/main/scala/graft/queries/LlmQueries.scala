@@ -3658,13 +3658,14 @@ object LlmQueries {
     Q("text_quality_score_trained", "LLM",
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
-          numFeatures = 64)
-        val w = graft.llm.Classifier.logisticTrain(
-          feats, docs.select(col("doc_id"),
+        // r16: train + score over ONE pinned feature projection — the
+        // un-pinned form ran the featureHash tokenize+hash explode twice
+        // per query (once inside train, once for the scoring pass)
+        graft.llm.Classifier.trainAndScore(
+          TextAnalysis.featureHash(docs, "doc_id", "text", numFeatures = 64),
+          docs.select(col("doc_id"),
             when(col("lang") === "en", 1L).otherwise(0L).as("y")),
           rounds = 2, lrMilli = 500L, xCol = "weight")
-        graft.llm.Classifier.logisticScore(feats, w, xCol = "weight")
           .orderBy("doc_id")
       },
       Some(s"""$logitTrainCte,
@@ -3685,11 +3686,10 @@ object LlmQueries {
         val docs = Tables(s, d, "documents")
         val labels = docs.select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-        val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
-          numFeatures = 64)
-        val w = graft.llm.Classifier.logisticTrain(feats, labels,
-          rounds = 2, lrMilli = 500L, xCol = "weight")
-        graft.llm.Classifier.logisticScore(feats, w, xCol = "weight")
+        // r16: one pinned feature projection feeds train AND score
+        graft.llm.Classifier.trainAndScore(
+          TextAnalysis.featureHash(docs, "doc_id", "text", numFeatures = 64),
+          labels, rounds = 2, lrMilli = 500L, xCol = "weight")
           .join(labels, "doc_id")
           .withColumn("pred", when(col("p_micro") >= 500000L, 1L).otherwise(0L))
           .agg(
@@ -3739,11 +3739,10 @@ object LlmQueries {
         val docs = Tables(s, d, "documents")
         val labels = docs.select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-        val feats = TextAnalysis.featureHash(docs, "doc_id", "text",
-          numFeatures = 64)
-        val w = graft.llm.Classifier.logisticTrain(feats, labels,
-          rounds = 2, lrMilli = 500L, xCol = "weight")
-        graft.llm.Classifier.logisticScore(feats, w, xCol = "weight")
+        // r16: one pinned feature projection feeds train AND score
+        graft.llm.Classifier.trainAndScore(
+          TextAnalysis.featureHash(docs, "doc_id", "text", numFeatures = 64),
+          labels, rounds = 2, lrMilli = 500L, xCol = "weight")
           .join(labels, "doc_id")
           .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
           .groupBy(col("bin"))
@@ -4029,6 +4028,15 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val gated = Tables(s, d, "documents")
           .filter(col("lang").isin("en", "de") && length(col("text")) >= 50)
+        // r16 (r15 verdict #3): pin the deduped frame ONCE — it feeds both
+        // the Neyman allocation and the hash-rank draw, so the un-pinned
+        // form ran the gate+dedup window twice; and rank BEFORE joining
+        // the allocation (the per-source row number is independent of
+        // n_alloc, and alloc has exactly one row per source drawn from
+        // this same frame, so join-then-rank and rank-then-join emit
+        // identical rows). The dispatch then sees the pinned frame's
+        // ACTUAL bytes instead of a corpus⋈broadcast join estimate —
+        // native window at spec scale, two-phase above the bound.
         val deduped = gated
           .withColumn("__h", md5(col("text")))
           .withColumn("__rn", row_number().over(
@@ -4036,15 +4044,17 @@ object LlmQueries {
           .filter(col("__rn") === 1)
           .select(col("doc_id"), col("source"),
             length(col("text")).cast("long").as("len"))
+          .localCheckpoint(true)
         val alloc = Sampling.neymanAllocation(deduped, "source", "len", n = 50)
           .select(col("stratum").as("source"), col("n_alloc"))
         // the per-source hash-rank draw rides the grouped two-phase row
         // number — a window partitioned by the 20-value source over the
         // deduped corpus would be one task per source at 100 TB
         graft.operators.GlobalRank.groupedRowNumber(
-            deduped.join(broadcast(alloc), "source"), Seq("source"),
+            deduped, Seq("source"),
             Seq(graft.functions.ColumnFns.md5Long(col("doc_id").cast("string")),
               col("doc_id")), "__pick")
+          .join(broadcast(alloc), "source")
           .withColumn("pick_rank", col("__pick").cast("int"))
           .filter(col("pick_rank") <= col("n_alloc"))
           .select(col("source"), col("pick_rank"), col("doc_id"), col("len"))
@@ -6680,14 +6690,25 @@ object LlmQueries {
         // experiment in OPTIMIZATION_r15.md). Same frames either way.
         val sym = graft.operators.Graph.symmetrizeWeighted(
           backboneEdges(s, d), "src", "dst", Some("w"))
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        val fx = Future(graft.operators.Graph.labelPropagationSym(sym, rounds = 2)
-          .select(col("node"), col("label").as("lx")))
-        val fy = Future(graft.operators.Graph.louvainMoveSym(sym, rounds = 2)
-          .select(col("node"), col("label").as("ly")))
-        val x = Await.result(fx, scala.concurrent.duration.Duration.Inf)
-        val y = Await.result(fy, scala.concurrent.duration.Duration.Inf)
+        // dedicated 2-thread pool (r15 ADVICE): blocking Spark actions must
+        // not borrow the global fork-join pool, and BOTH futures are
+        // awaited before any rethrow so a failing chain never leaves the
+        // other running detached with leaked checkpoint blocks
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        val (x, y) = try {
+          val fx = Future(graft.operators.Graph.labelPropagationSym(sym, rounds = 2)
+            .select(col("node"), col("label").as("lx")))
+          val fy = Future(graft.operators.Graph.louvainMoveSym(sym, rounds = 2)
+            .select(col("node"), col("label").as("ly")))
+          val inf = scala.concurrent.duration.Duration.Inf
+          // Await.ready (not .result) on BOTH first: completion without
+          // rethrow, so a failure in one chain still waits out the other
+          val rx = Await.ready(fx, inf).value.get
+          val ry = Await.ready(fy, inf).value.get
+          (rx.get, ry.get)
+        } finally pool.shutdown()
         val j = x.join(y, "node").localCheckpoint(true)
         val nij = j.groupBy(col("lx"), col("ly")).agg(count(lit(1)).as("nij"))
         val ni = j.groupBy(col("lx")).agg(count(lit(1)).as("ni"))

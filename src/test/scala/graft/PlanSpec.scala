@@ -676,15 +676,21 @@ class PlanSpec extends SparkSpec {
           s"$name: below the size bound the grouped helpers must take the " +
             s"native window, not the two-phase machinery:\n$p")
       }
-      // llm_corpus_pipeline_v3's ranking input is a corpus⋈broadcast join
-      // — Catalyst's join size estimate multiplies past the bound, so the
-      // dispatch (correctly, conservatively) keeps the two-phase branch
-      // even at spec scale: unreliable stats must fail toward the plan
-      // that survives 100 TB. Lock that it stays two-phase.
-      assert(Registry.queries("llm_corpus_pipeline_v3")(spark, dir)
-        .queryExecution.executedPlan.toString.contains("__gg_pid"),
-        "llm_corpus_pipeline_v3: expected the retained two-phase ranking " +
-          "(join-inflated stats must not dispatch to the native window)")
+      // llm_corpus_pipeline_v3 (r16): the ranking now rides the PINNED
+      // dedup frame (ranked before the allocation join — the per-source
+      // row number is independent of n_alloc), so the dispatch reads the
+      // checkpoint's ACTUAL bytes and takes the native window at spec
+      // scale; the pinned frame shows as an ExistingRDD scan. Join-derived
+      // inputs failing toward two-phase is locked generally in the
+      // "join-derived inputs keep the two-phase plan" test.
+      val v3 = Registry.queries("llm_corpus_pipeline_v3")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!v3.contains("__gg_pid"),
+        s"llm_corpus_pipeline_v3: pinned ranking input must dispatch to " +
+          s"the native window at spec scale:\n$v3")
+      assert(v3.contains("ExistingRDD"),
+        s"llm_corpus_pipeline_v3: the dedup frame must be pinned once " +
+          s"(localCheckpoint) for both consumers:\n$v3")
       // aggregate-fronted shapes (no dispatch): a window partitioned by
       // the low-card key alone must sit over dimension-sized (aggregated)
       // input. A ReusedExchange counts when its ORIGIN exchange sits over
