@@ -664,7 +664,11 @@ object Graph {
         .join(reached.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint(true)
-      reached = reached.union(next).localCheckpoint(true)
+      // lazy union of the pinned per-hop frames (r16): re-checkpointing
+      // the growing reached set materialized |reached| rows per hop —
+      // quadratic total bytes and one extra blocking job per round — for
+      // an anti-join that reads the identical set off the pinned parts
+      reached = reached.union(next)
       frontier = next.select(col("node"))
       h += 1
     }
@@ -1559,7 +1563,12 @@ object Graph {
     val l0 = pivots.select(col(pivotCol).cast("long").as("p")).distinct()
       .select(col("p"), col("p").as("v"), lit(1L).as("sigma"))
       .localCheckpoint(true)
-    var seen = l0.select(col("p"), col("v"), lit(0L).as("d"))
+    // r16 (r15 verdict #8): the visited set is a LAZY union of the pinned
+    // level frames — the r15 form re-checkpointed the growing union every
+    // level, materializing |seen| rows per hop (quadratic total bytes) and
+    // paying one extra blocking job per level; the anti-join reads the
+    // identical set either way since every component is already pinned
+    var seen = l0.select(col("p"), col("v"))
     var frontier = l0
     val levels = scala.collection.mutable.ArrayBuffer[DataFrame](l0)
     var h = 1
@@ -1568,14 +1577,12 @@ object Graph {
         .groupBy(col("p"), col("b").as("w"))
         .agg(sum(col("sigma")).as("sigma"))
       val next = cand
-        .join(seen.select(col("p"), col("v").as("w"), lit(1).as("__hit")),
+        .join(seen.select(col("p"), col("v").as("w")),
           Seq("p", "w"), "left_anti")
         .select(col("p"), col("w").as("v"), col("sigma"))
         .localCheckpoint(true)
       levels += next
-      seen = seen.unionByName(
-          next.select(col("p"), col("v"), lit(h.toLong).as("d")))
-        .localCheckpoint(true)
+      seen = seen.unionByName(next.select(col("p"), col("v")))
       frontier = next
       h += 1
     }
