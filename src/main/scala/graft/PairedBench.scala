@@ -134,6 +134,65 @@ object PairedBench {
             .agg(min(col("price_c")).as("weighted_median_c"),
               max(col("tw")).as("total_weight"))
         }),
+      // r16: prefix-filter Jaccard — the shipped lazy DAG (A: the shingle
+      // pipeline re-evaluates ~4x and the ranking window twice through the
+      // candidate self-join, all CONCURRENT inside one DAG) vs pinning the
+      // shingle sets + prefixes with localCheckpoint (B, the rejected r16
+      // experiment: measured +32% — each pin serializes a materialization
+      // job before any consumer starts, and the page cache absorbs the
+      // lazy form's repeated scans). B replicates the pinned body.
+      ("jaccard_prefix_pins",
+        () => graft.llm.Dedup.prefixFilterJaccardPairs(
+          queries.Tables(spark, d, "documents"), "doc_id", "text",
+          shingleLen = 3, thresholdMilli = 800),
+        () => {
+          import graft.functions.ColumnFns.{shingles, tokens}
+          val thresholdMilli = 800
+          val df = queries.Tables(spark, d, "documents")
+          val (members, reps) = graft.llm.Dedup.collapseByKey(
+            df.select(col("doc_id"), col("text")), "doc_id",
+            Seq(md5(col("text"))))
+          val sets = reps.select(col("doc_id").as("id"),
+              array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+            .localCheckpoint(true)
+          val shRows = sets.select(col("id"), explode(col("sh")).as("shingle"))
+          val dfreq = shRows.groupBy(col("shingle"))
+            .agg(count(lit(1)).as("df_count"))
+          val ranked = shRows.join(dfreq, "shingle")
+            .withColumn("__r", row_number().over(Window.partitionBy(col("id"))
+              .orderBy(col("df_count"), col("shingle"))))
+            .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("id"))))
+          val prefixes = ranked.filter(
+              col("__r") <= col("__n")
+                - expr(s"($thresholdMilli * __n + 999) div 1000") + 1)
+            .select(col("id"), col("shingle"))
+            .localCheckpoint(true)
+          val cand = prefixes.select(col("shingle"), col("id").as("id_a"))
+            .join(prefixes.select(col("shingle"), col("id").as("id_b")), "shingle")
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b")).distinct()
+          val inter = size(array_intersect(col("sa"), col("sb")))
+          val uni = size(col("sa")) + size(col("sb")) - inter
+          val repPairs = cand
+            .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+            .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+            .filter(least(size(col("sa")), size(col("sb"))).cast("long") * 1000
+              >= lit(thresholdMilli.toLong) * greatest(size(col("sa")), size(col("sb"))))
+            .select(col("id_a"), col("id_b"), inter.as("n_intersect"),
+              uni.as("n_union"))
+            .withColumn("jacc_milli",
+              expr("cast(n_intersect as bigint) * 1000 div n_union"))
+            .filter(col("jacc_milli") >= thresholdMilli)
+          val intra = graft.llm.Dedup.intraPairs(members)
+            .join(sets.select(col("id").as("__rep"), size(col("sh")).as("__n")), "__rep")
+            .select(col("id_a"), col("id_b"), col("__n").as("n_intersect"),
+              col("__n").as("n_union"), lit(1000L).as("jacc_milli"))
+          val cross = graft.llm.Dedup.memberPairs(repPairs, members)
+            .select(least(col("__ma"), col("__mb")).as("id_a"),
+              greatest(col("__ma"), col("__mb")).as("id_b"),
+              col("n_intersect"), col("n_union"), col("jacc_milli"))
+          intra.union(cross)
+        }),
       ("event_pareto_curve",
         () => {
           val cum = graft.operators.GlobalRank.globalRowNumberAndPrefixSum(

@@ -656,6 +656,14 @@ object Dedup {
       s"thresholdMilli must be in [1, 1000], got $thresholdMilli")
     val (members, reps) = collapseByKey(
       df.select(col(idCol), col(textCol)), idCol, Seq(md5(col(textCol))))
+    // NOTE (r16, measured): `sets` re-evaluates ~4x through this lazy DAG
+    // (both sides of the dfreq join + both verify sides) and the ranking
+    // window twice (the candidate self-join) — pinning either stage with
+    // localCheckpoint was A/B'd (PairedBench "jaccard_prefix_pins") and
+    // LOST: both pins +32%, prefixes-only +54% (medians, spreads <20%).
+    // The recomputations run concurrently inside one DAG while a pin
+    // serializes a full materialization job before any consumer starts;
+    // page cache absorbs the repeated scans. Kept lazy deliberately.
     val sets = reps.select(col(idCol).as("id"),
       array_distinct(shingles(tokens(col(textCol)), shingleLen)).as("sh"))
     val shRows = sets.select(col("id"), explode(col("sh")).as("shingle"))

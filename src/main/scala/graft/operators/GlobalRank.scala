@@ -774,7 +774,16 @@ object GlobalRank {
     * `groupCols` empty = global percentile (one row; NULL when no
     * non-null values, like the aggregate over an all-null input; an
     * empty GROUP cannot occur since groups come from the rows). Returns
-    * groupCols :+ outCol (DOUBLE). */
+    * groupCols :+ outCol (DOUBLE).
+    *
+    * CONTRACT divergence (deliberate, r15 ADVICE): a group whose values
+    * are ALL NULL is DROPPED from the grouped output — the `percentile`
+    * aggregate would emit that group with a NULL result. Every caller in
+    * this repo feeds non-null value columns (the divergence is
+    * unobservable there, and the oracle hash-equality proves it); a
+    * future caller with nullable groups must left-join the group
+    * universe back if it needs the aggregate's NULL rows.
+    * PropertiesSpec pins this case. */
   def exactPercentile(df: DataFrame, groupCols: Seq[String],
                       valueCol: String, tiebreakCols: Seq[Column],
                       pct: Double, outCol: String,

@@ -503,6 +503,21 @@ class PropertiesSpec extends SparkSpec {
     val r0 = graft.operators.GlobalRank.exactPercentile(nulls, Seq.empty, "v",
       Seq(col("id")), 0.5, "p").collect()
     assert(r0.length == 1 && r0(0).isNullAt(0))
+    // DOCUMENTED divergence (r15 ADVICE): a GROUP whose values are ALL
+    // NULL is dropped from the grouped output, whereas the `percentile`
+    // aggregate emits that group with a NULL result. Every call site in
+    // this repo uses non-null value columns, so the divergence is
+    // unobservable there — this case pins the contract so a future
+    // caller with nullable groups knows to left-join the group universe.
+    val mixed = Seq((1L, "a", java.lang.Long.valueOf(10L)),
+      (2L, "a", java.lang.Long.valueOf(20L)),
+      (3L, "b", null.asInstanceOf[java.lang.Long])).toDF("id", "g", "v")
+    val grouped = graft.operators.GlobalRank.exactPercentile(mixed, Seq("g"),
+      "v", Seq(col("id")), 0.5, "p").collect()
+    assert(grouped.map(_.getAs[String]("g")).toSet == Set("a"),
+      "all-null group 'b' is dropped (aggregate would emit (b, NULL))")
+    assert(mixed.groupBy(col("g")).agg(expr("percentile(v, 0.5)"))
+      .collect().length == 2, "the aggregate keeps the all-null group")
   }
 
   test("BandedRange.peersWithin equals the RANGE-frame window count, negatives, boundaries, and nulls included") {
